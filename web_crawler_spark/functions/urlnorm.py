@@ -1,0 +1,161 @@
+"""RFC 3986 URL canonicalization — row function + vectorized pandas UDF.
+
+The reference enqueues raw hrefs verbatim (a gap: SURVEY.md §2.2 P5); the
+north rule requires canonicalization before the URL-seen check: lowercase
+scheme/host, strip default ports, percent-decode unreserved characters,
+uppercase remaining percent-escapes, remove dot segments, empty path -> "/",
+drop fragments.  Everything is pure-Python-per-row *inside* an Arrow batch
+(ArrowEvalPython), with a vectorized fast path that leaves already-canonical
+URLs untouched without entering Python per-element work.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ws": 80, "wss": 443, "ftp": 21}
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_HEX = "0123456789ABCDEFabcdef"
+
+# Fast path: urls that canonicalization cannot change — lowercase scheme+host,
+# no port, no userinfo, no percent-escapes, no dot segments, no fragment,
+# non-empty path of safe chars.
+_CANONICAL_RE = re.compile(
+    r"^https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*$"
+)
+_DOTSEG_RE = re.compile(r"/\.\.?(?:/|$)|^\.\.?(?:/|$)")
+
+
+def _norm_pct(component: str) -> str:
+    """Percent-decode unreserved chars; uppercase the hex of remaining escapes."""
+    if "%" not in component:
+        return component
+    out = []
+    i, n = 0, len(component)
+    while i < n:
+        ch = component[i]
+        if ch == "%" and i + 2 <= n - 1 and component[i + 1] in _HEX and component[i + 2] in _HEX:
+            decoded = chr(int(component[i + 1 : i + 3], 16))
+            if decoded in _UNRESERVED:
+                out.append(decoded)
+            else:
+                out.append("%" + component[i + 1 : i + 3].upper())
+            i += 3
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4."""
+    output: list[str] = []
+    buf = path
+    while buf:
+        if buf.startswith("../"):
+            buf = buf[3:]
+        elif buf.startswith("./"):
+            buf = buf[2:]
+        elif buf.startswith("/./"):
+            buf = "/" + buf[3:]
+        elif buf == "/.":
+            buf = "/"
+        elif buf.startswith("/../"):
+            buf = "/" + buf[4:]
+            if output:
+                output.pop()
+        elif buf == "/..":
+            buf = "/"
+            if output:
+                output.pop()
+        elif buf in (".", ".."):
+            buf = ""
+        else:
+            i = buf.find("/", 1) if buf.startswith("/") else buf.find("/")
+            if i == -1:
+                output.append(buf)
+                buf = ""
+            else:
+                output.append(buf[:i])
+                buf = buf[i:]
+    return "".join(output)
+
+
+def canonicalize_url(url: Optional[str]) -> Optional[str]:
+    """Canonical form of an absolute http(s)/ws/ftp URL; None for non-absolute
+    or unparseable input (relative hrefs have no authority -> not fetchable,
+    mirroring the reference where they simply fail to fetch)."""
+    if url is None:
+        return None
+    url = url.strip()
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+        host = parts.hostname
+        port = parts.port
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if not scheme or host is None or host == "":
+        return None
+    host = host.lower().rstrip(".")
+    netloc = host
+    if "@" in parts.netloc:
+        userinfo = parts.netloc.rsplit("@", 1)[0]
+        netloc = f"{userinfo}@{host}"
+    if port is not None and port != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{netloc}:{port}"
+    path = _norm_pct(parts.path)
+    path = _remove_dot_segments(path)
+    if not path:
+        path = "/"
+    out = f"{scheme}://{netloc}{path}"
+    if parts.query:
+        out += "?" + _norm_pct(parts.query)
+    return out  # fragment dropped
+
+
+def _canonicalize_series(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalization: a regex fast path keeps already-canonical
+    urls out of per-element Python; only the messy residue is mapped."""
+    s = urls.astype("object")
+    mask_str = s.notna()
+    fast = pd.Series(False, index=s.index)
+    if mask_str.any():
+        fast = s.where(mask_str, "").astype(str).str.match(_CANONICAL_RE) & mask_str
+        # fast-path candidates must also be free of dot segments
+        has_dotseg = s.where(mask_str, "").astype(str).str.contains(_DOTSEG_RE)
+        fast &= ~has_dotseg
+    out = s.copy()
+    slow_idx = s.index[mask_str & ~fast]
+    if len(slow_idx):
+        out.loc[slow_idx] = [canonicalize_url(u) for u in s.loc[slow_idx]]
+    out.loc[~mask_str] = None
+    return out
+
+
+@pandas_udf(StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return _canonicalize_series(urls)
+
+
+def with_canonical_url(df, src_col: str = "url", out_col: str = "url_canon"):
+    """Attach canonical url + 64-bit JVM-side hash key (the seen-set key)."""
+    return df.withColumn(out_col, canonicalize_udf(F.col(src_col))).withColumn(
+        out_col + "_hash", F.xxhash64(F.col(out_col))
+    )
+
+
+def host_of(col):
+    """Politeness partition key: JVM-side host extraction (SURVEY §2.2 P7)."""
+    return F.lower(F.parse_url(col, F.lit("HOST")))

@@ -1,0 +1,315 @@
+"""Deterministic synthetic Common-Crawl-style fixtures (FIXTURES.md).
+
+The driver's ``documents`` table is a generic text table; the crawl engine's
+mandated input shape (BASELINE.json ``input_hint``) is
+``(url string, warc_ts timestamp, html binary, text string, lang string)``.
+This module synthesizes that table — plus seeds, raw-url candidates, a media
+table for the multimodal path, and golden ``expected_crawl`` output — as a
+pure function of (scale, seed=42).  No wall clock, no network, no external
+data; every live link target exists in ``pages`` (closed link graph), one hot
+host carries ~50% of rows to exercise skew handling.
+
+Artifacts land under ``<repo>/.synthdata/sf{sf}/`` with a version marker so
+regeneration is idempotent and cheap.  DuckDB oracles read the same parquet
+files via absolute ``read_parquet`` paths.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from datetime import datetime, timedelta, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import refsim
+
+SYNTH_VERSION = "v3"
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
+
+# pages per scale factor (lineitem is ~6M rows/sf in TPC-H terms; we key on
+# the driver's sf names)
+_SF_PAGES = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000}
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog crawl frontier spark shuffle "
+    "partition parquet arrow vector batch scan filter join window budget "
+    "politeness robots fetch parse link anchor page host depth seed queue "
+    "hash bloom dedup snapshot lineage metric round barrier stage executor "
+    "token text corpus language quality score embed neighbor cluster shard"
+).split()
+
+_NON_ASCII = ["café", "naïve", "数据", "điểm", "straße", "日本語", "tiếng", "việt"]
+_LANGS = ["en", "vi", "de", "zh"]
+
+
+def sf_name_of(sf_dir: str) -> str:
+    """'/root/testdata/sf0.01' -> '0.01'."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base[2:] if base.startswith("sf") else base
+
+
+def synth_dir(sf: str) -> str:
+    return os.path.join(SYNTH_ROOT, f"sf{sf}")
+
+
+def synth_path(sf: str, table: str) -> str:
+    return os.path.join(synth_dir(sf), f"{table}.parquet")
+
+
+def _host_for(rng: random.Random, n_hosts: int) -> int:
+    # hot-host skew: host 0 gets ~50% of pages (FIXTURES.md §1)
+    if rng.random() < 0.5:
+        return 0
+    return rng.randint(1, n_hosts - 1)
+
+
+def _canonical_url(host_idx: int, page_idx: int) -> str:
+    return f"http://host{host_idx}.example/p/{page_idx}"
+
+
+def _messy_variant(rng: random.Random, url: str) -> str:
+    """An absolute-but-non-canonical form that canonicalizes back to `url`."""
+    kind = rng.randint(0, 3)
+    scheme, rest = url.split("://", 1)
+    host, path = rest.split("/", 1)
+    if kind == 0:
+        return f"HTTP://{host.upper()}/{path}"
+    if kind == 1:
+        return f"{scheme}://{host}:80/{path}"
+    if kind == 2:
+        # percent-encode an unreserved char in the path ('p' -> %70)
+        return f"{scheme}://{host}/" + path.replace("p/", "%70/", 1)
+    return f"{scheme}://{host}/a/../{path}"
+
+
+def _make_html(
+    rng: random.Random, page_idx: int, hrefs: list[str], lang: str
+) -> str:
+    parts = ["<html><head>"]
+    has_title = rng.random() < 0.9
+    title = ""
+    if has_title:
+        title = f"Page {page_idx} " + " ".join(rng.sample(_WORDS, 3))
+        parts.append(f"<title>{title}</title>")
+    if rng.random() < 0.6:
+        parts.append("<style>body { color: #333; }\n.x { font: 10px; }</style>")
+    parts.append("</head><body>")
+    if rng.random() < 0.7:
+        parts.append("<script>var x = 1;\nconsole.log('never in text');</script>")
+    n_paras = rng.randint(2, 6)
+    for _ in range(n_paras):
+        words = [rng.choice(_WORDS) for _ in range(rng.randint(20, 60))]
+        if rng.random() < 0.3:
+            words.insert(rng.randrange(len(words)), rng.choice(_NON_ASCII))
+        text = " ".join(words)
+        # two-space phrase runs exercise the reference's "  " split
+        if rng.random() < 0.5:
+            cut = rng.randrange(1, len(text))
+            text = text[:cut] + "  " + text[cut:]
+        if rng.random() < 0.2:
+            text += "   trailing  run"
+        parts.append(f"<p>{text}</p>")
+    for i, href in enumerate(hrefs):
+        parts.append(f'<p>see <a href="{href}">link {i}</a> here</p>')
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
+def _gen_pages(sf: str):
+    n = _SF_PAGES[sf]
+    n_hosts = max(8, int(n ** 0.5) // 2)
+    rng = random.Random(42)
+    epoch = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    host_idx = [_host_for(rng, n_hosts) for _ in range(n)]
+    urls = [_canonical_url(host_idx[i], i) for i in range(n)]
+
+    rows_url, rows_ts, rows_html, rows_text, rows_lang = [], [], [], [], []
+    meta_title, meta_links, meta_lcount, meta_host = [], [], [], []
+    for i in range(n):
+        n_links = rng.randint(0, 25) if rng.random() < 0.9 else 0
+        hrefs = []
+        for _ in range(n_links):
+            r = rng.random()
+            target = rng.randrange(n)
+            if r < 0.70:
+                hrefs.append(urls[target])  # canonical live link
+            elif r < 0.82:
+                hrefs.append(_messy_variant(rng, urls[target]))  # live after canon
+            elif r < 0.92:
+                hrefs.append(f"/p/{target}")  # relative -> dead in both modes
+            else:
+                hrefs.append(f"http://dead{rng.randrange(50)}.example/x/{target}")
+        lang = rng.choice(_LANGS)
+        html = _make_html(rng, i, hrefs, lang)
+        parsed = refsim.parse_html(urls[i], html)
+        rows_url.append(urls[i])
+        rows_ts.append(epoch + timedelta(seconds=i * 37))
+        rows_html.append(html.encode("utf-8"))
+        rows_text.append(parsed["text"])
+        rows_lang.append(lang)
+        meta_title.append(parsed["title"])
+        meta_links.append(parsed["links"])
+        meta_lcount.append(parsed["links_count"])
+        meta_host.append(f"host{host_idx[i]}.example")
+
+    pages = pa.table(
+        {
+            "url": pa.array(rows_url, pa.string()),
+            "warc_ts": pa.array(rows_ts, pa.timestamp("us", tz="UTC")),
+            "html": pa.array(rows_html, pa.binary()),
+            "text": pa.array(rows_text, pa.string()),
+            "lang": pa.array(rows_lang, pa.string()),
+        }
+    )
+    pages_meta = pa.table(
+        {
+            "url": pa.array(rows_url, pa.string()),
+            "host": pa.array(meta_host, pa.string()),
+            "title": pa.array(meta_title, pa.string()),
+            "text": pa.array(rows_text, pa.string()),
+            "links_count": pa.array(meta_lcount, pa.int32()),
+            "links": pa.array(meta_links, pa.list_(pa.string())),
+        }
+    )
+    return pages, pages_meta, rows_url, rng
+
+
+def _gen_seeds(rng: random.Random, urls: list[str], sf: str):
+    n = len(urls)
+    n_seeds = max(12, n // 100)
+    seed_urls: list[str] = []
+    for k in range(n_seeds):
+        r = rng.random()
+        if r < 0.75:
+            seed_urls.append(urls[rng.randrange(n)])
+        elif r < 0.85 and seed_urls:
+            seed_urls.append(rng.choice(seed_urls))  # duplicate (dedup path)
+        else:
+            seed_urls.append(f"http://dead{rng.randrange(50)}.example/seed/{k}")
+    return pa.table(
+        {
+            "seed_idx": pa.array(range(len(seed_urls)), pa.int64()),
+            "url": pa.array(seed_urls, pa.string()),
+        }
+    )
+
+
+def _gen_candidates(rng: random.Random, urls: list[str]):
+    """Raw candidate urls + expected canonical form (urlnorm oracle)."""
+    raws, expected = [], []
+    fixed = [
+        ("HTTP://Host0.Example:80/p/0", "http://host0.example/p/0"),
+        ("https://HOST1.example:443/A/../p/%41", "https://host1.example/p/A"),
+        ("http://host2.example", "http://host2.example/"),
+        ("http://host2.example/p/./3", "http://host2.example/p/3"),
+        ("http://host2.example/p/5#frag", "http://host2.example/p/5"),
+        ("http://host2.example/p%2F6?q=%7e+x", "http://host2.example/p%2F6?q=~+x"),
+        ("http://user:pw@Host3.example:8080/x", "http://user:pw@host3.example:8080/x"),
+        ("/relative/only", None),
+        ("not a url", None),
+        ("", None),
+    ]
+    for raw, exp in fixed:
+        raws.append(raw)
+        expected.append(exp)
+    for _ in range(min(2000, len(urls))):
+        u = urls[rng.randrange(len(urls))]
+        if rng.random() < 0.5:
+            raws.append(u)
+            expected.append(u)
+        else:
+            raws.append(_messy_variant(rng, u))
+            expected.append(u)
+    return pa.table(
+        {
+            "cand_id": pa.array(range(len(raws)), pa.int64()),
+            "raw": pa.array(raws, pa.string()),
+            "expected": pa.array(expected, pa.string()),
+        }
+    )
+
+
+_MAGIC = {"image": b"\x89PNG\r\n\x1a\n", "audio": b"RIFF", "video": b"\x00\x00\x00\x18ftyp"}
+
+
+def _gen_media(rng: random.Random, sf: str):
+    """Opaque binary media rows for the multimodal plumbing (decode is stubbed;
+    Spark-side schema/batching is real — see functions/multimodal.py)."""
+    n = {"0.001": 200, "0.01": 1000, "0.1": 4000}[sf]
+    ids, kinds, payloads, widths, heights, durations = [], [], [], [], [], []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        body = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
+        payloads.append(_MAGIC[kind] + body)
+        ids.append(i)
+        kinds.append(kind)
+        widths.append(16 + (i * 7) % 1024 if kind != "audio" else None)
+        heights.append(16 + (i * 13) % 768 if kind != "audio" else None)
+        durations.append(round(0.5 + (i % 600) / 10.0, 1) if kind != "image" else None)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "duration_s": pa.array(durations, pa.float64()),
+        }
+    )
+
+
+EXPECTED_CRAWL_ROUNDS = 3
+
+
+def _gen_expected_crawl(pages_tbl: pa.Table, seeds_tbl: pa.Table):
+    pages = {
+        u.as_py(): h.as_py()
+        for u, h in zip(pages_tbl.column("url"), pages_tbl.column("html"))
+    }
+    seeds = [u.as_py() for u in seeds_tbl.column("url")]
+    sim = refsim.simulate_chain_crawl(pages, seeds, rounds=EXPECTED_CRAWL_ROUNDS)
+    recs = sim.records
+    return pa.table(
+        {
+            "fetch_seq": pa.array([r.fetch_seq for r in recs], pa.int64()),
+            "round": pa.array([r.round for r in recs], pa.int32()),
+            "url": pa.array([r.url for r in recs], pa.string()),
+            "ok": pa.array([r.ok for r in recs], pa.bool_()),
+            "title": pa.array([r.title for r in recs], pa.string()),
+            "text": pa.array([r.text for r in recs], pa.string()),
+            "links_count": pa.array(
+                [r.links_count for r in recs], pa.int32()
+            ),
+            "links": pa.array([r.links for r in recs], pa.list_(pa.string())),
+        }
+    )
+
+
+def ensure_synth(sf_dir_or_name: str) -> str:
+    """Generate (once) all synthetic tables for a scale; returns the dir."""
+    sf = sf_name_of(sf_dir_or_name)
+    if sf not in _SF_PAGES:
+        sf = "0.01"
+    out = synth_dir(sf)
+    marker = os.path.join(out, f"_GENERATED_{SYNTH_VERSION}")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    pages, pages_meta, urls, rng = _gen_pages(sf)
+    seeds = _gen_seeds(rng, urls, sf)
+    cands = _gen_candidates(rng, urls)
+    media = _gen_media(rng, sf)
+    expected = _gen_expected_crawl(pages, seeds)
+    pq.write_table(pages, synth_path(sf, "pages"))
+    pq.write_table(pages_meta, synth_path(sf, "pages_meta"))
+    pq.write_table(seeds, synth_path(sf, "seeds"))
+    pq.write_table(cands, synth_path(sf, "url_candidates"))
+    pq.write_table(media, synth_path(sf, "media"))
+    pq.write_table(expected, synth_path(sf, "expected_crawl"))
+    with open(marker, "w") as f:
+        f.write(SYNTH_VERSION)
+    return out
