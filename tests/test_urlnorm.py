@@ -1,0 +1,87 @@
+"""URL canonicalization: row function vs golden expectations, fast-path vs
+slow-path equivalence (property-based), and Spark-UDF plan shape."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from web_crawler_spark import synth
+from web_crawler_spark.functions import urlnorm
+
+CASES = [
+    ("HTTP://Example.COM/Path", "http://example.com/Path"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/a/./b/../c", "http://example.com/a/c"),
+    ("http://example.com/%41%42%61", "http://example.com/ABa"),
+    ("http://example.com/%2f%2F", "http://example.com/%2F%2F"),
+    ("http://example.com/a#frag", "http://example.com/a"),
+    ("http://example.com/a?q=%41&r=%2f", "http://example.com/a?q=A&r=%2F"),
+    ("http://u:p@Example.com:99/x", "http://u:p@example.com:99/x"),
+    ("http://example.com./a", "http://example.com/a"),
+    ("  http://example.com/a  ", "http://example.com/a"),
+    ("/relative/path", None),
+    ("no-scheme.example/a", None),
+    ("", None),
+    (None, None),
+    ("http://example.com/../../x", "http://example.com/x"),
+    ("http://example.com/a/b/../../../c", "http://example.com/c"),
+]
+
+
+def test_canonicalize_fixed_cases():
+    for raw, want in CASES:
+        assert urlnorm.canonicalize_url(raw) == want, raw
+
+
+def test_canonical_is_idempotent():
+    for raw, want in CASES:
+        if want is not None:
+            assert urlnorm.canonicalize_url(want) == want
+
+
+url_chars = st.text(
+    alphabet="abcXYZ019-._~%/?#:@ &=+汉", min_size=0, max_size=30
+)
+
+
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "ftp"]),
+    host=st.from_regex(r"[A-Za-z0-9.-]{1,20}", fullmatch=True),
+    rest=url_chars,
+)
+@settings(max_examples=300, deadline=None)
+def test_fastpath_agrees_with_rowfn(scheme, host, rest):
+    """The pandas fast path must never disagree with the row function."""
+    raw = f"{scheme}://{host}/{rest}"
+    row = urlnorm.canonicalize_url(raw)
+    vec = urlnorm._canonicalize_series(pd.Series([raw])).iloc[0]
+    assert row == vec
+
+
+def test_spark_udf_matches_golden(spark, sf_small):
+    cands = spark.read.parquet(synth.synth_path("0.001", "url_candidates"))
+    got = (
+        cands.withColumn("got", urlnorm.canonicalize_udf(F.col("raw")))
+        .select("cand_id", "raw", "expected", "got")
+        .collect()
+    )
+    for r in got:
+        assert r["got"] == r["expected"], (r["cand_id"], r["raw"])
+
+
+def test_udf_plan_is_arrow(spark, sf_small):
+    cands = spark.read.parquet(synth.synth_path("0.001", "url_candidates"))
+    plan = (
+        urlnorm.with_canonical_url(cands, "raw", "c")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
