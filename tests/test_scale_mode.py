@@ -1,0 +1,99 @@
+"""Scale-mode invariants: global seen-set discipline (no URL fetched twice),
+politeness budgets respected per round, canonicalization collapsing messy
+hrefs, bloom-on == bloom-off, and checkpoint/resume determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawler_spark import synth
+from web_crawler_spark.plans.crawl import ChainCrawl, CrawlConfig
+
+
+def _run_scale(
+    spark,
+    tmpdir=None,
+    resume=False,
+    rounds=4,
+    budget=20,
+    use_bloom=True,
+    stop_after_round=None,
+):
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    seeds = spark.read.parquet(synth.synth_path("0.001", "seeds"))
+    cfg = CrawlConfig(
+        rounds=rounds,
+        mode="scale",
+        host_budget=budget,
+        use_bloom=use_bloom,
+        checkpoint_dir=str(tmpdir) if tmpdir else None,
+        resume=resume,
+    )
+    eng = ChainCrawl(spark, pages, cfg)
+    state = eng.run(seeds, stop_after_round=stop_after_round)
+    log = ChainCrawl.fetch_log(state).toPandas().sort_values("fetch_seq")
+    return state, log.reset_index(drop=True)
+
+
+def test_scale_no_url_fetched_twice(spark, sf_small):
+    _, log = _run_scale(spark)
+    assert log["url"].is_unique
+
+
+def test_scale_urls_are_canonical(spark, sf_small):
+    from web_crawler_spark.functions.urlnorm import canonicalize_url
+
+    _, log = _run_scale(spark)
+    urls = list(log["url"])
+    assert all(canonicalize_url(u) == u for u in urls)
+
+
+def test_scale_host_budget_respected(spark, sf_small):
+    _, log = _run_scale(spark, budget=7)
+    log["host"] = log["url"].str.split("/").str[2].str.lower()
+    per = log.groupby(["round", "host"]).size()
+    assert per.max() <= 7
+
+
+def test_scale_bloom_equivalence(spark, sf_small):
+    """Bloom is a volume optimization, never a semantics change."""
+    _, with_bloom = _run_scale(spark, use_bloom=True)
+    _, without = _run_scale(spark, use_bloom=False)
+    assert list(with_bloom["url"]) == list(without["url"])
+    assert list(with_bloom["fetch_seq"]) == list(without["fetch_seq"])
+
+
+def test_scale_messy_links_collapse(spark, sf_small):
+    """Messy variants (uppercase host, :80, %70, dot segments) canonicalize to
+    live pages — scale mode fetches them; parity mode would fail them."""
+    _, log = _run_scale(spark, rounds=3, budget=None)
+    ok_rate = log["ok"].mean()
+    assert ok_rate > 0.8  # most canonical links resolve against pages
+
+
+def test_resume_identical_to_straight_run(spark, sf_small, tmp_path):
+    d1 = tmp_path / "straight"
+    d2 = tmp_path / "resumed"
+    _, straight = _run_scale(spark, tmpdir=d1, rounds=4)
+    # same 4-round plan interrupted after round 1's commit, then resumed
+    _, _ = _run_scale(spark, tmpdir=d2, rounds=4, stop_after_round=1)
+    _, resumed = _run_scale(spark, tmpdir=d2, rounds=4, resume=True)
+    assert list(straight["url"]) == list(resumed["url"])
+    assert list(straight["fetch_seq"]) == list(resumed["fetch_seq"])
+    assert list(straight["ok"]) == list(resumed["ok"])
+
+
+def test_crash_mid_round_leaves_no_marker(spark, sf_small, tmp_path):
+    """An uncommitted round dir (no _COMMITTED) is ignored by resume."""
+    from web_crawler_spark.plans.checkpoint import Checkpointer
+
+    d = tmp_path / "ck"
+    _, _ = _run_scale(spark, tmpdir=d, rounds=2)
+    ck = Checkpointer(str(d))
+    assert ck.last_committed() == 1
+    # simulate crash: round 2 dir exists but no marker
+    import os
+
+    os.makedirs(d / "round=0002" / "results", exist_ok=True)
+    assert ck.last_committed() == 1

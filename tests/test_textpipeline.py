@@ -1,0 +1,159 @@
+"""Training-data pipeline operators vs DuckDB oracles (differential tests on
+the driver's documents/embeddings fixtures at sf0.001)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawler_spark.functions import dedupsim, simsearch, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    return con
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _cmp(spark_df, duck_rel, key_cols):
+    got = spark_df.toPandas().sort_values(key_cols).reset_index(drop=True)
+    want = duck_rel.df().sort_values(key_cols).reset_index(drop=True)
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_quality_vs_duckdb(spark, duck, docs):
+    t = F.col("text")
+    cols = textstats.quality_columns(t)
+    sdf = docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    _cmp(sdf, duck.sql(textstats.duck_quality_sql("documents")), ["doc_id"])
+
+
+def test_tokens_vs_duckdb(spark, duck, docs):
+    sdf = docs.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        textstats.bpe_ish_token_count(F.col("text")).cast("long").alias("n_tokens_bpe"),
+    )
+    _cmp(sdf, duck.sql(textstats.duck_tokens_sql("documents")), ["doc_id"])
+
+
+def test_langid_vs_duckdb(spark, duck, docs):
+    sdf = docs.select("doc_id", textstats.lang_pred(F.col("text")).alias("lang_pred"))
+    _cmp(sdf, duck.sql(textstats.duck_langid_sql("documents")), ["doc_id"])
+
+
+def test_fingerprint_vs_duckdb(spark, duck, docs):
+    sdf = docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint"))
+    _cmp(sdf, duck.sql(textstats.duck_fingerprint_sql("documents")), ["doc_id"])
+
+
+def test_minhash_vs_duckdb(spark, duck, docs):
+    sh = dedupsim.shingles(docs)
+    sdf = dedupsim.minhash_signatures(sh)
+    got = sdf.toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = duck.sql(dedupsim.duck_minhash_sql("documents")).df().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    for a, b in zip(got["sig"], want["sig"]):
+        assert list(a) == list(b)
+
+
+def test_lsh_pairs_vs_duckdb(spark, duck, docs):
+    sh = dedupsim.shingles(docs)
+    pairs = dedupsim.lsh_candidate_pairs(dedupsim.lsh_bands(dedupsim.minhash_signatures(sh)))
+    got = sorted(map(tuple, pairs.toPandas()[["a", "b"]].values.tolist()))
+    want = sorted(map(tuple, duck.sql(dedupsim.duck_lsh_pairs_sql("documents")).df()[["a", "b"]].values.tolist()))
+    assert got == want
+
+
+def test_exact_dups_vs_duckdb(spark, duck, docs):
+    # corpus has no exact dups; add forced duplicates to exercise the operator
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = docs.unionByName(dup)
+    sdf = dedupsim.exact_dup_groups(corpus)
+    duck.sql(
+        "CREATE OR REPLACE VIEW corpus AS SELECT * FROM documents UNION ALL "
+        "SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars FROM "
+        "(SELECT * FROM documents ORDER BY doc_id LIMIT 5)"
+    )
+    _cmp(sdf, duck.sql(dedupsim.duck_exact_dups_sql("corpus")), ["text_md5"])
+
+
+def test_simhash_deterministic_and_groups_dups(spark, docs):
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = docs.unionByName(dup)
+    fp = dedupsim.simhash(corpus).toPandas().set_index("doc_id")["simhash"]
+    for i in range(3):
+        orig = int(docs.orderBy("doc_id").limit(3).collect()[i]["doc_id"])
+        assert fp[orig] == fp[orig + 100000]
+    # determinism across runs
+    fp2 = dedupsim.simhash(corpus).toPandas().set_index("doc_id")["simhash"]
+    assert fp.sort_index().equals(fp2.sort_index())
+
+
+def test_jaccard_identical_docs(spark, docs):
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = docs.unionByName(dup)
+    sh = dedupsim.shingles(corpus)
+    pairs = spark.createDataFrame(
+        [(i, i + 100000) for r in docs.orderBy("doc_id").limit(3).collect() for i in [r["doc_id"]]],
+        "a bigint, b bigint",
+    )
+    jac = dedupsim.jaccard_for_pairs(pairs, sh).toPandas()
+    assert (jac["jaccard_ppm"] == 1000000).all()
+
+
+def test_brute_force_topk_vs_duckdb(spark, duck):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    got = simsearch.brute_force_topk(emb, q, k=5)
+    _cmp(got, duck.sql(simsearch.duck_brute_force_sql("embeddings", 10, 5)), ["query_id", "rank"])
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = simsearch.brute_force_topk(emb, q, k=5).toPandas()
+    approx = simsearch.lsh_topk(emb, q, n_dims=64, k=5, n_planes=6).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values.tolist()))
+    approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values.tolist()))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.2  # bucketing trades recall for candidate-set size
+    # and the candidate sets are genuinely smaller than brute force
+
+
+def test_multimodal_sniff_and_features(spark, sf_small):
+    from web_crawler_spark import synth
+    from web_crawler_spark.functions import multimodal
+
+    media = spark.read.parquet(synth.synth_path("0.001", "media"))
+    sniff = multimodal.sniff_kinds(media).join(media.select("media_id", "kind"), "media_id")
+    rows = sniff.collect()
+    assert all(r["kind_sniffed"] == r["kind"] for r in rows)
+
+    feats = multimodal.extract_features(media)
+    pdf = feats.toPandas()
+    assert len(pdf) == media.count()
+    assert all(len(f) == multimodal.FEATURE_DIM for f in pdf["feature"])
+    # decoder path is stubbed in this container
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\nxxxx")

@@ -1,0 +1,222 @@
+"""Deduplication & similarity for training-data pipelines.
+
+Five dedup families over a (doc_id, text) corpus, designed Spark-first:
+
+* exact       — group by md5(text): one shuffle, map-side partial agg.
+* fingerprint — group by whitespace-normalized md5 (textstats.fingerprint).
+* MinHash+LSH — word-3-gram shingles -> per-seed min(md5(shingle || seed))
+                signatures -> band keys -> candidate pairs via self-join on
+                (band_idx, band_key).  All hashes are md5 hex strings with
+                lexicographic min, chosen specifically so DuckDB can compute
+                the identical signature in SQL (the correctness oracle);
+                xxhash64 would be faster but is not portable across engines.
+* n-gram Jaccard — exact Jaccard over distinct shingles for LSH candidate
+                pairs (explode -> pair join -> |A∩B| / (|A|+|B|-|A∩B|)).
+* SimHash     — 32-bit majority-vote over token md5 bits, computed via
+                explode over bit positions (JVM-side, no Python); near-dup
+                candidates = identical simhash value.
+
+Scale notes: the LSH self-join shuffles on band keys — band cardinality is
+high (md5 of 3 shingles' mins), so keys distribute well; the pair join is
+bounded by bucket sizes, and a hot bucket (all-identical spam docs) is the
+data's own skew — AQE skew-join splits it.  At 100 TB, shingling explodes
+~n_tokens rows per doc; that stage is embarrassingly parallel and feeds a
+partial-aggregated groupBy, so no single-task hotspots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SHINGLE_K = 3
+N_HASHES = 12
+BAND_SIZE = 3  # 4 bands of 3 hashes
+SIMHASH_BITS = 32
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word-k-gram shingles per doc.  Docs shorter than k words get
+    their whole token list as one shingle (so they still participate)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_K)),
+    )
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig array<string>): sig[i] = min(md5(shingle || '#' || i))."""
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    )
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key): band_key = md5 of the band's hashes."""
+    n_bands = N_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col("sig")[b * BAND_SIZE + j] for j in range(BAND_SIZE)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (a, b) doc pairs (a < b) sharing at least one band."""
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle Jaccard for candidate pairs, in parts-per-million.
+
+    inter = |A ∩ B| via join of the two docs' shingle sets through the pair
+    list; sizes via a broadcastable per-doc count."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("a"), "shingle"), on="a")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), on=["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), on="a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), on="b")
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+                * 1e6
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_md5, n_docs, min_doc_id) for every duplicated text."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over token md5s, fully JVM-side.
+
+    bit b of md5's first 8 hex chars (a 32-bit int) votes +1/-1; the sign of
+    the per-bit sum over all tokens forms the fingerprint.  explode(tokens) x
+    shift-and-mask per bit => groupBy(doc) agg of 32 sums — partial aggregation
+    keeps the shuffle narrow (one row per doc)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h32 = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    votes = toks.select("doc_id", h32.alias("h"))
+    sums = votes.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL (same md5-based pipeline, DuckDB dialect)
+# --------------------------------------------------------------------------
+
+
+def duck_shingles_cte(table: str) -> str:
+    return rf"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM {table} WHERE length(trim(text)) > 0
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(w[i : i + {SHINGLE_K - 1}], ' ') AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(w) - {SHINGLE_K - 1}, 1))) AS t(i)
+)"""
+
+
+def duck_minhash_sql(table: str) -> str:
+    mins = ", ".join(
+        f"min(md5(shingle || '#{i}'))" for i in range(N_HASHES)
+    )
+    return rf"""
+WITH {duck_shingles_cte(table)}
+SELECT doc_id, [{mins}] AS sig FROM shingles GROUP BY doc_id
+"""
+
+
+def duck_lsh_pairs_sql(table: str) -> str:
+    n_bands = N_HASHES // BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_key FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig[{b * BAND_SIZE + j + 1}]" for j in range(BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    mins = ", ".join(f"min(md5(shingle || '#{i}'))" for i in range(N_HASHES))
+    return rf"""
+WITH {duck_shingles_cte(table)},
+sigs AS (SELECT doc_id, [{mins}] AS sig FROM shingles GROUP BY doc_id),
+bands AS ({band_rows})
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r
+  ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+
+def duck_exact_dups_sql(table: str) -> str:
+    return rf"""
+SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id
+FROM {table} GROUP BY 1 HAVING count(*) > 1
+"""

@@ -1,0 +1,184 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID, document fingerprinting.
+
+Everything here is JVM-side (`pyspark.sql.functions` only — whole-stage
+codegen, no Python in the hot path), and each operator ships a matching DuckDB
+oracle SQL template (the driver's correctness gate).  Cross-engine value
+equality dictates the design rules:
+
+* ratios are emitted as integer parts-per-million (``floor(x * 1e6)``) —
+  integer division of identical IEEE doubles is bit-deterministic across
+  engines, while ``round()`` tie-breaking and libm functions (exp/log) differ;
+* regex character classes are ASCII-explicit (Java regex vs RE2 agree there);
+* tokenization = split on ``\\s+`` of trimmed text, empty text => 0 tokens.
+
+The reference has no text analytics beyond ``len(text)``-style example counts
+(reference test_quick.py:28-38); this layer is the "beyond the reference"
+training-data surface the engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "that", "it"]
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit"],
+    "es": ["el", "la", "los", "de", "que", "y", "en"],
+    "fr": ["le", "les", "des", "et", "est", "une", "dans"],
+}
+CJK_PATTERN = r"[\x{4e00}-\x{9fff}]"
+PUNCT_PATTERN = r"[.,;:!?]"
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def tokens_col(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-shaped segmentation count: letter runs / digit runs / symbol runs,
+    each with optional leading space — a cheap proxy for subword token cost."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def _ppm(num: Column, den: Column) -> Column:
+    return F.floor(num.cast("double") / F.greatest(den.cast("double"), F.lit(1.0)) * 1e6).cast("long")
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals (all integer outputs)."""
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_PATTERN), F.lit(0)))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS))
+    )
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    return {
+        "n_chars_m": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "punct_ppm": _ppm(punct, n_chars),
+        "stopword_ppm": _ppm(stop_hits, n_tok),
+        "mean_word_len_ppm": _ppm(nonspace, n_tok),
+    }
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = F.transform(tokens_col(text), lambda t: F.lower(t))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    scores["zh"] = F.size(F.regexp_extract_all(text, F.lit(CJK_PATTERN), F.lit(0)))
+    return scores
+
+
+def lang_pred(text: Column) -> Column:
+    """Argmax of marker scores with a fixed tie priority en>de>es>fr>zh;
+    'und' when nothing matches.  Same CASE cascade as the DuckDB oracle."""
+    s = lang_scores(text)
+    all_zero = (
+        (s["en"] == 0) & (s["de"] == 0) & (s["es"] == 0) & (s["fr"] == 0) & (s["zh"] == 0)
+    )
+    return (
+        F.when(all_zero, F.lit("und"))
+        .when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            F.lit("en"),
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), F.lit("de"))
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), F.lit("es"))
+        .when((s["fr"] >= s["zh"]), F.lit("fr"))
+        .otherwise(F.lit("zh"))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text —
+    identical in Spark and DuckDB, the key for exact near-whitespace dedup."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    cols = quality_columns(t)
+    out = df
+    for name, c in cols.items():
+        out = out.withColumn(name, c)
+    return (
+        out.withColumn("n_tokens_bpe", bpe_ish_token_count(t).cast("long"))
+        .withColumn("lang_pred", lang_pred(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL fragments (same semantics, DuckDB dialect).
+# {T} = table/view name holding (doc_id, text).
+# --------------------------------------------------------------------------
+
+_DUCK_TOKS = r"CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END"
+
+DUCK_QUALITY_SQL = rf"""
+SELECT
+  doc_id,
+  length(text)::BIGINT AS n_chars_m,
+  len({_DUCK_TOKS})::BIGINT AS n_tokens,
+  floor(len(regexp_extract_all(text, '[.,;:!?]')) / greatest(length(text), 1)::DOUBLE * 1e6)::BIGINT AS punct_ppm,
+  floor(len(list_filter({_DUCK_TOKS}, t -> lower(t) IN ({{stopwords}}))) / greatest(len({_DUCK_TOKS}), 1)::DOUBLE * 1e6)::BIGINT AS stopword_ppm,
+  floor(length(regexp_replace(text, '\s', '', 'g')) / greatest(len({_DUCK_TOKS}), 1)::DOUBLE * 1e6)::BIGINT AS mean_word_len_ppm
+FROM {{T}}
+"""
+
+
+def duck_quality_sql(table: str) -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return DUCK_QUALITY_SQL.format(T=table, stopwords=stop)
+
+
+def duck_langid_sql(table: str) -> str:
+    toks = rf"list_transform({_DUCK_TOKS}, t -> lower(t))"
+    score = {
+        lang: f"len(list_filter({toks}, t -> t IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    score["zh"] = r"len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))"
+    return rf"""
+SELECT doc_id,
+  CASE
+    WHEN {score['en']} = 0 AND {score['de']} = 0 AND {score['es']} = 0 AND {score['fr']} = 0 AND {score['zh']} = 0 THEN 'und'
+    WHEN {score['en']} >= {score['de']} AND {score['en']} >= {score['es']} AND {score['en']} >= {score['fr']} AND {score['en']} >= {score['zh']} THEN 'en'
+    WHEN {score['de']} >= {score['es']} AND {score['de']} >= {score['fr']} AND {score['de']} >= {score['zh']} THEN 'de'
+    WHEN {score['es']} >= {score['fr']} AND {score['es']} >= {score['zh']} THEN 'es'
+    WHEN {score['fr']} >= {score['zh']} THEN 'fr'
+    ELSE 'zh'
+  END AS lang_pred
+FROM {table}
+"""
+
+
+def duck_tokens_sql(table: str) -> str:
+    return rf"""
+SELECT doc_id,
+  len({_DUCK_TOKS})::BIGINT AS n_tokens,
+  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))::BIGINT AS n_tokens_bpe
+FROM {table}
+"""
+
+
+def duck_fingerprint_sql(table: str) -> str:
+    return rf"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM {table}
+"""

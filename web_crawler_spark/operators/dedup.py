@@ -1,0 +1,36 @@
+"""Order-stable dedup + seen-set membership.
+
+First-wins dedup reproduces the reference's ``list(dict.fromkeys(urls))``
+(reference chain_crawler.py:377-379, cli.py:46): for each key keep the row
+with the smallest priority tuple.  Implemented as a hash aggregation
+(``min(struct(priority..., payload...))``) — one shuffle on the key, map-side
+partial aggregation for free, no windows.  ``dropDuplicates`` must NOT be used
+where order parity matters (it keeps an arbitrary partition-order row).
+
+Seen-set membership is an exact ``left_anti`` join (the only semantics-bearing
+filter); ``bloom.py`` provides the shuffle-volume prefilter in front of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def first_wins(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+    """Keep, per ``key``, the row minimal in ``order_cols`` (lexicographic).
+    All other columns ride along inside the min-struct, so the result carries
+    the winning row's full payload.  Requires order_cols to be orderable and
+    non-null on rows that matter."""
+    payload = [c for c in df.columns if c != key]
+    packed = F.min(F.struct(*[F.col(c) for c in order_cols],
+                            *[F.col(c) for c in payload if c not in order_cols]))
+    agg = df.groupBy(key).agg(packed.alias("__w"))
+    keep = [F.col("__w")[c].alias(c) for c in order_cols]
+    keep += [F.col("__w")[c].alias(c) for c in payload if c not in order_cols]
+    return agg.select(F.col(key), *keep)
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "url") -> DataFrame:
+    """Exact not-in-seen filter (SURVEY.md §2.3 F2). Never replace with a
+    Bloom-only check — false positives would drop real URLs."""
+    return candidates.join(seen.select(key), on=key, how="left_anti")

@@ -1,0 +1,77 @@
+"""Scale-correct dense global sequencing.
+
+The reference's FIFO queue gives every URL an implicit global position
+(reference crawler.py:302-306); reproducing that order distributed needs a
+dense 0-based sequence over a total sort key.  A single-partition
+``row_number() over (order by ...)`` is the classic anti-pattern (the whole
+round funnels through one task), so this implements the two-job range-partition
+technique:
+
+  1. ``repartitionByRange`` on the sort key + ``sortWithinPartitions`` — each
+     partition holds a contiguous, sorted key range;
+  2. count rows per partition (tiny aggregate, collected to the driver),
+     prefix-sum into per-partition offsets, broadcast;
+  3. ``mapInPandas`` adds ``seq = offset[pid] + local_index`` — Arrow-batched,
+     no per-row Python.
+
+Deterministic when the sort key is a total key (ties never straddle a round's
+identity).  Cost: one range-partition shuffle + one pass — O(n/p) per task at
+any scale, vs O(n) on one task for the naive window.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def with_global_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "seq",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a dense global sequence (start, start+1, ...) in the total order
+    of ``order_cols``.  Returns an un-persisted DataFrame; the intermediate
+    sorted frame is cached for the two passes and unpersisted lazily by GC."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(2, spark.sparkContext.defaultParallelism)
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offsets_bc = spark.sparkContext.broadcast(offsets)
+
+    out_schema = StructType(
+        [f for f in df.schema.fields] + [StructField(out_col, LongType(), False)]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def add_seq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets_bc.value[int(pdf["__pid"].iloc[0])]
+            out = pdf[in_cols].copy()
+            out[out_col] = range(base + local, base + local + len(pdf))
+            local += len(pdf)
+            yield out
+
+    return ranged.mapInPandas(add_seq, schema=out_schema)

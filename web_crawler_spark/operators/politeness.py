@@ -1,0 +1,91 @@
+"""Per-host politeness budget = the reference's ``limit_per_host``
+(reference crawler.py:83,297) generalized to a per-round fetch budget, realized
+as a window-ranked priority queue (SURVEY.md §2.6 O3) with explicit hot-host
+skew breaking (SURVEY.md §4 item 1).
+
+The naive ``row_number() over (partition by host order by priority)`` puts a
+hot host (50% of a 10^10-row frontier) on ONE task.  Two-pass salted design:
+
+  pass 1: rank within ``(host, salt)`` where ``salt = pmod(xxhash64(url), S)``
+          — the hot host's rows spread over S tasks; keep rank <= budget.
+          Any row in a host's true top-``budget`` is necessarily in the
+          top-``budget`` of its own salt bucket, so pass 1 never drops a
+          winner; it shrinks each host to <= S*budget survivors.
+  pass 2: rank survivors within ``host`` — now at most S*budget rows per host,
+          so the skewed window runs over a trivially small input.
+
+Budgets come from an optional broadcast ``host_rules(host, budget, disallow)``
+table (engine-side; the reference has no robots support —
+reference PROJECT_STRUCTURE.md:291), with a default for unknown hosts.
+Robots ``disallow`` prefix checks run JVM-side via ``exists()`` — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DEFAULT_BUDGET = 5  # reference limit_per_host default (crawler.py:83)
+
+
+def with_host(df: DataFrame, url_col: str = "url", out: str = "host") -> DataFrame:
+    return df.withColumn(out, F.lower(F.parse_url(F.col(url_col), F.lit("HOST"))))
+
+
+def apply_robots(df: DataFrame, host_rules: DataFrame, url_col: str = "url") -> DataFrame:
+    """Drop rows whose URL path starts with any disallow prefix for its host.
+    host_rules is small (one row per host) => broadcast hash join, no shuffle
+    on the frontier side."""
+    rules = F.broadcast(host_rules.select("host", F.col("disallow").alias("__dis")))
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    blocked = F.exists("__dis", lambda p: path.startswith(p))
+    return (
+        df.join(rules, on="host", how="left")
+        .filter(F.col("__dis").isNull() | ~blocked)
+        .drop("__dis")
+    )
+
+
+def select_host_budget_batch(
+    frontier: DataFrame,
+    order_cols: list[str],
+    budget: int | None = DEFAULT_BUDGET,
+    host_rules: DataFrame | None = None,
+    salt_buckets: int = 32,
+    host_col: str = "host",
+    rank_col: str = "host_rank",
+) -> DataFrame:
+    """Return the round's fetch batch: per host, the ``budget`` smallest rows
+    by ``order_cols``; ``rank_col`` carries the final within-host rank.
+    ``budget=None`` => unbudgeted (whole frontier, still ranked)."""
+    df = frontier
+    if host_rules is not None:
+        df = apply_robots(df, host_rules)
+        budgets = F.broadcast(host_rules.select("host", F.col("budget").alias("__b")))
+        df = df.join(budgets, on=host_col, how="left").withColumn(
+            "__b", F.coalesce(F.col("__b"), F.lit(budget))
+        )
+    else:
+        df = df.withColumn("__b", F.lit(budget))
+
+    order = [F.col(c) for c in order_cols]
+    if budget is not None or host_rules is not None:
+        # pass 1: salted pre-rank kills the hot-host single-task bottleneck
+        salted = df.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy(host_col, "__salt").orderBy(*order)
+        survivors = (
+            salted.withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__b").isNull() | (F.col("__r1") <= F.col("__b")))
+            .drop("__r1", "__salt")
+        )
+    else:
+        survivors = df
+    # pass 2: exact within-host rank over <= salt_buckets*budget rows/host
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    ranked = survivors.withColumn(rank_col, F.row_number().over(w2))
+    if budget is not None or host_rules is not None:
+        ranked = ranked.filter(
+            F.col("__b").isNull() | (F.col(rank_col) <= F.col("__b"))
+        )
+    return ranked.drop("__b")

@@ -1,0 +1,71 @@
+"""Snapshot-per-round checkpoint protocol (SURVEY.md §4 item 4).
+
+Each round commits its state tables (frontier, url_seen, results, metrics,
+lineage) as immutable parquet snapshot directories under
+``<root>/round=NNNN/<table>/`` and then atomically drops a ``_COMMITTED``
+marker file in the round dir.  A crash mid-round leaves no marker, so resume
+(``last_committed``) replays from the previous round — Iceberg-snapshot-style
+all-or-nothing visibility without needing the Iceberg runtime in this sandbox.
+
+Reading a table back from parquet each round also truncates the iterative
+lineage chain — without it the logical plan grows by one join+agg stack per
+round and the 100th round would take minutes to just analyze.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Checkpointer:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _round_dir(self, round_idx: int) -> str:
+        return os.path.join(self.root, f"round={round_idx:04d}")
+
+    def table_path(self, round_idx: int, name: str) -> str:
+        return os.path.join(self._round_dir(round_idx), name)
+
+    def commit_round(
+        self,
+        round_idx: int,
+        tables: dict[str, DataFrame],
+        info: dict | None = None,
+    ) -> None:
+        rd = self._round_dir(round_idx)
+        if os.path.exists(rd):  # re-run of an uncommitted round: start clean
+            shutil.rmtree(rd)
+        os.makedirs(rd)
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(self.table_path(round_idx, name))
+        if info is not None:
+            with open(os.path.join(rd, "info.json"), "w") as f:
+                json.dump(info, f)
+        with open(os.path.join(rd, "_COMMITTED"), "w") as f:
+            f.write("ok")
+
+    def last_committed(self) -> int | None:
+        best = None
+        if not os.path.isdir(self.root):
+            return None
+        for entry in os.listdir(self.root):
+            m = re.fullmatch(r"round=(\d{4})", entry)
+            if m and os.path.exists(os.path.join(self.root, entry, "_COMMITTED")):
+                r = int(m.group(1))
+                best = r if best is None else max(best, r)
+        return best
+
+    def read(self, spark: SparkSession, round_idx: int, name: str) -> DataFrame:
+        return spark.read.parquet(self.table_path(round_idx, name))
+
+    def read_info(self, round_idx: int) -> dict:
+        p = os.path.join(self._round_dir(round_idx), "info.json")
+        with open(p) as f:
+            return json.load(f)

@@ -1,0 +1,360 @@
+"""The chain-crawl round loop — a BSP redesign of the reference's
+``ChainCrawler`` (reference chain_crawler.py:397-415), structured per
+SURVEY.md §3.2:
+
+    round r:  batch    = frontier |> (politeness rank) |> (step cap)
+              fetched  = batch ⋈ pages on url (left)          [J1]
+              parsed   = fetched |> Arrow pandas-UDF parser    [P1]
+              results += parsed (fetch log)                    [K3]
+              links    = parsed |> posexplode(links)           [P3]
+              next     = links |> canonicalize [P5] |> first-wins [F1]
+                               |> bloom-prefiltered anti-join seen [F2]
+              frontier'= (frontier − batch) ∪ retries ∪ next
+              metrics += per-round aggregates [A2]; lineage += per-partition
+              checkpoint snapshot(r)
+
+Two modes:
+
+* ``parity``  — exact reference semantics for golden comparison: no URL
+  canonicalization (raw hrefs enqueued verbatim, chain_crawler.py:335-338),
+  dedup only within a step (dict.fromkeys, :377-379), NO cross-step seen set,
+  FIFO order = (parent position, link position), per-step head truncation
+  (:285-287), no politeness.  The fetch log matches the 1-worker reference
+  simulator row-for-row including global ``fetch_seq``.
+
+* ``scale``   — the north-rule configuration: canonicalized URLs, persistent
+  Bloom-prefiltered URL-seen set (enqueue-time dedup), per-host politeness
+  budgets + optional robots rules, retry routing with demoted priority,
+  unfetched remainder carried across rounds.
+
+All driver-side state is scalar (round counter, fetch-seq offset); every
+per-URL computation is a DataFrame op.  Rounds are checkpointed (parquet
+snapshot + commit marker) which doubles as iterative-lineage truncation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.html_parse import with_parsed
+from ..functions.urlnorm import canonicalize_udf
+from ..operators.dedup import first_wins, anti_join_seen
+from ..operators.ordering import with_global_seq
+from ..operators.politeness import select_host_budget_batch, with_host
+from ..operators import bloom as bloomlib
+from .checkpoint import Checkpointer
+
+RESULT_COLS = ["fetch_seq", "round", "url", "ok", "title", "text", "links_count", "links"]
+
+RETRYABLE_PENALTY = 1 << 40  # demotes retried rows below all fresh work
+
+
+@dataclass
+class CrawlConfig:
+    rounds: int = 3
+    mode: str = "parity"  # 'parity' | 'scale'
+    max_urls_per_step: Optional[int] = None
+    host_budget: Optional[int] = None  # scale mode; None = unbudgeted
+    max_retries: int = 0
+    use_bloom: bool = True
+    salt_buckets: int = 32
+    checkpoint_dir: Optional[str] = None
+    resume: bool = False
+
+
+@dataclass
+class CrawlState:
+    round_idx: int
+    frontier: DataFrame
+    seen: Optional[DataFrame]
+    results: list[DataFrame] = field(default_factory=list)
+    metrics: list[dict] = field(default_factory=list)
+    lineage: list[dict] = field(default_factory=list)
+    fetch_offset: int = 0
+
+
+class ChainCrawl:
+    """Distributed chain crawl over a pages table.
+
+    ``pages`` must expose (url, html); ``seeds`` must expose (seed_idx, url).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        config: CrawlConfig,
+        host_rules: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages.select("url", "html")
+        self.cfg = config
+        self.host_rules = host_rules
+        self.ckpt = Checkpointer(config.checkpoint_dir) if config.checkpoint_dir else None
+
+    # -- frontier construction ------------------------------------------------
+
+    def initial_frontier(self, seeds: DataFrame) -> DataFrame:
+        """Seed frontier: ordered first-wins dedup (cli.py:46), priority =
+        (seed position, 0); scale mode canonicalizes seeds first."""
+        s = seeds.select("seed_idx", "url")
+        if self.cfg.mode == "scale":
+            s = s.withColumn("url", canonicalize_udf(F.col("url"))).filter(
+                F.col("url").isNotNull()
+            )
+        s = first_wins(s, "url", ["seed_idx"])
+        f = s.select(
+            "url",
+            F.lit(0).alias("depth"),
+            F.col("seed_idx").alias("p0"),
+            F.lit(0).cast("long").alias("p1"),
+            F.lit(0).alias("attempt"),
+        )
+        return with_host(f) if self.cfg.mode == "scale" else f
+
+    # -- one round ------------------------------------------------------------
+
+    def _select_batch(self, frontier: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Returns (batch with dense 'pos', remainder-left-in-frontier)."""
+        cfg = self.cfg
+        order = ["attempt", "depth", "p0", "p1"]
+        if cfg.mode == "scale" and (cfg.host_budget is not None or self.host_rules is not None):
+            ranked = select_host_budget_batch(
+                frontier,
+                order_cols=order,
+                budget=cfg.host_budget,
+                host_rules=self.host_rules,
+                salt_buckets=cfg.salt_buckets,
+            )
+            batch = ranked.drop("host_rank")
+        else:
+            batch = frontier
+        batch = with_global_seq(batch, order, out_col="pos")
+        if cfg.max_urls_per_step is not None:
+            batch = batch.filter(F.col("pos") < cfg.max_urls_per_step)
+        if cfg.mode == "scale":
+            remainder = frontier.join(batch.select("url"), "url", "left_anti")
+        else:
+            remainder = frontier.limit(0)  # parity: undone rows are dropped (:285-287)
+        return batch, remainder
+
+    def run_round(self, state: CrawlState) -> CrawlState:
+        cfg = self.cfg
+        r = state.round_idx
+        is_final = r == cfg.rounds - 1
+
+        batch, remainder = self._select_batch(state.frontier)
+        batch = batch.persist()
+
+        # fetch = left join against the pages table (J1); null html => failure
+        fetched = batch.join(self.pages, on="url", how="left")
+        parsed = (
+            with_parsed(fetched)
+            .select(
+                (F.col("pos") + F.lit(state.fetch_offset)).alias("fetch_seq"),
+                F.lit(r).cast("int").alias("round"),
+                "url",
+                F.col("html").isNotNull().alias("ok"),
+                F.col("parsed.title").alias("title"),
+                F.col("parsed.text").alias("text"),
+                F.col("parsed.links_count").alias("links_count"),
+                F.col("parsed.links").alias("links"),
+                "pos",
+                "depth",
+                "attempt",
+            )
+            .persist()
+        )
+
+        # per-partition lineage (round, partition, rows in/ok) — tiny agg,
+        # collected to the driver so it never holds plan references
+        lineage_rows = [
+            {
+                "round": r,
+                "partition_id": row["partition_id"],
+                "input_rows": row["input_rows"],
+                "ok_rows": row["ok_rows"],
+            }
+            for row in parsed.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("input_rows"),
+                F.sum(F.col("ok").cast("long")).alias("ok_rows"),
+            )
+            .collect()
+        ]
+
+        results = parsed.select(*RESULT_COLS)
+        agg = parsed.agg(
+            F.count("*").alias("processed"),
+            F.sum(F.col("ok").cast("long")).alias("succeeded"),
+            F.sum((~F.col("ok")).cast("long")).alias("failed"),
+        ).collect()[0]
+        metrics = {
+            "round": r,
+            "urls_processed": agg["processed"] or 0,
+            "urls_succeeded": agg["succeeded"] or 0,
+            "urls_failed": agg["failed"] or 0,
+        }
+
+        # ---- next frontier ----
+        if is_final:
+            next_front = state.frontier.limit(0) if cfg.mode == "parity" else remainder
+            metrics["next_urls_found"] = 0
+            new_seen = state.seen
+        else:
+            links = (
+                parsed.filter(F.col("ok"))
+                .select(
+                    F.col("pos").alias("p0"),
+                    F.col("depth").alias("parent_depth"),
+                    F.posexplode(F.col("links")).alias("p1", "url"),
+                )
+            )
+            if cfg.mode == "scale":
+                links = links.withColumn("url", canonicalize_udf(F.col("url"))).filter(
+                    F.col("url").isNotNull()
+                )
+            metrics["next_urls_found"] = None  # filled below (after dedup acct)
+            cand = links.select(
+                "url",
+                (F.col("parent_depth") + 1).alias("depth"),
+                "p0",
+                F.col("p1").cast("long").alias("p1"),
+                F.lit(0).alias("attempt"),
+            )
+            found = cand.count()
+            metrics["next_urls_found"] = found
+            fresh = first_wins(cand, "url", ["depth", "p0", "p1"])
+
+            if cfg.mode == "scale":
+                # enqueue-time global dedup: drop anything ever enqueued
+                assert state.seen is not None
+                bloom_bytes = None
+                if cfg.use_bloom:
+                    bloom_bytes = bloomlib.build_bloom(state.seen, "url")
+                definitely_new, maybe = bloomlib.bloom_prefilter(fresh, bloom_bytes)
+                survivors = definitely_new.unionByName(
+                    anti_join_seen(maybe, state.seen, "url")
+                )
+                survivors = with_host(survivors)
+                # retry routing: failed fetches with attempts left re-enqueue
+                retries = (
+                    parsed.filter(~F.col("ok") & (F.col("attempt") < cfg.max_retries))
+                    .select(
+                        "url",
+                        "depth",
+                        (F.col("pos") + F.lit(RETRYABLE_PENALTY)).alias("p0"),
+                        F.lit(0).cast("long").alias("p1"),
+                        (F.col("attempt") + 1).alias("attempt"),
+                    )
+                )
+                retries = with_host(retries)
+                next_front = remainder.unionByName(survivors).unionByName(retries)
+                # survivors are distinct and anti-joined vs seen, so the union
+                # stays distinct by construction — no extra shuffle needed
+                new_seen = state.seen.unionByName(survivors.select("url"))
+            else:
+                next_front = fresh
+                new_seen = None
+
+        batch_n = metrics["urls_processed"]
+        state_next = CrawlState(
+            round_idx=r + 1,
+            frontier=next_front,
+            seen=new_seen,
+            results=state.results + [results],
+            metrics=state.metrics + [metrics],
+            lineage=state.lineage + lineage_rows,
+            fetch_offset=state.fetch_offset + batch_n,
+        )
+
+        # Lineage truncation is mandatory each round: without it round r's plan
+        # embeds rounds 0..r-1 and the final collect recomputes the whole crawl
+        # recursively (SURVEY.md §4 item 4).  With a checkpointer, the parquet
+        # snapshot IS the truncation (and buys resumability); without one,
+        # eager localCheckpoint materializes to executor-local storage.
+        if self.ckpt is not None:
+            tables = {"frontier": next_front, "results": results}
+            if new_seen is not None:
+                tables["url_seen"] = new_seen
+            self.ckpt.commit_round(
+                r,
+                tables,
+                info={
+                    "metrics": metrics,
+                    "fetch_offset": state_next.fetch_offset,
+                    "lineage": lineage_rows,
+                },
+            )
+            state_next.frontier = self.ckpt.read(self.spark, r, "frontier")
+            state_next.results[-1] = self.ckpt.read(self.spark, r, "results")
+            if new_seen is not None:
+                state_next.seen = self.ckpt.read(self.spark, r, "url_seen")
+        else:
+            state_next.frontier = next_front.localCheckpoint(eager=True)
+            state_next.results[-1] = results.localCheckpoint(eager=True)
+            if new_seen is not None:
+                state_next.seen = new_seen.localCheckpoint(eager=True)
+        batch.unpersist()
+        parsed.unpersist()
+        return state_next
+
+    # -- full run -------------------------------------------------------------
+
+    def run(self, seeds: DataFrame, stop_after_round: int | None = None) -> CrawlState:
+        """Run the round loop; ``stop_after_round=r`` simulates an
+        interruption after round r commits (crash-recovery testing)."""
+        cfg = self.cfg
+        start_round = 0
+        state = None
+        if cfg.resume and self.ckpt is not None:
+            last = self.ckpt.last_committed()
+            if last is not None:
+                info = self.ckpt.read_info(last)
+                state = CrawlState(
+                    round_idx=last + 1,
+                    frontier=self.ckpt.read(self.spark, last, "frontier"),
+                    seen=(
+                        self.ckpt.read(self.spark, last, "url_seen")
+                        if cfg.mode == "scale"
+                        else None
+                    ),
+                    results=[
+                        self.ckpt.read(self.spark, rr, "results")
+                        for rr in range(last + 1)
+                    ],
+                    metrics=[
+                        self.ckpt.read_info(rr)["metrics"] for rr in range(last + 1)
+                    ],
+                    lineage=[
+                        row
+                        for rr in range(last + 1)
+                        for row in self.ckpt.read_info(rr).get("lineage", [])
+                    ],
+                    fetch_offset=info["fetch_offset"],
+                )
+                start_round = last + 1
+        if state is None:
+            frontier = self.initial_frontier(seeds)
+            seen = frontier.select("url") if cfg.mode == "scale" else None
+            state = CrawlState(round_idx=0, frontier=frontier, seen=seen)
+
+        for r in range(start_round, cfg.rounds):
+            if state.frontier.limit(1).count() == 0:  # empty frontier => stop
+                break
+            state = self.run_round(state)
+            if stop_after_round is not None and r >= stop_after_round:
+                break
+        return state
+
+    # -- result access --------------------------------------------------------
+
+    @staticmethod
+    def fetch_log(state: CrawlState) -> DataFrame:
+        out = None
+        for df in state.results:
+            out = df if out is None else out.unionByName(df)
+        return out

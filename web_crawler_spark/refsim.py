@@ -182,7 +182,6 @@ def simulate_chain_crawl(
     result = SimResult()
     # cli.py:46 ordered-dedups the seed list before crawling.
     current: list[str] = list(dict.fromkeys(seeds))
-    fetch_seq = 0
     for round_idx in range(rounds):
         if not current:
             break
@@ -198,6 +197,7 @@ def simulate_chain_crawl(
         is_final = round_idx == rounds - 1
         for url in current:  # FIFO queue order, single worker
             stats["urls_processed"] += 1
+            fetch_seq = len(result.records)
             payload = pages.get(url)
             if payload is None:
                 stats["urls_failed"] += 1

@@ -21,6 +21,16 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # Python workers deserialize our UDFs by module reference, so the package
+    # root must be importable in them regardless of the caller's cwd.  Local
+    # mode: workers inherit the driver env => PYTHONPATH.  Cluster mode:
+    # ship the package with spark-submit --py-files instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     cpus = DEFAULT_CPUS
     if master is None:
         master = f"local[{cpus}]"

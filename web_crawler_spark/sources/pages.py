@@ -1,0 +1,31 @@
+"""The pages table — "the web" the engine crawls.
+
+Fetch = equi-join of the frontier batch against this table on ``url``
+(SURVEY.md §2.1 S4, §2.4 J1): present row => HTTP 200 with ``html`` payload;
+missing => fetch failure.  Column pruning matters here more than anywhere —
+``html BINARY`` is the dominant byte volume and must only be read by the parse
+stage (scan's ReadSchema should exclude it for scheduling-only queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def read_pages(spark: SparkSession, path: str, with_html: bool = True) -> DataFrame:
+    """Read the Common-Crawl-style pages table (input_hint shape).  Pass
+    ``with_html=False`` for scheduling-side uses so Parquet never materializes
+    the binary column."""
+    df = spark.read.parquet(path)
+    cols = ["url", "warc_ts", "html", "text", "lang"] if with_html else ["url", "warc_ts", "lang"]
+    return df.select(*[c for c in cols if c in df.columns])
+
+
+def fetch_join(frontier_batch: DataFrame, pages: DataFrame) -> DataFrame:
+    """frontier ⋈ pages on url, left outer: null html = failed fetch
+    (non-200 / dead URL).  At scale AQE picks broadcast when the round's batch
+    is small, else sort-merge with skew splitting."""
+    return frontier_batch.join(pages, on="url", how="left")
