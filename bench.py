@@ -1,0 +1,146 @@
+"""Headline benchmark: crawl-engine + pipeline operators at sf0.1.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "urls_sched_per_sec": ...}
+
+The north-star number is ``urls_sched_per_sec`` — candidate URLs
+canonicalized + deduped + politeness-scheduled per second (frontier_sched
+query) — matching BASELINE.json's metric definition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from web_crawler_spark import synth  # noqa: E402
+from web_crawler_spark.functions import dedupsim, html_parse, simsearch, urlnorm  # noqa: E402
+from web_crawler_spark.operators.dedup import anti_join_seen, first_wins  # noqa: E402
+from web_crawler_spark.operators.politeness import select_host_budget_batch, with_host  # noqa: E402
+from web_crawler_spark.plans.crawl import ChainCrawl, CrawlConfig  # noqa: E402
+from web_crawler_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _noop(df) -> int:
+    """Force full computation without driver-side collection."""
+    df.write.mode("overwrite").format("noop").save()
+    return -1
+
+
+def bench_parse_extract(spark, sf):
+    """100k HTML payloads through the Arrow parse UDF."""
+    pages = spark.read.parquet(synth.synth_path(sf, "pages"))
+    df = html_parse.with_parsed(pages.select("url", "html")).select(
+        "url", "parsed.title", "parsed.links_count"
+    )
+    return _noop(df)
+
+
+def bench_frontier_sched(spark, sf):
+    """The north-star op: explode candidate links -> canonicalize (Arrow UDF)
+    -> first-wins dedup -> seen anti-join -> salted politeness budget."""
+    meta = spark.read.parquet(synth.synth_path(sf, "pages_meta"))
+    seen = spark.read.parquet(synth.synth_path(sf, "pages_meta")).select("url").limit(20000)
+    links = meta.select(
+        F.xxhash64("url").alias("p0"), F.posexplode("links").alias("p1", "url")
+    )
+    cand = links.withColumn("url", urlnorm.canonicalize_udf(F.col("url"))).filter(
+        F.col("url").isNotNull()
+    )
+    fresh = first_wins(cand.select("url", "p0", F.col("p1").cast("long").alias("p1")), "url", ["p0", "p1"])
+    unseen = anti_join_seen(fresh, seen)
+    frontier = with_host(unseen).withColumn("attempt", F.lit(0)).withColumn("depth", F.lit(0))
+    batch = select_host_budget_batch(frontier, ["attempt", "depth", "p0", "p1"], budget=100)
+    return batch.count()
+
+
+def bench_crawl_scale(spark, sf):
+    """3 scheduling rounds of the full scale-mode engine (bloom seen-set,
+    budgets, canonicalization, checkpoint-free)."""
+    pages = spark.read.parquet(synth.synth_path(sf, "pages"))
+    seeds = spark.read.parquet(synth.synth_path(sf, "seeds"))
+    eng = ChainCrawl(
+        spark, pages, CrawlConfig(rounds=3, mode="scale", host_budget=200, use_bloom=True)
+    )
+    state = eng.run(seeds)
+    return sum(m["urls_processed"] for m in state.metrics)
+
+
+def bench_dedup_minhash(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sh = dedupsim.shingles(docs)
+    pairs = dedupsim.lsh_candidate_pairs(
+        dedupsim.lsh_bands(dedupsim.minhash_signatures(sh))
+    )
+    return pairs.count()
+
+
+def bench_ann_brute(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 20)
+    return simsearch.brute_force_topk(emb, q, k=10).count()
+
+
+def main() -> None:
+    sf = synth.sf_name_of(SF_DIR)
+    if sf not in synth._SF_PAGES:
+        sf = "0.1"
+    synth.ensure_synth(sf)
+    spark = get_spark(app_name="wcs-bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32))
+
+    # one warm-up action so JVM/codegen startup isn't billed to the first query
+    spark.read.parquet(synth.synth_path(sf, "pages_meta")).count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    t0 = time.time()
+    bench_parse_extract(spark, sf)
+    timings["parse_extract"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    n_sched = bench_frontier_sched(spark, sf)
+    timings["frontier_sched"] = round(time.time() - t0, 3)
+    extras["urls_sched_per_sec"] = round(n_sched / timings["frontier_sched"], 1)
+
+    t0 = time.time()
+    n_crawled = bench_crawl_scale(spark, sf)
+    timings["crawl_scale_3r"] = round(time.time() - t0, 3)
+    extras["crawl_urls_per_sec"] = round(n_crawled / timings["crawl_scale_3r"], 1)
+
+    t0 = time.time()
+    bench_dedup_minhash(spark, SF_DIR)
+    timings["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    bench_ann_brute(spark, SF_DIR)
+    timings["ann_brute"] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline suite wall-clock (crawl sched/parse/dedup/ann) at sf",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

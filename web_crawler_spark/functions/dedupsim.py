@@ -130,12 +130,15 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
-def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(text_md5, n_docs, min_doc_id) for every duplicated text."""
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """(text_md5, n_docs, min_doc_id) per text group; ``min_count=2`` keeps
+    only duplicated texts, ``min_count=1`` emits the full content index."""
     return (
         df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc_id"))
-        .filter(F.col("n_docs") > 1)
+        .filter(F.col("n_docs") >= min_count)
     )
 
 
@@ -215,8 +218,43 @@ FROM bands l JOIN bands r
 """
 
 
-def duck_exact_dups_sql(table: str) -> str:
+def duck_exact_dups_sql(table: str, min_count: int = 2) -> str:
     return rf"""
 SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id
-FROM {table} GROUP BY 1 HAVING count(*) > 1
+FROM {table} GROUP BY 1 HAVING count(*) >= {min_count}
+"""
+
+
+def duck_jaccard_sql(table: str) -> str:
+    """Exact shingle Jaccard (ppm) for the LSH candidate pairs — the full
+    minhash->bands->pairs->intersection pipeline in one DuckDB query."""
+    n_bands = N_HASHES // BAND_SIZE
+    mins = ", ".join(f"min(md5(shingle || '#{i}'))" for i in range(N_HASHES))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_key FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig[{b * BAND_SIZE + j + 1}]" for j in range(BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    return rf"""
+WITH {duck_shingles_cte(table)},
+sigs AS (SELECT doc_id, [{mins}] AS sig FROM shingles GROUP BY doc_id),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS inter
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.a
+  JOIN shingles sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+  GROUP BY p.a, p.b
+)
+SELECT i.a, i.b,
+  floor(i.inter / (za.n_sh + zb.n_sh - i.inter)::DOUBLE * 1e6)::BIGINT AS jaccard_ppm
+FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
 """
