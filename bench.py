@@ -112,10 +112,16 @@ def main() -> None:
     bench_parse_extract(spark, sf)
     timings["parse_extract"] = round(time.time() - t0, 3)
 
+    # candidates entering the scheduler = exploded links (north-star denominator)
+    n_cand = (
+        spark.read.parquet(synth.synth_path(sf, "pages_meta"))
+        .select(F.explode("links"))
+        .count()
+    )
     t0 = time.time()
-    n_sched = bench_frontier_sched(spark, sf)
+    bench_frontier_sched(spark, sf)
     timings["frontier_sched"] = round(time.time() - t0, 3)
-    extras["urls_sched_per_sec"] = round(n_sched / timings["frontier_sched"], 1)
+    extras["urls_sched_per_sec"] = round(n_cand / timings["frontier_sched"], 1)
 
     t0 = time.time()
     n_crawled = bench_crawl_scale(spark, sf)

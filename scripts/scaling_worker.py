@@ -1,0 +1,97 @@
+"""One scaling-bench measurement at a given parallelism (subprocess of
+scaling_bench.py — each parallelism level gets a fresh JVM).
+
+Workloads (compute-bound, fixed input independent of parallelism):
+  * sched — the north-star scheduling op over an amplified candidate set:
+    canonicalize (Arrow UDF) -> first-wins dedup -> seen anti-join -> salted
+    politeness budget.  Amplification appends ?v=i query params so the
+    candidate set is MULT x larger but still canonicalization-stable.
+  * parse — the HTML extraction kernel over the full sf pages table.
+
+Prints one JSON line {"cpus": N, "sched_sec": ..., "sched_rows": ...,
+"parse_sec": ..., "parse_rows": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from web_crawler_spark import synth  # noqa: E402
+from web_crawler_spark.functions import html_parse, urlnorm  # noqa: E402
+from web_crawler_spark.operators.dedup import anti_join_seen, first_wins  # noqa: E402
+from web_crawler_spark.operators.politeness import select_host_budget_batch, with_host  # noqa: E402
+from web_crawler_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "8"))
+    synth.ensure_synth(sf)
+    spark = get_spark(
+        app_name=f"wcs-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+    )
+    meta = spark.read.parquet(synth.synth_path(sf, "pages_meta"))
+    meta.count()  # warm
+
+    # ---- sched ----
+    links = meta.select(F.xxhash64("url").alias("p0"), F.posexplode("links").alias("p1", "url"))
+    amplified = links.crossJoin(
+        spark.range(mult).select(F.col("id").alias("v"))
+    ).select(
+        F.concat(F.col("url"), F.lit("?v="), F.col("v")).alias("url"),
+        "p0",
+        (F.col("p1") * mult + F.col("v")).cast("long").alias("p1"),
+    )
+    seen = meta.select(F.concat(F.col("url"), F.lit("?v=0")).alias("url"))
+    n_cand = amplified.count()
+
+    t0 = time.time()
+    cand = amplified.withColumn("url", urlnorm.canonicalize_udf(F.col("url"))).filter(
+        F.col("url").isNotNull()
+    )
+    fresh = first_wins(cand, "url", ["p0", "p1"])
+    unseen = anti_join_seen(fresh, seen)
+    frontier = (
+        with_host(unseen)
+        .withColumn("attempt", F.lit(0))
+        .withColumn("depth", F.lit(0))
+    )
+    batch = select_host_budget_batch(
+        frontier, ["attempt", "depth", "p0", "p1"], budget=1000, salt_buckets=64
+    )
+    batch.write.mode("overwrite").format("noop").save()
+    sched_sec = time.time() - t0
+
+    # ---- parse ----
+    pages = spark.read.parquet(synth.synth_path(sf, "pages"))
+    n_pages = pages.count()
+    t0 = time.time()
+    html_parse.with_parsed(pages.select("url", "html")).select(
+        "url", "parsed.links_count"
+    ).write.mode("overwrite").format("noop").save()
+    parse_sec = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "sched_sec": round(sched_sec, 3),
+                "sched_rows": n_cand,
+                "parse_sec": round(parse_sec, 3),
+                "parse_rows": n_pages,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""spark-submit job surface: flag parsing + end-to-end subprocess run."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cli_requires_seeds():
+    from jobs.crawl import build_parser
+
+    p = build_parser()
+    args = p.parse_args(["--pages", "/x"])
+    assert args.pages == "/x" and args.rounds == 3 and args.mode == "scale"
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path):
+    from web_crawler_spark import synth
+
+    synth.ensure_synth("0.001")
+    import pyarrow.parquet as pq
+
+    # pick real page urls with live links so round 1 has a frontier
+    meta = pq.read_table(synth.synth_path("0.001", "pages_meta")).to_pandas()
+    linked = meta[meta["links_count"] > 3]["url"].head(3).tolist()
+    seeds_file = tmp_path / "seeds.txt"
+    seeds_file.write_text(
+        "# seed list\n\n" + linked[0] + "\n" + linked[0] + "\n" + "\n".join(linked[1:]) + "\n"
+    )
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "crawl.py"),
+            "--urls-file",
+            str(seeds_file),
+            "--pages",
+            synth.synth_path("0.001", "pages"),
+            "--rounds",
+            "2",
+            "--mode",
+            "scale",
+            "--host-budget",
+            "5",
+            "--output",
+            str(tmp_path / "results"),
+            "--storage",
+            "jsonl",
+            "--master",
+            "local[2]",
+            "--shuffle-partitions",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["rounds"] == 2
+    assert stats["total_urls"] >= 2
+    assert (tmp_path / "results").exists()

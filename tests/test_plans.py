@@ -1,0 +1,98 @@
+"""Physical-plan shape guards — the scale properties SURVEY.md §4 commits to:
+
+* column pruning keeps ``html BINARY`` out of scheduling-side scans;
+* the fetch join broadcasts the (small) frontier batch, never shuffling pages;
+* first-wins dedup is a partial-aggregated hash agg, not a global window;
+* the politeness selector is the two-pass salted window design;
+* no plan anywhere contains BatchEvalPython (row-at-a-time Python) —
+  Arrow-vectorized Python only (SURVEY.md §7 hard-part 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark import synth
+from web_crawler_spark.operators.dedup import first_wins
+from web_crawler_spark.operators.politeness import select_host_budget_batch, with_host
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scheduling_scan_prunes_html(spark, sf_small):
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    sched = pages.select("url").filter(F.col("url").startswith("http://host0"))
+    plan = _plan(sched)
+    assert "html" not in plan, "scheduling scan must never read the binary column"
+    assert "PushedFilters: [IsNotNull(url), StringStartsWith(url" in plan
+
+
+def test_fetch_join_broadcasts_batch(spark, sf_small):
+    from web_crawler_spark.plans.crawl import ChainCrawl, CrawlConfig
+
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    batch = spark.createDataFrame(
+        [("http://host0.example/p/1", 0)], "url string, pos bigint"
+    )
+    matched = pages.select("url", "html").join(F.broadcast(batch), "url", "inner")
+    plan = _plan(matched)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_first_wins_is_partial_hash_agg(spark):
+    df = spark.createDataFrame(
+        [("u1", 1, 2), ("u1", 0, 5), ("u2", 3, 1)], "url string, p0 bigint, p1 bigint"
+    )
+    plan = _plan(first_wins(df, "url", ["p0", "p1"]))
+    # struct-min compiles to SortAggregate (structs have no mutable hash
+    # buffer), but the scale properties hold: map-side partial aggregation
+    # and exactly one shuffle on the key — and never a global window.
+    assert "partial_min" in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+
+
+def test_politeness_default_uses_partial_group_limit(spark):
+    """Default path: one window whose rank filter compiles to a partial
+    per-input-partition top-k BEFORE the shuffle (the skew defense)."""
+    df = with_host(
+        spark.createDataFrame(
+            [(f"http://h{i%3}.example/{i}", 0, 0, i, 0) for i in range(20)],
+            "url string, attempt int, depth int, p0 bigint, p1 bigint",
+        )
+    )
+    plan = _plan(
+        select_host_budget_batch(df, ["attempt", "depth", "p0", "p1"], budget=2)
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert plan.count("Exchange") == 1  # exactly one shuffle
+
+
+def test_politeness_salted_is_two_pass(spark):
+    df = with_host(
+        spark.createDataFrame(
+            [(f"http://h{i%3}.example/{i}", 0, 0, i, 0) for i in range(20)],
+            "url string, attempt int, depth int, p0 bigint, p1 bigint",
+        )
+    )
+    plan = _plan(
+        select_host_budget_batch(
+            df, ["attempt", "depth", "p0", "p1"], budget=2, salt_buckets=8
+        )
+    )
+    assert "Window [" in plan and plan.count("Exchange") == 2  # salted + exact
+
+
+def test_no_row_at_a_time_python_in_contract_queries(spark, sf_small):
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name, fn in entrymod.queries().items():
+        if name in ("crawl_fetch_log", "crawl_stats"):
+            continue  # materialized via the round loop; parse/canon plans
+            # are covered by their own queries
+        plan = _plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"

@@ -27,6 +27,7 @@ def _run_scale(
         mode="scale",
         host_budget=budget,
         use_bloom=use_bloom,
+        bloom_min_seen=0,  # force the bloom path at test scale
         checkpoint_dir=str(tmpdir) if tmpdir else None,
         resume=resume,
     )

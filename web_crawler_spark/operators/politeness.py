@@ -4,7 +4,20 @@ as a window-ranked priority queue (SURVEY.md §2.6 O3) with explicit hot-host
 skew breaking (SURVEY.md §4 item 1).
 
 The naive ``row_number() over (partition by host order by priority)`` puts a
-hot host (50% of a 10^10-row frontier) on ONE task.  Two-pass salted design:
+hot host (50% of a 10^10-row frontier) on ONE task.  Two defenses:
+
+* **Spark >= 3.5 (default, ``salt_buckets=None``)**: the planner's
+  ``WindowGroupLimit`` rewrite pushes ``row_number() <= k`` into a *partial*
+  per-input-partition top-k before the shuffle — the hot host arrives at its
+  window task already pruned to <= k * input_partitions rows.  Measured on
+  Spark 4.1: the physical plan shows ``WindowGroupLimit ... Partial`` below
+  the exchange, making explicit salting a pure extra-shuffle overhead.
+  (This was benchmarked, not assumed — SURVEY.md §7 hard-part 4; the salted
+  variant cost one additional hash-partition exchange for zero skew benefit.)
+
+* **Explicit two-pass salting (``salt_buckets=S``)** for engines/patterns the
+  rewrite does not cover (budget from a joined column => per-row limits
+  cannot constant-fold into WindowGroupLimit):
 
   pass 1: rank within ``(host, salt)`` where ``salt = pmod(xxhash64(url), S)``
           — the hot host's rows spread over S tasks; keep rank <= budget.
@@ -50,25 +63,32 @@ def select_host_budget_batch(
     order_cols: list[str],
     budget: int | None = DEFAULT_BUDGET,
     host_rules: DataFrame | None = None,
-    salt_buckets: int = 32,
+    salt_buckets: int | None = None,
     host_col: str = "host",
     rank_col: str = "host_rank",
 ) -> DataFrame:
     """Return the round's fetch batch: per host, the ``budget`` smallest rows
     by ``order_cols``; ``rank_col`` carries the final within-host rank.
-    ``budget=None`` => unbudgeted (whole frontier, still ranked)."""
+    ``budget=None`` => unbudgeted (whole frontier, still ranked).
+    ``salt_buckets``: None trusts the WindowGroupLimit partial top-k
+    (see module docstring); an int forces the explicit two-pass salted plan."""
     df = frontier
-    if host_rules is not None:
+    per_row_budget = host_rules is not None
+    if per_row_budget:
         df = apply_robots(df, host_rules)
         budgets = F.broadcast(host_rules.select("host", F.col("budget").alias("__b")))
         df = df.join(budgets, on=host_col, how="left").withColumn(
             "__b", F.coalesce(F.col("__b"), F.lit(budget))
         )
+        if salt_buckets is None:
+            # per-row budgets defeat the WindowGroupLimit constant-k rewrite;
+            # fall back to explicit salting with the max budget as pass-1 k
+            salt_buckets = 32
     else:
         df = df.withColumn("__b", F.lit(budget))
 
     order = [F.col(c) for c in order_cols]
-    if budget is not None or host_rules is not None:
+    if salt_buckets is not None and (budget is not None or per_row_budget):
         # pass 1: salted pre-rank kills the hot-host single-task bottleneck
         salted = df.withColumn(
             "__salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
@@ -81,10 +101,11 @@ def select_host_budget_batch(
         )
     else:
         survivors = df
-    # pass 2: exact within-host rank over <= salt_buckets*budget rows/host
+    # exact within-host rank; with constant k this compiles to
+    # WindowGroupLimit(Partial) -> shuffle -> WindowGroupLimit(Final)
     w2 = Window.partitionBy(host_col).orderBy(*order)
     ranked = survivors.withColumn(rank_col, F.row_number().over(w2))
-    if budget is not None or host_rules is not None:
+    if budget is not None or per_row_budget:
         ranked = ranked.filter(
             F.col("__b").isNull() | (F.col(rank_col) <= F.col("__b"))
         )

@@ -39,7 +39,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.html_parse import with_parsed
+from ..functions import registry as parser_registry
 from ..functions.urlnorm import canonicalize_udf
 from ..operators.dedup import first_wins, anti_join_seen
 from ..operators.ordering import with_global_seq
@@ -60,9 +60,22 @@ class CrawlConfig:
     host_budget: Optional[int] = None  # scale mode; None = unbudgeted
     max_retries: int = 0
     use_bloom: bool = True
-    salt_buckets: int = 32
+    # bloom prefiltering pays once the seen-set dwarfs the candidate batch;
+    # below this many attempted urls the exact anti-join alone is cheaper
+    # than rebuilding the filter every round
+    bloom_min_seen: int = 500_000
+    # None => rely on WindowGroupLimit partial top-k (Spark >= 3.5); int =>
+    # explicit two-pass salted ranking (see operators/politeness.py)
+    salt_buckets: int | None = None
     checkpoint_dir: Optional[str] = None
     resume: bool = False
+    cache_pages: bool = True
+    # registered parser (functions/registry.py) — the reference's pluggable
+    # parser/extract_next_urls extension points (crawler.py:37, chain:36)
+    parser_name: str = "default"
+    # fetch-join strategy: batches up to this many rows broadcast to the pages
+    # scan (html bytes never shuffle); larger batches fall back to AQE SMJ
+    broadcast_batch_limit: int = 2_000_000
 
 
 @dataclass
@@ -92,6 +105,10 @@ class ChainCrawl:
         self.spark = spark
         self.pages = pages.select("url", "html")
         self.cfg = config
+        if config.cache_pages:
+            # rounds re-scan the pages table; keep it hot (deserialized columns
+            # spill to disk when it outgrows executor memory)
+            self.pages = self.pages.persist()
         self.host_rules = host_rules
         self.ckpt = Checkpointer(config.checkpoint_dir) if config.checkpoint_dir else None
 
@@ -148,26 +165,49 @@ class ChainCrawl:
 
         batch, remainder = self._select_batch(state.frontier)
         batch = batch.persist()
+        batch_n = batch.count()
 
-        # fetch = left join against the pages table (J1); null html => failure
-        fetched = batch.join(self.pages, on="url", how="left")
-        parsed = (
-            with_parsed(fetched)
-            .select(
-                (F.col("pos") + F.lit(state.fetch_offset)).alias("fetch_seq"),
-                F.lit(r).cast("int").alias("round"),
-                "url",
-                F.col("html").isNotNull().alias("ok"),
+        # fetch (J1).  The naive frontier-left-join-pages shuffles the whole
+        # pages table — including html payloads — every round.  When the
+        # round's batch is small enough to broadcast (the normal case: the
+        # budgeted batch is orders of magnitude smaller than the web), split
+        # into a broadcast inner join (html streams through the scan, zero
+        # shuffle) plus a driver-cheap anti-join for the fetch failures.
+        if batch_n <= cfg.broadcast_batch_limit:
+            matched = self.pages.join(F.broadcast(batch), on="url", how="inner")
+            missed = batch.join(
+                matched.select("url"), on="url", how="left_anti"
+            ).withColumn("html", F.lit(None).cast("binary"))
+            fetched = matched.select(*missed.columns).unionByName(missed)
+        else:
+            fetched = batch.join(self.pages, on="url", how="left")
+        reg = parser_registry.get_parser(cfg.parser_name)
+        is_default = cfg.parser_name == "default"
+        with_data = parser_registry.with_parsed_by(fetched, cfg.parser_name)
+        links_col = (
+            reg.links_extractor(F.col("parsed"))
+            if reg.links_extractor is not None
+            else F.lit(None).cast("array<string>")
+        )
+        core = [
+            (F.col("pos") + F.lit(state.fetch_offset)).alias("fetch_seq"),
+            F.lit(r).cast("int").alias("round"),
+            "url",
+            F.col("html").isNotNull().alias("ok"),
+        ]
+        if is_default:
+            shaped = [
                 F.col("parsed.title").alias("title"),
                 F.col("parsed.text").alias("text"),
                 F.col("parsed.links_count").alias("links_count"),
                 F.col("parsed.links").alias("links"),
-                "pos",
-                "depth",
-                "attempt",
-            )
-            .persist()
-        )
+            ]
+        else:  # arbitrary parser schema rides along as a struct + its links
+            shaped = [
+                F.col("parsed").alias("data"),
+                links_col.alias("links"),
+            ]
+        parsed = with_data.select(*core, *shaped, "pos", "depth", "attempt").persist()
 
         # per-partition lineage (round, partition, rows in/ok) — tiny agg,
         # collected to the driver so it never holds plan references
@@ -186,17 +226,20 @@ class ChainCrawl:
             .collect()
         ]
 
-        results = parsed.select(*RESULT_COLS)
-        agg = parsed.agg(
-            F.count("*").alias("processed"),
-            F.sum(F.col("ok").cast("long")).alias("succeeded"),
-            F.sum((~F.col("ok")).cast("long")).alias("failed"),
-        ).collect()[0]
+        results = parsed.select(
+            *(RESULT_COLS if is_default else ["fetch_seq", "round", "url", "ok", "data"])
+        )
+        # materialize results now (localCheckpoint also serves as the round's
+        # heavy action); n_ok then reads materialized data instead of paying
+        # a second pass over the fetch+parse chain
+        if self.ckpt is None:
+            results = results.localCheckpoint(eager=True)
+        n_ok = results.filter(F.col("ok")).count()
         metrics = {
             "round": r,
-            "urls_processed": agg["processed"] or 0,
-            "urls_succeeded": agg["succeeded"] or 0,
-            "urls_failed": agg["failed"] or 0,
+            "urls_processed": batch_n,
+            "urls_succeeded": n_ok,
+            "urls_failed": batch_n - n_ok,
         }
 
         # ---- next frontier ----
@@ -217,7 +260,6 @@ class ChainCrawl:
                 links = links.withColumn("url", canonicalize_udf(F.col("url"))).filter(
                     F.col("url").isNotNull()
                 )
-            metrics["next_urls_found"] = None  # filled below (after dedup acct)
             cand = links.select(
                 "url",
                 (F.col("parent_depth") + 1).alias("depth"),
@@ -225,21 +267,27 @@ class ChainCrawl:
                 F.col("p1").cast("long").alias("p1"),
                 F.lit(0).alias("attempt"),
             )
-            found = cand.count()
-            metrics["next_urls_found"] = found
+            # pre-dedup discovery count is a parity-mode stat (A2); in scale
+            # mode skip the extra pass over the links
+            metrics["next_urls_found"] = (
+                cand.count() if cfg.mode == "parity" else None
+            )
             fresh = first_wins(cand, "url", ["depth", "p0", "p1"])
 
             if cfg.mode == "scale":
                 # enqueue-time global dedup: drop anything ever enqueued
                 assert state.seen is not None
                 bloom_bytes = None
-                if cfg.use_bloom:
+                if cfg.use_bloom and state.fetch_offset + batch_n >= cfg.bloom_min_seen:
                     bloom_bytes = bloomlib.build_bloom(state.seen, "url")
                 definitely_new, maybe = bloomlib.bloom_prefilter(fresh, bloom_bytes)
                 survivors = definitely_new.unionByName(
                     anti_join_seen(maybe, state.seen, "url")
                 )
                 survivors = with_host(survivors)
+                if self.ckpt is None:
+                    # materialize once; both frontier' and seen' read it
+                    survivors = survivors.localCheckpoint(eager=True)
                 # retry routing: failed fetches with attempts left re-enqueue
                 retries = (
                     parsed.filter(~F.col("ok") & (F.col("attempt") < cfg.max_retries))
@@ -295,7 +343,7 @@ class ChainCrawl:
                 state_next.seen = self.ckpt.read(self.spark, r, "url_seen")
         else:
             state_next.frontier = next_front.localCheckpoint(eager=True)
-            state_next.results[-1] = results.localCheckpoint(eager=True)
+            # results already localCheckpointed above
             if new_seen is not None:
                 state_next.seen = new_seen.localCheckpoint(eager=True)
         batch.unpersist()

@@ -1,0 +1,60 @@
+"""Result sinks — the reference's four storage backends re-expressed as
+DataFrame writes (SURVEY.md §2.8).
+
+| reference (storage.py)          | here                                     |
+|---------------------------------|------------------------------------------|
+| AggregatedStorage (RAM->1 JSON) | ``write_aggregated_json`` (coalesce(1))  |
+| JSONLStorage (append + flush)   | ``append_jsonl`` (partitioned append)    |
+| PerURLStorage (file per URL)    | ``write_per_url_json`` (hash-partitioned;|
+|                                 | one-file-per-row is an anti-pattern at   |
+|                                 | scale — kept for small parity runs only) |
+| MongoDBStorage                  | ``foreachBatch`` plug point (optional)   |
+
+Every sink stamps the envelope the reference writes —
+``{url, ts, data}`` (storage.py:58) — but with a *per-round constant*
+timestamp instead of ``datetime.now()`` per record (nondeterministic;
+SURVEY.md §7 hard-part 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_envelope(df: DataFrame, round_ts: str, data_cols: list[str]) -> DataFrame:
+    """Wrap result columns in the reference's storage envelope."""
+    return df.select(
+        "url",
+        F.lit(round_ts).cast("timestamp").alias("ts"),
+        F.struct(*[F.col(c) for c in data_cols]).alias("data"),
+    )
+
+
+def write_aggregated_json(df: DataFrame, path: str) -> None:
+    """Single JSON-lines file (AggregatedStorage parity; small runs only —
+    coalesce(1) funnels everything through one task by design)."""
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+
+def append_jsonl(df: DataFrame, path: str) -> None:
+    """Partitioned JSON-lines append — the scalable default (JSONLStorage)."""
+    df.write.mode("append").json(path)
+
+
+def write_per_url_json(df: DataFrame, path: str, buckets: int = 64) -> None:
+    """Per-URL-addressable output: hash-bucketed by url so any url's record
+    is findable by recomputing its bucket.  True file-per-row (md5-named
+    files, storage.py:44-52) does not survive 10^10 rows; bucketing is the
+    scale-safe equivalent."""
+    (
+        df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(buckets)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .json(path)
+    )
+
+
+def foreach_batch_sink(df: DataFrame, handler) -> None:
+    """Custom-backend plug point (the StorageBackend ABC analog,
+    storage.py:24-31): handler(pandas_batch) called per partition chunk."""
+    df.foreachPartition(lambda rows: handler(list(rows)))

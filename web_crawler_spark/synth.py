@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v4"
+SYNTH_VERSION = "v5"
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -304,12 +304,15 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     cands = _gen_candidates(rng, urls)
     media = _gen_media(rng, sf)
     expected = _gen_expected_crawl(pages, seeds)
-    pq.write_table(pages, synth_path(sf, "pages"))
-    pq.write_table(pages_meta, synth_path(sf, "pages_meta"))
+    # small row groups so Spark's byte-range splits hold real rows — a single
+    # giant row group serializes every scan into one task (Common-Crawl data
+    # comes as thousands of files; this models that split-ability)
+    pq.write_table(pages, synth_path(sf, "pages"), row_group_size=2048)
+    pq.write_table(pages_meta, synth_path(sf, "pages_meta"), row_group_size=4096)
     pq.write_table(seeds, synth_path(sf, "seeds"))
     pq.write_table(cands, synth_path(sf, "url_candidates"))
-    pq.write_table(media, synth_path(sf, "media"))
-    pq.write_table(expected, synth_path(sf, "expected_crawl"))
+    pq.write_table(media, synth_path(sf, "media"), row_group_size=512)
+    pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     with open(marker, "w") as f:
         f.write(SYNTH_VERSION)
     return out
