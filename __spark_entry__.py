@@ -241,6 +241,30 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (local-similarity primitive)."""
+    from web_crawler_spark.functions import winnow
+
+    d = _docs(spark, sf_dir)
+    return winnow.with_winnow(d).select(
+        "doc_id",
+        F.size("winnow_fp").cast("long").alias("n_fps"),
+        F.array_min("winnow_fp").alias("min_fp"),
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (1h buckets)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return ev.groupBy("event_type").agg(
@@ -305,6 +329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "media_sniff": q_media_sniff,
         "media_features": q_media_features,
+        "doc_winnow": q_doc_winnow,
+        "events_hourly": q_events_hourly,
         "events_by_type": q_events_by_type,
         "events_user_rank": q_events_user_rank,
     }
@@ -369,6 +395,12 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         # ann_lsh: probing strategy not SQL-expressible => rows-only
         "media_sniff": f"SELECT media_id, kind AS kind_sniffed FROM {media}",
         # media_features: stubbed decoder => rows-only
+        # doc_winnow: numpy rolling hash, not SQL-expressible => rows-only
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1, 2
+        """,
         "events_by_type": """
             SELECT event_type, count(*)::BIGINT AS n_events,
                    min(value) AS min_value, max(value) AS max_value,

@@ -36,14 +36,28 @@ def main() -> None:
     sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
     mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "8"))
     synth.ensure_synth(sf)
+    extra = {
+        # a cluster-sized job reads thousands of files; model that split
+        # granularity so pre-shuffle stages aren't capped at 2-3 scan tasks
+        "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+    }
+    if os.path.isdir("/dev/shm"):
+        # single-box local mode funnels every "network" shuffle through one
+        # disk; tmpfs shuffle dirs model a cluster's parallel shuffle fabric
+        extra["spark.local.dir"] = "/dev/shm/wcs-shuffle"
     spark = get_spark(
-        app_name=f"wcs-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+        app_name=f"wcs-scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+        extra_conf=extra,
     )
     meta = spark.read.parquet(synth.synth_path(sf, "pages_meta"))
     meta.count()  # warm
 
     # ---- sched ----
-    links = meta.select(F.xxhash64("url").alias("p0"), F.posexplode("links").alias("p1", "url"))
+    links = meta.select(
+        F.xxhash64("url").alias("p0"), F.posexplode("links").alias("p1", "url")
+    ).repartition(cpus * 2)
     amplified = links.crossJoin(
         spark.range(mult).select(F.col("id").alias("v"))
     ).select(
@@ -66,16 +80,21 @@ def main() -> None:
         .withColumn("depth", F.lit(0))
     )
     batch = select_host_budget_batch(
-        frontier, ["attempt", "depth", "p0", "p1"], budget=1000, salt_buckets=64
+        frontier, ["attempt", "depth", "p0", "p1"], budget=1000
     )
     batch.write.mode("overwrite").format("noop").save()
     sched_sec = time.time() - t0
 
     # ---- parse ----
-    pages = spark.read.parquet(synth.synth_path(sf, "pages"))
-    n_pages = pages.count()
+    # amplify so total work is hundreds of core-seconds — at sandbox scale the
+    # raw table is ~45 core-s and fixed startup costs would swamp the 4N level
+    pages = spark.read.parquet(synth.synth_path(sf, "pages")).select("url", "html")
+    amplified_pages = pages.crossJoin(
+        spark.range(mult).select(F.col("id").alias("rep"))
+    ).select(F.concat(F.col("url"), F.lit("#"), F.col("rep")).alias("url"), "html")
+    n_pages = amplified_pages.count()
     t0 = time.time()
-    html_parse.with_parsed(pages.select("url", "html")).select(
+    html_parse.with_parsed(amplified_pages).select(
         "url", "parsed.links_count"
     ).write.mode("overwrite").format("noop").save()
     parse_sec = time.time() - t0

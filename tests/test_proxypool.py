@@ -1,0 +1,73 @@
+"""Proxy-pool dataflow: multi-source scan, format parsers, dedup, stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.sources import proxypool
+
+
+def test_plain_and_generic_parsers(spark, tmp_path):
+    f1 = tmp_path / "plain.txt"
+    f1.write_text("1.2.3.4:8080\n\nsocks5://5.6.7.8:1080\nnot-a-proxy\n1.2.3.4:8080\n")
+    f2 = tmp_path / "scrape.html"
+    f2.write_text("<tr><td>9.9.9.9:3128</td></tr> junk 1.2.3.4:8080 tail 10.0.0.1:80\n")
+
+    plain = proxypool.load_sources(spark, [str(f1)], fmt="plain")
+    got = sorted(r["proxy"] for r in plain.collect())
+    assert got == ["http://1.2.3.4:8080", "socks5://5.6.7.8:1080"]
+
+    scraped = proxypool.load_sources(spark, [str(f2)], fmt="generic")
+    got2 = sorted(r["proxy"] for r in scraped.collect())
+    assert got2 == ["http://1.2.3.4:8080", "http://10.0.0.1:80", "http://9.9.9.9:3128"]
+
+    # union across sources keeps first occurrence; the scrape.html line
+    # carries ':' so the plain parser keeps it as one (junk) entry — exactly
+    # the reference's behavior of trusting ':'-bearing lines (:75)
+    both = proxypool.load_sources(spark, [str(f1), str(f2)], fmt="plain")
+    assert both.count() == 3
+
+
+def test_socks_predicate(spark):
+    df = spark.createDataFrame(
+        [("socks5://a:1",), ("socks4://b:2",), ("socks://c:3",), ("http://d:4",)],
+        "proxy string",
+    )
+    got = df.filter(proxypool.is_socks("proxy")).count()
+    assert got == 3
+
+
+def test_available_and_stats(spark):
+    pool = spark.createDataFrame(
+        [(f"http://p{i}:80", i) for i in range(10)], "proxy string, src_pos bigint"
+    )
+    failed = spark.createDataFrame(
+        [("http://p1:80",), ("http://p3:80",), ("http://nope:1",)], "proxy string"
+    )
+    avail = proxypool.available(pool, failed)
+    assert avail.count() == 8
+    stats = proxypool.pool_stats(pool, failed)
+    assert stats == {"total": 10, "failed": 2, "available": 8, "failure_rate": 0.2}
+
+
+def test_validation_summary_and_export(spark, tmp_path):
+    results = spark.createDataFrame(
+        [("p1", True, 120.0), ("p2", False, None), ("p3", True, 80.0)],
+        "proxy string, ok boolean, response_time_ms double",
+    )
+    row = proxypool.validation_summary(results).collect()[0]
+    assert row["tested"] == 3 and row["working"] == 2 and row["failed"] == 1
+    assert abs(row["avg_ms_working"] - 100.0) < 1e-9
+
+    pool = results.select("proxy", F.lit(0).alias("src_pos"))
+    out = tmp_path / "pool"
+    proxypool.export_pool(pool, str(out))
+    back = spark.read.text(str(out))
+    assert back.count() == 3
+
+
+def test_proxy_failure_statuses(spark):
+    log = spark.createDataFrame(
+        [(200,), (407,), (502,), (404,), (503,), (504,)], "status int"
+    )
+    assert proxypool.proxy_failure_filter(log).count() == 4

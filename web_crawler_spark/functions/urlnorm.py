@@ -28,9 +28,11 @@ _HEX = "0123456789ABCDEFabcdef"
 
 # Fast path: urls that canonicalization cannot change — lowercase scheme+host,
 # no port, no userinfo, no percent-escapes, no dot segments, no fragment,
-# non-empty path of safe chars.
+# non-empty path of safe chars, optional query of safe chars.
 _CANONICAL_RE = re.compile(
-    r"^https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*$"
+    r"^https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?"
+    r"/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*"
+    r"(?:\?[A-Za-z0-9\-._~!$&'()*+,;=:@/?]*)?$"
 )
 _DOTSEG_RE = re.compile(r"/\.\.?(?:/|$)|^\.\.?(?:/|$)")
 

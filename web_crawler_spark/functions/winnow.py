@@ -1,0 +1,84 @@
+"""Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+the public MOSS algorithm): k-gram rolling hashes, then the minimum hash per
+sliding window of w hashes.  Guarantees any shared substring of length
+>= w + k - 1 between two documents yields at least one shared fingerprint —
+the standard local-similarity / plagiarism primitive, complementing the
+global-similarity MinHash in dedupsim.py.
+
+Vectorized: one numpy pass per document inside an Arrow batch (polynomial
+rolling hash via cumulative products is O(n) per doc, no python-per-char).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+K_GRAM = 8
+WINDOW = 6
+_BASE = np.uint64(1000003)
+_MASK = np.uint64((1 << 61) - 1)
+
+
+def _kgram_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial hashes of every k-byte gram, vectorized: h[i] =
+    sum_{j<k} data[i+j] * BASE^(k-1-j)  (mod 2^64, masked to 61 bits)."""
+    n = len(data)
+    if n < k:
+        return np.array([], dtype=np.uint64)
+    d = data.astype(np.uint64)
+    powers = np.empty(k, dtype=np.uint64)
+    powers[k - 1] = np.uint64(1)
+    for j in range(k - 2, -1, -1):
+        powers[j] = powers[j + 1] * _BASE  # wraps mod 2^64 — fine, stable
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):  # k tiny (8): k vectorized adds over the whole doc
+        acc += d[j : n - k + 1 + j] * powers[j]
+    return acc & _MASK
+
+
+def winnow_fingerprints(text: str, k: int = K_GRAM, w: int = WINDOW) -> list[int]:
+    """Distinct winnowed fingerprints of a document, sorted."""
+    data = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+    hashes = _kgram_hashes(data, k)
+    if len(hashes) == 0:
+        return []
+    if len(hashes) <= w:
+        return [int(hashes.min())]
+    view = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    mins = view.min(axis=1)
+    return sorted({int(x) for x in mins})
+
+
+@pandas_udf(ArrayType(LongType()))
+def winnow_udf(texts: pd.Series) -> pd.Series:
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+        else:
+            # mask to 61 bits keeps values inside signed int64 for Spark
+            out.append(winnow_fingerprints(t))
+    return pd.Series(out)
+
+
+def with_winnow(df: DataFrame, text_col: str = "text", out: str = "winnow_fp") -> DataFrame:
+    return df.withColumn(out, winnow_udf(F.col(text_col)))
+
+
+def shared_fingerprint_pairs(df: DataFrame, id_col: str = "doc_id", min_shared: int = 2) -> DataFrame:
+    """Candidate local-overlap pairs: docs sharing >= min_shared winnowed
+    fingerprints (explode -> self-join on fingerprint -> count)."""
+    fp = with_winnow(df).select(
+        F.col(id_col).alias("doc_id"), F.explode("winnow_fp").alias("fp")
+    )
+    return (
+        fp.alias("l")
+        .join(fp.alias("r"), on=[F.col("l.fp") == F.col("r.fp"), F.col("l.doc_id") < F.col("r.doc_id")])
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

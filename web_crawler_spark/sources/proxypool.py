@@ -1,0 +1,114 @@
+"""Proxy-pool surface (SURVEY.md §2.1 S5/S6, §2.3 F5/F6, §2.5 A3/A4, §2.8 K5).
+
+The reference manages a live proxy pool (fetch from 11 public sources, parse
+4 list formats, rotate, validate — reference proxy_manager.py).  An offline
+Spark engine has no network, but the *dataflow* is fully reproducible and
+useful: multi-source scan -> per-format parse -> union -> ordered dedup ->
+failure filtering -> pool stats.  Everything runs as DataFrame ops so a
+million-line proxy dump processes the same as ten lines.
+
+Format parsers mirror the reference's:
+  * plain text  one ``ip:port`` per line                 (:94-104)
+  * generic     regex ``(\\d{1,3}\\.){3}\\d{1,3}:\\d{2,5}`` scraped out of
+                arbitrary HTML/text                      (:123-133)
+Protocol prefixes are normalized to ``protocol://ip:port``; entries without a
+``:`` are dropped (:75).  SOCKS detection = scheme prefix test
+(http_client.py:27-31).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import first_wins
+
+PROXY_RE = r"(\d{1,3}\.){3}\d{1,3}:\d{2,5}"
+_EXTRACT_RE = r"((?:\d{1,3}\.){3}\d{1,3}:\d{2,5})"
+
+
+def parse_plain(df: DataFrame, protocol: str = "http") -> DataFrame:
+    """One proxy per line; skip blanks; default protocol prefix."""
+    line = F.trim(F.col("value"))
+    return (
+        df.select(line.alias("entry"), F.col("src_pos"))
+        .filter((F.length("entry") > 0) & F.col("entry").contains(":"))
+        .select(
+            F.when(F.col("entry").contains("://"), F.col("entry"))
+            .otherwise(F.concat(F.lit(f"{protocol}://"), F.col("entry")))
+            .alias("proxy"),
+            "src_pos",
+        )
+    )
+
+
+def parse_generic(df: DataFrame, protocol: str = "http") -> DataFrame:
+    """Regex-scrape ip:port pairs out of arbitrary text/HTML (the reference's
+    fallback parser) — JVM-side regexp_extract_all + posexplode."""
+    hits = F.regexp_extract_all(F.col("value"), F.lit(_EXTRACT_RE), F.lit(1))
+    return df.select("src_pos", F.posexplode(hits).alias("hit_pos", "entry")).select(
+        F.concat(F.lit(f"{protocol}://"), F.col("entry")).alias("proxy"),
+        (F.col("src_pos") * 100000 + F.col("hit_pos")).alias("src_pos"),
+    )
+
+
+def load_sources(spark: SparkSession, paths: list[str], fmt: str = "plain") -> DataFrame:
+    """Fan-out scan over proxy source files -> union -> ordered first-wins
+    dedup (proxy_manager.py:61-77)."""
+    parts = []
+    for i, p in enumerate(paths):
+        raw = spark.read.text(p).withColumn(
+            "src_pos", F.monotonically_increasing_id() + i * 10_000_000
+        )
+        parts.append(parse_plain(raw) if fmt == "plain" else parse_generic(raw))
+    merged = parts[0]
+    for d in parts[1:]:
+        merged = merged.unionByName(d)
+    return first_wins(merged, "proxy", ["src_pos"]).select("proxy", "src_pos")
+
+
+def is_socks(col) -> F.Column:
+    """SOCKS-scheme predicate (http_client.py:27-31)."""
+    return F.col(col).rlike(r"^socks[45]?://") if isinstance(col, str) else col.rlike(r"^socks[45]?://")
+
+
+def available(pool: DataFrame, failed: DataFrame) -> DataFrame:
+    """pool − failed (proxy_manager.py:187-201); empty result => caller
+    refetches/resets, mirroring the reference's self-healing."""
+    return pool.join(failed.select("proxy"), on="proxy", how="left_anti")
+
+
+def pool_stats(pool: DataFrame, failed: DataFrame) -> dict:
+    """total/failed/available/failure_rate (proxy_manager.py:203-211)."""
+    total = pool.count()
+    n_failed = failed.join(pool, "proxy", "left_semi").count()
+    avail = total - n_failed
+    return {
+        "total": total,
+        "failed": n_failed,
+        "available": avail,
+        "failure_rate": (n_failed / total) if total else 0.0,
+    }
+
+
+def validation_summary(results: DataFrame) -> DataFrame:
+    """Aggregate a validation-run table (proxy, ok, response_time_ms) into
+    the reference's summary (proxy_manager.py:331-352)."""
+    return results.agg(
+        F.count("*").alias("tested"),
+        F.sum(F.col("ok").cast("long")).alias("working"),
+        F.sum((~F.col("ok")).cast("long")).alias("failed"),
+        F.avg(F.when(F.col("ok"), F.col("response_time_ms"))).alias("avg_ms_working"),
+    )
+
+
+def export_pool(pool: DataFrame, path: str) -> None:
+    """One proxy per line (proxy_manager.py:357-363)."""
+    pool.select("proxy").coalesce(1).write.mode("overwrite").text(path)
+
+
+PROXY_FAIL_STATUSES = [407, 502, 503, 504]  # crawler.py:163-166
+
+
+def proxy_failure_filter(fetch_log: DataFrame) -> DataFrame:
+    """Rows whose status marks the proxy as failed (F5)."""
+    return fetch_log.filter(F.col("status").isin(PROXY_FAIL_STATUSES))
