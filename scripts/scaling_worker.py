@@ -1,12 +1,21 @@
-"""One scaling-bench measurement at a given parallelism (subprocess of
-scaling_bench.py — each parallelism level gets a fresh JVM).
+"""One scaling-bench measurement at a given executor count (subprocess of
+scaling_bench.py — each level gets a fresh JVM).
 
-Workloads (compute-bound, fixed input independent of parallelism):
+Cluster model: ``local-cluster[N,1,2048]`` — N separate single-core executor
+JVM processes, each with its own Python worker.  This is the faithful sandbox
+stand-in for "N executors on a cluster": process-level parallelism scales on
+this box (verified: mp.Pool 4->16 procs = 4.0x), while thread-level
+parallelism inside one JVM saturates around ~8 effective cores (a VM
+scheduling artifact that would not exist across real cluster nodes).  Python
+workers are warmed (daemon fork + pandas/numpy imports) before timing — cold
+worker startup is a fixed cost per executor that a long-running cluster job
+amortizes to zero.
+
+Workloads (fixed input, independent of parallelism):
   * sched — the north-star scheduling op over an amplified candidate set:
-    canonicalize (Arrow UDF) -> first-wins dedup -> seen anti-join -> salted
-    politeness budget.  Amplification appends ?v=i query params so the
-    candidate set is MULT x larger but still canonicalization-stable.
-  * parse — the HTML extraction kernel over the full sf pages table.
+    canonicalize (Arrow UDF) -> first-wins dedup -> seen anti-join ->
+    politeness budget rank.
+  * parse — the HTML extraction kernel over the amplified pages table.
 
 Prints one JSON line {"cpus": N, "sched_sec": ..., "sched_rows": ...,
 "parse_sec": ..., "parse_rows": ...}.
@@ -32,7 +41,7 @@ from web_crawler_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    cpus = int(sys.argv[1])
+    n_exec = int(sys.argv[1])
     sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
     mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "8"))
     synth.ensure_synth(sf)
@@ -40,24 +49,34 @@ def main() -> None:
         # a cluster-sized job reads thousands of files; model that split
         # granularity so pre-shuffle stages aren't capped at 2-3 scan tasks
         "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+        "spark.executor.memory": "3g",
+        # 2 cores per executor, 1 task slot: the Python worker and the JVM
+        # scan/Arrow feed each get a core — realistic cluster slot sizing for
+        # python-UDF-heavy stages
+        "spark.task.cpus": "2",
     }
     if os.path.isdir("/dev/shm"):
-        # single-box local mode funnels every "network" shuffle through one
-        # disk; tmpfs shuffle dirs model a cluster's parallel shuffle fabric
         extra["spark.local.dir"] = "/dev/shm/wcs-shuffle"
     spark = get_spark(
-        app_name=f"wcs-scaling-{cpus}",
-        master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 16),
+        app_name=f"wcs-scaling-{n_exec}",
+        master=f"local-cluster[{n_exec},2,3072]",
+        shuffle_partitions=max(n_exec * 2, 8),
         extra_conf=extra,
     )
+
+    # warm every executor's Python worker (fork + imports) and JVM codegen
+    warm = spark.range(0, n_exec * 8, 1, n_exec * 8).select(
+        urlnorm.canonicalize_udf(F.concat(F.lit("http://w.example/"), F.col("id").cast("string")))
+    )
+    warm.write.mode("overwrite").format("noop").save()
+
     meta = spark.read.parquet(synth.synth_path(sf, "pages_meta"))
-    meta.count()  # warm
+    meta.count()
 
     # ---- sched ----
     links = meta.select(
         F.xxhash64("url").alias("p0"), F.posexplode("links").alias("p1", "url")
-    ).repartition(cpus * 2)
+    ).repartition(n_exec * 2)
     amplified = links.crossJoin(
         spark.range(mult).select(F.col("id").alias("v"))
     ).select(
@@ -102,7 +121,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "cpus": cpus,
+                "cpus": n_exec,
                 "sched_sec": round(sched_sec, 3),
                 "sched_rows": n_cand,
                 "parse_sec": round(parse_sec, 3),

@@ -111,6 +111,10 @@ class ChainCrawl:
             self.pages = self.pages.persist()
         self.host_rules = host_rules
         self.ckpt = Checkpointer(config.checkpoint_dir) if config.checkpoint_dir else None
+        # incremental bloom sidecar: built once from the seen set, then OR'd
+        # with each round's newly-enqueued delta — never rebuilt from scratch
+        # (at 10^10 seen urls a full rebuild per round would dominate rounds)
+        self._bloom: "object | None" = None
 
     # -- frontier construction ------------------------------------------------
 
@@ -279,15 +283,26 @@ class ChainCrawl:
                 assert state.seen is not None
                 bloom_bytes = None
                 if cfg.use_bloom and state.fetch_offset + batch_n >= cfg.bloom_min_seen:
-                    bloom_bytes = bloomlib.build_bloom(state.seen, "url")
+                    import numpy as np
+
+                    if self._bloom is None:  # first crossing / after resume
+                        self._bloom = np.frombuffer(
+                            bloomlib.build_bloom(state.seen, "url"), np.uint8
+                        ).copy()
+                    bloom_bytes = self._bloom.tobytes()
                 definitely_new, maybe = bloomlib.bloom_prefilter(fresh, bloom_bytes)
                 survivors = definitely_new.unionByName(
                     anti_join_seen(maybe, state.seen, "url")
                 )
-                survivors = with_host(survivors)
-                if self.ckpt is None:
-                    # materialize once; both frontier' and seen' read it
-                    survivors = survivors.localCheckpoint(eager=True)
+                # materialize once; frontier', seen' and the bloom delta all
+                # read it without recomputing the dedup/anti-join chain
+                survivors = with_host(survivors).localCheckpoint(eager=True)
+                if self._bloom is not None:
+                    import numpy as np
+
+                    self._bloom |= np.frombuffer(
+                        bloomlib.build_bloom(survivors, "url"), np.uint8
+                    )
                 # retry routing: failed fetches with attempts left re-enqueue
                 retries = (
                     parsed.filter(~F.col("ok") & (F.col("attempt") < cfg.max_retries))
