@@ -54,3 +54,28 @@ def from_parquet(spark: SparkSession, path: str) -> DataFrame:
 def dedup_seeds(seeds: DataFrame) -> DataFrame:
     """Ordered first-wins dedup on url, keeping the smallest seed_idx."""
     return first_wins(seeds, "url", ["seed_idx"])
+
+
+def add_urls(frontier: DataFrame, urls: list[str], base_priority: int = 1 << 32) -> DataFrame:
+    """Dynamic frontier append — the reference's ``add_urls`` (S3,
+    reference crawler.py:373-376): new urls enter behind all existing work
+    (demoted p0), then the frontier re-dedups first-wins so already-queued
+    urls keep their original priority."""
+    spark = frontier.sparkSession
+    new = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(urls)], "url string, add_idx bigint"
+    ).select(
+        "url",
+        F.lit(0).alias("depth"),
+        (F.lit(base_priority) + F.col("add_idx")).alias("p0"),
+        F.lit(0).cast("long").alias("p1"),
+        F.lit(0).alias("attempt"),
+    )
+    for c in frontier.columns:
+        if c not in new.columns:  # e.g. scale mode's host column
+            from ..operators.politeness import with_host
+
+            new = with_host(new)
+            break
+    merged = frontier.unionByName(new.select(*frontier.columns))
+    return first_wins(merged, "url", ["attempt", "depth", "p0", "p1"])
