@@ -1,0 +1,69 @@
+"""Regenerate PLANS.md — formatted physical plans for the scale-critical
+operators, with the property each plan is expected to show."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from web_crawler_spark import synth  # noqa: E402
+from web_crawler_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    sf_dir = "/root/testdata/sf0.001"
+    out = []
+
+    def cap(title: str, df, note: str) -> None:
+        mode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        s = df._jdf.queryExecution().explainString(mode)
+        out.append(f"## {title}\n\n{note}\n\n```\n{s.strip()}\n```\n")
+
+    cap(
+        "parse_extract — Arrow UDF over the html scan",
+        E.q_parse_extract(spark, sf_dir),
+        "Want: ArrowEvalPython (never BatchEvalPython); scan reads only (url, html).",
+    )
+    cap(
+        "host_budget — politeness ranking",
+        E.q_host_budget(spark, sf_dir),
+        "Want: WindowGroupLimit Partial below the exchange (pre-shuffle top-k = skew defense), single shuffle.",
+    )
+    cap(
+        "seed_dedup — order-stable first-wins",
+        E.q_seed_dedup(spark, sf_dir),
+        "Want: partial_min before one exchange; no Window, no global sort.",
+    )
+    cap(
+        "scheduling-side scan pruning",
+        spark.read.parquet(synth.synth_path("0.001", "pages"))
+        .select("url")
+        .filter(F.col("url").startswith("http://host0")),
+        "Want: ReadSchema excludes html BINARY; filter pushed to the parquet scan.",
+    )
+    cap(
+        "ann_brute — broadcast cross join + ranked window",
+        E.q_ann_brute(spark, sf_dir),
+        "Want: BroadcastNestedLoopJoin with the tiny query side broadcast; WindowGroupLimit for top-k.",
+    )
+
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")
+        f.write(
+            "Captured with `.explain('formatted')` at sf0.001 (plan shape is scale-independent);\n"
+            "regenerate with `python scripts/gen_plans.py`.  The properties asserted here are\n"
+            "enforced continuously by tests/test_plans.py.\n\n"
+        )
+        f.write("\n".join(out))
+    print("WROTE PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
