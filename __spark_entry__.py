@@ -224,6 +224,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.lsh_topk(emb, q, n_dims=64, k=ANN_K, n_planes=6)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantized lists + nprobe re-rank."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < N_ANN_QUERIES)
+    return simsearch.ivf_topk(emb, q, k=ANN_K)
+
+
 def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _synth(spark, sf_dir, "media")
     return multimodal.sniff_kinds(media)
@@ -327,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_brute": q_ann_brute,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "media_sniff": q_media_sniff,
         "media_features": q_media_features,
         "doc_winnow": q_doc_winnow,

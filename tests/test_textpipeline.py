@@ -157,3 +157,17 @@ def test_multimodal_sniff_and_features(spark, sf_small):
 
     with _pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = simsearch.brute_force_topk(emb, q, k=5).toPandas()
+    approx = simsearch.ivf_topk(emb, q, k=5, n_lists=16, nprobe=6).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values.tolist()))
+    approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values.tolist()))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.3
+    # determinism: same run twice -> identical output
+    again = simsearch.ivf_topk(emb, q, k=5, n_lists=16, nprobe=6).toPandas()
+    assert sorted(map(tuple, approx.values.tolist())) == sorted(map(tuple, again.values.tolist()))

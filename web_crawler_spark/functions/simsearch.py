@@ -24,7 +24,9 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 DEFAULT_K = 5
 LSH_PLANES = 12
@@ -144,6 +146,108 @@ def lsh_topk(
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("sim").alias("sim"))  # a pair can match via several probes
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+IVF_LISTS = 16
+IVF_NPROBE = 4
+
+
+def ivf_centroids(corpus: DataFrame, n_lists: int = IVF_LISTS, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic coarse centroids: the n_lists corpus vectors whose
+    md5(vec_id) sorts first — a seeded sample without RNG state (k-means
+    would converge better but adds iterations; for an inverted file the
+    partition just needs to be balanced-ish and deterministic)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv"))
+        .withColumn("__o", F.md5(F.col("cid").cast("string")))
+        .orderBy("__o")
+        .limit(n_lists)
+        .drop("__o")
+        .collect()
+    )
+    import numpy as np
+
+    ids = [r["cid"] for r in rows]
+    mat = np.array([r["cv"] for r in rows])  # (n_lists, dim)
+    return ids, mat
+
+
+def _assign_udf(spark, mat, nprobe: int):
+    """Vectorized cluster assignment: argmax-cosine over the centroid matrix,
+    top-nprobe lists per vector (numpy matmul per Arrow batch)."""
+    import numpy as np
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(norm)
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        cent = bc.value
+        out = []
+        for v in vecs:
+            a = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(a)
+            sims = cent @ (a / n if n else a)
+            top = np.argsort(-sims)[:nprobe]
+            out.append([int(x) for x in top])
+        return pd.Series(out)
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    n_lists: int = IVF_LISTS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: corpus rows live in their single nearest list; queries
+    probe their nprobe nearest lists; exact cosine re-rank inside the probed
+    candidates.  The corpus-side shuffle key is the list id — at 100 TB the
+    inverted file is the partition layout, and a query touches nprobe/n_lists
+    of the data."""
+    spark = corpus.sparkSession
+    _, mat = ivf_centroids(corpus, n_lists, id_col, vec_col)
+    c_assign = _assign_udf(spark, mat, 1)
+    q_assign = _assign_udf(spark, mat, nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(c_assign(F.col(vec_col)), 1).alias("list_id"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(q_assign(F.col(vec_col))).alias("list_id"),
+        )
+    )
+    scored = (
+        q.join(c, on="list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
