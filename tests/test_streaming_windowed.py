@@ -1,0 +1,50 @@
+"""Watermarked tumbling-window streaming agg: closed windows emit exactly
+once; rows later than the watermark are dropped."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.streaming.windowed import run_windowed_available_now
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        [(datetime(2024, 1, 1, h, m), t, float(v)) for h, m, t, v in rows],
+        "ts timestamp, event_type string, value double",
+    )
+
+
+def test_watermark_closes_windows_and_drops_late(spark, tmp_path):
+    in_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+
+    # batch 1: hours 0..3, max ts 3:30 => watermark 2:30 closes windows
+    # ending <= 2:30, i.e. hour-0 and hour-1 only
+    batch1 = [(0, 10, "fetch", 1), (0, 20, "fetch", 2), (1, 5, "parse", 3),
+              (2, 15, "fetch", 4), (3, 30, "parse", 5)]
+    _rows(spark, batch1).coalesce(1).write.parquet(in_dir)
+    run_windowed_available_now(spark, in_dir, out_dir, ck, window="1 hour", watermark="1 hour")
+    got1 = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got1 == {(0, "fetch"): 2, (1, "parse"): 1}
+
+    # batch 2: one very-late row (hour 0 — behind the watermark: dropped) and
+    # fresh rows; max ts 5:30 => watermark 4:30 closes hour-2 and hour-3
+    batch2 = [(0, 40, "fetch", 9), (4, 10, "fetch", 6), (5, 30, "parse", 7)]
+    _rows(spark, batch2).coalesce(1).write.mode("append").parquet(in_dir)
+    run_windowed_available_now(spark, in_dir, out_dir, ck, window="1 hour", watermark="1 hour")
+    got2 = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # hour-0 stays at 2 (late row dropped — its window was already finalized)
+    assert got2[(0, "fetch")] == 2
+    assert got2[(2, "fetch")] == 1 and got2[(3, "parse")] == 1
+    assert (4, "fetch") not in got2  # not closed yet
+    # emitted exactly once per (window, type)
+    all_rows = spark.read.parquet(out_dir).groupBy("window_start", "event_type").count().collect()
+    assert all(r["count"] == 1 for r in all_rows)
