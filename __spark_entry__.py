@@ -224,6 +224,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.lsh_topk(emb, q, n_dims=64, k=ANN_K, n_planes=6)
 
 
+COSINE_DUP_THRESHOLD_PPM = 400_000  # driver embeddings are near-orthogonal
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline; LSH scale path is
+    tested separately — bucketed candidates can't match a brute-force oracle)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return simsearch.cosine_dup_pairs_exact(emb, COSINE_DUP_THRESHOLD_PPM)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantized lists + nprobe re-rank."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -332,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embed": q_dedup_embed,
         "ann_brute": q_ann_brute,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -399,6 +410,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "dedup_lsh_pairs": dedupsim.duck_lsh_pairs_sql("documents"),
         "dedup_jaccard": dedupsim.duck_jaccard_sql("documents"),
         # dedup_simhash: bit-vote pipeline, not SQL-expressible => rows-only
+        "dedup_embed": simsearch.duck_cosine_dups_sql("embeddings", COSINE_DUP_THRESHOLD_PPM),
         "ann_brute": simsearch.duck_brute_force_sql("embeddings", N_ANN_QUERIES, ANN_K),
         # ann_lsh: probing strategy not SQL-expressible => rows-only
         "media_sniff": f"SELECT media_id, kind AS kind_sniffed FROM {media}",

@@ -171,3 +171,33 @@ def test_ivf_topk_recall(spark):
     # determinism: same run twice -> identical output
     again = simsearch.ivf_topk(emb, q, k=5, n_lists=16, nprobe=6).toPandas()
     assert sorted(map(tuple, approx.values.tolist())) == sorted(map(tuple, again.values.tolist()))
+
+
+def test_cosine_dup_exact_vs_duckdb(spark, duck):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = simsearch.cosine_dup_pairs_exact(emb, threshold_ppm=400_000)
+    _cmp(got, duck.sql(simsearch.duck_cosine_dups_sql("embeddings", 400_000)), ["a", "b"])
+
+
+def test_cosine_dup_lsh_finds_planted_pairs(spark):
+    """Plant perturbed copies (cosine ~0.999) and require the LSH scale path
+    to recover most planted pairs without an n^2 join."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100).collect()
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb]
+    rng = np.random.default_rng(7)
+    planted = [
+        (vid + 100000, list(np.asarray(v) + rng.normal(0, 0.01, len(v))))
+        for vid, v in rows[:30]
+    ]
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows + planted],
+        "vec_id bigint, embedding array<float>",
+    )
+    found = simsearch.cosine_dup_pairs_lsh(
+        corpus, n_dims=64, threshold_ppm=990_000, n_planes=8
+    ).collect()
+    pairs = {(r["a"], r["b"]) for r in found}
+    hits = sum((vid, vid + 100000) in pairs for vid, _ in rows[:30])
+    assert hits >= 20  # multiprobe recall on near-identical vectors

@@ -257,6 +257,76 @@ def ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate detection (the dedup-flavored use of ANN)
+# ---------------------------------------------------------------------------
+
+
+def cosine_dup_pairs_exact(
+    corpus: DataFrame,
+    threshold_ppm: int = 900_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold — the exact baseline
+    (O(n^2); fine for oracle-scale corpora).  Emits jaccard-style integer
+    ppm so the DuckDB oracle compares exactly."""
+    a = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    sim = cosine_col(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.floor(sim * 1e6).cast("long").alias("cos_ppm"))
+        .filter(F.col("cos_ppm") >= threshold_ppm)
+    )
+
+
+def cosine_dup_pairs_lsh(
+    corpus: DataFrame,
+    n_dims: int,
+    threshold_ppm: int = 900_000,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: candidate pairs share a sign-projection bucket (plus
+    1-bit-flip probes via the multiprobe trick applied to one side), exact
+    cosine check inside buckets.  Shuffles on bucket keys, never n^2."""
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_col(F.col(vec_col), n_dims, n_planes).alias("bucket0"),
+    )
+    probes = F.array(
+        F.col("bucket0"),
+        *[F.col("bucket0").bitwiseXOR(F.lit(1 << p)).cast("long") for p in range(n_planes)],
+    )
+    left = v.select(
+        F.col("id").alias("a"), F.col("vec").alias("va"), F.explode(probes).alias("bucket")
+    )
+    right = v.select(
+        F.col("id").alias("b"), F.col("vec").alias("vb"), F.col("bucket0").alias("bucket")
+    )
+    sim = cosine_col(F.col("va"), F.col("vb"))
+    return (
+        left.join(right, on="bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.floor(sim * 1e6).cast("long").alias("cos_ppm"))
+        .filter(F.col("cos_ppm") >= threshold_ppm)
+        .distinct()
+    )
+
+
+def duck_cosine_dups_sql(table: str, threshold_ppm: int = 900_000) -> str:
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM {table})
+SELECT a.vec_id AS a, b.vec_id AS b,
+       floor(list_cosine_similarity(a.vec, b.vec) * 1e6)::BIGINT AS cos_ppm
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE floor(list_cosine_similarity(a.vec, b.vec) * 1e6) >= {threshold_ppm}
+"""
+
+
 def duck_brute_force_sql(table: str, n_queries: int, k: int = DEFAULT_K) -> str:
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM {table} WHERE vec_id < {n_queries}),
