@@ -67,3 +67,38 @@ def test_cli_end_to_end(tmp_path):
     assert stats["rounds"] == 2
     assert stats["total_urls"] >= 2
     assert (tmp_path / "results").exists()
+
+
+@pytest.mark.slow
+def test_cli_multi_executor(tmp_path):
+    """The same job on a multi-executor master (2 separate executor JVMs) —
+    the sandbox stand-in for spark-submit on a cluster."""
+    from web_crawler_spark import synth
+    import pyarrow.parquet as pq
+
+    synth.ensure_synth("0.001")
+    meta = pq.read_table(synth.synth_path("0.001", "pages_meta")).to_pandas()
+    linked = meta[meta["links_count"] > 3]["url"].head(3).tolist()
+    seeds_file = tmp_path / "seeds.txt"
+    seeds_file.write_text("\n".join(linked) + "\n")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "crawl.py"),
+            "--urls-file", str(seeds_file),
+            "--pages", synth.synth_path("0.001", "pages"),
+            "--rounds", "2",
+            "--mode", "scale",
+            "--host-budget", "5",
+            "--master", "local-cluster[2,2,2048]",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "2g"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["rounds"] == 2 and stats["successful"] >= 3
