@@ -96,3 +96,25 @@ def test_no_row_at_a_time_python_in_contract_queries(spark, sf_small):
             # are covered by their own queries
         plan = _plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+
+
+def test_bucketed_pages_join_shuffles_only_the_batch(spark, sf_small, tmp_path):
+    """With a url-bucketed pages table, the fetch join must not exchange the
+    pages side — only the frontier batch redistributes into the bucket
+    layout (the beyond-broadcast scale strategy)."""
+    from web_crawler_spark import synth
+    from web_crawler_spark.sources import pages as pages_src
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS wcs_test")
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages")).select("url", "html")
+    pages_src.write_bucketed_pages(pages, "wcs_test.pages_bucketed", buckets=8)
+    bucketed = pages_src.read_bucketed_pages(spark, "wcs_test.pages_bucketed")
+
+    batch = spark.range(500).select(
+        F.concat(F.lit("http://host0.example/p/"), F.col("id").cast("string")).alias("url")
+    ).hint("shuffle_merge")  # force SMJ so the bucketed-scan property is visible
+    joined = bucketed.join(batch, "url", "inner")
+    plan = _plan(joined)
+    # exactly one exchange: the batch side; the bucketed scan provides its own
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" in plan

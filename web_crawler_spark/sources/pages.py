@@ -29,3 +29,27 @@ def fetch_join(frontier_batch: DataFrame, pages: DataFrame) -> DataFrame:
     (non-200 / dead URL).  At scale AQE picks broadcast when the round's batch
     is small, else sort-merge with skew splitting."""
     return frontier_batch.join(pages, on="url", how="left")
+
+
+BUCKETS = 64
+
+
+def write_bucketed_pages(pages: DataFrame, table_name: str, buckets: int = BUCKETS) -> None:
+    """Persist the pages table hash-bucketed (+sorted) by url.
+
+    This is the strategy for round batches too large to broadcast: a bucketed
+    pages table gives the fetch join its build-side distribution for free —
+    only the (much smaller) frontier batch shuffles into the bucket layout,
+    and the multi-TB html payloads never move.  At 10^10 pages this is the
+    difference between shuffling ~100 TB per round and shuffling the batch."""
+    (
+        pages.write.mode("overwrite")
+        .bucketBy(buckets, "url")
+        .sortBy("url")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def read_bucketed_pages(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)
