@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from web_crawler_spark import synth
@@ -105,7 +107,14 @@ def test_bucketed_pages_join_shuffles_only_the_batch(spark, sf_small, tmp_path):
     from web_crawler_spark import synth
     from web_crawler_spark.sources import pages as pages_src
 
+    import shutil
+
     spark.sql("CREATE DATABASE IF NOT EXISTS wcs_test")
+    spark.sql("DROP TABLE IF EXISTS wcs_test.pages_bucketed")
+    # the in-memory catalog forgets tables across sessions but the warehouse
+    # dir persists — clear it so reruns don't hit LOCATION_ALREADY_EXISTS
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, "wcs_test.db", "pages_bucketed"), ignore_errors=True)
     pages = spark.read.parquet(synth.synth_path("0.001", "pages")).select("url", "html")
     pages_src.write_bucketed_pages(pages, "wcs_test.pages_bucketed", buckets=8)
     bucketed = pages_src.read_bucketed_pages(spark, "wcs_test.pages_bucketed")
