@@ -32,7 +32,9 @@ _HEX = "0123456789ABCDEFabcdef"
 _CANONICAL_RE = re.compile(
     r"^https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?"
     r"/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*"
-    r"(?:\?[A-Za-z0-9\-._~!$&'()*+,;=:@/?]*)?$"
+    # non-empty query only: a bare trailing '?' (empty query) is dropped by
+    # canonicalization, so it must take the slow path
+    r"(?:\?[A-Za-z0-9\-._~!$&'()*+,;=:@/?]+)?$"
 )
 _DOTSEG_RE = re.compile(r"/\.\.?(?:/|$)|^\.\.?(?:/|$)")
 
