@@ -1,0 +1,65 @@
+"""Engine-level skew + robots coverage (SURVEY.md §5.2 items 5-6):
+an 80%-hot-host frontier must respect budgets exactly, and host_rules must
+shape the full crawl, not just the operator."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark import synth
+from web_crawler_spark.operators.politeness import select_host_budget_batch, with_host
+from web_crawler_spark.plans.crawl import ChainCrawl, CrawlConfig
+
+
+def test_extreme_hot_host_budget(spark):
+    """80% of a 50k frontier on one host: both the WindowGroupLimit default
+    and the salted plan must return exactly budget rows for the hot host and
+    the true priority-minimal rows."""
+    rng = random.Random(11)
+    rows = []
+    for i in range(50_000):
+        host = "hot.example" if rng.random() < 0.8 else f"h{rng.randrange(50)}.example"
+        rows.append((f"http://{host}/p/{i}", 0, 0, rng.randrange(10**9), i))
+    df = with_host(
+        spark.createDataFrame(
+            rows, "url string, attempt int, depth int, p0 bigint, p1 bigint"
+        ).repartition(16)
+    )
+    for salt in (None, 16):
+        batch = select_host_budget_batch(
+            df, ["attempt", "depth", "p0", "p1"], budget=10, salt_buckets=salt
+        )
+        per_host = {
+            r["host"]: r["n"]
+            for r in batch.groupBy("host").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_host["hot.example"] == 10
+        assert all(n <= 10 for n in per_host.values())
+        # the hot host's winners are its true global top-10 by priority
+        got = sorted(
+            r["p0"]
+            for r in batch.filter(F.col("host") == "hot.example").collect()
+        )
+        want = sorted(p0 for (u, a, d, p0, p1) in rows if "hot." in u)[:10]
+        assert got == want
+
+
+def test_robots_rules_shape_full_crawl(spark, sf_small):
+    """host_rules with a disallow prefix: the engine must never fetch a
+    blocked path, and budgets from the rules table are enforced per round."""
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    seeds = spark.read.parquet(synth.synth_path("0.001", "seeds"))
+    rules = spark.createDataFrame(
+        [("host0.example", 3, ["/p/"])],  # block ALL of host0's pages
+        "host string, budget int, disallow array<string>",
+    )
+    cfg = CrawlConfig(rounds=3, mode="scale", host_budget=10)
+    eng = ChainCrawl(spark, pages, cfg, host_rules=rules)
+    log = ChainCrawl.fetch_log(eng.run(seeds)).toPandas()
+    hosts = log["url"].str.split("/").str[2]
+    assert not (hosts == "host0.example").any(), "robots-disallowed urls fetched"
+    # other hosts obey the default budget (10/round)
+    per = log.assign(host=hosts).groupby(["round", "host"]).size()
+    assert per.max() <= 10
