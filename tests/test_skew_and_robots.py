@@ -63,3 +63,42 @@ def test_robots_rules_shape_full_crawl(spark, sf_small):
     # other hosts obey the default budget (10/round)
     per = log.assign(host=hosts).groupby(["round", "host"]).size()
     assert per.max() <= 10
+
+
+def test_host_cooldown(spark):
+    """A host that fails hard in round 0 sits out the cooldown window and its
+    urls resurface afterwards (Retry-After analog, reference crawler.py:169-178)."""
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [(f"http://good.example/p/{i}", f"<p>page {i}</p>".encode()) for i in range(20)],
+        "url string, html binary",
+    )
+    seeds = spark.createDataFrame(
+        [(i, f"http://good.example/p/{i}") for i in range(5)]
+        + [(10 + i, f"http://flaky.example/x/{i}") for i in range(5)],
+        "seed_idx bigint, url string",
+    )
+    cfg = CrawlConfig(
+        rounds=5,
+        mode="scale",
+        host_budget=None,
+        max_retries=4,
+        host_cooldown_rounds=2,
+        host_cooldown_fail_ratio=0.5,
+        host_cooldown_min_fetches=3,
+        use_bloom=False,
+    )
+    log = (
+        ChainCrawl.fetch_log(ChainCrawl(spark, pages, cfg).run(seeds))
+        .toPandas()
+    )
+    log["host"] = log["url"].str.split("/").str[2]
+    flaky_rounds = sorted(log[log["host"] == "flaky.example"]["round"].unique())
+    # fetched in round 0, then on cooldown for rounds 1-2, retried in round 3
+    assert flaky_rounds[0] == 0
+    assert 1 not in flaky_rounds and 2 not in flaky_rounds
+    assert 3 in flaky_rounds
+    # the healthy host is never held up
+    good_rounds = sorted(log[log["host"] == "good.example"]["round"].unique())
+    assert 0 in good_rounds

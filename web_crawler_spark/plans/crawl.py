@@ -73,6 +73,13 @@ class CrawlConfig:
     # registered parser (functions/registry.py) — the reference's pluggable
     # parser/extract_next_urls extension points (crawler.py:37, chain:36)
     parser_name: str = "default"
+    # host cooldown — the Retry-After/rate-adaptation analog (SURVEY §4:
+    # reference crawler.py:169-178): a host whose round failure ratio crosses
+    # the threshold is skipped for the next `host_cooldown_rounds` rounds
+    # (0 = off; its urls stay in the frontier and resurface after cooldown)
+    host_cooldown_rounds: int = 0
+    host_cooldown_fail_ratio: float = 0.5
+    host_cooldown_min_fetches: int = 3
     # fetch-join strategy: batches up to this many rows broadcast to the pages
     # scan (html bytes never shuffle); larger batches fall back to AQE SMJ
     broadcast_batch_limit: int = 2_000_000
@@ -83,6 +90,7 @@ class CrawlState:
     round_idx: int
     frontier: DataFrame
     seen: Optional[DataFrame]
+    host_state: Optional[DataFrame] = None  # (host, until_round) cooldowns
     results: list[DataFrame] = field(default_factory=list)
     metrics: list[dict] = field(default_factory=list)
     lineage: list[dict] = field(default_factory=list)
@@ -138,10 +146,18 @@ class ChainCrawl:
 
     # -- one round ------------------------------------------------------------
 
-    def _select_batch(self, frontier: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def _select_batch(
+        self, frontier: DataFrame, host_state: DataFrame | None = None, round_idx: int = 0
+    ) -> tuple[DataFrame, DataFrame]:
         """Returns (batch with dense 'pos', remainder-left-in-frontier)."""
         cfg = self.cfg
         order = ["attempt", "depth", "p0", "p1"]
+        original = frontier
+        if host_state is not None:
+            # hosts on cooldown sit out the round; their urls stay in the
+            # frontier (the remainder is computed from the ORIGINAL frontier)
+            cooled = host_state.filter(F.col("until_round") > round_idx).select("host")
+            frontier = frontier.join(cooled, on="host", how="left_anti")
         if cfg.mode == "scale" and (cfg.host_budget is not None or self.host_rules is not None):
             ranked = select_host_budget_batch(
                 frontier,
@@ -157,7 +173,7 @@ class ChainCrawl:
         if cfg.max_urls_per_step is not None:
             batch = batch.filter(F.col("pos") < cfg.max_urls_per_step)
         if cfg.mode == "scale":
-            remainder = frontier.join(batch.select("url"), "url", "left_anti")
+            remainder = original.join(batch.select("url"), "url", "left_anti")
         else:
             remainder = frontier.limit(0)  # parity: undone rows are dropped (:285-287)
         return batch, remainder
@@ -167,7 +183,9 @@ class ChainCrawl:
         r = state.round_idx
         is_final = r == cfg.rounds - 1
 
-        batch, remainder = self._select_batch(state.frontier)
+        batch, remainder = self._select_batch(
+            state.frontier, host_state=state.host_state, round_idx=r
+        )
         batch = batch.persist()
         batch_n = batch.count()
 
@@ -211,7 +229,10 @@ class ChainCrawl:
                 F.col("parsed").alias("data"),
                 links_col.alias("links"),
             ]
-        parsed = with_data.select(*core, *shaped, "pos", "depth", "attempt").persist()
+        extra_cols = ["pos", "depth", "attempt"]
+        if cfg.mode == "scale":
+            extra_cols.append("host")  # cooldown accounting
+        parsed = with_data.select(*core, *shaped, *extra_cols).persist()
 
         # per-partition lineage (round, partition, rows in/ok) — tiny agg,
         # collected to the driver so it never holds plan references
@@ -323,11 +344,41 @@ class ChainCrawl:
                 next_front = fresh
                 new_seen = None
 
+        # host cooldown update (Retry-After analog): hosts failing hard this
+        # round sit out the next cooldown_rounds rounds
+        new_host_state = state.host_state
+        if cfg.mode == "scale" and cfg.host_cooldown_rounds > 0:
+            fail = (
+                parsed.groupBy("host")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum((~F.col("ok")).cast("long")).alias("fails"),
+                )
+                .filter(
+                    (F.col("n") >= cfg.host_cooldown_min_fetches)
+                    & (
+                        F.col("fails").cast("double") / F.col("n")
+                        >= cfg.host_cooldown_fail_ratio
+                    )
+                )
+                .select(
+                    "host",
+                    F.lit(r + 1 + cfg.host_cooldown_rounds).alias("until_round"),
+                )
+            )
+            if state.host_state is not None:
+                still = state.host_state.filter(F.col("until_round") > r + 1)
+                new_host_state = still.unionByName(fail)
+            else:
+                new_host_state = fail
+            new_host_state = new_host_state.localCheckpoint(eager=True)
+
         batch_n = metrics["urls_processed"]
         state_next = CrawlState(
             round_idx=r + 1,
             frontier=next_front,
             seen=new_seen,
+            host_state=new_host_state,
             results=state.results + [results],
             metrics=state.metrics + [metrics],
             lineage=state.lineage + lineage_rows,
