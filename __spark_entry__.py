@@ -9,9 +9,11 @@ under the repo's .synthdata/, same parquet both engines) via absolute
 ``read_parquet`` paths at sf0.01 — the scale the driver compares at.
 
 Column names are aliased identically on both sides (the driver's compare
-sorts columns by name and hashes values).  Queries whose semantics are not
-SQL-expressible (simhash bit votes, LSH ANN probing, stubbed media decode)
-have no oracle entry => the driver records the weaker rows-only check.
+sorts columns by name and hashes values).  Every query has an oracle entry:
+non-SQL-expressible pipelines are made comparable either by porting them to
+DuckDB (simhash bit votes), by an independent per-row Python golden read as
+parquet (winnowing), or by self-verifying recall flags against the
+hash-verified brute-force result (ann_lsh / ann_ivf).
 """
 
 from __future__ import annotations
@@ -189,8 +191,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures, exploded to scalar (doc_id, hash_idx, hash_val)
+    rows so the driver's value-hash compare can canonicalize them."""
     sh = dedupsim.shingles(_docs(spark, sf_dir))
-    return dedupsim.minhash_signatures(sh)
+    return dedupsim.minhash_exploded(dedupsim.minhash_signatures(sh))
 
 
 def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,27 +222,49 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.brute_force_topk(emb, q, k=ANN_K)
 
 
+# pinned recall bars for the self-verifying ANN queries: measured per-query
+# minimum at sf0.001 and sf0.01 (LSH 0.60, IVF see below), pinned below with
+# margin; both pipelines are fully deterministic so the measured floor holds
+ANN_LSH_RECALL_PPM = 500_000
+ANN_IVF_RECALL_PPM = 500_000
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN, self-verifying: emits per-query recall vs
+    the (independently hash-verified) brute-force top-k, reduced to a
+    boolean against the pinned bar — the oracle asserts every query passes."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     q = emb.filter(F.col("vec_id") < N_ANN_QUERIES)
-    return simsearch.lsh_topk(emb, q, n_dims=64, k=ANN_K, n_planes=6)
+    exact = simsearch.brute_force_topk(emb, q, k=ANN_K)
+    approx = simsearch.lsh_topk(
+        emb, q, n_dims=64, k=ANN_K, n_planes=6, n_tables=8, probe_radius=1
+    )
+    return simsearch.recall_flags(exact, approx, ANN_LSH_RECALL_PPM)
 
 
 COSINE_DUP_THRESHOLD_PPM = 400_000  # driver embeddings are near-orthogonal
 
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact baseline; LSH scale path is
-    tested separately — bucketed candidates can't match a brute-force oracle)."""
+    """Embedding-cosine near-dup pairs — GRADED ON THE SCALE PATH: multi-table
+    LSH bucketed candidates + exact in-bucket check, no O(n^2) join anywhere
+    in the plan.  The DuckDB oracle stays the exact n^2 SQL; params are sized
+    for exhaustive recovery (see cosine_dup_pairs_lsh docstring)."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return simsearch.cosine_dup_pairs_exact(emb, COSINE_DUP_THRESHOLD_PPM)
+    return simsearch.cosine_dup_pairs_lsh(
+        emb, n_dims=64, threshold_ppm=COSINE_DUP_THRESHOLD_PPM,
+        n_planes=6, n_tables=8, probe_radius=2,
+    )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: coarse-quantized lists + nprobe re-rank."""
+    """IVF ANN (coarse-quantized lists + nprobe re-rank), self-verifying via
+    recall-vs-brute like q_ann_lsh."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     q = emb.filter(F.col("vec_id") < N_ANN_QUERIES)
-    return simsearch.ivf_topk(emb, q, k=ANN_K)
+    exact = simsearch.brute_force_topk(emb, q, k=ANN_K)
+    approx = simsearch.ivf_topk(emb, q, k=ANN_K, n_lists=16, nprobe=10)
+    return simsearch.recall_flags(exact, approx, ANN_IVF_RECALL_PPM)
 
 
 def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,15 +285,44 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash winnowing fingerprints (local-similarity primitive)."""
+    """Rolling-hash winnowing fingerprints (local-similarity primitive),
+    exploded to scalar (doc_id, fp) rows; oracled against an independent
+    pure-Python per-row implementation (winnow.naive_winnow_fingerprints)."""
     from web_crawler_spark.functions import winnow
 
     d = _docs(spark, sf_dir)
     return winnow.with_winnow(d).select(
-        "doc_id",
-        F.size("winnow_fp").cast("long").alias("n_fps"),
-        F.array_min("winnow_fp").alias("min_fp"),
+        "doc_id", F.explode("winnow_fp").alias("fp")
     )
+
+
+def _winnow_golden_path(sf: str) -> str:
+    """Materialize the naive-Python winnow oracle for the driver documents
+    table at scale ``sf`` as a parquet the DuckDB oracle reads.  Differential
+    by construction: computed row-at-a-time with plain ints, independent of
+    the vectorized numpy path under test."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark.functions import winnow
+
+    out = os.path.join(synth.SYNTH_ROOT, f"winnow_golden_sf{sf}.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(synth.SYNTH_ROOT, exist_ok=True)
+    docs = pq.read_table(
+        f"/root/testdata/sf{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids, fps = [], []
+    for doc_id, text in zip(docs.column("doc_id"), docs.column("text")):
+        for fp in winnow.naive_winnow_fingerprints(text.as_py()):
+            ids.append(doc_id.as_py())
+            fps.append(fp)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "fp": pa.array(fps, pa.int64())}),
+        out,
+    )
+    return out
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,16 +461,31 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_langid": textstats.duck_langid_sql("documents"),
         "doc_fingerprint": textstats.duck_fingerprint_sql("documents"),
         "dedup_exact": dedupsim.duck_exact_dups_sql("documents", min_count=1),
-        "dedup_minhash": dedupsim.duck_minhash_sql("documents"),
+        "dedup_minhash": dedupsim.duck_minhash_exploded_sql("documents"),
         "dedup_lsh_pairs": dedupsim.duck_lsh_pairs_sql("documents"),
         "dedup_jaccard": dedupsim.duck_jaccard_sql("documents"),
-        # dedup_simhash: bit-vote pipeline, not SQL-expressible => rows-only
+        "dedup_simhash": dedupsim.duck_simhash_sql("documents"),
         "dedup_embed": simsearch.duck_cosine_dups_sql("embeddings", COSINE_DUP_THRESHOLD_PPM),
         "ann_brute": simsearch.duck_brute_force_sql("embeddings", N_ANN_QUERIES, ANN_K),
-        # ann_lsh: probing strategy not SQL-expressible => rows-only
+        # self-verifying recall checks: the Spark side computes per-query
+        # recall vs its (hash-verified) brute-force result; the oracle asserts
+        # every query clears the pinned bar
+        "ann_lsh": (
+            f"SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings "
+            f"WHERE vec_id < {N_ANN_QUERIES}"
+        ),
+        "ann_ivf": (
+            f"SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings "
+            f"WHERE vec_id < {N_ANN_QUERIES}"
+        ),
         "media_sniff": f"SELECT media_id, kind AS kind_sniffed FROM {media}",
-        # media_features: stubbed decoder => rows-only
-        # doc_winnow: numpy rolling hash, not SQL-expressible => rows-only
+        "media_features": (
+            f"SELECT media_id, kind, octet_length(payload)::BIGINT AS n_bytes "
+            f"FROM {media}"
+        ),
+        "doc_winnow": (
+            f"SELECT doc_id, fp FROM read_parquet('{_winnow_golden_path(sf)}')"
+        ),
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    count(*)::BIGINT AS n_events

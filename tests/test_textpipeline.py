@@ -96,6 +96,17 @@ def test_exact_dups_vs_duckdb(spark, duck, docs):
     _cmp(sdf, duck.sql(dedupsim.duck_exact_dups_sql("corpus")), ["text_md5"])
 
 
+def test_minhash_exploded_vs_duckdb(spark, duck, docs):
+    sh = dedupsim.shingles(docs)
+    sdf = dedupsim.minhash_exploded(dedupsim.minhash_signatures(sh))
+    _cmp(sdf, duck.sql(dedupsim.duck_minhash_exploded_sql("documents")), ["doc_id", "hash_idx"])
+
+
+def test_simhash_vs_duckdb(spark, duck, docs):
+    """The DuckDB port of the 32-bit shift/mask vote pipeline is exact."""
+    _cmp(dedupsim.simhash(docs), duck.sql(dedupsim.duck_simhash_sql("documents")), ["doc_id"])
+
+
 def test_simhash_deterministic_and_groups_dups(spark, docs):
     dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
     corpus = docs.unionByName(dup)
@@ -135,8 +146,14 @@ def test_lsh_topk_recall(spark):
     exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values.tolist()))
     approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values.tolist()))
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall > 0.2  # bucketing trades recall for candidate-set size
-    # and the candidate sets are genuinely smaller than brute force
+    # multi-table (8 tables, radius-1 probes) measures 0.91 on this fixture;
+    # pinned with margin — a broken probe order would land far below this
+    assert recall > 0.85
+    # probe-order determinism: the full pipeline is RNG-free
+    again = simsearch.lsh_topk(emb, q, n_dims=64, k=5, n_planes=6).toPandas()
+    assert sorted(map(tuple, approx.values.tolist())) == sorted(
+        map(tuple, again.values.tolist())
+    )
 
 
 def test_multimodal_sniff_and_features(spark, sf_small):
@@ -163,13 +180,15 @@ def test_ivf_topk_recall(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 20)
     exact = simsearch.brute_force_topk(emb, q, k=5).toPandas()
-    approx = simsearch.ivf_topk(emb, q, k=5, n_lists=16, nprobe=6).toPandas()
+    approx = simsearch.ivf_topk(emb, q, k=5, n_lists=16, nprobe=10).toPandas()
     exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values.tolist()))
     approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values.tolist()))
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall > 0.3
+    # spherical-k-means centroids + nprobe 10/16 measures 0.89 here; pinned
+    # with margin (the pre-k-means sampled centroids measured 0.40-0.76)
+    assert recall > 0.8
     # determinism: same run twice -> identical output
-    again = simsearch.ivf_topk(emb, q, k=5, n_lists=16, nprobe=6).toPandas()
+    again = simsearch.ivf_topk(emb, q, k=5, n_lists=16, nprobe=10).toPandas()
     assert sorted(map(tuple, approx.values.tolist())) == sorted(map(tuple, again.values.tolist()))
 
 
@@ -200,4 +219,4 @@ def test_cosine_dup_lsh_finds_planted_pairs(spark):
     ).collect()
     pairs = {(r["a"], r["b"]) for r in found}
     hits = sum((vid, vid + 100000) in pairs for vid, _ in rows[:30])
-    assert hits >= 20  # multiprobe recall on near-identical vectors
+    assert hits == 30  # multi-table multiprobe recovers every planted pair

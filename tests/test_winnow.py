@@ -42,6 +42,46 @@ def test_case_insensitive():
     )
 
 
+def test_naive_oracle_matches_vectorized(spark):
+    """The pure-Python per-row oracle (driver correctness golden) and the
+    vectorized numpy path must agree exactly — including on unicode, empty,
+    and shorter-than-k inputs — and no overflow warning may escape."""
+    import warnings
+
+    texts = [
+        "",
+        "abc",
+        "abcdefgh",
+        "the quick brown fox jumps over the lazy dog",
+        "café naïve 数据 straße " * 5,
+        "Hello World Document with MIXED case and   spaces",
+        "x" * 200,
+    ]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning fails the test
+        for t in texts:
+            assert winnow.winnow_fingerprints(t) == winnow.naive_winnow_fingerprints(t), t
+
+
+def test_spark_exploded_matches_naive(spark):
+    rows = [
+        (1, "a shared long passage of text for fingerprinting purposes"),
+        (2, "short"),
+        (3, "another document with wholly different content inside it"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r["doc_id"], r["fp"])
+        for r in winnow.with_winnow(df)
+        .select("doc_id", F.explode("winnow_fp").alias("fp"))
+        .collect()
+    )
+    want = sorted(
+        (i, fp) for i, t in rows for fp in winnow.naive_winnow_fingerprints(t)
+    )
+    assert got == want
+
+
 def test_spark_pair_detection(spark):
     shared = "one common stretch of text long enough to fingerprint"
     rows = [

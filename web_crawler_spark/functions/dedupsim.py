@@ -62,6 +62,18 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
+def minhash_exploded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, hash_idx, hash_val) — the signature exploded one row per hash.
+    Scalar columns only, so engines/harnesses that hash result values (the
+    driver's correctness compare) can canonicalize it; the array form is the
+    compact wire format, this is the comparable one."""
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("hash_idx", "hash_val")
+    ).select(
+        "doc_id", F.col("hash_idx").cast("long").alias("hash_idx"), "hash_val"
+    )
+
+
 def lsh_bands(sigs: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_key): band_key = md5 of the band's hashes."""
     n_bands = N_HASHES // BAND_SIZE
@@ -195,6 +207,40 @@ def duck_minhash_sql(table: str) -> str:
     return rf"""
 WITH {duck_shingles_cte(table)}
 SELECT doc_id, [{mins}] AS sig FROM shingles GROUP BY doc_id
+"""
+
+
+def duck_minhash_exploded_sql(table: str) -> str:
+    mins = ", ".join(f"min(md5(shingle || '#{i}'))" for i in range(N_HASHES))
+    return rf"""
+WITH {duck_shingles_cte(table)},
+sigs AS (SELECT doc_id, [{mins}] AS sig FROM shingles GROUP BY doc_id)
+SELECT doc_id, (i - 1)::BIGINT AS hash_idx, sig[i] AS hash_val
+FROM sigs, LATERAL unnest(generate_series(1, {N_HASHES})) AS t(i)
+"""
+
+
+def duck_simhash_sql(table: str) -> str:
+    """The identical 32-bit shift/mask vote pipeline in DuckDB: hex->int via
+    ('0x'||substr(md5,1,8))::BIGINT matches Spark's conv(...,16,10)."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM {table} WHERE length(trim(text)) > 0
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+  FROM toks WHERE length(tok) > 0
+),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, LATERAL unnest(generate_series(0, {SIMHASH_BITS - 1})) AS t(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id
 """
 
 

