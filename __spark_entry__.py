@@ -143,6 +143,32 @@ def q_crawl_fetch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChainStep parity (reference chain_crawler.py:24-43): a 3-step chain
+    whose step 0 carries its own next-URL extraction rule (even trailing page
+    id — the listing->detail pattern).  Golden = refsim with the equivalent
+    pure-Python steps."""
+    key = synth.ensure_synth(sf_dir)
+    memo_key = f"chain:{key}"
+    if memo_key not in _CRAWL_MEMO:
+        sf = synth.sf_name_of(key)
+        pages = spark.read.parquet(synth.synth_path(sf, "pages"))
+        seeds = spark.read.parquet(synth.synth_path(sf, "seeds"))
+        eng = ChainCrawl(
+            spark, pages, CrawlConfig(steps=synth.chain_spark_steps(), mode="parity")
+        )
+        _CRAWL_MEMO[memo_key] = eng.run(seeds)
+    state = _CRAWL_MEMO[memo_key]
+    return ChainCrawl.fetch_log(state).select(
+        "fetch_seq",
+        F.col("round").cast("int").alias("round"),
+        "url",
+        "ok",
+        F.coalesce(F.col("title"), F.lit("")).alias("title"),
+        F.coalesce(F.col("links_count"), F.lit(-1)).cast("int").alias("links_count"),
+    )
+
+
 def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: per-round run stats (partial-per-partition, merged)."""
     state = _crawl_state(spark, sf_dir)
@@ -387,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget": q_host_budget,
         "link_explode": q_link_explode,
         "crawl_fetch_log": q_crawl_fetch_log,
+        "crawl_chain": q_crawl_chain,
         "crawl_stats": q_crawl_stats,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -424,6 +451,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
     seeds = f"read_parquet('{sp('seeds')}')"
     cands = f"read_parquet('{sp('url_candidates')}')"
     expected = f"read_parquet('{sp('expected_crawl')}')"
+    expected_chain = f"read_parquet('{sp('expected_chain')}')"
     media = f"read_parquet('{sp('media')}')"
     return {
         # crawl domain: goldens are the refsim-computed fixtures (independent
@@ -447,6 +475,12 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    coalesce(text, '') AS text,
                    coalesce(links_count, -1)::INT AS links_count
             FROM {expected}
+        """,
+        "crawl_chain": f"""
+            SELECT fetch_seq, round, url, ok,
+                   coalesce(title, '') AS title,
+                   coalesce(links_count, -1)::INT AS links_count
+            FROM {expected_chain}
         """,
         "crawl_stats": f"""
             SELECT round::INT AS round,

@@ -46,17 +46,72 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", help="results sink path")
     p.add_argument(
         "--storage",
-        choices=["aggregated", "jsonl", "per-url"],
+        choices=["aggregated", "jsonl", "per-url", "mongodb"],
         default="jsonl",
         help="sink flavor (cli.py --storage)",
     )
+    # ---- reference cli.py:50-76 parity flags.  The fetch-shaped ones are
+    # offline no-ops in this engine (fetch = join against the pages table;
+    # there is no HTTP layer to configure) — they are ACCEPTED and warned
+    # about so reference invocations run unmodified ----
+    p.add_argument("--workers", type=int, default=None,
+                   help="reference concurrency level (offline no-op: task slots rule)")
+    p.add_argument("--timeout", type=int, default=None,
+                   help="request timeout (offline no-op)")
+    p.add_argument("--retry-delay", type=float, default=None,
+                   help="base retry delay (offline analog: round demotion)")
+    p.add_argument("--header", action="append",
+                   help="request header 'Key: Value', repeatable (offline no-op)")
+    p.add_argument("--user-agent", help="User-Agent override (offline no-op)")
+    p.add_argument("--insecure", action="store_true",
+                   help="disable SSL verification (offline no-op)")
+    p.add_argument("--no-progress", action="store_true",
+                   help="disable progress bar (driver logs are the progress surface)")
+    p.add_argument("--no-proxy", action="store_true", help="disable proxy usage")
+    p.add_argument("--proxy-file", help="load a proxy pool file (one per line)")
+    p.add_argument("--validate-proxies", action="store_true",
+                   help="summarize pool health before crawling")
+    p.add_argument("--mongodb-uri", help="MongoDB connection string (mongodb storage)")
+    p.add_argument("--mongodb-db", default="web_crawler")
+    p.add_argument("--mongodb-collection", default="crawl_results")
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p
 
 
+def _parse_headers(header_args: list[str] | None) -> dict[str, str]:
+    """Reference cli.py:19-28 'Key: Value' parsing (validated, then unused
+    offline)."""
+    headers: dict[str, str] = {}
+    for h in header_args or []:
+        if ":" not in h:
+            raise SystemExit(f"Invalid header '{h}'. Expected 'Key: Value'.")
+        k, v = h.split(":", 1)
+        headers[k.strip()] = v.strip()
+    return headers
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    headers = _parse_headers(args.header)
+    for flag, val in [
+        ("--workers", args.workers),
+        ("--timeout", args.timeout),
+        ("--retry-delay", args.retry_delay),
+        ("--user-agent", args.user_agent),
+        ("--header", headers or None),
+        ("--insecure", args.insecure or None),
+        ("--no-progress", args.no_progress or None),
+    ]:
+        if val is not None:
+            print(
+                f"warning: {flag} accepted for reference-CLI parity but is an "
+                "offline no-op (fetch is a join against the pages table)",
+                file=sys.stderr,
+            )
+    if args.storage == "mongodb" and not args.mongodb_uri:
+        print("error: --mongodb-uri is required when --storage=mongodb", file=sys.stderr)
+        return 2
     spark = get_spark(
         app_name="wcs-crawl",
         master=args.master,
@@ -72,6 +127,21 @@ def main(argv: list[str] | None = None) -> int:
         print("error: no seeds given (urls, --urls-file, or --seeds-parquet)", file=sys.stderr)
         return 2
 
+    if args.proxy_file and not args.no_proxy:
+        # offline analog of proxy import + optional validation summary
+        # (reference cli.py:117-118, proxy_manager.py:331-352)
+        from web_crawler_spark.sources import proxypool
+
+        pool = proxypool.load_sources(spark, [args.proxy_file], fmt="plain")
+        n_pool = pool.count()
+        print(f"proxy pool loaded: {n_pool} entries", file=sys.stderr)
+        if args.validate_proxies:
+            empty_failed = spark.createDataFrame([], "proxy string")
+            print(
+                f"proxy validation summary: {proxypool.pool_stats(pool, empty_failed)}",
+                file=sys.stderr,
+            )
+
     pages = pages_src.read_pages(spark, args.pages)
     cfg = CrawlConfig(
         rounds=args.rounds,
@@ -86,7 +156,24 @@ def main(argv: list[str] | None = None) -> int:
     state = ChainCrawl(spark, pages, cfg).run(seeds)
     log = ChainCrawl.fetch_log(state)
 
-    if args.output and log is not None:
+    if log is not None and args.storage == "mongodb":
+        uri, db, coll = args.mongodb_uri, args.mongodb_db, args.mongodb_collection
+
+        def backend_factory():
+            try:
+                import pymongo  # type: ignore
+            except ImportError as e:  # mirror storage.py:177's clear error
+                raise ImportError(
+                    "MongoDB storage requires 'pymongo' on the executors"
+                ) from e
+            return pymongo.MongoClient(uri)[db][coll]
+
+        data_cols = [c for c in log.columns if c not in ("url",)]
+        n = sinks.write_storage_backend(
+            log, backend_factory, "2024-01-01 00:00:00", data_cols
+        )
+        print(f"mongodb: inserted {n} documents", file=sys.stderr)
+    elif args.output and log is not None:
         if args.storage == "aggregated":
             sinks.write_aggregated_json(log, args.output)
         elif args.storage == "per-url":

@@ -20,6 +20,48 @@ def test_cli_requires_seeds():
     assert args.pages == "/x" and args.rounds == 3 and args.mode == "scale"
 
 
+def test_cli_reference_flag_surface():
+    """Every reference cli.py:50-76 flag parses (SURVEY §7 M7: same flag
+    surface; fetch-shaped ones are accepted offline no-ops)."""
+    from jobs.crawl import _parse_headers, build_parser
+
+    p = build_parser()
+    args = p.parse_args(
+        [
+            "http://a.example/",
+            "--pages", "/x",
+            "--workers", "8",
+            "--timeout", "30",
+            "--retries", "3",
+            "--retry-delay", "2.0",
+            "--no-proxy",
+            "--validate-proxies",
+            "--proxy-file", "/tmp/proxies.txt",
+            "--header", "X-One: 1",
+            "--header", "Accept: text/html",
+            "--user-agent", "RefBot/1.0",
+            "--insecure",
+            "--no-progress",
+            "--storage", "mongodb",
+            "--mongodb-uri", "mongodb://localhost:27017",
+            "--mongodb-db", "wc",
+            "--mongodb-collection", "results",
+        ]
+    )
+    assert args.workers == 8 and args.insecure and args.no_progress
+    assert _parse_headers(args.header) == {"X-One": "1", "Accept": "text/html"}
+    assert args.mongodb_db == "wc" and args.storage == "mongodb"
+    with pytest.raises(SystemExit):
+        _parse_headers(["no-colon-here"])
+
+
+def test_cli_mongodb_requires_uri(capsys):
+    from jobs.crawl import main
+
+    rc = main(["http://a.example/", "--pages", "/x", "--storage", "mongodb"])
+    assert rc == 2
+
+
 @pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     from web_crawler_spark import synth

@@ -28,6 +28,24 @@ def test_plain_and_generic_parsers(spark, tmp_path):
     assert both.count() == 3
 
 
+def test_source_order_survives_multipartition(spark, tmp_path):
+    """First-wins must follow SOURCE order even when an earlier source scans
+    as many partitions (monotonically_increasing_id jumps by 2^33 per
+    partition — an additive per-source offset would sort later sources
+    before an earlier source's non-first partitions)."""
+    d0 = tmp_path / "src0"
+    d0.mkdir()
+    for j in range(4):
+        (d0 / f"part{j}.txt").write_text(f"10.0.{j}.1:80\n1.1.1.1:80\n")
+    f1 = tmp_path / "src1.txt"
+    f1.write_text("1.1.1.1:80\n2.2.2.2:80\n")
+    pool = proxypool.load_sources(spark, [str(d0), str(f1)], fmt="plain")
+    rows = {r["proxy"]: r["src_idx"] for r in pool.collect()}
+    assert rows["http://1.1.1.1:80"] == 0  # source 0 wins the duplicate
+    assert rows["http://2.2.2.2:80"] == 1
+    assert len(rows) == 6
+
+
 def test_socks_predicate(spark):
     df = spark.createDataFrame(
         [("socks5://a:1",), ("socks4://b:2",), ("socks://c:3",), ("http://d:4",)],

@@ -74,3 +74,97 @@ def test_sink_envelope_and_buckets(spark, sf_small, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 2
     assert any(e.startswith("bucket=") for e in os.listdir(out))
+
+
+def test_storage_backend_envelope(spark, tmp_path):
+    """write_storage_backend routes records through a StorageBackend-shaped
+    handler with the reference's MongoDB envelope semantics (storage.py:189):
+    insert_one({url, timestamp: RAW datetime, data}), one backend per
+    partition, finalize() at the end.  The fake backend persists to shared
+    files because handlers run on the executors."""
+    import glob
+    import json
+    import os
+
+    outdir = str(tmp_path / "fake_mongo")
+    os.makedirs(outdir, exist_ok=True)
+    df = spark.createDataFrame(
+        [("http://a/1", "T1", 3), ("http://a/2", "T2", 5), ("http://a/3", "T3", 0)],
+        "url string, title string, links_count int",
+    )
+
+    def factory(outdir=outdir):
+        import datetime
+        import json as _json
+        import os as _os
+        import uuid
+
+        class FakeMongoCollection:
+            def __init__(self):
+                self.recs = []
+
+            def insert_one(self, doc):
+                # reference stores a raw datetime, not an isoformat string
+                assert isinstance(doc["timestamp"], datetime.datetime)
+                assert set(doc) == {"url", "timestamp", "data"}
+                self.recs.append(doc)
+
+            def finalize(self):
+                p = _os.path.join(outdir, f"part-{uuid.uuid4().hex}.jsonl")
+                with open(p, "w") as f:
+                    for d in self.recs:
+                        f.write(
+                            _json.dumps(
+                                {
+                                    "url": d["url"],
+                                    "timestamp": d["timestamp"].isoformat(),
+                                    "data": d["data"],
+                                },
+                                default=lambda o: o.item() if hasattr(o, "item") else str(o),
+                            )
+                            + "\n"
+                        )
+
+        return FakeMongoCollection()
+
+    n = sinks.write_storage_backend(
+        df, factory, "2024-01-01 00:00:00", ["title", "links_count"]
+    )
+    assert n == 3
+    recs = []
+    for p in glob.glob(os.path.join(outdir, "part-*.jsonl")):
+        with open(p) as f:
+            recs += [json.loads(line) for line in f]
+    assert len(recs) == 3
+    by_url = {r["url"]: r for r in recs}
+    assert by_url["http://a/1"]["data"] == {"title": "T1", "links_count": 3}
+    assert all(r["timestamp"].startswith("2024-01-01T00:00:00") for r in recs)
+
+
+def test_foreach_batch_sink_pandas_batches(spark, tmp_path):
+    """The generic plug point hands Arrow-sized pandas batches (never
+    row-at-a-time) to the handler on the executors."""
+    import glob
+    import os
+
+    outdir = str(tmp_path / "batches")
+    os.makedirs(outdir, exist_ok=True)
+    df = spark.range(100).selectExpr("concat('u', id) AS url")
+
+    def handler(pdf, outdir=outdir):
+        import pandas as _pd
+        import uuid
+
+        assert isinstance(pdf, _pd.DataFrame)
+        pdf.to_json(
+            os.path.join(outdir, f"b-{uuid.uuid4().hex}.jsonl"),
+            orient="records",
+            lines=True,
+        )
+
+    n = sinks.foreach_batch_sink(df, handler)
+    assert n == 100
+    total = sum(
+        sum(1 for _ in open(p)) for p in glob.glob(os.path.join(outdir, "b-*.jsonl"))
+    )
+    assert total == 100

@@ -1,4 +1,5 @@
-"""Partitioned Bloom-filter prefilter for the URL-seen set (SURVEY.md §4 item 2).
+"""Sharded, size-adaptive Bloom-filter prefilter for the URL-seen set
+(SURVEY.md §4 item 2; SCALE.md "seen anti-join" row).
 
 At 10^10 frontier scale the exact ``left_anti`` join against ``url_seen``
 shuffles every candidate link.  The Bloom sidecar cuts that shuffle volume:
@@ -6,30 +7,80 @@ definitely-unseen candidates (the vast majority of fresh links) skip the join
 input entirely; only Bloom-positive rows (seen ∪ false positives) go through
 the exact anti-join, which removes the false positives.  Semantics are owned
 by the anti-join — the Bloom is purely a volume optimization, and
-``tests/test_bloom.py`` asserts result-equivalence with the exact path.
+``tests/test_operators.py`` asserts result-equivalence with the exact path.
 
-Build is distributed: each partition folds its key hashes into a local bitmap
-(numpy, vectorized) via ``mapInPandas``; the driver ORs the ~m/8-byte bitmaps
-(1 MiB at m=2^23 — trivially collectable even from thousands of partitions)
-and broadcasts the merged filter.  Probe is an Arrow-batched pandas UDF doing
-pure numpy bit tests — no per-row Python.
+Two scale dimensions the fixed-size single filter lacked:
 
-Keys are 64-bit ``xxhash64(url)`` computed JVM-side; k index functions derive
-from the split halves (Kirsch–Mitzenmacher double hashing).
+* **Sizing** — ``ShardedBloom.params_for(n_keys)`` sizes total bits from the
+  expected key count at ~``BITS_PER_KEY`` bits/key (≈1% fp at k=7); an
+  undersized filter silently saturates (fp→1) and the prefilter degrades to
+  "everything goes through the anti-join" — correct but useless.
+* **Sharding** — at the 10^10-key design point the filter is ~12.5 GB; it is
+  split into hash-range shards of at most ``max_shard_bytes`` so no single
+  broadcast/bitmap exceeds a few hundred MB.  Shard routing is
+  ``hash mod n_shards`` (vectorized); probing touches exactly one shard per
+  key.  In this in-process build all shards live in one 2-D array broadcast;
+  on a real cluster each executor fetches the same TorrentBroadcast blocks —
+  the shard structure is what keeps any single allocation bounded.
+
+Build is distributed: keys are hashed JVM-side (``xxhash64``), repartitioned
+by shard id (an 8-byte/key shuffle), and each partition folds its hashes into
+per-shard numpy bitmaps via ``mapInPandas``; the driver ORs the per-partition
+bitmaps shard-wise.  Probe is an Arrow-batched pandas UDF doing pure numpy
+bit tests — no per-row Python.  k index functions derive from the split
+64-bit halves (Kirsch–Mitzenmacher double hashing).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType, StructType, StructField, BinaryType
+from pyspark.sql.types import BooleanType, IntegerType, StructType, StructField, BinaryType
 
-DEFAULT_BITS = 1 << 23  # 8M bits = 1 MiB; ~0.05% fp at 500k keys, k=7
+DEFAULT_BITS = 1 << 23  # floor: 8M bits = 1 MiB; ~0.05% fp at 500k keys, k=7
 DEFAULT_K = 7
+BITS_PER_KEY = 10  # ~0.8% fp at k=7
+MAX_SHARD_BYTES = 256 << 20  # bound any single bitmap/broadcast block
+
+
+@dataclass(frozen=True)
+class BloomParams:
+    m_per_shard: int  # bits per shard (power of two)
+    k: int
+    n_shards: int
+
+    @property
+    def total_bits(self) -> int:
+        return self.m_per_shard * self.n_shards
+
+    @property
+    def shard_bytes(self) -> int:
+        return self.m_per_shard // 8
+
+
+def params_for(
+    n_keys: int,
+    bits_per_key: int = BITS_PER_KEY,
+    k: int = DEFAULT_K,
+    max_shard_bytes: int = MAX_SHARD_BYTES,
+    min_bits: int = DEFAULT_BITS,
+) -> BloomParams:
+    """Size the filter from the expected key count: total bits is the next
+    power of two >= n_keys * bits_per_key (floor ``min_bits``), split into
+    the fewest power-of-two shards keeping every shard <= max_shard_bytes."""
+    want = max(min_bits, n_keys * bits_per_key)
+    total = 1
+    while total < want:
+        total <<= 1
+    n_shards = 1
+    while total // n_shards > max_shard_bytes * 8:
+        n_shards <<= 1
+    return BloomParams(m_per_shard=total // n_shards, k=k, n_shards=n_shards)
 
 
 def _indexes(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
@@ -41,6 +92,10 @@ def _indexes(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
     return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)).astype(np.int64)
 
 
+def _shard_of(hashes: np.ndarray, n_shards: int) -> np.ndarray:
+    return (hashes.astype(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+
+
 def _fold_bitmap(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
     bits = np.zeros(m // 8, dtype=np.uint8)
     if len(hashes):
@@ -49,56 +104,103 @@ def _fold_bitmap(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
     return bits
 
 
+class ShardedBloom:
+    """n_shards × (m_per_shard/8)-byte bitmaps + vectorized probe."""
+
+    def __init__(self, params: BloomParams, bitmaps: np.ndarray | None = None):
+        self.params = params
+        if bitmaps is None:
+            bitmaps = np.zeros((params.n_shards, params.shard_bytes), dtype=np.uint8)
+        assert bitmaps.shape == (params.n_shards, params.shard_bytes)
+        self.bitmaps = bitmaps
+
+    def or_with(self, other: "ShardedBloom") -> "ShardedBloom":
+        assert self.params == other.params, "incompatible bloom params"
+        self.bitmaps |= other.bitmaps
+        return self
+
+    def might_contain(self, hashes: np.ndarray) -> np.ndarray:
+        p = self.params
+        shard = _shard_of(hashes, p.n_shards)
+        idx = _indexes(hashes, p.m_per_shard, p.k)  # (n, k)
+        byte = self.bitmaps[shard[:, None], idx >> 3]
+        hit = (byte >> (idx & 7).astype(np.uint8)) & 1
+        return hit.all(axis=1)
+
+    def fill_ratio(self) -> float:
+        """Fraction of set bits (saturation diagnostic; ~0.5 at design load)."""
+        return float(np.unpackbits(self.bitmaps).mean())
+
+
 def build_bloom(
-    df: DataFrame, key_col: str = "url", m: int = DEFAULT_BITS, k: int = DEFAULT_K
-) -> bytes:
-    """Distributed build: per-partition numpy bitmaps, driver OR-merge."""
+    df: DataFrame, key_col: str = "url", params: BloomParams | None = None
+) -> ShardedBloom:
+    """Distributed build: JVM-side xxhash64, shuffle of the 8-byte hashes by
+    shard id (so one task folds one shard's keys), per-partition numpy
+    bitmaps, driver shard-wise OR-merge."""
+    if params is None:
+        params = params_for(df.count())
+    p = params
     hashed = df.select(F.xxhash64(F.col(key_col)).alias("h"))
-    schema = StructType([StructField("bitmap", BinaryType(), False)])
+    if p.n_shards > 1:
+        hashed = hashed.repartition(
+            p.n_shards, F.pmod(F.col("h"), F.lit(p.n_shards))
+        )
+    schema = StructType(
+        [StructField("shard", IntegerType(), False), StructField("bitmap", BinaryType(), False)]
+    )
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = np.zeros(m // 8, dtype=np.uint8)
-        any_rows = False
+        local: dict[int, np.ndarray] = {}
         for pdf in batches:
-            if len(pdf):
-                any_rows = True
-                bits |= _fold_bitmap(pdf["h"].to_numpy(np.int64), m, k)
-        if any_rows:
-            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+            if not len(pdf):
+                continue
+            h = pdf["h"].to_numpy(np.int64)
+            shards = _shard_of(h, p.n_shards)
+            for s in np.unique(shards):
+                bm = _fold_bitmap(h[shards == s], p.m_per_shard, p.k)
+                if s in local:
+                    local[s] |= bm
+                else:
+                    local[s] = bm
+        if local:
+            yield pd.DataFrame(
+                {
+                    "shard": [int(s) for s in local],
+                    "bitmap": [bm.tobytes() for bm in local.values()],
+                }
+            )
 
-    merged = np.zeros(m // 8, dtype=np.uint8)
+    out = ShardedBloom(p)
     for row in hashed.mapInPandas(fold, schema=schema).collect():
-        merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
-    return merged.tobytes()
+        out.bitmaps[row["shard"]] |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return out
 
 
-def bloom_might_contain_udf(spark, bloom_bytes: bytes, m: int = DEFAULT_BITS, k: int = DEFAULT_K):
-    """Pandas UDF over the JVM-computed xxhash64 key: vectorized numpy probe."""
-    bc = spark.sparkContext.broadcast(bloom_bytes)
+def bloom_might_contain_udf(spark, bloom: ShardedBloom):
+    """Pandas UDF over the JVM-computed xxhash64 key: vectorized numpy probe
+    against the broadcast shard bitmaps."""
+    bc = spark.sparkContext.broadcast((bloom.params, bloom.bitmaps))
 
     @pandas_udf(BooleanType())
     def might_contain(h: pd.Series) -> pd.Series:
-        bits = np.frombuffer(bc.value, dtype=np.uint8)
-        hv = h.to_numpy(np.int64)
-        idx = _indexes(hv, m, k)
-        hit = (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
-        return pd.Series(hit.all(axis=1).astype(bool))
+        params, bitmaps = bc.value
+        probe = ShardedBloom(params, bitmaps)
+        return pd.Series(probe.might_contain(h.to_numpy(np.int64)).astype(bool))
 
     return might_contain
 
 
 def bloom_prefilter(
     candidates: DataFrame,
-    bloom_bytes: bytes | None,
+    bloom: ShardedBloom | None,
     key_col: str = "url",
-    m: int = DEFAULT_BITS,
-    k: int = DEFAULT_K,
 ) -> tuple[DataFrame, DataFrame]:
     """Split candidates into (definitely_unseen, maybe_seen).  The maybe_seen
     side still needs the exact anti-join; definitely_unseen skips it."""
-    if bloom_bytes is None:
+    if bloom is None:
         return candidates.limit(0), candidates
-    udf = bloom_might_contain_udf(candidates.sparkSession, bloom_bytes, m, k)
+    udf = bloom_might_contain_udf(candidates.sparkSession, bloom)
     tagged = candidates.withColumn("__maybe", udf(F.xxhash64(F.col(key_col))))
     fresh = tagged.filter(~F.col("__maybe")).drop("__maybe")
     maybe = tagged.filter(F.col("__maybe")).drop("__maybe")

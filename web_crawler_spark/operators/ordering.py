@@ -36,8 +36,16 @@ def with_global_seq(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Attach a dense global sequence (start, start+1, ...) in the total order
-    of ``order_cols``.  Returns an un-persisted DataFrame; the intermediate
-    sorted frame is cached for the two passes and unpersisted lazily by GC."""
+    of ``order_cols``.
+
+    The intermediate range-partitioned frame must be cached across the two
+    passes (count + sequence-stamp); DataFrame cache entries are pinned in
+    Spark's CacheManager and are NOT GC-cleaned, so the output is eagerly
+    localCheckpointed and the intermediate explicitly unpersisted before
+    returning — a loop calling this every round (the crawl engine) holds
+    zero cached plans between rounds.  The eager materialization is not
+    extra work for such callers: they need an action on the batch anyway,
+    and the checkpoint doubles as lineage truncation."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = max(2, spark.sparkContext.defaultParallelism)
@@ -74,4 +82,6 @@ def with_global_seq(
             local += len(pdf)
             yield out
 
-    return ranged.mapInPandas(add_seq, schema=out_schema)
+    out = ranged.mapInPandas(add_seq, schema=out_schema).localCheckpoint(eager=True)
+    ranged.unpersist()
+    return out

@@ -34,10 +34,11 @@ snapshot + commit marker) which doubles as iterative-lineage truncation.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..functions import registry as parser_registry
 from ..functions.urlnorm import canonicalize_udf
@@ -52,9 +53,34 @@ RESULT_COLS = ["fetch_seq", "round", "url", "ok", "title", "text", "links_count"
 RETRYABLE_PENALTY = 1 << 40  # demotes retried rows below all fresh work
 
 
+_PARSER_DEFAULT = object()  # sentinel: "use the step parser's own extractor"
+
+
+@dataclass
+class StepConfig:
+    """Per-step pipeline configuration — the engine's ``ChainStep``
+    (reference chain_crawler.py:24-43): each round of a chain may carry its
+    own parser and its own next-URL extraction rule (the reference's
+    listing-page -> detail-page pattern, example_chain_crawling.py).
+
+    ``parser_name`` references the registry (functions/registry.py).
+    ``links_extractor``: a Column function ``parsed -> array<string>``
+    overriding the parser's registered extractor; ``None`` mirrors the
+    reference's ``extract_next_urls=None`` => final step (no URLs extracted,
+    the chain ends after this round); leave at the default sentinel to use
+    the registered extractor."""
+
+    parser_name: str = "default"
+    links_extractor: "Callable[[Column], Column] | None | object" = _PARSER_DEFAULT
+    name: Optional[str] = None
+
+
 @dataclass
 class CrawlConfig:
     rounds: int = 3
+    # per-step configuration (ChainStep parity); when set, the number of
+    # steps defines the number of rounds and `rounds` is ignored
+    steps: Optional[list[StepConfig]] = None
     mode: str = "parity"  # 'parity' | 'scale'
     max_urls_per_step: Optional[int] = None
     host_budget: Optional[int] = None  # scale mode; None = unbudgeted
@@ -64,6 +90,13 @@ class CrawlConfig:
     # below this many attempted urls the exact anti-join alone is cheaper
     # than rebuilding the filter every round
     bloom_min_seen: int = 500_000
+    # initial filter capacity = headroom x current seen count, so the
+    # incremental per-round ORs have room to grow before a rebuild; when the
+    # fill ratio crosses the rebuild threshold (saturation => fp climbs and
+    # the prefilter stops paying) the filter is rebuilt from url_seen at the
+    # next size tier
+    bloom_growth_headroom: int = 8
+    bloom_rebuild_fill: float = 0.55
     # None => rely on WindowGroupLimit partial top-k (Spark >= 3.5); int =>
     # explicit two-pass salted ranking (see operators/politeness.py)
     salt_buckets: int | None = None
@@ -118,6 +151,23 @@ class ChainCrawl:
             # spill to disk when it outgrows executor memory)
             self.pages = self.pages.persist()
         self.host_rules = host_rules
+        # steps define the round count (reference: `for step in steps`,
+        # chain_crawler.py:408); the flat config is a single-parser chain
+        self.n_rounds = len(config.steps) if config.steps else config.rounds
+        step_parsers = (
+            {s.parser_name for s in config.steps}
+            if config.steps
+            else {config.parser_name}
+        )
+        # fetch-log shape: 'rich' = default-parser columns; 'struct' = one
+        # custom schema rides as a struct; 'json' = heterogeneous parsers
+        # across steps, serialized so per-round results union cleanly
+        if step_parsers == {"default"}:
+            self._result_mode = "rich"
+        elif len(step_parsers) == 1:
+            self._result_mode = "struct"
+        else:
+            self._result_mode = "json"
         self.ckpt = Checkpointer(config.checkpoint_dir) if config.checkpoint_dir else None
         # incremental bloom sidecar: built once from the seen set, then OR'd
         # with each round's newly-enqueued delta — never rebuilt from scratch
@@ -178,15 +228,21 @@ class ChainCrawl:
             remainder = frontier.limit(0)  # parity: undone rows are dropped (:285-287)
         return batch, remainder
 
+    def _step(self, r: int) -> StepConfig:
+        if self.cfg.steps:
+            return self.cfg.steps[r]
+        return StepConfig(parser_name=self.cfg.parser_name)
+
     def run_round(self, state: CrawlState) -> CrawlState:
         cfg = self.cfg
         r = state.round_idx
-        is_final = r == cfg.rounds - 1
+        is_final = r == self.n_rounds - 1
 
         batch, remainder = self._select_batch(
             state.frontier, host_state=state.host_state, round_idx=r
         )
-        batch = batch.persist()
+        # batch derives from with_global_seq's eager localCheckpoint — reuse
+        # recomputes at most a cheap filter, no extra persist needed
         batch_n = batch.count()
 
         # fetch (J1).  The naive frontier-left-join-pages shuffles the whole
@@ -203,33 +259,42 @@ class ChainCrawl:
             fetched = matched.select(*missed.columns).unionByName(missed)
         else:
             fetched = batch.join(self.pages, on="url", how="left")
-        reg = parser_registry.get_parser(cfg.parser_name)
-        is_default = cfg.parser_name == "default"
-        with_data = parser_registry.with_parsed_by(fetched, cfg.parser_name)
-        links_col = (
-            reg.links_extractor(F.col("parsed"))
-            if reg.links_extractor is not None
-            else F.lit(None).cast("array<string>")
-        )
+        step = self._step(r)
+        reg = parser_registry.get_parser(step.parser_name)
+        with_data = parser_registry.with_parsed_by(fetched, step.parser_name)
+        if step.links_extractor is None:
+            # reference ChainStep(extract_next_urls=None) => final step: no
+            # URLs extracted, the chain drains after this round
+            links_col = F.lit(None).cast("array<string>")
+        elif step.links_extractor is _PARSER_DEFAULT:
+            links_col = (
+                reg.links_extractor(F.col("parsed"))
+                if reg.links_extractor is not None
+                else F.lit(None).cast("array<string>")
+            )
+        else:
+            links_col = step.links_extractor(F.col("parsed"))
         core = [
             (F.col("pos") + F.lit(state.fetch_offset)).alias("fetch_seq"),
             F.lit(r).cast("int").alias("round"),
             "url",
             F.col("html").isNotNull().alias("ok"),
         ]
-        if is_default:
+        if self._result_mode == "rich":
             shaped = [
                 F.col("parsed.title").alias("title"),
                 F.col("parsed.text").alias("text"),
                 F.col("parsed.links_count").alias("links_count"),
                 F.col("parsed.links").alias("links"),
             ]
-        else:  # arbitrary parser schema rides along as a struct + its links
-            shaped = [
-                F.col("parsed").alias("data"),
-                links_col.alias("links"),
-            ]
-        extra_cols = ["pos", "depth", "attempt"]
+        elif self._result_mode == "struct":
+            # one custom schema rides along as a struct
+            shaped = [F.col("parsed").alias("data")]
+        else:  # heterogeneous per-step parsers: serialize for a clean union
+            shaped = [F.to_json(F.col("parsed")).alias("data")]
+        # chaining follows the STEP's extractor (reference extract_next_urls),
+        # which may differ from the links column logged with the results
+        extra_cols = [links_col.alias("__next"), "pos", "depth", "attempt"]
         if cfg.mode == "scale":
             extra_cols.append("host")  # cooldown accounting
         parsed = with_data.select(*core, *shaped, *extra_cols).persist()
@@ -252,7 +317,11 @@ class ChainCrawl:
         ]
 
         results = parsed.select(
-            *(RESULT_COLS if is_default else ["fetch_seq", "round", "url", "ok", "data"])
+            *(
+                RESULT_COLS
+                if self._result_mode == "rich"
+                else ["fetch_seq", "round", "url", "ok", "data"]
+            )
         )
         # materialize results now (localCheckpoint also serves as the round's
         # heavy action); n_ok then reads materialized data instead of paying
@@ -278,7 +347,7 @@ class ChainCrawl:
                 .select(
                     F.col("pos").alias("p0"),
                     F.col("depth").alias("parent_depth"),
-                    F.posexplode(F.col("links")).alias("p1", "url"),
+                    F.posexplode(F.col("__next")).alias("p1", "url"),
                 )
             )
             if cfg.mode == "scale":
@@ -302,16 +371,18 @@ class ChainCrawl:
             if cfg.mode == "scale":
                 # enqueue-time global dedup: drop anything ever enqueued
                 assert state.seen is not None
-                bloom_bytes = None
+                bloom = None
                 if cfg.use_bloom and state.fetch_offset + batch_n >= cfg.bloom_min_seen:
-                    import numpy as np
-
                     if self._bloom is None:  # first crossing / after resume
-                        self._bloom = np.frombuffer(
-                            bloomlib.build_bloom(state.seen, "url"), np.uint8
-                        ).copy()
-                    bloom_bytes = self._bloom.tobytes()
-                definitely_new, maybe = bloomlib.bloom_prefilter(fresh, bloom_bytes)
+                        self._bloom = bloomlib.build_bloom(
+                            state.seen,
+                            "url",
+                            bloomlib.params_for(
+                                cfg.bloom_growth_headroom * state.seen.count()
+                            ),
+                        )
+                    bloom = self._bloom
+                definitely_new, maybe = bloomlib.bloom_prefilter(fresh, bloom)
                 survivors = definitely_new.unionByName(
                     anti_join_seen(maybe, state.seen, "url")
                 )
@@ -319,10 +390,8 @@ class ChainCrawl:
                 # read it without recomputing the dedup/anti-join chain
                 survivors = with_host(survivors).localCheckpoint(eager=True)
                 if self._bloom is not None:
-                    import numpy as np
-
-                    self._bloom |= np.frombuffer(
-                        bloomlib.build_bloom(survivors, "url"), np.uint8
+                    self._bloom.or_with(
+                        bloomlib.build_bloom(survivors, "url", self._bloom.params)
                     )
                 # retry routing: failed fetches with attempts left re-enqueue
                 retries = (
@@ -340,6 +409,20 @@ class ChainCrawl:
                 # survivors are distinct and anti-joined vs seen, so the union
                 # stays distinct by construction — no extra shuffle needed
                 new_seen = state.seen.unionByName(survivors.select("url"))
+                if (
+                    self._bloom is not None
+                    and self._bloom.fill_ratio() > cfg.bloom_rebuild_fill
+                ):
+                    # saturating: rebuild from the authoritative (post-round)
+                    # seen set at the next size tier — fp would otherwise
+                    # climb until the prefilter passes everything through
+                    self._bloom = bloomlib.build_bloom(
+                        new_seen,
+                        "url",
+                        bloomlib.params_for(
+                            2 * self._bloom.params.total_bits // bloomlib.BITS_PER_KEY
+                        ),
+                    )
             else:
                 next_front = fresh
                 new_seen = None
@@ -394,6 +477,11 @@ class ChainCrawl:
             tables = {"frontier": next_front, "results": results}
             if new_seen is not None:
                 tables["url_seen"] = new_seen
+            if new_host_state is not None:
+                # without this, resume forgets active cooldowns and refetches
+                # failing hosts immediately (diverging from an uninterrupted
+                # run whenever host_cooldown_rounds > 0)
+                tables["host_state"] = new_host_state
             self.ckpt.commit_round(
                 r,
                 tables,
@@ -412,7 +500,6 @@ class ChainCrawl:
             # results already localCheckpointed above
             if new_seen is not None:
                 state_next.seen = new_seen.localCheckpoint(eager=True)
-        batch.unpersist()
         parsed.unpersist()
         return state_next
 
@@ -436,6 +523,11 @@ class ChainCrawl:
                         if cfg.mode == "scale"
                         else None
                     ),
+                    host_state=(
+                        self.ckpt.read(self.spark, last, "host_state")
+                        if os.path.exists(self.ckpt.table_path(last, "host_state"))
+                        else None
+                    ),
                     results=[
                         self.ckpt.read(self.spark, rr, "results")
                         for rr in range(last + 1)
@@ -456,7 +548,7 @@ class ChainCrawl:
             seen = frontier.select("url") if cfg.mode == "scale" else None
             state = CrawlState(round_idx=0, frontier=frontier, seen=seen)
 
-        for r in range(start_round, cfg.rounds):
+        for r in range(start_round, self.n_rounds):
             if state.frontier.limit(1).count() == 0:  # empty frontier => stop
                 break
             state = self.run_round(state)

@@ -146,6 +146,24 @@ class CrawlRecord:
     text: Optional[str]
     links_count: Optional[int]
     links: Optional[list[str]]
+    data: Optional[dict] = None  # custom-parser output (per-step chains)
+
+
+def _default_extract(data: dict) -> list[str]:
+    """Default chain extraction: the parsed links list
+    (chain_crawler.py:335-338 with the default parser)."""
+    return data["links"]
+
+
+@dataclass
+class SimStep:
+    """Reference ``ChainStep`` semantics (chain_crawler.py:24-43): a per-step
+    parser and next-URL extraction rule.  ``extract=None`` marks a final step
+    (no URLs extracted; the chain drains)."""
+
+    parser: "Optional[callable]" = None  # (url, html) -> dict; None => default
+    extract: "Optional[callable]" = _default_extract  # data -> [url]; None => final
+    name: Optional[str] = None
 
 
 @dataclass
@@ -166,8 +184,9 @@ class SimResult:
 def simulate_chain_crawl(
     pages: Mapping[str, bytes],
     seeds: Iterable[str],
-    rounds: int,
+    rounds: Optional[int] = None,
     max_urls_per_step: Optional[int] = None,
+    steps: Optional[list[SimStep]] = None,
 ) -> SimResult:
     """Run the reference's deterministic 1-worker chain-crawl semantics.
 
@@ -178,7 +197,14 @@ def simulate_chain_crawl(
     enqueued as-is and simply fail to fetch.  Dedup is within-step first-wins
     only (chain_crawler.py:377-379); there is NO cross-step seen set (a url
     fetched in round r and rediscovered in round r+1 is fetched again).
+
+    ``steps`` (ChainStep parity, chain_crawler.py:24-43): one SimStep per
+    round, each with its own parser and extraction rule; when given, the
+    step count defines the round count.
     """
+    if steps is None:
+        steps = [SimStep() for _ in range(rounds)]
+    rounds = len(steps)
     result = SimResult()
     # cli.py:46 ordered-dedups the seed list before crawling.
     current: list[str] = list(dict.fromkeys(seeds))
@@ -195,6 +221,9 @@ def simulate_chain_crawl(
         }
         next_urls: list[str] = []
         is_final = round_idx == rounds - 1
+        step = steps[round_idx]
+        parse = step.parser or parse_html
+        default_parse = step.parser is None
         for url in current:  # FIFO queue order, single worker
             stats["urls_processed"] += 1
             fetch_seq = len(result.records)
@@ -206,23 +235,24 @@ def simulate_chain_crawl(
                 )
             else:
                 stats["urls_succeeded"] += 1
-                parsed = parse_html(url, decode_html(payload))
+                parsed = parse(url, decode_html(payload))
                 result.records.append(
                     CrawlRecord(
                         fetch_seq,
                         round_idx,
                         url,
                         True,
-                        parsed["title"],
-                        parsed["text"],
-                        parsed["links_count"],
-                        parsed["links"],
+                        parsed["title"] if default_parse else None,
+                        parsed["text"] if default_parse else None,
+                        parsed["links_count"] if default_parse else None,
+                        parsed["links"] if default_parse else None,
+                        data=parsed,
                     )
                 )
-                if not is_final:
+                if not is_final and step.extract is not None:
                     # chain_crawler.py:335-338 — extract_next_urls(data);
                     # default chain uses the parsed links list.
-                    found = parsed["links"]
+                    found = step.extract(parsed)
                     stats["next_urls_found"] += len(found)
                     next_urls.extend(found)
         if next_urls:

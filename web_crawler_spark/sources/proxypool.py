@@ -43,27 +43,39 @@ def parse_plain(df: DataFrame, protocol: str = "http") -> DataFrame:
 
 def parse_generic(df: DataFrame, protocol: str = "http") -> DataFrame:
     """Regex-scrape ip:port pairs out of arbitrary text/HTML (the reference's
-    fallback parser) — JVM-side regexp_extract_all + posexplode."""
+    fallback parser) — JVM-side regexp_extract_all + posexplode.  The
+    within-line hit position folds into src_pos low bits (lines are bounded
+    far below 1024 hits; monotonically_increasing_id rows-per-partition
+    leave 2^63/2^33/1024 headroom)."""
     hits = F.regexp_extract_all(F.col("value"), F.lit(_EXTRACT_RE), F.lit(1))
     return df.select("src_pos", F.posexplode(hits).alias("hit_pos", "entry")).select(
         F.concat(F.lit(f"{protocol}://"), F.col("entry")).alias("proxy"),
-        (F.col("src_pos") * 100000 + F.col("hit_pos")).alias("src_pos"),
+        (F.col("src_pos") * 1024 + F.least(F.col("hit_pos"), F.lit(1023))).alias(
+            "src_pos"
+        ),
     )
 
 
 def load_sources(spark: SparkSession, paths: list[str], fmt: str = "plain") -> DataFrame:
     """Fan-out scan over proxy source files -> union -> ordered first-wins
-    dedup (proxy_manager.py:61-77)."""
+    dedup (proxy_manager.py:61-77): all of source i orders before source i+1
+    (the reference's sequential extend).  The cross-source order key is the
+    composite (src_idx, src_pos) — an additive offset over
+    monotonically_increasing_id would collide with its partition_id*2^33
+    encoding for any multi-partition source and scramble source order."""
     parts = []
     for i, p in enumerate(paths):
         raw = spark.read.text(p).withColumn(
-            "src_pos", F.monotonically_increasing_id() + i * 10_000_000
+            "src_pos", F.monotonically_increasing_id()
         )
-        parts.append(parse_plain(raw) if fmt == "plain" else parse_generic(raw))
+        parsed = parse_plain(raw) if fmt == "plain" else parse_generic(raw)
+        parts.append(parsed.withColumn("src_idx", F.lit(i)))
     merged = parts[0]
     for d in parts[1:]:
         merged = merged.unionByName(d)
-    return first_wins(merged, "proxy", ["src_pos"]).select("proxy", "src_pos")
+    return first_wins(merged, "proxy", ["src_idx", "src_pos"]).select(
+        "proxy", "src_idx", "src_pos"
+    )
 
 
 def is_socks(col) -> F.Column:

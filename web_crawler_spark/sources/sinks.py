@@ -18,6 +18,9 @@ SURVEY.md §7 hard-part 6).
 
 from __future__ import annotations
 
+from typing import Callable, Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -54,7 +57,61 @@ def write_per_url_json(df: DataFrame, path: str, buckets: int = 64) -> None:
     )
 
 
-def foreach_batch_sink(df: DataFrame, handler) -> None:
+def foreach_batch_sink(df: DataFrame, handler: Callable[[pd.DataFrame], None]) -> int:
     """Custom-backend plug point (the StorageBackend ABC analog,
-    storage.py:24-31): handler(pandas_batch) called per partition chunk."""
-    df.foreachPartition(lambda rows: handler(list(rows)))
+    storage.py:24-31): ``handler(pandas_batch)`` called per Arrow chunk on
+    the executors — pandas-batched like every other Python crossing in the
+    engine, never row-at-a-time.  Returns the number of rows routed.
+
+    The handler runs ON THE EXECUTORS: it must write to an external system
+    or shared storage (driver-side object mutations are lost).  For the
+    reference's MongoDB-shaped ``insert_one`` envelope contract use
+    ``write_storage_backend``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        for pdf in batches:
+            if len(pdf):
+                handler(pdf)
+                n += len(pdf)
+        yield pd.DataFrame({"n": [n]})
+
+    counted = df.mapInPandas(run, schema="n long")
+    return int(counted.agg(F.sum("n")).first()[0] or 0)
+
+
+def write_storage_backend(
+    df: DataFrame,
+    backend_factory: Callable[[], object],
+    round_ts: str,
+    data_cols: list[str],
+) -> int:
+    """Route results through a StorageBackend-shaped handler — the concrete
+    MongoDB-adapter path (reference storage.py:153-199): one backend per
+    partition (connection amortized, like the reference's lazy
+    ``_ensure_connected``), ``insert_one({url, timestamp, data})`` per
+    record with a RAW datetime timestamp (storage.py:189 stores
+    ``datetime.now()``, not an isoformat string — here the deterministic
+    per-round constant), then ``finalize()`` if the backend has one.
+    ``backend_factory`` must be picklable (executors construct the backend;
+    e.g. ``lambda: pymongo.MongoClient(uri)[db][coll]``-style wrapper).
+    Returns the number of records inserted."""
+    env = with_envelope(df, round_ts, data_cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = backend_factory()
+        n = 0
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                ts = rec["ts"]
+                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                backend.insert_one(
+                    {"url": rec["url"], "timestamp": ts, "data": rec["data"]}
+                )
+                n += 1
+        if hasattr(backend, "finalize"):
+            backend.finalize()
+        yield pd.DataFrame({"n": [n]})
+
+    counted = env.mapInPandas(run, schema="n long")
+    return int(counted.agg(F.sum("n")).first()[0] or 0)

@@ -10,8 +10,12 @@ streaming first-wins dedup — with state checkpointed/restored by the
 Structured Streaming runtime (resume-for-free, matching the batch engine's
 snapshot semantics).
 
-State per bucket is a packed int64 numpy array (hashes, not strings): 8 bytes
-per seen url, vectorized membership via ``np.isin`` — no per-row Python.
+State per bucket keeps the packed int64 hash array as the vectorized fast
+path (``np.isin``, 8 bytes/url) PLUS the url strings: a hash hit is only a
+*candidate* duplicate and is confirmed by exact url membership before the
+row is dropped — at ~10^10 urls a few 64-bit collisions are expected, and a
+hash-only seen set would silently lose distinct urls (the batch engine's
+rule in operators/dedup.py: membership is never hash/Bloom-only).
 """
 
 from __future__ import annotations
@@ -38,30 +42,53 @@ OUTPUT_SCHEMA = StructType(
         StructField("bucket", LongType()),
     ]
 )
-# state: the bucket's seen url-hashes, packed as binary-ish long array
-STATE_SCHEMA = StructType([StructField("hashes", ArrayType(LongType()))])
+# state: the bucket's seen url-hashes (fast prefilter) + the urls themselves
+# (exact membership — collisions must not drop distinct urls)
+STATE_SCHEMA = StructType(
+    [
+        StructField("hashes", ArrayType(LongType())),
+        StructField("urls", ArrayType(StringType())),
+    ]
+)
+
+
+def _dedup_batch(
+    seen_hashes: np.ndarray, seen_urls: set, pdf: pd.DataFrame
+) -> np.ndarray:
+    """Pure core (unit-testable without a streaming runtime): the emit mask
+    for one batch.  Hash membership is only a prefilter; rows whose hash hits
+    are confirmed against the exact url set before being dropped."""
+    h = pdf["url_hash"].to_numpy(np.int64)
+    maybe_seen = np.isin(h, seen_hashes)
+    first_mask = ~pdf["url"].duplicated(keep="first").to_numpy()
+    if maybe_seen.any():
+        confirmed = pdf["url"].isin(seen_urls).to_numpy()
+    else:
+        confirmed = np.zeros(len(pdf), dtype=bool)
+    return ~confirmed & first_mask
 
 
 def _dedup_group(
     key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
-        (hashes_list,) = state.get
-        seen = np.asarray(hashes_list, dtype=np.int64)
+        hashes_list, urls_list = state.get
+        seen_h = np.asarray(hashes_list, dtype=np.int64)
+        seen_u = list(urls_list)
     else:
-        seen = np.empty(0, dtype=np.int64)
+        seen_h = np.empty(0, dtype=np.int64)
+        seen_u = []
+    seen_set = set(seen_u)
     for pdf in pdfs:
-        h = pdf["url_hash"].to_numpy(np.int64)
-        # within-batch first-wins + against-state membership, vectorized
-        mask_new = ~np.isin(h, seen)
-        first_mask = ~pd.Series(h).duplicated(keep="first").to_numpy()
-        emit = pdf[mask_new & first_mask]
+        emit = pdf[_dedup_batch(seen_h, seen_set, pdf)]
         if len(emit):
-            seen = np.concatenate([seen, emit["url_hash"].to_numpy(np.int64)])
+            seen_h = np.concatenate([seen_h, emit["url_hash"].to_numpy(np.int64)])
+            seen_u.extend(emit["url"])
+            seen_set.update(emit["url"])
             yield pd.DataFrame(
                 {"url": emit["url"], "bucket": np.full(len(emit), key[0], dtype=np.int64)}
             )
-    state.update((seen.tolist(),))
+    state.update((seen_h.tolist(), seen_u))
 
 
 def streaming_seen_dedup(

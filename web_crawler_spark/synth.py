@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v5"
+SYNTH_VERSION = "v6"
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -264,14 +264,70 @@ def _gen_media(rng: random.Random, sf: str):
 
 EXPECTED_CRAWL_ROUNDS = 3
 
+# -- ChainStep golden scenario (reference chain_crawler.py:24-43) -----------
+#
+# A 3-step chain where step 0 follows only links whose trailing page id is
+# even (the listing->detail pattern of example_chain_crawling.py), later
+# steps follow everything.  The same rule is expressed twice, independently:
+# pure-Python for the refsim golden, Column functions for the engine.
 
-def _gen_expected_crawl(pages_tbl: pa.Table, seeds_tbl: pa.Table):
+CHAIN_ROUNDS = 3
+
+
+def _trailing_num(url: str):
+    import re
+
+    m = re.search(r"(\d+)$", url)
+    return int(m.group(1)) if m else None
+
+
+def chain_extract_even(data: dict) -> list[str]:
+    """Step-0 extraction rule (refsim side): links with an even trailing id."""
+    out = []
+    for link in data["links"]:
+        n = _trailing_num(link)
+        if n is not None and n % 2 == 0:
+            out.append(link)
+    return out
+
+
+def chain_sim_steps() -> list:
+    return [
+        refsim.SimStep(extract=chain_extract_even, name="listing"),
+        refsim.SimStep(name="detail"),
+        refsim.SimStep(name="leaf"),
+    ]
+
+
+def chain_spark_steps() -> list:
+    """Engine StepConfigs for the same scenario (JVM-side Column filter)."""
+    from pyspark.sql import functions as F
+
+    from .plans.crawl import StepConfig
+
+    def even_links(parsed):
+        def is_even(x):
+            num = F.regexp_extract(x, r"(\d+)$", 1)
+            return (num != F.lit("")) & (num.cast("long") % 2 == F.lit(0))
+
+        return F.filter(parsed["links"], is_even)
+
+    return [
+        StepConfig(links_extractor=even_links, name="listing"),
+        StepConfig(name="detail"),
+        StepConfig(name="leaf"),
+    ]
+
+
+def _gen_expected_crawl(pages_tbl: pa.Table, seeds_tbl: pa.Table, steps=None):
     pages = {
         u.as_py(): h.as_py()
         for u, h in zip(pages_tbl.column("url"), pages_tbl.column("html"))
     }
     seeds = [u.as_py() for u in seeds_tbl.column("url")]
-    sim = refsim.simulate_chain_crawl(pages, seeds, rounds=EXPECTED_CRAWL_ROUNDS)
+    sim = refsim.simulate_chain_crawl(
+        pages, seeds, rounds=EXPECTED_CRAWL_ROUNDS, steps=steps
+    )
     recs = sim.records
     return pa.table(
         {
@@ -304,6 +360,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     cands = _gen_candidates(rng, urls)
     media = _gen_media(rng, sf)
     expected = _gen_expected_crawl(pages, seeds)
+    expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     # small row groups so Spark's byte-range splits hold real rows — a single
     # giant row group serializes every scan into one task (Common-Crawl data
     # comes as thousands of files; this models that split-ability)
@@ -313,6 +370,9 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(cands, synth_path(sf, "url_candidates"))
     pq.write_table(media, synth_path(sf, "media"), row_group_size=512)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
+    pq.write_table(
+        expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
+    )
     with open(marker, "w") as f:
         f.write(SYNTH_VERSION)
     return out
