@@ -26,9 +26,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from web_crawler_spark import synth  # noqa: E402
 from web_crawler_spark.functions import dedupsim, html_parse, simsearch, urlnorm  # noqa: E402
-from web_crawler_spark.operators.dedup import anti_join_seen, first_wins  # noqa: E402
-from web_crawler_spark.operators.politeness import select_host_budget_batch, with_host  # noqa: E402
 from web_crawler_spark.plans.crawl import ChainCrawl, CrawlConfig  # noqa: E402
+from web_crawler_spark.plans.schedule import schedule_frontier  # noqa: E402
 from web_crawler_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,20 +50,17 @@ def bench_parse_extract(spark, sf):
 
 
 def bench_frontier_sched(spark, sf):
-    """The north-star op: explode candidate links -> canonicalize (Arrow UDF)
-    -> first-wins dedup -> seen anti-join -> salted politeness budget."""
+    """The north-star op: explode candidate links -> canonicalize (JVM fast
+    mask; Python only for the messy residue) -> seen anti-join BEFORE the
+    dedup exchange (rediscoveries die map-side under the broadcast) ->
+    first-wins dedup -> politeness budget (plans/schedule.py)."""
     meta = spark.read.parquet(synth.synth_path(sf, "pages_meta"))
     seen = spark.read.parquet(synth.synth_path(sf, "pages_meta")).select("url").limit(20000)
     links = meta.select(
         F.xxhash64("url").alias("p0"), F.posexplode("links").alias("p1", "url")
-    )
-    cand = links.withColumn("url", urlnorm.canonicalize_udf(F.col("url"))).filter(
-        F.col("url").isNotNull()
-    )
-    fresh = first_wins(cand.select("url", "p0", F.col("p1").cast("long").alias("p1")), "url", ["p0", "p1"])
-    unseen = anti_join_seen(fresh, seen)
-    frontier = with_host(unseen).withColumn("attempt", F.lit(0)).withColumn("depth", F.lit(0))
-    batch = select_host_budget_batch(frontier, ["attempt", "depth", "p0", "p1"], budget=100)
+    ).select("url", "p0", F.col("p1").cast("long").alias("p1"))
+    cand = urlnorm.with_canonical_split(links).filter(F.col("url").isNotNull())
+    batch = schedule_frontier(cand, seen, ["p0", "p1"], budget=100)
     return batch.count()
 
 

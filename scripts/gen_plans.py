@@ -54,6 +54,33 @@ def main() -> None:
         "Want: BroadcastNestedLoopJoin with the tiny query side broadcast; WindowGroupLimit for top-k.",
     )
 
+    from web_crawler_spark.functions import urlnorm  # noqa: E402
+    from web_crawler_spark.operators import bloom as bloomlib  # noqa: E402
+    from web_crawler_spark.plans.schedule import schedule_frontier  # noqa: E402
+
+    meta = spark.read.parquet(synth.synth_path("0.001", "pages_meta"))
+    links = meta.select(
+        F.xxhash64("url").alias("p0"), F.posexplode("links").alias("p1", "url")
+    ).select("url", "p0", F.col("p1").cast("long").alias("p1"))
+    cand = urlnorm.with_canonical_split(links).filter(F.col("url").isNotNull())
+    seen = meta.select("url").limit(100)
+    cap(
+        "frontier scheduling — anti-join before the dedup exchange",
+        schedule_frontier(cand, seen, ["p0", "p1"], budget=5),
+        "Want: rediscoveries die at a BroadcastHashJoin LeftAnti BEFORE the\n"
+        "first-wins aggregate's exchange; ArrowEvalPython appears only on the\n"
+        "slow canonicalize branch (the fast branch is a codegen'd rlike);\n"
+        "two big-side exchanges total (dedup agg on url, host window).",
+    )
+    bloom = bloomlib.build_bloom(seen, "url")
+    cap(
+        "frontier scheduling — with the sharded bloom split",
+        schedule_frontier(cand, seen, ["p0", "p1"], budget=5, bloom=bloom),
+        "Want: the bloom probe (ArrowEvalPython over xxhash64) splits\n"
+        "candidates map-side; only the maybe-seen branch reaches the exact\n"
+        "anti-join; the union feeds one dedup exchange.",
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")
         f.write(

@@ -35,8 +35,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from web_crawler_spark import synth  # noqa: E402
 from web_crawler_spark.functions import html_parse, urlnorm  # noqa: E402
-from web_crawler_spark.operators.dedup import anti_join_seen, first_wins  # noqa: E402
-from web_crawler_spark.operators.politeness import select_host_budget_batch, with_host  # noqa: E402
+from web_crawler_spark.plans.schedule import schedule_frontier  # noqa: E402
 from web_crawler_spark.session import get_spark  # noqa: E402
 
 
@@ -85,24 +84,27 @@ def main() -> None:
         (F.col("p1") * mult + F.col("v")).cast("long").alias("p1"),
     )
     seen = meta.select(F.concat(F.col("url"), F.lit("?v=0")).alias("url"))
+    # candidates arrive materialized from the (persisted) parse stage in the
+    # engine; model that so the canonicalize split reads a materialized input
+    amplified = amplified.localCheckpoint(eager=True)
     n_cand = amplified.count()
 
     t0 = time.time()
-    cand = amplified.withColumn("url", urlnorm.canonicalize_udf(F.col("url"))).filter(
-        F.col("url").isNotNull()
-    )
-    fresh = first_wins(cand, "url", ["p0", "p1"])
-    unseen = anti_join_seen(fresh, seen)
-    frontier = (
-        with_host(unseen)
-        .withColumn("attempt", F.lit(0))
-        .withColumn("depth", F.lit(0))
-    )
-    batch = select_host_budget_batch(
-        frontier, ["attempt", "depth", "p0", "p1"], budget=1000
-    )
+    cand = urlnorm.with_canonical_split(amplified).filter(F.col("url").isNotNull())
+    batch = schedule_frontier(cand, seen, ["p0", "p1"], budget=1000)
     batch.write.mode("overwrite").format("noop").save()
     sched_sec = time.time() - t0
+
+    # ---- shuffle control: 4 back-to-back full-data exchanges, no Python,
+    # no aggregation — the isolated fabric-ceiling measurement (all executor
+    # processes share ONE box's tmpfs + loopback; a real cluster adds
+    # disks/NICs per node) ----
+    t0 = time.time()
+    ctl = amplified
+    for key in ("url", "p0", "p1", "url"):
+        ctl = ctl.repartition(max(n_exec * 2, 8), F.col(key))
+    ctl.write.mode("overwrite").format("noop").save()
+    shuffle_sec = time.time() - t0
 
     # ---- parse ----
     # amplify so total work is hundreds of core-seconds — at sandbox scale the
@@ -124,6 +126,8 @@ def main() -> None:
                 "cpus": n_exec,
                 "sched_sec": round(sched_sec, 3),
                 "sched_rows": n_cand,
+                "shuffle_sec": round(shuffle_sec, 3),
+                "shuffle_rows": n_cand,
                 "parse_sec": round(parse_sec, 3),
                 "parse_rows": n_pages,
             }

@@ -28,6 +28,47 @@ def test_plain_and_generic_parsers(spark, tmp_path):
     assert both.count() == 3
 
 
+FREEPROXY_HTML = """<html><body><div class="table-container"><table><tbody>
+<tr><th>ip</th></tr>
+<tr><td>1.2.3.4</td><td>8080</td><td>US</td><td>city</td><td>fast</td>
+    <td><a>HTTP</a><a>SOCKS5</a></td><td>yes</td><td>1m</td></tr>
+<tr><td>5.6.7.8</td><td>3128</td><td>DE</td><td>x</td><td>y</td>
+    <td><a>http</a></td><td>no</td><td>2m</td></tr>
+<tr><td>9.9.9.9</td><td>1080</td><td>FR</td><td>x</td><td>y</td>
+    <td><a>ftp</a></td><td>yes</td><td>3m</td></tr>
+<tr><td>short</td><td>row</td></tr>
+</tbody></table></div></body></html>"""
+
+PROXYDB_HTML = """<html><body><div class="table-responsive"><table><tbody>
+<tr><td>1.1.1.1</td><td><a href="#">80</a></td><td>http</td><td>x</td>
+    <td>x</td><td>x</td><td>x</td><td>x</td><td>x</td></tr>
+<tr><td>2.2.2.2</td><td>443</td><td>SOCKS4</td><td>x</td>
+    <td>x</td><td>x</td><td>x</td><td>x</td><td>x</td></tr>
+<tr><td>3.3.3.3</td><td>21</td><td>gopher</td><td>x</td>
+    <td>x</td><td>x</td><td>x</td><td>x</td><td>x</td></tr>
+<tr><td>tiny</td></tr>
+</tbody></table></div></body></html>"""
+
+
+def test_table_scrape_formats(spark, tmp_path):
+    """The two HTML-table formats (proxy_manager.py:135-181): alive filter,
+    multi-protocol fan-out, anchor-or-text port, protocol whitelist."""
+    f1 = tmp_path / "freeproxy.html"
+    f1.write_text(FREEPROXY_HTML)
+    got1 = sorted(
+        r["proxy"] for r in proxypool.load_sources(spark, [str(f1)], fmt="freeproxy-world").collect()
+    )
+    # row 2 is marked not-alive ('no'), row 3 has no whitelisted protocol
+    assert got1 == ["http://1.2.3.4:8080", "socks5://1.2.3.4:8080"]
+
+    f2 = tmp_path / "proxydb.html"
+    f2.write_text(PROXYDB_HTML)
+    got2 = sorted(
+        r["proxy"] for r in proxypool.load_sources(spark, [str(f2)], fmt="proxydb").collect()
+    )
+    assert got2 == ["http://1.1.1.1:80", "socks4://2.2.2.2:443"]
+
+
 def test_source_order_survives_multipartition(spark, tmp_path):
     """First-wins must follow SOURCE order even when an earlier source scans
     as many partitions (monotonically_increasing_id jumps by 2^33 per

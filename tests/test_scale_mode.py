@@ -98,3 +98,41 @@ def test_crash_mid_round_leaves_no_marker(spark, sf_small, tmp_path):
 
     os.makedirs(d / "round=0002" / "results", exist_ok=True)
     assert ck.last_committed() == 1
+
+
+def test_resume_preserves_host_cooldowns(spark, sf_small, tmp_path):
+    """A crawl with host cooldowns interrupted and resumed must equal the
+    uninterrupted run — host_state is checkpointed per round, so a failing
+    host's cooldown survives the restart (ADVICE r1)."""
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    seeds = spark.read.parquet(synth.synth_path("0.001", "seeds"))
+
+    def run(ckpt=None, resume=False, stop_after=None):
+        cfg = CrawlConfig(
+            rounds=4,
+            mode="scale",
+            host_budget=20,
+            use_bloom=False,
+            host_cooldown_rounds=2,
+            host_cooldown_min_fetches=1,
+            host_cooldown_fail_ratio=0.5,
+            checkpoint_dir=str(ckpt) if ckpt else None,
+            resume=resume,
+        )
+        state = ChainCrawl(spark, pages, cfg).run(seeds, stop_after_round=stop_after)
+        return (
+            ChainCrawl.fetch_log(state)
+            .toPandas()
+            .sort_values("fetch_seq")
+            .reset_index(drop=True)
+        )
+
+    straight = run(ckpt=tmp_path / "s")
+    # dead hosts exist in the fixture => cooldowns actually engage
+    dead_fetches = straight[~straight["ok"]]
+    assert len(dead_fetches) > 0
+    run(ckpt=tmp_path / "r", stop_after=1)
+    resumed = run(ckpt=tmp_path / "r", resume=True)
+    assert list(straight["url"]) == list(resumed["url"])
+    assert list(straight["fetch_seq"]) == list(resumed["fetch_seq"])
+    assert list(straight["ok"]) == list(resumed["ok"])

@@ -1,0 +1,66 @@
+"""schedule_frontier: the anti-join-before-dedup reorder must be result-
+identical to the naive dedup-first pipeline (bloom split included)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.operators import bloom as bloomlib
+from web_crawler_spark.operators.dedup import anti_join_seen, first_wins
+from web_crawler_spark.operators.politeness import select_host_budget_batch, with_host
+from web_crawler_spark.plans.schedule import dedup_unseen, schedule_frontier
+
+
+def _fixture(spark):
+    rng = random.Random(11)
+    rows = []
+    for i in range(4000):
+        u = f"http://h{rng.randrange(12)}.example/p/{rng.randrange(800)}"
+        rows.append((u, rng.randrange(10**6), i))
+    cand = spark.createDataFrame(rows, "url string, p0 bigint, p1 bigint").repartition(8)
+    seen = spark.createDataFrame(
+        [(f"http://h{h}.example/p/{p}",) for h in range(12) for p in range(0, 800, 3)],
+        "url string",
+    )
+    return cand, seen, rows
+
+
+def test_dedup_unseen_equals_dedup_first(spark):
+    cand, seen, rows = _fixture(spark)
+    bloom = bloomlib.build_bloom(seen, "url")
+    got = sorted(
+        (r["url"], r["p0"], r["p1"])
+        for r in dedup_unseen(cand, seen, ["p0", "p1"], bloom).collect()
+    )
+    # naive order: dedup first, then bloom split + anti-join
+    fresh = first_wins(cand, "url", ["p0", "p1"])
+    d_new, maybe = bloomlib.bloom_prefilter(fresh, bloom)
+    want = sorted(
+        (r["url"], r["p0"], r["p1"])
+        for r in d_new.unionByName(anti_join_seen(maybe, seen)).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_schedule_frontier_budget_matches_explicit(spark):
+    cand, seen, _ = _fixture(spark)
+    got = {
+        (r["url"], r["host_rank"])
+        for r in schedule_frontier(cand, seen, ["p0", "p1"], budget=7).collect()
+    }
+    unseen = anti_join_seen(first_wins(cand, "url", ["p0", "p1"]), seen)
+    want = {
+        (r["url"], r["host_rank"])
+        for r in select_host_budget_batch(
+            with_host(unseen), ["p0", "p1"], budget=7
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_schedule_frontier_no_seen(spark):
+    cand, _, _ = _fixture(spark)
+    out = schedule_frontier(cand, None, ["p0", "p1"], budget=None)
+    assert out.count() == cand.select("url").distinct().count()

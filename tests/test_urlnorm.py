@@ -85,3 +85,32 @@ def test_udf_plan_is_arrow(spark, sf_small):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_jvm_fast_mask_is_conservative(spark, sf_small):
+    """Wherever the JVM rlike mask claims "already canonical", the per-row
+    canonicalizer must be a fixpoint — the mask may only route identity rows
+    around the Python UDF."""
+    cands = spark.read.parquet(synth.synth_path("0.001", "url_candidates"))
+    fast_rows = cands.filter(urlnorm.fast_canonical_mask("raw")).collect()
+    assert fast_rows  # the mask actually fires on this corpus
+    for r in fast_rows:
+        assert urlnorm.canonicalize_url(r["raw"]) == r["raw"], r["raw"]
+
+
+def test_split_canonicalize_matches_udf(spark, sf_small):
+    """with_canonical_split output == plain UDF output, row for row."""
+    cands = spark.read.parquet(synth.synth_path("0.001", "url_candidates"))
+    got = {
+        r["cand_id"]: r["url"]
+        for r in urlnorm.with_canonical_split(
+            cands.select("cand_id", F.col("raw").alias("url"))
+        ).collect()
+    }
+    want = {
+        r["cand_id"]: r["c"]
+        for r in cands.select(
+            "cand_id", urlnorm.canonicalize_udf(F.col("raw")).alias("c")
+        ).collect()
+    }
+    assert got == want

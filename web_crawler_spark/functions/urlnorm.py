@@ -28,15 +28,19 @@ _HEX = "0123456789ABCDEFabcdef"
 
 # Fast path: urls that canonicalization cannot change — lowercase scheme+host,
 # no port, no userinfo, no percent-escapes, no dot segments, no fragment,
-# non-empty path of safe chars, optional query of safe chars.
-_CANONICAL_RE = re.compile(
+# non-empty path of safe chars, optional query of safe chars.  The pattern
+# strings are shared verbatim between the pandas fast path and the JVM-side
+# rlike mask (Java and Python regex agree on this subset).
+_CANONICAL_RE_STR = (
     r"^https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?"
     r"/[A-Za-z0-9\-._~!$&'()*+,;=:@/]*"
     # non-empty query only: a bare trailing '?' (empty query) is dropped by
     # canonicalization, so it must take the slow path
     r"(?:\?[A-Za-z0-9\-._~!$&'()*+,;=:@/?]+)?$"
 )
-_DOTSEG_RE = re.compile(r"/\.\.?(?:/|$)|^\.\.?(?:/|$)")
+_DOTSEG_RE_STR = r"/\.\.?(?:/|$)|^\.\.?(?:/|$)"
+_CANONICAL_RE = re.compile(_CANONICAL_RE_STR)
+_DOTSEG_RE = re.compile(_DOTSEG_RE_STR)
 
 
 def _norm_pct(component: str) -> str:
@@ -151,6 +155,38 @@ def _canonicalize_series(urls: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return _canonicalize_series(urls)
+
+
+def fast_canonical_mask(col) -> "F.Column":
+    """JVM-side already-canonical test (same patterns as the pandas fast
+    path): true => canonicalize_url(u) == u, whole-stage-codegen cheap."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        c.rlike(_CANONICAL_RE_STR) & ~c.rlike(_DOTSEG_RE_STR), F.lit(False)
+    )
+
+
+def with_canonical_split(df, src_col: str = "url", out_col: str = "url"):
+    """Canonicalize a column with the Arrow crossing paid ONLY by the messy
+    residue: a JVM rlike mask routes already-canonical urls (the vast
+    majority of real link corpora) around the Python UDF entirely.  The
+    per-row Python canonicalizer is the single source of truth — the mask is
+    provably conservative (property-tested: mask => fixpoint).
+
+    Plan shape: filter(mask) ∪ filter(!mask)->ArrowEvalPython.  The two
+    branches recompute their common input, so feed this from a materialized
+    (persisted / checkpointed / scanned) frame — in the engine the upstream
+    parse output is already persisted, making the recompute a cache read.
+    Scale note: this turns canonicalization from an every-row Python
+    crossing (Arrow serialize + socket + deserialize per url, the dominant
+    sched cost at high executor counts) into a codegen'd regex."""
+    fast = df.filter(fast_canonical_mask(src_col))
+    if out_col != src_col:
+        fast = fast.withColumn(out_col, F.col(src_col))
+    slow = df.filter(~fast_canonical_mask(src_col)).withColumn(
+        out_col, canonicalize_udf(F.col(src_col))
+    )
+    return fast.unionByName(slow)
 
 
 def with_canonical_url(df, src_col: str = "url", out_col: str = "url_canon"):

@@ -41,8 +41,9 @@ from typing import Callable, Optional
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..functions import registry as parser_registry
-from ..functions.urlnorm import canonicalize_udf
-from ..operators.dedup import first_wins, anti_join_seen
+from ..functions.urlnorm import canonicalize_udf, with_canonical_split
+from ..operators.dedup import first_wins, anti_join_seen  # noqa: F401 (anti_join_seen re-exported for plans)
+from .schedule import dedup_unseen
 from ..operators.ordering import with_global_seq
 from ..operators.politeness import select_host_budget_batch, with_host
 from ..operators import bloom as bloomlib
@@ -351,7 +352,9 @@ class ChainCrawl:
                 )
             )
             if cfg.mode == "scale":
-                links = links.withColumn("url", canonicalize_udf(F.col("url"))).filter(
+                # JVM fast-mask split: only messy hrefs pay the Arrow/Python
+                # crossing; branch recompute reads the persisted `parsed`
+                links = with_canonical_split(links).filter(
                     F.col("url").isNotNull()
                 )
             cand = links.select(
@@ -366,10 +369,13 @@ class ChainCrawl:
             metrics["next_urls_found"] = (
                 cand.count() if cfg.mode == "parity" else None
             )
-            fresh = first_wins(cand, "url", ["depth", "p0", "p1"])
 
             if cfg.mode == "scale":
-                # enqueue-time global dedup: drop anything ever enqueued
+                # enqueue-time global dedup: drop anything ever enqueued.
+                # The bloom split + exact anti-join run BEFORE the dedup
+                # exchange (plans/schedule.py): rediscovered urls — the bulk
+                # of a steady-state crawl's candidates — die map-side instead
+                # of paying the dedup shuffle
                 assert state.seen is not None
                 bloom = None
                 if cfg.use_bloom and state.fetch_offset + batch_n >= cfg.bloom_min_seen:
@@ -382,9 +388,8 @@ class ChainCrawl:
                             ),
                         )
                     bloom = self._bloom
-                definitely_new, maybe = bloomlib.bloom_prefilter(fresh, bloom)
-                survivors = definitely_new.unionByName(
-                    anti_join_seen(maybe, state.seen, "url")
+                survivors = dedup_unseen(
+                    cand, state.seen, ["depth", "p0", "p1"], bloom
                 )
                 # materialize once; frontier', seen' and the bloom delta all
                 # read it without recomputing the dedup/anti-join chain
@@ -424,7 +429,9 @@ class ChainCrawl:
                         ),
                     )
             else:
-                next_front = fresh
+                # parity: within-step first-wins only (dict.fromkeys,
+                # chain_crawler.py:377-379), no cross-step seen set
+                next_front = first_wins(cand, "url", ["depth", "p0", "p1"])
                 new_seen = None
 
         # host cooldown update (Retry-After analog): hosts failing hard this

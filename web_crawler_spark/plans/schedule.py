@@ -1,0 +1,82 @@
+"""The frontier-scheduling plan — candidates -> budgeted fetch batch — with
+its shuffles arranged so already-seen candidates never cross the fabric.
+
+Per-row journey (the fabric-minimal shape for exact semantics):
+
+    cand ──bloom prefilter (map-side, broadcast bitmaps)──┐
+      definitely-new ────────────────────────────────┐    │
+      maybe-seen ──exact anti-join vs url_seen───────┤    │ rediscoveries
+                   (broadcast when seen fits; AQE    │    │ drop BEFORE any
+                    picks SMJ otherwise — and then   │    │ exchange when the
+                    the join's hash(url) output      │    │ seen side
+                    partitioning is REUSED by the    │    │ broadcasts
+                    dedup below: still one exchange) │    │
+      kept = union ──first-wins dedup (exchange 1 on url)─┘
+      winners ──host budget rank (exchange 2 on host)── batch
+
+Ordering safety: the bloom verdict is a pure function of the url, so every
+copy of a url takes the same branch and the post-union first-wins sees the
+whole url group — result identical to dedup-before-anti-join (equivalence
+is pytest-asserted).  Anti-join-before-dedup is the fabric win: in a
+steady-state crawl most candidates are rediscoveries of seen urls; with the
+bloom split they die map-side (broadcast bitmap probe + broadcast/bucketed
+exact check) instead of paying the dedup shuffle first.
+
+At 10^10 scale: exchange 1 carries only never-seen urls (+ ~1% bloom fps);
+exchange 2 carries only per-host budget winners (WindowGroupLimit prunes
+partially before the shuffle).  Every other step is map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators import bloom as bloomlib
+from ..operators.dedup import anti_join_seen, first_wins
+from ..operators.politeness import select_host_budget_batch, with_host
+
+
+def dedup_unseen(
+    cand: DataFrame,
+    seen: DataFrame | None,
+    order_cols: list[str],
+    bloom: "bloomlib.ShardedBloom | None" = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """candidates -> first-wins-deduped, never-seen urls (exact).  The bloom
+    split and the exact anti-join run BEFORE the dedup exchange so seen
+    rediscoveries don't shuffle; correctness stays with the anti-join."""
+    if seen is None:
+        return first_wins(cand, url_col, order_cols)
+    if bloom is None:
+        # no sidecar: single-branch anti-join (broadcast when seen fits —
+        # AQE's choice; a degenerate limit(0)-union here measurably degrades
+        # the join plan, so the split only exists when a bloom does)
+        kept = anti_join_seen(cand, seen, url_col)
+    else:
+        definitely_new, maybe = bloomlib.bloom_prefilter(cand, bloom, key_col=url_col)
+        kept = definitely_new.unionByName(anti_join_seen(maybe, seen, url_col))
+    return first_wins(kept, url_col, order_cols)
+
+
+def schedule_frontier(
+    cand: DataFrame,
+    seen: DataFrame | None,
+    order_cols: list[str],
+    budget: int | None,
+    bloom: "bloomlib.ShardedBloom | None" = None,
+    host_rules: DataFrame | None = None,
+    salt_buckets: int | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Full scheduling op: canonicalized candidates -> deduped unseen ->
+    per-host politeness-budgeted batch (with host_rank)."""
+    winners = dedup_unseen(cand, seen, order_cols, bloom, url_col)
+    frontier = with_host(winners, url_col=url_col)
+    return select_host_budget_batch(
+        frontier,
+        order_cols=order_cols,
+        budget=budget,
+        host_rules=host_rules,
+        salt_buckets=salt_buckets,
+    )
