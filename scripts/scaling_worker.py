@@ -13,8 +13,9 @@ amortizes to zero.
 
 Workloads (fixed input, independent of parallelism):
   * sched — the north-star scheduling op over an amplified candidate set:
-    canonicalize (Arrow UDF) -> first-wins dedup -> seen anti-join ->
-    politeness budget rank.
+    canonicalize (JVM fast-path mask; Arrow UDF only for the messy residue)
+    -> seen anti-join before the dedup exchange -> first-wins dedup ->
+    politeness budget rank (plans/schedule.py).
   * parse — the HTML extraction kernel over the amplified pages table.
 
 Prints one JSON line {"cpus": N, "sched_sec": ..., "sched_rows": ...,
@@ -42,7 +43,7 @@ from web_crawler_spark.session import get_spark  # noqa: E402
 def main() -> None:
     n_exec = int(sys.argv[1])
     sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
-    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "8"))
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "16"))
     synth.ensure_synth(sf)
     extra = {
         # a cluster-sized job reads thousands of files; model that split

@@ -127,3 +127,34 @@ def test_bucketed_pages_join_shuffles_only_the_batch(spark, sf_small, tmp_path):
     # exactly one exchange: the batch side; the bucketed scan provides its own
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" in plan
+
+
+def test_bucketed_seen_anti_join_shuffles_only_candidates(spark, sf_small, tmp_path):
+    """With a url-bucketed url_seen table, the per-round exact anti-join must
+    not exchange the seen side — at 10^10 seen urls re-shuffling the seen set
+    every round would dominate the crawl; bucketing moves only the
+    (bloom-thinned) candidate side."""
+    import shutil
+
+    from web_crawler_spark import synth
+    from web_crawler_spark.operators import dedup as dedup_ops
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS wcs_test")
+    spark.sql("DROP TABLE IF EXISTS wcs_test.seen_bucketed")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, "wcs_test.db", "seen_bucketed"), ignore_errors=True)
+    seen = spark.read.parquet(synth.synth_path("0.001", "pages")).select("url")
+    dedup_ops.write_bucketed_seen(seen, "wcs_test.seen_bucketed", buckets=8)
+    bucketed = dedup_ops.read_bucketed_seen(spark, "wcs_test.seen_bucketed")
+
+    cand = spark.range(2000).select(
+        F.concat(F.lit("http://host0.example/p/"), F.col("id").cast("string")).alias("url")
+    ).hint("shuffle_merge")
+    unseen = dedup_ops.anti_join_seen(cand, bucketed)
+    plan = _plan(unseen)
+    assert plan.count("Exchange hashpartitioning") == 1  # candidates only
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    assert "SelectedBucketsCount" in plan  # the seen scan provides its layout
+    # semantics unchanged vs a plain-parquet seen
+    want = dedup_ops.anti_join_seen(cand, seen).count()
+    assert unseen.count() == want

@@ -130,3 +130,25 @@ def test_proxy_failure_statuses(spark):
         [(200,), (407,), (502,), (404,), (503,), (504,)], "status int"
     )
     assert proxypool.proxy_failure_filter(log).count() == 4
+
+
+def test_assign_proxy_deterministic_uniform_and_rotating(spark):
+    """J3: per-(url, attempt) assignment is deterministic, roughly uniform
+    over the pool, and retries rotate proxies."""
+    pool = [f"http://p{i}:80" for i in range(5)]
+    df = spark.createDataFrame(
+        [(f"http://h{i}.example/x", a) for i in range(400) for a in (0, 1)],
+        "url string, attempt int",
+    )
+    got = proxypool.assign_proxy(df, pool, attempt_col="attempt").toPandas()
+    counts = got["proxy"].value_counts()
+    assert set(counts.index) == set(pool)  # every proxy used
+    assert counts.min() > 80  # ~160 expected each; crude uniformity bar
+    again = proxypool.assign_proxy(df, pool, attempt_col="attempt").toPandas()
+    assert list(got["proxy"]) == list(again["proxy"])  # deterministic
+    by_url = got.pivot_table(index="url", columns="attempt", values="proxy", aggfunc="first")
+    rotated = (by_url[0] != by_url[1]).mean()
+    assert rotated > 0.6  # retries usually move to a different proxy
+
+    empty = proxypool.assign_proxy(df, [], attempt_col="attempt")
+    assert empty.filter(empty.proxy.isNotNull()).count() == 0

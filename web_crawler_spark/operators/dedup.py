@@ -34,3 +34,28 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "url") -> 
     """Exact not-in-seen filter (SURVEY.md §2.3 F2). Never replace with a
     Bloom-only check — false positives would drop real URLs."""
     return candidates.join(seen.select(key), on=key, how="left_anti")
+
+
+SEEN_BUCKETS = 64
+
+
+def write_bucketed_seen(seen: DataFrame, table_name: str, buckets: int = SEEN_BUCKETS) -> None:
+    """Persist the url_seen set hash-bucketed (+sorted) by url.
+
+    At 10^10 seen urls the per-round exact anti-join cannot broadcast the
+    seen side, and a plain sort-merge would RE-SHUFFLE the entire seen set
+    every round.  Bucketing gives the join the seen side's distribution for
+    free: only the (bloom-thinned) candidate side exchanges into the bucket
+    layout — the same only-the-small-side-moves property the bucketed pages
+    table gives the fetch join (sources/pages.py)."""
+    (
+        seen.write.mode("overwrite")
+        .bucketBy(buckets, "url")
+        .sortBy("url")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def read_bucketed_seen(spark, table_name: str) -> DataFrame:
+    return spark.table(table_name)

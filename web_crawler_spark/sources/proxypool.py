@@ -210,6 +210,29 @@ def load_sources(spark: SparkSession, paths: list[str], fmt: str = "plain") -> D
     )
 
 
+def assign_proxy(
+    df: DataFrame,
+    pool: list[str],
+    url_col: str = "url",
+    attempt_col: str | None = None,
+    out: str = "proxy",
+) -> DataFrame:
+    """J3: stateless deterministic proxy assignment — the engine's analog of
+    the reference's ``random.choice(available)`` per attempt
+    (proxy_manager.py:187-201).  Uniform over the pool via
+    ``pmod(xxhash64(url, attempt), n)``: retries rotate to a (usually)
+    different proxy, assignment is reproducible across runs (no RNG state),
+    and the pool rides as a plan literal (config-side, like the reference's
+    in-memory list — not a data-plane table)."""
+    if not pool:
+        return df.withColumn(out, F.lit(None).cast("string"))
+    keys = [F.col(url_col)]
+    if attempt_col is not None:
+        keys.append(F.col(attempt_col))
+    idx = (F.pmod(F.xxhash64(*keys), F.lit(len(pool))) + 1).cast("int")
+    return df.withColumn(out, F.element_at(F.array(*[F.lit(p) for p in pool]), idx))
+
+
 def is_socks(col) -> F.Column:
     """SOCKS-scheme predicate (http_client.py:27-31)."""
     return F.col(col).rlike(r"^socks[45]?://") if isinstance(col, str) else col.rlike(r"^socks[45]?://")
