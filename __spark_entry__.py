@@ -169,6 +169,28 @@ def q_crawl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_sched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed north-star scheduling op (plans/schedule.py): exploded
+    candidate links -> JVM canonical mask -> seen anti-join before the dedup
+    exchange -> first-wins dedup -> per-host politeness budget.  Fully
+    SQL-oracled: the fast mask's regexes run identically under DuckDB RE2,
+    and seen = every host0.example url (a deterministic large seen set)."""
+    from web_crawler_spark.functions import urlnorm as _urlnorm
+    from web_crawler_spark.plans.schedule import schedule_frontier
+
+    meta = _synth(spark, sf_dir, "pages_meta")
+    links = meta.select(
+        F.col("url").alias("parent"), F.posexplode("links").alias("link_pos", "url")
+    ).select("url", "parent", F.col("link_pos").cast("long").alias("link_pos"))
+    cand = links.filter(_urlnorm.fast_canonical_mask("url"))
+    seen = meta.filter(F.col("host") == "host0.example").select("url")
+    batch = schedule_frontier(cand, seen, ["parent", "link_pos"], budget=5)
+    return batch.select(
+        "url", "host", F.col("host_rank").cast("long").alias("host_rank"),
+        "parent", "link_pos",
+    )
+
+
 def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: per-round run stats (partial-per-partition, merged)."""
     state = _crawl_state(spark, sf_dir)
@@ -414,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_explode": q_link_explode,
         "crawl_fetch_log": q_crawl_fetch_log,
         "crawl_chain": q_crawl_chain,
+        "frontier_sched": q_frontier_sched,
         "crawl_stats": q_crawl_stats,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -435,6 +458,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": q_events_by_type,
         "events_user_rank": q_events_user_rank,
     }
+
+
+def _frontier_sched_oracle_sql(pages_meta: str) -> str:
+    """DuckDB twin of q_frontier_sched.  The engine's JVM fast mask uses
+    Java-regex syntax that RE2 also accepts (no backrefs/lookaround); the
+    single quote inside the safe-char class is SQL-escaped by doubling."""
+    from web_crawler_spark.functions import urlnorm as _urlnorm
+
+    canon = _urlnorm._CANONICAL_RE_STR.replace("'", "''")
+    dotseg = _urlnorm._DOTSEG_RE_STR.replace("'", "''")
+    return rf"""
+WITH links AS (
+  SELECT links[i] AS url, m.url AS parent, (i - 1)::BIGINT AS link_pos
+  FROM {pages_meta} m, LATERAL unnest(generate_series(1, len(links))) AS t(i)
+),
+cand AS (
+  SELECT * FROM links
+  WHERE regexp_matches(url, '{canon}') AND NOT regexp_matches(url, '{dotseg}')
+),
+seen AS (SELECT url FROM {pages_meta} WHERE host = 'host0.example'),
+unseen AS (
+  SELECT c.* FROM cand c WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = c.url)
+),
+fresh AS (
+  SELECT url, parent, link_pos FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY parent, link_pos) AS rn
+    FROM unseen
+  ) WHERE rn = 1
+),
+hosted AS (
+  SELECT *, lower(split_part(split_part(url, '://', 2), '/', 1)) AS host FROM fresh
+)
+SELECT url, host, host_rank, parent, link_pos FROM (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY parent, link_pos) AS host_rank
+  FROM hosted
+) WHERE host_rank <= 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -482,6 +542,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    coalesce(links_count, -1)::INT AS links_count
             FROM {expected_chain}
         """,
+        "frontier_sched": _frontier_sched_oracle_sql(pages_meta),
         "crawl_stats": f"""
             SELECT round::INT AS round,
                    count(*)::BIGINT AS urls_processed,

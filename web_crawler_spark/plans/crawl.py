@@ -325,11 +325,11 @@ class ChainCrawl:
             )
         )
         # materialize results now (localCheckpoint also serves as the round's
-        # heavy action); n_ok then reads materialized data instead of paying
-        # a second pass over the fetch+parse chain
+        # heavy action; with a checkpointer the parquet write is the action)
         if self.ckpt is None:
             results = results.localCheckpoint(eager=True)
-        n_ok = results.filter(F.col("ok")).count()
+        # success count falls out of the lineage partials — no extra job
+        n_ok = sum(row["ok_rows"] or 0 for row in lineage_rows)
         metrics = {
             "round": r,
             "urls_processed": batch_n,
