@@ -327,6 +327,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video frame sampling (1->N mapInPandas fan-out); the timestamp
+    grid is a pure function of duration, so the (media_id, frame_idx, ts_ms)
+    projection oracles exactly in SQL even though decode is stubbed."""
+    media = _synth(spark, sf_dir, "media")
+    return multimodal.sample_frames(media, max_frames=4).select(
+        "media_id", "frame_idx", "ts_ms"
+    )
+
+
 # ---------------------------------------------------------------------------
 # windowed/agg demos over the driver's events table
 # ---------------------------------------------------------------------------
@@ -453,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "media_sniff": q_media_sniff,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "doc_winnow": q_doc_winnow,
         "events_hourly": q_events_hourly,
         "events_by_type": q_events_by_type,
@@ -578,6 +589,16 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f"SELECT media_id, kind, octet_length(payload)::BIGINT AS n_bytes "
             f"FROM {media}"
         ),
+        "media_frames": f"""
+            SELECT media_id, (i - 1)::BIGINT AS frame_idx,
+                   floor((i - 0.5) * duration_s / n * 1000)::BIGINT AS ts_ms
+            FROM (
+              SELECT media_id, duration_s,
+                     least(4, greatest(1, floor(duration_s)::INT)) AS n
+              FROM {media}
+              WHERE kind = 'video' AND duration_s IS NOT NULL AND duration_s > 0
+            ), LATERAL unnest(generate_series(1, n)) AS t(i)
+        """,
         "doc_winnow": (
             f"SELECT doc_id, fp FROM read_parquet('{_winnow_golden_path(sf)}')"
         ),

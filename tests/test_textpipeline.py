@@ -220,3 +220,32 @@ def test_cosine_dup_lsh_finds_planted_pairs(spark):
     pairs = {(r["a"], r["b"]) for r in found}
     hits = sum((vid, vid + 100000) in pairs for vid, _ in rows[:30])
     assert hits == 30  # multi-table multiprobe recovers every planted pair
+
+
+def test_multimodal_resize_and_frames(spark, sf_small):
+    from web_crawler_spark import synth
+    from web_crawler_spark.functions import multimodal
+
+    media = spark.read.parquet(synth.synth_path("0.001", "media"))
+    thumbs = multimodal.resize_images(media, out_w=32, out_h=24).toPandas()
+    imgs = thumbs[thumbs["thumb"].notna()]
+    n_images = media.filter("kind = 'image'").count()
+    assert len(imgs) == n_images and len(thumbs) == media.count()
+    assert (imgs["out_w"] == 32).all() and (imgs["out_h"] == 24).all()
+    assert all(bytes(t)[:4] == b"THMB" for t in imgs["thumb"])
+    # deterministic
+    again = multimodal.resize_images(media, out_w=32, out_h=24).toPandas()
+    assert list(imgs["thumb"]) == list(again[again["thumb"].notna()]["thumb"])
+
+    frames = multimodal.sample_frames(media, max_frames=3).toPandas()
+    vids = media.filter("kind = 'video' AND duration_s > 0").toPandas()
+    per_vid = frames.groupby("media_id").size()
+    for _, v in vids.iterrows():
+        expect = min(3, max(1, int(v["duration_s"])))
+        assert per_vid[v["media_id"]] == expect
+    # timestamps strictly increasing per video and inside the duration
+    for mid, grp in frames.groupby("media_id"):
+        ts = list(grp.sort_values("frame_idx")["ts_ms"])
+        assert ts == sorted(ts) and len(set(ts)) == len(ts)
+        dur_ms = float(vids.set_index("media_id").loc[mid, "duration_s"]) * 1000
+        assert all(0 <= t <= dur_ms for t in ts)

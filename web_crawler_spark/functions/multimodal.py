@@ -121,3 +121,94 @@ def sniff_kinds(media: DataFrame) -> DataFrame:
     return media.select(
         "media_id", kind_from_magic(F.col("payload")).alias("kind_sniffed")
     )
+
+
+# ---------------------------------------------------------------------------
+# resize + frame sampling — the remaining multimodal kernels.  As with
+# feature extraction, the codec work is stubbed (no PIL/ffmpeg in this
+# container) behind deterministic fakes; the Spark-side shape — schemas,
+# Arrow batching, per-row fan-out — is real and tested.
+# ---------------------------------------------------------------------------
+
+THUMB_BYTES = 64
+
+
+def _fake_thumb(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Deterministic stand-in for a resized image: header + a strided byte
+    sample of the payload (same length contract a tiny thumbnail would
+    have), so downstream storage/dedup plumbing sees realistic bytes."""
+    body = bytes(payload[:: max(1, len(payload) // THUMB_BYTES)][:THUMB_BYTES])
+    return b"THMB" + out_w.to_bytes(2, "big") + out_h.to_bytes(2, "big") + body
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 64, out_h: int = 64, use_decoder: bool = False
+) -> DataFrame:
+    """Arrow-batched image resize over the binary column; images only (other
+    kinds pass through with null thumb).  With ``use_decoder=True`` each
+    payload is decoded for real (raises in this container)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, thumbs = [], [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                if kind != "image" or payload is None:
+                    ws.append(None)
+                    hs.append(None)
+                    thumbs.append(None)
+                    continue
+                if use_decoder:
+                    img = decode_image(bytes(payload))  # NotImplementedError here
+                    thumbs.append(img.resize((out_w, out_h)).tobytes())
+                else:
+                    thumbs.append(_fake_thumb(bytes(payload), out_w, out_h))
+                ws.append(out_w)
+                hs.append(out_h)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "out_w": ws, "out_h": hs, "thumb": thumbs}
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema="media_id long, out_w long, out_h long, thumb binary"
+    )
+
+
+FRAME_FPS_DEFAULT = 1.0
+
+
+def sample_frames(
+    media: DataFrame, max_frames: int = 4, use_decoder: bool = False
+) -> DataFrame:
+    """Per-video frame sampling: emit up to ``max_frames`` frames evenly
+    spaced over ``duration_s`` (1-row -> N-rows fan-out inside mapInPandas —
+    the Spark shape real frame extraction uses; decode stubbed).  Frame
+    timestamps are a pure function of (duration_s, max_frames), so the
+    timestamp projection is SQL-oracle-checkable; the fake frame bytes are
+    deterministic payload derivatives."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ts_ms, frames = [], [], [], []
+            for mid, kind, payload, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_s"]
+            ):
+                if kind != "video" or payload is None or dur is None or dur <= 0:
+                    continue
+                n = min(max_frames, max(1, int(dur)))
+                for i in range(n):
+                    t = (i + 0.5) * float(dur) / n
+                    ids.append(mid)
+                    idxs.append(i)
+                    ts_ms.append(int(t * 1000))
+                    if use_decoder:
+                        raise NotImplementedError(
+                            "frame decode requires ffmpeg on the cluster image"
+                        )
+                    frames.append(_fake_thumb(bytes(payload), 16, 16 + i))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": ts_ms, "frame": frames}
+            )
+
+    return media.select("media_id", "kind", "payload", "duration_s").mapInPandas(
+        run, schema="media_id long, frame_idx long, ts_ms long, frame binary"
+    )
