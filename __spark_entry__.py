@@ -41,6 +41,7 @@ from web_crawler_spark.operators.politeness import (  # noqa: E402
     with_host,
 )
 from web_crawler_spark.plans.crawl import ChainCrawl, CrawlConfig  # noqa: E402
+from web_crawler_spark.plans.corpus import clean_corpus, duck_clean_corpus_sql  # noqa: E402
 
 ORACLE_SF = "0.01"  # the driver's correctness scale
 
@@ -236,6 +237,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupsim.exact_dup_groups(_docs(spark, sf_dir), min_count=1)
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pipeline (plans/corpus.py): exact dedup
+    -> MinHash/LSH near-dup prune -> quality gate -> langid.  Oracled as ONE
+    DuckDB query so the stage wiring is verified, not just the pieces."""
+    return clean_corpus(_docs(spark, sf_dir))
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "corpus_clean": q_corpus_clean,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
@@ -567,6 +576,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_langid": textstats.duck_langid_sql("documents"),
         "doc_fingerprint": textstats.duck_fingerprint_sql("documents"),
         "dedup_exact": dedupsim.duck_exact_dups_sql("documents", min_count=1),
+        "corpus_clean": duck_clean_corpus_sql("documents"),
         "dedup_minhash": dedupsim.duck_minhash_exploded_sql("documents"),
         "dedup_lsh_pairs": dedupsim.duck_lsh_pairs_sql("documents"),
         "dedup_jaccard": dedupsim.duck_jaccard_sql("documents"),

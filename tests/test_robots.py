@@ -1,0 +1,75 @@
+"""robots.txt parsing -> host_rules -> politeness integration (J4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.sources import robots as robots_src
+from web_crawler_spark.operators.politeness import select_host_budget_batch, with_host
+
+ROBOTS_A = """
+# comments everywhere
+User-agent: googlebot
+Disallow: /google-only/
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+Crawl-delay: 10
+Allow: /tmp/ok     # unknown-to-us directive, ignored
+Disallow:          # empty => allow all, contributes nothing
+
+User-agent: wcs
+User-agent: *
+Disallow: /both/
+Crawl-delay: 30
+"""
+
+ROBOTS_B = """
+User-agent: somebot
+Disallow: /x/
+"""
+
+
+def test_parse_robots_text_groups_and_delay():
+    dis, delay = robots_src.parse_robots_text(ROBOTS_A)
+    # specific-agent group ignored; both *-groups contribute; min delay wins
+    assert dis == ["/private/", "/tmp/", "/both/"]
+    assert delay == 10.0
+    dis_b, delay_b = robots_src.parse_robots_text(ROBOTS_B)
+    assert dis_b == [] and delay_b is None
+    assert robots_src.parse_robots_text("") == ([], None)
+
+
+def test_host_rules_and_politeness_integration(spark):
+    robots = spark.createDataFrame(
+        [("a.example", ROBOTS_A), ("b.example", ROBOTS_B)], "host string, content string"
+    )
+    rules = robots_src.host_rules_from_robots(
+        robots, default_budget=5, round_seconds=60.0
+    )
+    got = {r["host"]: r for r in rules.collect()}
+    assert got["a.example"]["disallow"] == ["/private/", "/tmp/", "/both/"]
+    assert got["a.example"]["budget"] == 6  # 60s / 10s delay
+    assert got["b.example"]["disallow"] == [] and got["b.example"]["budget"] == 5
+
+    frontier = with_host(
+        spark.createDataFrame(
+            [
+                (f"http://a.example/private/{i}", 0, 0, i, 0) for i in range(3)
+            ]
+            + [(f"http://a.example/ok/{i}", 0, 0, 10 + i, 0) for i in range(10)]
+            + [(f"http://b.example/x/{i}", 0, 0, 20 + i, 0) for i in range(8)],
+            "url string, attempt int, depth int, p0 bigint, p1 bigint",
+        )
+    )
+    batch = select_host_budget_batch(
+        frontier, ["attempt", "depth", "p0", "p1"], budget=5, host_rules=rules
+    ).collect()
+    urls = [r["url"] for r in batch]
+    assert not any("/private/" in u for u in urls)  # robots block enforced
+    per_host = {}
+    for r in batch:
+        per_host[r["host"]] = per_host.get(r["host"], 0) + 1
+    assert per_host["a.example"] == 6  # crawl-delay-derived budget
+    assert per_host["b.example"] == 5  # default budget

@@ -249,3 +249,15 @@ def test_multimodal_resize_and_frames(spark, sf_small):
         assert ts == sorted(ts) and len(set(ts)) == len(ts)
         dur_ms = float(vids.set_index("media_id").loc[mid, "duration_s"]) * 1000
         assert all(0 <= t <= dur_ms for t in ts)
+
+
+def test_clean_corpus_vs_duckdb(spark, duck, docs):
+    """The composed cleaning pipeline (exact dedup -> LSH near-dup prune ->
+    quality gate -> langid) matches its single-query DuckDB oracle — wiring
+    verified, not just the stages."""
+    from web_crawler_spark.plans import corpus
+
+    got = corpus.clean_corpus(docs)
+    _cmp(got, duck.sql(corpus.duck_clean_corpus_sql("documents")), ["doc_id"])
+    n_in, n_out = docs.count(), got.count()
+    assert 0 < n_out <= n_in
