@@ -41,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host-budget", type=int, default=None)
     p.add_argument("--retries", type=int, default=0, help="max retries (crawler.py:56)")
     p.add_argument("--no-bloom", action="store_true")
+    p.add_argument(
+        "--robots-parquet",
+        help="(host, content) robots.txt table -> politeness rules "
+        "(disallow prefixes + crawl-delay budgets)",
+    )
+    p.add_argument("--robots-round-seconds", type=float, default=60.0,
+                   help="round window used to convert Crawl-delay to a budget")
     p.add_argument("--checkpoint-dir")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--output", help="results sink path")
@@ -153,7 +160,16 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
     )
-    state = ChainCrawl(spark, pages, cfg).run(seeds)
+    host_rules = None
+    if args.robots_parquet:
+        from web_crawler_spark.sources import robots as robots_src
+
+        host_rules = robots_src.host_rules_from_robots(
+            spark.read.parquet(args.robots_parquet),
+            default_budget=args.host_budget or 5,
+            round_seconds=args.robots_round_seconds,
+        )
+    state = ChainCrawl(spark, pages, cfg, host_rules=host_rules).run(seeds)
     log = ChainCrawl.fetch_log(state)
 
     if log is not None and args.storage == "mongodb":

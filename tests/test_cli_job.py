@@ -144,3 +144,59 @@ def test_cli_multi_executor(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     stats = json.loads(out.stdout.strip().splitlines()[-1])
     assert stats["rounds"] == 2 and stats["successful"] >= 3
+
+
+@pytest.mark.slow
+def test_cli_robots_rules(tmp_path):
+    """--robots-parquet threads parsed robots rules into the crawl: the
+    disallowed prefix never appears in the results."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark import synth
+
+    synth.ensure_synth("0.001")
+    meta = pq.read_table(synth.synth_path("0.001", "pages_meta")).to_pandas()
+    linked = meta[meta["links_count"] > 3]["url"].head(3).tolist()
+    seeds_file = tmp_path / "seeds.txt"
+    seeds_file.write_text("\n".join(linked) + "\n")
+    robots = pa.table(
+        {
+            "host": pa.array(["host0.example"]),
+            "content": pa.array(["User-agent: *\nDisallow: /p/1\n"]),
+        }
+    )
+    rp = tmp_path / "robots.parquet"
+    pq.write_table(robots, str(rp))
+    out_dir = tmp_path / "results"
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "crawl.py"),
+            "--urls-file", str(seeds_file),
+            "--pages", synth.synth_path("0.001", "pages"),
+            "--rounds", "2",
+            "--mode", "scale",
+            "--host-budget", "5",
+            "--robots-parquet", str(rp),
+            "--output", str(out_dir),
+            "--storage", "jsonl",
+            "--master", "local[2]",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["total_urls"] >= 2
+    import glob
+
+    recs = []
+    for p in glob.glob(str(out_dir / "*.json")):
+        with open(p) as f:
+            recs += [json.loads(line) for line in f if line.strip()]
+    assert recs
+    assert not any(r["url"].startswith("http://host0.example/p/1") for r in recs)

@@ -129,6 +129,7 @@ class CrawlState:
     metrics: list[dict] = field(default_factory=list)
     lineage: list[dict] = field(default_factory=list)
     fetch_offset: int = 0
+    halted: bool = False  # frontier drained: the chain stops (no step stats)
 
 
 class ChainCrawl:
@@ -245,6 +246,20 @@ class ChainCrawl:
         # batch derives from with_global_seq's eager localCheckpoint — reuse
         # recomputes at most a cheap filter, no extra persist needed
         batch_n = batch.count()
+        if batch_n == 0:
+            # distinguish "frontier drained" (chain stops BEFORE processing
+            # the step — reference chain_crawler.py:409-411, no step stats)
+            # from "every eligible host is on cooldown" (the round runs
+            # empty and the cooldowns tick down).  Folding the stop into the
+            # batch count saves the per-round emptiness probe job in the
+            # common non-empty case
+            cooling = (
+                state.host_state is not None
+                and state.frontier.limit(1).count() > 0
+            )
+            if not cooling:
+                state.halted = True
+                return state
 
         # fetch (J1).  The naive frontier-left-join-pages shuffles the whole
         # pages table — including html payloads — every round.  When the
@@ -556,9 +571,9 @@ class ChainCrawl:
             state = CrawlState(round_idx=0, frontier=frontier, seen=seen)
 
         for r in range(start_round, self.n_rounds):
-            if state.frontier.limit(1).count() == 0:  # empty frontier => stop
-                break
             state = self.run_round(state)
+            if state.halted:
+                break
             if stop_after_round is not None and r >= stop_after_round:
                 break
         return state
