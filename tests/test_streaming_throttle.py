@@ -1,0 +1,59 @@
+"""Stateful streaming per-host throttle: budget per micro-batch, deferred
+(not dropped) remainder carried in state, bounded-state overflow counting."""
+
+from __future__ import annotations
+
+from web_crawler_spark.streaming.rate_limit import (
+    _throttle_batch,
+    run_throttle_available_now,
+)
+
+
+def test_throttle_batch_pure_core():
+    emit, pending, over = _throttle_batch(
+        pending=[(5, "u5"), (1, "u1")],
+        arrivals=[(3, "u3"), (2, "u2"), (3, "u3")],  # dup arrival collapses
+        budget=2,
+        max_pending=2,
+    )
+    assert emit == [(1, "u1"), (2, "u2")]  # lowest priority first
+    assert pending == [(3, "u3"), (5, "u5")]
+    assert over == 0
+    # overflow: bound the carried state, count the drops
+    emit, pending, over = _throttle_batch(
+        pending=[], arrivals=[(i, f"u{i}") for i in range(10)], budget=2, max_pending=3
+    )
+    assert [p for p, _ in emit] == [0, 1]
+    assert [p for p, _ in pending] == [2, 3, 4]
+    assert over == 5
+
+
+def test_streaming_throttle_across_batches(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    # batch 1: 7 urls on host a (budget 3), 1 on host b
+    rows1 = [(f"http://a.example/p/{i}", i) for i in range(7)] + [
+        ("http://b.example/x", 0)
+    ]
+    spark.createDataFrame(rows1, "url string, prio long").coalesce(1).write.parquet(in_dir)
+    run_throttle_available_now(spark, in_dir, out_dir, ck, budget=3)
+    got1 = spark.read.parquet(out_dir).toPandas()
+    a1 = got1[got1.host == "a.example"].sort_values("prio")
+    assert list(a1.prio) == [0, 1, 2]  # lowest-priority 3 of 7
+    assert (a1.n_pending == 4).all()
+    assert list(got1[got1.host == "b.example"].prio) == [0]
+
+    # batch 2: 1 new high-priority url for host a; carried work drains too
+    spark.createDataFrame(
+        [("http://a.example/new", -1)], "url string, prio long"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run_throttle_available_now(spark, in_dir, out_dir, ck, budget=3)
+    got2 = spark.read.parquet(out_dir).toPandas()
+    a2 = got2[got2.host == "a.example"].sort_values("prio")
+    # batch2 emitted: the new -1 plus the two lowest carried (3, 4)
+    assert list(a2.prio) == [-1, 0, 1, 2, 3, 4]
+    assert (got2.n_overflow == 0).all()
+    # no url emitted twice; per-batch budget respected overall
+    assert got2.url.is_unique

@@ -1,0 +1,145 @@
+"""Custom stateful streaming operator: per-host politeness throttle via
+``applyInPandasWithState``.
+
+The batch engine enforces per-host budgets with a ranked window per round
+(operators/politeness.py); the streaming analog keeps a per-host *pending
+frontier* as operator state: each micro-batch a host emits at most
+``budget`` urls (lowest priority value first, deterministic tie-break on
+url) drawn from carried-over pending work plus the batch's arrivals; the
+rest waits in state for later micro-batches — exactly the
+deferred-not-dropped behavior a polite crawler needs.  State per host is
+bounded at ``max_pending`` entries (lowest priorities kept); overflow is
+dropped and counted in the emitted rows' ``n_overflow`` column so operators
+can alert on it — silent truncation never looks like coverage.
+
+Scale: state is keyed by host, so it shards across the cluster's state
+store like any keyed stream; per-host state is O(max_pending).  The hot
+host holds one state entry processed by one task per micro-batch — but its
+work per batch is capped at ``budget`` emissions + a bounded merge, so the
+skew is bounded by construction (the cap IS the operator).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DEFAULT_BUDGET = 5
+DEFAULT_MAX_PENDING = 10_000
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("url", StringType()),
+        StructField("prio", LongType()),
+        StructField("n_pending", LongType()),   # left waiting after this batch
+        StructField("n_overflow", LongType()),  # dropped by the state bound, cumulative
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("urls", ArrayType(StringType())),
+        StructField("prios", ArrayType(LongType())),
+        StructField("overflow", LongType()),
+    ]
+)
+
+
+def _throttle_batch(
+    pending: list[tuple[int, str]],
+    arrivals: list[tuple[int, str]],
+    budget: int,
+    max_pending: int,
+) -> tuple[list[tuple[int, str]], list[tuple[int, str]], int]:
+    """Pure core: (emit, new_pending, n_overflow_this_batch).  Emission order
+    is (prio, url) — deterministic regardless of arrival order."""
+    merged = sorted(set(pending) | set(arrivals))
+    emit = merged[:budget]
+    rest = merged[budget:]
+    overflow = max(0, len(rest) - max_pending)
+    return emit, rest[:max_pending], overflow
+
+
+def _make_throttle(budget: int, max_pending: int):
+    def throttle(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            urls, prios, overflow = state.get
+            pending = list(zip(prios, urls))
+        else:
+            pending, overflow = [], 0
+        arrivals: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            arrivals.extend(zip(pdf["prio"].astype(int), pdf["url"]))
+        emit, pending, over = _throttle_batch(pending, arrivals, budget, max_pending)
+        overflow = (overflow or 0) + over
+        if emit:
+            yield pd.DataFrame(
+                {
+                    "host": [key[0]] * len(emit),
+                    "url": [u for _, u in emit],
+                    "prio": [p for p, _ in emit],
+                    "n_pending": [len(pending)] * len(emit),
+                    "n_overflow": [overflow] * len(emit),
+                }
+            )
+        state.update(([u for _, u in pending], [p for p, _ in pending], overflow))
+
+    return throttle
+
+
+def streaming_host_throttle(
+    candidates: DataFrame,
+    budget: int = DEFAULT_BUDGET,
+    max_pending: int = DEFAULT_MAX_PENDING,
+) -> DataFrame:
+    """candidates: STREAMING DataFrame with (url, prio) columns.  Emits at
+    most ``budget`` urls per host per micro-batch; the remainder carries in
+    state."""
+    keyed = candidates.select(
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"), "url", "prio"
+    ).filter(F.col("host").isNotNull())
+    return keyed.groupBy("host").applyInPandasWithState(
+        _make_throttle(budget, max_pending),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_throttle_available_now(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    budget: int = DEFAULT_BUDGET,
+    max_pending: int = DEFAULT_MAX_PENDING,
+) -> None:
+    """Process all files currently in ``in_dir`` (schema: url string, prio
+    long); per-host pending state persists in the stream checkpoint, so
+    re-runs continue draining the carried frontier."""
+    stream = spark.readStream.schema("url string, prio long").parquet(in_dir)
+    out = streaming_host_throttle(stream, budget, max_pending)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
