@@ -30,6 +30,7 @@ from web_crawler_spark import synth  # noqa: E402
 from web_crawler_spark.functions import (  # noqa: E402
     dedupsim,
     html_parse,
+    linkstats,
     multimodal,
     simsearch,
     textstats,
@@ -127,6 +128,13 @@ def q_link_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select(
         "url", F.posexplode("links").alias("link_pos", "link")
     ).select("url", F.col("link_pos").cast("long").alias("link_pos"), "link")
+
+
+def q_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-page internal/external/relative link classification (the
+    reference examples' analysis, JVM higher-order functions)."""
+    meta = _synth(spark, sf_dir, "pages_meta").select("url", "links")
+    return linkstats.link_class_counts(meta)
 
 
 def q_crawl_fetch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_dedup": q_seed_dedup,
         "host_budget": q_host_budget,
         "link_explode": q_link_explode,
+        "link_stats": q_link_stats,
         "crawl_fetch_log": q_crawl_fetch_log,
         "crawl_chain": q_crawl_chain,
         "frontier_sched": q_frontier_sched,
@@ -549,6 +558,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             SELECT url, (i - 1)::BIGINT AS link_pos, links[i] AS link
             FROM {pages_meta}, LATERAL unnest(generate_series(1, len(links))) AS t(i)
         """,
+        "link_stats": linkstats.duck_link_class_sql(pages_meta),
         "crawl_fetch_log": f"""
             SELECT fetch_seq, round, url, ok,
                    coalesce(title, '') AS title,

@@ -261,3 +261,30 @@ def test_clean_corpus_vs_duckdb(spark, duck, docs):
     _cmp(got, duck.sql(corpus.duck_clean_corpus_sql("documents")), ["doc_id"])
     n_in, n_out = docs.count(), got.count()
     assert 0 < n_out <= n_in
+
+
+def test_link_class_counts_edges(spark):
+    from web_crawler_spark.functions import linkstats
+
+    rows = [
+        (
+            "http://a.example/p/1",
+            [
+                "http://a.example/p/2",        # internal
+                "HTTP://A.EXAMPLE/p/3",        # internal despite case
+                "http://a.example:80/p/4",     # internal despite port
+                "https://b.example/x",         # external
+                "/relative/path",              # relative
+                "not a url at all",            # relative bucket (no scheme)
+            ],
+        ),
+        ("http://c.example/", None),  # null links
+    ]
+    got = {
+        r["url"]: (r["n_links"], r["n_internal"], r["n_external"], r["n_relative"])
+        for r in linkstats.link_class_counts(
+            spark.createDataFrame(rows, "url string, links array<string>")
+        ).collect()
+    }
+    assert got["http://a.example/p/1"] == (6, 3, 1, 2)
+    assert got["http://c.example/"] == (0, 0, 0, 0)
