@@ -392,10 +392,12 @@ def _winnow_golden_path(sf: str) -> str:
         for fp in winnow.naive_winnow_fingerprints(text.as_py()):
             ids.append(doc_id.as_py())
             fps.append(fp)
+    tmp = out + ".tmp"
     pq.write_table(
         pa.table({"doc_id": pa.array(ids, pa.int64()), "fp": pa.array(fps, pa.int64())}),
-        out,
+        tmp,
     )
+    os.replace(tmp, out)  # atomic: a crashed writer never leaves a torn golden
     return out
 
 

@@ -136,3 +136,44 @@ def test_resume_preserves_host_cooldowns(spark, sf_small, tmp_path):
     assert list(straight["url"]) == list(resumed["url"])
     assert list(straight["fetch_seq"]) == list(resumed["fetch_seq"])
     assert list(straight["ok"]) == list(resumed["ok"])
+
+
+def test_bloom_saturation_rebuild_preserves_results(spark, sf_small, monkeypatch):
+    """Force the first bloom build to be absurdly small so it saturates and
+    the fill-ratio check triggers a rebuild from the post-round seen set;
+    results must stay identical to the no-bloom run and the filter must
+    actually grow + desaturate."""
+    import web_crawler_spark.operators.bloom as bl
+    from web_crawler_spark.plans import crawl as crawl_mod
+
+    orig_params_for = bl.params_for
+    calls = []
+
+    def tiny_then_real(n_keys, **kw):
+        calls.append(n_keys)
+        if len(calls) == 1:  # initial sidecar: 2^10 bits => saturates fast
+            return bl.BloomParams(m_per_shard=1 << 10, k=7, n_shards=1)
+        return orig_params_for(n_keys, **kw)
+
+    monkeypatch.setattr(bl, "params_for", tiny_then_real)
+    monkeypatch.setattr(crawl_mod.bloomlib, "params_for", tiny_then_real)
+
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    seeds = spark.read.parquet(synth.synth_path("0.001", "seeds"))
+    cfg = CrawlConfig(
+        rounds=4, mode="scale", host_budget=20, use_bloom=True, bloom_min_seen=0
+    )
+    eng = ChainCrawl(spark, pages, cfg)
+    state = eng.run(seeds)
+    with_bloom = (
+        ChainCrawl.fetch_log(state).toPandas().sort_values("fetch_seq").reset_index(drop=True)
+    )
+    assert len(calls) >= 2, "saturation rebuild never triggered"
+    assert eng._bloom.params.total_bits > (1 << 10)  # rebuilt at a real size
+    assert eng._bloom.fill_ratio() < 0.55  # desaturated
+
+    monkeypatch.setattr(bl, "params_for", orig_params_for)
+    monkeypatch.setattr(crawl_mod.bloomlib, "params_for", orig_params_for)
+    _, without = _run_scale(spark, use_bloom=False)
+    assert list(with_bloom["url"]) == list(without["url"])
+    assert list(with_bloom["fetch_seq"]) == list(without["fetch_seq"])
