@@ -6,14 +6,20 @@ fetch scheduler expressed as DataFrame operations over snapshot-checkpointed
 parquet tables of Common-Crawl-style pages (url, warc_ts, html, text, lang).
 
 Layout:
-    refsim       — per-row reference-semantics oracle (parser + 1-worker crawl)
-    synth        — deterministic synthetic pages/seeds/candidates fixtures
+    refsim       — per-row reference-semantics oracle (parser + ChainStep crawl)
+    synth        — deterministic synthetic pages/seeds/candidates/media fixtures
     session      — SparkSession factory (Arrow, AQE, tuned shuffle partitions)
-    functions/   — vectorized pandas/Arrow UDFs (html parse, urlnorm, text, sim)
-    operators/   — dedup, politeness window, bloom seen-set, top-k
-    plans/       — crawl round loop, checkpoint/resume, lineage
-    sources/     — seed/url-file sources, pages reader, sinks
-    streaming/   — Structured Streaming variant of the parse stage
+    functions/   — vectorized pandas/Arrow UDFs + JVM column kernels (html parse,
+                   urlnorm split-canonicalization, text/link stats, dedup/sim
+                   search, winnowing, multimodal)
+    operators/   — first-wins dedup + bucketed seen anti-join, politeness
+                   windows, sized/sharded bloom sidecar, global sequencing
+    plans/       — crawl round loop (per-step configs, cooldowns, resume),
+                   frontier scheduling plan, corpus-cleaning pipeline
+    sources/     — seed/url-file sources, pages reader, robots.txt rules,
+                   proxy-pool dataflow, sinks (incl. StorageBackend adapter)
+    streaming/   — incremental parse, stateful seen-dedup, per-host throttle,
+                   watermarked windows
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
