@@ -423,6 +423,34 @@ def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP = "30 minutes"
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via the built-in ``session_window`` (30-min
+    inactivity gap); oracled with the classic gaps-and-islands SQL."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (event_type): per-type counts plus the grand total, with
+    an explicit grouping flag (null-vs-total disambiguation)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.rollup("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.grouping("event_type").cast("long").alias("is_total"),
+    )
+
+
 def q_events_user_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -487,6 +515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": q_doc_winnow,
         "events_hourly": q_events_hourly,
         "events_by_type": q_events_by_type,
+        "events_sessions": q_events_sessions,
+        "events_rollup": q_events_rollup,
         "events_user_rank": q_events_user_rank,
     }
 
@@ -634,6 +664,32 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    min(value) AS min_value, max(value) AS max_value,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1
+        """,
+        "events_sessions": """
+            WITH m AS (
+              SELECT user_id, ts,
+                -- Spark session_window MERGES events exactly gap apart
+                -- (boundary is inclusive); only a gap STRICTLY greater
+                -- than 30 min starts a new session
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "events_rollup": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   GROUPING(event_type)::BIGINT AS is_total
+            FROM events GROUP BY ROLLUP(event_type)
         """,
         "events_user_rank": """
             SELECT user_id, count(*)::BIGINT AS n_events,

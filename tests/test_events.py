@@ -1,0 +1,82 @@
+"""Event-analytics queries: gap sessionization (incl. the exact-boundary
+semantics) and rollup, differentially against DuckDB."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _duck():
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    return con
+
+
+def _cmp(spark_df, duck_rel, keys):
+    got = spark_df.toPandas().sort_values(keys).reset_index(drop=True)
+    want = duck_rel.df().sort_values(keys).reset_index(drop=True)
+    got, want = got[sorted(got.columns)], want[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sessions_vs_duckdb(spark):
+    con = _duck()
+    _cmp(
+        entry.q_events_sessions(spark, SF_DIR),
+        con.sql(entry._oracle_sql_for("0.001")["events_sessions"]),
+        ["user_id", "session_start"],
+    )
+
+
+def test_rollup_vs_duckdb(spark):
+    con = _duck()
+    _cmp(
+        entry.q_events_rollup(spark, SF_DIR),
+        con.sql(entry._oracle_sql_for("0.001")["events_rollup"]),
+        ["is_total", "event_type"],
+    )
+
+
+def test_session_gap_boundary_semantics(spark):
+    """Spark's session_window MERGES events exactly gap apart (inclusive
+    boundary); only a strictly larger gap opens a new session.  The oracle
+    encodes the same rule (>) — locked here with crafted boundary data in
+    BOTH engines."""
+    from pyspark.sql import functions as F
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (1, base),                                  # session 1
+        (1, base + pd.Timedelta(minutes=29)),       # same session (< gap)
+        (1, base + pd.Timedelta(minutes=59)),       # exactly 30m after prev: merges
+        (2, base),
+        (2, base + pd.Timedelta(minutes=30)),       # exactly gap: merges
+        (2, base + pd.Timedelta(minutes=61)),       # 31m after prev: NEW session
+    ]
+    ev = spark.createDataFrame(
+        [(u, t.to_pydatetime()) for u, t in rows], "user_id bigint, ts timestamp"
+    )
+    got = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), "n")
+        .toPandas()
+        .sort_values(["user_id", "s"])
+        .reset_index(drop=True)
+    )
+    sessions = [(r.user_id, r.n) for r in got.itertuples()]
+    assert sessions == [(1, 3), (2, 2), (2, 1)]
+
+    ev_pd = ev.toPandas()
+    con = duckdb.connect()
+    con.register("events", ev_pd)
+    oracle = entry._oracle_sql_for("0.001")["events_sessions"]
+    want = con.sql(oracle).df().sort_values(["user_id", "session_start"])
+    assert [(r.user_id, r.n_events) for r in want.itertuples()] == sessions
