@@ -401,6 +401,15 @@ def _winnow_golden_path(sf: str) -> str:
     return out
 
 
+def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap candidate pairs: docs sharing >= 2 winnowed
+    fingerprints (explode -> self-join -> count); oracle self-joins the
+    naive-Python golden."""
+    from web_crawler_spark.functions import winnow
+
+    return winnow.shared_fingerprint_pairs(_docs(spark, sf_dir), min_shared=2)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation (1h buckets)."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -513,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "doc_winnow": q_doc_winnow,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
         "events_hourly": q_events_hourly,
         "events_by_type": q_events_by_type,
         "events_sessions": q_events_sessions,
@@ -654,6 +664,12 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_winnow": (
             f"SELECT doc_id, fp FROM read_parquet('{_winnow_golden_path(sf)}')"
         ),
+        "doc_winnow_pairs": f"""
+            WITH fp AS (SELECT doc_id, fp FROM read_parquet('{_winnow_golden_path(sf)}'))
+            SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS n_shared
+            FROM fp l JOIN fp r ON l.fp = r.fp AND l.doc_id < r.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    count(*)::BIGINT AS n_events
