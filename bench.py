@@ -79,8 +79,11 @@ def bench_crawl_scale(spark, sf):
     eng = ChainCrawl(
         spark, pages, CrawlConfig(rounds=3, mode="scale", host_budget=200, use_bloom=True)
     )
-    state = eng.run(seeds)
-    return sum(m["urls_processed"] for m in state.metrics)
+    try:
+        state = eng.run(seeds)
+        return sum(m["urls_processed"] for m in state.metrics)
+    finally:
+        eng.close()
 
 
 def bench_dedup_minhash(spark, sf_dir):
@@ -108,12 +111,24 @@ def main() -> None:
     # one warm-up action so JVM/codegen startup isn't billed to the first query
     spark.read.parquet(synth.synth_path(sf, "pages_meta")).count()
 
+    # best-of-RUNS per query (BENCH.md methodology): this host shows ±30-90%
+    # run-to-run noise, so a single pass is not signal
+    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+    def best_of(fn, *args) -> tuple[float, object]:
+        best, ret = None, None
+        for _ in range(RUNS):
+            t0 = time.time()
+            r = fn(*args)
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best, ret = dt, r
+        return round(best, 3), ret
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    t0 = time.time()
-    bench_parse_extract(spark, sf)
-    timings["parse_extract"] = round(time.time() - t0, 3)
+    timings["parse_extract"], _ = best_of(bench_parse_extract, spark, sf)
 
     # candidates entering the scheduler = exploded links (north-star denominator)
     n_cand = (
@@ -121,23 +136,15 @@ def main() -> None:
         .select(F.explode("links"))
         .count()
     )
-    t0 = time.time()
-    bench_frontier_sched(spark, sf)
-    timings["frontier_sched"] = round(time.time() - t0, 3)
+    timings["frontier_sched"], _ = best_of(bench_frontier_sched, spark, sf)
     extras["urls_sched_per_sec"] = round(n_cand / timings["frontier_sched"], 1)
 
-    t0 = time.time()
-    n_crawled = bench_crawl_scale(spark, sf)
-    timings["crawl_scale_3r"] = round(time.time() - t0, 3)
+    timings["crawl_scale_3r"], n_crawled = best_of(bench_crawl_scale, spark, sf)
     extras["crawl_urls_per_sec"] = round(n_crawled / timings["crawl_scale_3r"], 1)
 
-    t0 = time.time()
-    bench_dedup_minhash(spark, SF_DIR)
-    timings["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+    timings["dedup_minhash_lsh"], _ = best_of(bench_dedup_minhash, spark, SF_DIR)
 
-    t0 = time.time()
-    bench_ann_brute(spark, SF_DIR)
-    timings["ann_brute"] = round(time.time() - t0, 3)
+    timings["ann_brute"], _ = best_of(bench_ann_brute, spark, SF_DIR)
 
     out = {
         "metric": "headline suite wall-clock (crawl sched/parse/dedup/ann) at sf",
@@ -146,6 +153,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": CPUS,
+        "runs_per_query": RUNS,
         **extras,
     }
     print(json.dumps(out))

@@ -158,3 +158,67 @@ def test_bucketed_seen_anti_join_shuffles_only_candidates(spark, sf_small, tmp_p
     # semantics unchanged vs a plain-parquet seen
     want = dedup_ops.anti_join_seen(cand, seen).count()
     assert unseen.count() == want
+
+
+def test_scale_loop_seen_anti_join_moves_only_candidates(spark, sf_small):
+    """Through the ROUND LOOP, not just the standalone operator: with the
+    bucketed-delta seen store (the scale-mode default), every round's exact
+    anti-join reads the seen side's bucket layout — only the candidate side
+    exchanges — and the first-wins dedup REUSES the join's url partitioning
+    (no second exchange).  Also: the pages fetch join executes once per
+    round (the miss anti-join reads the materialized matched frame, never
+    re-running the pages join)."""
+    from web_crawler_spark.plans.crawl import ChainCrawl, CrawlConfig
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+        seeds = spark.read.parquet(synth.synth_path("0.001", "seeds"))
+        cfg = CrawlConfig(
+            rounds=3, mode="scale", host_budget=20, use_bloom=False,
+            capture_plans=True, seen_buckets=8,
+        )
+        eng = ChainCrawl(spark, pages, cfg)
+        try:
+            eng.run(seeds)
+            dedup_plans = [
+                p["dedup"] for _, p in sorted(eng.debug_plans.items()) if "dedup" in p
+            ]
+            assert dedup_plans, "no dedup plans captured"
+            import re
+
+            for plan in dedup_plans:
+                assert "SelectedBucketsCount" in plan  # seen: bucketed scan
+                assert "SortMergeJoin" in plan and "LeftAnti" in plan
+                # the seen side moves ZERO rows: no attribute produced by the
+                # bucketed seen scan ever feeds an exchange (the plan string
+                # embeds the cached parse plan, so property > raw counts)
+                seen_ids = set()
+                for line in plan.splitlines():
+                    if "SelectedBucketsCount" in line:
+                        seen_ids.update(re.findall(r"#(\d+)", line))
+                assert seen_ids
+                exchanged = set()
+                for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+                    exchanged.update(re.findall(r"#(\d+)", m.group(1)))
+                assert not (seen_ids & exchanged), "seen side was exchanged"
+                # and the first-wins dedup reuses the join's partitioning:
+                # no exchange between the aggregate and the anti-join below it
+                agg_i = plan.index("partial_min")
+                smj_i = plan.index("SortMergeJoin")
+                assert agg_i < smj_i  # aggregate sits directly above the join
+                assert "Exchange" not in plan[agg_i:smj_i]
+            fetch_plans = [
+                p["fetched"] for _, p in sorted(eng.debug_plans.items()) if "fetched" in p
+            ]
+            assert fetch_plans
+            for plan in fetch_plans:
+                # the pages join itself ran once behind the checkpoint: the
+                # consuming plan scans its RDD and joins only for the misses
+                assert "ExistingRDD" in plan
+                assert "InMemoryTableScan" not in plan and "FileScan" not in plan
+        finally:
+            eng.close()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

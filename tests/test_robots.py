@@ -41,6 +41,19 @@ def test_parse_robots_text_groups_and_delay():
     assert robots_src.parse_robots_text("") == ([], None)
 
 
+def test_parsed_rules_is_a_projection_not_a_join(spark):
+    """Duplicate host rows must pass through 1:1 (the old self-join would
+    multiply them quadratically) and the plan must contain no join."""
+    robots = spark.createDataFrame(
+        [("a.example", ROBOTS_A), ("a.example", ROBOTS_B), ("b.example", ROBOTS_B)],
+        "host string, content string",
+    )
+    parsed = robots_src.with_parsed_rules(robots)
+    assert parsed.count() == 3  # row-preserving, even with a duplicated host
+    plan = parsed._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
 def test_host_rules_and_politeness_integration(spark):
     robots = spark.createDataFrame(
         [("a.example", ROBOTS_A), ("b.example", ROBOTS_B)], "host string, content string"

@@ -37,6 +37,92 @@ def _run_scale(
     return state, log.reset_index(drop=True)
 
 
+def test_seen_store_equivalent_to_inmemory_seen(spark, sf_small):
+    """The bucketed-delta seen store (default) must be byte-equivalent to the
+    legacy in-memory union path — it changes maintenance cost, never
+    membership semantics."""
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    seeds = spark.read.parquet(synth.synth_path("0.001", "seeds"))
+
+    def run(use_store):
+        cfg = CrawlConfig(
+            rounds=4, mode="scale", host_budget=20, use_bloom=False,
+            use_seen_store=use_store, seen_buckets=8,
+        )
+        eng = ChainCrawl(spark, pages, cfg)
+        try:
+            state = eng.run(seeds)
+            return (
+                ChainCrawl.fetch_log(state)
+                .toPandas()
+                .sort_values("fetch_seq")
+                .reset_index(drop=True)
+            )
+        finally:
+            eng.close()
+
+    with_store, without = run(True), run(False)
+    assert list(with_store["url"]) == list(without["url"])
+    assert list(with_store["fetch_seq"]) == list(without["fetch_seq"])
+    assert list(with_store["ok"]) == list(without["ok"])
+
+
+def test_add_urls_mid_crawl(spark, sf_small):
+    """The reference's add_urls (crawler.py:373-376) analog: urls injected
+    between rounds are fetched in the NEXT round, already-seen injections are
+    dropped, ordering keys are deterministic (injected urls sort after the
+    wave's natural discoveries), and later natural rediscoveries of injected
+    urls never refetch."""
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    seeds = spark.read.parquet(synth.synth_path("0.001", "seeds"))
+    cfg = CrawlConfig(rounds=3, mode="scale", host_budget=None, use_bloom=False,
+                      seen_buckets=8)
+
+    # pick two urls the unmodified crawl never fetches, plus one it fetches
+    # in round 0 (the already-seen injection that must be dropped)
+    eng0 = ChainCrawl(spark, pages, cfg)
+    base = ChainCrawl.fetch_log(eng0.run(seeds)).toPandas()
+    eng0.close()
+    fetched_r0 = set(base[base["round"] == 0]["url"])
+    never = [
+        r["url"]
+        for r in pages.select("url").limit(2000).collect()
+        if r["url"] not in set(base["url"])
+    ][:2]
+    assert len(never) == 2, "fixture unexpectedly fetches every page"
+    seen_dup = sorted(fetched_r0)[0]
+
+    injected = spark.createDataFrame(
+        [(never[0], 0), (never[1], 1), (seen_dup, 2)], "url string, pos long"
+    )
+
+    def provider(finished_round, state):
+        return injected if finished_round == 0 else None
+
+    eng = ChainCrawl(spark, pages, cfg)
+    try:
+        state = eng.run(seeds, extra_urls_provider=provider)
+        log = ChainCrawl.fetch_log(state).toPandas()
+        r1 = log[log["round"] == 1]
+        assert never[0] in set(r1["url"]), "injected url not fetched next round"
+        assert never[1] in set(r1["url"])
+        # the seen injection was dropped, not refetched
+        assert (log["url"] == seen_dup).sum() == 1
+        # no url fetched twice even after injection
+        assert log["url"].is_unique
+        # determinism of the full injected run
+        eng2 = ChainCrawl(spark, pages, cfg)
+        log2 = ChainCrawl.fetch_log(
+            eng2.run(seeds, extra_urls_provider=provider)
+        ).toPandas()
+        eng2.close()
+        assert list(log.sort_values("fetch_seq")["url"]) == list(
+            log2.sort_values("fetch_seq")["url"]
+        )
+    finally:
+        eng.close()
+
+
 def test_scale_no_url_fetched_twice(spark, sf_small):
     _, log = _run_scale(spark)
     assert log["url"].is_unique

@@ -60,6 +60,40 @@ def test_schedule_frontier_budget_matches_explicit(spark):
     assert got == want and len(got) > 0
 
 
+def test_schedule_frontier_local_prune_equivalence(spark):
+    """The Arrow map-side prune (local first-wins + per-host top-budget) must
+    be result-identical to the unpruned pipeline — bloom split included —
+    while bounding what the exchanges carry.  Exactness relies on order_cols
+    totally ordering candidates (p1 is unique here, as the engine's priority
+    tuples are by construction)."""
+    cand, seen, _ = _fixture(spark)
+    bloom = bloomlib.build_bloom(seen, "url")
+    cols = ["url", "host", "host_rank", "p0", "p1"]
+
+    def rows(df):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    pruned = schedule_frontier(
+        cand, seen, ["p0", "p1"], budget=5, bloom=bloom, local_prune=True
+    )
+    plain = schedule_frontier(
+        cand, seen, ["p0", "p1"], budget=5, bloom=bloom, local_prune=False
+    )
+    got, want = rows(pruned.select(*cols)), rows(plain.select(*cols))
+    assert got == want and len(got) > 0
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # the prune is in the plan, pre-exchange
+    # robots rules must disable the prune (a disallowed url cannot be allowed
+    # to occupy a prune slot)
+    rules = spark.createDataFrame(
+        [("h1.example", ["/p/1"], 3)], "host string, disallow array<string>, budget int"
+    )
+    ruled = schedule_frontier(
+        cand, seen, ["p0", "p1"], budget=5, host_rules=rules
+    )
+    assert "MapInPandas" not in ruled._jdf.queryExecution().executedPlan().toString()
+
+
 def test_schedule_frontier_no_seen(spark):
     cand, _, _ = _fixture(spark)
     out = schedule_frontier(cand, None, ["p0", "p1"], budget=None)

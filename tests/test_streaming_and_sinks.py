@@ -141,6 +141,73 @@ def test_storage_backend_envelope(spark, tmp_path):
     assert all(r["timestamp"].startswith("2024-01-01T00:00:00") for r in recs)
 
 
+def test_storage_backend_insert_many_batching(spark, tmp_path):
+    """batch_size + an insert_many-capable backend => chunked bulk calls with
+    envelopes byte-identical to the insert_one path, and never a chunk larger
+    than batch_size."""
+    import glob
+    import json
+    import os
+
+    outdir = str(tmp_path / "fake_mongo_many")
+    os.makedirs(outdir, exist_ok=True)
+    rows = [(f"http://a/{i}", f"T{i}", i) for i in range(7)]
+    df = spark.createDataFrame(rows, "url string, title string, links_count int").coalesce(1)
+
+    def factory(outdir=outdir):
+        import datetime
+        import json as _json
+        import os as _os
+        import uuid
+
+        class FakeBulkCollection:
+            def __init__(self):
+                self.calls = []
+
+            def insert_one(self, doc):  # must NOT be used when batching
+                raise AssertionError("insert_one called despite batch_size")
+
+            def insert_many(self, docs):
+                assert 0 < len(docs) <= 3
+                for doc in docs:
+                    assert isinstance(doc["timestamp"], datetime.datetime)
+                    assert set(doc) == {"url", "timestamp", "data"}
+                self.calls.append(list(docs))
+
+            def finalize(self):
+                p = _os.path.join(outdir, f"part-{uuid.uuid4().hex}.jsonl")
+                with open(p, "w") as f:
+                    for chunk_idx, chunk in enumerate(self.calls):
+                        for d in chunk:
+                            f.write(
+                                _json.dumps(
+                                    {
+                                        "url": d["url"],
+                                        "chunk": chunk_idx,
+                                        "data": d["data"],
+                                    },
+                                    default=lambda o: o.item() if hasattr(o, "item") else str(o),
+                                )
+                                + "\n"
+                            )
+
+        return FakeBulkCollection()
+
+    n = sinks.write_storage_backend(
+        df, factory, "2024-01-01 00:00:00", ["title", "links_count"], batch_size=3
+    )
+    assert n == 7
+    recs = []
+    for p in glob.glob(os.path.join(outdir, "part-*.jsonl")):
+        with open(p) as f:
+            recs += [json.loads(line) for line in f]
+    assert len(recs) == 7
+    by_url = {r["url"]: r for r in recs}
+    assert by_url["http://a/4"]["data"] == {"title": "T4", "links_count": 4}
+    # 7 records at batch_size 3 on one partition => chunks of 3/3/1
+    assert max(r["chunk"] for r in recs) == 2
+
+
 def test_foreach_batch_sink_pandas_batches(spark, tmp_path):
     """The generic plug point hands Arrow-sized pandas batches (never
     row-at-a-time) to the handler on the executors."""

@@ -57,3 +57,60 @@ def test_streaming_throttle_across_batches(spark, tmp_path):
     assert (got2.n_overflow == 0).all()
     # no url emitted twice; per-batch budget respected overall
     assert got2.url.is_unique
+
+
+def test_pending_drains_without_new_arrivals(spark, tmp_path):
+    """The ProcessingTimeTimeout drain (continuous trigger): a host whose
+    arrivals STOP must still re-emit its carried pending on later
+    micro-batches (without the timeout, Spark only invokes a key when the key
+    has batch rows, and deferred work strands forever — ADVICE r2).  Runs a
+    processing-time-trigger query: batch 1 loads host a beyond its budget,
+    then only host-b traffic arrives; host a's backlog must fully drain."""
+    import os
+    import time
+
+    from web_crawler_spark.streaming.rate_limit import streaming_host_throttle
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+
+    stream = spark.readStream.schema("url string, prio long").parquet(in_dir)
+    out = streaming_host_throttle(stream, budget=2, drain_timeout_ms=200)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        rows1 = [(f"http://a.example/p/{i}", i) for i in range(5)]
+        spark.createDataFrame(rows1, "url string, prio long").coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+        def a_prios():
+            try:
+                pdf = spark.read.parquet(out_dir).toPandas()
+            except Exception:
+                return []
+            return sorted(pdf[pdf.host == "a.example"].prio)
+
+        deadline = time.time() + 90
+        while time.time() < deadline and len(a_prios()) < 2:
+            time.sleep(0.5)
+        assert a_prios()[:2] == [0, 1]
+
+        # from now on, ONLY host-b traffic arrives; a's pending [2,3,4] must
+        # drain via its processing-time timer, 2 per firing
+        spark.createDataFrame(
+            [("http://b.example/y", 0)], "url string, prio long"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        while time.time() < deadline and len(a_prios()) < 5:
+            time.sleep(0.5)
+        assert a_prios() == [0, 1, 2, 3, 4], "carried pending did not drain on timeout"
+    finally:
+        q.stop()

@@ -94,3 +94,39 @@ def test_spark_pair_detection(spark):
     got = {(r["a"], r["b"]) for r in pairs}
     assert (1, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_pair_detection_single_udf_pass(spark):
+    """The self-join must read a MATERIALIZED fingerprint frame — the winnow
+    UDF never appears in the pair plan (it would otherwise execute once per
+    join branch, i.e. twice over the corpus)."""
+    df = spark.createDataFrame(
+        [(i, f"document body number {i} with some shared boilerplate text") for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    pairs = winnow.shared_fingerprint_pairs(df, min_shared=1)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "ExistingRDD" in plan  # both branches scan the checkpointed frame
+
+
+def test_pair_detection_doc_frequency_cap(spark):
+    """A fingerprint hotter than max_doc_freq must not generate pairs (the
+    k² boilerplate guard); rarer fingerprints still do."""
+    boiler = "this exact boilerplate footer appears everywhere in the corpus"
+    rare = "a genuinely rare shared passage found in just two documents"
+    # byte-identical docs: every boilerplate fingerprint has df exactly 6
+    # (doc-specific prefixes would create low-df junction fingerprints)
+    rows = [(i, boiler) for i in range(1, 7)]
+    rows += [(10, "first rare holder " + rare), (11, "second rare holder " + rare)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # cap of 5: the boilerplate fps (df=6) are pruned, the rare fps (df=2) kept
+    pairs = winnow.shared_fingerprint_pairs(df, min_shared=1, max_doc_freq=5)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (10, 11) in got
+    assert not any(a <= 6 and b <= 6 for a, b in got), "capped fps still paired"
+    # with the cap off, the boilerplate docs do pair (sanity that the cap,
+    # not the data, removed them)
+    uncapped = winnow.shared_fingerprint_pairs(df, min_shared=1, max_doc_freq=None)
+    got_all = {(r["a"], r["b"]) for r in uncapped.collect()}
+    assert (1, 2) in got_all

@@ -97,12 +97,39 @@ def with_winnow(df: DataFrame, text_col: str = "text", out: str = "winnow_fp") -
     return df.withColumn(out, winnow_udf(F.col(text_col)))
 
 
-def shared_fingerprint_pairs(df: DataFrame, id_col: str = "doc_id", min_shared: int = 2) -> DataFrame:
+MAX_FP_DOC_FREQ = 128  # postings-list prune: a fingerprint in > this many
+# docs is boilerplate (headers/footers/license blocks), contributes k² join
+# rows, and carries no discriminative signal — standard df-cut (cf. MOSS)
+
+
+def shared_fingerprint_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_doc_freq: int | None = MAX_FP_DOC_FREQ,
+) -> DataFrame:
     """Candidate local-overlap pairs: docs sharing >= min_shared winnowed
-    fingerprints (explode -> self-join on fingerprint -> count)."""
-    fp = with_winnow(df).select(
-        F.col(id_col).alias("doc_id"), F.explode("winnow_fp").alias("fp")
+    fingerprints (explode -> self-join on fingerprint -> count).
+
+    Scale shape: the exploded fingerprint frame is MATERIALIZED before the
+    self-join (a DataFrame self-join re-executes unmaterialized branches, so
+    the winnow UDF would otherwise run twice over the corpus), and
+    fingerprints with document frequency > ``max_doc_freq`` are dropped
+    before pairing — without the cap a fingerprint shared by k docs emits k²
+    pre-aggregation rows, and near-universal boilerplate fingerprints blow
+    up at corpus scale.  The df-count window partitions by fp, and the
+    self-join joins on fp: one exchange, reused by both (ReuseExchange)."""
+    fp = (
+        with_winnow(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode("winnow_fp").alias("fp"))
+        .localCheckpoint(eager=True)  # one winnow UDF pass, ever
     )
+    if max_doc_freq is not None:
+        from pyspark.sql import Window
+
+        fp = fp.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("fp"))
+        ).filter(F.col("__df") <= max_doc_freq).drop("__df")
     return (
         fp.alias("l")
         .join(fp.alias("r"), on=[F.col("l.fp") == F.col("r.fp"), F.col("l.doc_id") < F.col("r.doc_id")])

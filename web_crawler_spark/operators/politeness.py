@@ -58,6 +58,62 @@ def apply_robots(df: DataFrame, host_rules: DataFrame, url_col: str = "url") -> 
     )
 
 
+def local_host_prune(
+    frontier: DataFrame,
+    order_cols: list[str],
+    budget: int | None,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Map-side politeness pre-prune (Arrow-vectorized ``mapInPandas``):
+    within each partition — local first-wins dedup by url, then keep each
+    host's smallest ``budget`` rows.  Returns a strict SUPERSET of the global
+    winners, so the downstream global first-wins + budget rank yields an
+    identical batch (standard distributive-top-k argument: a url in a host's
+    global top-``budget`` cannot be evicted locally without ``budget``
+    strictly-smaller urls of that host in the same partition, which would
+    contradict its global rank; pytest-asserted equivalence in
+    ``tests/test_schedule.py``).
+
+    Why: the dedup and window exchanges otherwise carry every candidate; after
+    the prune they carry at most ``budget x hosts x partitions`` rows — the
+    shuffle fabric (the non-scaling resource on any cluster, measured directly
+    by BENCH.md's shuffle-control) sees ~constant volume while the map-side
+    prune scales linearly with executors.
+
+    Exactness requires ``order_cols`` to totally order candidates (the
+    engine's priority tuples — (parent position, link position) etc. — are
+    unique by construction); string columns are compared as UTF-8 bytes to
+    match Spark's binary collation.  Per-partition rows are concatenated into
+    one pandas frame, so partition sizing (maxPartitionBytes) bounds memory."""
+    if budget is None:
+        return frontier
+    payload = [c for c in frontier.columns if c != url_col and c not in order_cols]
+    sort_src = list(order_cols) + payload  # the full first-wins struct order
+
+    def prune(batches):
+        import pandas as pd
+
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        keys = []
+        for i, c in enumerate(sort_src):
+            col = pdf[c]
+            if col.dtype == object:  # UTF-8 byte order == Spark UTF8String order
+                col = col.map(lambda v: v.encode("utf-8") if isinstance(v, str) else v)
+            k = f"__k{i}"
+            pdf[k] = col
+            keys.append(k)
+        pdf = pdf.sort_values(keys, kind="mergesort", na_position="first")
+        pdf = pdf.drop_duplicates(subset=[url_col], keep="first")
+        pdf = pdf.groupby(host_col, sort=False, dropna=False).head(budget)
+        yield pdf.drop(columns=keys)
+
+    return frontier.mapInPandas(prune, schema=frontier.schema)
+
+
 def select_host_budget_batch(
     frontier: DataFrame,
     order_cols: list[str],

@@ -35,6 +35,7 @@ snapshot + commit marker) which doubles as iterative-lineage truncation.
 from __future__ import annotations
 
 import os
+import uuid
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -47,11 +48,14 @@ from .schedule import dedup_unseen
 from ..operators.ordering import with_global_seq
 from ..operators.politeness import select_host_budget_batch, with_host
 from ..operators import bloom as bloomlib
+from ..operators.seen_store import BucketedSeenStore
 from .checkpoint import Checkpointer
 
 RESULT_COLS = ["fetch_seq", "round", "url", "ok", "title", "text", "links_count", "links"]
 
 RETRYABLE_PENALTY = 1 << 40  # demotes retried rows below all fresh work
+INJECT_P0_BASE = 1 << 39  # injected urls sort after natural discoveries of
+# their wave (parent positions are far smaller) but above retries
 
 
 _PARSER_DEFAULT = object()  # sentinel: "use the step parser's own extractor"
@@ -101,6 +105,18 @@ class CrawlConfig:
     # None => rely on WindowGroupLimit partial top-k (Spark >= 3.5); int =>
     # explicit two-pass salted ranking (see operators/politeness.py)
     salt_buckets: int | None = None
+    # record per-round executed-plan strings in engine.debug_plans (plan-shape
+    # tests / debugging; costs a planning pass per captured frame)
+    capture_plans: bool = False
+    # scale-mode url_seen maintenance.  True (default): bucketed warehouse
+    # table with per-round DELTA appends — O(|delta|) maintenance, and the
+    # exact anti-join reads the bucket layout so only candidates exchange
+    # (the 100×-safe shape; operators/seen_store.py).  False: in-memory
+    # union + localCheckpoint — O(|seen|) rewrite per round; kept for
+    # equivalence tests and tiny runs.
+    use_seen_store: bool = True
+    seen_table: Optional[str] = None  # default: auto-generated unique name
+    seen_buckets: int = 64
     checkpoint_dir: Optional[str] = None
     resume: bool = False
     cache_pages: bool = True
@@ -175,6 +191,14 @@ class ChainCrawl:
         # with each round's newly-enqueued delta — never rebuilt from scratch
         # (at 10^10 seen urls a full rebuild per round would dominate rounds)
         self._bloom: "object | None" = None
+        # bucketed-delta url_seen store (scale mode; created by run())
+        self._seen_store: BucketedSeenStore | None = None
+        # round -> {frame_name: executed-plan string} when cfg.capture_plans
+        self.debug_plans: dict[int, dict[str, str]] = {}
+
+    def _make_seen_store(self) -> BucketedSeenStore:
+        table = self.cfg.seen_table or f"wcs_seen_{uuid.uuid4().hex[:10]}"
+        return BucketedSeenStore(self.spark, table, self.cfg.seen_buckets)
 
     # -- frontier construction ------------------------------------------------
 
@@ -240,6 +264,8 @@ class ChainCrawl:
         r = state.round_idx
         is_final = r == self.n_rounds - 1
 
+        seen_delta: Optional[DataFrame] = None  # this round's newly-enqueued urls
+
         batch, remainder = self._select_batch(
             state.frontier, host_state=state.host_state, round_idx=r
         )
@@ -268,13 +294,24 @@ class ChainCrawl:
         # into a broadcast inner join (html streams through the scan, zero
         # shuffle) plus a driver-cheap anti-join for the fetch failures.
         if batch_n <= cfg.broadcast_batch_limit:
-            matched = self.pages.join(F.broadcast(batch), on="url", how="inner")
+            # Materialize `matched` eagerly: the miss anti-join and the parse
+            # branch would otherwise EACH embed the pages-scan join (the union
+            # executes it twice per round).  The frame is batch-sized by
+            # construction (budgeted urls + their html), so the checkpoint is
+            # cheap; the join itself runs exactly once.
+            matched = self.pages.join(
+                F.broadcast(batch), on="url", how="inner"
+            ).localCheckpoint(eager=True)
             missed = batch.join(
                 matched.select("url"), on="url", how="left_anti"
             ).withColumn("html", F.lit(None).cast("binary"))
             fetched = matched.select(*missed.columns).unionByName(missed)
         else:
             fetched = batch.join(self.pages, on="url", how="left")
+        if cfg.capture_plans:
+            self.debug_plans.setdefault(r, {})["fetched"] = (
+                fetched._jdf.queryExecution().executedPlan().toString()
+            )
         step = self._step(r)
         reg = parser_registry.get_parser(step.parser_name)
         with_data = parser_registry.with_parsed_by(fetched, step.parser_name)
@@ -282,14 +319,17 @@ class ChainCrawl:
             # reference ChainStep(extract_next_urls=None) => final step: no
             # URLs extracted, the chain drains after this round
             links_col = F.lit(None).cast("array<string>")
+            extracts = False
         elif step.links_extractor is _PARSER_DEFAULT:
+            extracts = reg.links_extractor is not None
             links_col = (
                 reg.links_extractor(F.col("parsed"))
-                if reg.links_extractor is not None
+                if extracts
                 else F.lit(None).cast("array<string>")
             )
         else:
             links_col = step.links_extractor(F.col("parsed"))
+            extracts = True
         core = [
             (F.col("pos") + F.lit(state.fetch_offset)).alias("fetch_seq"),
             F.lit(r).cast("int").alias("round"),
@@ -355,8 +395,19 @@ class ChainCrawl:
         # ---- next frontier ----
         if is_final:
             next_front = state.frontier.limit(0) if cfg.mode == "parity" else remainder
-            metrics["next_urls_found"] = 0
             new_seen = state.seen
+            if cfg.mode == "parity" and extracts:
+                # reference is_final_step() is `extract_next_urls is None`,
+                # not positional (chain_crawler.py:42-43,330-338): a last
+                # step WITH an extractor still extracts and counts
+                # next_urls_found, even though the chain then ends
+                metrics["next_urls_found"] = (
+                    parsed.filter(F.col("ok"))
+                    .select(F.explode(F.col("__next")))
+                    .count()
+                )
+            else:
+                metrics["next_urls_found"] = 0 if cfg.mode == "parity" else None
         else:
             links = (
                 parsed.filter(F.col("ok"))
@@ -406,6 +457,10 @@ class ChainCrawl:
                 survivors = dedup_unseen(
                     cand, state.seen, ["depth", "p0", "p1"], bloom
                 )
+                if cfg.capture_plans:
+                    self.debug_plans.setdefault(r, {})["dedup"] = (
+                        survivors._jdf.queryExecution().executedPlan().toString()
+                    )
                 # materialize once; frontier', seen' and the bloom delta all
                 # read it without recomputing the dedup/anti-join chain
                 survivors = with_host(survivors).localCheckpoint(eager=True)
@@ -428,7 +483,16 @@ class ChainCrawl:
                 next_front = remainder.unionByName(survivors).unionByName(retries)
                 # survivors are distinct and anti-joined vs seen, so the union
                 # stays distinct by construction — no extra shuffle needed
-                new_seen = state.seen.unionByName(survivors.select("url"))
+                seen_delta = survivors.select("url")
+                if self._seen_store is not None:
+                    # O(|delta|) maintenance: append only this round's new
+                    # urls into the bucketed table; the full seen set is
+                    # never rewritten or re-shuffled (survivors is already
+                    # materialized, so the append re-reads the checkpoint)
+                    self._seen_store.append(seen_delta)
+                    new_seen = self._seen_store.df()
+                else:
+                    new_seen = state.seen.unionByName(seen_delta)
                 if (
                     self._bloom is not None
                     and self._bloom.fill_ratio() > cfg.bloom_rebuild_fill
@@ -498,7 +562,13 @@ class ChainCrawl:
         if self.ckpt is not None:
             tables = {"frontier": next_front, "results": results}
             if new_seen is not None:
-                tables["url_seen"] = new_seen
+                if self._seen_store is not None:
+                    # store mode checkpoints only the DELTA (O(|delta|) IO);
+                    # resume rebuilds the table from base + committed deltas
+                    if seen_delta is not None:
+                        tables["url_seen_delta"] = seen_delta
+                else:
+                    tables["url_seen"] = new_seen
             if new_host_state is not None:
                 # without this, resume forgets active cooldowns and refetches
                 # failing hosts immediately (diverging from an uninterrupted
@@ -515,21 +585,127 @@ class ChainCrawl:
             )
             state_next.frontier = self.ckpt.read(self.spark, r, "frontier")
             state_next.results[-1] = self.ckpt.read(self.spark, r, "results")
-            if new_seen is not None:
+            if new_seen is not None and self._seen_store is None:
                 state_next.seen = self.ckpt.read(self.spark, r, "url_seen")
         else:
             state_next.frontier = next_front.localCheckpoint(eager=True)
             # results already localCheckpointed above
-            if new_seen is not None:
+            if new_seen is not None and self._seen_store is None:
                 state_next.seen = new_seen.localCheckpoint(eager=True)
+            # store mode: new_seen is already a plain table read — no lineage
+            # to truncate and nothing to re-materialize
         parsed.unpersist()
         return state_next
 
+    def close(self) -> None:
+        """Release the pages cache and drop the auto-created seen table
+        (benchmarks/back-to-back runs would otherwise stack persisted copies
+        and litter the warehouse).  A checkpointed crawl stays resumable —
+        resume rebuilds the seen table from the committed deltas."""
+        if self.cfg.cache_pages:
+            self.pages.unpersist()
+        if self._seen_store is not None:
+            self._seen_store.drop()
+            self._seen_store = None
+
+    def _resume_seen(self, last: int) -> DataFrame:
+        """Seen set as of committed round ``last``.  Store mode rebuilds the
+        bucketed table once from base + committed deltas (O(|seen|) at resume
+        time only — never on the round loop); legacy mode reads the full
+        url_seen snapshot."""
+        if not self.cfg.use_seen_store:
+            return self.ckpt.read(self.spark, last, "url_seen")
+        self._seen_store = self._make_seen_store()
+        acc = self.spark.read.parquet(os.path.join(self.ckpt.root, "url_seen_base"))
+        for rr in range(last + 1):
+            p = self.ckpt.table_path(rr, "url_seen_delta")
+            if os.path.exists(p):
+                acc = acc.unionByName(self.ckpt.read(self.spark, rr, "url_seen_delta"))
+        self._seen_store.create(acc)
+        return self._seen_store.df()
+
+    # -- mid-crawl URL injection ----------------------------------------------
+
+    def add_urls(self, state: CrawlState, urls: DataFrame) -> CrawlState:
+        """Mid-crawl URL injection — the reference's ``add_urls``
+        (reference crawler.py:373-376: append to the live work queue).
+
+        ``urls`` needs a ``url`` column; an optional ``pos`` long column fixes
+        the input order (defaults to url sort order — injection sources
+        should pass ``pos`` when arrival order matters).  Injected urls are
+        canonicalized (scale mode), first-wins deduped, anti-joined against
+        the seen set (a seen url is never refetched), enqueued at the tail of
+        the current wave (``depth = next round``, ``p0 = INJECT_P0_BASE`` so
+        natural discoveries of the wave keep priority, ``p1`` = input order),
+        and appended to the seen set/bloom so later natural rediscoveries die
+        at enqueue time.  Like the reference's in-memory queue append, an
+        injection is not itself checkpointed — it becomes durable with the
+        NEXT round's commit."""
+        cfg = self.cfg
+        s = urls
+        if "pos" not in s.columns:
+            s = s.withColumn("pos", F.lit(0).cast("long"))
+        s = s.select("url", F.col("pos").cast("long").alias("pos"))
+        if cfg.mode == "scale":
+            s = s.withColumn("url", canonicalize_udf(F.col("url"))).filter(
+                F.col("url").isNotNull()
+            )
+        s = first_wins(s, "url", ["pos"])
+        s = with_global_seq(s, ["pos", "url"], out_col="p1")
+        inj = s.select(
+            "url",
+            F.lit(state.round_idx).cast("int").alias("depth"),
+            F.lit(INJECT_P0_BASE).cast("long").alias("p0"),
+            F.col("p1").cast("long").alias("p1"),
+            F.lit(0).alias("attempt"),
+        )
+        new_seen = state.seen
+        if cfg.mode == "scale":
+            if state.seen is not None:
+                inj = anti_join_seen(inj, state.seen)
+            inj = with_host(inj).localCheckpoint(eager=True)
+            if state.seen is not None:
+                if self._seen_store is not None:
+                    self._seen_store.append(inj.select("url"))
+                    new_seen = self._seen_store.df()
+                else:
+                    new_seen = state.seen.unionByName(
+                        inj.select("url")
+                    ).localCheckpoint(eager=True)
+            if self._bloom is not None:
+                self._bloom.or_with(
+                    bloomlib.build_bloom(inj, "url", self._bloom.params)
+                )
+        else:
+            # parity: within-injection dedup only (the reference's add_urls
+            # appends verbatim to a queue the base loop dedups per step)
+            inj = inj.localCheckpoint(eager=True)
+        return CrawlState(
+            round_idx=state.round_idx,
+            frontier=state.frontier.unionByName(inj),
+            seen=new_seen,
+            host_state=state.host_state,
+            results=state.results,
+            metrics=state.metrics,
+            lineage=state.lineage,
+            fetch_offset=state.fetch_offset,
+        )
+
     # -- full run -------------------------------------------------------------
 
-    def run(self, seeds: DataFrame, stop_after_round: int | None = None) -> CrawlState:
+    def run(
+        self,
+        seeds: DataFrame,
+        stop_after_round: int | None = None,
+        extra_urls_provider: "Callable[[int, CrawlState], DataFrame | None] | None" = None,
+    ) -> CrawlState:
         """Run the round loop; ``stop_after_round=r`` simulates an
-        interruption after round r commits (crash-recovery testing)."""
+        interruption after round r commits (crash-recovery testing).
+
+        ``extra_urls_provider(finished_round, state)`` is called between
+        rounds (the discovery-feed hook): returning a DataFrame of urls
+        injects them via :meth:`add_urls` before the next round; ``None``
+        injects nothing."""
         cfg = self.cfg
         start_round = 0
         state = None
@@ -541,9 +717,7 @@ class ChainCrawl:
                     round_idx=last + 1,
                     frontier=self.ckpt.read(self.spark, last, "frontier"),
                     seen=(
-                        self.ckpt.read(self.spark, last, "url_seen")
-                        if cfg.mode == "scale"
-                        else None
+                        self._resume_seen(last) if cfg.mode == "scale" else None
                     ),
                     host_state=(
                         self.ckpt.read(self.spark, last, "host_state")
@@ -567,13 +741,30 @@ class ChainCrawl:
                 start_round = last + 1
         if state is None:
             frontier = self.initial_frontier(seeds)
-            seen = frontier.select("url") if cfg.mode == "scale" else None
+            seen = None
+            if cfg.mode == "scale":
+                if cfg.use_seen_store:
+                    self._seen_store = self._make_seen_store()
+                    self._seen_store.create(frontier.select("url"))
+                    if self.ckpt is not None:
+                        # the resume base: deltas alone don't include the
+                        # seeds (round deltas start at round 0's discoveries)
+                        self._seen_store.df().write.mode("overwrite").parquet(
+                            os.path.join(self.ckpt.root, "url_seen_base")
+                        )
+                    seen = self._seen_store.df()
+                else:
+                    seen = frontier.select("url")
             state = CrawlState(round_idx=0, frontier=frontier, seen=seen)
 
         for r in range(start_round, self.n_rounds):
             state = self.run_round(state)
             if state.halted:
                 break
+            if extra_urls_provider is not None and r + 1 < self.n_rounds:
+                extra = extra_urls_provider(r, state)
+                if extra is not None:
+                    state = self.add_urls(state, extra)
             if stop_after_round is not None and r >= stop_after_round:
                 break
         return state

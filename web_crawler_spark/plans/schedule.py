@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..operators import bloom as bloomlib
 from ..operators.dedup import anti_join_seen, first_wins
-from ..operators.politeness import select_host_budget_batch, with_host
+from ..operators.politeness import (
+    local_host_prune,
+    select_host_budget_batch,
+    with_host,
+)
 
 
 def dedup_unseen(
@@ -68,9 +72,42 @@ def schedule_frontier(
     host_rules: DataFrame | None = None,
     salt_buckets: int | None = None,
     url_col: str = "url",
+    local_prune: bool | None = None,
 ) -> DataFrame:
     """Full scheduling op: canonicalized candidates -> deduped unseen ->
-    per-host politeness-budgeted batch (with host_rank)."""
+    per-host politeness-budgeted batch (with host_rank).
+
+    ``local_prune`` (default: on whenever it is exact — constant budget, no
+    robots rules, no salting): after the anti-join, an Arrow map-side
+    per-partition prune (local first-wins + per-host top-``budget``,
+    operators/politeness.local_host_prune) bounds BOTH downstream exchanges
+    at ``budget x hosts x partitions`` rows instead of every candidate — the
+    fabric-volume fix for the N->4N scaling rule.  Semantics are identical
+    (superset-of-winners proof on the prune; pytest equivalence in
+    tests/test_schedule.py); robots rules disable it because a disallowed
+    url must not occupy a prune slot."""
+    if local_prune is None:
+        local_prune = (
+            budget is not None and host_rules is None and salt_buckets is None
+        )
+    if local_prune:
+        if seen is None:
+            kept = cand
+        elif bloom is None:
+            kept = anti_join_seen(cand, seen, url_col)
+        else:
+            definitely_new, maybe = bloomlib.bloom_prefilter(cand, bloom, key_col=url_col)
+            kept = definitely_new.unionByName(anti_join_seen(maybe, seen, url_col))
+        hosted = with_host(kept, url_col=url_col)
+        pruned = local_host_prune(hosted, order_cols, budget, url_col=url_col)
+        winners = first_wins(pruned, url_col, order_cols)
+        return select_host_budget_batch(
+            winners,
+            order_cols=order_cols,
+            budget=budget,
+            host_rules=host_rules,
+            salt_buckets=salt_buckets,
+        )
     winners = dedup_unseen(cand, seen, order_cols, bloom, url_col)
     frontier = with_host(winners, url_col=url_col)
     return select_host_budget_batch(

@@ -249,12 +249,16 @@ def simulate_chain_crawl(
                         data=parsed,
                     )
                 )
-                if not is_final and step.extract is not None:
-                    # chain_crawler.py:335-338 — extract_next_urls(data);
-                    # default chain uses the parsed links list.
+                if step.extract is not None:
+                    # chain_crawler.py:330-338 — is_final_step() is
+                    # `extract_next_urls is None`, NOT positional: a last
+                    # step with an extractor still extracts and counts
+                    # next_urls_found (the found urls then go nowhere
+                    # because the step loop ends).
                     found = step.extract(parsed)
                     stats["next_urls_found"] += len(found)
-                    next_urls.extend(found)
+                    if not is_final:
+                        next_urls.extend(found)
         if next_urls:
             next_urls = list(dict.fromkeys(next_urls))  # chain_crawler.py:377-379
         result.step_stats.append(stats)

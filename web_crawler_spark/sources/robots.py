@@ -90,14 +90,12 @@ def with_parsed_rules(
             del_.append(cd)
         return pd.DataFrame({"disallow": dis, "crawl_delay": del_})
 
-    parsed = robots.withColumn("__r", parse(F.col(content_col)))
-    return robots.select("host").join(
-        parsed.select(
-            "host",
-            F.col("__r.disallow").alias("disallow"),
-            F.col("__r.crawl_delay").alias("crawl_delay"),
-        ),
-        on="host",
+    # straight projection — no join back onto the input (a self-join here
+    # would scan/parse twice and multiply rows if a host ever appears twice)
+    return robots.withColumn("__r", parse(F.col(content_col))).select(
+        "host",
+        F.col("__r.disallow").alias("disallow"),
+        F.col("__r.crawl_delay").alias("crawl_delay"),
     )
 
 

@@ -85,6 +85,7 @@ def write_storage_backend(
     backend_factory: Callable[[], object],
     round_ts: str,
     data_cols: list[str],
+    batch_size: int | None = None,
 ) -> int:
     """Route results through a StorageBackend-shaped handler — the concrete
     MongoDB-adapter path (reference storage.py:153-199): one backend per
@@ -95,20 +96,36 @@ def write_storage_backend(
     per-round constant), then ``finalize()`` if the backend has one.
     ``backend_factory`` must be picklable (executors construct the backend;
     e.g. ``lambda: pymongo.MongoClient(uri)[db][coll]``-style wrapper).
-    Returns the number of records inserted."""
+    Returns the number of records inserted.
+
+    ``batch_size``: when set and the backend exposes ``insert_many``, records
+    are inserted in chunks of at most ``batch_size`` (one round-trip per
+    chunk — what a real cluster wants); the documents are byte-identical to
+    the ``insert_one`` envelopes.  Backends without ``insert_many`` (or
+    ``batch_size=None``) keep the reference's per-record ``insert_one``
+    contract (storage.py:189)."""
     env = with_envelope(df, round_ts, data_cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         backend = backend_factory()
+        many = batch_size if (batch_size and hasattr(backend, "insert_many")) else None
         n = 0
+        buf: list[dict] = []
         for pdf in batches:
             for rec in pdf.to_dict("records"):
                 ts = rec["ts"]
                 ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
-                backend.insert_one(
-                    {"url": rec["url"], "timestamp": ts, "data": rec["data"]}
-                )
+                doc = {"url": rec["url"], "timestamp": ts, "data": rec["data"]}
+                if many:
+                    buf.append(doc)
+                    if len(buf) >= many:
+                        backend.insert_many(buf)
+                        buf = []
+                else:
+                    backend.insert_one(doc)
                 n += 1
+        if buf:
+            backend.insert_many(buf)
         if hasattr(backend, "finalize"):
             backend.finalize()
         yield pd.DataFrame({"n": [n]})

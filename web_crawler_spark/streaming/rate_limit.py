@@ -64,15 +64,22 @@ def _throttle_batch(
     max_pending: int,
 ) -> tuple[list[tuple[int, str]], list[tuple[int, str]], int]:
     """Pure core: (emit, new_pending, n_overflow_this_batch).  Emission order
-    is (prio, url) — deterministic regardless of arrival order."""
-    merged = sorted(set(pending) | set(arrivals))
+    is (prio, url) — deterministic regardless of arrival order.  A url is a
+    single unit of work: re-arrivals (including with a different priority)
+    merge into one entry at the lowest priority seen, so a url can neither be
+    emitted twice nor burn two budget slots in one batch."""
+    best: dict[str, int] = {}
+    for prio, url in list(pending) + list(arrivals):
+        if url not in best or prio < best[url]:
+            best[url] = prio
+    merged = sorted((p, u) for u, p in best.items())
     emit = merged[:budget]
     rest = merged[budget:]
     overflow = max(0, len(rest) - max_pending)
     return emit, rest[:max_pending], overflow
 
 
-def _make_throttle(budget: int, max_pending: int):
+def _make_throttle(budget: int, max_pending: int, drain_timeout_ms: int | None = None):
     def throttle(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -82,8 +89,11 @@ def _make_throttle(budget: int, max_pending: int):
         else:
             pending, overflow = [], 0
         arrivals: list[tuple[int, str]] = []
-        for pdf in pdfs:
-            arrivals.extend(zip(pdf["prio"].astype(int), pdf["url"]))
+        # a timed-out invocation carries no rows — it exists purely to drain
+        # pending work for a host that stopped receiving arrivals
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                arrivals.extend(zip(pdf["prio"].astype(int), pdf["url"]))
         emit, pending, over = _throttle_batch(pending, arrivals, budget, max_pending)
         overflow = (overflow or 0) + over
         if emit:
@@ -97,6 +107,10 @@ def _make_throttle(budget: int, max_pending: int):
                 }
             )
         state.update(([u for _, u in pending], [p for p, _ in pending], overflow))
+        if drain_timeout_ms is not None and pending:
+            # re-invoke this host at the next micro-batch after the horizon
+            # even with zero new arrivals — deferred work is never stranded
+            state.setTimeoutDuration(drain_timeout_ms)
 
     return throttle
 
@@ -105,19 +119,33 @@ def streaming_host_throttle(
     candidates: DataFrame,
     budget: int = DEFAULT_BUDGET,
     max_pending: int = DEFAULT_MAX_PENDING,
+    drain_timeout_ms: int | None = None,
 ) -> DataFrame:
     """candidates: STREAMING DataFrame with (url, prio) columns.  Emits at
     most ``budget`` urls per host per micro-batch; the remainder carries in
-    state."""
+    state.
+
+    ``drain_timeout_ms``: a host with pending work registers a
+    processing-time timeout, so its backlog drains on subsequent micro-batches
+    even if no new url for that host ever arrives.  Use it on CONTINUOUS
+    triggers (a long-running crawl feed — the intended deployment); leave it
+    ``None`` for ``availableNow``/batch-drain runs, where a registered timer
+    keeps the query alive and ``awaitTermination`` never returns (measured in
+    this sandbox), and where pending therefore drains only on later runs'
+    arrivals for the same host (the documented NoTimeout semantics)."""
     keyed = candidates.select(
         F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"), "url", "prio"
     ).filter(F.col("host").isNotNull())
     return keyed.groupBy("host").applyInPandasWithState(
-        _make_throttle(budget, max_pending),
+        _make_throttle(budget, max_pending, drain_timeout_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if drain_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -128,12 +156,15 @@ def run_throttle_available_now(
     checkpoint_dir: str,
     budget: int = DEFAULT_BUDGET,
     max_pending: int = DEFAULT_MAX_PENDING,
+    drain_timeout_ms: int | None = None,
 ) -> None:
     """Process all files currently in ``in_dir`` (schema: url string, prio
     long); per-host pending state persists in the stream checkpoint, so
-    re-runs continue draining the carried frontier."""
+    re-runs continue draining the carried frontier.  Keep
+    ``drain_timeout_ms=None`` here: timers + availableNow deadlock (see
+    ``streaming_host_throttle``)."""
     stream = spark.readStream.schema("url string, prio long").parquet(in_dir)
-    out = streaming_host_throttle(stream, budget, max_pending)
+    out = streaming_host_throttle(stream, budget, max_pending, drain_timeout_ms)
     q = (
         out.writeStream.format("parquet")
         .option("path", out_dir)

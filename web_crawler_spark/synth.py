@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v6"
+SYNTH_VERSION = "v7"
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
