@@ -178,6 +178,39 @@ def q_crawl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_inject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-crawl add_urls (reference crawler.py:373-376): a parity chain
+    crawl with urls injected after round 0 via the between-rounds provider
+    hook — fresh pages, a url the crawl also discovers naturally (fetched
+    twice, list-append semantics), and a dead url.  Golden = refsim with the
+    identical injection (synth._gen_expected_inject)."""
+    key = synth.ensure_synth(sf_dir)
+    memo_key = f"inject:{key}"
+    if memo_key not in _CRAWL_MEMO:
+        sf = synth.sf_name_of(key)
+        pages = spark.read.parquet(synth.synth_path(sf, "pages"))
+        seeds = spark.read.parquet(synth.synth_path(sf, "seeds"))
+        inj = spark.read.parquet(synth.synth_path(sf, "inject_urls"))
+        eng = ChainCrawl(
+            spark, pages, CrawlConfig(rounds=synth.EXPECTED_CRAWL_ROUNDS, mode="parity")
+        )
+        _CRAWL_MEMO[memo_key] = eng.run(
+            seeds,
+            extra_urls_provider=lambda r, st: (
+                inj if r == synth.INJECT_AFTER_ROUND else None
+            ),
+        )
+    state = _CRAWL_MEMO[memo_key]
+    return ChainCrawl.fetch_log(state).select(
+        "fetch_seq",
+        F.col("round").cast("int").alias("round"),
+        "url",
+        "ok",
+        F.coalesce(F.col("title"), F.lit("")).alias("title"),
+        F.coalesce(F.col("links_count"), F.lit(-1)).cast("int").alias("links_count"),
+    )
+
+
 def q_frontier_sched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed north-star scheduling op (plans/schedule.py): exploded
     candidate links -> JVM canonical mask -> seen anti-join before the dedup
@@ -514,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_stats": q_link_stats,
         "crawl_fetch_log": q_crawl_fetch_log,
         "crawl_chain": q_crawl_chain,
+        "crawl_inject": q_crawl_inject,
         "frontier_sched": q_frontier_sched,
         "crawl_stats": q_crawl_stats,
         "doc_tokens": q_doc_tokens,
@@ -595,6 +629,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
     cands = f"read_parquet('{sp('url_candidates')}')"
     expected = f"read_parquet('{sp('expected_crawl')}')"
     expected_chain = f"read_parquet('{sp('expected_chain')}')"
+    expected_inject = f"read_parquet('{sp('expected_inject')}')"
     media = f"read_parquet('{sp('media')}')"
     return {
         # crawl domain: goldens are the refsim-computed fixtures (independent
@@ -625,6 +660,12 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    coalesce(title, '') AS title,
                    coalesce(links_count, -1)::INT AS links_count
             FROM {expected_chain}
+        """,
+        "crawl_inject": f"""
+            SELECT fetch_seq, round, url, ok,
+                   coalesce(title, '') AS title,
+                   coalesce(links_count, -1)::INT AS links_count
+            FROM {expected_inject}
         """,
         "frontier_sched": _frontier_sched_oracle_sql(pages_meta),
         "crawl_stats": f"""

@@ -187,6 +187,7 @@ def simulate_chain_crawl(
     rounds: Optional[int] = None,
     max_urls_per_step: Optional[int] = None,
     steps: Optional[list[SimStep]] = None,
+    inject: Optional[Mapping[int, list[str]]] = None,
 ) -> SimResult:
     """Run the reference's deterministic 1-worker chain-crawl semantics.
 
@@ -201,6 +202,15 @@ def simulate_chain_crawl(
     ``steps`` (ChainStep parity, chain_crawler.py:24-43): one SimStep per
     round, each with its own parser and extraction rule; when given, the
     step count defines the round count.
+
+    ``inject`` maps a finished round index r to urls appended to the queue
+    before round r+1 — the reference's mid-crawl ``add_urls``
+    (crawler.py:373-376 raw-appends to the live queue).  Mirroring the
+    engine's ``ChainCrawl.add_urls``: within-injection ordered dedup, then
+    appended at the TAIL of the wave (after the round's natural
+    discoveries); no dedup against the queue (an injected url also
+    discovered naturally is fetched twice, exactly like the reference's
+    list append).
     """
     if steps is None:
         steps = [SimStep() for _ in range(rounds)]
@@ -263,4 +273,6 @@ def simulate_chain_crawl(
             next_urls = list(dict.fromkeys(next_urls))  # chain_crawler.py:377-379
         result.step_stats.append(stats)
         current = next_urls
+        if inject and round_idx in inject:
+            current = current + list(dict.fromkeys(inject[round_idx]))
     return result

@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v7"
+SYNTH_VERSION = "v8"
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -345,6 +345,48 @@ def _gen_expected_crawl(pages_tbl: pa.Table, seeds_tbl: pa.Table, steps=None):
     )
 
 
+INJECT_AFTER_ROUND = 0  # crawl_inject: urls injected after round 0's commit
+
+
+def _gen_expected_inject(pages_tbl: pa.Table, seeds_tbl: pa.Table):
+    """Golden for the mid-crawl add_urls hook (reference crawler.py:373-376):
+    after round 0, inject two never-otherwise-crawled pages (new downstream
+    link discoveries), one url the crawl also finds naturally (fetched twice
+    — the reference's raw list-append semantics), and one dead url (fetch
+    failure).  Returns (expected_inject fetch-log table, inject_urls table)."""
+    pages = {
+        u.as_py(): h.as_py()
+        for u, h in zip(pages_tbl.column("url"), pages_tbl.column("html"))
+    }
+    seeds = [u.as_py() for u in seeds_tbl.column("url")]
+    base = refsim.simulate_chain_crawl(pages, seeds, rounds=EXPECTED_CRAWL_ROUNDS)
+    crawled = {r.url for r in base.records}
+    fresh = [u for u in pages if u not in crawled][:2]
+    dup = next(r.url for r in base.records if r.round == 1 and r.ok)
+    inj = fresh + [dup, "http://nowhere.example/missing"]
+    sim = refsim.simulate_chain_crawl(
+        pages, seeds, rounds=EXPECTED_CRAWL_ROUNDS, inject={INJECT_AFTER_ROUND: inj}
+    )
+    recs = sim.records
+    expected = pa.table(
+        {
+            "fetch_seq": pa.array([r.fetch_seq for r in recs], pa.int64()),
+            "round": pa.array([r.round for r in recs], pa.int32()),
+            "url": pa.array([r.url for r in recs], pa.string()),
+            "ok": pa.array([r.ok for r in recs], pa.bool_()),
+            "title": pa.array([r.title for r in recs], pa.string()),
+            "links_count": pa.array([r.links_count for r in recs], pa.int32()),
+        }
+    )
+    inject_urls = pa.table(
+        {
+            "pos": pa.array(range(len(inj)), pa.int64()),
+            "url": pa.array(inj, pa.string()),
+        }
+    )
+    return expected, inject_urls
+
+
 def ensure_synth(sf_dir_or_name: str) -> str:
     """Generate (once) all synthetic tables for a scale; returns the dir."""
     sf = sf_name_of(sf_dir_or_name)
@@ -361,6 +403,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     media = _gen_media(rng, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
+    expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
     # small row groups so Spark's byte-range splits hold real rows — a single
     # giant row group serializes every scan into one task (Common-Crawl data
     # comes as thousands of files; this models that split-ability)
@@ -373,6 +416,10 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
     )
+    pq.write_table(
+        expected_inject, synth_path(sf, "expected_inject"), row_group_size=4096
+    )
+    pq.write_table(inject_urls, synth_path(sf, "inject_urls"))
     with open(marker, "w") as f:
         f.write(SYNTH_VERSION)
     return out
