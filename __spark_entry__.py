@@ -313,6 +313,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupsim.simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the LSH candidate-pair
+    graph (iterative min-label propagation; singletons keep their own id).
+    The oracle computes the same fixpoint with a recursive CTE."""
+    docs = _docs(spark, sf_dir)
+    sh = dedupsim.shingles(docs)
+    pairs = dedupsim.lsh_candidate_pairs(
+        dedupsim.lsh_bands(dedupsim.minhash_signatures(sh))
+    )
+    return dedupsim.connected_components(pairs, docs=docs)
+
+
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinctive-term extraction (tf DESC, df ASC, term ASC) —
+    integer-only ranking, exact tf/df emitted for downstream idf."""
+    return textstats.top_terms(_docs(spark, sf_dir))
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     q = emb.filter(F.col("vec_id") < N_ANN_QUERIES)
@@ -560,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_components": q_dedup_components,
+        "doc_top_terms": q_doc_top_terms,
         "dedup_embed": q_dedup_embed,
         "ann_brute": q_ann_brute,
         "ann_lsh": q_ann_lsh,
@@ -686,6 +706,8 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "dedup_lsh_pairs": dedupsim.duck_lsh_pairs_sql("documents"),
         "dedup_jaccard": dedupsim.duck_jaccard_sql("documents"),
         "dedup_simhash": dedupsim.duck_simhash_sql("documents"),
+        "dedup_components": dedupsim.duck_components_sql("documents"),
+        "doc_top_terms": textstats.duck_top_terms_sql("documents"),
         "dedup_embed": simsearch.duck_cosine_dups_sql("embeddings", COSINE_DUP_THRESHOLD_PPM),
         "ann_brute": simsearch.duck_brute_force_sql("embeddings", N_ANN_QUERIES, ANN_K),
         # self-verifying recall checks: the Spark side computes per-query

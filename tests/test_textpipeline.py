@@ -107,6 +107,81 @@ def test_simhash_vs_duckdb(spark, duck, docs):
     _cmp(dedupsim.simhash(docs), duck.sql(dedupsim.duck_simhash_sql("documents")), ["doc_id"])
 
 
+def test_connected_components_crafted_graph(spark):
+    """Chain, star, triangle, and singletons — the iterative propagation must
+    match a pure-python union-find exactly, including diameter > 1 chains
+    (one propagation round is not enough)."""
+    pairs = [
+        (1, 2), (2, 3), (3, 4), (4, 5),        # chain: diameter 4
+        (10, 11), (10, 12), (10, 13),          # star
+        (20, 21), (21, 22), (20, 22),          # triangle
+    ]
+    all_docs = sorted({x for p in pairs for x in p} | {30, 31})  # +singletons
+    pdf = spark.createDataFrame(pairs, "a bigint, b bigint")
+    docs_df = spark.createDataFrame([(d,) for d in all_docs], "doc_id bigint")
+    got = {
+        (r["doc_id"], r["component"])
+        for r in dedupsim.connected_components(pdf, docs=docs_df).collect()
+    }
+
+    parent = {d: d for d in all_docs}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        parent[max(ra, rb)] = min(ra, rb)
+    want = {(d, find(d)) for d in all_docs}
+    assert got == want
+    assert (30, 30) in got  # singleton keeps its own id
+
+
+def test_components_vs_duckdb(spark, duck, docs):
+    _cmp(
+        dedupsim.connected_components(
+            dedupsim.lsh_candidate_pairs(
+                dedupsim.lsh_bands(
+                    dedupsim.minhash_signatures(dedupsim.shingles(docs))
+                )
+            ),
+            docs=docs,
+        ),
+        duck.sql(dedupsim.duck_components_sql("documents")),
+        ["doc_id"],
+    )
+
+
+def test_top_terms_vs_duckdb(spark, duck, docs):
+    _cmp(
+        textstats.top_terms(docs),
+        duck.sql(textstats.duck_top_terms_sql("documents")),
+        ["doc_id", "rnk"],
+    )
+
+
+def test_top_terms_ranking_semantics(spark):
+    rows = [
+        (1, "apple apple apple banana banana cherry"),
+        (2, "banana banana banana apple"),
+        (3, "unique unique unique words here apple"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["df"])
+        for r in textstats.top_terms(df, k=2).collect()
+    }
+    # doc 1: apple tf=3 wins; banana tf=2 over cherry tf=1
+    assert got[(1, 1)] == ("apple", 3, 3)
+    assert got[(2, 1)] == ("banana", 3, 2)
+    # doc 3: 'unique' tf=3 first; tf-1 tie among (apple df=3, here df=1,
+    # words df=1) -> df ASC then term ASC picks 'here'
+    assert got[(3, 1)] == ("unique", 3, 1)
+    assert got[(3, 2)] == ("here", 1, 1)
+
+
 def test_simhash_deterministic_and_groups_dups(spark, docs):
     dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
     corpus = docs.unionByName(dup)

@@ -113,6 +113,59 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, component) over the undirected candidate-pair graph, where
+    ``component`` is the minimum doc_id reachable — the canonical
+    near-duplicate CLUSTERING step after LSH pair generation (keep one doc
+    per component, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converged when the (strictly
+    decreasing) label sum stops changing.  The driver loop holds only a
+    scalar; per-iteration ``localCheckpoint`` truncates the lineage so round
+    r's plan never embeds rounds 0..r-1 (same discipline as the crawl loop).
+    Rounds needed = graph diameter — small for near-dup clusters (spam
+    farms are star-shaped, not paths).  ``docs`` (optional) adds singleton
+    documents so every doc gets a component (its own id)."""
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    if docs is not None:
+        nodes = docs.select(F.col(id_col).alias("node")).distinct()
+    else:
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=True
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("node", "dst"), on="dst"
+        ).select(F.col("src").alias("node"), "label")
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # labels only ever decrease, so an unchanged sum == fixpoint (decimal
+        # guards against int64 overflow at 10^10-node scale)
+        s = new.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        labels = new
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("component")
+    )
+
+
 def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact shingle Jaccard for candidate pairs, in parts-per-million.
 
@@ -261,6 +314,39 @@ bands AS ({band_rows})
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM bands l JOIN bands r
   ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+
+def duck_components_sql(table: str) -> str:
+    """Recursive-CTE oracle for connected_components over the LSH candidate
+    pairs: the transitive closure of reachable labels, min per node — an
+    implementation-independent fixpoint the iterative Spark propagation must
+    land on exactly."""
+    n_bands = N_HASHES // BAND_SIZE
+    mins = ", ".join(f"min(md5(shingle || '#{i}'))" for i in range(N_HASHES))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_key FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(f"sig[{b * BAND_SIZE + j + 1}]" for j in range(BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    return rf"""
+WITH RECURSIVE {duck_shingles_cte(table)},
+sigs AS (SELECT doc_id, [{mins}] AS sig FROM shingles GROUP BY doc_id),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+)
+SELECT node AS doc_id, min(label) AS component FROM walk GROUP BY node
 """
 
 

@@ -110,6 +110,60 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
 
 
+TOP_TERMS_K = 5
+
+
+def top_terms(
+    df: DataFrame, k: int = TOP_TERMS_K, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc top-``k`` distinctive terms — keyword extraction for corpus
+    curation.  Rank = (term frequency DESC, document frequency ASC, term
+    ASC): frequent in THIS doc, rare across the corpus.  Deliberately
+    integer-only (no float idf) so the ranking is bit-identical across
+    engines; exact ``tf``/``df`` ride along for any downstream idf
+    weighting.  Plan shape: tf agg (shuffle on doc,term) -> df agg +
+    term-keyed join (shuffle on term) -> per-doc window whose constant-k
+    row_number compiles to WindowGroupLimit partial top-k (skew-safe)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, on="term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id", "term", "tf", "df", F.col("rnk").cast("long").alias("rnk")
+        )
+    )
+
+
+def duck_top_terms_sql(table: str, k: int = TOP_TERMS_K) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM {table}, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT doc_id, term, tf, df, rnk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC
+         ) AS rnk
+  FROM tf JOIN dfq USING (term)
+) WHERE rnk <= {k}
+"""
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     cols = quality_columns(t)
