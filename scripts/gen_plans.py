@@ -65,12 +65,14 @@ def main() -> None:
     cand = urlnorm.with_canonical_split(links).filter(F.col("url").isNotNull())
     seen = meta.select("url").limit(100)
     cap(
-        "frontier scheduling — anti-join before the dedup exchange",
+        "frontier scheduling — anti-join, then map-side prune, then dedup",
         schedule_frontier(cand, seen, ["p0", "p1"], budget=5),
-        "Want: rediscoveries die at a BroadcastHashJoin LeftAnti BEFORE the\n"
-        "first-wins aggregate's exchange; ArrowEvalPython appears only on the\n"
-        "slow canonicalize branch (the fast branch is a codegen'd rlike);\n"
-        "two big-side exchanges total (dedup agg on url, host window).",
+        "Want: rediscoveries die at a BroadcastHashJoin LeftAnti BEFORE any\n"
+        "exchange; the MapInPandas prune (local first-wins + per-host\n"
+        "top-budget) sits between the anti-join and the exchanges, so both\n"
+        "the dedup-agg exchange and the host window carry at most\n"
+        "budget x hosts x partitions rows; ArrowEvalPython appears only on\n"
+        "the slow canonicalize branch (the fast branch is a codegen'd rlike).",
     )
     bloom = bloomlib.build_bloom(seen, "url")
     cap(
@@ -78,7 +80,32 @@ def main() -> None:
         schedule_frontier(cand, seen, ["p0", "p1"], budget=5, bloom=bloom),
         "Want: the bloom probe (ArrowEvalPython over xxhash64) splits\n"
         "candidates map-side; only the maybe-seen branch reaches the exact\n"
-        "anti-join; the union feeds one dedup exchange.",
+        "anti-join; the union feeds the prune, then one dedup exchange.",
+    )
+
+    from web_crawler_spark.operators import dedup as dedup_ops  # noqa: E402
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS wcs_plans")
+    spark.sql("DROP TABLE IF EXISTS wcs_plans.seen_demo")
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, "wcs_plans.db", "seen_demo"), ignore_errors=True)
+    dedup_ops.write_bucketed_seen(
+        spark.read.parquet(synth.synth_path("0.001", "pages")).select("url"),
+        "wcs_plans.seen_demo",
+        buckets=8,
+    )
+    cap(
+        "url_seen anti-join — bucketed-delta store layout (scale-mode loop)",
+        dedup_ops.anti_join_seen(
+            cand.select("url").hint("shuffle_merge"),
+            dedup_ops.read_bucketed_seen(spark, "wcs_plans.seen_demo"),
+        ),
+        "Want: the seen side scans its bucket layout (SelectedBucketsCount,\n"
+        "no Exchange on the seen attributes) — only the candidate side\n"
+        "exchanges; this is the join the round loop runs every round against\n"
+        "the delta-appended seen table (operators/seen_store.py).",
     )
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:

@@ -97,11 +97,17 @@ def main() -> None:
         "",
         "- `sched` = canonicalize (JVM fast-path regex; Python UDF only for",
         "  the messy residue) -> seen anti-join BEFORE the dedup exchange",
-        "  (rediscoveries die map-side under the broadcast) -> first-wins",
-        "  dedup -> per-host budget rank (plans/schedule.py) — the URLs",
-        "  scheduled+deduped/sec north star.  Round-2 plan changes (JVM",
-        "  fast-mask canonicalization + anti-join-first) lifted efficiency",
-        "  from r1's 0.27 to the number above.",
+        "  (rediscoveries die map-side under the broadcast) -> Arrow map-side",
+        "  per-partition prune (local first-wins + per-host top-budget,",
+        "  operators/politeness.local_host_prune) -> first-wins dedup ->",
+        "  per-host budget rank (plans/schedule.py) — the URLs",
+        "  scheduled+deduped/sec north star.  Plan history: r1 0.27 ->",
+        "  r2 0.61 (JVM fast mask + anti-join-first) -> r3 adds the prune,",
+        "  which bounds BOTH exchanges at budget x hosts x partitions rows —",
+        "  sched is now compute-dominated (its shuffle is <10% of runtime;",
+        "  compare the shuffle-control row's absolute seconds), so its",
+        "  efficiency should be read against parse (the compute workload),",
+        "  not the fabric control.",
         "- `parse` = Arrow-batched default-parser extraction over all pages",
         "  (compute-bound; shuffle-free).",
         "- `shuffle-control` = 4 back-to-back full-data repartitions, no",
