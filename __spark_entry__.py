@@ -211,6 +211,41 @@ def q_crawl_inject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCALE2R_BUDGET = 7
+
+
+def q_crawl_scale_2r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE SCALE-MODE ROUND LOOP, graded end-to-end: 2 rounds of the real
+    engine (canonicalized links, cross-round url_seen via the bucketed-delta
+    store, per-host politeness budget, FIFO ordering keys) — oracled by
+    unrolling both rounds in SQL (budget windows, enqueue-time seen
+    anti-joins, and a fixture-exact canonicalization: the synth messy-link
+    generator emits four known patterns, each SQL-reversible; general RFC
+    canonicalization is graded separately by `urlnorm`)."""
+    key = synth.ensure_synth(sf_dir)
+    memo_key = f"scale2r:{key}"
+    if memo_key not in _CRAWL_MEMO:
+        sf = synth.sf_name_of(key)
+        pages = spark.read.parquet(synth.synth_path(sf, "pages"))
+        seeds = spark.read.parquet(synth.synth_path(sf, "seeds"))
+        eng = ChainCrawl(
+            spark,
+            pages,
+            CrawlConfig(
+                rounds=2,
+                mode="scale",
+                host_budget=SCALE2R_BUDGET,
+                use_bloom=False,
+                seen_buckets=8,
+            ),
+        )
+        _CRAWL_MEMO[memo_key] = eng.run(seeds)
+    state = _CRAWL_MEMO[memo_key]
+    return ChainCrawl.fetch_log(state).select(
+        "fetch_seq", F.col("round").cast("int").alias("round"), "url", "ok"
+    )
+
+
 def q_frontier_sched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed north-star scheduling op (plans/schedule.py): exploded
     candidate links -> JVM canonical mask -> seen anti-join before the dedup
@@ -566,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_fetch_log": q_crawl_fetch_log,
         "crawl_chain": q_crawl_chain,
         "crawl_inject": q_crawl_inject,
+        "crawl_scale_2r": q_crawl_scale_2r,
         "frontier_sched": q_frontier_sched,
         "crawl_stats": q_crawl_stats,
         "doc_tokens": q_doc_tokens,
@@ -634,6 +670,128 @@ SELECT url, host, host_rank, parent, link_pos FROM (
 """
 
 
+def _crawl_scale_2r_oracle_sql(pages_meta: str, seeds: str) -> str:
+    """Two engine rounds unrolled in SQL.  Canonicalization is
+    fixture-exact: synth seeds are already canonical, and synth links are
+    canonical urls, four known messy patterns (upper scheme+host, :80 port,
+    %70 percent-encoding of the path's leading 'p', a/../ dot segment), or
+    relative hrefs (dropped — no scheme).  Ordering keys mirror the engine:
+    round batches rank per host then sequence globally by
+    (attempt=0, depth, p0, p1)."""
+    b = SCALE2R_BUDGET
+    return rf"""
+WITH seeds_c AS (
+  SELECT url, min(seed_idx) AS p0 FROM {seeds} GROUP BY url
+),
+f0 AS (
+  SELECT url, p0, lower(split_part(split_part(url, '://', 2), '/', 1)) AS host
+  FROM seeds_c
+),
+b0 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY host ORDER BY p0) AS hr FROM f0
+  ) WHERE hr <= {b}
+),
+batch0 AS (
+  SELECT url, p0, host, row_number() OVER (ORDER BY p0) - 1 AS pos FROM b0
+),
+pageset AS (SELECT DISTINCT url FROM {pages_meta}),
+log0 AS (
+  SELECT b.pos AS fetch_seq, 0 AS round, b.url, (p.url IS NOT NULL) AS ok
+  FROM batch0 b LEFT JOIN pageset p ON p.url = b.url
+),
+rem0 AS (
+  SELECT url, 0 AS depth, p0, 0::BIGINT AS p1, host FROM f0
+  WHERE url NOT IN (SELECT url FROM batch0)
+),
+links0 AS (
+  SELECT b.pos AS parent_pos, (i - 1)::BIGINT AS link_pos, m.links[i] AS raw
+  FROM batch0 b
+  JOIN {pages_meta} m ON m.url = b.url,
+  LATERAL unnest(generate_series(1, len(m.links))) AS t(i)
+),
+-- fixture-exact canonicalization of the synth link corpus
+canon0 AS (
+  SELECT
+    parent_pos, link_pos,
+    lower(split_part(raw, '://', 1)) || '://' ||
+    CASE WHEN lower(split_part(split_part(raw, '://', 2), '/', 1)) LIKE '%:80'
+         THEN substr(lower(split_part(split_part(raw, '://', 2), '/', 1)), 1,
+                     len(split_part(split_part(raw, '://', 2), '/', 1)) - 3)
+         ELSE lower(split_part(split_part(raw, '://', 2), '/', 1)) END
+    || '/' ||
+    CASE
+      WHEN starts_with(
+             CASE WHEN substr(split_part(raw, '://', 2),
+                              strpos(split_part(raw, '://', 2), '/') + 1)
+                       LIKE 'a/../%'
+                  THEN substr(substr(split_part(raw, '://', 2),
+                                     strpos(split_part(raw, '://', 2), '/') + 1), 6)
+                  ELSE substr(split_part(raw, '://', 2),
+                              strpos(split_part(raw, '://', 2), '/') + 1) END,
+             '%70/')
+      THEN 'p/' || substr(
+             CASE WHEN substr(split_part(raw, '://', 2),
+                              strpos(split_part(raw, '://', 2), '/') + 1)
+                       LIKE 'a/../%'
+                  THEN substr(substr(split_part(raw, '://', 2),
+                                     strpos(split_part(raw, '://', 2), '/') + 1), 6)
+                  ELSE substr(split_part(raw, '://', 2),
+                              strpos(split_part(raw, '://', 2), '/') + 1) END, 5)
+      ELSE CASE WHEN substr(split_part(raw, '://', 2),
+                            strpos(split_part(raw, '://', 2), '/') + 1)
+                     LIKE 'a/../%'
+                THEN substr(substr(split_part(raw, '://', 2),
+                                   strpos(split_part(raw, '://', 2), '/') + 1), 6)
+                ELSE substr(split_part(raw, '://', 2),
+                            strpos(split_part(raw, '://', 2), '/') + 1) END
+    END AS url
+  FROM links0
+  WHERE raw LIKE '%://%'
+    AND lower(split_part(raw, '://', 1)) IN ('http', 'https')
+),
+cand0 AS (SELECT url, 1 AS depth, parent_pos AS p0, link_pos AS p1 FROM canon0),
+dedup0 AS (
+  SELECT url, depth, p0, p1 FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY depth, p0, p1) AS rn
+    FROM cand0
+  ) WHERE rn = 1
+),
+surv0 AS (
+  SELECT d.* FROM dedup0 d
+  WHERE NOT EXISTS (SELECT 1 FROM seeds_c s WHERE s.url = d.url)
+),
+f1 AS (
+  SELECT url, depth, p0, p1,
+         lower(split_part(split_part(url, '://', 2), '/', 1)) AS host
+  FROM (
+    SELECT url, depth, p0, p1 FROM rem0
+    UNION ALL
+    SELECT url, depth, p0, p1 FROM surv0
+  )
+),
+b1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY host ORDER BY depth, p0, p1) AS hr
+    FROM f1
+  ) WHERE hr <= {b}
+),
+batch1 AS (
+  SELECT url,
+         row_number() OVER (ORDER BY depth, p0, p1) - 1
+           + (SELECT count(*) FROM batch0) AS fetch_seq
+  FROM b1
+),
+log1 AS (
+  SELECT b.fetch_seq, 1 AS round, b.url, (p.url IS NOT NULL) AS ok
+  FROM batch1 b LEFT JOIN pageset p ON p.url = b.url
+)
+SELECT fetch_seq, round, url, ok FROM log0
+UNION ALL
+SELECT fetch_seq, round, url, ok FROM log1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return _oracle_sql_for(ORACLE_SF)
 
@@ -687,6 +845,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    coalesce(links_count, -1)::INT AS links_count
             FROM {expected_inject}
         """,
+        "crawl_scale_2r": _crawl_scale_2r_oracle_sql(pages_meta, seeds),
         "frontier_sched": _frontier_sched_oracle_sql(pages_meta),
         "crawl_stats": f"""
             SELECT round::INT AS round,
