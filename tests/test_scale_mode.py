@@ -67,6 +67,70 @@ def test_seen_store_equivalent_to_inmemory_seen(spark, sf_small):
     assert list(with_store["ok"]) == list(without["ok"])
 
 
+def test_seen_store_compaction(spark, sf_small):
+    """compact() bounds the delta-append file growth at one file per bucket,
+    preserves membership exactly, keeps the bucketed-scan layout, and
+    in-loop compaction (seen_compact_every) leaves crawl results unchanged."""
+    import glob
+    import os
+
+    from web_crawler_spark.operators.seen_store import BucketedSeenStore
+
+    store = BucketedSeenStore(spark, "wcs_test_compact", buckets=4)
+    base = spark.range(100).selectExpr("concat('http://h/', id) AS url")
+    store.create(base)
+    for lo in (100, 150, 200):
+        store.append(
+            spark.range(lo, lo + 50).selectExpr("concat('http://h/', id) AS url")
+        )
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    files = lambda: [  # noqa: E731
+        f
+        for f in glob.glob(os.path.join(wh, "wcs_test_compact", "*"))
+        if not os.path.basename(f).startswith("_")
+    ]
+    assert len(files()) == 16  # create + 3 appends, 4 buckets each
+    before = {r["url"] for r in store.df().collect()}
+    store.compact()
+    assert len(files()) == 4  # one file per bucket
+    assert {r["url"] for r in store.df().collect()} == before
+    plan = (
+        spark.range(240, 260)
+        .selectExpr("concat('http://h/', id) AS url")
+        .hint("shuffle_merge")
+        .join(store.df(), "url", "left_anti")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SelectedBucketsCount" in plan  # layout survives compaction
+    store.drop()
+
+    # in-loop compaction changes nothing about crawl results
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    seeds = spark.read.parquet(synth.synth_path("0.001", "seeds"))
+
+    def run(compact_every):
+        cfg = CrawlConfig(
+            rounds=4, mode="scale", host_budget=20, use_bloom=False,
+            seen_buckets=4, seen_compact_every=compact_every,
+        )
+        eng = ChainCrawl(spark, pages, cfg)
+        try:
+            return (
+                ChainCrawl.fetch_log(eng.run(seeds))
+                .toPandas()
+                .sort_values("fetch_seq")
+                .reset_index(drop=True)
+            )
+        finally:
+            eng.close()
+
+    compacted, plain = run(2), run(None)
+    assert list(compacted["url"]) == list(plain["url"])
+    assert list(compacted["ok"]) == list(plain["ok"])
+
+
 def test_add_urls_mid_crawl(spark, sf_small):
     """The reference's add_urls (crawler.py:373-376) analog: urls injected
     between rounds are fetched in the NEXT round, already-seen injections are

@@ -43,9 +43,16 @@ class BucketedSeenStore:
         return self.spark.catalog.tableExists(self.table)
 
     def create(self, urls: DataFrame) -> None:
-        """(Re)initialize the table from a url frame (drops any leftover)."""
+        """(Re)initialize the table from a url frame (drops any leftover).
+        Pre-partitioned onto the bucket hash so the write emits one file per
+        bucket (the bucketed writer otherwise emits one per bucket per
+        input task)."""
         self.drop()
-        write_bucketed_seen(urls.select("url"), self.table, self.buckets)
+        write_bucketed_seen(
+            urls.select("url").repartition(self.buckets, F.col("url")),
+            self.table,
+            self.buckets,
+        )
 
     def append(self, delta: DataFrame) -> None:
         """Append a round's delta: repartitioned onto the bucket hash first so
@@ -67,9 +74,14 @@ class BucketedSeenStore:
         return self.spark.table(self.table)
 
     def compact(self) -> None:
-        """Rewrite the table into one file per bucket (run off the round
-        loop; bounds file count after many delta appends)."""
-        snapshot = self.df().localCheckpoint(eager=True).dropDuplicates(["url"])
+        """Rewrite the table into one file per bucket (bounds file count
+        after many delta appends; schedule off the hot path or via
+        ``CrawlConfig.seen_compact_every``).  The snapshot is materialized
+        BEFORE the drop so the rewrite never reads the files it is
+        replacing."""
+        snapshot = (
+            self.df().dropDuplicates(["url"]).localCheckpoint(eager=True)
+        )
         self.create(snapshot)
 
     def drop(self) -> None:

@@ -117,6 +117,10 @@ class CrawlConfig:
     use_seen_store: bool = True
     seen_table: Optional[str] = None  # default: auto-generated unique name
     seen_buckets: int = 64
+    # rewrite the seen table to one file per bucket every N rounds (delta
+    # appends add one file per bucket per round; long crawls compact so scan
+    # file counts stay bounded).  None = never compact in-loop.
+    seen_compact_every: Optional[int] = None
     checkpoint_dir: Optional[str] = None
     resume: bool = False
     cache_pages: bool = True
@@ -490,6 +494,11 @@ class ChainCrawl:
                     # never rewritten or re-shuffled (survivors is already
                     # materialized, so the append re-reads the checkpoint)
                     self._seen_store.append(seen_delta)
+                    if (
+                        cfg.seen_compact_every
+                        and (r + 1) % cfg.seen_compact_every == 0
+                    ):
+                        self._seen_store.compact()
                     new_seen = self._seen_store.df()
                 else:
                     new_seen = state.seen.unionByName(seen_delta)
