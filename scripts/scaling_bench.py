@@ -114,12 +114,14 @@ def main() -> None:
         "  Python, no aggregation: the isolated ceiling of this box's shared",
         "  shuffle fabric.  sched's efficiency is bounded above by a blend of",
         "  parse-like (map) scaling and this control's (fabric) scaling.",
-        "- Workload sizing: the default amplification (SPARK_GRAFT_SCALE_MULT",
-        "  = 16, 11.4M candidates / 1.6M pages) keeps fixed driver/stage",
+        "- Workload sizing: the amplification (SPARK_GRAFT_SCALE_MULT = %s,"
+        % os.environ.get("SPARK_GRAFT_SCALE_MULT", "16"),
+        "  %s candidates / %s pages) keeps fixed driver/stage"
+        % (lo["sched_rows"], lo["parse_rows"]),
         "  overhead — a constant a 100 TB job amortizes to zero — from",
-        "  dominating the high-executor run.  At half this size (5.7M rows)",
-        "  sched measured 0.48 efficiency with the same plan; the gap to the",
-        "  number above is pure fixed-cost amortization.",
+        "  dominating the high-executor run.  Measured trend with the same",
+        "  plan: mult 8 -> 0.48, mult 16 -> 0.61-0.62 sched efficiency; the",
+        "  deltas are pure fixed-cost amortization.",
         "",
         "## Sandbox measurement caveats (verified controls)",
         "",
