@@ -100,6 +100,41 @@ def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 graded end-to-end: the STREAMING extraction stage — readStream over
+    the pages fixture, Arrow parse UDF, Trigger.AvailableNow, transactional
+    parquet sink — whose committed output must equal the batch parse
+    byte-for-byte (oracle = the refsim-parsed pages_meta golden, the same
+    oracle as `parse_extract`).  The sink/checkpoint dirs are wiped first so
+    the query is idempotent per invocation."""
+    import shutil
+
+    from web_crawler_spark.streaming.parse_stream import run_available_now
+
+    key = synth.ensure_synth(sf_dir)
+    sf = synth.sf_name_of(key)
+    out = os.path.join(synth.SYNTH_ROOT, f"stream_parse_sf{sf}")
+    shutil.rmtree(out, ignore_errors=True)
+    # the file stream source needs a DIRECTORY; expose the fixture through one
+    in_dir = os.path.join(out, "in")
+    os.makedirs(in_dir)
+    os.symlink(
+        synth.synth_path(sf, "pages"), os.path.join(in_dir, "pages.parquet")
+    )
+    run_available_now(
+        spark,
+        in_dir,
+        os.path.join(out, "data"),
+        os.path.join(out, "ck"),
+    )
+    return spark.read.parquet(os.path.join(out, "data")).select(
+        "url",
+        F.coalesce(F.col("title"), F.lit("")).alias("title"),
+        "text",
+        F.col("links_count").cast("int").alias("links_count"),
+    )
+
+
 def q_urlnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: RFC 3986 canonicalization over raw candidate URLs."""
     cands = _synth(spark, sf_dir, "url_candidates")
@@ -593,6 +628,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_extract": q_parse_extract,
+        "stream_parse": q_stream_parse,
         "urlnorm": q_urlnorm,
         "seed_dedup": q_seed_dedup,
         "host_budget": q_host_budget,
@@ -813,6 +849,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         # crawl domain: goldens are the refsim-computed fixtures (independent
         # per-row implementation of the reference semantics)
         "parse_extract": f"SELECT url, title, text, links_count::INT AS links_count FROM {pages_meta}",
+        "stream_parse": f"SELECT url, title, text, links_count::INT AS links_count FROM {pages_meta}",
         "urlnorm": f"SELECT cand_id, expected AS url_canon FROM {cands}",
         "seed_dedup": f"SELECT url, min(seed_idx) AS seed_idx FROM {seeds} GROUP BY url",
         "host_budget": f"""
