@@ -157,6 +157,34 @@ def q_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.select("url", "host", F.col("host_rank").cast("long").alias("host_rank"))
 
 
+ROBOTS_RULES = [
+    # (host, disallow prefixes, per-round budget) — deterministic inline
+    # rules grading the J4 path: robots prefix filtering + per-row budgets,
+    # which force the explicit two-pass SALTED window plan (per-row limits
+    # defeat the WindowGroupLimit constant-k rewrite)
+    ("host0.example", ["/p/1"], 3),
+    ("host1.example", ["/p/2", "/p/3"], 12),
+]
+ROBOTS_DEFAULT_BUDGET = 5
+
+
+def q_robots_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/O3 with rules: robots disallow-prefix filtering + per-host budgets
+    from a rules table (unknown hosts get the default), through the salted
+    two-pass ranking plan."""
+    meta = _synth(spark, sf_dir, "pages_meta").select("url", "host")
+    frontier = meta.withColumn("prio", F.md5(F.col("url")))
+    rules = spark.createDataFrame(
+        ROBOTS_RULES, "host string, disallow array<string>, budget int"
+    )
+    batch = select_host_budget_batch(
+        frontier, ["prio"], budget=ROBOTS_DEFAULT_BUDGET, host_rules=rules
+    )
+    return batch.select(
+        "url", "host", F.col("host_rank").cast("long").alias("host_rank")
+    )
+
+
 def q_link_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: positional link explosion (the next-frontier feeder)."""
     meta = _synth(spark, sf_dir, "pages_meta").select("url", "links")
@@ -632,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urlnorm": q_urlnorm,
         "seed_dedup": q_seed_dedup,
         "host_budget": q_host_budget,
+        "robots_budget": q_robots_budget,
         "link_explode": q_link_explode,
         "link_stats": q_link_stats,
         "crawl_fetch_log": q_crawl_fetch_log,
@@ -667,6 +696,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_user_rank": q_events_user_rank,
     }
+
+
+def _robots_budget_oracle_sql(pages_meta: str) -> str:
+    """DuckDB twin of q_robots_budget: inline rules, disallow prefix filter
+    on the url path, per-host budget with the default for ruleless hosts."""
+    rule_rows = ", ".join(
+        "('{h}', [{d}], {b})".format(
+            h=h, d=", ".join(f"'{p}'" for p in dis), b=b
+        )
+        for h, dis, b in ROBOTS_RULES
+    )
+    return rf"""
+WITH rules AS (
+  SELECT * FROM (VALUES {rule_rows}) AS t(host, disallow, budget)
+),
+frontier AS (
+  SELECT m.url, m.host, md5(m.url) AS prio,
+         r.disallow,
+         coalesce(r.budget, {ROBOTS_DEFAULT_BUDGET}) AS budget
+  FROM {pages_meta} m LEFT JOIN rules r USING (host)
+),
+allowed AS (
+  SELECT * FROM frontier
+  WHERE disallow IS NULL OR NOT EXISTS (
+    SELECT 1 FROM unnest(disallow) AS t(p)
+    WHERE starts_with(
+      substr(split_part(url, '://', 2), strpos(split_part(url, '://', 2), '/')),
+      p
+    )
+  )
+)
+SELECT url, host, host_rank FROM (
+  SELECT url, host, budget,
+         row_number() OVER (PARTITION BY host ORDER BY prio) AS host_rank
+  FROM allowed
+) WHERE host_rank <= budget
+"""
 
 
 def _frontier_sched_oracle_sql(pages_meta: str) -> str:
@@ -858,6 +924,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             FROM {pages_meta}
             QUALIFY host_rank <= 5
         """,
+        "robots_budget": _robots_budget_oracle_sql(pages_meta),
         "link_explode": f"""
             SELECT url, (i - 1)::BIGINT AS link_pos, links[i] AS link
             FROM {pages_meta}, LATERAL unnest(generate_series(1, len(links))) AS t(i)
