@@ -199,6 +199,9 @@ class ChainCrawl:
         self._seen_store: BucketedSeenStore | None = None
         # round -> {frame_name: executed-plan string} when cfg.capture_plans
         self.debug_plans: dict[int, dict[str, str]] = {}
+        # per-round parsed frames kept persisted when no checkpointer owns
+        # the results' durability (see run_round / close)
+        self._parsed_frames: list[DataFrame] = []
 
     def _make_seen_store(self) -> BucketedSeenStore:
         table = self.cfg.seen_table or f"wcs_seen_{uuid.uuid4().hex[:10]}"
@@ -383,10 +386,10 @@ class ChainCrawl:
                 else ["fetch_seq", "round", "url", "ok", "data"]
             )
         )
-        # materialize results now (localCheckpoint also serves as the round's
-        # heavy action; with a checkpointer the parquet write is the action)
-        if self.ckpt is None:
-            results = results.localCheckpoint(eager=True)
+        # Without a checkpointer, results stays a cheap projection of the
+        # persisted `parsed` (already materialized by the lineage job) — no
+        # extra per-round job; the frames are released in close().  With a
+        # checkpointer the parquet commit below is the durable copy.
         # success count falls out of the lineage partials — no extra job
         n_ok = sum(row["ok_rows"] or 0 for row in lineage_rows)
         metrics = {
@@ -603,7 +606,12 @@ class ChainCrawl:
                 state_next.seen = new_seen.localCheckpoint(eager=True)
             # store mode: new_seen is already a plain table read — no lineage
             # to truncate and nothing to re-materialize
-        parsed.unpersist()
+        if self.ckpt is None:
+            # results projects from this persisted frame across the crawl's
+            # lifetime; released in close()
+            self._parsed_frames.append(parsed)
+        else:
+            parsed.unpersist()
         return state_next
 
     def close(self) -> None:
@@ -616,6 +624,9 @@ class ChainCrawl:
         if self._seen_store is not None:
             self._seen_store.drop()
             self._seen_store = None
+        for df in self._parsed_frames:
+            df.unpersist()
+        self._parsed_frames = []
 
     def _resume_seen(self, last: int) -> DataFrame:
         """Seen set as of committed round ``last``.  Store mode rebuilds the
