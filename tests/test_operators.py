@@ -43,8 +43,10 @@ def test_with_global_seq_no_cache_leak(spark):
 
 
 def test_crawl_rounds_bounded_cache(spark, sf_small):
-    """A multi-round crawl leaves only the by-design pages cache entry —
-    no per-round plan accretes in the CacheManager."""
+    """Cache lifecycle of a checkpointer-less scale crawl: while the engine is
+    open, entries are exactly pages + one persisted parsed frame per round
+    (the frames backing the cross-round fetch log — bounded by cfg.rounds, not
+    accreting per plan); close() releases every one of them."""
     from web_crawler_spark import synth
     from web_crawler_spark.plans.crawl import ChainCrawl, CrawlConfig
 
@@ -52,16 +54,18 @@ def test_crawl_rounds_bounded_cache(spark, sf_small):
     pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
     seeds = spark.read.parquet(synth.synth_path("0.001", "seeds"))
     cfg = CrawlConfig(rounds=6, mode="scale", host_budget=5, use_bloom=False)
-    ChainCrawl(spark, pages, cfg).run(seeds)
+    eng = ChainCrawl(spark, pages, cfg)
+    eng.run(seeds)
     jvm_cm = spark._jsparkSession.sharedState().cacheManager()
-    # exactly the engine's pages.persist(); nothing per-round
+    # pages.persist() + at most one parsed frame per executed round
     try:
         n_cached = jvm_cm.cachedData().size()
     except Exception:  # accessor shape differs across Spark minors
         n_cached = 0 if jvm_cm.isEmpty() else 1
-    assert n_cached == 1
-    spark.catalog.clearCache()
+    assert 1 <= n_cached <= 1 + cfg.rounds
+    eng.close()
     assert jvm_cm.isEmpty()
+    spark.catalog.clearCache()
 
 
 def test_first_wins_matches_dict_fromkeys(spark):
