@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v8"
+SYNTH_VERSION = "v9"  # v9: webdocs table (multi-line web-text for corpus filters)
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -236,6 +236,87 @@ def _gen_candidates(rng: random.Random, urls: list[str]):
 _MAGIC = {"image": b"\x89PNG\r\n\x1a\n", "audio": b"RIFF", "video": b"\x00\x00\x00\x18ftyp"}
 
 
+# -- webdocs: multi-line web-text documents for the corpus-filter layer ------
+#
+# The driver's documents table is single-line word bags; the C4/Gopher-style
+# line filters (functions/webtext.py) need documents with real line structure:
+# terminal punctuation, boilerplate, syndicated lines shared across docs,
+# in-doc repetition, PII.  Generated deterministically like everything else.
+
+_BOILERPLATE = [
+    "This website uses cookies to improve your browsing experience today.",
+    "Please enable JavaScript to view the full content of this page.",
+    "Copyright 2024 Example Corp and affiliates with all rights reserved.",
+    "Sign up for our weekly newsletter to receive updates and offers.",
+    "Home | About | Contact",
+]
+
+_SF_WEBDOCS = {"0.001": 400, "0.01": 4000, "0.1": 40000}
+
+
+def _sentence(rng: random.Random, n_words: int, terminal: str = ".") -> str:
+    words = [rng.choice(_WORDS) for _ in range(n_words)]
+    if rng.random() < 0.08:
+        words[rng.randrange(n_words)] = rng.choice(_NON_ASCII)
+    return (" ".join(words)).capitalize() + terminal
+
+
+def _gen_webdocs(rng: random.Random, sf: str):
+    n = _SF_WEBDOCS[sf]
+    syndicated = [_sentence(rng, rng.randint(6, 14)) for _ in range(40)]
+    texts: list[str] = []
+    # fixed boundary docs first — they pin oracle edge semantics in the
+    # graded data itself (empty doc, blank lines, exact word-count / terminal
+    # punctuation boundaries, PII at string edges, full-doc duplicate pair)
+    fixed = [
+        "",
+        "\n",
+        "One two three four five.",  # exactly MIN_LINE_WORDS, kept
+        "One two three four.",  # one short, dropped
+        'He said the frontier was "done"?',
+        "a\tb\tc\td\te.",  # tabs are \s+ separators
+        "user0@example0.com",
+        "Call 555-123-4567 now for the crawl budget hotline offer.",
+        "Shared line for the dedup boundary case example sentence one.\n"
+        "Shared line for the dedup boundary case example sentence one.",
+        "SHARED line for the dedup boundary case example sentence one.",
+        "Trailing newline line one two three four five six seven.\n",
+    ]
+    texts.extend(fixed)
+    for i in range(len(fixed), n):
+        lines: list[str] = []
+        for _ in range(rng.randint(3, 10)):
+            r = rng.random()
+            if r < 0.12:
+                lines.append(rng.choice(_BOILERPLATE))
+            elif r < 0.25:
+                lines.append(rng.choice(syndicated))
+            elif r < 0.33:
+                lines.append(" ".join(rng.choice(_WORDS) for _ in range(rng.randint(1, 4))).capitalize())
+            elif r < 0.42:
+                who = rng.randrange(500)
+                phone = f"{200 + rng.randrange(700)}-{100 + rng.randrange(900)}-{1000 + rng.randrange(9000)}"
+                lines.append(
+                    _sentence(rng, rng.randint(5, 9), terminal="")
+                    + f" at user{who}@example{rng.randrange(9)}.com or {phone}."
+                )
+            else:
+                lines.append(_sentence(rng, rng.randint(5, 18), rng.choice("..!?")))
+        if rng.random() < 0.25 and lines:
+            dup = rng.choice(lines)
+            for _ in range(rng.randint(1, 3)):
+                lines.insert(rng.randrange(len(lines) + 1), dup)
+        if rng.random() < 0.15:
+            lines.append(("buy now " * rng.randint(6, 12)).strip() + ".")
+        texts.append("\n".join(lines))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
 def _gen_media(rng: random.Random, sf: str):
     """Opaque binary media rows for the multimodal plumbing (decode is stubbed;
     Spark-side schema/batching is real — see functions/multimodal.py)."""
@@ -401,6 +482,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     seeds = _gen_seeds(rng, urls, sf)
     cands = _gen_candidates(rng, urls)
     media = _gen_media(rng, sf)
+    webdocs = _gen_webdocs(rng, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -412,6 +494,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(seeds, synth_path(sf, "seeds"))
     pq.write_table(cands, synth_path(sf, "url_candidates"))
     pq.write_table(media, synth_path(sf, "media"), row_group_size=512)
+    pq.write_table(webdocs, synth_path(sf, "webdocs"), row_group_size=1024)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
