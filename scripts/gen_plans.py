@@ -108,6 +108,18 @@ def main() -> None:
         "the delta-appended seen table (operators/seen_store.py).",
     )
 
+    from web_crawler_spark.functions import webtext  # noqa: E402
+
+    wd = spark.read.parquet(synth.synth_path("0.001", "webdocs"))
+    cap(
+        "dedup_lines — corpus-level first-occurrence line dedup",
+        webtext.dedup_corpus_lines(wd),
+        "Want: the rn=1 filter compiles to WindowGroupLimit (Partial below\n"
+        "the line-hash exchange: each map partition ships one candidate per\n"
+        "key, so duplicate-heavy corpora — boilerplate, syndication — don't\n"
+        "flood the shuffle); no Python node anywhere.",
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")
         f.write(

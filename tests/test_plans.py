@@ -88,6 +88,21 @@ def test_politeness_salted_is_two_pass(spark):
     assert "Window [" in plan and plan.count("Exchange") == 2  # salted + exact
 
 
+def test_dedup_lines_prunes_before_exchange(spark, sf_small):
+    """Corpus line dedup: the rn=1 filter must compile to WindowGroupLimit
+    with a Partial mode below the line-hash exchange (one candidate per key
+    per map partition — the defense against boilerplate-heavy corpora), and
+    the whole plan must stay JVM-side."""
+    from web_crawler_spark import synth
+    from web_crawler_spark.functions import webtext
+
+    wd = spark.read.parquet(synth.synth_path("0.001", "webdocs"))
+    plan = _plan(webtext.dedup_corpus_lines(wd))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan[plan.index("WindowGroupLimit"):]
+    assert "EvalPython" not in plan
+
+
 def test_no_row_at_a_time_python_in_contract_queries(spark, sf_small):
     import __spark_entry__ as entrymod
 
