@@ -25,7 +25,7 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from web_crawler_spark import synth  # noqa: E402
-from web_crawler_spark.functions import dedupsim, html_parse, simsearch, urlnorm  # noqa: E402
+from web_crawler_spark.functions import dedupsim, html_parse, simsearch, urlnorm, webtext  # noqa: E402
 from web_crawler_spark.plans.crawl import ChainCrawl, CrawlConfig  # noqa: E402
 from web_crawler_spark.plans.schedule import schedule_frontier  # noqa: E402
 from web_crawler_spark.session import get_spark  # noqa: E402
@@ -95,6 +95,13 @@ def bench_dedup_minhash(spark, sf_dir):
     return pairs.count()
 
 
+def bench_corpus_webclean(spark, sf):
+    """Composed web-corpus pipeline (C4 line filter -> repetition gate ->
+    corpus-wide line dedup -> PII scrub) over the webdocs fixture."""
+    wd = spark.read.parquet(synth.synth_path(sf, "webdocs"))
+    return webtext.clean_web_corpus(wd).count()
+
+
 def bench_ann_brute(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     q = emb.filter(F.col("vec_id") < 20)
@@ -144,10 +151,12 @@ def main() -> None:
 
     timings["dedup_minhash_lsh"], _ = best_of(bench_dedup_minhash, spark, SF_DIR)
 
+    timings["corpus_webclean"], _ = best_of(bench_corpus_webclean, spark, sf)
+
     timings["ann_brute"], _ = best_of(bench_ann_brute, spark, SF_DIR)
 
     out = {
-        "metric": "headline suite wall-clock (crawl sched/parse/dedup/ann) at sf",
+        "metric": "headline suite wall-clock (crawl sched/parse/dedup/corpus/ann) at sf",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

@@ -19,6 +19,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
 
+# Subset selection (mirrors scaling_worker.py): isolated single-workload runs
+# put the N and 4N measurements seconds apart on this noisy host, which is the
+# cleanest way to estimate the efficiency ratio.  A subset run appends a
+# supplementary section to BENCH.md instead of rewriting the headline table.
+WORKLOADS = [
+    w
+    for w in ("sched", "parse", "shuffle")
+    if w in os.environ.get("SPARK_GRAFT_SCALE_WORKLOADS", "sched,shuffle,parse").split(",")
+]
+
 
 def run_once(cpus: int, sf: str) -> dict:
     out = subprocess.run(
@@ -41,9 +51,17 @@ def run(cpus: int, sf: str) -> dict:
         if best is None:
             best = r
         else:
-            for k in ("sched_sec", "parse_sec", "shuffle_sec"):
+            for w in WORKLOADS:
+                k = f"{w}_sec"
                 best[k] = min(best[k], r[k])
     return best
+
+
+ALL_ROWS = [
+    ("sched", "sched", "sched_rows"),
+    ("parse", "parse", "parse_rows"),
+    ("shuffle-control", "shuffle", "shuffle_rows"),
+]
 
 
 def main() -> None:
@@ -53,6 +71,30 @@ def main() -> None:
     hi = run(4 * n, sf)
 
     report = {"sf": sf, "n": n, "results": {}}
+    if set(WORKLOADS) != {"sched", "parse", "shuffle"}:
+        # Isolated subset run: compute the same stats, append to BENCH.md.
+        for label, key, rows_key in ALL_ROWS:
+            if key not in WORKLOADS:
+                continue
+            t_lo, t_hi = lo[f"{key}_sec"], hi[f"{key}_sec"]
+            rows = lo[rows_key]
+            speedup = t_lo / t_hi
+            report["results"][label] = {
+                "rows": rows,
+                f"sec_at_{n}_exec": t_lo,
+                f"sec_at_{4*n}_exec": t_hi,
+                "speedup": round(speedup, 2),
+                "efficiency": round(speedup / 4, 3),
+            }
+        report["mult"] = os.environ.get("SPARK_GRAFT_SCALE_MULT", "16")
+        report["isolated"] = True
+        with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+            f.write(
+                "\n## Isolated re-measurement (%s only, mult=%s)\n\n```json\n%s\n```\n"
+                % (",".join(WORKLOADS), report["mult"], json.dumps(report))
+            )
+        print(json.dumps(report))
+        return
     lines = [
         "# BENCH — throughput scaling (north-rule evidence)",
         "",
@@ -73,11 +115,7 @@ def main() -> None:
         ),
         "|---|---|---|---|---|---|---|---|",
     ]
-    for label, key, rows_key in [
-        ("sched", "sched", "sched_rows"),
-        ("parse", "parse", "parse_rows"),
-        ("shuffle-control", "shuffle", "shuffle_rows"),
-    ]:
+    for label, key, rows_key in ALL_ROWS:
         t_lo, t_hi = lo[f"{key}_sec"], hi[f"{key}_sec"]
         rows = lo[rows_key]
         thr_lo, thr_hi = rows / t_lo, rows / t_hi

@@ -73,6 +73,11 @@ def main() -> None:
     meta = spark.read.parquet(synth.synth_path(sf, "pages_meta"))
     meta.count()
 
+    workloads = set(
+        os.environ.get("SPARK_GRAFT_SCALE_WORKLOADS", "sched,shuffle,parse").split(",")
+    )
+    out: dict[str, object] = {"cpus": n_exec}
+
     # ---- sched ----
     links = meta.select(
         F.xxhash64("url").alias("p0"), F.posexplode("links").alias("p1", "url")
@@ -90,50 +95,44 @@ def main() -> None:
     amplified = amplified.localCheckpoint(eager=True)
     n_cand = amplified.count()
 
-    t0 = time.time()
-    cand = urlnorm.with_canonical_split(amplified).filter(F.col("url").isNotNull())
-    batch = schedule_frontier(cand, seen, ["p0", "p1"], budget=1000)
-    batch.write.mode("overwrite").format("noop").save()
-    sched_sec = time.time() - t0
+    if "sched" in workloads:
+        t0 = time.time()
+        cand = urlnorm.with_canonical_split(amplified).filter(F.col("url").isNotNull())
+        batch = schedule_frontier(cand, seen, ["p0", "p1"], budget=1000)
+        batch.write.mode("overwrite").format("noop").save()
+        out["sched_sec"] = round(time.time() - t0, 3)
+        out["sched_rows"] = n_cand
 
     # ---- shuffle control: 4 back-to-back full-data exchanges, no Python,
     # no aggregation — the isolated fabric-ceiling measurement (all executor
     # processes share ONE box's tmpfs + loopback; a real cluster adds
     # disks/NICs per node) ----
-    t0 = time.time()
-    ctl = amplified
-    for key in ("url", "p0", "p1", "url"):
-        ctl = ctl.repartition(max(n_exec * 2, 8), F.col(key))
-    ctl.write.mode("overwrite").format("noop").save()
-    shuffle_sec = time.time() - t0
+    if "shuffle" in workloads:
+        t0 = time.time()
+        ctl = amplified
+        for key in ("url", "p0", "p1", "url"):
+            ctl = ctl.repartition(max(n_exec * 2, 8), F.col(key))
+        ctl.write.mode("overwrite").format("noop").save()
+        out["shuffle_sec"] = round(time.time() - t0, 3)
+        out["shuffle_rows"] = n_cand
 
     # ---- parse ----
     # amplify so total work is hundreds of core-seconds — at sandbox scale the
     # raw table is ~45 core-s and fixed startup costs would swamp the 4N level
-    pages = spark.read.parquet(synth.synth_path(sf, "pages")).select("url", "html")
-    amplified_pages = pages.crossJoin(
-        spark.range(mult).select(F.col("id").alias("rep"))
-    ).select(F.concat(F.col("url"), F.lit("#"), F.col("rep")).alias("url"), "html")
-    n_pages = amplified_pages.count()
-    t0 = time.time()
-    html_parse.with_parsed(amplified_pages).select(
-        "url", "parsed.links_count"
-    ).write.mode("overwrite").format("noop").save()
-    parse_sec = time.time() - t0
+    if "parse" in workloads:
+        pages = spark.read.parquet(synth.synth_path(sf, "pages")).select("url", "html")
+        amplified_pages = pages.crossJoin(
+            spark.range(mult).select(F.col("id").alias("rep"))
+        ).select(F.concat(F.col("url"), F.lit("#"), F.col("rep")).alias("url"), "html")
+        n_pages = amplified_pages.count()
+        t0 = time.time()
+        html_parse.with_parsed(amplified_pages).select(
+            "url", "parsed.links_count"
+        ).write.mode("overwrite").format("noop").save()
+        out["parse_sec"] = round(time.time() - t0, 3)
+        out["parse_rows"] = n_pages
 
-    print(
-        json.dumps(
-            {
-                "cpus": n_exec,
-                "sched_sec": round(sched_sec, 3),
-                "sched_rows": n_cand,
-                "shuffle_sec": round(shuffle_sec, 3),
-                "shuffle_rows": n_cand,
-                "parse_sec": round(parse_sec, 3),
-                "parse_rows": n_pages,
-            }
-        )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
