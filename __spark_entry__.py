@@ -410,6 +410,14 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.dedup_corpus_lines(_synth(spark, sf_dir, "webdocs"))
 
 
+def q_doc_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-level quality gate: word-count bounds, mean word
+    length, symbol/bullet/ellipsis ratios, alpha-word fraction, stop-word
+    hits, plus a non-ASCII charset signal — one map-side select, no shuffle
+    (Rae et al. 2021 thresholds as integer ppm)."""
+    return webtext.gopher_quality(_synth(spark, sf_dir, "webdocs"))
+
+
 def q_corpus_webclean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed web-corpus pipeline (line filter -> repetition gate ->
     corpus line dedup -> PII scrub), oracled as ONE DuckDB query so the stage
@@ -711,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_pii": q_doc_pii,
         "dedup_lines": q_dedup_lines,
+        "doc_gopher": q_doc_gopher,
         "corpus_webclean": q_corpus_webclean,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -1008,6 +1017,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_repetition": webtext.duck_repetition_sql(webdocs),
         "doc_pii": webtext.duck_pii_sql(webdocs),
         "dedup_lines": webtext.duck_dedup_lines_sql(webdocs),
+        "doc_gopher": webtext.duck_gopher_sql(webdocs),
         "corpus_webclean": webtext.duck_clean_web_corpus_sql(webdocs),
         "dedup_minhash": dedupsim.duck_minhash_exploded_sql("documents"),
         "dedup_lsh_pairs": dedupsim.duck_lsh_pairs_sql("documents"),

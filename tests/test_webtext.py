@@ -42,6 +42,13 @@ BOUNDARY_DOCS = [
     "tok",  # single token: zero bigrams
     "Trailing newline keeps an empty last line.\n",
     "café straße 数据 tiếng việt.",  # non-ASCII chars and lengths
+    # Gopher-gate boundaries
+    "the and " + " ".join(["crawl"] * 48) + ".",  # 25: exactly MIN_DOC_WORDS, ok
+    "the and " + " ".join(["crawl"] * 47) + ".",  # 26: 49 words -> too short
+    "- bullet one two\n* bullet three four\nProse line here.",  # 27: 2/3 bullets
+    "Read more about the crawl frontier...",  # 28: ellipsis line
+    "### hash # soup #",  # 29: symbol-heavy, no stop words
+    "the, and. that; with!",  # 30: stop words behind edge punctuation
 ]
 
 
@@ -87,6 +94,26 @@ def test_dedup_lines_boundary(boundary):
         webtext.dedup_corpus_lines(df),
         con.sql(webtext.duck_dedup_lines_sql("wdocs")),
     )
+
+
+def test_gopher_boundary(boundary):
+    df, con = boundary
+    _cmp(webtext.gopher_quality(df), con.sql(webtext.duck_gopher_sql("wdocs")))
+
+
+def test_gopher_semantics(boundary):
+    df, _ = boundary
+    rows = {r["doc_id"]: r for r in webtext.gopher_quality(df).collect()}
+    assert rows[25]["n_words"] == 50 and rows[25]["gopher_ok"] == 1
+    assert rows[26]["n_words"] == 49 and rows[26]["gopher_ok"] == 0
+    assert rows[27]["bullet_line_ppm"] == 666_666
+    assert rows[28]["ellipsis_line_ppm"] == 1_000_000
+    assert rows[29]["symbol_word_ppm"] > webtext.MAX_SYMBOL_WORD_PPM
+    assert rows[29]["n_stop_hits"] == 0
+    # edge punctuation is stripped before stop matching; hits are distinct
+    assert rows[30]["n_stop_hits"] == 4
+    assert rows[24]["nonascii_ppm"] > 0
+    assert rows[0]["n_words"] == 0 and rows[0]["gopher_ok"] == 0
 
 
 def test_clean_web_corpus_boundary(boundary):
@@ -144,6 +171,12 @@ def test_webtext_on_synth_webdocs(spark):
     _cmp(
         webtext.dedup_corpus_lines(df), con.sql(webtext.duck_dedup_lines_sql("wd"))
     )
+    _cmp(webtext.gopher_quality(df), con.sql(webtext.duck_gopher_sql("wd")))
+    # the enriched fixture must exercise both sides of the gate
+    ok_counts = (
+        webtext.gopher_quality(df).groupBy("gopher_ok").count().collect()
+    )
+    assert {r["gopher_ok"] for r in ok_counts} == {0, 1}
     _cmp(
         webtext.clean_web_corpus(df), con.sql(webtext.duck_clean_web_corpus_sql("wd"))
     )

@@ -265,6 +265,158 @@ def dedup_corpus_lines(
 MAX_DUP_LINE_PPM = 500_000
 MAX_TOP_BIGRAM_PPM = 200_000
 
+# Gopher (Rae et al., 2021) document-level quality rules.  Thresholds are the
+# published ones scaled to integer ppm; the stop-word list is the paper's
+# 8-word English function-word set (>= MIN_STOP_HITS distinct hits required).
+STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+MIN_DOC_WORDS, MAX_DOC_WORDS = 50, 100_000
+MIN_MEAN_WORD_LEN_PPM, MAX_MEAN_WORD_LEN_PPM = 3_000_000, 10_000_000
+MAX_SYMBOL_WORD_PPM = 100_000  # '#' + '...' occurrences per word
+MAX_BULLET_LINE_PPM = 900_000  # lines starting with "- " / "* "
+MAX_ELLIPSIS_LINE_PPM = 300_000  # lines ending with "..."
+MIN_ALPHA_WORD_PPM = 800_000  # words containing at least one [A-Za-z]
+MIN_STOP_HITS = 2
+
+# Java-regex ∩ RE2 subset (module contract): ASCII classes only.
+_WORD_EDGE_RE = "^[^a-z0-9]+|[^a-z0-9]+$"
+_BULLET_RE = r"^\s*[-*] "
+_ELLIPSIS_RE = r"\.\.\.$"
+_NONASCII_RE = r"[^\x00-\x7f]"
+
+
+def gopher_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher document-level quality signals + the composed keep/drop gate.
+
+    Per document (all integer, deterministic across engines):
+    ``n_words``, ``mean_word_len_ppm`` (micro-chars), ``symbol_word_ppm``,
+    ``bullet_line_ppm`` / ``ellipsis_line_ppm`` (over non-blank lines),
+    ``alpha_word_ppm``, ``n_stop_hits`` (distinct stop words present, matched
+    on edge-punctuation-stripped lowercase tokens), ``nonascii_ppm`` (per
+    character — a charset signal, not part of the gate), and ``gopher_ok``
+    (0/1 conjunction of the published thresholds).
+
+    Scale shape: one map-side select — higher-order array functions over each
+    row, no explode, no shuffle; embarrassingly parallel at corpus scale.
+    """
+    t = F.col(text_col)
+    words = F.when(
+        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(t), r"\s+"))
+    norm_words = F.transform(
+        words, lambda w: F.regexp_replace(F.lower(w), _WORD_EDGE_RE, "")
+    )
+    lines_nb = F.filter(
+        F.split(t, "\n"), lambda line: F.trim(line) != F.lit("")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("__text"),
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("__sum_len"),
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("__n_alpha"),
+        F.size(
+            F.array_intersect(
+                norm_words, F.array(*[F.lit(s) for s in STOP_WORDS])
+            )
+        )
+        .cast("long")
+        .alias("n_stop_hits"),
+        F.size(lines_nb).cast("long").alias("__n_ln"),
+        F.size(F.filter(lines_nb, lambda line: line.rlike(_BULLET_RE)))
+        .cast("long")
+        .alias("__n_bullet"),
+        F.size(
+            F.filter(lines_nb, lambda line: F.trim(line).rlike(_ELLIPSIS_RE))
+        )
+        .cast("long")
+        .alias("__n_ellipsis"),
+    )
+    syms = (
+        F.regexp_count(F.col("__text"), F.lit("#"))
+        + F.regexp_count(F.col("__text"), F.lit(r"\.\.\."))
+    ).cast("long")
+    out = base.select(
+        "doc_id",
+        "n_words",
+        _ppm(F.col("__sum_len"), F.col("n_words")).alias("mean_word_len_ppm"),
+        _ppm(syms, F.col("n_words")).alias("symbol_word_ppm"),
+        _ppm(F.col("__n_bullet"), F.col("__n_ln")).alias("bullet_line_ppm"),
+        _ppm(F.col("__n_ellipsis"), F.col("__n_ln")).alias("ellipsis_line_ppm"),
+        _ppm(F.col("__n_alpha"), F.col("n_words")).alias("alpha_word_ppm"),
+        "n_stop_hits",
+        _ppm(
+            F.regexp_count(F.col("__text"), F.lit(_NONASCII_RE)).cast("long"),
+            F.length(F.col("__text")).cast("long"),
+        ).alias("nonascii_ppm"),
+    )
+    ok = (
+        F.col("n_words").between(MIN_DOC_WORDS, MAX_DOC_WORDS)
+        & F.col("mean_word_len_ppm").between(
+            MIN_MEAN_WORD_LEN_PPM, MAX_MEAN_WORD_LEN_PPM
+        )
+        & (F.col("symbol_word_ppm") <= MAX_SYMBOL_WORD_PPM)
+        & (F.col("bullet_line_ppm") <= MAX_BULLET_LINE_PPM)
+        & (F.col("ellipsis_line_ppm") <= MAX_ELLIPSIS_LINE_PPM)
+        & (F.col("alpha_word_ppm") >= MIN_ALPHA_WORD_PPM)
+        & (F.col("n_stop_hits") >= MIN_STOP_HITS)
+    )
+    return out.withColumn("gopher_ok", ok.cast("long"))
+
+
+def duck_gopher_sql(table: str) -> str:
+    stops = ", ".join(f"'{s}'" for s in STOP_WORDS)
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN []
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS w,
+    list_filter(regexp_split_to_array(text, '\n'), l -> trim(l) <> '') AS ln
+  FROM {table}
+),
+m AS (
+  SELECT doc_id, text,
+    len(w)::BIGINT AS n_words,
+    coalesce(list_sum(list_transform(w, x -> length(x))), 0)::BIGINT AS sum_len,
+    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha,
+    len(list_intersect(
+      list_transform(w, x -> regexp_replace(lower(x), '{_WORD_EDGE_RE}', '', 'g')),
+      [{stops}]))::BIGINT AS n_stop_hits,
+    (len(regexp_extract_all(text, '#'))
+      + len(regexp_extract_all(text, '\.\.\.')))::BIGINT AS n_sym,
+    len(ln)::BIGINT AS n_ln,
+    len(list_filter(ln, l -> regexp_matches(l, '{_BULLET_RE}')))::BIGINT AS n_bullet,
+    len(list_filter(ln, l -> regexp_matches(trim(l), '{_ELLIPSIS_RE}')))::BIGINT AS n_ellipsis,
+    len(regexp_extract_all(text, '{_NONASCII_RE}'))::BIGINT AS n_nonascii,
+    length(text)::BIGINT AS n_chars
+  FROM base
+),
+p AS (
+  SELECT doc_id, n_words, n_stop_hits,
+    floor(sum_len / greatest(n_words, 1)::DOUBLE * 1e6)::BIGINT AS mean_word_len_ppm,
+    floor(n_sym / greatest(n_words, 1)::DOUBLE * 1e6)::BIGINT AS symbol_word_ppm,
+    floor(n_bullet / greatest(n_ln, 1)::DOUBLE * 1e6)::BIGINT AS bullet_line_ppm,
+    floor(n_ellipsis / greatest(n_ln, 1)::DOUBLE * 1e6)::BIGINT AS ellipsis_line_ppm,
+    floor(n_alpha / greatest(n_words, 1)::DOUBLE * 1e6)::BIGINT AS alpha_word_ppm,
+    floor(n_nonascii / greatest(n_chars, 1)::DOUBLE * 1e6)::BIGINT AS nonascii_ppm
+  FROM m
+)
+SELECT *,
+  (n_words BETWEEN {MIN_DOC_WORDS} AND {MAX_DOC_WORDS}
+   AND mean_word_len_ppm BETWEEN {MIN_MEAN_WORD_LEN_PPM} AND {MAX_MEAN_WORD_LEN_PPM}
+   AND symbol_word_ppm <= {MAX_SYMBOL_WORD_PPM}
+   AND bullet_line_ppm <= {MAX_BULLET_LINE_PPM}
+   AND ellipsis_line_ppm <= {MAX_ELLIPSIS_LINE_PPM}
+   AND alpha_word_ppm >= {MIN_ALPHA_WORD_PPM}
+   AND n_stop_hits >= {MIN_STOP_HITS})::BIGINT AS gopher_ok
+FROM p
+"""
+
 
 def clean_web_corpus(
     df: DataFrame,

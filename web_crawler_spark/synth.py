@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v9"  # v9: webdocs table (multi-line web-text for corpus filters)
+SYNTH_VERSION = "v10"  # v10: webdocs stop-word/bullet/ellipsis variation (Gopher gate)
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -254,10 +254,17 @@ _BOILERPLATE = [
 _SF_WEBDOCS = {"0.001": 400, "0.01": 4000, "0.1": 40000}
 
 
+# Gopher-gate stop words (functions/webtext.STOP_WORDS): injected into a
+# fraction of sentences so n_stop_hits actually varies across documents.
+_STOP_INJECT = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
 def _sentence(rng: random.Random, n_words: int, terminal: str = ".") -> str:
     words = [rng.choice(_WORDS) for _ in range(n_words)]
     if rng.random() < 0.08:
         words[rng.randrange(n_words)] = rng.choice(_NON_ASCII)
+    for _ in range(rng.randrange(3)):
+        words.insert(rng.randrange(len(words) + 1), rng.choice(_STOP_INJECT))
     return (" ".join(words)).capitalize() + terminal
 
 
@@ -281,6 +288,12 @@ def _gen_webdocs(rng: random.Random, sf: str):
         "Shared line for the dedup boundary case example sentence one.",
         "SHARED line for the dedup boundary case example sentence one.",
         "Trailing newline line one two three four five six seven.\n",
+        # Gopher-gate boundary docs (functions/webtext.gopher_quality)
+        "the and " + " ".join(["crawl"] * 48) + ".",  # exactly 50 words, ok
+        "the and " + " ".join(["crawl"] * 47) + ".",  # 49 words -> too short
+        "- bullet one two three\n- bullet four five six\n* bullet seven",
+        "Read more about the crawl frontier budget and politeness today...",
+        "### # # markdown heading hash soup # # ###",  # symbol-heavy
     ]
     texts.extend(fixed)
     for i in range(len(fixed), n):
@@ -300,6 +313,13 @@ def _gen_webdocs(rng: random.Random, sf: str):
                     _sentence(rng, rng.randint(5, 9), terminal="")
                     + f" at user{who}@example{rng.randrange(9)}.com or {phone}."
                 )
+            elif r < 0.50:
+                lines.append(
+                    rng.choice(("- ", "* "))
+                    + _sentence(rng, rng.randint(2, 6), terminal="")
+                )
+            elif r < 0.55:
+                lines.append(_sentence(rng, rng.randint(4, 9), terminal="") + "...")
             else:
                 lines.append(_sentence(rng, rng.randint(5, 18), rng.choice("..!?")))
         if rng.random() < 0.25 and lines:
