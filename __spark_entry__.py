@@ -425,6 +425,15 @@ def q_corpus_webclean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.clean_web_corpus(_synth(spark, sf_dir, "webdocs"))
 
 
+def q_corpus_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-corpus pipeline with the Gopher document gate enabled (line
+    filter -> gopher gate -> repetition gate -> corpus line dedup -> PII),
+    oracled as one composed DuckDB query — production web-text configuration."""
+    return webtext.clean_web_corpus(
+        _synth(spark, sf_dir, "webdocs"), gopher_gate=True
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures, exploded to scalar (doc_id, hash_idx, hash_val)
     rows so the driver's value-hash compare can canonicalize them."""
@@ -721,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "doc_gopher": q_doc_gopher,
         "corpus_webclean": q_corpus_webclean,
+        "corpus_gopher": q_corpus_gopher,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1019,6 +1029,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "dedup_lines": webtext.duck_dedup_lines_sql(webdocs),
         "doc_gopher": webtext.duck_gopher_sql(webdocs),
         "corpus_webclean": webtext.duck_clean_web_corpus_sql(webdocs),
+        "corpus_gopher": webtext.duck_clean_web_corpus_sql(
+            webdocs, gopher_gate=True
+        ),
         "dedup_minhash": dedupsim.duck_minhash_exploded_sql("documents"),
         "dedup_lsh_pairs": dedupsim.duck_lsh_pairs_sql("documents"),
         "dedup_jaccard": dedupsim.duck_jaccard_sql("documents"),

@@ -103,6 +103,20 @@ def test_dedup_lines_prunes_before_exchange(spark, sf_small):
     assert "EvalPython" not in plan
 
 
+def test_gopher_quality_is_one_mapside_stage(spark, sf_small):
+    """The Gopher gate must compile to a single shuffle-free JVM projection:
+    no Exchange, no explode-driven Generate, no Python — the plan that scales
+    as a pure map over a 100 TB corpus."""
+    from web_crawler_spark import synth
+    from web_crawler_spark.functions import webtext
+
+    wd = spark.read.parquet(synth.synth_path("0.001", "webdocs"))
+    plan = _plan(webtext.gopher_quality(wd))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_no_row_at_a_time_python_in_contract_queries(spark, sf_small):
     import __spark_entry__ as entrymod
 

@@ -83,6 +83,14 @@ def test_schedule_frontier_local_prune_equivalence(spark):
     assert got == want and len(got) > 0
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan  # the prune is in the plan, pre-exchange
+    # co-partitioned tail: ONE hashpartitioning(host) exchange feeds both the
+    # (host, url) first-wins agg and the budget window — the dedup must not
+    # pay its own url exchange.  The tree prints top-down, so everything
+    # after the prune in dataflow order sits ABOVE the MapInPandas line
+    # (exchanges below it belong to the anti-join, not the tail).
+    tail = plan[: plan.index("MapInPandas")]
+    assert tail.count("Exchange hashpartitioning(host") == 1, plan
+    assert "Exchange hashpartitioning(url" not in tail, plan
     # robots rules must disable the prune (a disallowed url cannot be allowed
     # to occupy a prune slot)
     rules = spark.createDataFrame(

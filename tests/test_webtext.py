@@ -124,6 +124,16 @@ def test_clean_web_corpus_boundary(boundary):
     )
 
 
+def test_clean_web_corpus_gopher_gate(boundary):
+    """Gate-on wiring parity: the Gopher document gate slots between line
+    filtering and the repetition gate, mirrored in the composed oracle."""
+    df, con = boundary
+    _cmp(
+        webtext.clean_web_corpus(df, gopher_gate=True),
+        con.sql(webtext.duck_clean_web_corpus_sql("wdocs", gopher_gate=True)),
+    )
+
+
 def test_clean_lines_semantics(boundary):
     df, _ = boundary
     rows = {r["doc_id"]: r for r in webtext.clean_lines(df).collect()}
@@ -179,4 +189,8 @@ def test_webtext_on_synth_webdocs(spark):
     assert {r["gopher_ok"] for r in ok_counts} == {0, 1}
     _cmp(
         webtext.clean_web_corpus(df), con.sql(webtext.duck_clean_web_corpus_sql("wd"))
+    )
+    _cmp(
+        webtext.clean_web_corpus(df, gopher_gate=True),
+        con.sql(webtext.duck_clean_web_corpus_sql("wd", gopher_gate=True)),
     )

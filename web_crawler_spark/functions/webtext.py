@@ -424,19 +424,32 @@ def clean_web_corpus(
     text_col: str = "text",
     max_dup_line_ppm: int = MAX_DUP_LINE_PPM,
     max_top_bigram_ppm: int = MAX_TOP_BIGRAM_PPM,
+    gopher_gate: bool = False,
 ) -> DataFrame:
     """The composed web-corpus cleaning pipeline, C4/Gopher/CCNet order:
-    line-filter each document, drop repetition-heavy documents, deduplicate
-    surviving lines corpus-wide (first occurrence wins), then redact PII.
+    line-filter each document, (optionally) apply the Gopher document-quality
+    gate, drop repetition-heavy documents, deduplicate surviving lines
+    corpus-wide (first occurrence wins), then redact PII.
     Output: (doc_id, n_pii, text_out) for documents that still hold text.
 
-    Plan shape: the line filter and repetition stats are map-side + partial
-    agg; the only corpus-wide exchanges are the line-hash WindowGroupLimit
-    dedup and the per-doc reassembly — no stage touches more than (line, key)
-    pairs, so the pipeline holds at Common-Crawl scale."""
+    ``gopher_gate=False`` by default: the published 50-word minimum is tuned
+    for Common-Crawl pages and would dominate every later stage on short-doc
+    corpora; enable it for production-scale web text.
+
+    Plan shape: the line filter, gopher gate, and repetition stats are
+    map-side + partial agg; the only corpus-wide exchanges are the line-hash
+    WindowGroupLimit dedup and the per-doc reassembly — no stage touches more
+    than (line, key) pairs, so the pipeline holds at Common-Crawl scale."""
     cleaned = clean_lines(df, id_col, text_col).filter(F.col("n_kept") > 0).select(
         "doc_id", F.col("text_clean").alias("text")
     )
+    if gopher_gate:
+        gok = (
+            gopher_quality(cleaned)
+            .filter(F.col("gopher_ok") == 1)
+            .select("doc_id")
+        )
+        cleaned = cleaned.join(gok, "doc_id", "left_semi")
     rep = repetition_stats(cleaned)
     keep = rep.filter(
         (F.col("dup_line_ppm") <= max_dup_line_ppm)
@@ -457,13 +470,22 @@ def duck_clean_web_corpus_sql(
     table: str,
     max_dup_line_ppm: int = MAX_DUP_LINE_PPM,
     max_top_bigram_ppm: int = MAX_TOP_BIGRAM_PPM,
+    gopher_gate: bool = False,
 ) -> str:
-    """One DuckDB query composing the four stage oracles — verifies the stage
+    """One DuckDB query composing the stage oracles — verifies the stage
     WIRING, not just the pieces (same discipline as plans/corpus.py)."""
+    gate_ctes = ""
+    rep_src = "base"
+    if gopher_gate:
+        gate_ctes = rf"""g0 AS ({duck_gopher_sql("base")}),
+baseg AS (SELECT * FROM base
+          WHERE doc_id IN (SELECT doc_id FROM g0 WHERE gopher_ok = 1)),
+"""
+        rep_src = "baseg"
     return rf"""
 WITH c0 AS ({duck_clean_lines_sql(table)}),
 base AS (SELECT doc_id, text_clean AS text FROM c0 WHERE n_kept > 0),
-r0 AS ({duck_repetition_sql("base")}),
+{gate_ctes}r0 AS ({duck_repetition_sql(rep_src)}),
 keep AS (
   SELECT doc_id FROM r0
   WHERE dup_line_ppm <= {max_dup_line_ppm}

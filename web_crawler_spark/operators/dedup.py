@@ -16,18 +16,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def first_wins(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+def first_wins(
+    df: DataFrame, key: str | list[str], order_cols: list[str]
+) -> DataFrame:
     """Keep, per ``key``, the row minimal in ``order_cols`` (lexicographic).
     All other columns ride along inside the min-struct, so the result carries
     the winning row's full payload.  Requires order_cols to be orderable and
-    non-null on rows that matter."""
-    payload = [c for c in df.columns if c != key]
+    non-null on rows that matter.
+
+    ``key`` may be a composite (e.g. ``["host", "url"]`` where host is a
+    function of url — identical groups to plain ``url``): grouping on the
+    superset lets Catalyst satisfy the agg's clustering requirement from an
+    existing ``hashpartitioning(host)`` exchange, so the dedup rides a
+    partitioning already paid for instead of adding its own (see
+    plans/schedule.py)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    payload = [c for c in df.columns if c not in keys]
     packed = F.min(F.struct(*[F.col(c) for c in order_cols],
                             *[F.col(c) for c in payload if c not in order_cols]))
-    agg = df.groupBy(key).agg(packed.alias("__w"))
+    agg = df.groupBy(*keys).agg(packed.alias("__w"))
     keep = [F.col("__w")[c].alias(c) for c in order_cols]
     keep += [F.col("__w")[c].alias(c) for c in payload if c not in order_cols]
-    return agg.select(F.col(key), *keep)
+    return agg.select(*[F.col(k) for k in keys], *keep)
 
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "url") -> DataFrame:

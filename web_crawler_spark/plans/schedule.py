@@ -11,8 +11,11 @@ Per-row journey (the fabric-minimal shape for exact semantics):
                     the join's hash(url) output      │    │ seen side
                     partitioning is REUSED by the    │    │ broadcasts
                     dedup below: still one exchange) │    │
-      kept = union ──first-wins dedup (exchange 1 on url)─┘
-      winners ──host budget rank (exchange 2 on host)── batch
+      kept = union ──Arrow map-side prune (local first-wins +
+                     per-host top-budget, bounded rows)──────┘
+      pruned ──THE exchange: repartition on host─────────── copart
+      copart ──first-wins agg on (host, url)  [no exchange: host ⊆ keys]
+             ──host budget rank               [no exchange: same host]── batch
 
 Ordering safety: the bloom verdict is a pure function of the url, so every
 copy of a url takes the same branch and the post-union first-wins sees the
@@ -22,9 +25,17 @@ steady-state crawl most candidates are rediscoveries of seen urls; with the
 bloom split they die map-side (broadcast bitmap probe + broadcast/bucketed
 exact check) instead of paying the dedup shuffle first.
 
-At 10^10 scale: exchange 1 carries only never-seen urls (+ ~1% bloom fps);
-exchange 2 carries only per-host budget winners (WindowGroupLimit prunes
-partially before the shuffle).  Every other step is map-side.
+The tail is co-partitioned (local-prune path): host = f(url), so a single
+``repartition(host)`` co-locates every copy of a url AND every row of a
+host; Catalyst's subset rule then satisfies both the ``(host, url)``
+first-wins agg and the ``host`` budget window from that one exchange, where
+the naive plan pays an url exchange for dedup plus a host exchange for the
+window.  Host skew is bounded BECAUSE of the prune: each host ships at most
+``budget x map-partitions`` rows regardless of corpus size (plan-asserted in
+tests/test_schedule.py).
+
+At 10^10 scale: the one exchange carries only never-seen, locally-pruned
+urls (+ ~1% bloom fps).  Every other step is map-side.
 """
 
 from __future__ import annotations
@@ -100,7 +111,17 @@ def schedule_frontier(
             kept = definitely_new.unionByName(anti_join_seen(maybe, seen, url_col))
         hosted = with_host(kept, url_col=url_col)
         pruned = local_host_prune(hosted, order_cols, budget, url_col=url_col)
-        winners = first_wins(pruned, url_col, order_cols)
+        # ONE exchange serves both remaining keyed steps: host = f(url), so
+        # hashpartitioning(host) co-locates every copy of a url AND every row
+        # of a host — the first-wins agg grouped on (host, url) and the budget
+        # window partitioned on host both have their clustering satisfied by
+        # this single repartition (Catalyst's subset rule), where the naive
+        # plan pays an url exchange for dedup plus a host exchange for the
+        # window.  Skew-safe BECAUSE of the prune: each host ships at most
+        # budget x map-partitions rows, so the hottest host's task is bounded
+        # regardless of corpus size.
+        copart = pruned.repartition(F.col("host"))
+        winners = first_wins(copart, ["host", url_col], order_cols)
         return select_host_budget_batch(
             winners,
             order_cols=order_cols,
