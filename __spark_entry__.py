@@ -425,6 +425,13 @@ def q_corpus_webclean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.clean_web_corpus(_synth(spark, sf_dir, "webdocs"))
 
 
+def q_doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate 8-gram coverage per document (the Dolma/Gopher
+    n-gram dedup signal); grams are xxhash64-compressed before any exchange
+    and within-doc repeats collapse in the partial agg."""
+    return webtext.duplicate_ngram_stats(_synth(spark, sf_dir, "webdocs"))
+
+
 def q_corpus_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The web-corpus pipeline with the Gopher document gate enabled (line
     filter -> gopher gate -> repetition gate -> corpus line dedup -> PII),
@@ -731,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher": q_doc_gopher,
         "corpus_webclean": q_corpus_webclean,
         "corpus_gopher": q_corpus_gopher,
+        "doc_dup_ngrams": q_doc_dup_ngrams,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1032,6 +1040,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "corpus_gopher": webtext.duck_clean_web_corpus_sql(
             webdocs, gopher_gate=True
         ),
+        "doc_dup_ngrams": webtext.duck_dup_ngrams_sql(webdocs),
         "dedup_minhash": dedupsim.duck_minhash_exploded_sql("documents"),
         "dedup_lsh_pairs": dedupsim.duck_lsh_pairs_sql("documents"),
         "dedup_jaccard": dedupsim.duck_jaccard_sql("documents"),

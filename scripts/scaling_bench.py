@@ -137,15 +137,15 @@ def main() -> None:
         "  the messy residue) -> seen anti-join BEFORE the dedup exchange",
         "  (rediscoveries die map-side under the broadcast) -> Arrow map-side",
         "  per-partition prune (local first-wins + per-host top-budget,",
-        "  operators/politeness.local_host_prune) -> first-wins dedup ->",
-        "  per-host budget rank (plans/schedule.py) — the URLs",
-        "  scheduled+deduped/sec north star.  Plan history: r1 0.27 ->",
-        "  r2 0.61 (JVM fast mask + anti-join-first) -> r3 adds the prune,",
-        "  which bounds BOTH exchanges at budget x hosts x partitions rows —",
-        "  sched is now compute-dominated (its shuffle is <10% of runtime;",
-        "  compare the shuffle-control row's absolute seconds), so its",
-        "  efficiency should be read against parse (the compute workload),",
-        "  not the fabric control.",
+        "  operators/politeness.local_host_prune) -> ONE co-partitioned",
+        "  exchange on host serving both the (host, url) first-wins dedup",
+        "  and the per-host budget window (host = f(url); Catalyst subset",
+        "  rule — plans/schedule.py) — the URLs scheduled+deduped/sec north",
+        "  star.  Plan history: r1 0.27 -> r2 0.61 (JVM fast mask +",
+        "  anti-join-first) -> r3 0.65 (map-side prune) -> r3 final 0.81",
+        "  (co-partitioned tail removes the dedup's url exchange; the",
+        "  prune's per-host row cap makes hash(host) partitioning",
+        "  skew-safe).",
         "- `parse` = Arrow-batched default-parser extraction over all pages",
         "  (compute-bound; shuffle-free).",
         "- `shuffle-control` = 4 back-to-back full-data repartitions, no",

@@ -49,6 +49,11 @@ BOUNDARY_DOCS = [
     "Read more about the crawl frontier...",  # 28: ellipsis line
     "### hash # soup #",  # 29: symbol-heavy, no stop words
     "the, and. that; with!",  # 30: stop words behind edge punctuation
+    # duplicate-ngram boundaries (8-grams)
+    "alpha beta gamma delta epsilon zeta eta theta",  # 31: exactly 8 tokens
+    "alpha beta gamma delta epsilon zeta eta",  # 32: 7 tokens -> 0 grams
+    "ALPHA beta gamma delta epsilon zeta eta theta iota",  # 33: shares a gram
+    "w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8",  # 34: self-repeat
 ]
 
 
@@ -114,6 +119,28 @@ def test_gopher_semantics(boundary):
     assert rows[30]["n_stop_hits"] == 4
     assert rows[24]["nonascii_ppm"] > 0
     assert rows[0]["n_words"] == 0 and rows[0]["gopher_ok"] == 0
+
+
+def test_dup_ngrams_boundary(boundary):
+    df, con = boundary
+    _cmp(
+        webtext.duplicate_ngram_stats(df),
+        con.sql(webtext.duck_dup_ngrams_sql("wdocs")),
+    )
+
+
+def test_dup_ngrams_semantics(boundary):
+    df, _ = boundary
+    rows = {r["doc_id"]: r for r in webtext.duplicate_ngram_stats(df).collect()}
+    # 31 has exactly one 8-gram, shared (case-folded) with 33's first gram
+    assert rows[31]["n_grams"] == 1 and rows[31]["dup_gram_ppm"] == 1_000_000
+    assert rows[32]["n_grams"] == 0 and rows[32]["dup_gram_ppm"] == 0
+    assert rows[33]["n_grams"] == 2 and rows[33]["dup_gram_ppm"] == 500_000
+    # 34: 16 tokens -> 9 grams; 'w1..w8' occurs at offsets 0 and 8 (cnt 2);
+    # every other gram is unique corpus-wide
+    assert rows[34]["n_grams"] == 9
+    assert rows[34]["dup_gram_ppm"] == 222_222
+    assert rows[0]["n_grams"] == 0
 
 
 def test_clean_web_corpus_boundary(boundary):
@@ -182,6 +209,9 @@ def test_webtext_on_synth_webdocs(spark):
         webtext.dedup_corpus_lines(df), con.sql(webtext.duck_dedup_lines_sql("wd"))
     )
     _cmp(webtext.gopher_quality(df), con.sql(webtext.duck_gopher_sql("wd")))
+    _cmp(
+        webtext.duplicate_ngram_stats(df), con.sql(webtext.duck_dup_ngrams_sql("wd"))
+    )
     # the enriched fixture must exercise both sides of the gate
     ok_counts = (
         webtext.gopher_quality(df).groupBy("gopher_ok").count().collect()

@@ -500,6 +500,98 @@ FROM p0
 """
 
 
+DUP_NGRAM_N = 8
+
+
+def duplicate_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DUP_NGRAM_N,
+) -> DataFrame:
+    """Corpus-wide duplicate n-gram coverage (the Dolma/Gopher n-gram dedup
+    signal): per document, the fraction of its word ``n``-grams (lowercased
+    whitespace tokens) that occur at least twice across the WHOLE corpus —
+    within-doc repeats count.  Output: (doc_id, n_grams, dup_gram_ppm).
+
+    Scale shape: tokens never leave the map side as raw strings — grams are
+    xxhash64-compressed before any exchange, and the per-(doc, gram) partial
+    aggregation collapses within-doc repeats first, so the shuffled relation
+    is bounded by distinct (doc, gram) pairs.  The global-count join is
+    hash-keyed on the same column the aggregation just partitioned by.
+    (Collision note: a 64-bit gram-hash collision would merge two grams'
+    counts; at the 10^10-gram design point the expected collision count is
+    ~10^-9 of the corpus — accepted, same trade as minhash.)"""
+    t = F.col(text_col)
+    toks = F.when(
+        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(F.trim(t)), r"\s+"))
+    grams_expr = F.when(
+        F.size(F.col("__t")) >= n,
+        F.expr(
+            f"transform(sequence(0, size(__t) - {n}), "
+            f"i -> xxhash64(array_join(slice(__t, i + 1, {n}), ' ')))"
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = df.select(F.col(id_col).alias("doc_id"), toks.alias("__t")).select(
+        "doc_id", F.explode(grams_expr).alias("g")
+    )
+    # per-(doc, gram) multiplicity: partial agg collapses within-doc repeats
+    per_doc = grams.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+    glob = per_doc.groupBy("g").agg(F.sum("cnt").alias("tot"))
+    stats = (
+        per_doc.join(glob, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("tot") >= 2, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("dup"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            _ppm(F.coalesce("dup", F.lit(0)), F.coalesce("n_grams", F.lit(0))).alias(
+                "dup_gram_ppm"
+            ),
+        )
+    )
+
+
+def duck_dup_ngrams_sql(table: str, n: int = DUP_NGRAM_N) -> str:
+    # the oracle keys grams by their text (DuckDB has no xxhash64); counts
+    # are identical unless Spark's 64-bit hash collides — see operator note
+    return rf"""
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+  FROM {table}
+),
+g AS (
+  SELECT doc_id, array_to_string(t[i:i + {n} - 1], ' ') AS gram
+  FROM tk, UNNEST(range(1, len(t) - {n} + 2)) AS r(i)
+  WHERE len(t) >= {n}
+),
+pd AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+gl AS (SELECT gram, sum(cnt) AS tot FROM pd GROUP BY 1),
+st AS (
+  SELECT pd.doc_id, sum(pd.cnt)::BIGINT AS n_grams,
+         sum(CASE WHEN gl.tot >= 2 THEN pd.cnt ELSE 0 END)::BIGINT AS dup
+  FROM pd JOIN gl USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+  coalesce(st.n_grams, 0)::BIGINT AS n_grams,
+  floor(coalesce(st.dup, 0) / greatest(coalesce(st.n_grams, 0), 1)::DOUBLE * 1e6)::BIGINT AS dup_gram_ppm
+FROM (SELECT doc_id FROM {table}) d
+LEFT JOIN st USING (doc_id)
+"""
+
+
 def duck_dedup_lines_sql(table: str) -> str:
     return rf"""
 WITH l AS (
