@@ -69,10 +69,13 @@ def main() -> None:
         schedule_frontier(cand, seen, ["p0", "p1"], budget=5),
         "Want: rediscoveries die at a BroadcastHashJoin LeftAnti BEFORE any\n"
         "exchange; the MapInPandas prune (local first-wins + per-host\n"
-        "top-budget) sits between the anti-join and the exchanges, so both\n"
-        "the dedup-agg exchange and the host window carry at most\n"
-        "budget x hosts x partitions rows; ArrowEvalPython appears only on\n"
-        "the slow canonicalize branch (the fast branch is a codegen'd rlike).",
+        "top-budget) sits between the anti-join and the tail; the tail has\n"
+        "exactly ONE exchange — hashpartitioning(host) — feeding the\n"
+        "(host, url) first-wins aggregate AND the host budget window with no\n"
+        "url exchange in between (host = f(url); Catalyst subset rule), and\n"
+        "it carries at most budget x hosts x partitions rows thanks to the\n"
+        "prune; ArrowEvalPython appears only on the slow canonicalize branch\n"
+        "(the fast branch is a codegen'd rlike).",
     )
     bloom = bloomlib.build_bloom(seen, "url")
     cap(
