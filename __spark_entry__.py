@@ -32,8 +32,10 @@ from web_crawler_spark.functions import (  # noqa: E402
     html_parse,
     linkstats,
     multimodal,
+    sampling,
     simsearch,
     textstats,
+    urlfilter,
     urlnorm,
     webtext,
 )
@@ -441,6 +443,36 @@ def q_corpus_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 App. C / Dolma): flag webdocs sharing
+    any lowercased word 8-gram with the evaldocs benchmark fixture.  Bench
+    grams broadcast; the contamination probe is map-side on the corpus scan."""
+    return webtext.decontaminate(
+        _synth(spark, sf_dir, "webdocs"), _synth(spark, sf_dir, "evaldocs")
+    )
+
+
+def q_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style URL-level quality gate over the weburls fixture:
+    asset-extension, tracking-param-spam, length, and blocklist signals —
+    one shuffle-free map over the frontier scan, run BEFORE any fetch."""
+    return urlfilter.url_quality_gate(_synth(spark, sf_dir, "weburls"))
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-Bernoulli stratified sample of the documents table
+    by language (per-mille mix rates); map-side, resume-stable — the
+    training-mix sampling op."""
+    return sampling.stratified_sample(_docs(spark, sf_dir))
+
+
+def q_corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (keep <=10 docs per source by deterministic hash
+    order): source balancing via the same WindowGroupLimit map-side-prune
+    plan family as the crawl's per-host budget."""
+    return sampling.source_cap(_docs(spark, sf_dir))
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures, exploded to scalar (doc_id, hash_idx, hash_val)
     rows so the driver's value-hash compare can canonicalize them."""
@@ -739,6 +771,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_webclean": q_corpus_webclean,
         "corpus_gopher": q_corpus_gopher,
         "doc_dup_ngrams": q_doc_dup_ngrams,
+        "doc_decontaminate": q_doc_decontaminate,
+        "url_gate": q_url_gate,
+        "corpus_sample": q_corpus_sample,
+        "corpus_source_cap": q_corpus_source_cap,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1041,6 +1077,14 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             webdocs, gopher_gate=True
         ),
         "doc_dup_ngrams": webtext.duck_dup_ngrams_sql(webdocs),
+        "doc_decontaminate": webtext.duck_decontaminate_sql(
+            webdocs, f"read_parquet('{sp('evaldocs')}')"
+        ),
+        "url_gate": urlfilter.duck_url_gate_sql(
+            f"read_parquet('{sp('weburls')}')"
+        ),
+        "corpus_sample": sampling.duck_stratified_sample_sql("documents"),
+        "corpus_source_cap": sampling.duck_source_cap_sql("documents"),
         "dedup_minhash": dedupsim.duck_minhash_exploded_sql("documents"),
         "dedup_lsh_pairs": dedupsim.duck_lsh_pairs_sql("documents"),
         "dedup_jaccard": dedupsim.duck_jaccard_sql("documents"),

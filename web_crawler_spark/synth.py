@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v10"  # v10: webdocs stop-word/bullet/ellipsis variation (Gopher gate)
+SYNTH_VERSION = "v11"  # v11: evaldocs (decontamination bench) + weburls (URL gate)
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -329,10 +329,98 @@ def _gen_webdocs(rng: random.Random, sf: str):
         if rng.random() < 0.15:
             lines.append(("buy now " * rng.randint(6, 12)).strip() + ".")
         texts.append("\n".join(lines))
-    return pa.table(
+    tbl = pa.table(
         {
             "doc_id": pa.array(range(len(texts)), pa.int64()),
             "text": pa.array(texts, pa.string()),
+        }
+    )
+    return tbl, syndicated
+
+
+def _gen_evaldocs(syndicated: list[str], sf: str):
+    """Benchmark/eval texts for the decontamination op (webtext.decontaminate).
+
+    A fraction of the eval items are syndicated sentences that also appear in
+    many webdocs — real contamination with known overlap — plus boundary
+    items (too short for one n-gram, empty, repeated-token spam) and fresh
+    sentences that contaminate nothing.  Drawn from a dedicated RNG so the
+    webdocs fixture bytes are identical to v10."""
+    rng = random.Random(f"evaldocs-{sf}")
+    texts: list[str] = []
+    texts.extend(syndicated[:8])  # leaked into the corpus by construction
+    # multi-sentence eval item: one leaked sentence inside fresh context
+    texts.append(syndicated[10] + " " + _sentence(rng, 12))
+    texts.append("short eval question here?")  # < n words -> zero grams
+    texts.append("")
+    # repeated-token spam: matches webdocs' "buy now" tail lines
+    texts.append(("buy now " * 8).strip() + ".")
+    # case boundary: uppercase copy of a leaked sentence (lowercased grams
+    # must still match)
+    texts.append(syndicated[12].upper())
+    for _ in range(12):  # fresh items -> no contamination
+        texts.append(_sentence(rng, rng.randint(9, 20), rng.choice(".?")))
+    return pa.table(
+        {
+            "eval_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+_SF_WEBURLS = {"0.001": 600, "0.01": 6000, "0.1": 60000}
+
+_URL_BLOCKLIST_SYNTH = ("casino", "gambling", "adultsite")
+_URL_MEDIA_EXTS = ("jpg", "jpeg", "png", "gif", "css", "js", "pdf", "mp4", "zip", "ico", "svg", "woff")
+
+
+def _gen_weburls(sf: str):
+    """Realistic crawl-discovered URLs for the URL-level quality gate
+    (functions/urlfilter.py): clean article URLs, media/asset extensions,
+    tracking-parameter spam, over-long URLs, blocklisted hosts/paths, and
+    mixed-case variants.  Dedicated RNG (fixture-stable vs v10)."""
+    rng = random.Random(f"weburls-{sf}")
+    n = _SF_WEBURLS[sf]
+    urls: list[str] = [
+        # pinned boundary rows
+        "http://host0.example/articles/a-perfectly-fine-story.html",
+        "http://host1.example/img/banner.JPG",  # extension case-folding
+        "http://host2.example/p/1?a=1&b=2&c=3&d=4&e=5",  # param spam
+        "http://host3.example/" + "seg/" * 60 + "deep.html",  # over-long
+        "http://casino.example/win-big-now",  # blocklisted host
+        "http://host4.example/play/GAMBLING/tips",  # blocklisted path, mixed case
+        "http://host5.example/style.css?v=3",  # ext before query string
+        "http://host6.example/",  # no path, no ext
+        "http://host7.example/download.tar.gz",  # unknown compound ext
+    ]
+    for i in range(len(urls), n):
+        h = rng.randrange(200)
+        r = rng.random()
+        if r < 0.55:
+            slug = "-".join(rng.choice(_WORDS) for _ in range(rng.randint(2, 6)))
+            urls.append(f"http://host{h}.example/articles/{i}-{slug}.html")
+        elif r < 0.70:
+            ext = rng.choice(_URL_MEDIA_EXTS)
+            urls.append(f"http://host{h}.example/assets/{i}.{ext}")
+        elif r < 0.80:
+            params = "&".join(
+                f"{rng.choice(('utm_source', 'utm_medium', 'ref', 'sessionid', 'fbclid', 'q'))}={rng.randrange(999)}"
+                for _ in range(rng.randint(1, 6))
+            )
+            urls.append(f"http://host{h}.example/p/{i}?{params}")
+        elif r < 0.86:
+            urls.append(
+                f"http://host{h}.example/" + "x" * rng.randint(150, 260) + f"/{i}"
+            )
+        elif r < 0.92:
+            bad = rng.choice(_URL_BLOCKLIST_SYNTH)
+            urls.append(f"http://host{h}.example/{bad}/offer-{i}")
+        else:
+            urls.append(f"HTTP://Host{h}.Example/MiXeD/{i}.HtMl")
+    return pa.table(
+        {
+            "url_id": pa.array(range(len(urls)), pa.int64()),
+            "url": pa.array(urls, pa.string()),
         }
     )
 
@@ -502,7 +590,9 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     seeds = _gen_seeds(rng, urls, sf)
     cands = _gen_candidates(rng, urls)
     media = _gen_media(rng, sf)
-    webdocs = _gen_webdocs(rng, sf)
+    webdocs, syndicated = _gen_webdocs(rng, sf)
+    evaldocs = _gen_evaldocs(syndicated, sf)
+    weburls = _gen_weburls(sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -515,6 +605,8 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(cands, synth_path(sf, "url_candidates"))
     pq.write_table(media, synth_path(sf, "media"), row_group_size=512)
     pq.write_table(webdocs, synth_path(sf, "webdocs"), row_group_size=1024)
+    pq.write_table(evaldocs, synth_path(sf, "evaldocs"))
+    pq.write_table(weburls, synth_path(sf, "weburls"), row_group_size=2048)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
