@@ -205,6 +205,7 @@ def main(argv: list[str] | None = None) -> int:
         "failed": total - ok,
         "rounds": len(state.metrics),
         "per_round": state.metrics,
+        "master": spark.sparkContext.master,
     }
     print(json.dumps(stats))
     return 0

@@ -200,3 +200,59 @@ def test_cli_robots_rules(tmp_path):
             recs += [json.loads(line) for line in f if line.strip()]
     assert recs
     assert not any(r["url"].startswith("http://host0.example/p/1") for r in recs)
+
+
+@pytest.mark.slow
+def test_cli_spark_submit_pyfiles(tmp_path):
+    """The literal north-rule invocation: ``spark-submit --py-files wcs.zip
+    jobs/crawl.py`` on a multi-executor master, with the repo STRIPPED from
+    PYTHONPATH and a neutral cwd — the shipped zip is the only route by
+    which the driver and every executor's Python workers can import
+    web_crawler_spark."""
+    import shutil
+
+    from web_crawler_spark import synth
+    import pyarrow.parquet as pq
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pyspark
+
+        spark_submit = os.path.join(
+            os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+        )
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from make_pyfiles import build
+
+    zip_path = build(str(tmp_path / "wcs.zip"))
+    synth.ensure_synth("0.001")
+    meta = pq.read_table(synth.synth_path("0.001", "pages_meta")).to_pandas()
+    linked = meta[meta["links_count"] > 3]["url"].head(3).tolist()
+    seeds_file = tmp_path / "seeds.txt"
+    seeds_file.write_text("\n".join(linked) + "\n")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local-cluster[2,2,2048]",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "crawl.py"),
+            "--urls-file", str(seeds_file),
+            "--pages", synth.synth_path("0.001", "pages"),
+            "--rounds", "2",
+            "--mode", "scale",
+            "--host-budget", "5",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["rounds"] == 2
+    assert stats["total_urls"] >= 2
+    # the submit-level master must have been honored, not demoted to local
+    assert stats["master"].startswith("local-cluster"), stats["master"]

@@ -32,13 +32,15 @@ def get_spark(
             pkg_root + (os.pathsep + existing if existing else "")
         )
     cpus = DEFAULT_CPUS
-    if master is None:
+    # under spark-submit (gateway pre-launched => PYSPARK_GATEWAY_PORT set)
+    # a None master must fall through to the submit-level --master; calling
+    # .master() here would silently demote a cluster submit to local mode
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 32)
     b = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -54,6 +56,8 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    if master is not None:
+        b = b.master(master)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
