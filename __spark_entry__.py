@@ -473,6 +473,18 @@ def q_corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.source_cap(_docs(spark, sf_dir))
 
 
+def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution in power-of-two buckets (integer-exact
+    binary-string-length log2 — engine-portable); the corpus curation view."""
+    return textstats.length_histogram(_docs(spark, sf_dir))
+
+
+def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket output sharding + per-shard balance stats —
+    the reproducible training-set writer layout."""
+    return sampling.shard_stats(_docs(spark, sf_dir))
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures, exploded to scalar (doc_id, hash_idx, hash_val)
     rows so the driver's value-hash compare can canonicalize them."""
@@ -775,6 +787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_gate": q_url_gate,
         "corpus_sample": q_corpus_sample,
         "corpus_source_cap": q_corpus_source_cap,
+        "doc_length_hist": q_doc_length_hist,
+        "corpus_shards": q_corpus_shards,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1085,6 +1099,8 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "corpus_sample": sampling.duck_stratified_sample_sql("documents"),
         "corpus_source_cap": sampling.duck_source_cap_sql("documents"),
+        "doc_length_hist": textstats.duck_length_histogram_sql("documents"),
+        "corpus_shards": sampling.duck_shard_stats_sql("documents"),
         "dedup_minhash": dedupsim.duck_minhash_exploded_sql("documents"),
         "dedup_lsh_pairs": dedupsim.duck_lsh_pairs_sql("documents"),
         "dedup_jaccard": dedupsim.duck_jaccard_sql("documents"),

@@ -160,3 +160,39 @@ def test_source_cap_parity_and_plan(docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan[plan.index("WindowGroupLimit"):]
+
+
+def test_shard_stats_parity_and_balance(docs, spark, tmp_path):
+    df, con = docs
+    df = df.withColumn("n_chars", F.length(F.col("source")).cast("long"))
+    import pandas as pd  # register the enriched frame for the oracle
+    p = str(tmp_path / "docs_sized.parquet")
+    df.toPandas().to_parquet(p)
+    con.sql(f"CREATE VIEW ds AS SELECT * FROM read_parquet('{p}')")
+    out = sampling.shard_stats(df)
+    _cmp(out, con.sql(sampling.duck_shard_stats_sql("ds")), ["shard"])
+    rows = out.collect()
+    assert len(rows) == 32  # every shard populated at 1000 docs
+    assert sum(r["n_docs"] for r in rows) == 1000
+    # deterministic balance: no shard more than 3x the mean
+    assert max(r["n_docs"] for r in rows) <= 3 * (1000 / 32)
+
+
+def test_length_histogram_parity(spark, tmp_path):
+    from web_crawler_spark.functions import textstats
+
+    texts = ["", " ", "one", "one two", "a b c d", " ".join(["t"] * 8),
+             " ".join(["t"] * 1024), " ".join(["t"] * 1023)]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    p = str(tmp_path / "lh.parquet")
+    pdf.to_parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lh AS SELECT * FROM read_parquet('{p}')")
+    df = spark.read.parquet(p)
+    out = textstats.length_histogram(df)
+    _cmp(out, con.sql(textstats.duck_length_histogram_sql("lh")), ["len_bucket"])
+    got = {r["len_bucket"]: r for r in out.collect()}
+    assert got[0]["n_docs"] == 2            # "" and " " are empty
+    assert got[1]["n_docs"] == 1            # 1 token
+    assert got[11]["min_tokens"] == 1024    # 2^10 sits in bucket 11
+    assert got[10]["max_tokens"] == 1023    # 2^10 - 1 sits in bucket 10

