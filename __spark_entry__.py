@@ -473,6 +473,12 @@ def q_corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.source_cap(_docs(spark, sf_dir))
 
 
+def q_link_hostgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level weighted link graph from the pages corpus — explode ->
+    one partial-agg'd exchange on (src_host, dst_host)."""
+    return linkstats.host_graph(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length distribution in power-of-two buckets (integer-exact
     binary-string-length log2 — engine-portable); the corpus curation view."""
@@ -787,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_gate": q_url_gate,
         "corpus_sample": q_corpus_sample,
         "corpus_source_cap": q_corpus_source_cap,
+        "link_hostgraph": q_link_hostgraph,
         "doc_length_hist": q_doc_length_hist,
         "corpus_shards": q_corpus_shards,
         "dedup_minhash": q_dedup_minhash,
@@ -1099,6 +1106,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "corpus_sample": sampling.duck_stratified_sample_sql("documents"),
         "corpus_source_cap": sampling.duck_source_cap_sql("documents"),
+        "link_hostgraph": linkstats.duck_host_graph_sql(pages_meta),
         "doc_length_hist": textstats.duck_length_histogram_sql("documents"),
         "corpus_shards": sampling.duck_shard_stats_sql("documents"),
         "dedup_minhash": dedupsim.duck_minhash_exploded_sql("documents"),

@@ -363,3 +363,38 @@ def test_link_class_counts_edges(spark):
     }
     assert got["http://a.example/p/1"] == (6, 3, 1, 2)
     assert got["http://c.example/"] == (0, 0, 0, 0)
+
+
+def test_host_graph_edges(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.functions import linkstats
+
+    rows = [
+        ("http://a.example/p/1", "a.example",
+         ["http://b.example/x", "HTTPS://B.EXAMPLE/y",  # case-folds, merges
+          "http://a.example/self", "/relative", "not a url",
+          "http://c.example:8080/port"]),
+        ("http://a.example/p/2", "a.example", ["http://b.example/z"]),
+        ("http://b.example/", "b.example", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, links array<string>")
+    out = {
+        (r["src_host"], r["dst_host"]): (r["n_links"], r["n_src_pages"])
+        for r in linkstats.host_graph(df).collect()
+    }
+    # relative + garbage links drop; case/scheme variants fold; port strips
+    assert out[("a.example", "b.example")] == (3, 2)
+    assert out[("a.example", "a.example")] == (1, 1)
+    assert out[("a.example", "c.example")] == (1, 1)
+    assert len(out) == 3
+    # oracle parity on the same frame
+    p = str(tmp_path / "hg.parquet")
+    df.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    want = con.sql(
+        linkstats.duck_host_graph_sql(f"read_parquet('{p}')")
+    ).df()
+    assert len(want) == 3
+    for _, r in want.iterrows():
+        assert out[(r["src_host"], r["dst_host"])] == (r["n_links"], r["n_src_pages"])

@@ -62,3 +62,47 @@ SELECT url,
   len(list_filter(links, x -> NOT regexp_matches(x, '^[A-Za-z][A-Za-z0-9+.-]*://')))::BIGINT AS n_relative
 FROM base
 """
+
+
+def host_graph(
+    df: DataFrame, url_col: str = "url", host_col: str = "host", links_col: str = "links"
+) -> DataFrame:
+    """Host-level link graph: aggregate page->page links into weighted
+    (src_host, dst_host) edges — the web-graph view every crawl-analytics /
+    spam-detection / harvest-ordering pipeline builds first.  Output:
+    (src_host, dst_host, n_links, n_src_pages).
+
+    Scale shape: explode -> single keyed aggregation with map-side partial
+    agg on (src_host, dst_host); the edge relation that shuffles is bounded
+    by distinct host pairs per partition, not raw links.  The distinct
+    page count rides the same exchange (two-phase distinct agg)."""
+    dst = F.lower(
+        F.regexp_extract(F.col("link"), r"(?i)^https?://([^/:?#]+)", 1)
+    )
+    edges = (
+        df.select(
+            F.col(host_col).alias("src_host"),
+            F.col(url_col).alias("src_url"),
+            F.explode(F.coalesce(F.col(links_col), F.array())).alias("link"),
+        )
+        .select("src_host", "src_url", dst.alias("dst_host"))
+        .filter(F.col("dst_host") != "")
+    )
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.countDistinct("src_url").cast("long").alias("n_src_pages"),
+    )
+
+
+def duck_host_graph_sql(pages_meta: str) -> str:
+    return rf"""
+WITH e AS (
+  SELECT host AS src_host, url AS src_url,
+         lower(coalesce(regexp_extract(link, '(?i)^https?://([^/:?#]+)', 1), '')) AS dst_host
+  FROM (SELECT host, url, unnest(coalesce(links, [])) AS link FROM {pages_meta})
+)
+SELECT src_host, dst_host,
+       count(*)::BIGINT AS n_links,
+       count(DISTINCT src_url)::BIGINT AS n_src_pages
+FROM e WHERE dst_host <> '' GROUP BY 1, 2
+"""
