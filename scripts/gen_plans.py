@@ -123,6 +123,39 @@ def main() -> None:
         "flood the shuffle); no Python node anywhere.",
     )
 
+    ev = spark.read.parquet(synth.synth_path("0.001", "evaldocs"))
+    cap(
+        "doc_decontaminate — eval-set n-gram decontamination",
+        webtext.decontaminate(wd, ev),
+        "Want: the benchmark gram side enters via BroadcastExchange (eval\n"
+        "suites are tiny at any corpus scale) so the contamination probe is\n"
+        "a map-side BroadcastHashJoin on the corpus scan; grams are\n"
+        "xxhash64 bigints (no raw strings shuffle); the only exchange is\n"
+        "the per-doc partial-agg'd groupBy.",
+    )
+
+    from web_crawler_spark.functions import urlfilter  # noqa: E402
+
+    wu = spark.read.parquet(synth.synth_path("0.001", "weburls"))
+    cap(
+        "url_gate — URL-level quality gate",
+        urlfilter.url_quality_gate(wu),
+        "Want: a single whole-stage-codegen Project over the scan — no\n"
+        "Exchange, no Python; the cheapest filter in the pipeline because\n"
+        "it runs before any fetch.",
+    )
+
+    from web_crawler_spark.functions import sampling  # noqa: E402
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    cap(
+        "corpus_sample — deterministic stratified sampling",
+        sampling.stratified_sample(docs),
+        "Want: map-side md5-bucket + literal CASE rate table fused into the\n"
+        "scan; no Exchange (the sample decision is per-row and\n"
+        "deterministic, so retries/resume pick identical rows).",
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")
         f.write(
