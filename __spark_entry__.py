@@ -473,6 +473,15 @@ def q_corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.source_cap(_docs(spark, sf_dir))
 
 
+def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data export wired end-to-end: web-corpus cleaning ->
+    decontamination of the CLEANED text -> deterministic shard assignment —
+    one composed DuckDB-oracled query (the production handoff artifact)."""
+    return webtext.export_corpus(
+        _synth(spark, sf_dir, "webdocs"), _synth(spark, sf_dir, "evaldocs")
+    )
+
+
 def q_link_hostgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level weighted link graph from the pages corpus — explode ->
     one partial-agg'd exchange on (src_host, dst_host)."""
@@ -793,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_gate": q_url_gate,
         "corpus_sample": q_corpus_sample,
         "corpus_source_cap": q_corpus_source_cap,
+        "corpus_export": q_corpus_export,
         "link_hostgraph": q_link_hostgraph,
         "doc_length_hist": q_doc_length_hist,
         "corpus_shards": q_corpus_shards,
@@ -1106,6 +1116,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "corpus_sample": sampling.duck_stratified_sample_sql("documents"),
         "corpus_source_cap": sampling.duck_source_cap_sql("documents"),
+        "corpus_export": webtext.duck_export_corpus_sql(
+            webdocs, f"read_parquet('{sp('evaldocs')}')"
+        ),
         "link_hostgraph": linkstats.duck_host_graph_sql(pages_meta),
         "doc_length_hist": textstats.duck_length_histogram_sql("documents"),
         "corpus_shards": sampling.duck_shard_stats_sql("documents"),

@@ -12,6 +12,7 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from web_crawler_spark import synth
 from web_crawler_spark.functions import webtext
@@ -291,3 +292,29 @@ def test_decontaminate_on_synth(spark):
     assert labels == {True, False}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_export_corpus_composition(spark):
+    """End-to-end export parity at sf0.001, plus a structural check that the
+    kept set is exactly (cleaning survivors - contaminated) and that the
+    graded fixture really exercises the decontamination drop."""
+    synth.ensure_synth("0.001")
+    wp = synth.synth_path("0.001", "webdocs")
+    ep = synth.synth_path("0.001", "evaldocs")
+    df, ev = spark.read.parquet(wp), spark.read.parquet(ep)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW wd AS SELECT * FROM read_parquet('{wp}')")
+    con.sql(f"CREATE VIEW ed AS SELECT * FROM read_parquet('{ep}')")
+    out = webtext.export_corpus(df, ev)
+    _cmp(out, con.sql(webtext.duck_export_corpus_sql("wd", "ed")))
+    got_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # every excluded-but-clean doc fell to a cleaning gate, not decon; every
+    # contaminated CLEANED doc is absent
+    cleaned = webtext.clean_web_corpus(df)
+    flags = webtext.decontaminate(
+        cleaned.select("doc_id", F.col("text_out").alias("text")), ev
+    )
+    bad = {r["doc_id"] for r in flags.filter("contaminated").collect()}
+    survivors = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    assert got_ids == survivors - bad
+    assert bad, "fixture must exercise the decontamination drop"

@@ -730,3 +730,51 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM {docs}) d
 LEFT JOIN st USING (doc_id)
 """
+
+
+def export_corpus(
+    df: DataFrame,
+    bench: DataFrame,
+    n_shards: int = 32,
+    gopher_gate: bool = False,
+) -> DataFrame:
+    """The full training-data export: clean_web_corpus (line filter ->
+    optional Gopher gate -> repetition gate -> corpus line dedup -> PII) ->
+    eval-set decontamination OF THE CLEANED TEXT (what ships is what's
+    checked) -> deterministic shard assignment for the writer.
+    Output: (doc_id, n_pii, shard, text_out) for surviving documents.
+
+    The cleaned frame is materialized once (localCheckpoint) before the
+    decontamination branch — the flags join and the export select must not
+    recompute the multi-exchange cleaning subplan twice (the repo's
+    branch-recompute rule, see plans/schedule.py history)."""
+    from .sampling import hash_bucket
+
+    cleaned = clean_web_corpus(df, gopher_gate=gopher_gate).localCheckpoint(
+        eager=True
+    )
+    flags = decontaminate(
+        cleaned.select("doc_id", F.col("text_out").alias("text")), bench
+    )
+    keep = flags.filter(~F.col("contaminated")).select("doc_id")
+    return cleaned.join(keep, "doc_id", "left_semi").select(
+        "doc_id",
+        "n_pii",
+        hash_bucket(F.col("doc_id"), n_shards).alias("shard"),
+        "text_out",
+    )
+
+
+def duck_export_corpus_sql(
+    table: str, bench: str, n_shards: int = 32, gopher_gate: bool = False
+) -> str:
+    return rf"""
+WITH cw AS ({duck_clean_web_corpus_sql(table, gopher_gate=gopher_gate)}),
+cwt AS (SELECT doc_id, text_out AS text FROM cw),
+dc AS ({duck_decontaminate_sql("cwt", bench)})
+SELECT cw.doc_id, cw.n_pii,
+  ('0x' || substr(md5(cw.doc_id::VARCHAR), 1, 8))::BIGINT % {n_shards} AS shard,
+  cw.text_out
+FROM cw JOIN dc ON cw.doc_id = dc.doc_id
+WHERE NOT dc.contaminated
+"""
