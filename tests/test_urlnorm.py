@@ -114,3 +114,17 @@ def test_split_canonicalize_matches_udf(spark, sf_small):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https"]),
+    host=st.from_regex(r"[A-Za-z0-9.-]{1,20}", fullmatch=True),
+    rest=url_chars,
+)
+@settings(max_examples=300, deadline=None)
+def test_canonical_idempotent_property(scheme, host, rest):
+    """canon(canon(u)) == canon(u) over random inputs — the frontier's
+    seen-set key must be a fixpoint or rediscoveries alias (SURVEY §2 P5)."""
+    c = urlnorm.canonicalize_url(f"{scheme}://{host}/{rest}")
+    if c is not None:
+        assert urlnorm.canonicalize_url(c) == c

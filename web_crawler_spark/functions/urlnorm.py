@@ -117,6 +117,12 @@ def canonicalize_url(url: Optional[str]) -> Optional[str]:
     if not scheme or host is None or host == "":
         return None
     host = host.lower().rstrip(".")
+    if not host:
+        # a dots-only authority ("http://.") strips to nothing — not a
+        # fetchable host; returning "http:///" would break idempotence
+        # (canon(canon(u)) flips to None), caught by the hypothesis fixpoint
+        # property in tests/test_urlnorm.py
+        return None
     netloc = host
     if "@" in parts.netloc:
         userinfo = parts.netloc.rsplit("@", 1)[0]
