@@ -2,7 +2,8 @@
 reference CLI (reference cli.py:50-76) plus the distributed-only flags
 (checkpoint/resume, budgets, rounds).
 
-  spark-submit --py-files wcs.zip jobs/crawl.py \\
+  python scripts/make_pyfiles.py          # builds dist/wcs.zip
+  spark-submit --master <cluster> --py-files dist/wcs.zip jobs/crawl.py \\
       --pages /data/pages_parquet --seeds-file seeds.txt \\
       --rounds 5 --mode scale --host-budget 5 \\
       --max-urls-per-step 100000 --retries 3 \\
