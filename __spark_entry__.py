@@ -32,6 +32,7 @@ from web_crawler_spark.functions import (  # noqa: E402
     html_parse,
     linkstats,
     multimodal,
+    packing,
     sampling,
     simsearch,
     textstats,
@@ -473,6 +474,14 @@ def q_corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.source_cap(_docs(spark, sf_dir))
 
 
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: global token offsets + training-sequence
+    ids in deterministic md5 order, via the two-job range-partition cumsum
+    (no single-partition window).  ctx=256 so the graded corpus spans many
+    sequences."""
+    return packing.pack_sequences(_docs(spark, sf_dir), ctx=256)
+
+
 def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data export wired end-to-end: web-corpus cleaning ->
     decontamination of the CLEANED text -> deterministic shard assignment —
@@ -802,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_gate": q_url_gate,
         "corpus_sample": q_corpus_sample,
         "corpus_source_cap": q_corpus_source_cap,
+        "corpus_pack": q_corpus_pack,
         "corpus_export": q_corpus_export,
         "link_hostgraph": q_link_hostgraph,
         "doc_length_hist": q_doc_length_hist,
@@ -1116,6 +1126,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "corpus_sample": sampling.duck_stratified_sample_sql("documents"),
         "corpus_source_cap": sampling.duck_source_cap_sql("documents"),
+        "corpus_pack": packing.duck_pack_sequences_sql("documents", ctx=256),
         "corpus_export": webtext.duck_export_corpus_sql(
             webdocs, f"read_parquet('{sp('evaldocs')}')"
         ),

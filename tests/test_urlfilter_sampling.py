@@ -196,3 +196,35 @@ def test_length_histogram_parity(spark, tmp_path):
     assert got[1]["n_docs"] == 1            # 1 token
     assert got[11]["min_tokens"] == 1024    # 2^10 sits in bucket 11
     assert got[10]["max_tokens"] == 1023    # 2^10 - 1 sits in bucket 10
+
+
+# -- sequence packing ---------------------------------------------------------
+
+
+def test_pack_sequences_parity_and_invariants(spark, tmp_path):
+    from web_crawler_spark.functions import packing
+
+    texts = ["", "one", "a b c", " ".join(["t"] * 7), " ".join(["u"] * 300)] + [
+        f"w{i} " * (i % 11 + 1) for i in range(200)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    p = str(tmp_path / "pack.parquet")
+    pdf.to_parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW pk AS SELECT * FROM read_parquet('{p}')")
+    df = spark.read.parquet(p)
+    out = packing.pack_sequences(df, ctx=64, num_partitions=7)
+    _cmp(out, con.sql(packing.duck_pack_sequences_sql("pk", ctx=64)), ["doc_id"])
+    rows = sorted(out.collect(), key=lambda r: r["tok_offset"])
+    # the packed stream is gapless: each doc starts where the previous ended
+    pos = 0
+    for r in rows:
+        assert r["tok_offset"] == pos
+        assert r["seq_id"] == pos // 64
+        pos += r["n_tokens"]
+    # partition-count independence: the same offsets on any cluster shape
+    again = {
+        r["doc_id"]: r["tok_offset"]
+        for r in packing.pack_sequences(df, ctx=64, num_partitions=3).collect()
+    }
+    assert again == {r["doc_id"]: r["tok_offset"] for r in rows}
