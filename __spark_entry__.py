@@ -474,6 +474,26 @@ def q_corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.source_cap(_docs(spark, sf_dir))
 
 
+def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-native ingestion: read the pages corpus back out of WARC
+    response records (file-per-task binaryFiles parallelism, ISO 28500
+    framing) and prove byte-exact round-trip vs the parquet pages table
+    (url, epoch-µs timestamp, payload length + md5)."""
+    from web_crawler_spark.sources import warc
+
+    sf = synth.sf_name_of(sf_dir)
+    if sf not in synth._SF_PAGES:
+        sf = "0.01"
+    d = warc.ensure_warc_fixture(sf)
+    df = warc.read_warc(spark, os.path.join(d, "part-*.warc"))
+    return df.select(
+        "url",
+        F.unix_micros("warc_ts").alias("ts_us"),
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("html_md5"),
+    )
+
+
 def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: global token offsets + training-sequence
     ids in deterministic md5 order, via the two-job range-partition cumsum
@@ -811,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_gate": q_url_gate,
         "corpus_sample": q_corpus_sample,
         "corpus_source_cap": q_corpus_source_cap,
+        "warc_scan": q_warc_scan,
         "corpus_pack": q_corpus_pack,
         "corpus_export": q_corpus_export,
         "link_hostgraph": q_link_hostgraph,
@@ -1126,6 +1147,12 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "corpus_sample": sampling.duck_stratified_sample_sql("documents"),
         "corpus_source_cap": sampling.duck_source_cap_sql("documents"),
+        "warc_scan": f"""
+            SELECT url, epoch_us(warc_ts) AS ts_us,
+                   octet_length(html)::BIGINT AS n_bytes,
+                   md5(decode(html)) AS html_md5
+            FROM read_parquet('{sp('pages')}')
+        """,
         "corpus_pack": packing.duck_pack_sequences_sql("documents", ctx=256),
         "corpus_export": webtext.duck_export_corpus_sql(
             webdocs, f"read_parquet('{sp('evaldocs')}')"

@@ -1,0 +1,69 @@
+"""WARC source (sources/warc.py): byte-exact round-trip vs the pages table
+and malformed-record tolerance."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark import synth
+from web_crawler_spark.sources import warc
+
+TS = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def test_parse_round_trip(tmp_path):
+    recs = [
+        ("http://a.example/1", TS, "<html>one</html>".encode()),
+        ("http://a.example/2", TS, b""),  # empty payload
+        ("http://b.example/é", TS, "café bytes".encode()),
+    ]
+    p = str(tmp_path / "rt.warc")
+    assert warc.write_warc(recs, p) == 3
+    with open(p, "rb") as f:
+        got = list(warc.parse_warc_member(f.read()))
+    assert [(u, t, bytes(h)) for u, t, h in got] == recs
+
+
+def test_parse_tolerates_malformed(tmp_path):
+    good = ("http://ok.example/x", TS, b"payload")
+    p = str(tmp_path / "bad.warc")
+    warc.write_warc([good], p)
+    data = open(p, "rb").read()
+    blob = (
+        b"garbage leading bytes\r\n\r\n"  # resyncs to the next WARC/1.0
+        + data
+        + b"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: http://skip.example\r\n"
+        b"Content-Length: 2\r\n\r\nab\r\n\r\n"  # non-response: skipped
+        + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 2\r\n\r\nab\r\n\r\n"  # no URI
+        + data[: len(data) - 10]  # truncated tail record
+    )
+    got = list(warc.parse_warc_member(blob))
+    assert [(u, bytes(h)) for u, _, h in got] == [(good[0], good[2])]
+
+
+def test_read_warc_matches_pages(spark):
+    """The graded round-trip in miniature: WARC-rendered pages read back
+    equal the parquet pages table byte-for-byte, one task per file."""
+    synth.ensure_synth("0.001")
+    d = warc.ensure_warc_fixture("0.001", n_files=3)
+    got = warc.read_warc(spark, os.path.join(d, "part-*.warc")).select(
+        "url",
+        F.unix_micros("warc_ts").alias("ts_us"),
+        F.md5("html").alias("h"),
+    )
+    want = spark.read.parquet(synth.synth_path("0.001", "pages")).select(
+        "url",
+        F.unix_micros("warc_ts").alias("ts_us"),
+        F.md5("html").alias("h"),
+    )
+    assert got.count() == want.count() == 1000
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # exactly one task per file — the Common-Crawl parallelism unit
+    assert (
+        warc.read_warc(spark, os.path.join(d, "part-*.warc")).rdd.getNumPartitions()
+        == 3
+    )

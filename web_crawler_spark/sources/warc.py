@@ -1,0 +1,178 @@
+"""WARC ingestion — Common Crawl's native archive format.
+
+The engine's pages table (`url, warc_ts, html, ...`) models Common-Crawl
+content; this source closes the loop by reading that table's shape straight
+out of WARC response records.
+
+Scale model: Common Crawl ships each monthly crawl as ~64-90k WARC files of
+~1 GB; the unit of parallelism is the FILE (gzip members are not
+byte-splittable, and the file count already exceeds any cluster's task
+slots), so the reader parallelizes with ``binaryFiles`` over the file glob
+and parses records per file.  This is one of the rare legitimate RDD uses
+(per-partition imperative byte scanning over an opaque format); everything
+downstream is a DataFrame.  The sandbox writes/reads uncompressed ``.warc``
+— real ``.warc.gz`` only changes the decode step, not the plan.
+
+Record simplification vs warcio (absent from this container): payload bytes
+are the raw html (no nested HTTP headers); the header grammar parsed here
+(``WARC/1.0`` + ``Name: value`` lines + ``Content-Length`` + blank line +
+payload + CRLF CRLF) is the real framing per ISO 28500.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    StructField,
+    StructType,
+    StringType,
+    TimestampType,
+)
+
+WARC_DT = "%Y-%m-%dT%H:%M:%SZ"
+
+READ_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), True),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("html", BinaryType(), True),
+    ]
+)
+
+
+def write_warc(records, path: str) -> int:
+    """Write (url, ts, html) records as WARC response records; returns the
+    record count.  Atomic (tmp + rename) so cached fixtures never go half
+    written."""
+    n = 0
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        for url, ts, html in records:
+            payload = bytes(html) if html is not None else b""
+            head = (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: {ts.strftime(WARC_DT)}\r\n"
+                f"Content-Length: {len(payload)}\r\n"
+                "\r\n"
+            ).encode("utf-8")
+            f.write(head)
+            f.write(payload)
+            f.write(b"\r\n\r\n")
+            n += 1
+    os.replace(tmp, path)
+    return n
+
+
+def parse_warc_member(data: bytes) -> Iterator[tuple]:
+    """Yield (url, warc_ts, html) from one WARC file's bytes.  Tolerant:
+    records that are not type=response, lack a target URI, or are truncated
+    are skipped, never raised — a 90k-file ingest must not die on one bad
+    record."""
+    i, n = 0, len(data)
+    while i < n:
+        j = data.find(b"\r\n\r\n", i)
+        if j < 0:
+            break
+        head = data[i : j].decode("utf-8", "replace")
+        if not head.startswith("WARC/"):
+            # resync: find the next record marker
+            k = data.find(b"WARC/1.0", i + 1)
+            if k < 0:
+                break
+            i = k
+            continue
+        fields = {}
+        for line in head.split("\r\n")[1:]:
+            if ": " in line:
+                key, val = line.split(": ", 1)
+                fields[key.strip().lower()] = val.strip()
+        try:
+            length = int(fields.get("content-length", ""))
+        except ValueError:
+            i = j + 4
+            continue
+        payload = data[j + 4 : j + 4 + length]
+        i = j + 4 + length + 4  # skip the CRLF CRLF record separator
+        if len(payload) < length:
+            break  # truncated tail
+        if fields.get("warc-type", "response") != "response":
+            continue
+        url = fields.get("warc-target-uri")
+        if not url:
+            continue
+        ts = None
+        raw_ts = fields.get("warc-date")
+        if raw_ts:
+            try:
+                ts = datetime.strptime(raw_ts, WARC_DT).replace(
+                    tzinfo=timezone.utc
+                )
+            except ValueError:
+                ts = None
+        yield url, ts, payload
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """DataFrame(url, warc_ts, html) over a WARC file glob, exactly one task
+    per file — the Common-Crawl parallelism unit (~64-90k files/crawl; gzip
+    members are not byte-splittable, so the file IS the split).  The file
+    list is enumerated on the driver (tiny: one string per file) and each
+    task opens its own file, so partitioning never depends on input-format
+    split grouping.  Paths are whatever the executors can open (posix here;
+    an object-store deployment mounts or swaps the open())."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(path_glob))
+    if not files:
+        return spark.createDataFrame([], READ_SCHEMA)
+
+    def to_rows(paths):
+        for p in paths:
+            with open(p, "rb") as f:
+                data = f.read()
+            for url, ts, payload in parse_warc_member(data):
+                yield (
+                    url,
+                    ts.replace(tzinfo=None) if ts else None,
+                    bytearray(payload),
+                )
+
+    rdd = spark.sparkContext.parallelize(files, len(files)).mapPartitions(to_rows)
+    return spark.createDataFrame(rdd, READ_SCHEMA)
+
+
+def ensure_warc_fixture(sf: str, n_files: int = 4) -> str:
+    """Derive (once) a deterministic WARC rendering of the synth pages table:
+    row i goes to file i % n_files, preserving order within each file.
+    Cached under the synth dir, keyed by the synth version marker the pages
+    table itself is keyed by."""
+    from .. import synth
+
+    synth.ensure_synth(sf)
+    out_dir = os.path.join(synth.synth_dir(sf), f"warc{n_files}")
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(synth.synth_path(sf, "pages"), columns=["url", "warc_ts", "html"])
+    urls = t.column("url").to_pylist()
+    tss = t.column("warc_ts").to_pylist()
+    htmls = t.column("html").to_pylist()
+    for f_idx in range(n_files):
+        recs = [
+            (urls[i], tss[i], htmls[i])
+            for i in range(f_idx, len(urls), n_files)
+        ]
+        write_warc(recs, os.path.join(out_dir, f"part-{f_idx:05d}.warc"))
+    with open(marker, "w") as f:
+        f.write(synth.SYNTH_VERSION)
+    return out_dir
