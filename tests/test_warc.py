@@ -67,3 +67,21 @@ def test_read_warc_matches_pages(spark):
         warc.read_warc(spark, os.path.join(d, "part-*.warc")).rdd.getNumPartitions()
         == 3
     )
+
+
+def test_write_warc_dir_round_trip(spark, tmp_path):
+    """Distributed sink -> reader round-trip on the pages fixture."""
+    synth.ensure_synth("0.001")
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages")).select(
+        "url", "warc_ts", "html"
+    )
+    out = str(tmp_path / "warcout")
+    warc.write_warc_dir(pages, out, n_files=5)
+    files = sorted(os.listdir(out))
+    assert len(files) == 5 and all(f.endswith(".warc") for f in files)
+    back = warc.read_warc(spark, os.path.join(out, "part-*.warc"))
+    key = lambda df: df.select(  # noqa: E731
+        "url", F.unix_micros("warc_ts").alias("t"), F.md5("html").alias("h")
+    )
+    assert key(back).exceptAll(key(pages)).count() == 0
+    assert key(pages).exceptAll(key(back)).count() == 0

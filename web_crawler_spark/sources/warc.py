@@ -7,8 +7,8 @@ out of WARC response records.
 Scale model: Common Crawl ships each monthly crawl as ~64-90k WARC files of
 ~1 GB; the unit of parallelism is the FILE (gzip members are not
 byte-splittable, and the file count already exceeds any cluster's task
-slots), so the reader parallelizes with ``binaryFiles`` over the file glob
-and parses records per file.  This is one of the rare legitimate RDD uses
+slots), so the reader enumerates the glob on the driver and assigns exactly
+one file per task.  This is one of the rare legitimate RDD uses
 (per-partition imperative byte scanning over an opaque format); everything
 downstream is a DataFrame.  The sandbox writes/reads uncompressed ``.warc``
 — real ``.warc.gz`` only changes the decode step, not the plan.
@@ -176,3 +176,30 @@ def ensure_warc_fixture(sf: str, n_files: int = 4) -> str:
     with open(marker, "w") as f:
         f.write(synth.SYNTH_VERSION)
     return out_dir
+
+
+def write_warc_dir(df: DataFrame, out_dir: str, n_files: int | None = None) -> None:
+    """Distributed WARC sink — the inverse of :func:`read_warc`: every task
+    renders its partition as one ``part-{pid}.warc`` file (atomic tmp+rename
+    per file, so a retried task overwrites rather than corrupts).  Executors
+    must share ``out_dir`` (same box here; a cluster points this at shared
+    storage).  ``n_files`` optionally repartitions first to bound the
+    archive count."""
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    data = df.select("url", "warc_ts", "html")
+    if n_files is not None:
+        data = data.repartition(n_files)
+
+    def dump(rows) -> None:
+        rows = list(rows)
+        if not rows:
+            return
+        pid = TaskContext.get().partitionId()
+        write_warc(
+            ((r["url"], r["warc_ts"], r["html"]) for r in rows),
+            os.path.join(out_dir, f"part-{pid:05d}.warc"),
+        )
+
+    data.foreachPartition(dump)
