@@ -31,6 +31,10 @@ CASES = [
     (None, None),
     ("http://example.com/../../x", "http://example.com/x"),
     ("http://example.com/a/b/../../../c", "http://example.com/c"),
+    # hypothesis-found fixpoint breakers, pinned (see canon(canon(u)) test)
+    ("http://.", None),  # dots-only authority strips to no host
+    ("http://example.com/ #", "http://example.com/%20"),  # edge space
+    ("http://example.com/a b?q= v", "http://example.com/a%20b?q=%20v"),
 ]
 
 

@@ -64,6 +64,23 @@ def _norm_pct(component: str) -> str:
     return "".join(out)
 
 
+def _encode_ws(component: str) -> str:
+    """Percent-encode whitespace in a path/query component.  Raw whitespace
+    is illegal in a URL, and edge whitespace breaks the canonical fixpoint:
+    'http://h/ #' would canonicalize to 'http://h/ ', which the next pass
+    strip()s to 'http://h/' — found by the hypothesis fixpoint property in
+    tests/test_urlnorm.py."""
+    if not any(c.isspace() for c in component):
+        return component
+    out = []
+    for c in component:
+        if c.isspace():
+            out.extend(f"%{b:02X}" for b in c.encode("utf-8"))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
 def _remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4."""
     output: list[str] = []
@@ -129,13 +146,13 @@ def canonicalize_url(url: Optional[str]) -> Optional[str]:
         netloc = f"{userinfo}@{host}"
     if port is not None and port != _DEFAULT_PORTS.get(scheme):
         netloc = f"{netloc}:{port}"
-    path = _norm_pct(parts.path)
+    path = _encode_ws(_norm_pct(parts.path))
     path = _remove_dot_segments(path)
     if not path:
         path = "/"
     out = f"{scheme}://{netloc}{path}"
     if parts.query:
-        out += "?" + _norm_pct(parts.query)
+        out += "?" + _encode_ws(_norm_pct(parts.query))
     return out  # fragment dropped
 
 
