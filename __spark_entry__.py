@@ -517,6 +517,14 @@ def q_link_hostgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_graph(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank (crawl harvest ordering / corpus quality prior):
+    fixed integer-exact power iterations so the result is bit-identical
+    across engines and partition counts; oracle is the same iteration
+    unrolled as a DuckDB CTE chain."""
+    return linkstats.host_pagerank(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length distribution in power-of-two buckets (integer-exact
     binary-string-length log2 — engine-portable); the corpus curation view."""
@@ -835,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": q_corpus_pack,
         "corpus_export": q_corpus_export,
         "link_hostgraph": q_link_hostgraph,
+        "link_pagerank": q_link_pagerank,
         "doc_length_hist": q_doc_length_hist,
         "corpus_shards": q_corpus_shards,
         "dedup_minhash": q_dedup_minhash,
@@ -1158,6 +1167,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             webdocs, f"read_parquet('{sp('evaldocs')}')"
         ),
         "link_hostgraph": linkstats.duck_host_graph_sql(pages_meta),
+        "link_pagerank": linkstats.duck_pagerank_sql(pages_meta),
         "doc_length_hist": textstats.duck_length_histogram_sql("documents"),
         "corpus_shards": sampling.duck_shard_stats_sql("documents"),
         "dedup_minhash": dedupsim.duck_minhash_exploded_sql("documents"),

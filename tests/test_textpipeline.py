@@ -398,3 +398,68 @@ def test_host_graph_edges(spark, tmp_path):
     assert len(want) == 3
     for _, r in want.iterrows():
         assert out[(r["src_host"], r["dst_host"])] == (r["n_links"], r["n_src_pages"])
+
+
+def _naive_pagerank(edges, iters, scale):
+    """Independent integer-exact power iteration (dict arithmetic)."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    out: dict = {}
+    for s, _, w in edges:
+        out[s] = out.get(s, 0) + w
+    rank = {h: scale // n for h in nodes}
+    base = (15 * scale) // (100 * n)
+    for _ in range(iters):
+        inflow = {h: 0 for h in nodes}
+        for s, d, w in edges:
+            inflow[d] += (rank[s] * w) // out[s]
+        share = sum(rank[h] for h in nodes if h not in out) // n
+        rank = {h: base + (85 * (inflow[h] + share)) // 100 for h in nodes}
+    return rank
+
+
+def test_host_pagerank_integer_exact(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.functions import linkstats
+
+    # a -> b (x2 pages), a -> c, b -> a; c is dangling (linked-to, no links)
+    rows = [
+        ("http://a.example/1", "a.example",
+         ["http://b.example/x", "http://c.example/y"]),
+        ("http://a.example/2", "a.example", ["http://b.example/z"]),
+        ("http://b.example/", "b.example",
+         ["http://a.example/1", "http://a.example/1"]),  # weight-2 edge
+        ("http://c.example/", "c.example", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, links array<string>")
+    got = {
+        r["host"]: r["rank_ppb"]
+        for r in linkstats.host_pagerank(df).collect()
+    }
+    edges = [
+        ("a.example", "b.example", 2),
+        ("a.example", "c.example", 1),
+        ("b.example", "a.example", 2),
+    ]
+    want = _naive_pagerank(edges, linkstats.PR_ITERS, linkstats.PR_SCALE)
+    assert got == want
+    # mass stays ~1.0 (floor losses only) and the 2-weight target outranks c
+    assert 0.95 * linkstats.PR_SCALE < sum(got.values()) <= linkstats.PR_SCALE
+    assert got["b.example"] > got["c.example"]
+    # partition-count invariance: integer arithmetic is reduction-order-free
+    got8 = {
+        r["host"]: r["rank_ppb"]
+        for r in linkstats.host_pagerank(df.repartition(8)).collect()
+    }
+    assert got8 == got
+    # DuckDB oracle parity on the same frame
+    p = str(tmp_path / "pr.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["host"]: int(r["rank_ppb"])
+        for _, r in duckdb.sql(
+            linkstats.duck_pagerank_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

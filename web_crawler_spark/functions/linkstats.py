@@ -106,3 +106,143 @@ SELECT src_host, dst_host,
        count(DISTINCT src_url)::BIGINT AS n_src_pages
 FROM e WHERE dst_host <> '' GROUP BY 1, 2
 """
+
+
+# --- host-level PageRank (crawl prioritization / corpus quality signal) ----
+#
+# The classic harvest-ordering signal (Cho/Garcia-Molina "Efficient crawling
+# through URL ordering"; Page et al. 1999): frontier URLs from high-rank
+# hosts fetch first, and corpus curation uses host rank as a quality prior.
+# The reference has no counterpart — this is part of the training-data layer.
+#
+# Determinism contract: every step is BIGINT arithmetic (floor division,
+# integer sums), so the result is bit-identical across engines and across
+# partition counts / reduction orders — float PageRank cannot hash-match a
+# DuckDB oracle because double summation is order-dependent.  Ranks are
+# parts-per-`scale` of the stationary mass (default ppb).  Overflow bound:
+# rank*weight <= scale * max_edge_weight must stay < 2^63 — at scale=1e9
+# that allows per-host-pair edge weights up to ~9e9 links, comfortably above
+# any real host pair.
+
+PR_ITERS = 4
+PR_SCALE = 10**9  # ranks in parts-per-billion of total mass
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+def host_pagerank(
+    df: DataFrame,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    url_col: str = "url",
+    host_col: str = "host",
+    links_col: str = "links",
+) -> DataFrame:
+    """(host, rank_ppb) — weighted PageRank over the host link graph, a fixed
+    number of exact-integer power iterations.
+
+    Per iteration: each host sends ``(rank * w_edge) DIV w_out`` along its
+    out-edges; dangling hosts' mass is redistributed uniformly
+    (``sum DIV n``); new rank = teleport base + ``damping * inflow DIV 100``.
+
+    Scale shape: the edge relation (host pairs — orders of magnitude smaller
+    than pages) is materialized once with its out-degree attached and reused
+    every iteration; each iteration is one shuffle-on-host join + one
+    partial-agg'd groupBy, with per-iteration ``localCheckpoint`` lineage
+    truncation (the crawl-loop discipline).  The dangling sum is a scalar
+    aggregate on the driver, like the loop's fixpoint probes."""
+    edges = host_graph(df, url_col=url_col, host_col=host_col, links_col=links_col)
+    out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("w_out"))
+    edges_w = (
+        edges.select("src_host", "dst_host", "n_links")
+        .join(out_w, on="src_host")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges_w.select(F.col("src_host").alias("host"))
+        .unionByName(edges_w.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("host", F.lit(0).cast("long").alias("rank_ppb"))
+    base = ((PR_DAMP_DEN - PR_DAMP_NUM) * scale) // (PR_DAMP_DEN * n)
+    ranks = nodes.select("host", F.lit(scale // n).cast("long").alias("rank"))
+    has_out = out_w.select(F.col("src_host").alias("host"))
+    for _ in range(iters):
+        contrib = edges_w.join(
+            ranks.withColumnRenamed("host", "src_host"), on="src_host"
+        ).select(
+            F.col("dst_host").alias("host"),
+            F.expr("rank * n_links DIV w_out").alias("c"),
+        )
+        inflow = contrib.groupBy("host").agg(F.sum("c").alias("in_c"))
+        dangling = (
+            ranks.join(has_out, on="host", how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)))
+            .first()[0]
+        )
+        share = int(dangling) // n
+        ranks = (
+            nodes.join(inflow, on="host", how="left")
+            .select(
+                "host",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{PR_DAMP_NUM} * (coalesce(in_c, 0L) + {share}L)"
+                        f" DIV {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("host", F.col("rank").alias("rank_ppb"))
+
+
+def duck_pagerank_sql(
+    pages_meta: str, iters: int = PR_ITERS, scale: int = PR_SCALE
+) -> str:
+    """DuckDB twin: the same integer power iteration unrolled as a CTE chain
+    (r0 -> c1/d1/r1 -> ... -> r{iters}); bit-exact because every operation is
+    BIGINT floor division / integer sum in both engines."""
+    dnum, dden = PR_DAMP_NUM, PR_DAMP_DEN
+    parts = [
+        f"""e0 AS (
+  SELECT src_host, dst_host, n_links FROM ({duck_host_graph_sql(pages_meta)})
+)""",
+        """nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM e0 UNION ALL SELECT dst_host FROM e0)
+)""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "outw AS (SELECT src_host, sum(n_links) AS w_out FROM e0 GROUP BY 1)",
+        f"r0 AS (SELECT host, {scale}::BIGINT // (SELECT n FROM nn) AS rank"
+        " FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""c{k} AS (
+  SELECT e.dst_host AS host, sum(r.rank * e.n_links // o.w_out) AS in_c
+  FROM e0 e JOIN r{p} r ON r.host = e.src_host
+  JOIN outw o ON o.src_host = e.src_host GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""d{k} AS (
+  SELECT coalesce(sum(rank), 0) // (SELECT n FROM nn) AS share
+  FROM r{p} WHERE host NOT IN (SELECT src_host FROM outw)
+)"""
+        )
+        parts.append(
+            f"""r{k} AS (
+  SELECT n.host,
+         {(dden - dnum) * scale}::BIGINT // ({dden} * (SELECT n FROM nn))
+         + {dnum} * (coalesce(c.in_c, 0) + (SELECT share FROM d{k})) // {dden}
+           AS rank
+  FROM nodes n LEFT JOIN c{k} c ON c.host = n.host
+)"""
+        )
+    cte = ",\n".join(parts)
+    return f"WITH {cte}\nSELECT host, rank::BIGINT AS rank_ppb FROM r{iters}"
