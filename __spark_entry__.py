@@ -335,6 +335,31 @@ def q_frontier_sched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_sched_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same composed scheduling op with the CUCKOO seen sketch in front
+    of the exact anti-join (the north star names a "bloom/cuckoo URL-seen
+    set"; operators/cuckoo.py is the deletable half).  The sketch is a
+    volume optimization only — the oracle is identical to frontier_sched,
+    which is the point: swap sketches, same batch."""
+    from web_crawler_spark.functions import urlnorm as _urlnorm
+    from web_crawler_spark.operators import cuckoo as cuckoolib
+    from web_crawler_spark.plans.schedule import schedule_frontier
+
+    meta = _synth(spark, sf_dir, "pages_meta")
+    links = meta.select(
+        F.col("url").alias("parent"), F.posexplode("links").alias("link_pos", "url")
+    ).select("url", "parent", F.col("link_pos").cast("long").alias("link_pos"))
+    cand = links.filter(_urlnorm.fast_canonical_mask("url"))
+    seen = meta.filter(F.col("host") == "host0.example").select("url")
+    sketch = cuckoolib.build_cuckoo(seen, "url")
+    batch = schedule_frontier(cand, seen, ["parent", "link_pos"], budget=5,
+                              bloom=sketch)
+    return batch.select(
+        "url", "host", F.col("host_rank").cast("long").alias("host_rank"),
+        "parent", "link_pos",
+    )
+
+
 def q_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: per-round run stats (partial-per-partition, merged)."""
     state = _crawl_state(spark, sf_dir)
@@ -820,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_inject": q_crawl_inject,
         "crawl_scale_2r": q_crawl_scale_2r,
         "frontier_sched": q_frontier_sched,
+        "frontier_sched_cuckoo": q_frontier_sched_cuckoo,
         "crawl_stats": q_crawl_stats,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -1123,6 +1149,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         """,
         "crawl_scale_2r": _crawl_scale_2r_oracle_sql(pages_meta, seeds),
         "frontier_sched": _frontier_sched_oracle_sql(pages_meta),
+        "frontier_sched_cuckoo": _frontier_sched_oracle_sql(pages_meta),
         "crawl_stats": f"""
             SELECT round::INT AS round,
                    count(*)::BIGINT AS urls_processed,

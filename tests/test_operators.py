@@ -160,6 +160,113 @@ def test_bloom_10m_keys_fp_rate():
     assert 0.2 < bloom.fill_ratio() < 0.6  # sized right: not saturated
 
 
+def test_cuckoo_no_false_negatives_and_prefilter_equivalence(spark):
+    """Distributed cuckoo build + prefilter: exact-path equivalence, no
+    false negatives — the same contract the bloom sidecar is held to."""
+    from web_crawler_spark.operators import cuckoo as cuckoolib
+
+    seen_urls = [f"http://h{i % 37}.example/s/{i}" for i in range(3000)]
+    cand_urls = seen_urls[:1500] + [
+        f"http://h{i % 41}.example/c/{i}" for i in range(2500)
+    ]
+    seen = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    cand = spark.createDataFrame([(u,) for u in cand_urls], "url string")
+
+    # multi-shard to exercise the shard-routing path end-to-end
+    params = cuckoolib.CuckooParams(buckets_per_shard=1 << 12, n_shards=4)
+    filt = cuckoolib.build_cuckoo(seen, "url", params)
+    assert filt.stash_size() == 0
+    fresh, maybe = cuckoolib.cuckoo_prefilter(cand, filt)
+    maybe_set = {r["url"] for r in maybe.collect()}
+    assert set(seen_urls[:1500]) <= maybe_set  # no false negatives
+    via_cuckoo = sorted(
+        r["url"]
+        for r in fresh.unionByName(anti_join_seen(maybe, seen)).collect()
+    )
+    exact = sorted(r["url"] for r in anti_join_seen(cand, seen).collect())
+    assert via_cuckoo == exact
+    # 16-bit fingerprints: essentially every unseen candidate goes fresh
+    assert fresh.count() >= 2495
+
+
+def test_cuckoo_delete_unsees_urls(spark):
+    """The cuckoo's reason to exist vs bloom: deleting a URL makes the
+    sidecar treat it as new again (recrawl/retry eviction) with no rebuild,
+    while every kept key stays probe-positive."""
+    import numpy as np
+
+    from web_crawler_spark.operators import cuckoo as cuckoolib
+
+    rng = np.random.default_rng(5)
+    keys = np.unique(rng.integers(-(2**62), 2**62, size=100_000, dtype=np.int64))
+    filt = cuckoolib.ShardedCuckoo(cuckoolib.params_for(len(keys)))
+    filt.insert(keys)
+    assert filt.might_contain(keys).all()
+    gone, kept = keys[: len(keys) // 2], keys[len(keys) // 2 :]
+    assert filt.delete(gone) == len(gone)
+    assert filt.might_contain(kept).all()  # deletes never strip kept keys
+    # deleted keys re-probe as unseen (up to fp-collision residue)
+    assert filt.might_contain(gone).mean() < 0.01
+
+
+def test_cuckoo_high_load_and_sizing():
+    """0.93 load with zero stash (the vectorized eviction walk converges);
+    sizing keeps shards broadcastable at the 10^10-key design point; fp
+    rate beats the bloom by an order of magnitude."""
+    import numpy as np
+
+    from web_crawler_spark.operators import cuckoo as cuckoolib
+
+    p = cuckoolib.CuckooParams(buckets_per_shard=1 << 14, n_shards=2)
+    rng = np.random.default_rng(11)
+    n = int(p.total_slots * 0.93)
+    keys = np.unique(
+        rng.integers(-(2**62), 2**62, size=int(n * 1.05), dtype=np.int64)
+    )[:n]
+    filt = cuckoolib.ShardedCuckoo(p)
+    filt.insert(keys)
+    assert filt.stash_size() == 0
+    assert filt.load_factor() > 0.92
+    assert filt.might_contain(keys).all()
+    probe = np.setdiff1d(
+        rng.integers(-(2**62), 2**62, size=300_000, dtype=np.int64), keys
+    )
+    assert filt.might_contain(probe).mean() < 0.001  # ~0.012% design fp
+    # design-point sizing: every shard table stays <= MAX_SHARD_BYTES
+    big = cuckoolib.params_for(10_000_000_000)
+    assert big.shard_bytes <= cuckoolib.MAX_SHARD_BYTES
+    assert big.total_slots * cuckoolib.TARGET_LOAD >= 10_000_000_000 * 0.99
+    assert bin(big.n_shards).count("1") == 1
+    small = cuckoolib.params_for(1000)
+    assert small.n_shards == 1
+
+
+def test_schedule_frontier_cuckoo_equals_bloom_equals_exact(spark):
+    """The composed scheduling op yields identical batches under no sketch,
+    bloom, and cuckoo — the sketch swap is invisible to semantics."""
+    from web_crawler_spark.operators import cuckoo as cuckoolib
+    from web_crawler_spark.plans.schedule import schedule_frontier
+
+    cand_rows = [
+        (f"http://h{i % 19}.example/p/{i % 700}", i // 700, i % 700)
+        for i in range(2100)
+    ]
+    seen_rows = [(f"http://h{i % 19}.example/p/{i}",) for i in range(0, 700, 3)]
+    cand = spark.createDataFrame(cand_rows, "url string, p0 long, p1 long")
+    seen = spark.createDataFrame(seen_rows, "url string")
+
+    def run(sketch):
+        out = schedule_frontier(cand, seen, ["p0", "p1"], budget=7, bloom=sketch)
+        return sorted(
+            (r["url"], r["host"], r["host_rank"]) for r in out.collect()
+        )
+
+    exact = run(None)
+    assert exact == run(bloomlib.build_bloom(seen, "url"))
+    assert exact == run(cuckoolib.build_cuckoo(seen, "url"))
+    assert len(exact) > 0
+
+
 def test_host_budget_selects_topk_per_host(spark):
     rows = []
     rng = random.Random(3)

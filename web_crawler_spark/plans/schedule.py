@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators import bloom as bloomlib
+from ..operators import cuckoo as cuckoolib
 from ..operators.dedup import anti_join_seen, first_wins
 from ..operators.politeness import (
     local_host_prune,
@@ -51,25 +52,40 @@ from ..operators.politeness import (
 )
 
 
+def sketch_prefilter(
+    cand: DataFrame,
+    sketch: "bloomlib.ShardedBloom | cuckoolib.ShardedCuckoo | None",
+    key_col: str = "url",
+) -> tuple[DataFrame, DataFrame]:
+    """(definitely_unseen, maybe_seen) split by whichever seen sketch is
+    supplied — Bloom (OR-mergeable, smallest) or cuckoo (deletable, lower
+    fp).  Both are pure volume optimizations; the exact anti-join that
+    follows the maybe branch owns semantics."""
+    if isinstance(sketch, cuckoolib.ShardedCuckoo):
+        return cuckoolib.cuckoo_prefilter(cand, sketch, key_col=key_col)
+    return bloomlib.bloom_prefilter(cand, sketch, key_col=key_col)
+
+
 def dedup_unseen(
     cand: DataFrame,
     seen: DataFrame | None,
     order_cols: list[str],
-    bloom: "bloomlib.ShardedBloom | None" = None,
+    bloom: "bloomlib.ShardedBloom | cuckoolib.ShardedCuckoo | None" = None,
     url_col: str = "url",
 ) -> DataFrame:
-    """candidates -> first-wins-deduped, never-seen urls (exact).  The bloom
-    split and the exact anti-join run BEFORE the dedup exchange so seen
-    rediscoveries don't shuffle; correctness stays with the anti-join."""
+    """candidates -> first-wins-deduped, never-seen urls (exact).  The sketch
+    split (bloom or cuckoo) and the exact anti-join run BEFORE the dedup
+    exchange so seen rediscoveries don't shuffle; correctness stays with the
+    anti-join."""
     if seen is None:
         return first_wins(cand, url_col, order_cols)
     if bloom is None:
         # no sidecar: single-branch anti-join (broadcast when seen fits —
         # AQE's choice; a degenerate limit(0)-union here measurably degrades
-        # the join plan, so the split only exists when a bloom does)
+        # the join plan, so the split only exists when a sketch does)
         kept = anti_join_seen(cand, seen, url_col)
     else:
-        definitely_new, maybe = bloomlib.bloom_prefilter(cand, bloom, key_col=url_col)
+        definitely_new, maybe = sketch_prefilter(cand, bloom, key_col=url_col)
         kept = definitely_new.unionByName(anti_join_seen(maybe, seen, url_col))
     return first_wins(kept, url_col, order_cols)
 
@@ -79,7 +95,7 @@ def schedule_frontier(
     seen: DataFrame | None,
     order_cols: list[str],
     budget: int | None,
-    bloom: "bloomlib.ShardedBloom | None" = None,
+    bloom: "bloomlib.ShardedBloom | cuckoolib.ShardedCuckoo | None" = None,
     host_rules: DataFrame | None = None,
     salt_buckets: int | None = None,
     url_col: str = "url",
@@ -107,7 +123,7 @@ def schedule_frontier(
         elif bloom is None:
             kept = anti_join_seen(cand, seen, url_col)
         else:
-            definitely_new, maybe = bloomlib.bloom_prefilter(cand, bloom, key_col=url_col)
+            definitely_new, maybe = sketch_prefilter(cand, bloom, key_col=url_col)
             kept = definitely_new.unionByName(anti_join_seen(maybe, seen, url_col))
         hosted = with_host(kept, url_col=url_col)
         pruned = local_host_prune(hosted, order_cols, budget, url_col=url_col)
