@@ -47,6 +47,7 @@ from web_crawler_spark.operators.politeness import (  # noqa: E402
 )
 from web_crawler_spark.plans.crawl import ChainCrawl, CrawlConfig  # noqa: E402
 from web_crawler_spark.plans.corpus import clean_corpus, duck_clean_corpus_sql  # noqa: E402
+from web_crawler_spark.plans import recrawl  # noqa: E402
 
 ORACLE_SF = "0.01"  # the driver's correctness scale
 
@@ -519,6 +520,28 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECRAWL_MIN_AGE_US = 6 * 3600 * 10**6
+RECRAWL_NOW_SKEW_US = 3600 * 10**6
+RECRAWL_BUDGET = 4
+
+
+def q_recrawl_sched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl selection over the pages corpus: stalest
+    pages first per host under the politeness budget (Cho & Garcia-Molina
+    revisit policy).  The clock is data-derived (max capture + 1h) so the
+    query is deterministic; the per-host rank is the same WindowGroupLimit
+    partial top-k as the fetch scheduler's budget."""
+    from web_crawler_spark.plans import recrawl
+
+    pages = _synth(spark, sf_dir, "pages")
+    now_us = (
+        pages.agg(F.max(F.unix_micros("warc_ts"))).first()[0] + RECRAWL_NOW_SKEW_US
+    )
+    return recrawl.recrawl_batch(
+        pages, now_us, RECRAWL_MIN_AGE_US, RECRAWL_BUDGET
+    )
+
+
 def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: global token offsets + training-sequence
     ids in deterministic md5 order, via the two-job range-partition cumsum
@@ -866,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "corpus_source_cap": q_corpus_source_cap,
         "warc_scan": q_warc_scan,
+        "recrawl_sched": q_recrawl_sched,
         "corpus_pack": q_corpus_pack,
         "corpus_export": q_corpus_export,
         "link_hostgraph": q_link_hostgraph,
@@ -1189,6 +1213,15 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    md5(decode(html)) AS html_md5
             FROM read_parquet('{sp('pages')}')
         """,
+        "recrawl_sched": recrawl.duck_recrawl_sql(
+            f"read_parquet('{sp('pages')}')",
+            now_sql=(
+                f"(SELECT max(epoch_us(warc_ts)) FROM read_parquet('{sp('pages')}'))"
+                f" + {RECRAWL_NOW_SKEW_US}"
+            ),
+            min_age_us=RECRAWL_MIN_AGE_US,
+            budget=RECRAWL_BUDGET,
+        ),
         "corpus_pack": packing.duck_pack_sequences_sql("documents", ctx=256),
         "corpus_export": webtext.duck_export_corpus_sql(
             webdocs, f"read_parquet('{sp('evaldocs')}')"

@@ -106,3 +106,44 @@ def test_schedule_frontier_no_seen(spark):
     cand, _, _ = _fixture(spark)
     out = schedule_frontier(cand, None, ["p0", "p1"], budget=None)
     assert out.count() == cand.select("url").distinct().count()
+
+
+def test_recrawl_expire_reschedules_urls(spark):
+    """The incremental-crawl loop: fetched urls are seen (sketch included);
+    recrawl_batch picks the stalest per host; expire un-sees them (exact set
+    AND cuckoo fingerprints); the next schedule_frontier round reschedules
+    exactly the expired urls and nothing else."""
+    import datetime as dt
+
+    from web_crawler_spark.operators import cuckoo as cuckoolib
+    from web_crawler_spark.plans import recrawl
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    pages = spark.createDataFrame(
+        [
+            (f"http://h{i % 5}.example/p/{i}", t0 + dt.timedelta(hours=i))
+            for i in range(40)
+        ],
+        "url string, warc_ts timestamp",
+    )
+    seen = pages.select("url")
+    sketch = cuckoolib.build_cuckoo(seen, "url")
+    cand = pages.select("url", F.lit(0).alias("p0"), F.lit(0).alias("p1"))
+
+    # everything is seen: nothing schedulable
+    before = schedule_frontier(cand, seen, ["p0", "p1"], budget=10, bloom=sketch)
+    assert before.count() == 0
+
+    now_us = int((t0 + dt.timedelta(hours=48)).timestamp() * 1_000_000)
+    batch = recrawl.recrawl_batch(pages, now_us, min_age_us=0, budget=2)
+    picked = {r["url"] for r in batch.collect()}
+    assert len(picked) == 10  # 5 hosts x budget 2
+    # stalest-first: host h0's picks are its two oldest captures
+    h0 = sorted(
+        r["url"] for r in batch.filter(F.col("host") == "h0.example").collect()
+    )
+    assert h0 == ["http://h0.example/p/0", "http://h0.example/p/5"]
+
+    seen2 = recrawl.expire(seen, batch, sketch=sketch)
+    after = schedule_frontier(cand, seen2, ["p0", "p1"], budget=10, bloom=sketch)
+    assert {r["url"] for r in after.collect()} == picked

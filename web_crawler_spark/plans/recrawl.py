@@ -1,0 +1,104 @@
+"""Freshness-driven recrawl scheduling — the incremental-crawl half of the
+frontier (Cho & Garcia-Molina, "Synchronizing a database to improve
+freshness", SIGMOD 2000: revisit stalest-first under a politeness budget).
+
+The reference crawler is single-shot (no revisit policy); a production
+Common-Crawl-style pipeline re-fetches, and the engine's own primitives
+already compose into it:
+
+* ``recrawl_batch`` — pages whose last capture (``warc_ts``) is at least
+  ``min_age`` old, stalest-first per host, budget-capped.  Ordering is
+  ``(warc_ts, url)`` ascending, so the rank is the same
+  WindowGroupLimit-compiled per-host top-k the fetch scheduler uses — a
+  map-side partial top-k; no new plan shape.
+* ``expire`` — un-sees the selected batch so the *fetch* scheduler treats
+  those URLs as new again: the exact seen set drops them via anti-join
+  (in store mode, rewrite-on-expire of the affected buckets only), and the
+  cuckoo sidecar — the deletable sketch; a Bloom would force a rebuild —
+  deletes their fingerprints driver-side.  The batch is budget x hosts
+  bounded, so the driver-side hash collection is a bounded aggregate (the
+  crawl loop's own convention for scalar probes).
+
+End-to-end (pytest ``tests/test_schedule.py``): schedule -> fetched urls
+enter seen -> recrawl_batch picks the stalest -> expire -> the next
+``schedule_frontier`` round reschedules exactly those urls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.cuckoo import ShardedCuckoo
+from ..operators.politeness import select_host_budget_batch, with_host
+
+
+def recrawl_batch(
+    pages: DataFrame,
+    now_us: int,
+    min_age_us: int,
+    budget: int | None,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """(url, host, age_us, host_rank): per host, the ``budget`` stalest
+    pages at least ``min_age_us`` old at ``now_us`` (epoch micros).
+
+    Scale shape: the age filter is a map-side scan predicate (pushed to the
+    parquet/Iceberg scan when ``ts_col`` is a partition or stats column);
+    the per-host rank compiles to the WindowGroupLimit partial top-k, so
+    only ~budget rows per host per task reach the one host exchange."""
+    aged = with_host(
+        pages.select(
+            F.col(url_col).alias("url"),
+            (F.lit(now_us) - F.unix_micros(F.col(ts_col))).alias("age_us"),
+            F.col(ts_col),
+        )
+    ).filter(F.col("age_us") >= F.lit(min_age_us))
+    batch = select_host_budget_batch(aged, order_cols=[ts_col, "url"], budget=budget)
+    return batch.select(
+        "url", "host", F.col("age_us").cast("long").alias("age_us"),
+        F.col("host_rank").cast("long").alias("host_rank"),
+    )
+
+
+def expire(
+    seen: DataFrame,
+    batch: DataFrame,
+    sketch: ShardedCuckoo | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Remove a recrawl batch from the seen state: returns the exact seen
+    set minus the batch; if a cuckoo sketch rides along, its fingerprints
+    are deleted in place (no rebuild — the operation a Bloom cannot do).
+    ``batch`` is budget-bounded by construction, so collecting its 8-byte
+    hashes is a bounded driver aggregate."""
+    if sketch is not None:
+        hashes = np.array(
+            [r[0] for r in batch.select(F.xxhash64(F.col(url_col))).collect()],
+            dtype=np.int64,
+        )
+        if len(hashes):
+            sketch.delete(hashes)
+    return seen.join(batch.select(url_col), on=url_col, how="left_anti")
+
+
+def duck_recrawl_sql(pages: str, now_sql: str, min_age_us: int, budget: int) -> str:
+    """DuckDB twin of ``recrawl_batch``; ``now_sql`` is a SQL expression for
+    the epoch-micros clock (a scalar subquery over the data keeps the oracle
+    deterministic without wall-clock input)."""
+    return rf"""
+WITH nowc AS (SELECT {now_sql} AS now_us),
+aged AS (
+  SELECT url,
+         lower(split_part(split_part(split_part(url, '://', 2), '/', 1), ':', 1))
+           AS host,
+         ((SELECT now_us FROM nowc) - epoch_us(warc_ts))::BIGINT AS age_us,
+         warc_ts
+  FROM {pages}
+  WHERE (SELECT now_us FROM nowc) - epoch_us(warc_ts) >= {min_age_us}
+)
+SELECT url, host, age_us,
+       row_number() OVER (PARTITION BY host ORDER BY warc_ts, url) AS host_rank
+FROM aged QUALIFY host_rank <= {budget}
+"""
