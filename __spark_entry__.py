@@ -493,6 +493,19 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample(_docs(spark, sf_dir))
 
 
+#  training-mix weights over the synth documents.source domain (src0..src19);
+#  production swaps its own table — the plan shape is weight-count-invariant
+MIX_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-fair source interleaving (the data-mixing stage): per-source
+    md5 rank via the two-job range-partition technique (never a per-source
+    window sort — a dominant web source would funnel one task) + integer WFQ
+    virtual finish times.  Global training order = (vtime, source, src_rank)."""
+    return sampling.interleave_sources(_docs(spark, sf_dir), MIX_WEIGHTS)
+
+
 def q_corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota (keep <=10 docs per source by deterministic hash
     order): source balancing via the same WindowGroupLimit map-side-prune
@@ -888,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_gate": q_url_gate,
         "corpus_sample": q_corpus_sample,
         "corpus_source_cap": q_corpus_source_cap,
+        "corpus_mix": q_corpus_mix,
         "warc_scan": q_warc_scan,
         "recrawl_sched": q_recrawl_sched,
         "corpus_pack": q_corpus_pack,
@@ -1207,6 +1221,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "corpus_sample": sampling.duck_stratified_sample_sql("documents"),
         "corpus_source_cap": sampling.duck_source_cap_sql("documents"),
+        "corpus_mix": sampling.duck_interleave_sql("documents", MIX_WEIGHTS),
         "warc_scan": f"""
             SELECT url, epoch_us(warc_ts) AS ts_us,
                    octet_length(html)::BIGINT AS n_bytes,

@@ -145,6 +145,57 @@ def main() -> None:
         "it runs before any fetch.",
     )
 
+    from web_crawler_spark.operators import cuckoo as cuckoolib  # noqa: E402
+
+    cap(
+        "frontier scheduling — with the cuckoo sketch split",
+        schedule_frontier(
+            cand, seen, ["p0", "p1"], budget=5,
+            bloom=cuckoolib.build_cuckoo(seen, "url"),
+        ),
+        "Want: same shape as the bloom split (the sketch swap is plan-\n"
+        "invisible): an ArrowEvalPython probe over xxhash64 splits\n"
+        "candidates map-side, only the maybe-seen branch reaches the exact\n"
+        "anti-join, then the pruned one-exchange tail.",
+    )
+
+    from web_crawler_spark.functions import linkstats  # noqa: E402
+
+    edges = linkstats.host_graph(meta)
+    out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("w_out"))
+    ranks0 = (
+        edges.select(F.col("src_host").alias("host")).distinct()
+        .select("host", F.lit(10**9).alias("rank"))
+    )
+    cap(
+        "link_pagerank — one power iteration (contribution join + inflow agg)",
+        edges.select("src_host", "dst_host", "n_links")
+        .join(out_w, on="src_host")
+        .join(ranks0.withColumnRenamed("host", "src_host"), on="src_host")
+        .select(F.col("dst_host").alias("host"), F.expr("rank * n_links DIV w_out").alias("c"))
+        .groupBy("host").agg(F.sum("c").alias("in_c")),
+        "Want: the edge relation exchanges once on src_host and serves both\n"
+        "the out-degree agg and the rank join (co-partitioned); the inflow\n"
+        "groupBy is partial-agg'd; all arithmetic is JVM-side BIGINT (no\n"
+        "Python anywhere).  In the real loop the edges frame is\n"
+        "localCheckpointed once and every iteration reuses it.",
+    )
+
+    from web_crawler_spark.plans import recrawl  # noqa: E402
+
+    cap(
+        "recrawl_sched — freshness-driven per-host stalest top-k",
+        recrawl.recrawl_batch(
+            spark.read.parquet(synth.synth_path("0.001", "pages")),
+            now_us=1_710_000_000_000_000, min_age_us=3_600_000_000, budget=4,
+        ),
+        "Want: the age predicate is a pushed scan filter (PushedFilters on\n"
+        "warc_ts once rewritten as a timestamp bound; at minimum it runs\n"
+        "pre-shuffle), ReadSchema excludes html BINARY, and the per-host\n"
+        "rank compiles to WindowGroupLimit Partial below the one host\n"
+        "exchange — the fetch scheduler's budget plan, reused.",
+    )
+
     from web_crawler_spark.functions import sampling  # noqa: E402
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))

@@ -228,3 +228,51 @@ def test_pack_sequences_parity_and_invariants(spark, tmp_path):
         for r in packing.pack_sequences(df, ctx=64, num_partitions=3).collect()
     }
     assert again == {r["doc_id"]: r["tok_offset"] for r in rows}
+
+
+def test_interleave_sources_wfq(spark, tmp_path):
+    """Weighted-fair interleave: ranks follow md5 order per source across
+    partitions/batches (two-job rank == window rank), vtimes are the exact
+    WFQ finish times, and the DuckDB oracle reproduces them bit-for-bit."""
+    import duckdb
+
+    from web_crawler_spark.functions import sampling
+
+    weights = {"web": 5, "code": 2, "books": 1}
+    rows = [(i, ["web", "code", "books"][i % 3] if i % 7 else "web") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(7)
+    got = sampling.interleave_sources(df, weights, num_partitions=5)
+    g = {r["doc_id"]: (r["source"], r["src_rank"], r["vtime"]) for r in got.collect()}
+    assert len(g) == 900
+
+    # independent golden: per-source md5 rank + integer WFQ finish time
+    import hashlib
+
+    by_src: dict = {}
+    for i, s in rows:
+        by_src.setdefault(s, []).append(i)
+    want = {}
+    for s, ids in by_src.items():
+        ids.sort(key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        for r, i in enumerate(ids, 1):
+            want[i] = (s, r, (r - 1) * sampling.MIX_SCALE // weights.get(s, 1))
+    assert g == want
+
+    # WFQ property: in (vtime, source, src_rank) order, a weight-5 source
+    # fills a prefix ~5x faster than a weight-1 source
+    ordered = sorted(g.values(), key=lambda t: (t[2], t[0], t[1]))
+    prefix = ordered[:120]
+    n_web = sum(1 for s, _, _ in prefix if s == "web")
+    n_books = sum(1 for s, _, _ in prefix if s == "books")
+    assert n_web > 3 * n_books
+
+    # oracle parity
+    p = str(tmp_path / "mix.parquet")
+    df.toPandas().to_parquet(p)
+    o = {
+        int(r["doc_id"]): (r["source"], int(r["src_rank"]), int(r["vtime"]))
+        for _, r in duckdb.sql(
+            sampling.duck_interleave_sql(f"read_parquet('{p}')", weights)
+        ).df().iterrows()
+    }
+    assert o == g

@@ -157,3 +157,123 @@ SELECT ('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::BIGINT % {n_shards} AS sh
        sum({size_col})::BIGINT AS total_chars
 FROM {table} GROUP BY 1
 """
+
+
+# --- weighted source interleaving (training-mix data ordering) -------------
+
+MIX_SCALE = 10**6  # virtual-time granularity (exact for weights <= 10^6)
+
+
+def interleave_sources(
+    df: DataFrame,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_weight: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, source, src_rank, vtime): weighted-fair interleaving of
+    sources into one training order — the data-mixing stage (GPT-3 App. A /
+    Dolma mixture weights) where a source with weight w contributes w docs
+    per unit of virtual time.
+
+    Classic WFQ virtual finish times, integer-exact: within each source,
+    docs order by md5(doc_id) (the engine's deterministic total order) at
+    rank r; ``vtime = (r-1) * MIX_SCALE // w``.  The global training order
+    is ``(vtime, source, src_rank)`` — range-partitionable for the writer,
+    bit-identical on any cluster/retry/resume, and tunable by swapping the
+    weight table only.
+
+    Scale shape: per-source rank via the engine's two-job range-partition
+    technique (operators/ordering.py, reused by packing): range-partition
+    on the md5 key, per-(partition, source) SUBTOTALS to the driver (tiny),
+    exclusive prefix offsets broadcast back, Arrow per-partition cumcount.
+    Never a per-source window sort — a dominant source (web text is
+    routinely >80% of a mix) would funnel through one task."""
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.md5(F.col(id_col).cast("string")).alias("__k"),
+    )
+    if num_partitions is None:
+        num_partitions = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        base.repartitionByRange(num_partitions, F.col("__k"))
+        .sortWithinPartitions("__k")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("__pid", "source").count().collect()
+    acc: dict[str, int] = {}
+    offsets: dict[tuple[int, str], int] = {}
+    for r in sorted(counts, key=lambda r: (r["__pid"], r["source"])):
+        offsets[(r["__pid"], r["source"])] = acc.get(r["source"], 0)
+        acc[r["source"]] = acc.get(r["source"], 0) + r["count"]
+    off_bc = spark.sparkContext.broadcast(offsets)
+    w_bc = spark.sparkContext.broadcast(dict(weights))
+
+    id_type = ranged.schema["doc_id"].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", id_type, False),
+            StructField("source", StringType(), False),
+            StructField("src_rank", LongType(), False),
+            StructField("vtime", LongType(), False),
+        ]
+    )
+
+    def stamp(batches):
+        local: dict[str, int] = {}
+        pid = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iat[0])
+            src = pdf["source"]
+            base_off = src.map(lambda s: off_bc.value.get((pid, s), 0) + local.get(s, 0))
+            rank = base_off + src.groupby(src).cumcount() + 1
+            for s, n in src.value_counts().items():
+                local[s] = local.get(s, 0) + int(n)
+            w = src.map(lambda s: w_bc.value.get(s, default_weight)).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": src,
+                    "src_rank": rank.astype("int64"),
+                    "vtime": ((rank - 1) * MIX_SCALE // w).astype("int64"),
+                }
+            )
+
+    out = ranged.mapInPandas(stamp, schema=schema).localCheckpoint(eager=True)
+    ranged.unpersist()
+    return out
+
+
+def duck_interleave_sql(
+    table: str,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_weight: int = 1,
+) -> str:
+    case = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(weights.items())
+    )
+    return rf"""
+WITH ranked AS (
+  SELECT {id_col} AS doc_id, {source_col} AS source,
+         row_number() OVER (
+           PARTITION BY {source_col} ORDER BY md5({id_col}::VARCHAR)
+         ) AS src_rank
+  FROM {table}
+)
+SELECT doc_id, source, src_rank::BIGINT AS src_rank,
+       ((src_rank - 1) * {MIX_SCALE} // (CASE source {case} ELSE {default_weight} END))::BIGINT
+         AS vtime
+FROM ranked
+"""
