@@ -586,6 +586,13 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_pagerank(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated incoming anchor text per target URL ("anchor text mirrors
+    queries") — one JVM regexp pass over the html scan, positional zip,
+    root-relative resolution, one partial-agg'd exchange."""
+    return linkstats.anchor_texts(_synth(spark, sf_dir, "pages"))
+
+
 def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length distribution in power-of-two buckets (integer-exact
     binary-string-length log2 — engine-portable); the corpus curation view."""
@@ -908,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_export": q_corpus_export,
         "link_hostgraph": q_link_hostgraph,
         "link_pagerank": q_link_pagerank,
+        "link_anchors": q_link_anchors,
         "doc_length_hist": q_doc_length_hist,
         "corpus_shards": q_corpus_shards,
         "dedup_minhash": q_dedup_minhash,
@@ -1243,6 +1251,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "link_hostgraph": linkstats.duck_host_graph_sql(pages_meta),
         "link_pagerank": linkstats.duck_pagerank_sql(pages_meta),
+        "link_anchors": linkstats.duck_anchor_texts_sql(
+            f"read_parquet('{sp('pages')}')"
+        ),
         "doc_length_hist": textstats.duck_length_histogram_sql("documents"),
         "corpus_shards": sampling.duck_shard_stats_sql("documents"),
         "dedup_minhash": dedupsim.duck_minhash_exploded_sql("documents"),

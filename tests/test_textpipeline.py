@@ -463,3 +463,40 @@ def test_host_pagerank_integer_exact(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_anchor_texts_crafted(spark, tmp_path):
+    """Anchor aggregation: relative hrefs resolve against the page host,
+    empty hrefs drop, repeated (target, anchor) pairs count up; DuckDB
+    oracle reproduces the table exactly."""
+    import duckdb
+
+    from web_crawler_spark.functions import linkstats
+
+    html_a = (
+        '<p><a href="/x">go</a> and <a href="http://b.example/y">go</a>'
+        ' and <a href="/x">go</a> and <a href="">skip</a></p>'
+    ).encode()
+    html_b = '<a href="http://a.example/x">go</a><a href="/z">other</a>'.encode()
+    df = spark.createDataFrame(
+        [("http://a.example/p", html_a), ("http://b.example/q", html_b)],
+        "url string, html binary",
+    )
+    got = {
+        (r["dst_url"], r["anchor"]): r["n_refs"]
+        for r in linkstats.anchor_texts(df).collect()
+    }
+    assert got == {
+        ("http://a.example/x", "go"): 3,  # 2 relative on a + 1 absolute from b
+        ("http://b.example/y", "go"): 1,
+        ("http://b.example/z", "other"): 1,
+    }
+    p = str(tmp_path / "anchors.parquet")
+    df.toPandas().to_parquet(p)
+    want = {
+        (r["dst_url"], r["anchor"]): int(r["n_refs"])
+        for _, r in duckdb.sql(
+            linkstats.duck_anchor_texts_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert want == got

@@ -246,3 +246,66 @@ def duck_pagerank_sql(
         )
     cte = ",\n".join(parts)
     return f"WITH {cte}\nSELECT host, rank::BIGINT AS rank_ppb FROM r{iters}"
+
+
+# --- anchor-text aggregation (web-corpus training signal) -------------------
+
+ANCHOR_RE = r'<a href="([^"]*)">([^<]*)</a>'
+
+
+def anchor_texts(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(dst_url, anchor, n_refs): aggregated incoming anchor text per target
+    URL — the classic web-scale relevance/label signal ("anchor text mirrors
+    queries"; every search/LLM corpus pipeline mines it).  The reference
+    parser extracts hrefs only (parser.py link loop); this keeps the text
+    between the tags too.
+
+    All JVM: one regexp_extract_all pass over the decoded html scan, a
+    positional zip/explode, root-relative hrefs resolved against the page
+    host (the corpus' only relative form; full RFC resolution happens in the
+    canonicalization stage downstream), then ONE partial-agg'd exchange on
+    (dst_url, anchor).  No Python anywhere."""
+    h = F.col(html_col).cast("string")
+    page_host = _host(F.col(url_col))
+    pairs = df.select(
+        page_host.alias("__h"),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(h, F.lit(ANCHOR_RE), F.lit(1)).alias("href"),
+                F.regexp_extract_all(h, F.lit(ANCHOR_RE), F.lit(2)).alias("anchor"),
+            )
+        ).alias("z"),
+    ).select("__h", F.col("z.href").alias("href"), F.col("z.anchor").alias("anchor"))
+    dst = F.when(
+        F.col("href").rlike("^https?://"), F.col("href")
+    ).otherwise(F.concat(F.lit("http://"), F.col("__h"), F.col("href")))
+    return (
+        pairs.filter(F.col("href") != "")
+        .select(dst.alias("dst_url"), "anchor")
+        .groupBy("dst_url", "anchor")
+        .agg(F.count("*").cast("long").alias("n_refs"))
+    )
+
+
+def duck_anchor_texts_sql(pages: str) -> str:
+    """DuckDB twin (parallel unnests zip positionally)."""
+    return rf"""
+WITH base AS (
+  SELECT lower(split_part(split_part(split_part(url, '://', 2), '/', 1), ':', 1))
+           AS host,
+         decode(html) AS h
+  FROM {pages}
+),
+pairs AS (
+  SELECT host,
+         unnest(regexp_extract_all(h, '{ANCHOR_RE}', 1)) AS href,
+         unnest(regexp_extract_all(h, '{ANCHOR_RE}', 2)) AS anchor
+  FROM base
+)
+SELECT CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+            ELSE 'http://' || host || href END AS dst_url,
+       anchor, count(*)::BIGINT AS n_refs
+FROM pairs WHERE href <> '' GROUP BY 1, 2
+"""
