@@ -461,6 +461,14 @@ def q_doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.duplicate_ngram_stats(_synth(spark, sf_dir, "webdocs"))
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span REMOVAL (Lee et al. 2022) at word-8-gram
+    granularity over the multi-line webdocs fixture: tokens covered by any
+    corpus-duplicated gram are dropped and the text rewritten — the
+    rewrite counterpart of doc_dup_ngrams' measurement."""
+    return webtext.remove_duplicate_spans(_synth(spark, sf_dir, "webdocs"))
+
+
 def q_corpus_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The web-corpus pipeline with the Gopher document gate enabled (line
     filter -> gopher gate -> repetition gate -> corpus line dedup -> PII),
@@ -904,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_webclean": q_corpus_webclean,
         "corpus_gopher": q_corpus_gopher,
         "doc_dup_ngrams": q_doc_dup_ngrams,
+        "dedup_spans": q_dedup_spans,
         "doc_decontaminate": q_doc_decontaminate,
         "url_gate": q_url_gate,
         "corpus_sample": q_corpus_sample,
@@ -1221,6 +1230,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             webdocs, gopher_gate=True
         ),
         "doc_dup_ngrams": webtext.duck_dup_ngrams_sql(webdocs),
+        "dedup_spans": webtext.duck_dedup_spans_sql(webdocs),
         "doc_decontaminate": webtext.duck_decontaminate_sql(
             webdocs, f"read_parquet('{sp('evaldocs')}')"
         ),

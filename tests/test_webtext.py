@@ -318,3 +318,46 @@ def test_export_corpus_composition(spark):
     survivors = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
     assert got_ids == survivors - bad
     assert bad, "fixture must exercise the decontamination drop"
+
+
+def test_remove_duplicate_spans_crafted(spark, tmp_path):
+    """Span removal semantics: case-insensitive gram matching, overlapping
+    covered windows merge, short/empty docs pass through untouched, original
+    case survives in the rewritten text; DuckDB oracle is bit-exact."""
+    import duckdb
+    import pandas as pd
+
+    from web_crawler_spark.functions import webtext
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta COMMON one two "
+            "three four five six seven eight tail1"),
+        (2, "common one two three four five six seven eight tail2 unique "
+            "words that stay here fine ok yes"),
+        (3, "short doc"),
+        (4, ""),
+        (5, "alpha beta gamma delta epsilon zeta eta theta different ending "
+            "here now ok fine sure yes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in webtext.remove_duplicate_spans(df).collect()
+    }
+    # doc1: shared 8-gram prefix with doc5 + case-folded COMMON..eight span
+    # with doc2 cover 17 of 18 tokens
+    assert got[1] == (18, 17, "tail1")
+    assert got[2] == (18, 9, "tail2 unique words that stay here fine ok yes")
+    assert got[3] == (2, 0, "short doc")
+    assert got[4] == (0, 0, "")
+    assert got[5] == (16, 8, "different ending here now ok fine sure yes")
+
+    p = str(tmp_path / "spans.parquet")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(p)
+    want = {
+        int(r["doc_id"]): (int(r["n_tokens"]), int(r["n_removed"]), r["clean_text"])
+        for _, r in duckdb.sql(
+            webtext.duck_dedup_spans_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert want == got

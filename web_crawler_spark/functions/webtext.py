@@ -778,3 +778,111 @@ SELECT cw.doc_id, cw.n_pii,
 FROM cw JOIN dc ON cw.doc_id = dc.doc_id
 WHERE NOT dc.contaminated
 """
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DUP_NGRAM_N,
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", at word-``n``-gram
+    granularity): a token is dropped when ANY corpus-duplicated n-gram
+    (>= 2 occurrences anywhere, within-doc repeats included; matching is
+    lowercased, output keeps original case) covers it.  Where
+    ``duplicate_ngram_stats`` only measures the coverage, this rewrites the
+    corpus.  Output: (doc_id, n_tokens, n_removed, clean_text).
+
+    Scale shape: grams leave the map side as xxhash64 bigints only (same
+    collision trade as minhash, noted in duplicate_ngram_stats); the
+    duplicated-gram relation is the output of one partial-agg'd count whose
+    hash partitioning the start-position join reuses; covered positions
+    collapse with a (doc, pos) distinct; the rebuild is one groupBy(doc)
+    whose collect_list is bounded by document length — no global sort, no
+    Python anywhere."""
+    t = F.col(text_col)
+    toks = F.when(
+        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(t), r"\s+"))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
+    base = base.localCheckpoint(eager=True)  # grams + tokens + sizes: one pass
+    grams_expr = F.when(
+        F.size(F.col("__t")) >= n,
+        F.expr(
+            f"transform(sequence(0, size(__t) - {n}), i -> "
+            f"named_struct('i', i, "
+            f"'g', xxhash64(lower(array_join(slice(__t, i + 1, {n}), ' ')))))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<i:int,g:bigint>>"))
+    starts = base.select("doc_id", F.explode(grams_expr).alias("z")).select(
+        "doc_id", F.col("z.i").alias("i"), F.col("z.g").alias("g")
+    )
+    dup = starts.groupBy("g").agg(F.count("*").alias("tot")).filter(
+        F.col("tot") >= 2
+    )
+    covered = (
+        starts.join(dup.select("g"), on="g")
+        .select("doc_id", F.explode(F.expr(f"sequence(i, i + {n - 1})")).alias("pos"))
+        .distinct()
+    )
+    toks_rows = base.select(
+        "doc_id", F.posexplode(F.col("__t")).alias("pos", "tok")
+    )
+    kept = toks_rows.join(covered, on=["doc_id", "pos"], how="left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("__n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+            " x -> x.tok), ' ')"
+        ).alias("__ct"),
+    )
+    return (
+        base.select("doc_id", F.size("__t").cast("long").alias("n_tokens"))
+        .join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("__ct", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def duck_dedup_spans_sql(table: str, n: int = DUP_NGRAM_N) -> str:
+    # gram identity is the lowercased text (no xxhash64 in DuckDB) — counts
+    # identical barring a 64-bit collision, same caveat as duck_dup_ngrams_sql
+    return rf"""
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM {table}
+),
+g AS (
+  SELECT doc_id, i, lower(array_to_string(t[i:i + {n} - 1], ' ')) AS gram
+  FROM tk, UNNEST(range(1, len(t) - {n} + 2)) AS r(i)
+  WHERE len(t) >= {n}
+),
+gl AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, pos
+  FROM (SELECT g.doc_id, g.i FROM g JOIN gl USING (gram)),
+       UNNEST(range(i, i + {n})) AS c(pos)
+),
+tok AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM tk, UNNEST(range(1, len(t) + 1)) AS r(i)
+),
+kept AS (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, pos)),
+re AS (
+  SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS ct
+  FROM kept GROUP BY 1
+)
+SELECT tk.doc_id, len(tk.t)::BIGINT AS n_tokens,
+       (len(tk.t) - coalesce(re.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(re.ct, '') AS clean_text
+FROM tk LEFT JOIN re USING (doc_id)
+"""
