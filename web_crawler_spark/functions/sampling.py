@@ -228,18 +228,23 @@ def interleave_sources(
 
     def stamp(batches):
         local: dict[str, int] = {}
-        pid = None
+        part_off: dict[str, int] | None = None
         for pdf in batches:
             if not len(pdf):
                 continue
-            if pid is None:
+            if part_off is None:
                 pid = int(pdf["__pid"].iat[0])
+                part_off = {
+                    s: v for (p, s), v in off_bc.value.items() if p == pid
+                }
             src = pdf["source"]
-            base_off = src.map(lambda s: off_bc.value.get((pid, s), 0) + local.get(s, 0))
+            base_off = (
+                src.map(part_off).fillna(0) + src.map(local).fillna(0)
+            ).astype("int64")
             rank = base_off + src.groupby(src).cumcount() + 1
             for s, n in src.value_counts().items():
                 local[s] = local.get(s, 0) + int(n)
-            w = src.map(lambda s: w_bc.value.get(s, default_weight)).astype("int64")
+            w = src.map(w_bc.value).fillna(default_weight).astype("int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
