@@ -494,6 +494,15 @@ def q_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlfilter.url_quality_gate(_synth(spark, sf_dir, "weburls"))
 
 
+def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection (Heritrix/IRLbot-style) over the weburls
+    fixture: collapse each URL to a structural template (query values→V,
+    hex→H, digits→N) and flag (host, template) groups whose distinct-URL
+    population explodes.  Map-side template + one partial-agg exchange;
+    the trap list broadcasts back as a frontier gate (prune_trapped)."""
+    return urlfilter.url_trap_templates(_synth(spark, sf_dir, "weburls"))
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-Bernoulli stratified sample of the documents table
     by language (per-mille mix rates); map-side, resume-stable — the
@@ -915,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "doc_decontaminate": q_doc_decontaminate,
         "url_gate": q_url_gate,
+        "url_traps": q_url_traps,
         "corpus_sample": q_corpus_sample,
         "corpus_source_cap": q_corpus_source_cap,
         "corpus_mix": q_corpus_mix,
@@ -1235,6 +1245,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             webdocs, f"read_parquet('{sp('evaldocs')}')"
         ),
         "url_gate": urlfilter.duck_url_gate_sql(
+            f"read_parquet('{sp('weburls')}')"
+        ),
+        "url_traps": urlfilter.duck_url_traps_sql(
             f"read_parquet('{sp('weburls')}')"
         ),
         "corpus_sample": sampling.duck_stratified_sample_sql("documents"),

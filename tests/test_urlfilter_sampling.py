@@ -276,3 +276,57 @@ def test_interleave_sources_wfq(spark, tmp_path):
         ).df().iterrows()
     }
     assert o == g
+
+
+# -- crawl-trap detection -----------------------------------------------------
+
+TRAP_URLS = (
+    # calendar trap: one template, many distinct URLs on one host
+    [f"http://cal.example/events/2024/{m}/{d}?sessionid=deadbeefcafe{m}{d}"
+     for m in range(1, 4) for d in range(1, 4)]
+    # same path shape on another host but below the threshold
+    + ["http://quiet.example/events/2024/1/1?sessionid=deadbeefcafe11"]
+    # distinct word slugs: templates do NOT collapse
+    + [f"http://news.example/articles/5-{w}.html" for w in ("alpha", "beta", "gamma", "delta", "epsilon")]
+    # duplicate URL rows: count is DISTINCT urls, not rows
+    + ["http://dup.example/p/7?x=1"] * 6
+)
+
+
+@pytest.fixture(scope="module")
+def trap_urls(spark, tmp_path_factory):
+    pdf = pd.DataFrame({"url_id": range(len(TRAP_URLS)), "url": TRAP_URLS})
+    p = str(tmp_path_factory.mktemp("urltraps") / "urls.parquet")
+    pdf.to_parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW tu AS SELECT * FROM read_parquet('{p}')")
+    return spark.read.parquet(p), con
+
+
+def test_url_traps_boundary(trap_urls):
+    df, con = trap_urls
+    got = urlfilter.url_trap_templates(df)
+    _cmp(got, con.sql(urlfilter.duck_url_traps_sql("tu")), ["host", "template"])
+    rows = {(r.host, r.template): (r.n_urls, r.trap) for r in got.collect()}
+    # 9 distinct calendar URLs collapse into one trapped template
+    assert rows[("cal.example", "/events/N/N/N?sessionid=V")] == (9, True)
+    # same shape, one URL -> not a trap
+    assert rows[("quiet.example", "/events/N/N/N?sessionid=V")] == (1, False)
+    # word slugs stay distinct templates, each count 1
+    assert rows[("news.example", "/articles/N-alpha.html")] == (1, False)
+    # duplicates of one URL never reach the threshold
+    assert rows[("dup.example", "/p/N?x=V")] == (1, False)
+
+
+def test_url_traps_prune_gate(trap_urls):
+    df, _ = trap_urls
+    traps = urlfilter.url_trap_templates(df)
+    kept = urlfilter.prune_trapped(df, traps)
+    kept_urls = {r.url for r in kept.collect()}
+    assert not any(u.startswith("http://cal.example/") for u in kept_urls)
+    assert "http://quiet.example/events/2024/1/1?sessionid=deadbeefcafe11" in kept_urls
+    assert "http://dup.example/p/7?x=1" in kept_urls
+    assert kept.columns == df.columns  # gate preserves the frontier schema
+    # the gate is a broadcast anti-join: no exchange on the frontier side
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

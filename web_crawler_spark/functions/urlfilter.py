@@ -99,3 +99,101 @@ SELECT * EXCLUDE (ext, n_params, block_hit),
    AND len({url_col}) <= {MAX_URL_LEN} AND NOT block_hit) AS keep
 FROM g
 """
+
+
+# -- crawl-trap detection -----------------------------------------------------
+#
+# Calendar pages, session-id links, and faceted-search grids generate
+# unbounded URL spaces that a frontier will chase forever (the reference
+# crawler has no defense beyond max_urls, crawler.py's global cap).  The
+# standard production heuristic (Heritrix "path-ology", IRLbot spam/trap
+# control) collapses each URL to a structural template and flags templates
+# whose *distinct-URL* population explodes within one host.
+
+# template normalization: query values -> 'V', long hex runs -> 'H',
+# digit runs -> 'N'; order matters and is mirrored in the oracle
+_TRAP_AUTHORITY_RE = r"^[A-Za-z]+://([^/?#]+)"
+_TRAP_VALUE_RE = r"=[^&#]*"
+_TRAP_HEX_RE = r"[0-9a-f]{8,}"
+_TRAP_NUM_RE = r"[0-9]+"
+# distinct URLs one (host, template) must reach to be called a trap.  4 is
+# sized to the synthetic fixture; production crawls use O(10^3) — the plan
+# is threshold-invariant.
+TRAP_MIN_URLS = 4
+
+
+def url_template(url):  # Column -> Column
+    """Structural template of a URL's path+query (host excluded)."""
+    path = F.regexp_replace(url, _TRAP_AUTHORITY_RE, "")
+    t = F.lower(path)
+    t = F.regexp_replace(t, _TRAP_VALUE_RE, "=V")
+    t = F.regexp_replace(t, _TRAP_HEX_RE, "H")
+    return F.regexp_replace(t, _TRAP_NUM_RE, "N")
+
+
+def url_trap_templates(
+    df: DataFrame, url_col: str = "url", min_urls: int = TRAP_MIN_URLS
+) -> DataFrame:
+    """Per-(host, template) distinct-URL counts with a trap flag.
+
+    Output: (host, template, n_urls, trap).  Scale shape: the template is a
+    map-side projection (JVM regex, whole-stage codegen); the count is a
+    two-level partial aggregate on (host, template) — one exchange carrying
+    one row per template per task, tiny next to the URL scan.  The trap
+    list output is O(templates) — small enough to broadcast back as a
+    frontier gate (see ``prune_trapped``)."""
+    url = F.col(url_col)
+    t = df.select(
+        F.lower(F.regexp_extract(url, _TRAP_AUTHORITY_RE, 1)).alias("host"),
+        url_template(url).alias("template"),
+        url.alias("__u"),
+    )
+    return t.groupBy("host", "template").agg(
+        F.count_distinct(F.col("__u")).alias("n_urls")
+    ).withColumn("trap", F.col("n_urls") >= F.lit(min_urls))
+
+
+def prune_trapped(
+    frontier: DataFrame, traps: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop frontier URLs whose (host, template) is a known trap.
+
+    ``traps`` is the (tiny) trap-flagged output of ``url_trap_templates``;
+    the anti-join broadcasts it, so the gate is map-side over the frontier
+    scan — the same shape as the scheduler's bloom prefilter."""
+    from pyspark.sql.functions import broadcast
+
+    url = F.col(url_col)
+    keyed = frontier.withColumn(
+        "__h", F.lower(F.regexp_extract(url, _TRAP_AUTHORITY_RE, 1))
+    ).withColumn("__t", url_template(url))
+    trap_keys = traps.filter(F.col("trap")).select(
+        F.col("host").alias("__h"), F.col("template").alias("__t")
+    )
+    return keyed.join(
+        broadcast(trap_keys), on=["__h", "__t"], how="left_anti"
+    ).drop("__h", "__t")
+
+
+def duck_url_traps_sql(
+    table: str, url_col: str = "url", min_urls: int = TRAP_MIN_URLS
+) -> str:
+    return rf"""
+WITH t AS (
+  SELECT
+    lower(coalesce(regexp_extract({url_col}, '^[A-Za-z]+://([^/?#]+)', 1), '')) AS host,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          lower(regexp_replace({url_col}, '^[A-Za-z]+://[^/?#]+', '')),
+          '=[^&#]*', '=V', 'g'),
+        '[0-9a-f]{{8,}}', 'H', 'g'),
+      '[0-9]+', 'N', 'g') AS template,
+    {url_col} AS u
+  FROM {table}
+)
+SELECT host, template,
+       count(DISTINCT u)::BIGINT AS n_urls,
+       count(DISTINCT u) >= {min_urls} AS trap
+FROM t GROUP BY host, template
+"""
