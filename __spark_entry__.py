@@ -494,6 +494,16 @@ def q_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlfilter.url_quality_gate(_synth(spark, sf_dir, "weburls"))
 
 
+def q_doc_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-quality gate (ftfy/CCNet-style) over the pages corpus text:
+    control chars, U+FFFD, cp1252-mojibake markers, and non-ASCII density —
+    one shuffle-free map over the scan, fused with the other text gates."""
+    return webtext.unicode_quality(
+        _synth(spark, sf_dir, "pages").select("url", "text"),
+        id_col="url",
+    )
+
+
 def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-trap detection (Heritrix/IRLbot-style) over the weburls
     fixture: collapse each URL to a structural template (query values→V,
@@ -925,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "url_gate": q_url_gate,
         "url_traps": q_url_traps,
+        "doc_unicode": q_doc_unicode,
         "corpus_sample": q_corpus_sample,
         "corpus_source_cap": q_corpus_source_cap,
         "corpus_mix": q_corpus_mix,
@@ -1249,6 +1260,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "url_traps": urlfilter.duck_url_traps_sql(
             f"read_parquet('{sp('weburls')}')"
+        ),
+        "doc_unicode": webtext.duck_unicode_sql(
+            f"read_parquet('{sp('pages')}')", id_col="url"
         ),
         "corpus_sample": sampling.duck_stratified_sample_sql("documents"),
         "corpus_source_cap": sampling.duck_source_cap_sql("documents"),

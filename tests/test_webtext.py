@@ -361,3 +361,60 @@ def test_remove_duplicate_spans_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert want == got
+
+
+# -- unicode / encoding quality gate ------------------------------------------
+
+UNICODE_DOCS = [
+    "plain ascii text, perfectly clean.",  # 0
+    "",  # 1: empty -> n_chars 0, ppm 0 via greatest(.,1), clean
+    "one caf\u00e9 accent inside " + "plain word filler " * 12,  # 2: small ppm
+    "\u6570\u636e \u65e5\u672c\u8a9e ti\u1ebfng vi\u1ec7t",  # 3: mostly non-ASCII -> over budget
+    "mojibake: \u00c3\u00a9 and \u00c2\u00b7 and \u00e2\u20ac\u0153quoted\u00e2\u20ac",  # 4: cp1252 markers
+    "bad byte \ufffd here",  # 5: replacement char
+    "ctrl\x07bell and\x1bescape",  # 6: control chars
+    "tabs\tand\nnewlines\rare fine.",  # 7: tab/newline/CR are NOT control hits
+    "edge \u00c3",  # 8: marker at string end
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_docs(spark, tmp_path_factory):
+    pdf = pd.DataFrame({"doc_id": range(len(UNICODE_DOCS)), "text": UNICODE_DOCS})
+    p = str(tmp_path_factory.mktemp("unidocs") / "docs.parquet")
+    pdf.to_parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW ud AS SELECT * FROM read_parquet('{p}')")
+    return spark.read.parquet(p), con
+
+
+def test_unicode_quality_boundary(unicode_docs, spark):
+    df, con = unicode_docs
+    got = webtext.unicode_quality(df)
+    _cmp(got, con.sql(webtext.duck_unicode_sql("ud")))
+    by_id = {r.doc_id: r for r in got.collect()}
+    assert by_id[0].clean and by_id[0].n_nonascii == 0
+    assert by_id[1].clean and by_id[1].nonascii_ppm == 0
+    assert by_id[2].clean  # light accents within budget
+    assert not by_id[3].clean and by_id[3].nonascii_ppm > webtext.MAX_NONASCII_PPM
+    assert not by_id[4].clean and by_id[4].n_mojibake >= 4
+    assert not by_id[5].clean and by_id[5].n_replacement == 1
+    assert not by_id[6].clean and by_id[6].n_ctrl == 2
+    assert by_id[7].clean and by_id[7].n_ctrl == 0
+    assert by_id[8].n_mojibake == 1
+
+
+def test_unicode_quality_on_pages(spark):
+    synth.ensure_synth("0.001")
+    p = synth.synth_path("0.001", "pages")
+    pages = spark.read.parquet(p).select("url", "text")
+    got = webtext.unicode_quality(pages, id_col="url")
+    con = duckdb.connect()
+    _cmp(
+        got,
+        con.sql(webtext.duck_unicode_sql(f"read_parquet('{p}')", id_col="url")),
+        key_cols=("url",),
+    )
+    # the fixture must exercise both sides of the ppm gate
+    assert got.filter("clean").count() > 0
+    assert got.filter("NOT clean").count() > 0

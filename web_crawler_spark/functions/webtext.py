@@ -886,3 +886,90 @@ SELECT tk.doc_id, len(tk.t)::BIGINT AS n_tokens,
        coalesce(re.ct, '') AS clean_text
 FROM tk LEFT JOIN re USING (doc_id)
 """
+
+
+# -- unicode / encoding quality gate ------------------------------------------
+#
+# Mojibake (UTF-8 bytes decoded as Latin-1/cp1252), stray replacement chars,
+# and control bytes are the classic symptoms of mis-declared charsets in web
+# crawls (ftfy's problem statement; CCNet/RefinedWeb both gate on encoding
+# artifacts).  The reference parser trusts the transport decoding
+# (parser.py decodes whatever bs4 yields); at Common-Crawl scale a cheap
+# post-decode gate is mandatory.  All signals are JVM string/regex ops —
+# map-side, shuffle-free, codegen-friendly.
+
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"  # control chars minus \t\n\r
+# cp1252-mojibake markers: lead bytes of UTF-8 sequences shown as Latin-1
+_MOJIBAKE_MARKERS = ("Ã", "Â", "â€")  # 'Ã', 'Â', 'â€'
+# non-ASCII budget for the clean flag: sized to the synthetic fixture;
+# production pipelines tune this per detected language (a CJK page is all
+# non-ASCII and perfectly fine) or drop the ppm term and gate on
+# ctrl/replacement/mojibake only.  The plan is threshold-invariant.
+MAX_NONASCII_PPM = 5_000
+
+
+def _count_marker(text: Column, marker: str) -> Column:
+    removed = F.length(text) - F.length(F.replace(text, F.lit(marker)))
+    return (removed / F.lit(len(marker))).cast("long")
+
+
+def unicode_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document encoding-quality signals.
+
+    Output: (id, n_chars, n_nonascii, nonascii_ppm, n_ctrl, n_replacement,
+    n_mojibake, clean).  clean = no control chars, no U+FFFD, no mojibake
+    markers, and non-ASCII density within MAX_NONASCII_PPM.
+
+    Scale shape: pure map over the corpus scan — no exchange, no Python;
+    composes with the C4/Gopher gates as one fused projection."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_nonascii = n_chars - F.length(F.regexp_replace(text, _NONASCII_RE, ""))
+    n_ctrl = n_chars - F.length(F.regexp_replace(text, _CTRL_RE, ""))
+    n_repl = _count_marker(text, "�")
+    n_moji = None
+    for m in _MOJIBAKE_MARKERS:
+        c = _count_marker(text, m)
+        n_moji = c if n_moji is None else n_moji + c
+    ppm = _ppm(n_nonascii, n_chars)
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_nonascii.cast("long").alias("n_nonascii"),
+        ppm.alias("nonascii_ppm"),
+        n_ctrl.cast("long").alias("n_ctrl"),
+        n_repl.alias("n_replacement"),
+        n_moji.cast("long").alias("n_mojibake"),
+        (
+            (n_ctrl == 0) & (n_repl == 0) & (n_moji == 0)
+            & (ppm <= MAX_NONASCII_PPM)
+        ).alias("clean"),
+    )
+
+
+def duck_unicode_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    moji = " + ".join(
+        f"((len({text_col}) - len(replace({text_col}, '{m}', ''))) / {len(m)})::BIGINT"
+        for m in _MOJIBAKE_MARKERS
+    )
+    return rf"""
+WITH s AS (
+  SELECT {id_col},
+    len({text_col})::BIGINT AS n_chars,
+    (len({text_col}) - len(regexp_replace({text_col}, '[^\x00-\x7f]', '', 'g')))::BIGINT AS n_nonascii,
+    (len({text_col}) - len(regexp_replace({text_col}, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')))::BIGINT AS n_ctrl,
+    (len({text_col}) - len(replace({text_col}, chr(65533), '')))::BIGINT AS n_replacement,
+    ({moji})::BIGINT AS n_mojibake
+  FROM {table}
+)
+SELECT {id_col}, n_chars, n_nonascii,
+  floor(n_nonascii::DOUBLE / greatest(n_chars, 1)::DOUBLE * 1e6)::BIGINT AS nonascii_ppm,
+  n_ctrl, n_replacement, n_mojibake,
+  (n_ctrl = 0 AND n_replacement = 0 AND n_mojibake = 0
+   AND floor(n_nonascii::DOUBLE / greatest(n_chars, 1)::DOUBLE * 1e6) <= {MAX_NONASCII_PPM}) AS clean
+FROM s
+"""
