@@ -613,6 +613,18 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_pagerank(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank-prioritized fetch batch (Cho/Garcia-Molina URL ordering):
+    the outlink frontier inherits host authority, budget-capped per host
+    (WindowGroupLimit) with the tiny rank table broadcast — harvest
+    ordering composed from host_pagerank + the politeness cap."""
+    pm = _synth(spark, sf_dir, "pages_meta")
+    frontier = pm.select(
+        F.explode(F.coalesce(F.col("links"), F.array())).alias("url")
+    ).distinct()
+    return linkstats.rank_frontier(frontier, linkstats.host_pagerank(pm))
+
+
 def q_link_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregated incoming anchor text per target URL ("anchor text mirrors
     queries") — one JVM regexp pass over the html scan, positional zip,
@@ -945,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_export": q_corpus_export,
         "link_hostgraph": q_link_hostgraph,
         "link_pagerank": q_link_pagerank,
+        "frontier_rank": q_frontier_rank,
         "link_anchors": q_link_anchors,
         "doc_length_hist": q_doc_length_hist,
         "corpus_shards": q_corpus_shards,
@@ -1288,6 +1301,10 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "link_hostgraph": linkstats.duck_host_graph_sql(pages_meta),
         "link_pagerank": linkstats.duck_pagerank_sql(pages_meta),
+        "frontier_rank": linkstats.duck_rank_frontier_sql(
+            f"(SELECT DISTINCT unnest(coalesce(links, [])) AS url FROM {pages_meta})",
+            pages_meta,
+        ),
         "link_anchors": linkstats.duck_anchor_texts_sql(
             f"read_parquet('{sp('pages')}')"
         ),

@@ -500,3 +500,53 @@ def test_anchor_texts_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert want == got
+
+
+def test_rank_frontier_semantics_and_plan(spark, tmp_path):
+    """PageRank-prioritized frontier batch: budget cap, rank inheritance,
+    unranked-host zero default, and the broadcast + WindowGroupLimit plan."""
+    import duckdb
+
+    from web_crawler_spark.functions import linkstats
+
+    rows = [
+        ("http://hub.example/p/1", "hub.example",
+         ["http://leaf.example/a", "http://leaf.example/b"]),
+        ("http://leaf.example/a", "leaf.example", ["http://hub.example/p/1"]),
+    ]
+    pm = spark.createDataFrame(rows, "url string, host string, links array<string>")
+    ranks = linkstats.host_pagerank(pm)
+    # frontier: 3 leaf urls (budget 2 drops the lexicographically last),
+    # 1 hub url, 1 unranked-host url, 1 relative (dropped: no host)
+    frontier = spark.createDataFrame(
+        [("http://leaf.example/a",), ("http://leaf.example/b",),
+         ("http://leaf.example/c",), ("http://hub.example/p/1",),
+         ("http://island.example/z",), ("/relative/only",)],
+        "url string",
+    )
+    out = linkstats.rank_frontier(frontier, ranks, budget=2)
+    got = {r.url: (r.host, r.rank_ppb, r.host_seq) for r in out.collect()}
+    assert set(got) == {
+        "http://leaf.example/a", "http://leaf.example/b",
+        "http://hub.example/p/1", "http://island.example/z",
+    }
+    rank_of = {r.host: r.rank_ppb for r in ranks.collect()}
+    assert got["http://leaf.example/a"] == ("leaf.example", rank_of["leaf.example"], 1)
+    assert got["http://leaf.example/b"][2] == 2
+    assert got["http://island.example/z"][1] == 0  # unranked host -> 0
+    # plan: per-host cap prunes map-side; the rank join broadcasts
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    # oracle parity on the same frames
+    p = str(tmp_path / "rfpm.parquet")
+    pm.toPandas().to_parquet(p)
+    fp = str(tmp_path / "rffr.parquet")
+    frontier.toPandas().to_parquet(fp)
+    con = duckdb.connect()
+    want = con.sql(linkstats.duck_rank_frontier_sql(
+        f"read_parquet('{fp}')", f"read_parquet('{p}')", budget=2)).df()
+    assert {
+        (r["url"], r["host"], r["rank_ppb"], r["host_seq"])
+        for _, r in want.iterrows()
+    } == {(u, h, r, s) for u, (h, r, s) in got.items()}

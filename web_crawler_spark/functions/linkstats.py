@@ -309,3 +309,72 @@ SELECT CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
        anchor, count(*)::BIGINT AS n_refs
 FROM pairs WHERE href <> '' GROUP BY 1, 2
 """
+
+
+# --- PageRank-prioritized frontier batch (harvest ordering) ------------------
+
+FRONTIER_RANK_BUDGET = 10
+
+
+def rank_frontier(
+    frontier: DataFrame,
+    ranks: DataFrame,
+    budget: int = FRONTIER_RANK_BUDGET,
+    url_col: str = "url",
+) -> DataFrame:
+    """Priority-ordered fetch batch: each frontier URL inherits its host's
+    authority score (``host_pagerank`` output) and at most ``budget`` URLs
+    per host survive — Cho/Garcia-Molina "crawl the best pages first"
+    realized as a window-ranked DataFrame under the politeness cap.
+
+    Output: (url, host, rank_ppb, host_seq); the fetch order is
+    (rank_ppb DESC, host, host_seq).
+
+    Scale shape: the rank table is O(hosts) — a broadcast map-side join;
+    the per-host cap compiles to WindowGroupLimit (partial top-k before the
+    one host exchange); no global sort — at cluster scale the batch is
+    range-partitioned on the priority keys, not totally ordered."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"(?i)^https?://([^/:?#]+)", 1)
+    )
+    keyed = frontier.select(
+        F.col(url_col).alias("url"), host.alias("host")
+    ).filter(F.col("host") != "")
+    w = Window.partitionBy("host").orderBy("url")
+    capped = (
+        keyed.withColumn("host_seq", F.row_number().over(w).cast("long"))
+        .filter(F.col("host_seq") <= budget)
+    )
+    return capped.join(broadcast(ranks), on="host", how="left").select(
+        "url",
+        "host",
+        F.coalesce(F.col("rank_ppb"), F.lit(0)).cast("long").alias("rank_ppb"),
+        "host_seq",
+    )
+
+
+def duck_rank_frontier_sql(
+    frontier: str,
+    pages_meta: str,
+    budget: int = FRONTIER_RANK_BUDGET,
+    url_col: str = "url",
+) -> str:
+    """``frontier`` is any relation with a ``{url_col}`` column; ranks come
+    from the unrolled integer PageRank over ``pages_meta``."""
+    return rf"""
+WITH fr AS (
+  SELECT {url_col} AS url,
+         lower(coalesce(regexp_extract({url_col}, '(?i)^https?://([^/:?#]+)', 1), '')) AS host
+  FROM {frontier}
+), capped AS (
+  SELECT url, host,
+         row_number() OVER (PARTITION BY host ORDER BY url)::BIGINT AS host_seq
+  FROM fr WHERE host <> ''
+  QUALIFY host_seq <= {budget}
+)
+SELECT c.url, c.host, coalesce(r.rank_ppb, 0)::BIGINT AS rank_ppb, c.host_seq
+FROM capped c LEFT JOIN ({{pagerank}}) r ON r.host = c.host
+""".replace("{pagerank}", duck_pagerank_sql(pages_meta))
