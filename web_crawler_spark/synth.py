@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v11"  # v11: evaldocs (decontamination bench) + weburls (URL gate)
+SYNTH_VERSION = "v12"  # v12: pages_prev (snapshot-diff delta); dedicated RNG, all v11 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -374,6 +374,60 @@ _URL_BLOCKLIST_SYNTH = ("casino", "gambling", "adultsite")
 _URL_MEDIA_EXTS = ("jpg", "jpeg", "png", "gif", "css", "js", "pdf", "mp4", "zip", "ico", "svg", "woff")
 
 
+def _gen_pages_prev(pages_tbl: pa.Table, sf: str):
+    """Previous crawl snapshot (30 days older) for the snapshot-diff op:
+    ~15% of current URLs are missing there ('added' since), ~25% of the
+    shared URLs carry different content ('changed' — html mutated and text
+    re-derived through refsim so html/text stay consistent), and a tail of
+    retired '/old/' URLs exists only in the previous snapshot ('gone').
+    Dedicated RNG: every v11 fixture's bytes are unchanged."""
+    rng = random.Random(f"pagesprev-{sf}")
+    urls = pages_tbl.column("url").to_pylist()
+    tss = pages_tbl.column("warc_ts").to_pylist()
+    htmls = pages_tbl.column("html").to_pylist()
+    texts = pages_tbl.column("text").to_pylist()
+    langs = pages_tbl.column("lang").to_pylist()
+    delta = timedelta(days=30)
+    p_url, p_ts, p_html, p_text, p_lang = [], [], [], [], []
+    for i in range(len(urls)):
+        r = rng.random()
+        if r < 0.15:
+            continue  # first seen after the previous snapshot -> 'added'
+        html, text = htmls[i], texts[i]
+        if r < 0.40:  # content has changed since the previous snapshot
+            extra = " ".join(rng.choice(_WORDS) for _ in range(12))
+            html_s = html.decode("utf-8").replace(
+                "</body>", f"<p>updated: {extra}.</p></body>", 1
+            )
+            parsed = refsim.parse_html(urls[i], html_s)
+            html, text = html_s.encode("utf-8"), parsed["text"]
+        p_url.append(urls[i])
+        p_ts.append(tss[i] - delta)
+        p_html.append(html)
+        p_text.append(text)
+        p_lang.append(langs[i])
+    # retired URLs: present only in the previous snapshot -> 'gone'
+    epoch_prev = datetime(2024, 1, 1, tzinfo=timezone.utc) - delta
+    for j in range(max(3, len(urls) // 20)):
+        u = f"http://host{rng.randrange(8)}.example/old/{j}"
+        html_s = _make_html(rng, 10**9 + j, [], "en")
+        parsed = refsim.parse_html(u, html_s)
+        p_url.append(u)
+        p_ts.append(epoch_prev + timedelta(seconds=j * 53))
+        p_html.append(html_s.encode("utf-8"))
+        p_text.append(parsed["text"])
+        p_lang.append("en")
+    return pa.table(
+        {
+            "url": pa.array(p_url, pa.string()),
+            "warc_ts": pa.array(p_ts, pa.timestamp("us", tz="UTC")),
+            "html": pa.array(p_html, pa.binary()),
+            "text": pa.array(p_text, pa.string()),
+            "lang": pa.array(p_lang, pa.string()),
+        }
+    )
+
+
 def _gen_weburls(sf: str):
     """Realistic crawl-discovered URLs for the URL-level quality gate
     (functions/urlfilter.py): clean article URLs, media/asset extensions,
@@ -593,6 +647,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     webdocs, syndicated = _gen_webdocs(rng, sf)
     evaldocs = _gen_evaldocs(syndicated, sf)
     weburls = _gen_weburls(sf)
+    pages_prev = _gen_pages_prev(pages, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -607,6 +662,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(webdocs, synth_path(sf, "webdocs"), row_group_size=1024)
     pq.write_table(evaldocs, synth_path(sf, "evaldocs"))
     pq.write_table(weburls, synth_path(sf, "weburls"), row_group_size=2048)
+    pq.write_table(pages_prev, synth_path(sf, "pages_prev"), row_group_size=2048)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
