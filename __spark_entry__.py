@@ -504,6 +504,14 @@ def q_doc_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram corpus-LM quality score (CCNet's perplexity bucket, made
+    integer-exact): per-doc mean term frequency in ppm of corpus tokens —
+    explode → term partial-agg → term-keyed lookup join; corpus total is
+    derived from the small frequency table, not a second token pass."""
+    return textstats.unigram_score(_docs(spark, sf_dir))
+
+
 def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-trap detection (Heritrix/IRLbot-style) over the weburls
     fixture: collapse each URL to a structural template (query values→V,
@@ -571,6 +579,15 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     digested map-side to (url, ts, md5) before the full-outer join, so the
     join moves hashes, never page bodies."""
     return recrawl.snapshot_diff(
+        _synth(spark, sf_dir, "pages_prev"), _synth(spark, sf_dir, "pages")
+    )
+
+
+def q_recrawl_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate-aware recrawl (adaptive revisit): changed pages refetch
+    first, new pages next, stable last, under the per-host budget — the
+    snapshot-diff digest join composed with the WindowGroupLimit top-k."""
+    return recrawl.adaptive_batch(
         _synth(spark, sf_dir, "pages_prev"), _synth(spark, sf_dir, "pages")
     )
 
@@ -958,12 +975,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_gate": q_url_gate,
         "url_traps": q_url_traps,
         "doc_unicode": q_doc_unicode,
+        "doc_unigram": q_doc_unigram,
         "corpus_sample": q_corpus_sample,
         "corpus_source_cap": q_corpus_source_cap,
         "corpus_mix": q_corpus_mix,
         "warc_scan": q_warc_scan,
         "recrawl_sched": q_recrawl_sched,
         "crawl_diff": q_crawl_diff,
+        "recrawl_adaptive": q_recrawl_adaptive,
         "corpus_pack": q_corpus_pack,
         "corpus_export": q_corpus_export,
         "link_hostgraph": q_link_hostgraph,
@@ -1288,6 +1307,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_unicode": webtext.duck_unicode_sql(
             f"read_parquet('{sp('pages')}')", id_col="url"
         ),
+        "doc_unigram": textstats.duck_unigram_sql("documents"),
         "corpus_sample": sampling.duck_stratified_sample_sql("documents"),
         "corpus_source_cap": sampling.duck_source_cap_sql("documents"),
         "corpus_mix": sampling.duck_interleave_sql("documents", MIX_WEIGHTS),
@@ -1298,6 +1318,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             FROM read_parquet('{sp('pages')}')
         """,
         "crawl_diff": recrawl.duck_snapshot_diff_sql(
+            f"read_parquet('{sp('pages_prev')}')", f"read_parquet('{sp('pages')}')"
+        ),
+        "recrawl_adaptive": recrawl.duck_adaptive_sql(
             f"read_parquet('{sp('pages_prev')}')", f"read_parquet('{sp('pages')}')"
         ),
         "recrawl_sched": recrawl.duck_recrawl_sql(

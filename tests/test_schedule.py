@@ -219,3 +219,34 @@ def test_snapshot_diff_fixture_has_all_statuses(spark):
     assert set(counts) == {"added", "gone", "changed", "unchanged"}
     # text-only truncation edge: every changed row has html_changed set
     assert out.filter("status = 'changed' AND NOT html_changed").count() == 0
+
+
+def test_adaptive_recrawl_priorities(spark):
+    """Changed pages outrank added, added outrank unchanged; gone URLs leave
+    the frontier; budget caps per host; WindowGroupLimit in the plan."""
+    from datetime import datetime, timezone
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    t1 = datetime(2024, 2, 1, tzinfo=timezone.utc)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    prev = spark.createDataFrame(
+        [(f"http://h.example/p/{i}", t0, b"<p>v1</p>", "v1", "en") for i in range(4)]
+        + [("http://h.example/gone", t0, b"<p>g</p>", "g", "en")],
+        schema,
+    )
+    curr = spark.createDataFrame(
+        # p/0 changed; p/1..3 unchanged; p/9 added
+        [("http://h.example/p/0", t1, b"<p>v2</p>", "v2", "en")]
+        + [(f"http://h.example/p/{i}", t1, b"<p>v1</p>", "v1", "en") for i in (1, 2, 3)]
+        + [("http://h.example/p/9", t1, b"<p>new</p>", "new", "en")],
+        schema,
+    )
+    out = recrawl.adaptive_batch(prev, curr, budget=3)
+    rows = sorted((r.host_rank, r.url, r.status, r.priority) for r in out.collect())
+    assert [r[1:] for r in rows] == [
+        ("http://h.example/p/0", "changed", 0),
+        ("http://h.example/p/9", "added", 1),
+        ("http://h.example/p/1", "unchanged", 2),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

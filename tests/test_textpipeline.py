@@ -550,3 +550,39 @@ def test_rank_frontier_semantics_and_plan(spark, tmp_path):
         (r["url"], r["host"], r["rank_ppb"], r["host_seq"])
         for _, r in want.iterrows()
     } == {(u, h, r, s) for u, (h, r, s) in got.items()}
+
+
+def test_unigram_score_crafted(spark, tmp_path):
+    """Integer-exact unigram LM score: common-term doc scores higher than a
+    rare-term doc; empty doc -> (0, 0); oracle parity on the same frame."""
+    import duckdb
+
+    from web_crawler_spark.functions import textstats
+
+    rows = [
+        (0, "the the the cat"),   # 'the' dominates the corpus
+        (1, "the cat sat"),
+        (2, "zyxwv qqqqz"),       # rare terms only -> low score
+        (3, ""),                  # empty -> n_terms 0, score 0
+        (4, "THE The the"),       # case folds into the common term
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.unigram_score(df)
+    got = {r.doc_id: (r.n_terms, r.score_ppm) for r in out.collect()}
+    assert got[3] == (0, 0)
+    assert got[0][1] > got[2][1]          # common beats rare
+    assert got[4][1] > got[1][1]          # all-'the' beats mixed
+    # 12 corpus tokens: the=7, cat=2, sat=1, zyxwv=1, qqqqz=1
+    the_ppm = 7 * 1_000_000 // 12
+    assert got[4] == (3, the_ppm)
+    # oracle parity
+    p = str(tmp_path / "uni.parquet")
+    df.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    want = {
+        int(r["doc_id"]): (int(r["n_terms"]), int(r["score_ppm"]))
+        for _, r in con.sql(
+            textstats.duck_unigram_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert want == got

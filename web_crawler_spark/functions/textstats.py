@@ -283,3 +283,78 @@ SELECT
   max(n_tokens)::BIGINT AS max_tokens
 FROM n GROUP BY 1
 """
+
+
+# -- unigram corpus-LM quality score (CCNet-lite) -----------------------------
+#
+# CCNet/RefinedWeb bucket documents by LM perplexity; the integer-exact
+# distributed stand-in is the mean corpus-frequency of a document's terms
+# (common-language prose scores high, gibberish / rare-token spam scores
+# low).  Float log-probs cannot hash-match across engines (order-dependent
+# summation), so every step here is BIGINT floor arithmetic — the same
+# determinism contract as host_pagerank.
+
+
+def unigram_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_terms, score_ppm): per-document mean term frequency, each
+    term's frequency expressed in ppm of total corpus tokens (floor), then
+    floor-averaged over the document's term occurrences.
+
+    Scale shape: one explode -> per-term partial agg builds the frequency
+    table; the corpus total is derived from that (small) table, not from a
+    second pass over the token stream; the per-occurrence lookup joins on
+    term.  Production crawls cap the table to the top-K vocabulary and
+    broadcast it (rare terms default to 0 ppm — same integer contract),
+    turning the lookup map-side."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    ppm = freq.crossJoin(F.broadcast(total)).select(
+        "term", F.expr("c * 1000000 DIV n_total").alias("term_ppm")
+    )
+    per_doc = (
+        toks.join(ppm, on="term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.expr("sum(term_ppm) DIV count(*)").alias("score_ppm"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_terms"), F.lit(0)).cast("long").alias("n_terms"),
+            F.coalesce(F.col("score_ppm"), F.lit(0)).cast("long").alias("score_ppm"),
+        )
+    )
+
+
+def duck_unigram_sql(table: str, id_col: str = "doc_id") -> str:
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, t.term
+  FROM {table}, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+freq AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n_total FROM freq),
+ppm AS (SELECT term, c * 1000000 // (SELECT n_total FROM tot) AS term_ppm FROM freq),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_terms,
+         sum(term_ppm) // count(*) AS score_ppm
+  FROM toks JOIN ppm USING (term) GROUP BY 1
+)
+SELECT d.{id_col} AS doc_id,
+       coalesce(p.n_terms, 0)::BIGINT AS n_terms,
+       coalesce(p.score_ppm, 0)::BIGINT AS score_ppm
+FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.{id_col}
+"""

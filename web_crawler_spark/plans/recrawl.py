@@ -183,3 +183,61 @@ SELECT coalesce(p.url, c.url) AS url,
        ELSE p.text IS DISTINCT FROM c.text END AS text_changed
 FROM {prev} p FULL OUTER JOIN {curr} c ON p.url = c.url
 """
+
+
+# -- change-rate-aware recrawl (adaptive revisit policy) ----------------------
+
+ADAPTIVE_BUDGET = 5
+
+
+def adaptive_batch(
+    prev: DataFrame,
+    curr: DataFrame,
+    budget: int | None = ADAPTIVE_BUDGET,
+) -> DataFrame:
+    """Adaptive revisit priority (Cho & Garcia-Molina freshness estimation,
+    one-observation form): pages whose content changed between the last two
+    snapshots refetch first (priority 0), newly discovered pages next (1),
+    stable pages last (2); ``gone`` URLs leave the frontier.  Per-host
+    politeness budget on top.
+
+    Output: (url, host, status, priority, host_rank).
+
+    Scale shape: composes ``snapshot_diff`` (digest-only full-outer join)
+    with the scheduler's WindowGroupLimit per-host top-k — the same two
+    exchanges the fetch scheduler already pays, nothing new."""
+    diff = snapshot_diff(prev, curr)
+    pri = (
+        F.when(F.col("status") == "changed", F.lit(0))
+        .when(F.col("status") == "added", F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    live = with_host(
+        diff.filter(F.col("status") != "gone").select(
+            "url", "status", pri.cast("long").alias("priority")
+        )
+    )
+    batch = select_host_budget_batch(
+        live, order_cols=["priority", "url"], budget=budget
+    )
+    return batch.select(
+        "url", "host", "status", "priority",
+        F.col("host_rank").cast("long").alias("host_rank"),
+    )
+
+
+def duck_adaptive_sql(prev: str, curr: str, budget: int = ADAPTIVE_BUDGET) -> str:
+    host = "lower(split_part(split_part(split_part(url, '://', 2), '/', 1), ':', 1))"
+    return rf"""
+WITH diff AS ({duck_snapshot_diff_sql(prev, curr)}),
+live AS (
+  SELECT url, {host} AS host, status,
+         CASE status WHEN 'changed' THEN 0 WHEN 'added' THEN 1 ELSE 2 END
+           ::BIGINT AS priority
+  FROM diff WHERE status <> 'gone'
+)
+SELECT url, host, status, priority,
+       row_number() OVER (PARTITION BY host ORDER BY priority, url)::BIGINT
+         AS host_rank
+FROM live QUALIFY host_rank <= {budget}
+"""
