@@ -504,6 +504,14 @@ def q_doc_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted-index build over documents (champion-list pruning):
+    term -> (full df, first-k postings).  Distinct (term, doc) with map-side
+    partials; the cap compiles to WindowGroupLimit so hot boilerplate terms
+    ship <= cap rows per map partition, never their true posting lists."""
+    return textstats.inverted_postings(_docs(spark, sf_dir))
+
+
 def q_doc_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram corpus-LM quality score (CCNet's perplexity bucket, made
     integer-exact): per-doc mean term frequency in ppm of corpus tokens —
@@ -976,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_traps": q_url_traps,
         "doc_unicode": q_doc_unicode,
         "doc_unigram": q_doc_unigram,
+        "index_postings": q_index_postings,
         "corpus_sample": q_corpus_sample,
         "corpus_source_cap": q_corpus_source_cap,
         "corpus_mix": q_corpus_mix,
@@ -1308,6 +1317,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f"read_parquet('{sp('pages')}')", id_col="url"
         ),
         "doc_unigram": textstats.duck_unigram_sql("documents"),
+        "index_postings": textstats.duck_postings_sql("documents"),
         "corpus_sample": sampling.duck_stratified_sample_sql("documents"),
         "corpus_source_cap": sampling.duck_source_cap_sql("documents"),
         "corpus_mix": sampling.duck_interleave_sql("documents", MIX_WEIGHTS),

@@ -102,6 +102,16 @@ def bench_corpus_webclean(spark, sf):
     return webtext.clean_web_corpus(wd).count()
 
 
+def bench_snapshot_diff(spark, sf):
+    """Crawl-delta between two snapshots: map-side digest projection, then a
+    full-outer join that moves hashes, never page bodies."""
+    from web_crawler_spark.plans import recrawl
+
+    prev = spark.read.parquet(synth.synth_path(sf, "pages_prev"))
+    curr = spark.read.parquet(synth.synth_path(sf, "pages"))
+    return _noop(recrawl.snapshot_diff(prev, curr))
+
+
 def bench_ann_brute(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     q = emb.filter(F.col("vec_id") < 20)
@@ -152,6 +162,8 @@ def main() -> None:
     timings["dedup_minhash_lsh"], _ = best_of(bench_dedup_minhash, spark, SF_DIR)
 
     timings["corpus_webclean"], _ = best_of(bench_corpus_webclean, spark, sf)
+
+    timings["snapshot_diff"], _ = best_of(bench_snapshot_diff, spark, sf)
 
     timings["ann_brute"], _ = best_of(bench_ann_brute, spark, SF_DIR)
 

@@ -586,3 +586,37 @@ def test_unigram_score_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert want == got
+
+
+def test_inverted_postings_crafted(spark, tmp_path):
+    """Cap semantics: df counts ALL docs, postings keep the first `cap`
+    ascending; dedup within doc; WindowGroupLimit in the plan."""
+    import duckdb
+
+    from web_crawler_spark.functions import textstats
+
+    rows = [(i, "common") for i in range(5)] + [
+        (0, "common rare"),        # 'common' twice in doc 0 -> counted once
+        (9, "only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").groupBy(
+        "doc_id"
+    ).agg(F.concat_ws(" ", F.collect_list("text")).alias("text"))
+    out = textstats.inverted_postings(df, cap=3)
+    got = {r.term: (r.df, list(r.postings)) for r in out.collect()}
+    assert got["common"] == (5, [0, 1, 2])       # df=5, postings capped at 3
+    assert got["rare"] == (1, [0])
+    assert got["only"] == (1, [9])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    # oracle parity
+    p = str(tmp_path / "post.parquet")
+    df.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    want = {
+        r["term"]: (int(r["df"]), list(r["postings"]))
+        for _, r in con.sql(
+            textstats.duck_postings_sql(f"read_parquet('{p}')", cap=3)
+        ).df().iterrows()
+    }
+    assert want == got

@@ -358,3 +358,72 @@ SELECT d.{id_col} AS doc_id,
        coalesce(p.score_ppm, 0)::BIGINT AS score_ppm
 FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.{id_col}
 """
+
+
+# -- capped inverted index (postings build) -----------------------------------
+#
+# The classic crawl downstream: term -> posting list.  The cap is standard
+# postings pruning (champion lists): boilerplate terms appearing in most of
+# a 10^10-doc corpus must not materialize 10^10-element arrays on one
+# reducer.  Full document frequency still rides the same exchange, so
+# ranking signals survive the cap.
+
+POSTINGS_CAP = 20
+
+
+def inverted_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int = POSTINGS_CAP,
+) -> DataFrame:
+    """(term, df, postings): per term, the full document frequency and the
+    first ``cap`` doc ids ascending.
+
+    Scale shape: explode -> distinct (term, doc) with map-side partials ->
+    the per-term cap is a constant-k row_number that compiles to
+    WindowGroupLimit (each map partition ships <= cap rows per term), so the
+    hot boilerplate term costs cap x partitions rows, never its true
+    posting list; collect_list only ever sees <= cap rows per group."""
+    from pyspark.sql import Window
+
+    td = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    dfreq = td.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    top = (
+        td.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    return top.join(dfreq, on="term").select("term", "df", "postings")
+
+
+def duck_postings_sql(table: str, cap: int = POSTINGS_CAP) -> str:
+    return rf"""
+WITH td AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM {table}, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM td GROUP BY 1),
+top AS (
+  SELECT term, doc_id FROM (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+    FROM td
+  ) WHERE rn <= {cap}
+)
+SELECT t.term, d.df, list_sort(list(t.doc_id)) AS postings
+FROM top t JOIN dfq d USING (term)
+GROUP BY t.term, d.df
+"""
