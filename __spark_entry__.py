@@ -581,6 +581,24 @@ RECRAWL_NOW_SKEW_US = 3600 * 10**6
 RECRAWL_BUDGET = 4
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (cross-group Sitemap: lines, the
+    frontier-seeding channel the reference lacks): robots bodies are built
+    deterministically from the corpus hosts, then the extraction is one
+    shuffle-free JVM line-filter projection — no Python, no UDF."""
+    from web_crawler_spark.sources import robots as robots_src
+
+    hosts = _synth(spark, sf_dir, "pages_meta").select("host").distinct()
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\nSitemap: http://"),
+        F.col("host"),
+        F.lit("/sitemap.xml\nSITEMAP:http://"),
+        F.col("host"),
+        F.lit("/sitemap-news.xml # daily refresh\nCrawl-delay: 2"),
+    )
+    return robots_src.with_sitemaps(hosts.select("host", body.alias("content")))
+
+
 def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot delta between the previous and current crawl (Common-Crawl
     monthly-diff shape): added/gone/changed/unchanged per URL.  Each side is
@@ -992,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_sched": q_recrawl_sched,
         "crawl_diff": q_crawl_diff,
         "recrawl_adaptive": q_recrawl_adaptive,
+        "robots_sitemaps": q_robots_sitemaps,
         "corpus_pack": q_corpus_pack,
         "corpus_export": q_corpus_export,
         "link_hostgraph": q_link_hostgraph,
@@ -1224,6 +1243,8 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_for(sf: str) -> dict[str, str]:
+    from web_crawler_spark.sources import robots as robots_src
+
     synth.ensure_synth(sf)
 
     def sp(table: str) -> str:
@@ -1332,6 +1353,14 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "recrawl_adaptive": recrawl.duck_adaptive_sql(
             f"read_parquet('{sp('pages_prev')}')", f"read_parquet('{sp('pages')}')"
+        ),
+        "robots_sitemaps": (
+            "WITH robots AS (SELECT host, 'User-agent: *' || chr(10) ||"
+            " 'Disallow: /private/' || chr(10) || 'Sitemap: http://' || host ||"
+            " '/sitemap.xml' || chr(10) || 'SITEMAP:http://' || host ||"
+            " '/sitemap-news.xml # daily refresh' || chr(10) || 'Crawl-delay: 2'"
+            " AS content FROM (SELECT DISTINCT host FROM "
+            f"{pages_meta})) " + robots_src.duck_sitemaps_sql("robots")
         ),
         "recrawl_sched": recrawl.duck_recrawl_sql(
             f"read_parquet('{sp('pages')}')",

@@ -86,3 +86,42 @@ def test_host_rules_and_politeness_integration(spark):
         per_host[r["host"]] = per_host.get(r["host"], 0) + 1
     assert per_host["a.example"] == 6  # crawl-delay-derived budget
     assert per_host["b.example"] == 5  # default budget
+
+
+def test_sitemap_extraction_boundary(spark, tmp_path):
+    """Sitemap: lines are cross-group; mixed case, no-space keys, comments,
+    and sitemap-free hosts all behave; DuckDB twin agrees."""
+    import duckdb
+
+    from web_crawler_spark.sources import robots as robots_src
+
+    rows = [
+        ("a.example",
+         "User-agent: x\nDisallow: /y\n"
+         "Sitemap: http://a.example/s1.xml\n"
+         "  SITEMAP:http://a.example/s2.xml   # trailing comment\n"
+         "sitemap : http://a.example/s3.xml"),   # space before ':' -> valid key
+        ("b.example", "User-agent: *\nDisallow: /"),          # none -> no rows
+        ("c.example", "# Sitemap: http://c.example/hidden.xml"),  # commented out
+        ("d.example", ""),
+    ]
+    df = spark.createDataFrame(rows, "host string, content string")
+    got = {(r.host, r.sitemap) for r in robots_src.with_sitemaps(df).collect()}
+    assert got == {
+        ("a.example", "http://a.example/s1.xml"),
+        ("a.example", "http://a.example/s2.xml"),
+        ("a.example", "http://a.example/s3.xml"),
+    }
+    p = str(tmp_path / "robots.parquet")
+    df.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    want = {
+        (r["host"], r["sitemap"])
+        for _, r in con.sql(
+            robots_src.duck_sitemaps_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert want == got
+    # shuffle-free: a pure projection over the robots scan
+    plan = robots_src.with_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -116,3 +116,46 @@ def host_rules_from_robots(
         ),
     ).otherwise(F.lit(default_budget))
     return parsed.select("host", "disallow", budget.alias("budget"))
+
+
+# -- sitemap discovery ---------------------------------------------------------
+#
+# Per the sitemaps protocol, ``Sitemap:`` lines in robots.txt are
+# cross-group (they apply regardless of user-agent), so extraction is a
+# pure line filter — JVM higher-order array functions, no Python, no
+# group-state machine needed (unlike the rules parse above).
+
+_SITEMAP_KEY_RE = r"(?i)^sitemap\s*:"
+
+
+def with_sitemaps(robots: DataFrame, content_col: str = "content") -> DataFrame:
+    """(host, sitemap): one row per Sitemap: line per host.  Comments strip
+    first, keys match case-insensitively, values trim; hosts whose robots
+    body has no sitemap line emit nothing (explode drops empty arrays).
+
+    Scale shape: map-side split/filter/transform over the robots scan —
+    robots bodies are one row per host (O(10^7-10^8) at web scale), so the
+    whole discovery pass is a single shuffle-free projection."""
+    lines = F.split(F.col(content_col), "\n")
+    stripped = F.transform(
+        lines, lambda l: F.trim(F.regexp_replace(l, "#.*$", ""))
+    )
+    hits = F.filter(stripped, lambda l: l.rlike(_SITEMAP_KEY_RE))
+    urls = F.transform(
+        hits, lambda l: F.trim(F.regexp_replace(l, _SITEMAP_KEY_RE, ""))
+    )
+    return robots.select("host", F.explode(urls).alias("sitemap"))
+
+
+def duck_sitemaps_sql(robots: str) -> str:
+    return rf"""
+SELECT host, trim(regexp_replace(l, '(?i)^sitemap\s*:', '')) AS sitemap
+FROM (
+  SELECT host,
+         unnest(list_filter(
+           list_transform(string_split(content, chr(10)),
+                          l -> trim(regexp_replace(l, '#.*$', ''))),
+           l -> regexp_matches(l, '(?i)^sitemap\s*:'))) AS l
+  FROM {robots}
+)
+"""
