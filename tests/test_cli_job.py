@@ -256,3 +256,50 @@ def test_cli_spark_submit_pyfiles(tmp_path):
     assert stats["total_urls"] >= 2
     # the submit-level master must have been honored, not demoted to local
     assert stats["master"].startswith("local-cluster"), stats["master"]
+
+
+def test_corpus_cli_parser_defaults():
+    from jobs.corpus import _parse_rates, build_parser
+
+    p = build_parser()
+    args = p.parse_args(["--docs", "/d", "--output", "/o"])
+    assert args.shards == 32 and not args.gopher and args.bench is None
+    assert _parse_rates("en=500,de=200") == {"en": 500, "de": 200}
+    assert _parse_rates(None) is None
+
+
+@pytest.mark.slow
+def test_corpus_cli_end_to_end(tmp_path):
+    """The corpus-export job writes shard-partitioned parquet and honest
+    stats; decontamination path exercised via the evaldocs fixture."""
+    from web_crawler_spark import synth
+
+    synth.ensure_synth("0.001")
+    out_dir = str(tmp_path / "shards")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "corpus.py"),
+            "--docs", synth.synth_path("0.001", "webdocs"),
+            "--bench", synth.synth_path("0.001", "evaldocs"),
+            "--output", out_dir,
+            "--shards", "8",
+            "--source-cap", "50",
+            "--master", "local[2]",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["docs_in"] > 0 and 0 < stats["docs_out"] <= stats["docs_in"]
+    assert stats["decontaminated"] and stats["shards"] == 8
+    shards = [d for d in os.listdir(out_dir) if d.startswith("shard=")]
+    assert 0 < len(shards) <= 8
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out_dir)
+    assert {"doc_id", "n_pii", "text_out"} <= set(t.column_names)
