@@ -207,6 +207,68 @@ def main() -> None:
         "deterministic, so retries/resume pick identical rows).",
     )
 
+    from web_crawler_spark.functions import linkstats, textstats, urlfilter, webtext  # noqa: E402
+    from web_crawler_spark.plans import recrawl as recrawl_mod  # noqa: E402
+
+    prev = spark.read.parquet(synth.synth_path("0.001", "pages_prev"))
+    curr = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    cap(
+        "crawl_diff — snapshot delta (digest-only full-outer join)",
+        recrawl_mod.snapshot_diff(prev, curr),
+        "Want: each join input is a Project to (url, ts, md5, md5) BELOW the\n"
+        "exchange — html BINARY never crosses the shuffle; the join is a\n"
+        "FullOuter SortMergeJoin on url (a zipper with zero exchange once\n"
+        "both snapshots are stored url-bucketed).",
+    )
+    cap(
+        "url_traps — crawl-trap template counts + broadcast prune gate",
+        urlfilter.prune_trapped(
+            spark.read.parquet(synth.synth_path("0.001", "weburls")),
+            urlfilter.url_trap_templates(
+                spark.read.parquet(synth.synth_path("0.001", "weburls"))
+            ),
+        ),
+        "Want: template projection map-side (JVM regex, codegen); the\n"
+        "distinct-URL count is a two-level partial agg on (host, template);\n"
+        "the trap list re-enters as a BroadcastHashJoin LeftAnti — the\n"
+        "frontier side never shuffles for the gate.",
+    )
+    cap(
+        "frontier_rank — PageRank-prioritized frontier batch",
+        linkstats.rank_frontier(
+            spark.read.parquet(synth.synth_path("0.001", "pages_meta"))
+            .select(F.explode("links").alias("url")).distinct(),
+            spark.read.parquet(synth.synth_path("0.001", "pages_meta"))
+            .select(F.col("host"), F.lit(0).cast("long").alias("rank_ppb"))
+            .distinct(),
+        ),
+        "Want: the per-host cap compiles to WindowGroupLimit Partial below\n"
+        "the host exchange; the rank table joins as BroadcastHashJoin — no\n"
+        "global sort anywhere (priority order is realized as sort keys).",
+    )
+    cap(
+        "doc_unigram — integer-exact unigram LM score",
+        textstats.unigram_score(docs),
+        "Want: term frequency via two-level partial agg; the corpus total\n"
+        "comes from the SMALL freq table (one extra agg, not a second pass\n"
+        "over the token stream); the per-occurrence lookup is a join on\n"
+        "term with map-side partials on the doc agg.",
+    )
+    cap(
+        "index_postings — capped inverted index",
+        textstats.inverted_postings(docs),
+        "Want: distinct (term, doc) with partial aggregation; the\n"
+        "constant-k cap compiles to WindowGroupLimit Partial, so hot\n"
+        "boilerplate terms ship <= cap rows per map partition — collect_list\n"
+        "only ever sees capped groups.",
+    )
+    cap(
+        "doc_unicode — encoding-quality gate",
+        webtext.unicode_quality(curr.select("url", "text"), id_col="url"),
+        "Want: one whole-stage-codegen Project over the scan; no Exchange,\n"
+        "no Python — fuses with the other text gates into a single pass.",
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")
         f.write(
