@@ -666,6 +666,14 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_pagerank(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm signals per host (TrustRank-style reciprocity analysis):
+    high fan-out + low reciprocal-link ratio flags spam networks.  All at
+    host grain — the pair relation builds with one partial-agg'd exchange
+    and is materialized once for its four consumers."""
+    return linkstats.host_link_spam(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank-prioritized fetch batch (Cho/Garcia-Molina URL ordering):
     the outlink frontier inherits host authority, budget-capped per host
@@ -1016,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hostgraph": q_link_hostgraph,
         "link_pagerank": q_link_pagerank,
         "frontier_rank": q_frontier_rank,
+        "link_spam": q_link_spam,
         "link_anchors": q_link_anchors,
         "doc_length_hist": q_doc_length_hist,
         "corpus_shards": q_corpus_shards,
@@ -1377,6 +1386,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "link_hostgraph": linkstats.duck_host_graph_sql(pages_meta),
         "link_pagerank": linkstats.duck_pagerank_sql(pages_meta),
+        "link_spam": linkstats.duck_link_spam_sql(pages_meta),
         "frontier_rank": linkstats.duck_rank_frontier_sql(
             f"(SELECT DISTINCT unnest(coalesce(links, [])) AS url FROM {pages_meta})",
             pages_meta,

@@ -620,3 +620,50 @@ def test_inverted_postings_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert want == got
+
+
+def test_host_link_spam_crafted(spark, tmp_path):
+    """A farm (high fan-out, nobody links back) is flagged; an organic hub
+    (reciprocated) is not; below-min-out hosts are never flagged."""
+    import duckdb
+
+    from web_crawler_spark.functions import linkstats
+
+    def page(host, i, links):
+        return (f"http://{host}/p/{i}", host, links)
+
+    rows = (
+        # farm.example links to 6 victims, none link back
+        [page("farm.example", i, [f"http://v{i}.example/x"]) for i in range(6)]
+        # hub.example <-> 5 partners (full reciprocity)
+        + [page("hub.example", i, [f"http://p{i}.example/x"]) for i in range(5)]
+        + [page(f"p{i}.example", 0, ["http://hub.example/x"]) for i in range(5)]
+        # tiny.example: fan-out 1, zero reciprocity -> below min_out, not spam
+        + [page("tiny.example", 0, ["http://v0.example/x"])]
+        # self-loops are excluded from every signal
+        + [page("selfy.example", 0, ["http://selfy.example/y"])]
+    )
+    df = spark.createDataFrame(rows, "url string, host string, links array<string>")
+    out = linkstats.host_link_spam(df, min_out=5)
+    got = {r.host: r for r in out.collect()}
+    assert got["farm.example"].spam and got["farm.example"].recip_ppm == 0
+    assert got["farm.example"].out_hosts == 6
+    assert not got["hub.example"].spam
+    assert got["hub.example"].recip_ppm == 1_000_000
+    assert not got["tiny.example"].spam  # below min_out
+    assert "selfy.example" not in got    # only self-loop -> no out-edges
+    # oracle parity
+    p = str(tmp_path / "spam.parquet")
+    df.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    want = {
+        r["host"]: (int(r["out_hosts"]), int(r["in_hosts"]),
+                    int(r["recip_hosts"]), int(r["recip_ppm"]), bool(r["spam"]))
+        for _, r in con.sql(
+            linkstats.duck_link_spam_sql(f"read_parquet('{p}')", min_out=5)
+        ).df().iterrows()
+    }
+    assert want == {
+        h: (r.out_hosts, r.in_hosts, r.recip_hosts, r.recip_ppm, r.spam)
+        for h, r in got.items()
+    }

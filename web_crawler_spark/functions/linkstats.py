@@ -378,3 +378,95 @@ WITH fr AS (
 SELECT c.url, c.host, coalesce(r.rank_ppb, 0)::BIGINT AS rank_ppb, c.host_seq
 FROM capped c LEFT JOIN ({{pagerank}}) r ON r.host = c.host
 """.replace("{pagerank}", duck_pagerank_sql(pages_meta))
+
+
+# --- link-farm / spam-host signals (reciprocity analysis) ---------------------
+
+SPAM_MIN_OUT = 5            # fixture-sized; production uses O(10^2-10^3)
+SPAM_MAX_RECIP_PPM = 600_000
+
+
+def host_link_spam(
+    df: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    links_col: str = "links",
+    min_out: int = SPAM_MIN_OUT,
+    max_recip_ppm: int = SPAM_MAX_RECIP_PPM,
+) -> DataFrame:
+    """(host, out_hosts, in_hosts, recip_hosts, recip_ppm, spam): link-farm
+    signals per linking host — high fan-out with low link reciprocity is the
+    classic spam-network shape (TrustRank/anti-spam literature), since
+    organic hubs get linked back and farms don't.
+
+    Output is integer-exact (recip_ppm = floor(recip*1e6/out)) for
+    cross-engine determinism.  Self-loops are excluded; only hosts with at
+    least one out-edge appear.
+
+    Scale shape: everything runs at HOST grain — the distinct host-pair
+    relation (~10^7-10^8 rows for the web, vs 10^12 links) is built with one
+    partial-agg'd exchange, then reciprocity is a self-join of that pair
+    relation on the reversed key and the degrees are two more partial-agg'd
+    groupBys; no url-grain data ever shuffles."""
+    pairs = (
+        host_graph(df, url_col=url_col, host_col=host_col, links_col=links_col)
+        .filter(F.col("dst_host") != F.col("src_host"))
+        .select("src_host", "dst_host")
+        .localCheckpoint(eager=True)  # reused 4x below — never recompute
+    )
+    outd = pairs.groupBy("src_host").agg(F.count("*").alias("out_hosts"))
+    ind = pairs.groupBy(F.col("dst_host").alias("src_host")).agg(
+        F.count("*").alias("in_hosts")
+    )
+    rev = pairs.select(
+        F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host")
+    )
+    recip = (
+        pairs.join(rev, on=["src_host", "dst_host"])
+        .groupBy("src_host")
+        .agg(F.count("*").alias("recip_hosts"))
+    )
+    out = (
+        outd.join(ind, on="src_host", how="left")
+        .join(recip, on="src_host", how="left")
+        .select(
+            F.col("src_host").alias("host"),
+            F.col("out_hosts").cast("long"),
+            F.coalesce(F.col("in_hosts"), F.lit(0)).cast("long").alias("in_hosts"),
+            F.coalesce(F.col("recip_hosts"), F.lit(0)).cast("long").alias("recip_hosts"),
+            F.expr(
+                "coalesce(recip_hosts, 0L) * 1000000 DIV out_hosts"
+            ).alias("recip_ppm"),
+        )
+    )
+    return out.withColumn(
+        "spam",
+        (F.col("out_hosts") >= min_out) & (F.col("recip_ppm") <= max_recip_ppm),
+    )
+
+
+def duck_link_spam_sql(
+    pages_meta: str,
+    min_out: int = SPAM_MIN_OUT,
+    max_recip_ppm: int = SPAM_MAX_RECIP_PPM,
+) -> str:
+    return rf"""
+WITH hg AS ({duck_host_graph_sql(pages_meta)}),
+pairs AS (
+  SELECT src_host, dst_host FROM hg WHERE dst_host <> src_host
+),
+outd AS (SELECT src_host AS host, count(*)::BIGINT AS out_hosts FROM pairs GROUP BY 1),
+ind AS (SELECT dst_host AS host, count(*)::BIGINT AS in_hosts FROM pairs GROUP BY 1),
+recip AS (
+  SELECT p.src_host AS host, count(*)::BIGINT AS recip_hosts
+  FROM pairs p JOIN pairs r ON r.src_host = p.dst_host AND r.dst_host = p.src_host
+  GROUP BY 1
+)
+SELECT o.host, o.out_hosts,
+       coalesce(i.in_hosts, 0)::BIGINT AS in_hosts,
+       coalesce(rc.recip_hosts, 0)::BIGINT AS recip_hosts,
+       coalesce(rc.recip_hosts, 0) * 1000000 // o.out_hosts AS recip_ppm,
+       (o.out_hosts >= {min_out}
+        AND coalesce(rc.recip_hosts, 0) * 1000000 // o.out_hosts <= {max_recip_ppm}) AS spam
+FROM outd o LEFT JOIN ind i USING (host) LEFT JOIN recip rc USING (host)
+"""
