@@ -674,6 +674,23 @@ def q_link_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_link_spam(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (VLDB'04): trust propagates from a seed set only — here
+    the composed anti-spam pipeline: seeds = the 5 most-reciprocated hosts
+    from host_link_spam (organic hubs; scale-robust, unlike the boolean
+    spam flag whose fixture-sized threshold can flag everything at tiny
+    sf).  Same integer-exact iteration framework as PageRank; spam
+    networks unreachable from the seeds rank ~0."""
+    pm = _synth(spark, sf_dir, "pages_meta")
+    seeds = (
+        linkstats.host_link_spam(pm)
+        .orderBy(F.desc("recip_ppm"), F.asc("host"))
+        .limit(5)
+        .select("host")
+    )
+    return linkstats.host_trustrank(pm, seeds)
+
+
 def q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank-prioritized fetch batch (Cho/Garcia-Molina URL ordering):
     the outlink frontier inherits host authority, budget-capped per host
@@ -1025,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "frontier_rank": q_frontier_rank,
         "link_spam": q_link_spam,
+        "link_trustrank": q_link_trustrank,
         "link_anchors": q_link_anchors,
         "doc_length_hist": q_doc_length_hist,
         "corpus_shards": q_corpus_shards,
@@ -1387,6 +1405,11 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "link_hostgraph": linkstats.duck_host_graph_sql(pages_meta),
         "link_pagerank": linkstats.duck_pagerank_sql(pages_meta),
         "link_spam": linkstats.duck_link_spam_sql(pages_meta),
+        "link_trustrank": linkstats.duck_trustrank_sql(
+            pages_meta,
+            f"SELECT host FROM ({linkstats.duck_link_spam_sql(pages_meta)})"
+            " QUALIFY row_number() OVER (ORDER BY recip_ppm DESC, host) <= 5",
+        ),
         "frontier_rank": linkstats.duck_rank_frontier_sql(
             f"(SELECT DISTINCT unnest(coalesce(links, [])) AS url FROM {pages_meta})",
             pages_meta,

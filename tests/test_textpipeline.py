@@ -667,3 +667,43 @@ def test_host_link_spam_crafted(spark, tmp_path):
         h: (r.out_hosts, r.in_hosts, r.recip_hosts, r.recip_ppm, r.spam)
         for h, r in got.items()
     }
+
+
+def test_trustrank_crafted(spark, tmp_path):
+    """Trust decays from the seeds: a host linked by a seed earns trust, a
+    spam island unreachable from seeds gets 0; oracle agrees bit-for-bit."""
+    import duckdb
+
+    from web_crawler_spark.functions import linkstats
+
+    rows = [
+        ("http://good.example/p/0", "good.example", ["http://mid.example/x"]),
+        ("http://mid.example/p/0", "mid.example", ["http://good.example/x"]),
+        # spam island: links among themselves, unreachable from seeds
+        ("http://spam1.example/p/0", "spam1.example", ["http://spam2.example/x"]),
+        ("http://spam2.example/p/0", "spam2.example", ["http://spam1.example/x"]),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, links array<string>")
+    seeds = spark.createDataFrame([("good.example",)], "host string")
+    out = linkstats.host_trustrank(df, seeds)
+    got = {r.host: r.trust_ppb for r in out.collect()}
+    assert got["good.example"] > got["mid.example"] > 0
+    assert got["spam1.example"] == 0 and got["spam2.example"] == 0
+    # oracle parity (bit-exact integers)
+    p = str(tmp_path / "tr.parquet")
+    df.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    want = {
+        r["host"]: int(r["trust_ppb"])
+        for _, r in con.sql(
+            linkstats.duck_trustrank_sql(
+                f"read_parquet('{p}')", "SELECT 'good.example' AS host"
+            )
+        ).df().iterrows()
+    }
+    assert want == got
+    # empty seed set -> all zeros, no crash
+    zero = linkstats.host_trustrank(
+        df, spark.createDataFrame([], "host string")
+    )
+    assert {r.trust_ppb for r in zero.collect()} == {0}

@@ -470,3 +470,151 @@ SELECT o.host, o.out_hosts,
         AND coalesce(rc.recip_hosts, 0) * 1000000 // o.out_hosts <= {max_recip_ppm}) AS spam
 FROM outd o LEFT JOIN ind i USING (host) LEFT JOIN recip rc USING (host)
 """
+
+
+# --- TrustRank (seeded trust propagation, anti-spam ranking) ------------------
+#
+# Gyongyi/Garcia-Molina/Pedersen, "Combating web spam with TrustRank"
+# (VLDB 2004): PageRank whose teleport mass goes ONLY to a trusted seed
+# set, so trust decays with distance from the seeds and spam networks
+# (unreachable from good hosts) rank near zero.  Same integer-exact
+# determinism contract as host_pagerank — BIGINT floor arithmetic only.
+
+
+def host_trustrank(
+    df: DataFrame,
+    seeds: DataFrame,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    url_col: str = "url",
+    host_col: str = "host",
+    links_col: str = "links",
+) -> DataFrame:
+    """(host, trust_ppb): seeded trust propagation over the host graph.
+
+    ``seeds``: one ``host`` column — the trusted set (in the composed
+    anti-spam pipeline, the NOT-spam hosts from ``host_link_spam``).
+    Initial mass and every teleport/dangling redistribution go to seeds
+    uniformly; non-seed hosts only ever receive flowed-through trust.
+
+    Scale shape: identical to host_pagerank — the host-grain edge relation
+    materializes once with out-degrees attached; each iteration is one
+    shuffle-on-host join + a partial-agg'd groupBy with localCheckpoint
+    lineage truncation; the seed set is O(hosts), broadcast into the
+    per-iteration base join."""
+    from pyspark.sql.functions import broadcast
+
+    edges = host_graph(df, url_col=url_col, host_col=host_col, links_col=links_col)
+    out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("w_out"))
+    edges_w = (
+        edges.select("src_host", "dst_host", "n_links")
+        .join(out_w, on="src_host")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges_w.select(F.col("src_host").alias("host"))
+        .unionByName(edges_w.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_set = (
+        nodes.join(broadcast(seeds.select("host").distinct()), on="host")
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = seed_set.count()
+    if n_seeds == 0:
+        return nodes.select("host", F.lit(0).cast("long").alias("trust_ppb"))
+    seed_flag = seed_set.withColumn("__seed", F.lit(True))
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // (PR_DAMP_DEN * n_seeds)
+    has_out = out_w.select(F.col("src_host").alias("host"))
+    ranks = nodes.join(broadcast(seed_flag), on="host", how="left").select(
+        "host",
+        F.when(F.col("__seed"), F.lit(scale // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = edges_w.join(
+            ranks.withColumnRenamed("host", "src_host"), on="src_host"
+        ).select(
+            F.col("dst_host").alias("host"),
+            F.expr("rank * n_links DIV w_out").alias("c"),
+        )
+        inflow = contrib.groupBy("host").agg(F.sum("c").alias("in_c"))
+        dangling = (
+            ranks.join(has_out, on="host", how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)))
+            .first()[0]
+        )
+        seed_share = int(dangling) // n_seeds
+        ranks = (
+            nodes.join(inflow, on="host", how="left")
+            .join(broadcast(seed_flag), on="host", how="left")
+            .select(
+                "host",
+                (
+                    F.when(F.col("__seed"), F.lit(base + seed_share))
+                    .otherwise(F.lit(0))
+                    + F.expr(
+                        f"{PR_DAMP_NUM} * coalesce(in_c, 0L) DIV {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("host", F.col("rank").alias("trust_ppb"))
+
+
+def duck_trustrank_sql(
+    pages_meta: str, seeds_sql: str, iters: int = PR_ITERS, scale: int = PR_SCALE
+) -> str:
+    """DuckDB twin: the seeded iteration unrolled as a CTE chain.
+    ``seeds_sql`` is any relation with a ``host`` column."""
+    dnum, dden = PR_DAMP_NUM, PR_DAMP_DEN
+    parts = [
+        f"""e0 AS (
+  SELECT src_host, dst_host, n_links FROM ({duck_host_graph_sql(pages_meta)})
+)""",
+        """nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM e0 UNION ALL SELECT dst_host FROM e0)
+)""",
+        f"seeds AS (SELECT DISTINCT host FROM ({seeds_sql}) WHERE host IN (SELECT host FROM nodes))",
+        "ns AS (SELECT count(*) AS n FROM seeds)",
+        "outw AS (SELECT src_host, sum(n_links) AS w_out FROM e0 GROUP BY 1)",
+        f"""r0 AS (
+  SELECT n.host,
+         CASE WHEN n.host IN (SELECT host FROM seeds)
+              THEN {scale}::BIGINT // (SELECT n FROM ns) ELSE 0 END AS rank
+  FROM nodes n
+)""",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""c{k} AS (
+  SELECT e.dst_host AS host, sum(r.rank * e.n_links // o.w_out) AS in_c
+  FROM e0 e JOIN r{p} r ON r.host = e.src_host
+  JOIN outw o ON o.src_host = e.src_host GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""d{k} AS (
+  SELECT coalesce(sum(rank), 0) // (SELECT n FROM ns) AS seed_share
+  FROM r{p} WHERE host NOT IN (SELECT src_host FROM outw)
+)"""
+        )
+        parts.append(
+            f"""r{k} AS (
+  SELECT n.host,
+         CASE WHEN n.host IN (SELECT host FROM seeds)
+              THEN {(dden - dnum) * scale}::BIGINT // ({dden} * (SELECT n FROM ns))
+                   + (SELECT seed_share FROM d{k})
+              ELSE 0 END
+         + {dnum} * coalesce(c.in_c, 0) // {dden} AS rank
+  FROM nodes n LEFT JOIN c{k} c ON c.host = n.host
+)"""
+        )
+    cte = ",\n".join(parts)
+    return f"WITH {cte}\nSELECT host, rank::BIGINT AS trust_ppb FROM r{iters}"
