@@ -609,6 +609,20 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot exact content dedup (canonical-version selection): one
+    row per distinct extracted text across the previous+current crawls,
+    earliest capture wins — a page unchanged between snapshots must not
+    enter the training set twice.  Digest map-side; one min-struct
+    first-wins exchange keyed by digest, copy count riding along."""
+    return recrawl.dedup_snapshots(
+        [
+            _synth(spark, sf_dir, "pages_prev"),
+            _synth(spark, sf_dir, "pages"),
+        ]
+    )
+
+
 def q_recrawl_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-rate-aware recrawl (adaptive revisit): changed pages refetch
     first, new pages next, stable last, under the per-host budget — the
@@ -1040,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_sched": q_recrawl_sched,
         "crawl_diff": q_crawl_diff,
         "recrawl_adaptive": q_recrawl_adaptive,
+        "dedup_snapshots": q_dedup_snapshots,
         "robots_sitemaps": q_robots_sitemaps,
         "corpus_pack": q_corpus_pack,
         "corpus_export": q_corpus_export,
@@ -1385,6 +1400,12 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "recrawl_adaptive": recrawl.duck_adaptive_sql(
             f"read_parquet('{sp('pages_prev')}')", f"read_parquet('{sp('pages')}')"
+        ),
+        "dedup_snapshots": recrawl.duck_dedup_snapshots_sql(
+            [
+                f"read_parquet('{sp('pages_prev')}')",
+                f"read_parquet('{sp('pages')}')",
+            ]
         ),
         "robots_sitemaps": (
             "WITH robots AS (SELECT host, 'User-agent: *' || chr(10) ||"

@@ -250,3 +250,56 @@ def test_adaptive_recrawl_priorities(spark):
     ]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_dedup_snapshots_canonical_pick(spark, tmp_path):
+    """Earliest capture wins per content digest (ties by url); copy counts
+    include every snapshot; changed content keeps both versions."""
+    import duckdb
+    from datetime import datetime, timezone
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    t1 = datetime(2024, 2, 1, tzinfo=timezone.utc)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    prev = spark.createDataFrame(
+        [
+            ("http://a.example/p1", t0, b"", "same text", "en"),
+            ("http://a.example/p2", t0, b"", "old text", "en"),
+            # same content on two urls in one snapshot: url breaks the tie
+            ("http://b.example/z", t0, b"", "mirrored", "en"),
+            ("http://a.example/z", t0, b"", "mirrored", "en"),
+        ],
+        schema,
+    )
+    curr = spark.createDataFrame(
+        [
+            ("http://a.example/p1", t1, b"", "same text", "en"),   # unchanged
+            ("http://a.example/p2", t1, b"", "new text", "en"),    # changed
+        ],
+        schema,
+    )
+    out = recrawl.dedup_snapshots([prev, curr])
+    got = {r.url + "|" + str(r.ts_us): (r.n_copies,) for r in out.collect()}
+    rows = {r.digest: r for r in out.collect()}
+    by_text = {}
+    import hashlib
+
+    for txt in ("same text", "old text", "new text", "mirrored"):
+        by_text[txt] = rows[hashlib.md5(txt.encode()).hexdigest()]
+    assert by_text["same text"].n_copies == 2  # both snapshots
+    assert by_text["same text"].ts_us == int(t0.timestamp() * 1e6)  # earliest wins
+    assert by_text["old text"].n_copies == 1
+    assert by_text["new text"].n_copies == 1
+    assert by_text["mirrored"].url == "http://a.example/z"  # url tiebreak
+    # oracle parity
+    pp, cp = str(tmp_path / "p"), str(tmp_path / "c")
+    prev.coalesce(1).write.parquet(pp)
+    curr.coalesce(1).write.parquet(cp)
+    con = duckdb.connect()
+    want = {
+        r["digest"]: (int(r["n_copies"]), r["url"], int(r["ts_us"]))
+        for _, r in con.sql(recrawl.duck_dedup_snapshots_sql(
+            [f"read_parquet('{pp}/*.parquet')", f"read_parquet('{cp}/*.parquet')"]
+        )).df().iterrows()
+    }
+    assert want == {d: (r.n_copies, r.url, r.ts_us) for d, r in rows.items()}

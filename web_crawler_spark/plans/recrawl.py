@@ -241,3 +241,63 @@ SELECT url, host, status, priority,
          AS host_rank
 FROM live QUALIFY host_rank <= {budget}
 """
+
+
+# -- cross-snapshot content dedup (canonical-version selection) ---------------
+
+
+def dedup_snapshots(
+    snapshots: "list[DataFrame]",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per distinct extracted TEXT across all snapshots — the
+    earliest capture wins (ties by url).  A page unchanged between two
+    monthly snapshots must not enter the training set twice (the
+    cross-snapshot half of exact dedup; Lee et al. dedup within one
+    snapshot is ``dedup_exact``).
+
+    Output: (digest, n_copies, url, ts_us) — the canonical capture plus the
+    duplicate count per content digest.
+
+    Scale shape: each snapshot digests map-side (16-byte md5, bodies stay in
+    the scan); the union is one first-wins min-struct aggregation keyed by
+    digest with map-side partials — the same single-exchange plan as the
+    frontier's url dedup, with the copy count riding the same exchange."""
+    from ..operators.dedup import first_wins
+
+    digested = [
+        s.select(
+            F.md5(F.encode(F.col(text_col), "UTF-8")).alias("digest"),
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            F.col(url_col).alias("url"),
+        )
+        for s in snapshots
+    ]
+    both = digested[0]
+    for d in digested[1:]:
+        both = both.unionByName(d)
+    counts = both.groupBy("digest").agg(F.count("*").alias("n_copies"))
+    winners = first_wins(both, "digest", ["ts_us", "url"])
+    return winners.join(counts, on="digest").select(
+        "digest", F.col("n_copies").cast("long"), "url", F.col("ts_us").cast("long")
+    )
+
+
+def duck_dedup_snapshots_sql(tables: "list[str]") -> str:
+    union = " UNION ALL ".join(
+        f"SELECT md5(text) AS digest, epoch_us(warc_ts) AS ts_us, url FROM {t}"
+        for t in tables
+    )
+    return rf"""
+WITH allsnap AS ({union}),
+ranked AS (
+  SELECT digest, ts_us, url,
+         row_number() OVER (PARTITION BY digest ORDER BY ts_us, url) AS rn,
+         count(*) OVER (PARTITION BY digest) AS n_copies
+  FROM allsnap
+)
+SELECT digest, n_copies::BIGINT AS n_copies, url, ts_us::BIGINT AS ts_us
+FROM ranked WHERE rn = 1
+"""
