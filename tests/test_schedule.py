@@ -303,3 +303,26 @@ def test_dedup_snapshots_canonical_pick(spark, tmp_path):
         )).df().iterrows()
     }
     assert want == {d: (r.n_copies, r.url, r.ts_us) for d, r in rows.items()}
+
+
+def test_snapshot_diff_bucketed_is_zipper(spark):
+    """With both snapshots stored url-bucketed+sorted, the digest full-outer
+    join runs with ZERO Exchange — the SCALE.md zipper claim, plan-tested."""
+    synth.ensure_synth("0.001")
+    prev = spark.read.parquet(synth.synth_path("0.001", "pages_prev"))
+    curr = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    recrawl.write_snapshot_bucketed(prev, "snap_prev_zip", buckets=8)
+    recrawl.write_snapshot_bucketed(curr, "snap_curr_zip", buckets=8)
+    try:
+        out = recrawl.snapshot_diff(
+            spark.table("snap_prev_zip"), spark.table("snap_curr_zip")
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "FullOuter" in plan
+        assert "Exchange" not in plan, plan
+        # and it computes the same delta as the plain-parquet path
+        base = recrawl.snapshot_diff(prev, curr)
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS snap_prev_zip")
+        spark.sql("DROP TABLE IF EXISTS snap_curr_zip")

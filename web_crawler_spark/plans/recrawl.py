@@ -301,3 +301,21 @@ ranked AS (
 SELECT digest, n_copies::BIGINT AS n_copies, url, ts_us::BIGINT AS ts_us
 FROM ranked WHERE rn = 1
 """
+
+
+def write_snapshot_bucketed(
+    df: DataFrame, table_name: str, buckets: int = 64, url_col: str = "url"
+) -> None:
+    """Persist a crawl snapshot hash-bucketed (+sorted) by url — the storage
+    layout that turns ``snapshot_diff`` into a ZIPPER sort-merge join: both
+    sides arrive pre-distributed and pre-sorted on url, so the full-outer
+    join runs with zero Exchange (plan-tested in tests/test_schedule.py).
+    The same only-the-small-side-moves property the bucketed seen store
+    gives the frontier anti-join (operators/dedup.write_bucketed_seen)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, url_col)
+        .sortBy(url_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
