@@ -967,6 +967,60 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): per user, the
+    first time each stage is reached AFTER the previous stage, plus the
+    completed-stage count.  Three filtered partial-agg'd min-aggregations
+    chained by user_id joins — each stage's input shrinks (the funnel), so
+    later joins get cheaper; no windows, no event-grain re-shuffles."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id",
+        "event_type",
+        # ts is TIMESTAMP_NTZ; the session tz is UTC, so the cast matches
+        # DuckDB's epoch_us over the same naive values
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    users = ev.select("user_id").distinct()
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1_us"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s1, on="user_id")
+        .filter(F.col("ts_us") >= F.col("t1_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2_us"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s2, on="user_id")
+        .filter(F.col("ts_us") >= F.col("t2_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3_us"))
+    )
+    return (
+        users.join(s1, on="user_id", how="left")
+        .join(s2, on="user_id", how="left")
+        .join(s3, on="user_id", how="left")
+        .select(
+            "user_id",
+            "t1_us",
+            "t2_us",
+            "t3_us",
+            (
+                F.col("t1_us").isNotNull().cast("int")
+                + F.col("t2_us").isNotNull().cast("int")
+                + F.col("t3_us").isNotNull().cast("int")
+            ).cast("long").alias("stage"),
+        )
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (event_type): per-type counts plus the grand total, with
     an explicit grouping flag (null-vs-total disambiguation)."""
@@ -1086,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_rollup": q_events_rollup,
         "events_user_rank": q_events_user_rank,
+        "events_funnel": q_events_funnel,
     }
 
 
@@ -1536,5 +1591,27 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rnk
             FROM events GROUP BY user_id
             QUALIFY rnk <= 20
+        """,
+        "events_funnel": f"""
+            WITH ev AS (
+              SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+            ),
+            s1 AS (SELECT user_id, min(ts_us) AS t1_us FROM ev
+                   WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts_us) AS t2_us
+                   FROM ev e JOIN s1 USING (user_id)
+                   WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts_us >= s1.t1_us
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us
+                   FROM ev e JOIN s2 USING (user_id)
+                   WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts_us >= s2.t2_us
+                   GROUP BY 1)
+            SELECT u.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+                   ((s1.user_id IS NOT NULL)::INT + (s2.user_id IS NOT NULL)::INT
+                    + (s3.user_id IS NOT NULL)::INT)::BIGINT AS stage
+            FROM (SELECT DISTINCT user_id FROM ev) u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
         """,
     }

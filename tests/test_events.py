@@ -80,3 +80,45 @@ def test_session_gap_boundary_semantics(spark):
     oracle = entry._oracle_sql_for("0.001")["events_sessions"]
     want = con.sql(oracle).df().sort_values(["user_id", "session_start"])
     assert [(r.user_id, r.n_events) for r in want.itertuples()] == sessions
+
+
+def test_events_funnel_ordering_semantics(spark, tmp_path):
+    """A click BEFORE the first view must not count as stage 2; equal
+    timestamps count (>=); users with no view are stage 0."""
+    import datetime as dt
+    import os
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: full funnel in order
+        (1, t(0), 1, "view", 0.0, ""), (2, t(1), 1, "click", 0.0, ""),
+        (3, t(2), 1, "purchase", 0.0, ""),
+        # u2: click precedes the first view -> never reaches stage 2
+        (4, t(0), 2, "click", 0.0, ""), (5, t(1), 2, "view", 0.0, ""),
+        # u3: view and click at the SAME instant -> >= counts it
+        (6, t(0), 3, "view", 0.0, ""), (7, t(0), 3, "click", 0.0, ""),
+        # u4: purchase only -> stage 0
+        (8, t(0), 4, "purchase", 0.0, ""),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark rejects NANOS parquet
+    d = tmp_path / "ev"
+    os.makedirs(d)
+    pdf.to_parquet(str(d / "events.parquet"))
+    out = entry.q_events_funnel(spark, str(d))
+    got = {r.user_id: (r.stage, r.t2_us is not None, r.t3_us is not None)
+           for r in out.collect()}
+    assert got[1] == (3, True, True)
+    assert got[2] == (1, False, False)
+    assert got[3] == (2, True, False)
+    assert got[4] == (0, False, False)
+    # oracle parity on the same frame
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = con.sql(entry._oracle_sql_for("0.001")["events_funnel"]).df()
+    assert {
+        int(r["user_id"]): (int(r["stage"]), pd.notna(r["t2_us"]), pd.notna(r["t3_us"]))
+        for _, r in want.iterrows()
+    } == got
