@@ -762,6 +762,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupsim.simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Manku WWW'07 banding): bucketed self-join on
+    (band, 8-bit key) — pigeonhole-exact at Hamming<=3, never all-pairs —
+    with over-full buckets dropped before the join and a JVM bit_count
+    verify on the survivors."""
+    return dedupsim.simhash_pairs(_docs(spark, sf_dir))
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: connected components over the LSH candidate-pair
     graph (iterative min-label propagation; singletons keep their own id).
@@ -1124,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_components": q_dedup_components,
         "doc_top_terms": q_doc_top_terms,
         "dedup_embed": q_dedup_embed,
@@ -1504,6 +1513,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "dedup_lsh_pairs": dedupsim.duck_lsh_pairs_sql("documents"),
         "dedup_jaccard": dedupsim.duck_jaccard_sql("documents"),
         "dedup_simhash": dedupsim.duck_simhash_sql("documents"),
+        "dedup_simhash_pairs": dedupsim.duck_simhash_pairs_sql("documents"),
         "dedup_components": dedupsim.duck_components_sql("documents"),
         "doc_top_terms": textstats.duck_top_terms_sql("documents"),
         "dedup_embed": simsearch.duck_cosine_dups_sql("embeddings", COSINE_DUP_THRESHOLD_PPM),

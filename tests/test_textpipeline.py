@@ -707,3 +707,43 @@ def test_trustrank_crafted(spark, tmp_path):
         df, spark.createDataFrame([], "host string")
     )
     assert {r.trust_ppb for r in zero.collect()} == {0}
+
+
+def test_simhash_pairs_semantics(spark, tmp_path):
+    """Identical docs pair at hamming 0; near-identical docs land within the
+    radius; unrelated docs don't pair; pigeonhole recall is exact at <=3 —
+    verified against an all-pairs brute force on the same signatures."""
+    import duckdb
+
+    from web_crawler_spark.functions import dedupsim
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (0, base),
+        (1, base),                              # identical -> hamming 0
+        (2, base + "extra tail token"),         # near-dup
+        (3, "completely different content about spark shuffles " * 6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedupsim.simhash_pairs(df)
+    got = {(r.a, r.b): r.hamming for r in out.collect()}
+    assert got[(0, 1)] == 0
+    # brute-force ground truth at the same radius from the signatures
+    sig = {r.doc_id: r.simhash for r in dedupsim.simhash(df).collect()}
+    want = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for a in sig for b in sig if a < b
+        and bin(sig[a] ^ sig[b]).count("1") <= dedupsim.SIMHASH_PAIR_MAX_HAMMING
+    }
+    assert got == want  # exact recall (pigeonhole) AND no false extras
+    # oracle parity
+    p = str(tmp_path / "shp.parquet")
+    df.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    oracle = {
+        (int(r["a"]), int(r["b"])): int(r["hamming"])
+        for _, r in con.sql(
+            dedupsim.duck_simhash_pairs_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

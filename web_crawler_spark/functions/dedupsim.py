@@ -390,3 +390,108 @@ SELECT i.a, i.b,
   floor(i.inter / (za.n_sh + zb.n_sh - i.inter)::DOUBLE * 1e6)::BIGINT AS jaccard_ppm
 FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
 """
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup PAIR detection (banded, pigeonhole-exact)
+# --------------------------------------------------------------------------
+
+SIMHASH_PAIR_BANDS = 4           # 32 bits / 4 bands = 8 bits per band
+SIMHASH_PAIR_MAX_HAMMING = 3     # pigeonhole: <=3 flipped bits across 4
+#                                  bands => at least one band identical, so
+#                                  banding has EXACT recall at this radius
+SIMHASH_HOT_BUCKET_CAP = 64      # drop degenerate band buckets (the winnow
+#                                  lesson: a key shared by k docs emits k^2
+#                                  rows); production widens the fingerprint
+#                                  instead of raising the cap
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = SIMHASH_PAIR_MAX_HAMMING,
+    bands: int = SIMHASH_PAIR_BANDS,
+    hot_bucket_cap: int = SIMHASH_HOT_BUCKET_CAP,
+) -> DataFrame:
+    """(a, b, hamming): document pairs whose SimHash differs in at most
+    ``max_hamming`` bits — the second LSH family next to MinHash banding
+    (Manku et al., WWW'07 use exactly this split-and-bucket trick).
+
+    Scale shape: signatures materialize once (one narrow row per doc);
+    band keys explode bands-per-doc; candidates come from a bucketed
+    self-join on (band, key) — never all pairs — with over-full buckets
+    dropped (counted via one partial-agg'd groupBy) before the join; the
+    Hamming verify is a JVM bit_count on the pair rows."""
+    sig = simhash(df, id_col=id_col, text_col=text_col).localCheckpoint(
+        eager=True  # reused by both join branches — never recompute
+    )
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sizes = banded.groupBy("band", "key").agg(F.count("*").alias("__n"))
+    kept = banded.join(
+        sizes.filter(F.col("__n") <= hot_bucket_cap).select("band", "key"),
+        on=["band", "key"],
+    )
+    l = kept.select(
+        "band", "key", F.col("doc_id").alias("a"), F.col("simhash").alias("ha")
+    )
+    r = kept.select(
+        "band", "key", F.col("doc_id").alias("b"), F.col("simhash").alias("hb")
+    )
+    cand = (
+        l.join(r, on=["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("a", "b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def duck_simhash_pairs_sql(
+    table: str,
+    max_hamming: int = SIMHASH_PAIR_MAX_HAMMING,
+    bands: int = SIMHASH_PAIR_BANDS,
+    hot_bucket_cap: int = SIMHASH_HOT_BUCKET_CAP,
+) -> str:
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    return rf"""
+WITH sig AS ({duck_simhash_sql(table)}),
+banded AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * {width})) & {mask} AS key
+  FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
+),
+kept AS (
+  SELECT * FROM banded
+  QUALIFY count(*) OVER (PARTITION BY band, key) <= {hot_bucket_cap}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         l.simhash AS ha, r.simhash AS hb
+  FROM kept l JOIN kept r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT a, b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
