@@ -581,6 +581,17 @@ RECRAWL_NOW_SKEW_US = 3600 * 10**6
 RECRAWL_BUDGET = 4
 
 
+def q_sketch_url_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL register sketch over the crawl's URLs (frontier
+    cardinality accounting): 4096 (register, max_rank) rows, integer-exact in
+    both engines — the float estimate stays client-side (pytest pins it
+    within 5% of the exact distinct count).  The exchange carries <=4096
+    rows per map partition at any corpus size."""
+    from web_crawler_spark.operators import bloom as bloom_ops
+
+    return bloom_ops.hll_registers(_synth(spark, sf_dir, "pages").select("url"))
+
+
 def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap discovery from robots.txt (cross-group Sitemap: lines, the
     frontier-seeding channel the reference lacks): robots bodies are built
@@ -1118,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_adaptive": q_recrawl_adaptive,
         "dedup_snapshots": q_dedup_snapshots,
         "robots_sitemaps": q_robots_sitemaps,
+        "sketch_url_hll": q_sketch_url_hll,
         "corpus_pack": q_corpus_pack,
         "corpus_export": q_corpus_export,
         "link_hostgraph": q_link_hostgraph,
@@ -1354,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_for(sf: str) -> dict[str, str]:
+    from web_crawler_spark.operators import bloom as bloom_ops
     from web_crawler_spark.sources import robots as robots_src
 
     synth.ensure_synth(sf)
@@ -1464,6 +1477,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "recrawl_adaptive": recrawl.duck_adaptive_sql(
             f"read_parquet('{sp('pages_prev')}')", f"read_parquet('{sp('pages')}')"
+        ),
+        "sketch_url_hll": bloom_ops.duck_hll_registers_sql(
+            f"read_parquet('{sp('pages')}')"
         ),
         "dedup_snapshots": recrawl.duck_dedup_snapshots_sql(
             [

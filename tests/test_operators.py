@@ -322,3 +322,40 @@ def test_host_budget_with_rules_and_robots(spark):
         "http://a.example/ok/3",
         "http://b.example/x",
     ]
+
+
+def test_hll_registers_estimate_and_merge(spark, tmp_path):
+    """The register sketch estimates distinct counts within 5%, merges by
+    max, and matches the DuckDB twin bit-for-bit."""
+    import duckdb
+
+    from web_crawler_spark.operators import bloom as bloomlib
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.concat(F.lit("http://h.example/p/"), F.col("id")).alias("url")
+    )
+    # duplicate rows must not change the sketch (distinct-count semantics)
+    regs_df = bloomlib.hll_registers(df.unionByName(df))
+    regs = {r.register: r.max_rank for r in regs_df.collect()}
+    assert len(regs) <= 4096 and max(regs.values()) <= bloomlib.HLL_MAX_RANK
+    est = bloomlib.hll_estimate(regs)
+    assert abs(est - n) / n < 0.05, est
+    # oracle parity (integer-exact registers)
+    p = str(tmp_path / "urls.parquet")
+    df.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    want = {
+        int(r["register"]): int(r["max_rank"])
+        for _, r in con.sql(
+            bloomlib.duck_hll_registers_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert want == regs
+    # mergeability: sketch(A) max-merged with sketch(B) == sketch(A ∪ B)
+    a = df.filter(F.col("url") < "http://h.example/p/5")
+    b = df.filter(F.col("url") >= "http://h.example/p/5")
+    ra = {r.register: r.max_rank for r in bloomlib.hll_registers(a).collect()}
+    rb = {r.register: r.max_rank for r in bloomlib.hll_registers(b).collect()}
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert merged == regs

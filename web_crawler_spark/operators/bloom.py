@@ -205,3 +205,81 @@ def bloom_prefilter(
     fresh = tagged.filter(~F.col("__maybe")).drop("__maybe")
     maybe = tagged.filter(F.col("__maybe")).drop("__maybe")
     return fresh, maybe
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog register sketch (mergeable cardinality accounting)
+# --------------------------------------------------------------------------
+#
+# Frontier accounting at 10^10 URLs ("how many distinct URLs has this crawl
+# seen / discovered per day / per host-shard?") cannot afford exact
+# count-distinct re-scans.  The HLL REGISTER TABLE is the mergeable,
+# engine-portable representation: (register, max_rank) — 4096 rows —
+# computed with pure integer/string ops so a SQL warehouse reproduces it
+# bit-for-bit (the float estimation step stays client-side, see
+# ``hll_estimate``; Spark's approx_count_distinct hides its sketch and can
+# never hash-match another engine).
+
+HLL_P = 12                # 2^12 = 4096 registers (SE ~1.6%)
+HLL_W_HEX = 11            # 44-bit rank field from md5 hex chars 4..14
+HLL_MAX_RANK = HLL_W_HEX * 4 + 1
+
+
+def hll_registers(df: "DataFrame", col: str = "url") -> "DataFrame":
+    """(register, max_rank) over md5(col): register = first 2 hex chars
+    (8 bits), rank = leading zeros of the next 44 bits + 1 via
+    ``length(bin(w))`` — integer-exact in Spark AND DuckDB.
+
+    Scale shape: map-side projection -> groupBy(register).max with partial
+    aggregation: the exchange carries <= 4096 rows per map partition no
+    matter the corpus size, and sketches from different days / shards merge
+    by the same max."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.col(col).cast("string"))
+    reg = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 4, HLL_W_HEX), 16, 10).cast("long")
+    rank = (
+        F.when(w == 0, F.lit(HLL_MAX_RANK))
+        .otherwise(F.lit(HLL_W_HEX * 4) - F.length(F.bin(w)) + 1)
+        .cast("long")
+    )
+    return (
+        df.select(reg.alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def duck_hll_registers_sql(table: str, col: str = "url") -> str:
+    return rf"""
+WITH h AS (
+  SELECT md5({col}::VARCHAR) AS hx FROM {table}
+),
+r AS (
+  SELECT CAST('0x' || substring(hx, 1, 3) AS BIGINT) AS register,
+         CAST('0x' || substring(hx, 4, {HLL_W_HEX}) AS BIGINT) AS w
+  FROM h
+)
+SELECT register,
+       max(CASE WHEN w = 0 THEN {HLL_MAX_RANK}
+                ELSE {HLL_W_HEX * 4} - length(bin(w)) + 1 END)::BIGINT AS max_rank
+FROM r GROUP BY register
+"""
+
+
+def hll_estimate(registers: "dict[int, int]", p: int = HLL_P) -> float:
+    """Client-side HLL estimate (Flajolet et al. 2007, with the small-range
+    linear-counting correction) from a (register -> max_rank) mapping.
+    Kept out of the distributed plan on purpose: floats don't cross-engine
+    hash, registers do."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -registers.get(i, 0) for i in range(m))
+    est = alpha * m * m / s
+    zeros = sum(1 for i in range(m) if registers.get(i, 0) == 0)
+    if est <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return est
