@@ -1063,6 +1063,47 @@ def q_events_user_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity week,
+    counted at each later activity-week offset.  Weeks are pure integer
+    epoch-day DIV 7 buckets (no calendar/timezone semantics to diverge
+    across engines).  Two partial-agg'd exchanges on user_id — the cohort
+    min rides the same grain as the distinct (user, week) activity set —
+    then one small agg on (cohort_week, week_offset)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) DIV 604800000000"
+        ).alias("week"),
+    )
+    activity = ev.distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(cohort, on="user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the host link graph (Kleinberg 1999):
+    integer-exact L1-renormalized mutual reinforcement, bit-identical
+    across engines; oracle is the same iteration unrolled as a DuckDB CTE
+    chain (linkstats.host_hits docstring for the scale shape)."""
+    return linkstats.host_hits(_synth(spark, sf_dir, "pages_meta"))
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k BM25 retrieval over documents for a fixed query — the
+    integer-exact rational-idf surrogate (textstats.bm25_topk docstring):
+    one tokenize pass computes dl and per-term tf together, idf broadcasts
+    back, and the top-k compiles to WindowGroupLimit."""
+    return textstats.bm25_topk(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1162,6 +1203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_user_rank": q_events_user_rank,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "link_hits": q_link_hits,
+        "search_bm25": q_search_bm25,
     }
 
 
@@ -1640,4 +1684,20 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             LEFT JOIN s2 USING (user_id)
             LEFT JOIN s3 USING (user_id)
         """,
+        "events_retention": """
+            WITH activity AS (
+              SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+              FROM events
+            ),
+            cohort AS (
+              SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY 1
+            )
+            SELECT c.cohort_week::BIGINT AS cohort_week,
+                   (a.week - c.cohort_week)::BIGINT AS week_offset,
+                   count(DISTINCT a.user_id)::BIGINT AS n_users
+            FROM activity a JOIN cohort c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "link_hits": linkstats.duck_hits_sql(pages_meta),
+        "search_bm25": textstats.duck_bm25_sql("documents"),
     }

@@ -122,3 +122,13 @@ def test_events_funnel_ordering_semantics(spark, tmp_path):
         int(r["user_id"]): (int(r["stage"]), pd.notna(r["t2_us"]), pd.notna(r["t3_us"]))
         for _, r in want.iterrows()
     } == got
+
+
+def test_events_retention_vs_duckdb(spark):
+    con = _duck()
+    got = entry.q_events_retention(spark, SF_DIR)
+    want = con.sql(entry._oracle_sql_for("0.001")["events_retention"])
+    _cmp(got, want, ["cohort_week", "week_offset"])
+    # offset 0 always exists (every cohort is active in its own first week)
+    pdf = got.toPandas()
+    assert (pdf.groupby("cohort_week")["week_offset"].min() == 0).all()

@@ -747,3 +747,143 @@ def test_simhash_pairs_semantics(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def _naive_hits(edges, iters, scale):
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    hub = {h: scale // n for h in nodes}
+    auth = {h: 0 for h in nodes}
+    for _ in range(iters):
+        araw = {h: 0 for h in nodes}
+        for s, d, w in edges:
+            araw[d] += hub[s] * w
+        qa = max(sum(araw.values()) // scale, 1)
+        auth = {h: araw[h] // qa for h in nodes}
+        hraw = {h: 0 for h in nodes}
+        for s, d, w in edges:
+            hraw[s] += auth[d] * w
+        qh = max(sum(hraw.values()) // scale, 1)
+        hub = {h: hraw[h] // qh for h in nodes}
+    return {h: (auth[h], hub[h]) for h in nodes}
+
+
+def test_host_hits_integer_exact(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.functions import linkstats
+
+    # a links to b (x2 pages + a weight-2 edge) and c; b links back to a;
+    # c is a pure authority (linked-to, links nowhere)
+    rows = [
+        ("http://a.example/1", "a.example",
+         ["http://b.example/x", "http://c.example/y"]),
+        ("http://a.example/2", "a.example",
+         ["http://b.example/z", "http://b.example/z"]),
+        ("http://b.example/", "b.example", ["http://a.example/1"]),
+        ("http://c.example/", "c.example", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, links array<string>")
+    got = {
+        r["host"]: (r["auth_ppb"], r["hub_ppb"])
+        for r in linkstats.host_hits(df).collect()
+    }
+    edges = [
+        ("a.example", "b.example", 3),
+        ("a.example", "c.example", 1),
+        ("b.example", "a.example", 1),
+    ]
+    want = _naive_hits(edges, linkstats.HITS_ITERS, linkstats.HITS_SCALE)
+    assert got == want
+    # a is the dominant hub; b is the dominant authority
+    assert got["a.example"][1] > got["b.example"][1]
+    assert got["b.example"][0] > got["c.example"][0]
+    # partition-count invariance: integer arithmetic is reduction-order-free
+    got8 = {
+        r["host"]: (r["auth_ppb"], r["hub_ppb"])
+        for r in linkstats.host_hits(df.repartition(8)).collect()
+    }
+    assert got8 == got
+    # DuckDB oracle parity on the same frame
+    p = str(tmp_path / "hits.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["host"]: (int(r["auth_ppb"]), int(r["hub_ppb"]))
+        for _, r in duckdb.sql(
+            linkstats.duck_hits_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got
+
+
+def _naive_bm25(docs, query, k):
+    import re
+
+    toks = {
+        i: [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        for i, txt in docs
+    }
+    n = len(docs)
+    total = sum(len(v) for v in toks.values())
+    avgdl_ppm = total * 1_000_000 // n
+    scores = {}
+    for t in dict.fromkeys(query):
+        dfq = sum(1 for v in toks.values() if t in v)
+        if dfq == 0:
+            continue
+        idf = (2 * (n - dfq) + 1) * 1_000_000 // (2 * dfq + 1)
+        for i, v in toks.items():
+            tf = v.count(t)
+            if not tf:
+                continue
+            dl_ratio = len(v) * 1_000_000_000_000 // avgdl_ppm
+            denom = tf * 1_000_000 + (1200 * (250000 + (750 * dl_ratio) // 1000)) // 1000
+            tfc = (tf * 2_200_000_000_000) // denom
+            scores[i] = scores.get(i, 0) + (idf * tfc) // 1_000_000
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(i, s, r + 1) for r, (i, s) in enumerate(ranked)]
+
+
+def test_bm25_integer_exact(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.functions import textstats
+
+    docs = [
+        (1, "spark joins windows and spark shuffles"),   # both terms, short
+        (2, "the window function ranks rows over a window frame"),  # no match (plural)
+        (3, "join join join join spark window"),         # term-stuffed
+        (4, "a very long document about nothing relevant " * 20),
+        (5, "spark"),                                    # minimal doc, rare-ish term
+        (6, ""),                                         # empty doc
+    ]
+    query = ("spark", "join", "window")
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["score_ppm"], r["rnk"])
+        for r in textstats.bm25_topk(df, query_terms=query, k=4)
+        .orderBy("rnk")
+        .collect()
+    ]
+    want = _naive_bm25(docs, query, 4)
+    assert got == want
+    # the stuffed doc wins; every score is positive
+    assert got[0][0] == 3 and all(s > 0 for _, s, _ in got)
+    # partition-count invariance
+    got8 = [
+        (r["doc_id"], r["score_ppm"], r["rnk"])
+        for r in textstats.bm25_topk(df.repartition(8), query_terms=query, k=4)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got8 == got
+    # DuckDB oracle parity on the same frame
+    p = str(tmp_path / "bm25.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = [
+        (int(r["doc_id"]), int(r["score_ppm"]), int(r["rnk"]))
+        for _, r in duckdb.sql(
+            textstats.duck_bm25_sql(f"read_parquet('{p}')", query_terms=query, k=4)
+        ).df().sort_values("rnk").iterrows()
+    ]
+    assert oracle == got

@@ -618,3 +618,166 @@ def duck_trustrank_sql(
         )
     cte = ",\n".join(parts)
     return f"WITH {cte}\nSELECT host, rank::BIGINT AS trust_ppb FROM r{iters}"
+
+
+# --- HITS (hubs & authorities, Kleinberg 1999) --------------------------------
+#
+# The third classic link-analysis signal next to PageRank/TrustRank: hub
+# scores surface link-directory/aggregator hosts (crawl seed mining),
+# authority scores surface content hosts (corpus quality prior).  The
+# reference has no counterpart — training-data layer.
+#
+# Same determinism contract as host_pagerank: every step is BIGINT floor
+# arithmetic so results are bit-identical across engines and reduction
+# orders.  Classic HITS L2-normalizes; L2 needs sqrt, which is not
+# integer-exact, so this uses the equally-convergent L1 renormalization:
+# after each update the raw scores are divided by q = max(total DIV scale, 1),
+# bringing the vector back to ~`scale` total mass.  q is a scalar aggregate
+# computed driver-side in Spark and as a scalar subquery in the oracle —
+# identical integers either way.
+#
+# Overflow bound: raw = sum(score * n_links) <= scale * total_edge_weight
+# must stay < 2^63 — at scale=1e9 that allows ~9e9 total weighted in-links
+# per host per iteration; the q-renormalization then caps the next round's
+# scores back at ~scale, so the bound never compounds across iterations.
+
+HITS_ITERS = 4
+HITS_SCALE = 10**9
+
+
+def host_hits(
+    df: DataFrame,
+    iters: int = HITS_ITERS,
+    scale: int = HITS_SCALE,
+    url_col: str = "url",
+    host_col: str = "host",
+    links_col: str = "links",
+) -> DataFrame:
+    """(host, auth_ppb, hub_ppb) — weighted HITS over the host link graph,
+    a fixed number of exact-integer mutual-reinforcement iterations.
+
+    Scale shape: identical to host_pagerank — the host-grain edge relation
+    is materialized once and reused every iteration; each half-iteration is
+    one shuffle-on-host join + one partial-agg'd groupBy, with per-iteration
+    ``localCheckpoint`` lineage truncation.  The L1 total is a scalar
+    aggregate on the driver, like the loop's fixpoint probes."""
+    edges = (
+        host_graph(df, url_col=url_col, host_col=host_col, links_col=links_col)
+        .select("src_host", "dst_host", "n_links")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "host",
+            F.lit(0).cast("long").alias("auth_ppb"),
+            F.lit(0).cast("long").alias("hub_ppb"),
+        )
+    hub = nodes.select("host", F.lit(scale // n).cast("long").alias("hub"))
+    auth = nodes.select("host", F.lit(0).cast("long").alias("auth"))
+    for _ in range(iters):
+        araw = (
+            edges.join(hub.withColumnRenamed("host", "src_host"), on="src_host")
+            .groupBy("dst_host")
+            .agg(F.sum(F.expr("hub * n_links")).alias("a_raw"))
+        )
+        araw = araw.localCheckpoint(eager=True)
+        atot = araw.agg(F.coalesce(F.sum("a_raw"), F.lit(0))).first()[0]
+        qa = max(int(atot) // scale, 1)
+        auth = nodes.join(
+            araw.withColumnRenamed("dst_host", "host"), on="host", how="left"
+        ).select(
+            "host",
+            F.expr(f"coalesce(a_raw, 0L) DIV {qa}L").cast("long").alias("auth"),
+        )
+        auth = auth.localCheckpoint(eager=True)
+        hraw = (
+            edges.join(auth.withColumnRenamed("host", "dst_host"), on="dst_host")
+            .groupBy("src_host")
+            .agg(F.sum(F.expr("auth * n_links")).alias("h_raw"))
+        )
+        hraw = hraw.localCheckpoint(eager=True)
+        htot = hraw.agg(F.coalesce(F.sum("h_raw"), F.lit(0))).first()[0]
+        qh = max(int(htot) // scale, 1)
+        hub = nodes.join(
+            hraw.withColumnRenamed("src_host", "host"), on="host", how="left"
+        ).select(
+            "host",
+            F.expr(f"coalesce(h_raw, 0L) DIV {qh}L").cast("long").alias("hub"),
+        )
+        hub = hub.localCheckpoint(eager=True)
+    return (
+        nodes.join(auth, on="host", how="left")
+        .join(hub, on="host", how="left")
+        .select(
+            "host",
+            F.coalesce(F.col("auth"), F.lit(0)).cast("long").alias("auth_ppb"),
+            F.coalesce(F.col("hub"), F.lit(0)).cast("long").alias("hub_ppb"),
+        )
+    )
+
+
+def duck_hits_sql(
+    pages_meta: str, iters: int = HITS_ITERS, scale: int = HITS_SCALE
+) -> str:
+    """DuckDB twin: the same integer mutual-reinforcement unrolled as a CTE
+    chain (h0 -> a1/h1 -> ... -> a{iters}/h{iters}); the L1 renormalization
+    divisor is a scalar subquery over the same integer raws, so every value
+    is bit-identical to the Spark run."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT src_host, dst_host, n_links FROM ({duck_host_graph_sql(pages_meta)})
+)""",
+        """nodes AS MATERIALIZED (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM e0 UNION ALL SELECT dst_host FROM e0)
+)""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"h0 AS MATERIALIZED (SELECT host, {scale}::BIGINT // (SELECT n FROM nn) AS hub"
+        " FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""ar{k} AS MATERIALIZED (
+  SELECT e.dst_host AS host, sum(h.hub * e.n_links) AS a_raw
+  FROM e0 e JOIN h{p} h ON h.host = e.src_host GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""a{k} AS MATERIALIZED (
+  SELECT n.host,
+         coalesce(c.a_raw, 0)
+           // greatest((SELECT coalesce(sum(a_raw), 0) FROM ar{k}) // {scale}, 1)
+           AS auth
+  FROM nodes n LEFT JOIN ar{k} c ON c.host = n.host
+)"""
+        )
+        parts.append(
+            f"""hr{k} AS MATERIALIZED (
+  SELECT e.src_host AS host, sum(a.auth * e.n_links) AS h_raw
+  FROM e0 e JOIN a{k} a ON a.host = e.dst_host GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""h{k} AS MATERIALIZED (
+  SELECT n.host,
+         coalesce(c.h_raw, 0)
+           // greatest((SELECT coalesce(sum(h_raw), 0) FROM hr{k}) // {scale}, 1)
+           AS hub
+  FROM nodes n LEFT JOIN hr{k} c ON c.host = n.host
+)"""
+        )
+    cte = ",\n".join(parts)
+    return (
+        f"WITH {cte}\n"
+        f"SELECT n.host, a.auth::BIGINT AS auth_ppb, h.hub::BIGINT AS hub_ppb\n"
+        f"FROM nodes n JOIN a{iters} a ON a.host = n.host"
+        f" JOIN h{iters} h ON h.host = n.host"
+    )

@@ -427,3 +427,177 @@ SELECT t.term, d.df, list_sort(list(t.doc_id)) AS postings
 FROM top t JOIN dfq d USING (term)
 GROUP BY t.term, d.df
 """
+
+
+# -- BM25 ranked retrieval (integer-exact, Robertson et al.) -------------------
+#
+# The retrieval scorer every crawl corpus ultimately feeds (and the standard
+# relevance prior for LLM-data curation, e.g. retrieval-based quality
+# filtering).  Real BM25's log-idf is not reproducible bit-for-bit across
+# engines (libm vs JVM transcendentals), so this uses the same monotone
+# rational surrogate family (RSJ odds without the log) with every step in
+# BIGINT floor arithmetic — bit-identical across engines, partition counts,
+# and reduction orders, like host_pagerank:
+#
+#   idf_ppm  = 1e6 * (2*(N - df) + 1) / (2*df + 1)            [RSJ odds]
+#   tfc_ppm  = 1e6 * tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl))
+#   score    = sum over query terms of idf_ppm * tfc_ppm / 1e6
+#
+# with k1=1.2, b=0.75 held as exact /1000 rationals.  Overflow bound:
+# idf_ppm * tfc_ppm <= ~2e6*(2N+1) must stay < 2^63, i.e. N up to ~2e12
+# docs per corpus shard; beyond that, cap idf_ppm (mirrored in the oracle).
+
+BM25_K1_MILLI = 1200  # k1 = 1.2
+BM25_B_MILLI = 750    # b = 0.75
+BM25_TOPK = 20
+BM25_QUERY = ("spark", "join", "window")
+
+
+def _bm25_contrib_expr(scale_b: int = BM25_B_MILLI, k1: int = BM25_K1_MILLI) -> str:
+    """The shared integer BM25 term formula over columns (tf, dl, idf_ppm)
+    and the scalar avgdl_ppm placeholder — identical text is used to build
+    both the Spark expression and the DuckDB oracle, divergence-proof."""
+    one_minus_b = (1000 - scale_b) * 1000  # (1-b) in ppm
+    return (
+        "(idf_ppm * ((tf * 2200000000000) {div} "
+        f"(tf * 1000000 + ({k1} * ({one_minus_b} + ({scale_b} * "
+        "(dl * 1000000000000 {div} {avgdl_ppm})) {div} 1000)) {div} 1000)"
+        ")) {div} 1000000"
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOPK,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score_ppm, rnk): top-k documents for a fixed query under
+    integer-exact BM25 (module docstring), ties broken by doc_id ascending.
+
+    Scale shape: ONE tokenize pass computes doc length and per-query-term
+    tf together (conditional partial-agg'd sums keyed on doc_id — no
+    tf-to-dl join, no second token pass); the per-term document frequencies
+    and the corpus totals derive from that per-doc frame (tiny aggregates);
+    idf joins back as a broadcast of |query| rows.  The final top-k is a
+    constant-k row_number that compiles to WindowGroupLimit, so each map
+    partition ships <= k candidate rows."""
+    from pyspark.sql import Window
+
+    qt = [t.lower() for t in dict.fromkeys(query_terms)]
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    aggs = [F.count("*").cast("long").alias("dl")]
+    for i, t in enumerate(qt):
+        aggs.append(
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{i}")
+        )
+    per_doc = toks.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=True)
+    n_docs = df.count()
+    total_toks = per_doc.agg(F.coalesce(F.sum("dl"), F.lit(0))).first()[0]
+    if n_docs == 0 or int(total_toks) == 0:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0).cast("long").alias("score_ppm"),
+            F.lit(0).cast("long").alias("rnk"),
+        ).limit(0)
+    avgdl_ppm = (int(total_toks) * 1_000_000) // int(n_docs)
+    tf = per_doc.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"), F.col(f"tf_{i}").alias("tf")
+                    )
+                    for i, t in enumerate(qt)
+                ]
+            )
+        ).alias("z"),
+    ).select("doc_id", "dl", "z.term", "z.tf").filter(F.col("tf") > 0)
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+    idf = dfreq.select(
+        "term",
+        F.expr(
+            f"(2 * ({n_docs}L - df_t) + 1) * 1000000L DIV (2 * df_t + 1)"
+        ).alias("idf_ppm"),
+    )
+    contrib = _bm25_contrib_expr().format(div="DIV", avgdl_ppm=f"{avgdl_ppm}L")
+    scored = (
+        tf.join(F.broadcast(idf), on="term")
+        .withColumn("c_ppm", F.expr(contrib))
+        .groupBy("doc_id")
+        .agg(F.sum("c_ppm").cast("long").alias("score_ppm"))
+    )
+    w = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "score_ppm", "rnk")
+    )
+
+
+def duck_bm25_sql(
+    table: str,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOPK,
+    id_col: str = "doc_id",
+) -> str:
+    qt = [t.lower() for t in dict.fromkeys(query_terms)]
+    tf_cols = ",\n         ".join(
+        f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)::BIGINT AS tf_{i}"
+        for i, t in enumerate(qt)
+    )
+    tf_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, dl, '{t}' AS term, tf_{i} AS tf FROM per_doc WHERE tf_{i} > 0"
+        for i, t in enumerate(qt)
+    )
+    contrib = _bm25_contrib_expr().format(
+        div="//", avgdl_ppm="(SELECT avgdl_ppm FROM av)"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, t.term
+  FROM {table}, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS dl,
+         {tf_cols}
+  FROM toks GROUP BY 1
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM {table}),
+av AS (
+  SELECT sum(dl)::BIGINT * 1000000 // (SELECT n FROM nn) AS avgdl_ppm
+  FROM per_doc
+),
+tf AS (
+  {tf_union}
+),
+dfq AS (SELECT term, count(*)::BIGINT AS df_t FROM tf GROUP BY 1),
+idf AS (
+  SELECT term,
+         (2 * ((SELECT n FROM nn) - df_t) + 1) * 1000000 // (2 * df_t + 1)
+           AS idf_ppm
+  FROM dfq
+),
+sc AS (
+  SELECT t.doc_id, sum({contrib})::BIGINT AS score_ppm
+  FROM tf t JOIN idf ON idf.term = t.term
+  GROUP BY 1
+)
+SELECT doc_id, score_ppm, rnk FROM (
+  SELECT doc_id, score_ppm,
+         row_number() OVER (ORDER BY score_ppm DESC, doc_id)::BIGINT AS rnk
+  FROM sc
+) WHERE rnk <= {k}
+"""
