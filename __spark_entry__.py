@@ -1104,6 +1104,35 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bm25_topk(_docs(spark, sf_dir))
 
 
+def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: build capped posting shards over two
+    disjoint halves of the corpus (doc_id parity stands in for base +
+    new-crawl delta) and merge them with the champion-list merge algebra —
+    the oracle is the FULL single-pass build, so the grade proves
+    merge(build(A), build(B)) == build(A ∪ B) exactly."""
+    d = _docs(spark, sf_dir)
+    a = textstats.inverted_postings(d.filter(F.col("doc_id") % 2 == 0))
+    b = textstats.inverted_postings(d.filter(F.col("doc_id") % 2 == 1))
+    return textstats.merge_postings(a, b)
+
+
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min counter table over all document term occurrences (hot-key
+    frequency accounting without a full-term groupBy) — d*w integer
+    counters, engine-portable via md5 bucketing, mergeable by addition
+    across shards/days (operators/bloom.py CMS section)."""
+    from web_crawler_spark.operators import bloom as bloom_ops
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    return bloom_ops.cms_counters(toks, "term")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1206,6 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "link_hits": q_link_hits,
         "search_bm25": q_search_bm25,
+        "index_merge": q_index_merge,
+        "sketch_cms": q_sketch_cms,
     }
 
 
@@ -1700,4 +1731,13 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         """,
         "link_hits": linkstats.duck_hits_sql(pages_meta),
         "search_bm25": textstats.duck_bm25_sql("documents"),
+        # merged shard indexes must equal the full single-pass build
+        "index_merge": textstats.duck_postings_sql("documents"),
+        "sketch_cms": bloom_ops.duck_cms_counters_sql(
+            '''(SELECT t.term FROM documents,
+                 UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                   AS t(term)
+               WHERE t.term <> '') AS toks''',
+            "term",
+        ),
     }

@@ -887,3 +887,79 @@ def test_bm25_integer_exact(spark, tmp_path):
         ).df().sort_values("rnk").iterrows()
     ]
     assert oracle == got
+
+
+def test_cms_counters_and_estimates(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.operators import bloom as bloom_ops
+
+    # skewed key stream: 'hot' x 400, 'warm' x 50, singletons
+    rows = [("hot",)] * 400 + [("warm",)] * 50 + [(f"rare{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "term string")
+    counters = bloom_ops.cms_counters(df, "term").localCheckpoint(eager=True)
+    # DuckDB parity on the same stream
+    p = str(tmp_path / "cms.parquet")
+    df.toPandas().to_parquet(p)
+    got = {
+        (int(r["row"]), int(r["bucket"])): int(r["cnt"])
+        for _, r in counters.toPandas().iterrows()
+    }
+    want = {
+        (int(r["row"]), int(r["bucket"])): int(r["cnt"])
+        for _, r in duckdb.sql(
+            bloom_ops.duck_cms_counters_sql(f"read_parquet('{p}')", "term")
+        ).df().iterrows()
+    }
+    assert got == want
+    # point estimates: upward-biased, and tight for the hot keys here
+    probes = spark.createDataFrame(
+        [("hot",), ("warm",), ("rare0",), ("absent",)], "term string"
+    )
+    est = {
+        r["term"]: r["est"]
+        for r in bloom_ops.cms_estimate(counters, probes, "term").collect()
+    }
+    exact = {"hot": 400, "warm": 50, "rare0": 1, "absent": 0}
+    for term, ex in exact.items():
+        assert est[term] >= ex  # CMS never underestimates
+    assert est["hot"] < 400 + 80 and est["warm"] < 50 + 80  # w >> keys here
+    # mergeability: counters over two halves add to the full counters
+    h1 = bloom_ops.cms_counters(df.limit(240), "term")
+    h2 = bloom_ops.cms_counters(
+        spark.createDataFrame(rows[240:], "term string"), "term"
+    )
+    from pyspark.sql import functions as F
+
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert {
+        (r["row"], r["bucket"]): r["cnt"] for r in merged.collect()
+    } == got
+
+
+def test_merge_postings_equals_full_build(spark):
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions import textstats
+
+    # 'common' appears in MORE than cap docs on each side of the split, so
+    # the merged champion list must still be the overall-smallest doc ids
+    docs = [(i, "common " + ("even" if i % 2 == 0 else "odd")) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cap = 7
+    full = {
+        r["term"]: (r["df"], tuple(r["postings"]))
+        for r in textstats.inverted_postings(df, cap=cap).collect()
+    }
+    a = textstats.inverted_postings(df.filter(F.col("doc_id") % 2 == 0), cap=cap)
+    b = textstats.inverted_postings(df.filter(F.col("doc_id") % 2 == 1), cap=cap)
+    merged = {
+        r["term"]: (r["df"], tuple(r["postings"]))
+        for r in textstats.merge_postings(a, b, cap=cap).collect()
+    }
+    assert merged == full
+    assert merged["common"][0] == 60 and merged["common"][1] == tuple(range(cap))

@@ -601,3 +601,38 @@ SELECT doc_id, score_ppm, rnk FROM (
   FROM sc
 ) WHERE rnk <= {k}
 """
+
+
+def merge_postings(a: DataFrame, b: DataFrame, cap: int = POSTINGS_CAP) -> DataFrame:
+    """Merge two capped inverted-index shards built over DISJOINT doc-id
+    sets (incremental index maintenance: base + new-crawl delta).  df adds
+    exactly because each doc lives in one shard; merged postings = first
+    ``cap`` ascending of the union, exact because each shard's cap already
+    kept its smallest doc ids — champion lists are mergeable summaries, the
+    same algebra as HLL registers and CMS counters.
+
+    Scale shape: ONE full-outer join on term with JVM array ops (concat /
+    sort_array / slice) — no re-tokenization of either corpus; co-locate by
+    writing shards bucketed on term to make the exchange disappear."""
+    empty = F.array().cast("array<bigint>")
+    a2 = a.select(
+        "term", F.col("df").alias("df_a"), F.col("postings").alias("p_a")
+    )
+    b2 = b.select(
+        "term", F.col("df").alias("df_b"), F.col("postings").alias("p_b")
+    )
+    return a2.join(b2, on="term", how="full_outer").select(
+        "term",
+        (F.coalesce("df_a", F.lit(0)) + F.coalesce("df_b", F.lit(0)))
+        .cast("long")
+        .alias("df"),
+        F.slice(
+            F.sort_array(
+                F.concat(
+                    F.coalesce(F.col("p_a"), empty), F.coalesce(F.col("p_b"), empty)
+                )
+            ),
+            1,
+            cap,
+        ).alias("postings"),
+    )

@@ -226,8 +226,8 @@ HLL_MAX_RANK = HLL_W_HEX * 4 + 1
 
 
 def hll_registers(df: "DataFrame", col: str = "url") -> "DataFrame":
-    """(register, max_rank) over md5(col): register = first 2 hex chars
-    (8 bits), rank = leading zeros of the next 44 bits + 1 via
+    """(register, max_rank) over md5(col): register = first 3 hex chars
+    (12 bits), rank = leading zeros of the next 44 bits + 1 via
     ``length(bin(w))`` — integer-exact in Spark AND DuckDB.
 
     Scale shape: map-side projection -> groupBy(register).max with partial
@@ -283,3 +283,98 @@ def hll_estimate(registers: "dict[int, int]", p: int = HLL_P) -> float:
     if est <= 2.5 * m and zeros:
         return m * math.log(m / zeros)
     return est
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005) --------------------------
+#
+# The frequency twin of the HLL register table: a (row, bucket) -> count
+# COUNTER TABLE estimating per-key frequencies (hot terms, hot hosts, hot
+# URL templates) without a full-key groupBy.  At 10^10-key scale the exact
+# frequency table is itself huge; the CMS exchange is d*w counters per map
+# partition, constant in corpus size, and sketches from shards/days merge
+# by plain counter addition.  Like the HLL, the sketch is computed with
+# pure integer/string ops (md5-derived bucket per row) so a SQL warehouse
+# reproduces every counter bit-for-bit; estimates are min-over-rows
+# lookups, upward-biased by construction (est >= exact, always).
+
+CMS_D = 4      # hash rows
+CMS_W = 1024   # buckets per row
+
+
+def cms_bucket_exprs(key_col: str, d: int = CMS_D, w: int = CMS_W):
+    """The shared (row -> bucket) derivation: bucket_i = first 16 md5 bits
+    of 'i:key', mod w — returned as Spark Columns here and mirrored
+    textually in :func:`duck_cms_counters_sql`."""
+    from pyspark.sql import functions as F
+
+    return [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col(key_col))), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % w
+        ).alias(f"b{i}")
+        for i in range(d)
+    ]
+
+
+def cms_counters(
+    df: "DataFrame", key_col: str, d: int = CMS_D, w: int = CMS_W
+) -> "DataFrame":
+    """(row, bucket, cnt) Count-Min counter table over every input row
+    (duplicates count — this sketches total frequency, not cardinality).
+
+    Scale shape: map-side bucket projection -> posexplode to (row, bucket)
+    grain -> ONE partial-agg'd groupBy; the exchange is bounded by d*w rows
+    per map partition regardless of input size."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.posexplode(F.array(*cms_bucket_exprs(key_col, d, w))))
+        .select(F.col("pos").cast("long").alias("row"), F.col("col").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def duck_cms_counters_sql(
+    table: str, key_col: str, d: int = CMS_D, w: int = CMS_W
+) -> str:
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {i} AS row, CAST('0x' || substring(md5('{i}:' || {key_col}), 1, 4)"
+        f" AS BIGINT) % {w} AS bucket FROM {table}"
+        for i in range(d)
+    )
+    return f"""
+WITH rb AS (
+  {rows}
+)
+SELECT row::BIGINT AS row, bucket::BIGINT AS bucket, count(*)::BIGINT AS cnt
+FROM rb GROUP BY 1, 2
+"""
+
+
+def cms_estimate(
+    counters: "DataFrame", probes: "DataFrame", key_col: str,
+    d: int = CMS_D, w: int = CMS_W,
+) -> "DataFrame":
+    """(key, est): min-over-rows point lookups for a small probe frame —
+    probes explode to (row, bucket) and broadcast-join the counter table;
+    a missing counter reads as 0 (the key never hashed there)."""
+    from pyspark.sql import functions as F
+
+    pb = probes.select(
+        F.col(key_col),
+        F.posexplode(F.array(*cms_bucket_exprs(key_col, d, w))),
+    ).select(
+        key_col,
+        F.col("pos").cast("long").alias("row"),
+        F.col("col").alias("bucket"),
+    )
+    return (
+        pb.join(counters, on=["row", "bucket"], how="left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
