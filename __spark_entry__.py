@@ -1100,7 +1100,7 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k BM25 retrieval over documents for a fixed query — the
     integer-exact rational-idf surrogate (textstats.bm25_topk docstring):
     one tokenize pass computes dl and per-term tf together, idf broadcasts
-    back, and the top-k compiles to WindowGroupLimit."""
+    back, and the top-k collapses to TakeOrderedAndProject."""
     return textstats.bm25_topk(_docs(spark, sf_dir))
 
 

@@ -268,6 +268,36 @@ def main() -> None:
         "Want: one whole-stage-codegen Project over the scan; no Exchange,\n"
         "no Python — fuses with the other text gates into a single pass.",
     )
+    cap(
+        "search_bm25 — integer-exact top-k retrieval",
+        textstats.bm25_topk(docs),
+        "Want: ONE doc-grain exchange (the per-doc dl+tf agg with partial\n"
+        "aggregation); idf re-enters as BroadcastHashJoin; the row_number<=k\n"
+        "collapses to TakeOrderedAndProject (per-partition partial top-k,\n"
+        "no global sort) with Window only ranking the k survivors.",
+    )
+    cap(
+        "sketch_cms — Count-Min counter table",
+        __import__("web_crawler_spark.operators.bloom", fromlist=["x"]).cms_counters(
+            docs.select(
+                F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term")
+            ).filter(F.col("term") != ""),
+            "term",
+        ),
+        "Want: md5 bucket projection + posexplode map-side (JVM, codegen);\n"
+        "ONE exchange carrying partial_count rows bounded at d*w per map\n"
+        "partition — constant in corpus size.",
+    )
+    cap(
+        "index_merge — posting-shard merge",
+        textstats.merge_postings(
+            textstats.inverted_postings(docs.filter(F.col("doc_id") % 2 == 0)),
+            textstats.inverted_postings(docs.filter(F.col("doc_id") % 2 == 1)),
+        ),
+        "Want: the merge itself is ONE join on term with JVM array\n"
+        "concat/sort/slice in the project — no re-tokenization above the\n"
+        "shard builds; term-bucketed shard storage would drop the exchange.",
+    )
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")

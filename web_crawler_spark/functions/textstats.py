@@ -480,9 +480,10 @@ def bm25_topk(
     tf together (conditional partial-agg'd sums keyed on doc_id — no
     tf-to-dl join, no second token pass); the per-term document frequencies
     and the corpus totals derive from that per-doc frame (tiny aggregates);
-    idf joins back as a broadcast of |query| rows.  The final top-k is a
-    constant-k row_number that compiles to WindowGroupLimit, so each map
-    partition ships <= k candidate rows."""
+    idf joins back as a broadcast of |query| rows.  The final top-k
+    collapses to TakeOrderedAndProject (per-partition partial top-k — each
+    map partition ships <= k candidate rows, no global sort), with Window
+    only ranking the k survivors."""
     from pyspark.sql import Window
 
     qt = [t.lower() for t in dict.fromkeys(query_terms)]
