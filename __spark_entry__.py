@@ -1088,6 +1088,53 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-spike detection over hourly event counts: flag hours whose
+    squared deviation from the per-type mean exceeds 9x the per-type
+    variance (|z| > 3 without sqrt — the square stays integer-exact).
+    Means/variances are milli-scaled BIGINT floor arithmetic, so both
+    engines land on identical flags; epoch-hour integer buckets avoid
+    calendar drift.  One (type, hour) partial-agg exchange, then a window
+    over the tiny per-type hour series.  Overflow bound: n_events^2 * 1e6
+    per hour must stay < 2^63 (n up to ~3e6/hour/shard; shard bigger
+    streams by day)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) DIV 3600000000").alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type")
+    stats = (
+        hourly.withColumn("s", F.sum("n_events").over(w))
+        .withColumn("ss", F.sum(F.expr("n_events * n_events")).over(w))
+        .withColumn("h", F.count("*").over(w))
+        .withColumn("mean_milli", F.expr("s * 1000 DIV h"))
+        .withColumn("var_milli2", F.expr("(ss * 1000000) DIV h - mean_milli * mean_milli"))
+        .withColumn("dev_milli", F.expr("n_events * 1000 - mean_milli"))
+    )
+    return stats.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.col("dev_milli").cast("long").alias("dev_milli"),
+        F.expr("dev_milli * dev_milli > 9 * var_milli2").alias("is_anomaly"),
+    )
+
+
+def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-cluster / mirror-family detection: connected components over
+    the undirected host link graph by iterative min-label propagation
+    (linkstats.host_components); oracle is the recursive-CTE transitive
+    closure — an implementation-independent fixpoint."""
+    return linkstats.host_components(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities over the host link graph (Kleinberg 1999):
     integer-exact L1-renormalized mutual reinforcement, bit-identical
@@ -1237,6 +1284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "index_merge": q_index_merge,
         "sketch_cms": q_sketch_cms,
+        "events_anomaly": q_events_anomaly,
+        "link_components": q_link_components,
     }
 
 
@@ -1733,6 +1782,32 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "search_bm25": textstats.duck_bm25_sql("documents"),
         # merged shard indexes must equal the full single-pass build
         "index_merge": textstats.duck_postings_sql("documents"),
+        "events_anomaly": """
+            WITH hourly AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT event_type, hour, n_events,
+                     sum(n_events) OVER (PARTITION BY event_type) AS s,
+                     sum(n_events * n_events) OVER (PARTITION BY event_type) AS ss,
+                     count(*) OVER (PARTITION BY event_type) AS h
+              FROM hourly
+            ),
+            m AS (
+              SELECT *, s * 1000 // h AS mean_milli,
+                     (ss * 1000000) // h - (s * 1000 // h) * (s * 1000 // h)
+                       AS var_milli2
+              FROM st
+            )
+            SELECT event_type, hour::BIGINT AS hour, n_events,
+                   (n_events * 1000 - mean_milli)::BIGINT AS dev_milli,
+                   (n_events * 1000 - mean_milli) * (n_events * 1000 - mean_milli)
+                     > 9 * var_milli2 AS is_anomaly
+            FROM m
+        """,
+        "link_components": linkstats.duck_host_components_sql(pages_meta),
         "sketch_cms": bloom_ops.duck_cms_counters_sql(
             '''(SELECT t.term FROM documents,
                  UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))

@@ -132,3 +132,29 @@ def test_events_retention_vs_duckdb(spark):
     # offset 0 always exists (every cohort is active in its own first week)
     pdf = got.toPandas()
     assert (pdf.groupby("cohort_week")["week_offset"].min() == 0).all()
+
+
+def test_events_anomaly_crafted(spark, tmp_path):
+    import datetime as dt
+
+    # flat 10/hour baseline with one 100-event spike and one 0-dev hour;
+    # the spike must flag, the baseline hours must not
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(24):
+        n = 100 if h == 12 else 10
+        for i in range(n):
+            rows.append((h * 1000 + i, base + dt.timedelta(hours=h, seconds=i), 7, "view", 0.0, ""))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    p = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(p)
+    got = entry.q_events_anomaly(spark, str(tmp_path)).toPandas()
+    flagged = set(got[got["is_anomaly"]]["hour"] - got["hour"].min())
+    assert flagged == {12}
+    # oracle parity on the same frame
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = con.sql(entry._oracle_sql_for("0.001")["events_anomaly"])
+    _cmp(entry.q_events_anomaly(spark, str(tmp_path)), want, ["event_type", "hour"])

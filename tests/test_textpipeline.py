@@ -963,3 +963,40 @@ def test_merge_postings_equals_full_build(spark):
     }
     assert merged == full
     assert merged["common"][0] == 60 and merged["common"][1] == tuple(range(cap))
+
+
+def test_host_components_crafted(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.functions import linkstats
+
+    # two clusters: {a,b,c} chained a->b->c, {x,y} mutual; q links nowhere real
+    rows = [
+        ("http://a.example/", "a.example", ["http://b.example/"]),
+        ("http://b.example/", "b.example", ["http://c.example/"]),
+        ("http://c.example/", "c.example", None),
+        ("http://x.example/", "x.example", ["http://y.example/"]),
+        ("http://y.example/", "y.example", ["http://x.example/"]),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, links array<string>")
+    got = {
+        r["host"]: r["component"]
+        for r in linkstats.host_components(df).collect()
+    }
+    assert got == {
+        "a.example": "a.example",
+        "b.example": "a.example",
+        "c.example": "a.example",
+        "x.example": "x.example",
+        "y.example": "x.example",
+    }
+    # DuckDB recursive-closure parity
+    p = str(tmp_path / "cc.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["host"]: r["component"]
+        for _, r in duckdb.sql(
+            linkstats.duck_host_components_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

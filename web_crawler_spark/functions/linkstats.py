@@ -781,3 +781,77 @@ def duck_hits_sql(
         f"FROM nodes n JOIN a{iters} a ON a.host = n.host"
         f" JOIN h{iters} h ON h.host = n.host"
     )
+
+
+# --- host-graph connected components (site clusters / mirror detection) -------
+
+def host_components(df: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(host, component) over the undirected host link graph, component =
+    lexicographically-smallest reachable host — the site-cluster / mirror-
+    family view (crawl budgeting treats a mirror family as one site; corpus
+    curation dedups boilerplate per family, not per host).
+
+    Reuses the iterative min-label propagation from
+    ``dedupsim.connected_components`` (per-iteration localCheckpoint, label-
+    sum fixpoint — string labels: the sum check becomes a count of changed
+    labels).  Scale: host-grain edges (~10^7-10^8 rows), rounds = cluster
+    diameter."""
+    edges0 = host_graph(df).select("src_host", "dst_host")
+    edges = edges0.unionByName(
+        edges0.select(
+            F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host")
+        )
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src_host").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("node", "dst_host"), on="dst_host"
+        ).select(F.col("src_host").alias("node"), "label")
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # string labels only ever decrease lexicographically; fixpoint when
+        # no node's label changed this round (a scalar anti-join count)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("host"), F.col("label").alias("component")
+    )
+
+
+def duck_host_components_sql(pages_meta: str) -> str:
+    """Recursive-CTE oracle: min reachable host over the transitive closure
+    — implementation-independent fixpoint the propagation must match."""
+    return rf"""
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT src_host, dst_host FROM ({duck_host_graph_sql(pages_meta)})
+),
+edges AS MATERIALIZED (
+  SELECT src_host AS src, dst_host AS dst FROM e0
+  UNION SELECT dst_host, src_host FROM e0
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+)
+SELECT node AS host, min(label) AS component FROM walk GROUP BY node
+"""
