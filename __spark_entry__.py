@@ -1135,6 +1135,13 @@ def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_components(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length quantiles at power-of-two bucket grain,
+    derived from the histogram (no per-language global sort — the
+    scale-right quantile; textstats.length_quantiles docstring)."""
+    return textstats.length_quantiles(_docs(spark, sf_dir))
+
+
 def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities over the host link graph (Kleinberg 1999):
     integer-exact L1-renormalized mutual reinforcement, bit-identical
@@ -1286,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms": q_sketch_cms,
         "events_anomaly": q_events_anomaly,
         "link_components": q_link_components,
+        "doc_length_quantiles": q_doc_length_quantiles,
     }
 
 
@@ -1808,6 +1816,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             FROM m
         """,
         "link_components": linkstats.duck_host_components_sql(pages_meta),
+        "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "sketch_cms": bloom_ops.duck_cms_counters_sql(
             '''(SELECT t.term FROM documents,
                  UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))

@@ -1000,3 +1000,25 @@ def test_host_components_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_length_quantiles_semantics(spark):
+    from web_crawler_spark.functions import textstats
+
+    # en: 10 docs of 1 token, 1 doc of 1000 tokens -> p50 = bucket(1)=1,
+    # p99 needs 10.89 docs covered -> the big doc's bucket (1000 -> 10)
+    docs = [(i, "w", "en") for i in range(10)] + [(10, "w " * 1000, "en")]
+    docs += [(11, "", "de")]  # empty doc -> bucket 0 at every q
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {
+        (r["lang"], r["q_pct"]): r["len_bucket"]
+        for r in textstats.length_quantiles(df).collect()
+    }
+    assert got == {
+        ("en", 50): 1,
+        ("en", 90): 1,   # 10/11 docs = 90.9% covered by bucket 1
+        ("en", 99): 10,  # 1000 tokens -> binary length 10
+        ("de", 50): 0,
+        ("de", 90): 0,
+        ("de", 99): 0,
+    }

@@ -637,3 +637,83 @@ def merge_postings(a: DataFrame, b: DataFrame, cap: int = POSTINGS_CAP) -> DataF
             cap,
         ).alias("postings"),
     )
+
+
+# -- per-language length quantiles (from the histogram, not a sort) -----------
+
+QUANTILE_PCTS = (50, 90, 99)
+
+
+def length_quantiles(
+    df: DataFrame,
+    pcts: tuple[int, ...] = QUANTILE_PCTS,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(lang, q_pct, len_bucket): per-language token-length quantiles at
+    BUCKET grain — the smallest power-of-two bucket whose cumulative doc
+    count covers q% of the language.  Quantiles-from-histogram is the
+    scale-right shape: a 10^10-doc exact quantile needs a global sort per
+    language, while the histogram is one O(langs x buckets x partitions)
+    partial-agg exchange and the cumsum runs over ~60 rows per language.
+    The integer coverage predicate (cum * 100 >= q * total) makes the
+    answer bit-identical across engines — no float percentile semantics.
+
+    Bucket b holds docs with 2^(b-1) <= n_tokens < 2^b (0 = empty), same
+    encoding as :func:`length_histogram`."""
+    t = F.col(text_col)
+    toks = F.when(
+        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(t), r"\s+"))
+    n_tok = F.size(toks).cast("long")
+    bucket = F.when(n_tok == 0, F.lit(0)).otherwise(
+        F.length(F.conv(n_tok.cast("string"), 10, 2))
+    ).cast("long")
+    from pyspark.sql import Window
+
+    hist = (
+        df.select(F.col(lang_col).alias("lang"), bucket.alias("len_bucket"))
+        .groupBy("lang", "len_bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("len_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("lang")
+    cum = hist.withColumn("cum", F.sum("n_docs").over(w_cum)).withColumn(
+        "total", F.sum("n_docs").over(w_tot)
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in pcts])).alias("q_pct")
+    return (
+        cum.select("lang", "len_bucket", "cum", "total", qs)
+        .filter(F.col("cum") * 100 >= F.col("q_pct") * F.col("total"))
+        .groupBy("lang", F.col("q_pct").cast("long").alias("q_pct"))
+        .agg(F.min("len_bucket").cast("long").alias("len_bucket"))
+    )
+
+
+def duck_length_quantiles_sql(
+    table: str, pcts: tuple[int, ...] = QUANTILE_PCTS
+) -> str:
+    qlist = ", ".join(f"({q})" for q in pcts)
+    return rf"""
+WITH hist AS (
+  SELECT lang,
+         CASE WHEN len({_DUCK_TOKS}) = 0 THEN 0
+              ELSE length(bin(len({_DUCK_TOKS})::BIGINT)) END AS len_bucket,
+         count(*)::BIGINT AS n_docs
+  FROM {table} GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, len_bucket, n_docs,
+         sum(n_docs) OVER (PARTITION BY lang ORDER BY len_bucket) AS cum,
+         sum(n_docs) OVER (PARTITION BY lang) AS total
+  FROM hist
+)
+SELECT lang, q.q_pct::BIGINT AS q_pct, min(len_bucket)::BIGINT AS len_bucket
+FROM cum CROSS JOIN (VALUES {qlist}) AS q(q_pct)
+WHERE cum * 100 >= q.q_pct * total
+GROUP BY 1, 2
+"""
