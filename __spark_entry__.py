@@ -1067,19 +1067,25 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users grouped by first-activity week,
     counted at each later activity-week offset.  Weeks are pure integer
     epoch-day DIV 7 buckets (no calendar/timezone semantics to diverge
-    across engines).  Two partial-agg'd exchanges on user_id — the cohort
-    min rides the same grain as the distinct (user, week) activity set —
-    then one small agg on (cohort_week, week_offset)."""
+    across engines).
+
+    ONE user-grain exchange: ``collect_set(week)`` per user (partial-agg'd;
+    a user's set is bounded by distinct active weeks, not events), cohort =
+    ``array_min``, offsets explode from the same row — no distinct + min +
+    self-join chain; then one small agg on (cohort_week, week_offset)."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
         "user_id",
         F.expr(
             "unix_micros(cast(ts as timestamp)) DIV 604800000000"
         ).alias("week"),
     )
-    activity = ev.distinct()
-    cohort = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    per_user = ev.groupBy("user_id").agg(F.collect_set("week").alias("weeks"))
     return (
-        activity.join(cohort, on="user_id")
+        per_user.select(
+            "user_id",
+            F.array_min("weeks").alias("cohort_week"),
+            F.explode("weeks").alias("week"),
+        )
         .groupBy(
             "cohort_week",
             (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),

@@ -112,6 +112,16 @@ def bench_snapshot_diff(spark, sf):
     return _noop(recrawl.snapshot_diff(prev, curr))
 
 
+def bench_search_bm25(spark, sf_dir):
+    """Integer-exact BM25 top-k over the documents corpus: one tokenize
+    pass with fused dl + per-term tf partials, broadcast idf, partial
+    top-k (TakeOrderedAndProject)."""
+    from web_crawler_spark.functions import textstats
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return textstats.bm25_topk(docs).count()
+
+
 def bench_ann_brute(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     q = emb.filter(F.col("vec_id") < 20)
@@ -166,6 +176,8 @@ def main() -> None:
     timings["snapshot_diff"], _ = best_of(bench_snapshot_diff, spark, sf)
 
     timings["ann_brute"], _ = best_of(bench_ann_brute, spark, SF_DIR)
+
+    timings["search_bm25"], _ = best_of(bench_search_bm25, spark, SF_DIR)
 
     out = {
         "metric": "headline suite wall-clock (crawl sched/parse/dedup/corpus/ann) at sf",
