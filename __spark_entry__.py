@@ -1148,6 +1148,15 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.length_quantiles(_docs(spark, sf_dir))
 
 
+def q_link_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum link-hops from the seed set over the host graph (pre-crawl
+    coverage planning: what a depth-capped crawl can reach) — iterative
+    integer min-distance relaxation vs a recursive-CTE closure oracle."""
+    return linkstats.host_bfs_depth(
+        _synth(spark, sf_dir, "pages_meta"), _synth(spark, sf_dir, "seeds")
+    )
+
+
 def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities over the host link graph (Kleinberg 1999):
     integer-exact L1-renormalized mutual reinforcement, bit-identical
@@ -1300,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "link_components": q_link_components,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "link_depth": q_link_depth,
     }
 
 
@@ -1823,6 +1833,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         """,
         "link_components": linkstats.duck_host_components_sql(pages_meta),
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
+        "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),
         "sketch_cms": bloom_ops.duck_cms_counters_sql(
             '''(SELECT t.term FROM documents,
                  UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))

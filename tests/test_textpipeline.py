@@ -1022,3 +1022,41 @@ def test_length_quantiles_semantics(spark):
         ("de", 90): 0,
         ("de", 99): 0,
     }
+
+
+def test_host_bfs_depth_crafted(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.functions import linkstats
+
+    # seed s; s->a->b->c chain; m<->n mutual but unreachable from s;
+    # a also links back to s (cycle must not inflate depths)
+    rows = [
+        ("http://s.example/", "s.example", ["http://a.example/"]),
+        ("http://a.example/", "a.example", ["http://b.example/", "http://s.example/"]),
+        ("http://b.example/", "b.example", ["http://c.example/"]),
+        ("http://c.example/", "c.example", None),
+        ("http://m.example/", "m.example", ["http://n.example/"]),
+        ("http://n.example/", "n.example", ["http://m.example/"]),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, links array<string>")
+    seeds = spark.createDataFrame([("http://s.example/start",)], "url string")
+    got = {
+        r["host"]: r["depth"]
+        for r in linkstats.host_bfs_depth(df, seeds).collect()
+    }
+    assert got == {"s.example": 0, "a.example": 1, "b.example": 2, "c.example": 3}
+    # m/n unreachable -> absent
+    # DuckDB recursive-closure parity
+    pm, ps = str(tmp_path / "pm.parquet"), str(tmp_path / "ps.parquet")
+    df.toPandas().to_parquet(pm)
+    seeds.toPandas().to_parquet(ps)
+    oracle = {
+        r["host"]: int(r["depth"])
+        for _, r in duckdb.sql(
+            linkstats.duck_bfs_depth_sql(
+                f"read_parquet('{pm}')", f"read_parquet('{ps}')"
+            )
+        ).df().iterrows()
+    }
+    assert oracle == got

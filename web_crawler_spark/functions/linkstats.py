@@ -855,3 +855,84 @@ walk(node, label) AS (
 )
 SELECT node AS host, min(label) AS component FROM walk GROUP BY node
 """
+
+
+# --- BFS depth from the seed set (crawl-reachability analysis) -----------------
+
+def host_bfs_depth(
+    df: DataFrame, seeds: DataFrame, seed_url_col: str = "url", max_iter: int = 25
+) -> DataFrame:
+    """(host, depth) — minimum link-hops from any seed host over the host
+    graph; hosts unreachable from the seeds are absent (exactly what a
+    depth-capped crawl can never fetch).  The crawl loop's reachability,
+    as a closed-form graph op: pre-crawl coverage/budget planning ("what
+    does depth 3 buy me from these seeds?") without running the crawl.
+
+    Iterative min-distance relaxation with the components discipline:
+    host-grain edges materialized once, one join + partial-agg min per
+    round, per-iteration localCheckpoint, changed-count fixpoint; rounds =
+    reachable diameter (small-world web: ~O(10))."""
+    edges = (
+        host_graph(df).select("src_host", "dst_host").distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_hosts = (
+        seeds.select(
+            F.lower(
+                F.regexp_extract(F.col(seed_url_col), r"(?i)^https?://([^/:?#]+)", 1)
+            ).alias("host")
+        )
+        .filter(F.col("host") != "")
+        .distinct()
+    )
+    dist = seed_hosts.select(
+        "host", F.lit(0).cast("long").alias("depth")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        hop = (
+            edges.join(dist.withColumnRenamed("host", "src_host"), on="src_host")
+            .select(
+                F.col("dst_host").alias("host"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+        )
+        new = (
+            dist.unionByName(hop)
+            .groupBy("host")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(dist.alias("o"), on="host", how="left")
+            .filter(
+                F.col("o.depth").isNull() | (F.col("n.depth") != F.col("o.depth"))
+            )
+            .count()
+        )
+        dist = new
+        if changed == 0:
+            break
+    return dist.select("host", F.col("depth").cast("long").alias("depth"))
+
+
+def duck_bfs_depth_sql(pages_meta: str, seeds: str) -> str:
+    """Recursive-CTE oracle: min hop distance over the closure."""
+    return rf"""
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT DISTINCT src_host, dst_host FROM ({duck_host_graph_sql(pages_meta)})
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT lower(coalesce(
+           regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1), '')) AS host
+  FROM {seeds}
+),
+walk(host, depth) AS (
+  SELECT host, 0::BIGINT FROM sh WHERE host <> ''
+  UNION
+  SELECT e.dst_host, w.depth + 1
+  FROM e0 e JOIN walk w ON w.host = e.src_host
+  WHERE w.depth < 50
+)
+SELECT host, min(depth)::BIGINT AS depth FROM walk GROUP BY host
+"""
