@@ -1148,6 +1148,14 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.length_quantiles(_docs(spark, sf_dir))
 
 
+def q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-N-tokens curation: greedy doc selection in unigram-LM-quality
+    order until a fixed token budget fills — global ordered cumsum via the
+    two-job range-partition trick, never a 1-partition window
+    (sampling.select_token_budget docstring)."""
+    return sampling.select_token_budget(_docs(spark, sf_dir))
+
+
 def q_link_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum link-hops from the seed set over the host graph (pre-crawl
     coverage planning: what a depth-capped crawl can reach) — iterative
@@ -1310,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_components": q_link_components,
         "doc_length_quantiles": q_doc_length_quantiles,
         "link_depth": q_link_depth,
+        "corpus_budget": q_corpus_budget,
     }
 
 
@@ -1834,6 +1843,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "link_components": linkstats.duck_host_components_sql(pages_meta),
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),
+        "corpus_budget": sampling.duck_select_budget_sql("documents"),
         "sketch_cms": bloom_ops.duck_cms_counters_sql(
             '''(SELECT t.term FROM documents,
                  UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))

@@ -330,3 +330,41 @@ def test_url_traps_prune_gate(trap_urls):
     # the gate is a broadcast anti-join: no exchange on the frontier side
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_select_token_budget_boundary(spark):
+    import duckdb
+
+    from web_crawler_spark.functions import sampling
+
+    # quality order is driven by term rarity: give each doc a distinct
+    # repeated token so scores differ deterministically, then check the
+    # exact greedy boundary: the doc that crosses the budget is kept,
+    # everything after it is cut
+    docs = [
+        (1, "aa aa aa aa"),      # 4 tokens
+        (2, "bb bb bb"),         # 3 tokens
+        (3, "cc cc"),            # 2 tokens
+        (4, "dd"),               # 1 token
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got_all = sampling.select_token_budget(df, budget=10**9).toPandas()
+    order = list(got_all.sort_values("tok_offset")["doc_id"])
+    sel = sampling.select_token_budget(
+        df, budget=int(got_all["n_tokens"].iloc[0]) + 1  # into doc #2
+    ).toPandas()
+    kept = set(sel["doc_id"])
+    assert kept == set(order[:2])  # first doc + the overflowing second
+    # offsets are the exclusive prefix sums of the full ordering
+    full = got_all.sort_values("tok_offset")
+    assert list(full["tok_offset"]) == [
+        int(full["n_tokens"].iloc[:i].sum()) for i in range(len(full))
+    ]
+    # oracle parity on the same frame (window cumsum ordering must agree
+    # with the range-partitioned two-job stamp exactly)
+    con = duckdb.connect()
+    con.register("docs4", df.toPandas())
+    want = con.sql(
+        sampling.duck_select_budget_sql("docs4", budget=10**9)
+    ).df().sort_values("tok_offset")
+    assert list(want["doc_id"]) == order

@@ -282,3 +282,119 @@ SELECT doc_id, source, src_rank::BIGINT AS src_rank,
          AS vtime
 FROM ranked
 """
+
+
+# --- token-budget selection (best-N-tokens curation) ---------------------------
+
+SELECT_BUDGET = 20_000  # graded demo budget; production passes its own
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int = SELECT_BUDGET,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """"Give me the best `budget` tokens": greedy selection of documents in
+    (quality desc, doc_id asc) order until the token budget is filled —
+    the final step of every curation pipeline (CCNet keeps the best
+    perplexity buckets; this is the exact-budget form).  Quality = the
+    integer-exact unigram LM score (textstats.unigram_score); a document is
+    kept iff its EXCLUSIVE cumulative token offset is < budget (the first
+    overflowing doc is kept, completing the budget; nothing after it).
+
+    Output: (doc_id, n_tokens, score_ppm, tok_offset), kept docs only.
+
+    Scale shape: the global quality-ordered cumsum never funnels through a
+    1-partition window — repartitionByRange on (score desc, doc_id) +
+    per-partition subtotals to the driver (one row per partition) +
+    broadcast exclusive offsets + Arrow per-partition cumsum: the
+    packing.pack_sequences two-job trick, keyed by quality instead of
+    hash."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from web_crawler_spark.functions import textstats
+
+    spark = df.sparkSession
+    scored = textstats.unigram_score(df, id_col=id_col).select(
+        F.col("doc_id"),
+        F.col("n_terms").alias("n_tokens"),
+        "score_ppm",
+    )
+    if num_partitions is None:
+        num_partitions = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        scored.repartitionByRange(
+            num_partitions, F.col("score_ppm").desc(), F.col("doc_id").asc()
+        )
+        .sortWithinPartitions(F.col("score_ppm").desc(), F.col("doc_id").asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = {
+        r["__pid"]: r["s"] or 0
+        for r in ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    offsets_bc = spark.sparkContext.broadcast(offsets)
+    schema = StructType(
+        [
+            StructField("doc_id", ranged.schema["doc_id"].dataType, False),
+            StructField("n_tokens", LongType(), False),
+            StructField("score_ppm", LongType(), False),
+            StructField("tok_offset", LongType(), False),
+        ]
+    )
+
+    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets_bc.value[int(pdf["__pid"].iloc[0])]
+            n = pdf["n_tokens"].to_numpy()
+            cum = n.cumsum()
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["n_tokens"],
+                    "score_ppm": pdf["score_ppm"],
+                    "tok_offset": run + cum - n,  # exclusive prefix
+                }
+            )
+            run += int(cum[-1])
+            yield out
+
+    out = (
+        ranged.mapInPandas(stamp, schema=schema)
+        .filter(F.col("tok_offset") < budget)
+        .localCheckpoint(eager=True)
+    )
+    ranged.unpersist()
+    return out
+
+
+def duck_select_budget_sql(table: str, budget: int = SELECT_BUDGET) -> str:
+    from web_crawler_spark.functions import textstats
+
+    return rf"""
+WITH scored AS (
+  SELECT doc_id, n_terms AS n_tokens, score_ppm
+  FROM ({textstats.duck_unigram_sql(table)})
+),
+cum AS (
+  SELECT doc_id, n_tokens, score_ppm,
+         (sum(n_tokens) OVER (ORDER BY score_ppm DESC, doc_id)
+            - n_tokens)::BIGINT AS tok_offset
+  FROM scored
+)
+SELECT doc_id, n_tokens, score_ppm, tok_offset
+FROM cum WHERE tok_offset < {budget}
+"""
