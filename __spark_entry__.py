@@ -1156,6 +1156,15 @@ def q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.select_token_budget(_docs(spark, sf_dir))
 
 
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) crawl accounting over pages_meta hosts:
+    map-side suffix-aware domain extraction, one partial-agg'd exchange
+    with a riding two-phase distinct host count (urlfilter.domain_rollup)."""
+    return urlfilter.domain_rollup(
+        _synth(spark, sf_dir, "pages_meta").select("url", "host")
+    )
+
+
 def q_link_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum link-hops from the seed set over the host graph (pre-crawl
     coverage planning: what a depth-capped crawl can reach) — iterative
@@ -1319,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": q_doc_length_quantiles,
         "link_depth": q_link_depth,
         "corpus_budget": q_corpus_budget,
+        "url_domains": q_url_domains,
     }
 
 
@@ -1844,6 +1854,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),
         "corpus_budget": sampling.duck_select_budget_sql("documents"),
+        "url_domains": urlfilter.duck_domain_rollup_sql(pages_meta),
         "sketch_cms": bloom_ops.duck_cms_counters_sql(
             '''(SELECT t.term FROM documents,
                  UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))

@@ -368,3 +368,38 @@ def test_select_token_budget_boundary(spark):
         sampling.duck_select_budget_sql("docs4", budget=10**9)
     ).df().sort_values("tok_offset")
     assert list(want["doc_id"]) == order
+
+
+def test_registrable_domain_suffix_rules(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.functions import urlfilter
+
+    rows = [
+        ("http://x/1", "blog.example.co.uk"),   # 2-label suffix -> 3 labels
+        ("http://x/2", "www.example.co.uk"),    # same domain, other host
+        ("http://x/3", "sub.deep.example.com"), # generic tld -> last 2
+        ("http://x/4", "example.com"),
+        ("http://x/5", "localhost"),            # single label passes through
+        ("http://x/6", "news.site.com.au"),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string")
+    got = {
+        r["domain"]: (r["n_hosts"], r["n_pages"])
+        for r in urlfilter.domain_rollup(df).collect()
+    }
+    assert got == {
+        "example.co.uk": (2, 2),
+        "example.com": (2, 2),
+        "localhost": (1, 1),
+        "site.com.au": (1, 1),
+    }
+    p = str(tmp_path / "d.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["domain"]: (int(r["n_hosts"]), int(r["n_pages"]))
+        for _, r in duckdb.sql(
+            urlfilter.duck_domain_rollup_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got
