@@ -1156,6 +1156,13 @@ def q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.select_token_budget(_docs(spark, sf_dir))
 
 
+def q_crawl_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based mirror detection: text digests served by more than
+    one host, with a capped sorted host sample (recrawl.content_mirrors) —
+    bodies never shuffle, hot digests ship bounded lists."""
+    return recrawl.content_mirrors(_synth(spark, sf_dir, "pages_mirror"))
+
+
 def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registrable-domain (eTLD+1) crawl accounting over pages_meta hosts:
     map-side suffix-aware domain extraction, one partial-agg'd exchange
@@ -1329,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_depth": q_link_depth,
         "corpus_budget": q_corpus_budget,
         "url_domains": q_url_domains,
+        "crawl_mirrors": q_crawl_mirrors,
     }
 
 
@@ -1855,6 +1863,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),
         "corpus_budget": sampling.duck_select_budget_sql("documents"),
         "url_domains": urlfilter.duck_domain_rollup_sql(pages_meta),
+        "crawl_mirrors": recrawl.duck_content_mirrors_sql(
+            f"read_parquet('{sp('pages_mirror')}')"
+        ),
         "sketch_cms": bloom_ops.duck_cms_counters_sql(
             '''(SELECT t.term FROM documents,
                  UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))

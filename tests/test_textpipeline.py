@@ -1060,3 +1060,40 @@ def test_host_bfs_depth_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_content_mirrors_crafted(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.plans import recrawl
+
+    rows = [
+        ("a.example", "shared body"),
+        ("b.example", "shared body"),
+        ("a.example", "shared body"),      # same host twice: 1 host, 3 pages
+        ("c.example", "unique body"),      # single-host text -> excluded
+        ("d.example", "other shared"),
+        ("e.example", "other shared"),
+    ]
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {
+        r["text_md5"]: (r["n_hosts"], r["n_pages"], tuple(r["hosts"]))
+        for r in recrawl.content_mirrors(df).collect()
+    }
+    import hashlib
+
+    k1 = hashlib.md5(b"shared body").hexdigest()
+    k2 = hashlib.md5(b"other shared").hexdigest()
+    assert got == {
+        k1: (2, 3, ("a.example", "b.example")),
+        k2: (2, 2, ("d.example", "e.example")),
+    }
+    p = str(tmp_path / "m.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["text_md5"]: (int(r["n_hosts"]), int(r["n_pages"]), tuple(r["hosts"]))
+        for _, r in duckdb.sql(
+            recrawl.duck_content_mirrors_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

@@ -319,3 +319,54 @@ def write_snapshot_bucketed(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+# --- cross-host content mirrors (content-based mirror detection) ---------------
+
+MIRROR_HOST_CAP = 10
+
+
+def content_mirrors(
+    df: DataFrame,
+    text_col: str = "text",
+    host_col: str = "host",
+    cap: int = MIRROR_HOST_CAP,
+) -> DataFrame:
+    """(text_md5, n_hosts, n_pages, hosts): text digests served by MORE
+    than one host — the content-based evidence for mirror families
+    (complement of the link-based ``linkstats.host_components``; a crawl
+    dedups mirrors by digest even when the mirrors never link each other).
+
+    Scale shape: map-side md5 digest (bodies never shuffle), distinct
+    (digest, host) with partials, per-digest host count + first-``cap``
+    host sample via sort_array+slice (the postings champion-list trick —
+    a digest mirrored by 10^4 hosts ships a bounded list); page count
+    rides the same digest-keyed exchange."""
+    digests = df.select(
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("text_md5"),
+        F.col(host_col).alias("host"),
+    )
+    per_digest = digests.groupBy("text_md5").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.slice(F.sort_array(F.collect_set("host")), 1, cap).alias("hosts"),
+    )
+    return per_digest.filter(F.col("n_hosts") > 1)
+
+
+def duck_content_mirrors_sql(
+    pages: str, cap: int = MIRROR_HOST_CAP
+) -> str:
+    return rf"""
+WITH d AS (
+  SELECT md5(text) AS text_md5, host FROM {pages}
+),
+g AS (
+  SELECT text_md5,
+         count(*)::BIGINT AS n_pages,
+         count(DISTINCT host)::BIGINT AS n_hosts,
+         list_sort(list(DISTINCT host))[1:{cap}] AS hosts
+  FROM d GROUP BY 1
+)
+SELECT * FROM g WHERE n_hosts > 1
+"""

@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v12"  # v12: pages_prev (snapshot-diff delta); dedicated RNG, all v11 tables byte-identical
+SYNTH_VERSION = "v13"  # v13: pages_mirror (cross-host mirrored content); dedicated RNG, all v12 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -630,6 +630,27 @@ def _gen_expected_inject(pages_tbl: pa.Table, seeds_tbl: pa.Table):
     return expected, inject_urls
 
 
+def _gen_pages_mirror(pages_meta_tbl: pa.Table, sf: str):
+    """(host, text) serving table for the content-mirror op: ~15% of the
+    sampled texts are also served by 1-3 cdn/mirror hosts, the rest by one
+    host only.  Dedicated RNG: every v12 fixture's bytes are unchanged."""
+    rng = random.Random(f"pagesmirror-{sf}")
+    texts = pages_meta_tbl.column("text").to_pylist()
+    n = max(50, len(texts) // 10)
+    m_host, m_text = [], []
+    for i in range(n):
+        t = texts[i]
+        m_host.append(f"host{rng.randrange(50)}.example")
+        m_text.append(t)
+        if rng.random() < 0.15:
+            for _ in range(rng.randrange(1, 4)):
+                m_host.append(f"mirror{rng.randrange(20)}.cdn.example")
+                m_text.append(t)
+    return pa.table(
+        {"host": pa.array(m_host, pa.string()), "text": pa.array(m_text, pa.string())}
+    )
+
+
 def ensure_synth(sf_dir_or_name: str) -> str:
     """Generate (once) all synthetic tables for a scale; returns the dir."""
     sf = sf_name_of(sf_dir_or_name)
@@ -648,6 +669,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     evaldocs = _gen_evaldocs(syndicated, sf)
     weburls = _gen_weburls(sf)
     pages_prev = _gen_pages_prev(pages, sf)
+    pages_mirror = _gen_pages_mirror(pages_meta, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -663,6 +685,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(evaldocs, synth_path(sf, "evaldocs"))
     pq.write_table(weburls, synth_path(sf, "weburls"), row_group_size=2048)
     pq.write_table(pages_prev, synth_path(sf, "pages_prev"), row_group_size=2048)
+    pq.write_table(pages_mirror, synth_path(sf, "pages_mirror"), row_group_size=2048)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
