@@ -1156,6 +1156,17 @@ def q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.select_token_budget(_docs(spark, sf_dir))
 
 
+def q_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemaps-protocol XML parse over the sitemaps fixture: <urlset>
+    entries become frontier URLs, <sitemapindex> children become further
+    sitemap fetches, <lastmod> rides along for recrawl priority — two
+    map-side regex block passes, no shuffle, no Python
+    (sources/robots.parse_sitemap_xml)."""
+    from web_crawler_spark.sources import robots as robots_src
+
+    return robots_src.parse_sitemap_xml(_synth(spark, sf_dir, "sitemaps"))
+
+
 def q_crawl_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-based mirror detection: text digests served by more than
     one host, with a capped sorted host sample (recrawl.content_mirrors) —
@@ -1337,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_budget": q_corpus_budget,
         "url_domains": q_url_domains,
         "crawl_mirrors": q_crawl_mirrors,
+        "sitemap_scan": q_sitemap_scan,
     }
 
 
@@ -1865,6 +1877,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "url_domains": urlfilter.duck_domain_rollup_sql(pages_meta),
         "crawl_mirrors": recrawl.duck_content_mirrors_sql(
             f"read_parquet('{sp('pages_mirror')}')"
+        ),
+        "sitemap_scan": robots_src.duck_sitemap_xml_sql(
+            f"read_parquet('{sp('sitemaps')}')"
         ),
         "sketch_cms": bloom_ops.duck_cms_counters_sql(
             '''(SELECT t.term FROM documents,

@@ -125,3 +125,51 @@ def test_sitemap_extraction_boundary(spark, tmp_path):
     # shuffle-free: a pure projection over the robots scan
     plan = robots_src.with_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_parse_sitemap_xml_crafted(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.sources import robots as robots_src
+
+    urlset = (
+        '<?xml version="1.0"?>\n<urlset>'
+        "<url><loc>http://a.example/1</loc><lastmod>2024-01-02</lastmod></url>"
+        "<url><loc>http://a.example/2</loc></url>"  # no lastmod -> NULL
+        "</urlset>"
+    )
+    index = (
+        '<?xml version="1.0"?>\n<sitemapindex>'
+        "<sitemap><loc>http://b.example/sitemap-0.xml</loc>"
+        "<lastmod>2024-02-03</lastmod></sitemap>"
+        "<sitemap><loc>http://b.example/sitemap-1.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("http://a.example/sitemap.xml", urlset),
+         ("http://b.example/sitemap.xml", index)],
+        "sitemap_url string, xml string",
+    )
+    got = {
+        (r["sitemap_url"], r["kind"], r["loc"]): r["lastmod"]
+        for r in robots_src.parse_sitemap_xml(df).collect()
+    }
+    assert got == {
+        ("http://a.example/sitemap.xml", "url", "http://a.example/1"): "2024-01-02",
+        ("http://a.example/sitemap.xml", "url", "http://a.example/2"): None,
+        ("http://b.example/sitemap.xml", "sitemap",
+         "http://b.example/sitemap-0.xml"): "2024-02-03",
+        ("http://b.example/sitemap.xml", "sitemap",
+         "http://b.example/sitemap-1.xml"): None,
+    }
+    p = str(tmp_path / "sm.parquet")
+    df.toPandas().to_parquet(p)
+    want = {
+        (r["sitemap_url"], r["kind"], r["loc"]):
+            (None if r["lastmod"] is None or r["lastmod"] != r["lastmod"]
+             else r["lastmod"])
+        for _, r in duckdb.sql(
+            robots_src.duck_sitemap_xml_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert want == got

@@ -159,3 +159,52 @@ FROM (
   FROM {robots}
 )
 """
+
+
+# -- sitemap XML parsing (urlset / sitemapindex) --------------------------------
+#
+# The step after discovery: fetched sitemap documents parse into frontier
+# URLs (<urlset><url><loc>) or further sitemap fetches
+# (<sitemapindex><sitemap><loc>), with optional <lastmod> driving recrawl
+# priority.  Regex block extraction is the Spark-native parse — both Java
+# regex and RE2 support (?s) + lazy quantifiers, so the oracle is exact.
+
+def parse_sitemap_xml(
+    df: DataFrame, url_col: str = "sitemap_url", xml_col: str = "xml"
+) -> DataFrame:
+    """(sitemap_url, kind, loc, lastmod): one row per <url> entry (kind
+    'url') or <sitemap> child (kind 'sitemap'); lastmod is NULL when the
+    entry has none.  Map-side only: two regexp_extract_all block passes +
+    explode — no shuffle, no Python."""
+
+    def entries(tag: str, kind: str) -> DataFrame:
+        block = F.explode(
+            F.expr(
+                f"regexp_extract_all({xml_col}, '(?s)<{tag}>(.*?)</{tag}>', 1)"
+            )
+        ).alias("b")
+        return df.select(F.col(url_col).alias("sitemap_url"), block).select(
+            "sitemap_url",
+            F.lit(kind).alias("kind"),
+            F.regexp_extract("b", "<loc>([^<]*)</loc>", 1).alias("loc"),
+            F.nullif(
+                F.regexp_extract("b", "<lastmod>([^<]*)</lastmod>", 1), F.lit("")
+            ).alias("lastmod"),
+        )
+
+    return entries("url", "url").unionByName(entries("sitemap", "sitemap"))
+
+
+def duck_sitemap_xml_sql(sitemaps: str) -> str:
+    def part(tag: str, kind: str) -> str:
+        return rf"""
+SELECT sitemap_url, '{kind}' AS kind,
+       regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS loc,
+       nullif(regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
+FROM (
+  SELECT sitemap_url,
+         unnest(regexp_extract_all(xml, '(?s)<{tag}>(.*?)</{tag}>', 1)) AS b
+  FROM {sitemaps}
+)"""
+
+    return part("url", "url") + "\nUNION ALL" + part("sitemap", "sitemap")

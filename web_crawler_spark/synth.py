@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v13"  # v13: pages_mirror (cross-host mirrored content); dedicated RNG, all v12 tables byte-identical
+SYNTH_VERSION = "v14"  # v14: sitemaps (urlset/sitemapindex XML); dedicated RNG, all v13 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -651,6 +651,57 @@ def _gen_pages_mirror(pages_meta_tbl: pa.Table, sf: str):
     )
 
 
+def _gen_sitemaps(pages_meta_tbl: pa.Table, sf: str):
+    """(sitemap_url, xml) per host: sitemaps-protocol documents built from
+    that host's real page URLs — mostly <urlset> files (3-20 <url> entries,
+    ~70% carrying <lastmod>), every 7th host a <sitemapindex> referencing
+    2-4 child sitemaps.  Dedicated RNG: every v13 fixture's bytes are
+    unchanged."""
+    rng = random.Random(f"sitemaps-{sf}")
+    by_host: dict[str, list[str]] = {}
+    for u, h in zip(
+        pages_meta_tbl.column("url").to_pylist(),
+        pages_meta_tbl.column("host").to_pylist(),
+    ):
+        by_host.setdefault(h, []).append(u)
+    s_url, s_xml = [], []
+    for i, host in enumerate(sorted(by_host)):
+        sm = f"http://{host}/sitemap.xml"
+        if i % 7 == 6:
+            kids = "".join(
+                f"<sitemap><loc>http://{host}/sitemap-{k}.xml</loc>"
+                f"<lastmod>2024-0{rng.randrange(1, 10)}-1{k}</lastmod></sitemap>"
+                for k in range(rng.randrange(2, 5))
+            )
+            xml = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                f"<sitemapindex>{kids}</sitemapindex>"
+            )
+        else:
+            urls = sorted(by_host[host])[: rng.randrange(3, 21)]
+            ent = []
+            for u in urls:
+                lastmod = (
+                    f"<lastmod>2024-0{rng.randrange(1, 10)}-"
+                    f"{rng.randrange(10, 29)}</lastmod>"
+                    if rng.random() < 0.7
+                    else ""
+                )
+                ent.append(f"<url><loc>{u}</loc>{lastmod}</url>")
+            xml = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                f"<urlset>{''.join(ent)}</urlset>"
+            )
+        s_url.append(sm)
+        s_xml.append(xml)
+    return pa.table(
+        {
+            "sitemap_url": pa.array(s_url, pa.string()),
+            "xml": pa.array(s_xml, pa.string()),
+        }
+    )
+
+
 def ensure_synth(sf_dir_or_name: str) -> str:
     """Generate (once) all synthetic tables for a scale; returns the dir."""
     sf = sf_name_of(sf_dir_or_name)
@@ -670,6 +721,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     weburls = _gen_weburls(sf)
     pages_prev = _gen_pages_prev(pages, sf)
     pages_mirror = _gen_pages_mirror(pages_meta, sf)
+    sitemaps = _gen_sitemaps(pages_meta, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -686,6 +738,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(weburls, synth_path(sf, "weburls"), row_group_size=2048)
     pq.write_table(pages_prev, synth_path(sf, "pages_prev"), row_group_size=2048)
     pq.write_table(pages_mirror, synth_path(sf, "pages_mirror"), row_group_size=2048)
+    pq.write_table(sitemaps, synth_path(sf, "sitemaps"), row_group_size=2048)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
