@@ -1094,6 +1094,44 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_LEFT, ASOF_RIGHT = "purchase", "view"
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (the classic operator Spark lacks natively): for every
+    purchase, the same user's latest view at-or-before it.
+
+    Realized as a tagged union + ONE user-grain window running-max — the
+    merge-join shape an as-of join wants at scale — never the naive
+    inequality join (which Catalyst can only nested-loop: |L|x|R| per
+    user).  Ties at equal timestamps count the view (views sort before
+    purchases at the same instant); integer epoch-micro timestamps keep
+    both engines bit-identical."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    tagged = ev.filter(
+        F.col("event_type").isin([ASOF_LEFT, ASOF_RIGHT])
+    ).withColumn("is_left", (F.col("event_type") == ASOF_LEFT).cast("int"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_left", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = tagged.withColumn(
+        "last_view_ts_us",
+        F.max(F.when(F.col("is_left") == 0, F.col("ts_us"))).over(w),
+    )
+    return run.filter(F.col("is_left") == 1).select(
+        "event_id", "user_id", "ts_us", "last_view_ts_us"
+    )
+
+
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traffic-spike detection over hourly event counts: flag hours whose
     squared deviation from the per-type mean exceeds 9x the per-type
@@ -1349,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domains": q_url_domains,
         "crawl_mirrors": q_crawl_mirrors,
         "sitemap_scan": q_sitemap_scan,
+        "events_asof": q_events_asof,
     }
 
 
@@ -1881,6 +1920,25 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "sitemap_scan": robots_src.duck_sitemap_xml_sql(
             f"read_parquet('{sp('sitemaps')}')"
         ),
+        "events_asof": f"""
+            WITH tagged AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                     (event_type = '{ASOF_LEFT}')::INT AS is_left
+              FROM events
+              WHERE event_type IN ('{ASOF_LEFT}', '{ASOF_RIGHT}')
+            ),
+            run AS (
+              SELECT event_id, user_id, ts_us, is_left,
+                     max(CASE WHEN is_left = 0 THEN ts_us END) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_us, is_left, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS last_view_ts_us
+              FROM tagged
+            )
+            SELECT event_id, user_id, ts_us, last_view_ts_us
+            FROM run WHERE is_left = 1
+        """,
         "sketch_cms": bloom_ops.duck_cms_counters_sql(
             '''(SELECT t.term FROM documents,
                  UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))

@@ -158,3 +158,45 @@ def test_events_anomaly_crafted(spark, tmp_path):
     con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}/*.parquet')")
     want = con.sql(entry._oracle_sql_for("0.001")["events_anomaly"])
     _cmp(entry.q_events_anomaly(spark, str(tmp_path)), want, ["event_type", "hour"])
+
+
+def test_events_asof_semantics(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: view@0, view@5, purchase@7 -> last view 5; purchase@3 -> view 0
+        (1, t(0), 1, "view", 0.0, ""), (2, t(5), 1, "view", 0.0, ""),
+        (3, t(7), 1, "purchase", 0.0, ""), (4, t(3), 1, "purchase", 0.0, ""),
+        # u2: purchase with NO prior view -> NULL; a later view must not count
+        (5, t(1), 2, "purchase", 0.0, ""), (6, t(2), 2, "view", 0.0, ""),
+        # u3: view and purchase at the SAME instant -> the view counts
+        (7, t(4), 3, "view", 0.0, ""), (8, t(4), 3, "purchase", 0.0, ""),
+        # other event types are ignored entirely
+        (9, t(0), 1, "click", 0.0, ""),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tmp_path / "ev"
+    os.makedirs(d)
+    pdf.to_parquet(str(d / "events.parquet"))
+    out = entry.q_events_asof(spark, str(d)).toPandas()
+    got = {
+        int(r["event_id"]): (None if pd.isna(r["last_view_ts_us"])
+                             else int(r["last_view_ts_us"]))
+        for _, r in out.iterrows()
+    }
+    us = lambda m: int(dt.datetime(2024, 1, 1, 0, m).timestamp() * 1e6)  # noqa: E731
+    assert got == {3: us(5), 4: us(0), 5: None, 8: us(4)}
+    # oracle parity on the same frame
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = con.sql(entry._oracle_sql_for("0.001")["events_asof"]).df()
+    assert {
+        int(r["event_id"]): (None if pd.isna(r["last_view_ts_us"])
+                             else int(r["last_view_ts_us"]))
+        for _, r in want.iterrows()
+    } == got
