@@ -1094,6 +1094,57 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# value bands (lo inclusive, hi exclusive) — deliberately NOT aligned to any
+# bucket boundary, so the bucket-decomposed equi-join rewrite is actually
+# exercised (aligned bands would degenerate to pure bucketing)
+VALUE_BANDS = [
+    ("micro", 0.0, 7.5),
+    ("small", 7.5, 42.0),
+    ("mid", 42.0, 133.7),
+    ("large", 133.7, 320.0),
+    ("jumbo", 320.0, 1000.0),
+]
+BAND_BUCKET_W = 16.0  # bucket width for the equi-join decomposition
+
+
+def q_events_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN (the second operator class the brief names as missing
+    from Spark) realized as a bucket-decomposed equi-join: each band of the
+    tiny dim table explodes into the fixed-width buckets it covers, events
+    bucket map-side, the join is a BroadcastHashJoin on bucket, and the
+    exact lo <= v < hi predicate post-filters.  The naive form is a
+    BroadcastNestedLoopJoin that compares every event against every band;
+    the decomposition compares each event against only the bands covering
+    its bucket.  The oracle runs the TRUE range join, proving equivalence."""
+    w = BAND_BUCKET_W
+    rows = []
+    for name, lo, hi in VALUE_BANDS:
+        b_lo = int(lo // w)
+        # hi is exclusive, but covering one extra bucket when hi sits on a
+        # boundary is harmless (the exact post-filter drops it) and keeps
+        # the decomposition correct for ANY band constants
+        b_hi = int(hi // w)
+        for b in range(b_lo, b_hi + 1):
+            rows.append((name, lo, hi, b))
+    bands = spark.createDataFrame(
+        rows, "band string, lo double, hi double, bucket long"
+    )
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id",
+        "value",
+        F.floor(F.col("value") / F.lit(w)).cast("long").alias("bucket"),
+    )
+    return (
+        ev.join(F.broadcast(bands), on="bucket")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
 ASOF_LEFT, ASOF_RIGHT = "purchase", "view"
 
 
@@ -1388,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_mirrors": q_crawl_mirrors,
         "sitemap_scan": q_sitemap_scan,
         "events_asof": q_events_asof,
+        "events_bands": q_events_bands,
     }
 
 
@@ -1920,6 +1972,14 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "sitemap_scan": robots_src.duck_sitemap_xml_sql(
             f"read_parquet('{sp('sitemaps')}')"
         ),
+        "events_bands": """
+            SELECT b.band, count(*)::BIGINT AS n_events,
+                   count(DISTINCT e.user_id)::BIGINT AS n_users
+            FROM events e
+            JOIN (VALUES BAND_ROWS) AS b(band, lo, hi)
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY 1
+        """.replace("BAND_ROWS", "('micro', 0.0, 7.5), ('small', 7.5, 42.0), ('mid', 42.0, 133.7), ('large', 133.7, 320.0), ('jumbo', 320.0, 1000.0)"),
         "events_asof": f"""
             WITH tagged AS (
               SELECT event_id, user_id, epoch_us(ts) AS ts_us,

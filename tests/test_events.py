@@ -200,3 +200,40 @@ def test_events_asof_semantics(spark, tmp_path):
                              else int(r["last_view_ts_us"]))
         for _, r in want.iterrows()
     } == got
+
+
+def test_events_bands_boundary_semantics(spark, tmp_path):
+    import os
+
+    # values pinned at band edges: lo is inclusive, hi is exclusive; 16.0
+    # sits exactly on a bucket boundary inside 'small' (decomposition must
+    # still find it); 320.0 belongs to 'jumbo', not 'large'
+    vals = [0.0, 7.49, 7.5, 16.0, 41.99, 42.0, 133.69, 133.7, 319.9, 320.0]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "ts": pd.Timestamp("2024-01-01").to_datetime64(),
+            "user_id": [1] * len(vals),
+            "event_type": ["view"] * len(vals),
+            "value": vals,
+            "props": [""] * len(vals),
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tmp_path / "ev"
+    os.makedirs(d)
+    pdf.to_parquet(str(d / "events.parquet"))
+    got = {
+        r["band"]: r["n_events"]
+        for r in entry.q_events_bands(spark, str(d)).collect()
+    }
+    assert got == {"micro": 2, "small": 3, "mid": 2, "large": 2, "jumbo": 1}
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = {
+        r["band"]: int(r["n_events"])
+        for _, r in con.sql(
+            entry._oracle_sql_for("0.001")["events_bands"]
+        ).df().iterrows()
+    }
+    assert want == got
