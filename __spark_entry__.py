@@ -576,6 +576,16 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX(J) capture index with SURT url keys over the pages corpus — the
+    archive-lookup artifact Common Crawl publishes as cc-index: pure
+    map-side JVM string ops (no shuffle, no Python); sorted-shard writing
+    via warc.write_cdx (range partition + in-partition sort)."""
+    from web_crawler_spark.sources import warc
+
+    return warc.cdx_index(_synth(spark, sf_dir, "pages"))
+
+
 RECRAWL_MIN_AGE_US = 6 * 3600 * 10**6
 RECRAWL_NOW_SKEW_US = 3600 * 10**6
 RECRAWL_BUDGET = 4
@@ -1387,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_cap": q_corpus_source_cap,
         "corpus_mix": q_corpus_mix,
         "warc_scan": q_warc_scan,
+        "warc_cdx": q_warc_cdx,
         "recrawl_sched": q_recrawl_sched,
         "crawl_diff": q_crawl_diff,
         "recrawl_adaptive": q_recrawl_adaptive,
@@ -1646,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
 def _oracle_sql_for(sf: str) -> dict[str, str]:
     from web_crawler_spark.operators import bloom as bloom_ops
     from web_crawler_spark.sources import robots as robots_src
+    from web_crawler_spark.sources import warc as warc_src
 
     synth.ensure_synth(sf)
 
@@ -1750,6 +1762,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    md5(decode(html)) AS html_md5
             FROM read_parquet('{sp('pages')}')
         """,
+        "warc_cdx": warc_src.duck_cdx_sql(f"read_parquet('{sp('pages')}')"),
         "crawl_diff": recrawl.duck_snapshot_diff_sql(
             f"read_parquet('{sp('pages_prev')}')", f"read_parquet('{sp('pages')}')"
         ),

@@ -85,3 +85,52 @@ def test_write_warc_dir_round_trip(spark, tmp_path):
     )
     assert key(back).exceptAll(key(pages)).count() == 0
     assert key(pages).exceptAll(key(back)).count() == 0
+
+
+def test_cdx_index_surt_and_plan(spark):
+    """SURT key grammar on crafted URLs + the plan is a pure map (no
+    exchange, no Python eval)."""
+    rows = [
+        ("http://A.B.Example/p/1?q=2#frag", TS, b"xy"),
+        ("https://example/", TS, b""),
+        ("http://example",  TS, b"z"),  # empty path -> '/'
+    ]
+    df = spark.createDataFrame(
+        [(u, t.replace(tzinfo=None), bytearray(h)) for u, t, h in rows],
+        warc.READ_SCHEMA,
+    )
+    got = {r["url"]: r for r in warc.cdx_index(df).collect()}
+    assert got["http://A.B.Example/p/1?q=2#frag"]["urlkey"] == "example,b,a)/p/1?q=2"
+    assert got["https://example/"]["urlkey"] == "example)/"
+    assert got["http://example"]["urlkey"] == "example)/"
+    assert got["http://example"]["ts14"] == "20240301120000"
+    assert got["http://example"]["length"] == 1
+    plan = warc.cdx_index(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_write_cdx_sorted_shards(spark, tmp_path):
+    """Shards are each internally sorted and the shard files are in key
+    range order (sorted-run layout for binary-search lookup)."""
+    import glob
+
+    synth.ensure_synth("0.001")
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    out = str(tmp_path / "cdx")
+    warc.write_cdx(pages, out, n_shards=4)
+    files = sorted(glob.glob(os.path.join(out, "part-*")))
+    assert len(files) >= 2
+    last_key_prev = None
+    all_lines = 0
+    for p in files:
+        keys = []
+        with open(p) as f:
+            for line in f:
+                keys.append(tuple(line.split(" ", 3)[:2]))
+        assert keys == sorted(keys)  # in-shard order
+        if keys:
+            if last_key_prev is not None:
+                assert last_key_prev <= keys[0]  # cross-shard range order
+            last_key_prev = keys[-1]
+            all_lines += len(keys)
+    assert all_lines == pages.count()
