@@ -1266,6 +1266,17 @@ def q_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_src.parse_sitemap_xml(_synth(spark, sf_dir, "sitemaps"))
 
 
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host declared-vs-crawled coverage audit: distinct-reduce both
+    sides map-side, one url-grain hash join, one host-grain partial-agg
+    rollup; html pruned at the scan (robots.sitemap_coverage)."""
+    from web_crawler_spark.sources import robots as robots_src
+
+    return robots_src.sitemap_coverage(
+        _synth(spark, sf_dir, "sitemaps"), _synth(spark, sf_dir, "pages")
+    )
+
+
 def q_crawl_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-based mirror detection: text digests served by more than
     one host, with a capped sorted host sample (recrawl.content_mirrors) —
@@ -1449,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domains": q_url_domains,
         "crawl_mirrors": q_crawl_mirrors,
         "sitemap_scan": q_sitemap_scan,
+        "sitemap_coverage": q_sitemap_coverage,
         "events_asof": q_events_asof,
         "events_bands": q_events_bands,
     }
@@ -1984,6 +1996,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "sitemap_scan": robots_src.duck_sitemap_xml_sql(
             f"read_parquet('{sp('sitemaps')}')"
+        ),
+        "sitemap_coverage": robots_src.duck_sitemap_coverage_sql(
+            f"read_parquet('{sp('sitemaps')}')", f"read_parquet('{sp('pages')}')"
         ),
         "events_bands": """
             SELECT b.band, count(*)::BIGINT AS n_events,

@@ -173,3 +173,55 @@ def test_parse_sitemap_xml_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert want == got
+
+
+def test_sitemap_coverage_crafted(spark, tmp_path):
+    """Declared∩crawled, declared-only, orphan pages, and an index-only
+    host (NULL coverage); Spark and the DuckDB twin agree exactly."""
+    import duckdb
+    urlset = (
+        "<urlset>"
+        "<url><loc>http://a.example/1</loc></url>"
+        "<url><loc>http://a.example/2</loc></url>"
+        "<url><loc>http://a.example/2</loc></url>"  # dup declaration
+        "<url><loc>http://a.example/gone</loc></url>"  # declared, not crawled
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>http://b.example/sm-0.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    sitemaps = spark.createDataFrame(
+        [("http://a.example/sitemap.xml", urlset),
+         ("http://b.example/sitemap.xml", index)],
+        "sitemap_url string, xml string",
+    )
+    pages = spark.createDataFrame(
+        [("http://a.example/1",), ("http://a.example/2",),
+         ("http://a.example/orphan",), ("http://b.example/only",)],
+        "url string",
+    )
+    got = {
+        r["host"]: (r["n_declared"], r["n_crawled"], r["n_orphan"], r["coverage_ppm"])
+        for r in robots_src.sitemap_coverage(sitemaps, pages).collect()
+    }
+    assert got == {
+        "a.example": (3, 2, 1, 666666),
+        "b.example": (0, 0, 1, None),
+    }
+    ps, pp = str(tmp_path / "sm.parquet"), str(tmp_path / "pg.parquet")
+    sitemaps.toPandas().to_parquet(ps)
+    pages.toPandas().to_parquet(pp)
+    odf = duckdb.sql(
+        robots_src.duck_sitemap_coverage_sql(
+            f"read_parquet('{ps}')", f"read_parquet('{pp}')"
+        )
+    ).df()
+    want = {
+        r["host"]: (
+            int(r["n_declared"]), int(r["n_crawled"]), int(r["n_orphan"]),
+            None if r["coverage_ppm"] != r["coverage_ppm"] else int(r["coverage_ppm"]),
+        )
+        for _, r in odf.iterrows()
+    }
+    assert want == got

@@ -208,3 +208,85 @@ FROM (
 )"""
 
     return part("url", "url") + "\nUNION ALL" + part("sitemap", "sitemap")
+
+
+_HOST_OF = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+
+
+def sitemap_coverage(sitemaps: DataFrame, pages: DataFrame) -> DataFrame:
+    """Per-host crawl-coverage audit: what the site DECLARED in its
+    sitemaps vs what the crawl actually HOLDS.
+
+    (host, n_declared, n_crawled, n_orphan, coverage_ppm): ``n_declared``
+    = distinct <urlset> locs for the host, ``n_crawled`` = declared locs
+    present in the pages table, ``n_orphan`` = crawled pages the host never
+    declared (discovered only by link-following — the pages a
+    sitemap-driven recrawl would MISS), ``coverage_ppm`` =
+    floor(1e6 * n_crawled / n_declared), NULL for index-only hosts that
+    declare no concrete urls.
+
+    Scale shape: both sides reduce to distinct url sets map-side first
+    (partial agg before the exchange), the url-grain full-outer join is a
+    plain hash equi-join on url, and the per-host rollup reuses nothing
+    heavier than a second partial-agg'd exchange.  html bytes are pruned at
+    the scan (url is the only pages column read).  No Python.
+    """
+    declared = (
+        parse_sitemap_xml(sitemaps)
+        .where(F.col("kind") == "url")
+        .select(F.col("loc").alias("url"))
+        .distinct()
+        .withColumn("declared", F.lit(1))
+    )
+    crawled = (
+        pages.select("url").distinct().withColumn("crawled", F.lit(1))
+    )
+    joined = declared.join(crawled, "url", "full_outer").select(
+        F.lower(F.regexp_extract("url", _HOST_OF, 1)).alias("host"),
+        "declared",
+        "crawled",
+    )
+    agg = joined.groupBy("host").agg(
+        F.count("declared").alias("n_declared"),
+        F.count(F.when(F.col("declared").isNotNull() & F.col("crawled").isNotNull(), 1)).alias("n_crawled"),
+        F.count(F.when(F.col("declared").isNull(), 1)).alias("n_orphan"),
+    )
+    return agg.select(
+        "host",
+        "n_declared",
+        "n_crawled",
+        "n_orphan",
+        F.when(
+            F.col("n_declared") > 0,
+            F.expr("(1000000 * n_crawled) div n_declared"),
+        ).cast("long").alias("coverage_ppm"),
+    )
+
+
+def duck_sitemap_coverage_sql(sitemaps: str, pages: str) -> str:
+    """DuckDB twin of :func:`sitemap_coverage`."""
+    return f"""
+        WITH entries AS ({duck_sitemap_xml_sql(sitemaps)}),
+        declared AS (
+          SELECT DISTINCT loc AS url FROM entries WHERE kind = 'url'
+        ),
+        crawled AS (SELECT DISTINCT url FROM {pages}),
+        joined AS (
+          SELECT coalesce(d.url, c.url) AS url,
+                 (d.url IS NOT NULL) AS declared,
+                 (c.url IS NOT NULL) AS crawled
+          FROM declared d FULL OUTER JOIN crawled c ON d.url = c.url
+        ),
+        agg AS (
+          SELECT lower(regexp_extract(url, '{_HOST_OF}', 1)) AS host,
+                 count(CASE WHEN declared THEN 1 END)::BIGINT AS n_declared,
+                 count(CASE WHEN declared AND crawled THEN 1 END)::BIGINT AS n_crawled,
+                 count(CASE WHEN NOT declared THEN 1 END)::BIGINT AS n_orphan
+          FROM joined GROUP BY 1
+        )
+        SELECT host, n_declared, n_crawled, n_orphan,
+               CASE WHEN n_declared > 0
+                    THEN (1000000 * n_crawled) // n_declared
+                    ELSE NULL END::BIGINT AS coverage_ppm
+        FROM agg
+    """
