@@ -1318,6 +1318,14 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bm25_topk(_docs(spark, sf_dir))
 
 
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-phrase match with occurrence counts: non-phrase
+    tokens die map-side under a broadcast (slot, term) join, the one
+    exchange groups (doc, pos - slot) anchors — positional postings without
+    ever shuffling the corpus (textstats.phrase_search docstring)."""
+    return textstats.phrase_search(_docs(spark, sf_dir))
+
+
 def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance: build capped posting shards over two
     disjoint halves of the corpus (doc_id parity stands in for base +
@@ -1450,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "link_hits": q_link_hits,
         "search_bm25": q_search_bm25,
+        "search_phrase": q_search_phrase,
         "index_merge": q_index_merge,
         "sketch_cms": q_sketch_cms,
         "events_anomaly": q_events_anomaly,
@@ -1959,6 +1968,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         """,
         "link_hits": linkstats.duck_hits_sql(pages_meta),
         "search_bm25": textstats.duck_bm25_sql("documents"),
+        "search_phrase": textstats.duck_phrase_sql("documents"),
         # merged shard indexes must equal the full single-pass build
         "index_merge": textstats.duck_postings_sql("documents"),
         "events_anomaly": """

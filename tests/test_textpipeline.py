@@ -1097,3 +1097,33 @@ def test_content_mirrors_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_phrase_search_crafted(spark):
+    """Overlapping occurrences, repeated phrase terms, punctuation-split
+    tokens, and near-miss docs."""
+    rows = [
+        (1, "a b a b a"),            # "a b a" overlaps: anchors 0 and 2
+        (2, "x a, B! a y"),          # punctuation/case: one hit
+        (3, "a b c b a"),            # no consecutive "a b a"
+        (4, "b a b"),                # phrase terms present, wrong order
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in textstats.phrase_search(df, phrase=("a", "b", "a")).collect()
+    }
+    assert got == {1: 2, 2: 1}
+    plan = (
+        textstats.phrase_search(df, phrase=("a", "b", "a"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "Python" not in plan
+
+
+def test_phrase_search_vs_duckdb(spark, duck, docs):
+    _cmp(
+        textstats.phrase_search(docs),
+        duck.sql(textstats.duck_phrase_sql("documents")),
+        ["doc_id"],
+    )

@@ -717,3 +717,80 @@ FROM cum CROSS JOIN (VALUES {qlist}) AS q(q_pct)
 WHERE cum * 100 >= q.q_pct * total
 GROUP BY 1, 2
 """
+
+
+# -- exact phrase search (positional postings) ---------------------------------
+
+PHRASE_QUERY = ("part", "filter", "scan")
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: tuple[str, ...] = PHRASE_QUERY,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits): documents containing the exact consecutive token
+    phrase, with per-document occurrence counts — the positional-postings
+    phrase query a web index answers after BM25 recall.
+
+    Scale shape: tokenization is map-side JVM (split + array filter +
+    posexplode); a broadcast join against the k-row (slot, term) phrase
+    table kills every occurrence of a non-phrase term in the SAME map
+    stage, so the only exchange — on (doc_id, anchor = pos - slot) — moves
+    just the phrase-term occurrences (k tiny posting lists, never the
+    corpus).  An anchor holding all k slots is one phrase occurrence
+    (pos = anchor + slot is injective per slot, so a plain count reaches k
+    exactly when every slot matched).  Repeated phrase terms fan out in the
+    broadcast join and are handled exactly.  No Python anywhere.
+    """
+    k = len(phrase)
+    slot_df = df.sparkSession.createDataFrame(
+        [(i, t.lower()) for i, t in enumerate(phrase)], "slot int, term string"
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("pos", "term"),
+    )
+    cand = toks.join(F.broadcast(slot_df), "term").select(
+        "doc_id", (F.col("pos") - F.col("slot")).alias("anchor")
+    )
+    hits = (
+        cand.groupBy("doc_id", "anchor")
+        .agg(F.count("*").alias("ns"))
+        .where(F.col("ns") == k)
+    )
+    return hits.groupBy("doc_id").agg(F.count("*").alias("n_hits"))
+
+
+def duck_phrase_sql(table: str, phrase: tuple[str, ...] = PHRASE_QUERY) -> str:
+    k = len(phrase)
+    slot_rows = ", ".join(f"({i}, '{t.lower()}')" for i, t in enumerate(phrase))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(arr) AS term,
+         unnest(range(len(arr))) AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS arr
+    FROM {table}
+  )
+),
+slots(slot, term) AS (VALUES {slot_rows}),
+cand AS (
+  SELECT t.doc_id, t.pos - s.slot AS anchor
+  FROM toks t JOIN slots s USING (term)
+),
+hits AS (
+  SELECT doc_id, anchor FROM cand
+  GROUP BY doc_id, anchor HAVING count(*) = {k}
+)
+SELECT doc_id, count(*)::BIGINT AS n_hits FROM hits GROUP BY doc_id
+"""
