@@ -1326,6 +1326,13 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.phrase_search(_docs(spark, sf_dir))
 
 
+def q_doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dice-scored bigram collocations in exact BIGINT arithmetic: bigrams
+    built map-side by self-shifted array zip (no positional join), support
+    filter before the unigram joins (textstats.collocations docstring)."""
+    return textstats.collocations(_docs(spark, sf_dir))
+
+
 def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance: build capped posting shards over two
     disjoint halves of the corpus (doc_id parity stands in for base +
@@ -1459,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": q_link_hits,
         "search_bm25": q_search_bm25,
         "search_phrase": q_search_phrase,
+        "doc_collocations": q_doc_collocations,
         "index_merge": q_index_merge,
         "sketch_cms": q_sketch_cms,
         "events_anomaly": q_events_anomaly,
@@ -1969,6 +1977,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "link_hits": linkstats.duck_hits_sql(pages_meta),
         "search_bm25": textstats.duck_bm25_sql("documents"),
         "search_phrase": textstats.duck_phrase_sql("documents"),
+        "doc_collocations": textstats.duck_collocations_sql("documents"),
         # merged shard indexes must equal the full single-pass build
         "index_merge": textstats.duck_postings_sql("documents"),
         "events_anomaly": """

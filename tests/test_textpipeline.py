@@ -1127,3 +1127,36 @@ def test_phrase_search_vs_duckdb(spark, duck, docs):
         duck.sql(textstats.duck_phrase_sql("documents")),
         ["doc_id"],
     )
+
+
+def test_collocations_crafted(spark):
+    """Dice arithmetic, support filter, and single-token docs."""
+    rows = [
+        (1, "new york new york new york"),
+        (2, "new york city"),
+        (3, "lone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["t1"], r["t2"]): (r["n_pair"], r["n_t1"], r["n_t2"], r["dice_ppm"])
+        for r in textstats.collocations(df, min_support=2).collect()
+    }
+    # "new york": pair 4x, new 4x, york 4x -> dice = 2e6*4 // 8 = 1e6
+    # "york new": pair 2x (within doc 1) -> 2e6*2 // 8 = 500000
+    assert got == {
+        ("new", "york"): (4, 4, 4, 1000000),
+        ("york", "new"): (2, 4, 4, 500000),
+    }
+    plan = (
+        textstats.collocations(df, min_support=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+
+
+def test_collocations_vs_duckdb(spark, duck, docs):
+    _cmp(
+        textstats.collocations(docs),
+        duck.sql(textstats.duck_collocations_sql("documents")),
+        ["t1", "t2"],
+    )

@@ -794,3 +794,91 @@ hits AS (
 )
 SELECT doc_id, count(*)::BIGINT AS n_hits FROM hits GROUP BY doc_id
 """
+
+
+# -- collocation mining (Dice-scored bigrams) ----------------------------------
+
+COLLOC_MIN_SUPPORT = 20
+
+
+def collocations(
+    df: DataFrame,
+    min_support: int = COLLOC_MIN_SUPPORT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(t1, t2, n_pair, n_t1, n_t2, dice_ppm): corpus bigram collocations
+    scored by the Dice coefficient in exact BIGINT floor arithmetic —
+    ``dice_ppm = (2e6 * n_pair) div (n_t1 + n_t2)`` (bit-identical across
+    engines; overflows only past ~4.6e12 occurrences of one bigram).
+    Standard phrase-mining / tokenizer-merge-candidate pass over a crawl
+    corpus (Manning & Schütze ch. 5 collocation measures).
+
+    Scale shape: bigrams are built MAP-SIDE by zipping the token array with
+    itself shifted one (two slices + arrays_zip + explode) — no positional
+    self-join, no exchange until the counting groupBys (both partial-agg'd).
+    The support filter lands before the unigram joins, so only surviving
+    pair types (vocab², bounded hard by min_support) ever join; unigram
+    counts join on term equality.  No Python.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    toks = df.select(F.col(id_col).alias("doc_id"), arr.alias("arr"))
+    uni = (
+        toks.select(F.explode("arr").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.size("arr")
+    pairs = (
+        toks.where(n >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("arr", 1, n - 1).alias("t1"),
+                    F.slice("arr", 2, n - 1).alias("t2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= min_support)
+    )
+    return (
+        pairs.join(uni.select(F.col("term").alias("t1"), F.col("c").alias("n_t1")), "t1")
+        .join(uni.select(F.col("term").alias("t2"), F.col("c").alias("n_t2")), "t2")
+        .select(
+            "t1", "t2", "n_pair", "n_t1", "n_t2",
+            F.expr("(2000000 * n_pair) div (n_t1 + n_t2)").alias("dice_ppm"),
+        )
+    )
+
+
+def duck_collocations_sql(table: str, min_support: int = COLLOC_MIN_SUPPORT) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS arr
+  FROM {table}
+),
+uni AS (
+  SELECT term, count(*)::BIGINT AS c
+  FROM (SELECT unnest(arr) AS term FROM toks) GROUP BY 1
+),
+pairs AS (
+  SELECT t1, t2, count(*)::BIGINT AS n_pair
+  FROM (
+    SELECT unnest(arr[1:len(arr)-1]) AS t1, unnest(arr[2:len(arr)]) AS t2
+    FROM toks WHERE len(arr) >= 2
+  )
+  GROUP BY 1, 2 HAVING count(*) >= {min_support}
+)
+SELECT p.t1, p.t2, p.n_pair, u1.c AS n_t1, u2.c AS n_t2,
+       (2000000 * p.n_pair) // (u1.c + u2.c) AS dice_ppm
+FROM pairs p
+JOIN uni u1 ON p.t1 = u1.term
+JOIN uni u2 ON p.t2 = u2.term
+"""
