@@ -1266,6 +1266,14 @@ def q_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_src.parse_sitemap_xml(_synth(spark, sf_dir, "sitemaps"))
 
 
+def q_link_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution over the redirects fixture: pointer
+    DOUBLING (ceil(log2(cap)) = 4 exchanges for a 16-hop cap, not 16) with
+    cycle / over-cap detection; oracle is a bounded recursive CTE
+    (linkstats.resolve_redirects docstring)."""
+    return linkstats.resolve_redirects(_synth(spark, sf_dir, "redirects"))
+
+
 def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host declared-vs-crawled coverage audit: distinct-reduce both
     sides map-side, one url-grain hash join, one host-grain partial-agg
@@ -1478,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_mirrors": q_crawl_mirrors,
         "sitemap_scan": q_sitemap_scan,
         "sitemap_coverage": q_sitemap_coverage,
+        "link_redirects": q_link_redirects,
         "events_asof": q_events_asof,
         "events_bands": q_events_bands,
     }
@@ -2018,6 +2027,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "sitemap_coverage": robots_src.duck_sitemap_coverage_sql(
             f"read_parquet('{sp('sitemaps')}')", f"read_parquet('{sp('pages')}')"
+        ),
+        "link_redirects": linkstats.duck_resolve_redirects_sql(
+            f"read_parquet('{sp('redirects')}')"
         ),
         "events_bands": """
             SELECT b.band, count(*)::BIGINT AS n_events,

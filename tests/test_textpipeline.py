@@ -1160,3 +1160,67 @@ def test_collocations_vs_duckdb(spark, duck, docs):
         duck.sql(textstats.duck_collocations_sql("documents")),
         ["t1", "t2"],
     )
+
+
+def test_resolve_redirects_crafted(spark, tmp_path):
+    """Chains, 2-cycle, self-loop, over-cap chain, and duplicate-Location
+    first-wins; DuckDB recursive-CTE twin agrees."""
+    import duckdb as _duck
+    from web_crawler_spark.functions import linkstats as _ls
+
+    edges = [
+        ("a", "b"), ("b", "c"),              # a -> 2 hops -> c (terminal)
+        ("x", "y"), ("y", "x"),              # 2-cycle
+        ("s", "s"),                          # self-loop
+        ("m", "t1"), ("m", "t0"),            # duplicate Location: min wins
+    ]
+    # over-cap chain: c0 -> c1 -> ... -> c20 with cap 16
+    edges += [(f"c{i}", f"c{i+1}") for i in range(20)]
+    df = spark.createDataFrame(edges, "src_url string, dst_url string")
+    got = {
+        r["src_url"]: (r["final_url"], r["n_hops"], r["is_loop"])
+        for r in _ls.resolve_redirects(df).collect()
+    }
+    assert got["a"] == ("c", 2, False)
+    assert got["b"] == ("c", 1, False)
+    assert got["x"] == (None, None, True)
+    assert got["y"] == (None, None, True)
+    assert got["s"] == (None, None, True)
+    assert got["m"] == ("t0", 1, False)
+    assert got["c10"] == ("c20", 10, False)
+    assert got["c0"] == (None, None, True)   # 20 hops > cap 16
+    assert got["c4"] == ("c20", 16, False)   # exactly at the cap
+    p = str(tmp_path / "re.parquet")
+    df.toPandas().to_parquet(p)
+    want = {
+        r["src_url"]: (
+            None if r["final_url"] != r["final_url"] else r["final_url"],
+            None if r["n_hops"] != r["n_hops"] else int(r["n_hops"]),
+            bool(r["is_loop"]),
+        )
+        for _, r in _duck.sql(
+            _ls.duck_resolve_redirects_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert want == got
+
+
+def test_resolve_redirects_fixture(spark):
+    """Every fixture chain ends at a real page url in <=4 hops; the three
+    planted cycles are flagged."""
+    from web_crawler_spark import synth as _synth
+    from web_crawler_spark.functions import linkstats as _ls
+
+    _synth.ensure_synth("0.001")
+    red = spark.read.parquet(_synth.synth_path("0.001", "redirects"))
+    res = _ls.resolve_redirects(red)
+    loops = res.where("is_loop").count()
+    assert loops == 6  # 3 cycles x 2 sources each
+    ok = res.where("NOT is_loop")
+    assert ok.where("n_hops > 4").count() == 0
+    pages = spark.read.parquet(_synth.synth_path("0.001", "pages"))
+    # every resolved final url is a crawled page
+    assert (
+        ok.join(pages.select(F.col("url").alias("final_url")), "final_url", "left_anti").count()
+        == 0
+    )

@@ -936,3 +936,111 @@ walk(host, depth) AS (
 )
 SELECT host, min(depth)::BIGINT AS depth FROM walk GROUP BY host
 """
+
+
+# -- redirect-chain resolution (pointer doubling) -------------------------------
+
+REDIRECT_CAP = 16  # HTTP clients cap follow depth (aiohttp default 10; curl 50)
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    cap: int = REDIRECT_CAP,
+) -> DataFrame:
+    """(src_url, final_url, n_hops, is_loop): for every redirect source,
+    the terminal url its chain lands on, how many hops away, or
+    ``is_loop`` when the chain cycles / exceeds ``cap`` hops (the case the
+    reference's HTTP client delegates to aiohttp's redirect limit —
+    `/root/reference/web_crawler/http_client.py` never sees it; an offline
+    resolver must detect it itself).
+
+    Pointer DOUBLING, not step-by-step walking: each round composes the
+    partial-resolution map with itself (``state ⋈ state``), so traversed
+    path length doubles per round and chains up to ``cap`` hops resolve in
+    ceil(log2(cap)) shuffles — at a 10^10-edge redirect graph that is 4
+    exchanges instead of 16.  Multiple Location headers per src collapse
+    first-wins (min dst) map-side before the loop, keeping the map
+    functional.  A row is terminal when its cursor has no outgoing edge
+    (left-anti semantics via the composition join's null branch).
+    """
+    edges = (
+        redirects.groupBy(F.col(src_col).alias("src"))
+        .agg(F.min(dst_col).alias("dst"))
+    )
+    # state: src -> (cur, n) after following n hops; n doubles per round.
+    state = edges.select(
+        "src", F.col("dst").alias("cur"), F.lit(1).cast("long").alias("n")
+    ).localCheckpoint(eager=True)
+    rounds = max(1, (cap - 1).bit_length())  # ceil(log2(cap))
+    for _ in range(rounds):
+        composed = (
+            state.alias("a")
+            .join(
+                state.select(
+                    F.col("src").alias("b_src"),
+                    F.col("cur").alias("b_cur"),
+                    F.col("n").alias("b_n"),
+                ),
+                F.col("a.cur") == F.col("b_src"),
+                "left",
+            )
+            .select(
+                F.col("a.src").alias("src"),
+                F.coalesce("b_cur", "a.cur").alias("cur"),
+                (F.col("a.n") + F.coalesce("b_n", F.lit(0))).alias("n"),
+            )
+        )
+        state = composed.localCheckpoint(eager=True)
+    # terminal iff the cursor has no outgoing edge; loop/too-long otherwise
+    out = (
+        state.join(
+            edges.select(F.col("src").alias("cur"), F.lit(1).alias("has_out")),
+            "cur",
+            "left",
+        )
+        .select(
+            F.col("src").alias("src_url"),
+            F.when(F.col("has_out").isNull(), F.col("cur")).alias("final_url"),
+            F.when(
+                F.col("has_out").isNull() & (F.col("n") <= cap), F.col("n")
+            ).alias("n_hops"),
+            (F.col("has_out").isNotNull() | (F.col("n") > cap)).alias("is_loop"),
+        )
+    )
+    # a terminal reached past the cap is still "too long" -> loop semantics
+    return out.select(
+        "src_url",
+        F.when(~F.col("is_loop"), F.col("final_url")).alias("final_url"),
+        F.when(~F.col("is_loop"), F.col("n_hops")).alias("n_hops"),
+        "is_loop",
+    )
+
+
+def duck_resolve_redirects_sql(redirects: str, cap: int = REDIRECT_CAP) -> str:
+    """DuckDB twin: bounded recursive-CTE walk (the oracle may walk
+    step-by-step; only the engine needs the log-round plan)."""
+    return rf"""
+WITH RECURSIVE edges AS (
+  SELECT src_url AS src, min(dst_url) AS dst FROM {redirects} GROUP BY 1
+),
+walk AS (
+  SELECT src, dst AS cur, 1::BIGINT AS n FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.n + 1
+  FROM walk w JOIN edges e ON w.cur = e.src
+  WHERE w.n < {cap} + 1
+),
+terminal AS (
+  SELECT w.src, w.cur, w.n
+  FROM walk w
+  WHERE w.n <= {cap}
+    AND NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.cur)
+)
+SELECT e.src AS src_url,
+       t.cur AS final_url,
+       t.n AS n_hops,
+       (t.src IS NULL) AS is_loop
+FROM edges e LEFT JOIN terminal t ON e.src = t.src
+"""

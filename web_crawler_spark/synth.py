@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v14"  # v14: sitemaps (urlset/sitemapindex XML); dedicated RNG, all v13 tables byte-identical
+SYNTH_VERSION = "v15"  # v15: redirects (multi-hop chains + loops); dedicated RNG, all v14 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -702,6 +702,37 @@ def _gen_sitemaps(pages_meta_tbl: pa.Table, sf: str):
     )
 
 
+def _gen_redirects(urls: list[str], sf: str):
+    """(src_url, dst_url) redirect edges: ~8% of pages get a redirect chain
+    of 1-4 hops ending at the page's canonical url (hop urls are synthetic
+    ``/redir/{i}/{j}`` paths on the same host, mirroring how trackers and
+    shorteners front real content), plus 3 pure 2-cycles (``/loop/{j}/…``)
+    — the crawler-killing case a resolver must detect, not follow.  Each
+    src has exactly ONE outgoing edge (HTTP semantics: one Location per
+    response).  Dedicated RNG: every v14 fixture's bytes are unchanged."""
+    rng = random.Random(f"redirects-{sf}")
+    src_col, dst_col = [], []
+    for i in range(0, len(urls), 13):  # ~7.7% of pages
+        final = urls[i]
+        host = final.split("/")[2]
+        hops = rng.randrange(1, 5)
+        chain = [f"http://{host}/redir/{i}/{j}" for j in range(hops)] + [final]
+        for a, b in zip(chain, chain[1:]):
+            src_col.append(a)
+            dst_col.append(b)
+    for j in range(3):
+        a = f"http://loop{j}.example/loop/{j}/0"
+        b = f"http://loop{j}.example/loop/{j}/1"
+        src_col += [a, b]
+        dst_col += [b, a]
+    return pa.table(
+        {
+            "src_url": pa.array(src_col, pa.string()),
+            "dst_url": pa.array(dst_col, pa.string()),
+        }
+    )
+
+
 def ensure_synth(sf_dir_or_name: str) -> str:
     """Generate (once) all synthetic tables for a scale; returns the dir."""
     sf = sf_name_of(sf_dir_or_name)
@@ -722,6 +753,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pages_prev = _gen_pages_prev(pages, sf)
     pages_mirror = _gen_pages_mirror(pages_meta, sf)
     sitemaps = _gen_sitemaps(pages_meta, sf)
+    redirects = _gen_redirects(urls, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -739,6 +771,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(pages_prev, synth_path(sf, "pages_prev"), row_group_size=2048)
     pq.write_table(pages_mirror, synth_path(sf, "pages_mirror"), row_group_size=2048)
     pq.write_table(sitemaps, synth_path(sf, "sitemaps"), row_group_size=2048)
+    pq.write_table(redirects, synth_path(sf, "redirects"), row_group_size=2048)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
