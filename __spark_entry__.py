@@ -783,6 +783,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupsim.simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (Broder 1997): inverted-index shingle
+    join with df-cap postings pruning — catches short-doc-quoted-in-long-doc
+    dups that Jaccard LSH misses (dedupsim.containment_pairs docstring)."""
+    return dedupsim.containment_pairs(_docs(spark, sf_dir))
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Manku WWW'07 banding): bucketed self-join on
     (band, 8-bit key) — pigeonhole-exact at Hamming<=3, never all-pairs —
@@ -1451,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_containment": q_dedup_containment,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_components": q_dedup_components,
@@ -1857,6 +1865,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "dedup_minhash": dedupsim.duck_minhash_exploded_sql("documents"),
         "dedup_lsh_pairs": dedupsim.duck_lsh_pairs_sql("documents"),
         "dedup_jaccard": dedupsim.duck_jaccard_sql("documents"),
+        "dedup_containment": dedupsim.duck_containment_sql("documents"),
         "dedup_simhash": dedupsim.duck_simhash_sql("documents"),
         "dedup_simhash_pairs": dedupsim.duck_simhash_pairs_sql("documents"),
         "dedup_components": dedupsim.duck_components_sql("documents"),

@@ -1224,3 +1224,34 @@ def test_resolve_redirects_fixture(spark):
         ok.join(pages.select(F.col("url").alias("final_url")), "final_url", "left_anti").count()
         == 0
     )
+
+
+def test_containment_crafted(spark):
+    """A short doc fully quoted inside a long doc scores 1e6 containment
+    even though its Jaccard vs the long doc is small; disjoint docs and
+    boilerplate-only overlap (df > cap) produce no pair."""
+    quoted = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} pad{i} fill{i}" for i in range(40))
+    boiler = "copyright footer nav"  # shared by MANY docs -> pruned
+    rows = [
+        ("short", quoted),
+        ("long", filler + " " + quoted),
+        ("other", " ".join(f"unrelated{i} token{i}" for i in range(30))),
+    ] + [(f"b{i}", boiler + f" unique{i} x{i} y{i} z{i} w{i}") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment_ppm"]
+        for r in dedupsim.containment_pairs(df).collect()
+    }
+    assert got[("long", "short")] == 1_000_000
+    assert all("other" not in k for k in got)
+    # the 70 boilerplate docs share only a df>cap shingle run: no pairs
+    assert all(not (a.startswith("b") and b.startswith("b")) for a, b in got)
+
+
+def test_containment_vs_duckdb(spark, duck, docs):
+    _cmp(
+        dedupsim.containment_pairs(docs),
+        duck.sql(dedupsim.duck_containment_sql("documents")),
+        ["doc_a", "doc_b"],
+    )

@@ -495,3 +495,113 @@ cand AS (
 SELECT a, b, bit_count(xor(ha, hb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 """
+
+
+# -- asymmetric containment (subset/quotation) dedup -----------------------------
+
+CONTAIN_DF_CAP = 64        # shingles in more docs than this are boilerplate
+CONTAIN_MIN_PPM = 500_000  # report pairs where >=50% of the smaller doc is shared
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = CONTAIN_DF_CAP,
+    min_ppm: int = CONTAIN_MIN_PPM,
+) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b, containment_ppm): document pairs
+    where the smaller document's shingle set is substantially contained in
+    the larger's — ``containment_ppm = (1e6 * |A∩B|) div min(|A|,|B|)`` in
+    exact BIGINT arithmetic.  Catches the asymmetric near-dups Jaccard-LSH
+    systematically misses (a short article quoted inside a long aggregator
+    page has Jaccard ≈ |A|/|B| → tiny, but containment ≈ 1; Broder 1997
+    defines both resemblance and containment for exactly this reason).
+    The reference's pipeline has no containment pass; this extends its
+    dedup story for training-corpus curation.
+
+    Scale shape: the pair join is an inverted-index (postings) join on the
+    shingle — never all-pairs.  Shingles with document frequency > df_cap
+    are pruned from BOTH the numerator and the denominators (consistent
+    "discriminative shingle space"), which is standard postings-list
+    pruning: a boilerplate shingle in k docs would otherwise emit k² join
+    rows.  df=1 shingles stay in the denominators (they dilute containment
+    — dropping them would report two mostly-disjoint docs as contained)
+    but are filtered from the join side as a no-op optimization.  Both
+    df-count groupBys partial-aggregate map-side; fan-out per surviving
+    shingle is ≤ df_cap², and AQE splits any residual skew.
+    """
+    sh = shingles(df, id_col, text_col)
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    informative = sh.join(
+        dfc.where(F.col("n_docs") <= df_cap).select("shingle"), "shingle"
+    )
+    sizes = informative.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    joinable = sh.join(
+        dfc.where((F.col("n_docs") >= 2) & (F.col("n_docs") <= df_cap)).select("shingle"),
+        "shingle",
+    )
+    inter = (
+        joinable.alias("l")
+        .join(
+            joinable.select(
+                F.col("shingle").alias("r_shingle"), F.col("doc_id").alias("doc_b")
+            ),
+            F.col("shingle") == F.col("r_shingle"),
+        )
+        .where(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "n_inter", "n_a", "n_b",
+            F.expr("(1000000 * n_inter) div least(n_a, n_b)").alias("containment_ppm"),
+        )
+        .where(F.col("containment_ppm") >= min_ppm)
+    )
+
+
+def duck_containment_sql(
+    table: str,
+    df_cap: int = CONTAIN_DF_CAP,
+    min_ppm: int = CONTAIN_MIN_PPM,
+) -> str:
+    return rf"""
+WITH {duck_shingles_cte(table)},
+dfc AS (
+  SELECT shingle, count(*)::BIGINT AS n_docs FROM shingles GROUP BY 1
+),
+informative AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles s JOIN dfc USING (shingle) WHERE dfc.n_docs <= {df_cap}
+),
+sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_sh FROM informative GROUP BY 1
+),
+joinable AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles s JOIN dfc USING (shingle)
+  WHERE dfc.n_docs BETWEEN 2 AND {df_cap}
+),
+inter AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+  FROM joinable l JOIN joinable r
+    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       (1000000 * i.n_inter) // least(sa.n_sh, sb.n_sh) AS containment_ppm
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE (1000000 * i.n_inter) // least(sa.n_sh, sb.n_sh) >= {min_ppm}
+"""
