@@ -1348,6 +1348,13 @@ def q_doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.collocations(_docs(spark, sf_dir))
 
 
+def q_doc_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training pair counts: the only corpus-scale pass is the
+    word-frequency groupBy; pair extraction runs over the vocabulary-sized
+    distinct-word table (textstats.bpe_pair_counts docstring)."""
+    return textstats.bpe_pair_counts(_docs(spark, sf_dir))
+
+
 def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance: build capped posting shards over two
     disjoint halves of the corpus (doc_id parity stands in for base +
@@ -1483,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "search_phrase": q_search_phrase,
         "doc_collocations": q_doc_collocations,
+        "doc_bpe_pairs": q_doc_bpe_pairs,
         "index_merge": q_index_merge,
         "sketch_cms": q_sketch_cms,
         "events_anomaly": q_events_anomaly,
@@ -1996,6 +2004,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "search_bm25": textstats.duck_bm25_sql("documents"),
         "search_phrase": textstats.duck_phrase_sql("documents"),
         "doc_collocations": textstats.duck_collocations_sql("documents"),
+        "doc_bpe_pairs": textstats.duck_bpe_pairs_sql("documents"),
         # merged shard indexes must equal the full single-pass build
         "index_merge": textstats.duck_postings_sql("documents"),
         "events_anomaly": """

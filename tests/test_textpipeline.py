@@ -1255,3 +1255,27 @@ def test_containment_vs_duckdb(spark, duck, docs):
         duck.sql(dedupsim.duck_containment_sql("documents")),
         ["doc_a", "doc_b"],
     )
+
+
+def test_bpe_pairs_crafted(spark):
+    """Word frequency weights pairs: 'aba' x3 + 'ab' x1 -> (a,b)=4, (b,a)=3;
+    single-char and sub-support pairs drop."""
+    rows = [
+        ("d1", "aba aba"),
+        ("d2", "aba ab"),
+        ("d3", "q q q q q zz"),  # 1-char words contribute nothing; zz once < support
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["s1"], r["s2"]): r["n_pair"]
+        for r in textstats.bpe_pair_counts(df, min_support=2).collect()
+    }
+    assert got == {("a", "b"): 4, ("b", "a"): 3}
+
+
+def test_bpe_pairs_vs_duckdb(spark, duck, docs):
+    _cmp(
+        textstats.bpe_pair_counts(docs),
+        duck.sql(textstats.duck_bpe_pairs_sql("documents")),
+        ["s1", "s2"],
+    )

@@ -882,3 +882,75 @@ FROM pairs p
 JOIN uni u1 ON p.t1 = u1.term
 JOIN uni u2 ON p.t2 = u2.term
 """
+
+
+# -- BPE merge-candidate pair counting (tokenizer training) ---------------------
+
+BPE_MIN_SUPPORT = 4
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    min_support: int = BPE_MIN_SUPPORT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(s1, s2, n_pair): corpus-wide adjacent-character pair frequencies —
+    the counting stage of byte-pair-encoding tokenizer training (Sennrich
+    et al. 2016): the argmax row is the first merge.  The reference's
+    pipeline feeds crawled text to downstream training; this is the first
+    thing a tokenizer-training job computes over that corpus.
+
+    Scale shape: the ONLY corpus-scale pass is the word-frequency groupBy
+    (map-side partial agg on the exploded tokens).  Pair extraction then
+    runs over the *distinct-word* table — vocabulary-sized, orders of
+    magnitude smaller than the corpus — weighting each word's pairs by its
+    count, exactly how production BPE trainers exploit word frequency
+    tables instead of rescanning text per merge.  All JVM (sequence +
+    transform + explode), no Python.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    words = (
+        df.select(F.explode(arr).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        words.where(F.length("word") >= 2)
+        .select(
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> struct(substr(word, i, 1) AS s1,"
+                    "             substr(word, i + 1, 1) AS s2))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        .agg(F.sum("c").alias("n_pair"))
+        .where(F.col("n_pair") >= min_support)
+    )
+    return pairs
+
+
+def duck_bpe_pairs_sql(table: str, min_support: int = BPE_MIN_SUPPORT) -> str:
+    return rf"""
+WITH words AS (
+  SELECT word, count(*)::BIGINT AS c
+  FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS word
+    FROM {table}
+  ) GROUP BY 1
+),
+pairs AS (
+  SELECT substr(word, i, 1) AS s1, substr(word, i + 1, 1) AS s2, c
+  FROM words, LATERAL unnest(generate_series(1, length(word) - 1)) AS t(i)
+  WHERE length(word) >= 2
+)
+SELECT s1, s2, sum(c)::BIGINT AS n_pair
+FROM pairs GROUP BY 1, 2 HAVING sum(c) >= {min_support}
+"""
