@@ -1348,6 +1348,13 @@ def q_doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.collocations(_docs(spark, sf_dir))
 
 
+def q_doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-order fluency axis of LM quality filtering: per-doc mean bigram
+    conditional probability in exact BIGINT ppm — high-unigram gibberish
+    scores low here (textstats.bigram_lm_scores docstring)."""
+    return textstats.bigram_lm_scores(_docs(spark, sf_dir))
+
+
 def q_doc_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-training pair counts: the only corpus-scale pass is the
     word-frequency groupBy; pair extraction runs over the vocabulary-sized
@@ -1491,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase": q_search_phrase,
         "doc_collocations": q_doc_collocations,
         "doc_bpe_pairs": q_doc_bpe_pairs,
+        "doc_bigram_lm": q_doc_bigram_lm,
         "index_merge": q_index_merge,
         "sketch_cms": q_sketch_cms,
         "events_anomaly": q_events_anomaly,
@@ -2005,6 +2013,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "search_phrase": textstats.duck_phrase_sql("documents"),
         "doc_collocations": textstats.duck_collocations_sql("documents"),
         "doc_bpe_pairs": textstats.duck_bpe_pairs_sql("documents"),
+        "doc_bigram_lm": textstats.duck_bigram_lm_sql("documents"),
         # merged shard indexes must equal the full single-pass build
         "index_merge": textstats.duck_postings_sql("documents"),
         "events_anomaly": """

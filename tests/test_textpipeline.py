@@ -1279,3 +1279,34 @@ def test_bpe_pairs_vs_duckdb(spark, duck, docs):
         duck.sql(textstats.duck_bpe_pairs_sql("documents")),
         ["s1", "s2"],
     )
+
+
+def test_bigram_lm_crafted(spark):
+    """Fluent repetition of one bigram scores 1e6; a gibberish permutation
+    of common words scores below it; <2-token docs score 0."""
+    rows = [
+        ("fluent", "go home go home go home"),
+        ("mixed", "home go home home"),
+        ("tiny", "go"),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["score_ppm"])
+        for r in textstats.bigram_lm_scores(df).collect()
+    }
+    # corpus unigrams: n(go)=5 (3 fluent + 1 mixed + 1 tiny), n(home)=6;
+    # pairs: (go,home)=4, (home,go)=3, (home,home)=1
+    # cond(go,home)=4e6//5=800000; cond(home,go)=3e6//6=500000;
+    # cond(home,home)=1e6//6=166666
+    assert got["tiny"] == (0, 0) and got["empty"] == (0, 0)
+    assert got["fluent"] == (5, (3 * 800_000 + 2 * 500_000) // 5)
+    assert got["mixed"] == (3, (500_000 + 800_000 + 166_666) // 3)
+
+
+def test_bigram_lm_vs_duckdb(spark, duck, docs):
+    _cmp(
+        textstats.bigram_lm_scores(docs),
+        duck.sql(textstats.duck_bigram_lm_sql("documents")),
+        ["doc_id"],
+    )

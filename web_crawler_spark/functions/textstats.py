@@ -954,3 +954,107 @@ pairs AS (
 SELECT s1, s2, sum(c)::BIGINT AS n_pair
 FROM pairs GROUP BY 1, 2 HAVING sum(c) >= {min_support}
 """
+
+
+# -- bigram LM fluency scoring (integer-exact) -----------------------------------
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, score_ppm): per-document mean conditional bigram
+    probability under the corpus's own bigram model, in exact BIGINT ppm —
+    ``cond_ppm(t1,t2) = (1e6 * n_pair) div n_t1``, doc score = mean over its
+    bigram tokens.  The word-order fluency axis of CCNet-style LM quality
+    filtering: a doc of common words in gibberish order scores high on the
+    unigram model (unigram_lm_scores) but low here.  Floor division keeps
+    it bit-identical across engines (no float log-perplexity).
+
+    Scale shape: two corpus passes (count + score), both map-side-partial
+    explodes.  The conditional-probability model table is vocab²-bounded
+    (pair TYPES, not tokens) and usually broadcastable; the scoring join
+    shuffles on the pair key only when it isn't.  Docs with <2 tokens score
+    0 via the left join (no divide-by-zero branch).  All JVM.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    toks = df.select(F.col(id_col).alias("doc_id"), arr.alias("arr"))
+    uni = (
+        toks.select(F.explode("arr").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_t1"))
+    )
+    n = F.size("arr")
+    big = (
+        toks.where(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("arr", 1, n - 1).alias("t1"),
+                    F.slice("arr", 2, n - 1).alias("t2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    )
+    cond = (
+        big.groupBy("t1", "t2")
+        .agg(F.count("*").alias("n_pair"))
+        .join(uni.select(F.col("term").alias("t1"), "n_t1"), "t1")
+        .select("t1", "t2", F.expr("(1000000 * n_pair) div n_t1").alias("cond_ppm"))
+    )
+    scored = (
+        big.join(cond, ["t1", "t2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("sum(cond_ppm) div count(*)").alias("score_ppm"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("score_ppm", F.lit(0)).cast("long").alias("score_ppm"),
+        )
+    )
+
+
+def duck_bigram_lm_sql(table: str, id_col: str = "doc_id") -> str:
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS arr
+  FROM {table}
+),
+uni AS (
+  SELECT term, count(*)::BIGINT AS n_t1
+  FROM (SELECT unnest(arr) AS term FROM toks) GROUP BY 1
+),
+big AS (
+  SELECT doc_id, t1, t2 FROM (
+    SELECT doc_id, unnest(arr[1:len(arr)-1]) AS t1, unnest(arr[2:len(arr)]) AS t2
+    FROM toks WHERE len(arr) >= 2
+  )
+),
+cond AS (
+  SELECT b.t1, b.t2, (1000000 * count(*)) // any_value(u.n_t1) AS cond_ppm
+  FROM big b JOIN uni u ON b.t1 = u.term
+  GROUP BY b.t1, b.t2
+),
+scored AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+         sum(c.cond_ppm) // count(*) AS score_ppm
+  FROM big b JOIN cond c ON b.t1 = c.t1 AND b.t2 = c.t2
+  GROUP BY 1
+)
+SELECT d.{id_col} AS doc_id,
+       coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(s.score_ppm, 0)::BIGINT AS score_ppm
+FROM {table} d LEFT JOIN scored s ON s.doc_id = d.{id_col}
+"""
