@@ -1281,6 +1281,15 @@ def q_link_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.resolve_redirects(_synth(spark, sf_dir, "redirects"))
 
 
+def q_url_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-parameter policy mining over the tracked (url, digest)
+    fixture: a query param is strip-safe iff varying/removing it never
+    changes the content digest in any observed context — map-side pair
+    explode, one (param, ctx) partial agg, co-keyed witness join, tiny
+    per-param rollup (urlfilter.mine_tracking_params docstring)."""
+    return urlfilter.mine_tracking_params(_synth(spark, sf_dir, "tracked"))
+
+
 def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host declared-vs-crawled coverage audit: distinct-reduce both
     sides map-side, one url-grain hash join, one host-grain partial-agg
@@ -1511,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_scan": q_sitemap_scan,
         "sitemap_coverage": q_sitemap_coverage,
         "link_redirects": q_link_redirects,
+        "url_params": q_url_params,
         "events_asof": q_events_asof,
         "events_bands": q_events_bands,
     }
@@ -2057,6 +2067,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "link_redirects": linkstats.duck_resolve_redirects_sql(
             f"read_parquet('{sp('redirects')}')"
+        ),
+        "url_params": urlfilter.duck_tracking_params_sql(
+            f"read_parquet('{sp('tracked')}')"
         ),
         "events_bands": """
             SELECT b.band, count(*)::BIGINT AS n_events,

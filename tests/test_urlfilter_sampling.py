@@ -403,3 +403,67 @@ def test_registrable_domain_suffix_rules(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+# -- tracking-parameter policy mining ----------------------------------------
+
+TRACKED_ROWS = [
+    # utm is tracking: two values + bare witness, one context, same digest
+    ("http://a.example/p", "d0"),
+    ("http://a.example/p?utm=x", "d0"),
+    ("http://a.example/p?utm=y", "d0"),
+    # page is content-bearing: values change the digest
+    ("http://a.example/q?page=2", "d2"),
+    ("http://a.example/q?page=3", "d3"),
+    # 'mixed' is consistent on b.example but NOT on c.example -> not tracking
+    ("http://b.example/r", "d4"),
+    ("http://b.example/r?mixed=1", "d4"),
+    ("http://c.example/s", "d5"),
+    ("http://c.example/s?mixed=1", "d6"),
+    # 'lonely': single variant, no witness -> zero informative contexts
+    ("http://d.example/t?lonely=1", "d7"),
+    # stacked: utm strips inside a page context (witness is the page URL,
+    # unsorted input pair order exercises the array_sort canonicalization)
+    ("http://a.example/q?utm=z&page=2", "d2"),
+]
+
+
+def test_mine_tracking_params_semantics(spark, tmp_path):
+    pdf = pd.DataFrame(TRACKED_ROWS, columns=["url", "digest"])
+    p = str(tmp_path / "tracked.parquet")
+    pdf.to_parquet(p)
+    out = {
+        r["param"]: r
+        for r in urlfilter.mine_tracking_params(spark.read.parquet(p)).collect()
+    }
+    assert out["utm"]["is_tracking"] and out["utm"]["n_ctx"] == 2
+    assert not out["page"]["is_tracking"] and out["page"]["n_consistent"] == 0
+    assert not out["mixed"]["is_tracking"]
+    assert out["mixed"]["n_ctx"] == 2 and out["mixed"]["n_consistent"] == 1
+    # lonely has no informative context -> n_ctx 0 and NOT claimed tracking
+    assert out["lonely"]["n_ctx"] == 0 and not out["lonely"]["is_tracking"]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW tr AS SELECT * FROM read_parquet('{p}')")
+    _cmp(
+        urlfilter.mine_tracking_params(spark.read.parquet(p)),
+        con.sql(urlfilter.duck_tracking_params_sql("tr")),
+        ["param"],
+    )
+
+
+def test_mine_tracking_params_synth_parity(spark):
+    sf = synth.ensure_synth("0.001")
+    path = synth.synth_path("0.001", "tracked")
+    got = {
+        r["param"]: r
+        for r in urlfilter.mine_tracking_params(spark.read.parquet(path)).collect()
+    }
+    assert got["utm_source"]["is_tracking"] and got["sid"]["is_tracking"]
+    assert not got["page"]["is_tracking"]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW trs AS SELECT * FROM read_parquet('{path}')")
+    _cmp(
+        urlfilter.mine_tracking_params(spark.read.parquet(path)),
+        con.sql(urlfilter.duck_tracking_params_sql("trs")),
+        ["param"],
+    )

@@ -278,3 +278,156 @@ SELECT domain, count(DISTINCT host)::BIGINT AS n_hosts,
        count(*)::BIGINT AS n_pages
 FROM d GROUP BY domain
 """
+
+
+# -- tracking-parameter policy mining -----------------------------------------
+#
+# Production crawlers (Heritrix canonicalization rules, Google's handling of
+# utm_* / gclid, Common Crawl's URL normalization) strip query parameters
+# that never change page content, so `?utm_source=mail` variants collapse to
+# one frontier entry.  The reference crawler has no such policy (crawler.py
+# fetches every distinct URL string); at 10^10-URL scale mined param
+# policies are how the frontier stops chasing tracking noise.  This miner
+# derives the policy from observed (url, content-digest) evidence: a param
+# is TRACKING iff, in every context where it appears, varying or removing it
+# never changes the digest.
+
+
+def mine_tracking_params(df: DataFrame) -> DataFrame:
+    """Mine per-parameter strip policies from a (url, digest) table.
+
+    For each URL's query pair ``k=v`` the *context* is the URL with that one
+    pair removed (remaining pairs sorted).  Per (param, context) group we
+    compare the digests of every variant carrying the param against each
+    other and against the context URL itself (the removed-param witness,
+    when observed).  A context is *informative* if it has >=2 variants or a
+    witness; it is *consistent* if all those digests agree.  A param is
+    ``is_tracking`` iff every informative context is consistent (and at
+    least one exists).
+
+    Output: (param, n_ctx, n_consistent, is_tracking) — integer-exact.
+
+    Scale shape: parse + pair explode are map-side JVM array ops (split /
+    array_sort / filter lambdas — whole-stage codegen, no Python); one
+    exchange for the (param, ctx) partial agg; the witness lookup is a
+    hash join co-keyed on the context string (both sides shuffle once on
+    the same key; AQE broadcasts when the variant side is small); the final
+    per-param rollup touches only O(#distinct params) rows."""
+    url = F.col("url")
+    has_q = F.instr(url, "?") > 0
+    base = F.when(
+        has_q, F.expr("substring(url, 1, instr(url, '?') - 1)")
+    ).otherwise(url)
+    qs = F.expr("substring(url, instr(url, '?') + 1)")
+    pairs = F.when(has_q, F.array_sort(F.split(qs, "&"))).otherwise(
+        F.array().cast("array<string>")
+    )
+    keyed = df.select(
+        F.col("digest"),
+        base.alias("base"),
+        pairs.alias("pairs"),
+        F.when(
+            F.size(pairs) == 0, base
+        ).otherwise(F.concat(base, F.lit("?"), F.array_join(pairs, "&"))).alias(
+            "url_key"
+        ),
+    )
+    # removed-param witness: digest of each observed URL under its canonical
+    # (sorted-pairs) key; identical keys carry identical digests by
+    # construction, max() just collapses accidental duplicates
+    witness = keyed.groupBy("url_key").agg(F.max("digest").alias("d_without"))
+    others = F.filter(F.col("pairs"), lambda x: x != F.col("pair"))
+    exploded = (
+        keyed.where(F.size("pairs") > 0)
+        .select("digest", "base", "pairs", F.explode("pairs").alias("pair"))
+        .select(
+            "digest",
+            F.split(F.col("pair"), "=").getItem(0).alias("param"),
+            F.when(F.size(others) == 0, F.col("base"))
+            .otherwise(
+                F.concat(F.col("base"), F.lit("?"), F.array_join(others, "&"))
+            )
+            .alias("ctx"),
+        )
+    )
+    ctxagg = exploded.groupBy("param", "ctx").agg(
+        F.countDistinct("digest").alias("n_with"),
+        F.max("digest").alias("d_with"),
+        F.count("*").alias("n_variants"),
+    )
+    flagged = ctxagg.join(
+        witness, ctxagg["ctx"] == witness["url_key"], "left"
+    ).select(
+        "param",
+        (
+            (F.col("n_variants") >= 2) | F.col("d_without").isNotNull()
+        ).alias("informative"),
+        (
+            (F.col("n_with") == 1)
+            & (F.col("d_without").isNull() | (F.col("d_without") == F.col("d_with")))
+        ).alias("consistent"),
+    )
+    informative = F.col("informative").cast("long")
+    consistent = (F.col("informative") & F.col("consistent")).cast("long")
+    return flagged.groupBy("param").agg(
+        F.sum(informative).cast("long").alias("n_ctx"),
+        F.sum(consistent).cast("long").alias("n_consistent"),
+        (
+            (F.sum(informative) > 0)
+            & (F.sum(informative) == F.sum(consistent))
+        ).alias("is_tracking"),
+    )
+
+
+def duck_tracking_params_sql(table: str) -> str:
+    return rf"""
+WITH parsed AS (
+  SELECT digest,
+    CASE WHEN instr(url, '?') > 0
+         THEN substring(url, 1, instr(url, '?') - 1) ELSE url END AS base,
+    CASE WHEN instr(url, '?') > 0
+         THEN list_sort(string_split(substring(url, instr(url, '?') + 1), '&'))
+         ELSE []::VARCHAR[] END AS pairs
+  FROM {table}
+),
+keyed AS (
+  SELECT *, CASE WHEN len(pairs) = 0 THEN base
+                 ELSE base || '?' || array_to_string(pairs, '&') END AS url_key
+  FROM parsed
+),
+witness AS (
+  SELECT url_key, max(digest) AS d_without FROM keyed GROUP BY 1
+),
+exploded0 AS (
+  SELECT digest, base, pairs, unnest(pairs) AS pair
+  FROM keyed WHERE len(pairs) > 0
+),
+exploded AS (
+  SELECT digest, string_split(pair, '=')[1] AS param,
+    CASE WHEN len(list_filter(pairs, x -> x <> pair)) = 0 THEN base
+         ELSE base || '?' ||
+              array_to_string(list_filter(pairs, x -> x <> pair), '&')
+    END AS ctx
+  FROM exploded0
+),
+ctxagg AS (
+  SELECT param, ctx, count(DISTINCT digest) AS n_with, max(digest) AS d_with,
+         count(*) AS n_variants
+  FROM exploded GROUP BY 1, 2
+),
+flagged AS (
+  SELECT param,
+    (n_variants >= 2 OR d_without IS NOT NULL) AS informative,
+    (n_with = 1 AND (d_without IS NULL OR d_without = d_with)) AS consistent
+  FROM ctxagg LEFT JOIN witness ON ctx = url_key
+)
+SELECT param,
+  coalesce(sum(CASE WHEN informative THEN 1 ELSE 0 END), 0)::BIGINT AS n_ctx,
+  coalesce(sum(CASE WHEN informative AND consistent THEN 1 ELSE 0 END), 0)::BIGINT
+    AS n_consistent,
+  (sum(CASE WHEN informative THEN 1 ELSE 0 END) > 0
+   AND sum(CASE WHEN informative THEN 1 ELSE 0 END)
+       = sum(CASE WHEN informative AND consistent THEN 1 ELSE 0 END))
+    AS is_tracking
+FROM flagged GROUP BY param
+"""

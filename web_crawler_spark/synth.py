@@ -16,6 +16,7 @@ files via absolute ``read_parquet`` paths.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import random
 from datetime import datetime, timedelta, timezone
@@ -25,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v15"  # v15: redirects (multi-hop chains + loops); dedicated RNG, all v14 tables byte-identical
+SYNTH_VERSION = "v16"  # v16: tracked (url-param variants + digests); dedicated RNG, all v15 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -733,6 +734,41 @@ def _gen_redirects(urls: list[str], sf: str):
     )
 
 
+def _gen_tracked(urls: list[str], sf: str):
+    """(url, digest) fixture for URL-parameter policy mining: every 9th page
+    spawns query-string variants — ``utm_source``/``sid`` values that do NOT
+    change the content digest (tracking params a crawler should strip) and
+    ``page=N`` values that DO (a content param it must keep).  Some variants
+    stack both kinds so stripping one param must group by the remaining
+    ones.  Digests are md5 of the logical content identity (url or
+    url+page).  Dedicated RNG: every v15 fixture's bytes are unchanged."""
+    rng = random.Random(f"tracked-{sf}")
+    u_col, d_col = [], []
+
+    def emit(u: str, ident: str):
+        u_col.append(u)
+        d_col.append(hashlib.md5(ident.encode()).hexdigest())
+
+    for i in range(0, len(urls), 9):
+        base = urls[i]
+        emit(base, base)
+        for src in rng.sample(["news", "mail", "feed", "social"], rng.randrange(1, 3)):
+            emit(f"{base}?utm_source={src}", base)
+        if rng.random() < 0.5:
+            emit(f"{base}?sid=s{rng.randrange(10**6)}", base)
+        if rng.random() < 0.4:
+            for p in range(2, 2 + rng.randrange(1, 3)):
+                emit(f"{base}?page={p}", f"{base}#p{p}")
+                if rng.random() < 0.5:
+                    emit(f"{base}?page={p}&utm_source=mail", f"{base}#p{p}")
+    return pa.table(
+        {
+            "url": pa.array(u_col, pa.string()),
+            "digest": pa.array(d_col, pa.string()),
+        }
+    )
+
+
 def ensure_synth(sf_dir_or_name: str) -> str:
     """Generate (once) all synthetic tables for a scale; returns the dir."""
     sf = sf_name_of(sf_dir_or_name)
@@ -754,6 +790,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pages_mirror = _gen_pages_mirror(pages_meta, sf)
     sitemaps = _gen_sitemaps(pages_meta, sf)
     redirects = _gen_redirects(urls, sf)
+    tracked = _gen_tracked(urls, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -772,6 +809,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(pages_mirror, synth_path(sf, "pages_mirror"), row_group_size=2048)
     pq.write_table(sitemaps, synth_path(sf, "sitemaps"), row_group_size=2048)
     pq.write_table(redirects, synth_path(sf, "redirects"), row_group_size=2048)
+    pq.write_table(tracked, synth_path(sf, "tracked"), row_group_size=2048)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
