@@ -1290,6 +1290,31 @@ def q_url_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlfilter.mine_tracking_params(_synth(spark, sf_dir, "tracked"))
 
 
+def q_url_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mined-policy application + frontier collapse: strip every param the
+    miner called tracking, re-canonicalize, and count collapsed variants /
+    surviving digests per stripped URL.  The policy (O(#param-names) rows)
+    is the one driver-side collect — it ships into the rewrite as a literal
+    array, so the strip itself is a zero-exchange JVM map; the collapse is
+    one partial-agg'd groupBy (urlfilter.strip_tracking_params)."""
+    tracked = _synth(spark, sf_dir, "tracked")
+    policy = (
+        urlfilter.mine_tracking_params(tracked)
+        .where(F.col("is_tracking"))
+        .select("param")
+        .collect()
+    )
+    params = sorted(r["param"] for r in policy)
+    return (
+        urlfilter.strip_tracking_params(tracked, params)
+        .groupBy(F.col("url_stripped").alias("url"))
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.countDistinct("digest").cast("long").alias("n_digests"),
+        )
+    )
+
+
 def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host declared-vs-crawled coverage audit: distinct-reduce both
     sides map-side, one url-grain hash join, one host-grain partial-agg
@@ -1521,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_coverage": q_sitemap_coverage,
         "link_redirects": q_link_redirects,
         "url_params": q_url_params,
+        "url_strip": q_url_strip,
         "events_asof": q_events_asof,
         "events_bands": q_events_bands,
     }
@@ -2069,6 +2095,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f"read_parquet('{sp('redirects')}')"
         ),
         "url_params": urlfilter.duck_tracking_params_sql(
+            f"read_parquet('{sp('tracked')}')"
+        ),
+        "url_strip": urlfilter.duck_strip_collapse_sql(
             f"read_parquet('{sp('tracked')}')"
         ),
         "events_bands": """

@@ -467,3 +467,53 @@ def test_mine_tracking_params_synth_parity(spark):
         con.sql(urlfilter.duck_tracking_params_sql("trs")),
         ["param"],
     )
+
+
+def test_strip_tracking_params_apply(spark, tmp_path):
+    pdf = pd.DataFrame(TRACKED_ROWS, columns=["url", "digest"])
+    p = str(tmp_path / "tracked2.parquet")
+    pdf.to_parquet(p)
+    df = spark.read.parquet(p)
+    out = {
+        r["url"]: r["url_stripped"]
+        for r in urlfilter.strip_tracking_params(df, ["utm"]).collect()
+    }
+    assert out["http://a.example/p?utm=x"] == "http://a.example/p"
+    assert out["http://a.example/q?utm=z&page=2"] == "http://a.example/q?page=2"
+    assert out["http://a.example/q?page=2"] == "http://a.example/q?page=2"
+    assert out["http://a.example/p"] == "http://a.example/p"
+    # empty policy = canonicalize-only (pairs sorted), never a crash
+    noop = urlfilter.strip_tracking_params(df, [])
+    assert noop.where(F.col("url_stripped").isNull()).count() == 0
+
+
+def test_strip_collapse_lossless_and_parity(spark):
+    synth.ensure_synth("0.001")
+    path = synth.synth_path("0.001", "tracked")
+    df = spark.read.parquet(path)
+    policy = sorted(
+        r["param"]
+        for r in urlfilter.mine_tracking_params(df)
+        .where(F.col("is_tracking"))
+        .collect()
+    )
+    assert policy == ["sid", "utm_source"]
+    collapsed = (
+        urlfilter.strip_tracking_params(df, policy)
+        .groupBy(F.col("url_stripped").alias("url"))
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.countDistinct("digest").cast("long").alias("n_digests"),
+        )
+    )
+    # the mined policy is lossless: no two distinct contents ever collapse
+    assert collapsed.agg(F.max("n_digests")).first()[0] == 1
+    assert collapsed.where(F.col("n_variants") > 1).count() > 0
+    con = duckdb.connect()
+    _cmp(
+        collapsed,
+        con.sql(
+            urlfilter.duck_strip_collapse_sql(f"read_parquet('{path}')")
+        ),
+        ["url"],
+    )

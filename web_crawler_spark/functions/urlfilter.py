@@ -431,3 +431,75 @@ SELECT param,
     AS is_tracking
 FROM flagged GROUP BY param
 """
+
+
+def strip_tracking_params(
+    df: DataFrame, params: list[str], url_col: str = "url"
+) -> DataFrame:
+    """Apply a mined strip policy: remove query pairs whose key is in
+    ``params`` and re-canonicalize (remaining pairs sorted), keeping every
+    other column.  Adds ``url_stripped``.
+
+    ``params`` is the *policy* — inherently tiny (distinct param names, not
+    URLs), so it ships as a literal into the plan the way broadcast dims do:
+    the rewrite is a pure map over the URL scan (JVM split / array_sort /
+    filter lambda — whole-stage codegen, no Python, no exchange)."""
+    url = F.col(url_col)
+    has_q = F.instr(url, "?") > 0
+    base = F.when(
+        has_q, F.expr(f"substring({url_col}, 1, instr({url_col}, '?') - 1)")
+    ).otherwise(url)
+    qs = F.expr(f"substring({url_col}, instr({url_col}, '?') + 1)")
+    pairs = F.when(has_q, F.split(qs, "&")).otherwise(
+        F.array().cast("array<string>")
+    )
+    if params:
+        kept = F.array_sort(
+            F.filter(
+                pairs, lambda x: ~F.split(x, "=").getItem(0).isin(*params)
+            )
+        )
+    else:
+        kept = F.array_sort(pairs)
+    stripped = F.when(F.size(kept) == 0, base).otherwise(
+        F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    )
+    return df.withColumn("url_stripped", stripped)
+
+
+def duck_strip_collapse_sql(table: str) -> str:
+    """DuckDB twin of mine-policy -> strip -> frontier collapse: the policy
+    CTE is the miner SQL verbatim; the strip is an explode + anti-join +
+    re-aggregate (same result as the engine's literal-array filter)."""
+    miner = duck_tracking_params_sql(table)
+    return rf"""
+WITH policy AS ({miner}),
+parsed2 AS (
+  SELECT url, digest,
+    CASE WHEN instr(url, '?') > 0
+         THEN substring(url, 1, instr(url, '?') - 1) ELSE url END AS base,
+    CASE WHEN instr(url, '?') > 0
+         THEN string_split(substring(url, instr(url, '?') + 1), '&')
+         ELSE []::VARCHAR[] END AS pairs
+  FROM {table}
+),
+ex2 AS (
+  SELECT url, unnest(pairs) AS pair FROM parsed2 WHERE len(pairs) > 0
+),
+kept AS (
+  SELECT url, list_sort(list(pair)) AS pairs2
+  FROM ex2
+  WHERE string_split(pair, '=')[1] NOT IN
+        (SELECT param FROM policy WHERE is_tracking)
+  GROUP BY url
+),
+stripped AS (
+  SELECT p.digest,
+    CASE WHEN k.pairs2 IS NULL OR len(k.pairs2) = 0 THEN p.base
+         ELSE p.base || '?' || array_to_string(k.pairs2, '&') END AS url
+  FROM parsed2 p LEFT JOIN kept k USING (url)
+)
+SELECT url, count(*)::BIGINT AS n_variants,
+       count(DISTINCT digest)::BIGINT AS n_digests
+FROM stripped GROUP BY url
+"""
