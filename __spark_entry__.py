@@ -399,6 +399,14 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", textstats.lang_pred(F.col("text")).alias("lang_pred"))
 
 
+def q_doc_source_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/DCLM-style curation gate on doc quality AND a mined
+    per-source prior: map-side quality projection, O(#sources) two-phase
+    prior agg, explicit broadcast back — the document side never shuffles
+    (textstats.source_quality_prior docstring)."""
+    return textstats.source_quality_prior(_docs(spark, sf_dir))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select("doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint"))
@@ -1463,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_stats": q_crawl_stats,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
+        "doc_source_prior": q_doc_source_prior,
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -1821,6 +1830,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         # text pipeline (driver documents view)
         "doc_tokens": textstats.duck_tokens_sql("documents"),
         "doc_quality": textstats.duck_quality_sql("documents"),
+        "doc_source_prior": textstats.duck_source_prior_sql("documents"),
         "doc_langid": textstats.duck_langid_sql("documents"),
         "doc_fingerprint": textstats.duck_fingerprint_sql("documents"),
         "dedup_exact": dedupsim.duck_exact_dups_sql("documents", min_count=1),

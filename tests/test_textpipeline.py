@@ -1310,3 +1310,42 @@ def test_bigram_lm_vs_duckdb(spark, duck, docs):
         duck.sql(textstats.duck_bigram_lm_sql("documents")),
         ["doc_id"],
     )
+
+
+# -- per-source quality priors -------------------------------------------------
+
+GOOD = "the quick fox and the lazy dog are with a friend of the family"
+BAD = "zxqv kpl wrt 9931 fjord-xx yy zz qq 0x33 ##"
+
+
+def test_source_prior_semantics(spark, tmp_path):
+    rows = (
+        [(f"g{i}", "goodsrc", GOOD) for i in range(4)]
+        + [("g_bad", "goodsrc", BAD)]          # bad doc in good source: drop
+        + [(f"b{i}", "badsrc", BAD) for i in range(9)]
+        + [("b_good", "badsrc", GOOD)]         # good doc in bad source: drop
+    )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    p = str(tmp_path / "prior.parquet")
+    pdf.to_parquet(p)
+    df = spark.read.parquet(p)
+    out = {r["doc_id"]: r for r in textstats.source_quality_prior(df).collect()}
+    assert all(out[f"g{i}"]["keep"] for i in range(4))
+    assert not out["g_bad"]["keep"]            # doc-level gate
+    assert not out["b_good"]["keep"]           # source-prior gate
+    assert not any(out[f"b{i}"]["keep"] for i in range(9))
+    # prior is shared within a source
+    assert out["g_bad"]["prior_ppm"] == out["g0"]["prior_ppm"]
+    con = duckdb.connect()
+    _cmp(
+        textstats.source_quality_prior(df),
+        con.sql(textstats.duck_source_prior_sql(f"read_parquet('{p}')")),
+        ["doc_id"],
+    )
+
+
+def test_source_prior_parity_and_broadcast_plan(spark, duck, docs):
+    out = textstats.source_quality_prior(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the doc side must not shuffle
+    _cmp(out, duck.sql(textstats.duck_source_prior_sql("documents")), ["doc_id"])

@@ -1058,3 +1058,78 @@ SELECT d.{id_col} AS doc_id,
        coalesce(s.score_ppm, 0)::BIGINT AS score_ppm
 FROM {table} d LEFT JOIN scored s ON s.doc_id = d.{id_col}
 """
+
+
+# -- per-source quality priors -------------------------------------------------
+#
+# RefinedWeb/DCLM-style curation gates documents on BOTH a per-document
+# signal and a prior over the document's origin (domain / dump / source):
+# a mediocre page from a consistently high-quality source survives, a
+# plausible-looking page from a spam farm does not.  The prior table is
+# O(#sources) — broadcastable at any corpus scale.
+
+# fixture-sized thresholds (ppm of stopword density); production swaps in
+# calibrated values — the plan is threshold-invariant
+PRIOR_MIN_PPM = 65_000
+DOC_QUALITY_MIN_PPM = 20_000
+
+
+def source_quality_prior(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    prior_min_ppm: int = PRIOR_MIN_PPM,
+    doc_min_ppm: int = DOC_QUALITY_MIN_PPM,
+) -> DataFrame:
+    """Gate documents on doc-level quality AND a mined per-source prior.
+
+    Output: (doc_id, source, doc_q_ppm, prior_ppm, keep) — integer-exact
+    (prior = integer mean of per-doc stopword ppm).
+
+    Scale shape: the quality score is a map-side JVM projection over the
+    document scan; the prior is a two-phase (partial-agg) groupBy whose
+    output is one row per source; joining it back is an explicit broadcast,
+    so the document side never shuffles — two scans, zero exchanges on the
+    big table."""
+    q = df.select(
+        "doc_id",
+        F.col(source_col).alias("source"),
+        quality_columns(F.col(text_col))["stopword_ppm"].alias("doc_q_ppm"),
+    )
+    prior = q.groupBy("source").agg(
+        F.expr("sum(doc_q_ppm) div count(1)").cast("long").alias("prior_ppm")
+    )
+    return q.join(F.broadcast(prior), "source").select(
+        "doc_id",
+        "source",
+        "doc_q_ppm",
+        "prior_ppm",
+        (
+            (F.col("prior_ppm") >= F.lit(prior_min_ppm))
+            & (F.col("doc_q_ppm") >= F.lit(doc_min_ppm))
+        ).alias("keep"),
+    )
+
+
+def duck_source_prior_sql(
+    table: str,
+    prior_min_ppm: int = PRIOR_MIN_PPM,
+    doc_min_ppm: int = DOC_QUALITY_MIN_PPM,
+) -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return rf"""
+WITH q AS (
+  SELECT doc_id, source,
+    floor(len(list_filter({_DUCK_TOKS}, t -> lower(t) IN ({stop})))
+          / greatest(len({_DUCK_TOKS}), 1)::DOUBLE * 1e6)::BIGINT AS doc_q_ppm
+  FROM {table}
+),
+prior AS (
+  SELECT source, (sum(doc_q_ppm) // count(*))::BIGINT AS prior_ppm
+  FROM q GROUP BY source
+)
+SELECT q.doc_id, q.source, q.doc_q_ppm, prior.prior_ppm,
+       (prior.prior_ppm >= {prior_min_ppm} AND q.doc_q_ppm >= {doc_min_ppm})
+         AS keep
+FROM q JOIN prior USING (source)
+"""
