@@ -1323,6 +1323,15 @@ def q_url_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidate mining over the bitext (url, lang) fixture:
+    language-marked URLs collapse to an alignment key (own-lang path
+    segment / lang= pair -> L), one equi-join on key pairs the language
+    versions — per-key groups are bounded by #languages, so the self-join
+    cannot explode (urlfilter.bitext_candidates docstring)."""
+    return urlfilter.bitext_candidates(_synth(spark, sf_dir, "bitext"))
+
+
 def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host declared-vs-crawled coverage audit: distinct-reduce both
     sides map-side, one url-grain hash join, one host-grain partial-agg
@@ -1556,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_redirects": q_link_redirects,
         "url_params": q_url_params,
         "url_strip": q_url_strip,
+        "bitext_pairs": q_bitext_pairs,
         "events_asof": q_events_asof,
         "events_bands": q_events_bands,
     }
@@ -2109,6 +2119,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "url_strip": urlfilter.duck_strip_collapse_sql(
             f"read_parquet('{sp('tracked')}')"
+        ),
+        "bitext_pairs": urlfilter.duck_bitext_sql(
+            f"read_parquet('{sp('bitext')}')"
         ),
         "events_bands": """
             SELECT b.band, count(*)::BIGINT AS n_events,

@@ -517,3 +517,53 @@ def test_strip_collapse_lossless_and_parity(spark):
         ),
         ["url"],
     )
+
+
+# -- bitext candidate mining ---------------------------------------------------
+
+BITEXT_ROWS = [
+    ("http://s.example/en/story1", "en"),
+    ("http://s.example/de/story1", "de"),
+    ("http://s.example/fr/story1", "fr"),
+    ("http://q.example/art?id=7&lang=en", "en"),
+    ("http://q.example/art?id=7&lang=zh", "zh"),
+    ("http://s.example/en/only-english", "en"),  # singleton: no pair
+    ("http://s.example/plain/nothing", "en"),    # no marker: no key
+    ("http://s.example/en/mismatch", "de"),      # marker != page lang: no key
+]
+
+
+def test_bitext_candidates_semantics(spark, tmp_path):
+    pdf = pd.DataFrame(BITEXT_ROWS, columns=["url", "lang"])
+    p = str(tmp_path / "bitext.parquet")
+    pdf.to_parquet(p)
+    df = spark.read.parquet(p)
+    got = urlfilter.bitext_candidates(df).collect()
+    pairs = {(r["lang_a"], r["lang_b"], r["key"]) for r in got}
+    # 3-language article yields all 3 ordered pairs on one key
+    k1 = "http://s.example/L/story1"
+    assert ("de", "en", k1) in pairs and ("de", "fr", k1) in pairs and ("en", "fr", k1) in pairs
+    assert ("en", "zh", "http://q.example/art?id=7&lang=L") in pairs
+    assert len(got) == 4  # singleton / unmarked / mismatched rows pair with nothing
+    con = duckdb.connect()
+    _cmp(
+        urlfilter.bitext_candidates(df),
+        con.sql(urlfilter.duck_bitext_sql(f"read_parquet('{p}')")),
+        ["key", "lang_a", "lang_b"],
+    )
+
+
+def test_bitext_synth_parity(spark):
+    synth.ensure_synth("0.001")
+    path = synth.synth_path("0.001", "bitext")
+    df = spark.read.parquet(path)
+    out = urlfilter.bitext_candidates(df)
+    assert out.count() > 0
+    # a pair never links a language to itself and never fabricates keys
+    assert out.where(F.col("lang_a") >= F.col("lang_b")).count() == 0
+    con = duckdb.connect()
+    _cmp(
+        out,
+        con.sql(urlfilter.duck_bitext_sql(f"read_parquet('{path}')")),
+        ["key", "lang_a", "lang_b"],
+    )

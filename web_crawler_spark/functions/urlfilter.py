@@ -503,3 +503,66 @@ SELECT url, count(*)::BIGINT AS n_variants,
        count(DISTINCT digest)::BIGINT AS n_digests
 FROM stripped GROUP BY url
 """
+
+
+# -- bitext candidate mining ---------------------------------------------------
+#
+# Parallel-corpus mining (ParaCrawl / CCMatrix stage 1) starts from URL
+# structure: multilingual sites publish translations under language-marked
+# URLs (``/en/story`` vs ``/de/story``, ``?lang=en`` vs ``?lang=de``).
+# Replacing the page's OWN language marker with a placeholder yields an
+# alignment key; pages sharing a key in different languages are translation
+# candidates.  Downstream (out of scope here) a sentence aligner scores the
+# candidate pairs.
+
+
+def bitext_candidates(
+    df: DataFrame, url_col: str = "url", lang_col: str = "lang"
+) -> DataFrame:
+    """Translation-candidate pairs from language-marked URLs.
+
+    The alignment key replaces the row's own lang code — as a ``/{lang}/``
+    path segment or a ``lang={lang}`` query pair — with ``L``; rows whose
+    URL carries no marker for their language have no key and are dropped.
+    Output: (key, lang_a, url_a, lang_b, url_b), lang_a < lang_b.
+
+    Scale shape: the key is a map-side JVM string rewrite; the pairing is a
+    single equi-join on key.  Per-key group size is bounded by the number
+    of languages a site publishes (a small constant), so the self-join
+    cannot blow up the way content-fingerprint self-joins can."""
+    url, lang = F.col(url_col), F.col(lang_col)
+    key = F.replace(
+        F.replace(url, F.concat(F.lit("/"), lang, F.lit("/")), F.lit("/L/")),
+        F.concat(F.lit("lang="), lang),
+        F.lit("lang=L"),
+    )
+    keyed = (
+        df.select(url.alias("url"), lang.alias("lang"), key.alias("key"))
+        .where(F.col("key") != F.col("url"))
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return a.join(
+        b,
+        (F.col("a.key") == F.col("b.key")) & (F.col("a.lang") < F.col("b.lang")),
+    ).select(
+        F.col("a.key").alias("key"),
+        F.col("a.lang").alias("lang_a"),
+        F.col("a.url").alias("url_a"),
+        F.col("b.lang").alias("lang_b"),
+        F.col("b.url").alias("url_b"),
+    )
+
+
+def duck_bitext_sql(table: str) -> str:
+    return rf"""
+WITH keyed AS (
+  SELECT url, lang,
+    replace(replace(url, '/' || lang || '/', '/L/'),
+            'lang=' || lang, 'lang=L') AS key
+  FROM {table}
+),
+cand AS (SELECT * FROM keyed WHERE key <> url)
+SELECT a.key AS key, a.lang AS lang_a, a.url AS url_a,
+       b.lang AS lang_b, b.url AS url_b
+FROM cand a JOIN cand b ON a.key = b.key AND a.lang < b.lang
+"""

@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v16"  # v16: tracked (url-param variants + digests); dedicated RNG, all v15 tables byte-identical
+SYNTH_VERSION = "v17"  # v17: bitext (lang-marked url variants); dedicated RNG, all v16 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -769,6 +769,38 @@ def _gen_tracked(urls: list[str], sf: str):
     )
 
 
+def _gen_bitext(urls: list[str], sf: str):
+    """(url, lang) fixture for bitext candidate mining: multilingual sites
+    publish the same article under language-marked URLs — path-segment
+    style ``/{lang}/a{n}`` and query-param style ``?id={n}&lang={lang}``.
+    Articles carry 1-4 language versions (singletons are decoys that must
+    yield no pair); a few ``/plain/`` pages have no lang marker in the URL
+    at all (no alignment key — dropped by the miner).  Dedicated RNG: every
+    v16 fixture's bytes are unchanged."""
+    rng = random.Random(f"bitext-{sf}")
+    langs = ["en", "de", "fr", "es", "zh"]
+    u_col, l_col = [], []
+    n_articles = max(24, len(urls) // 6)
+    for n in range(n_articles):
+        site = n % 7
+        chosen = rng.sample(langs, rng.randrange(1, 5))
+        for lang in chosen:
+            if site % 2 == 0:
+                u_col.append(f"http://bt{site}.example/{lang}/a{n}")
+            else:
+                u_col.append(f"http://bq{site}.example/art?id={n}&lang={lang}")
+            l_col.append(lang)
+    for n in range(0, n_articles, 10):
+        u_col.append(f"http://bt9.example/plain/{n}")
+        l_col.append("en")
+    return pa.table(
+        {
+            "url": pa.array(u_col, pa.string()),
+            "lang": pa.array(l_col, pa.string()),
+        }
+    )
+
+
 def ensure_synth(sf_dir_or_name: str) -> str:
     """Generate (once) all synthetic tables for a scale; returns the dir."""
     sf = sf_name_of(sf_dir_or_name)
@@ -791,6 +823,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     sitemaps = _gen_sitemaps(pages_meta, sf)
     redirects = _gen_redirects(urls, sf)
     tracked = _gen_tracked(urls, sf)
+    bitext = _gen_bitext(urls, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -810,6 +843,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(sitemaps, synth_path(sf, "sitemaps"), row_group_size=2048)
     pq.write_table(redirects, synth_path(sf, "redirects"), row_group_size=2048)
     pq.write_table(tracked, synth_path(sf, "tracked"), row_group_size=2048)
+    pq.write_table(bitext, synth_path(sf, "bitext"), row_group_size=2048)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
