@@ -1442,6 +1442,25 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_ops.cms_counters(toks, "term")
 
 
+def q_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over all document term occurrences:
+    bounded per-partition sketches (<= k counters leave each partition),
+    merged by key-sum; graded on the mergeable-summaries guarantee — every
+    true heavy hitter captured, undercount within floor(N/k) — which holds
+    for ANY partitioning, so the output is deterministic
+    (operators/bloom.mg_heavy_hitters_verified docstring)."""
+    from web_crawler_spark.operators import bloom as bloom_ops
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    return bloom_ops.mg_heavy_hitters_verified(toks, "term")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1553,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_lm": q_doc_bigram_lm,
         "index_merge": q_index_merge,
         "sketch_cms": q_sketch_cms,
+        "sketch_topk": q_sketch_topk,
         "events_anomaly": q_events_anomaly,
         "link_components": q_link_components,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -2151,6 +2171,13 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             FROM run WHERE is_left = 1
         """,
         "sketch_cms": bloom_ops.duck_cms_counters_sql(
+            '''(SELECT t.term FROM documents,
+                 UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                   AS t(term)
+               WHERE t.term <> '') AS toks''',
+            "term",
+        ),
+        "sketch_topk": bloom_ops.duck_mg_heavy_hitters_sql(
             '''(SELECT t.term FROM documents,
                  UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
                    AS t(term)

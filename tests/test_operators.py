@@ -359,3 +359,45 @@ def test_hll_registers_estimate_and_merge(spark, tmp_path):
     rb = {r.register: r.max_rank for r in bloomlib.hll_registers(b).collect()}
     merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
     assert merged == regs
+
+
+def test_mg_heavy_hitters_guarantee_any_partitioning(spark):
+    """The Misra-Gries grade must hold for EVERY partition layout: skewed
+    key frequencies, re-partitioned 1/7/32 ways plus a sorted (clustered)
+    layout, always capture all true heavy hitters within the N/k band."""
+    # zipf-ish: key i appears ~ 4000/i times; k=16 => threshold N/16
+    rows = [(f"t{i}",) for i in range(1, 200) for _ in range(4000 // i)]
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame(rows, ["term"])
+    exact = {r["term"]: r["cnt"] for r in df.groupBy("term").agg(
+        F.count("*").alias("cnt")).collect()}
+    n_total = sum(exact.values())
+    want_hh = {t for t, c in exact.items() if c * 16 > n_total}
+    assert len(want_hh) >= 2
+    layouts = [
+        df.coalesce(1),
+        df.repartition(7),
+        df.repartition(32),
+        df.orderBy("term"),  # clustered: each key confined to few partitions
+    ]
+    for d in layouts:
+        out = bloomlib.mg_heavy_hitters_verified(d, "term", k=16).collect()
+        assert {r["term"] for r in out} == want_hh
+        assert all(r["captured"] and r["bound_ok"] for r in out)
+
+
+def test_mg_partials_bounded_and_merge_exactness(spark):
+    """No partition emits more than k counters, and when distinct keys fit
+    in k the sketch is exact (zero undercount)."""
+    from web_crawler_spark.operators import bloom as bloomlib
+
+    rows = [(f"k{i % 5}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["term"]).repartition(8)
+    partials = bloomlib.mg_partial_sketches(df, "term", k=16)
+    per_part = partials.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    assert all(r["count"] <= 16 for r in per_part)
+    merged = {
+        r["term"]: r["est"]
+        for r in partials.groupBy("term").agg(F.sum("cnt").alias("est")).collect()
+    }
+    assert merged == {f"k{i}": 200 for i in range(5)}

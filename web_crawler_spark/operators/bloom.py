@@ -378,3 +378,90 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: a MERGEABLE top-frequency sketch
+# ---------------------------------------------------------------------------
+#
+# CMS answers point lookups; Misra-Gries answers "which keys are frequent"
+# with bounded memory: a partition holding k counters guarantees every key
+# with true count > N_p/(k+1) survives, undercounted by at most N_p/(k+1)
+# (Misra & Gries 1982; merge bound per Agarwal et al., "Mergeable
+# Summaries", PODS'12).  Summing partial sketches by key preserves the
+# bound: total undercount <= N/(k+1), and estimates never exceed truth.
+# Grading exploits the theorem instead of fixing a partitioning: the graded
+# output is the (deterministic) set of TRUE heavy hitters, each flagged
+# with whether the sketch captured it and whether its estimate sits inside
+# the guaranteed band — both true for ANY partition layout, so the rows
+# hash-match a DuckDB oracle that computes the truth directly.
+
+MG_K = 64  # counters per partition sketch
+
+
+def mg_partial_sketches(df: DataFrame, key_col: str, k: int = MG_K) -> DataFrame:
+    """Per-partition Misra-Gries sketches via Arrow batches: fold each
+    batch's exact value_counts into a counter dict, and whenever the dict
+    exceeds k entries subtract the (k+1)-th largest weight from all and
+    drop the non-positive (the MG merge-prune).  State is O(k + batch
+    uniques) per partition regardless of partition size."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t, n in pdf[key_col].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(n)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {t: v - cut for t, v in counters.items() if v > cut}
+        yield pd.DataFrame(
+            {key_col: list(counters.keys()), "cnt": list(counters.values())}
+        )
+
+    return df.select(key_col).mapInPandas(fold, schema=f"{key_col} string, cnt long")
+
+
+def mg_heavy_hitters_verified(
+    df: DataFrame, key_col: str, k: int = MG_K
+) -> DataFrame:
+    """(key, n_exact, captured, bound_ok) for every TRUE heavy hitter
+    (exact count * k > N): ``captured`` = the merged sketch holds the key,
+    ``bound_ok`` = 0 <= undercount <= floor(N/k).  Both are theorem-
+    guaranteed true, so the output is deterministic and exactly oracled.
+
+    Scale shape: one Arrow pass builds bounded partial sketches (<= k rows
+    leave each partition); the merge is a partial-agg'd groupBy over
+    O(P*k) rows; the exact side is the verifier (at production scale one
+    would sample-audit instead — here the fixture is small enough to verify
+    every heavy hitter)."""
+    partials = mg_partial_sketches(df, key_col, k)
+    merged = partials.groupBy(key_col).agg(F.sum("cnt").cast("long").alias("est"))
+    exact = df.groupBy(key_col).agg(F.count("*").cast("long").alias("n_exact"))
+    tot = exact.agg(F.sum("n_exact").cast("long").alias("n_total"))
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .where(F.col("n_exact") * k > F.col("n_total"))
+        .join(merged, key_col, "left")
+        .select(
+            key_col,
+            "n_exact",
+            F.col("est").isNotNull().alias("captured"),
+            (
+                F.coalesce(F.col("est"), F.lit(0)).between(
+                    F.col("n_exact") - F.floor(F.col("n_total") / k),
+                    F.col("n_exact"),
+                )
+            ).alias("bound_ok"),
+        )
+    )
+
+
+def duck_mg_heavy_hitters_sql(table: str, key_col: str, k: int = MG_K) -> str:
+    return f"""
+WITH c AS (
+  SELECT {key_col}, count(*)::BIGINT AS n_exact FROM {table} GROUP BY 1
+),
+t AS (SELECT sum(n_exact) AS n_total FROM c)
+SELECT {key_col}, n_exact, true AS captured, true AS bound_ok
+FROM c, t WHERE n_exact * {k} > n_total
+"""
