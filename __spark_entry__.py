@@ -429,6 +429,15 @@ def q_doc_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.clean_lines(_synth(spark, sf_dir, "webdocs"))
 
 
+def q_corpus_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host template removal over the hostdocs fixture: mine lines on
+    >=60% of a host's pages (frequency-based, CCNet/jusText site mode),
+    then strip them with a co-keyed (host, line) anti-join and positional
+    reassembly — no marker lists, no pairwise page comparison
+    (webtext.strip_host_templates docstring)."""
+    return webtext.strip_host_templates(_synth(spark, sf_dir, "hostdocs"))
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-line character fraction and
     top word-2-gram share, both integer ppm."""
@@ -1510,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "doc_gopher": q_doc_gopher,
         "corpus_webclean": q_corpus_webclean,
+        "corpus_templates": q_corpus_templates,
         "corpus_gopher": q_corpus_gopher,
         "doc_dup_ngrams": q_doc_dup_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -1872,6 +1882,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "dedup_lines": webtext.duck_dedup_lines_sql(webdocs),
         "doc_gopher": webtext.duck_gopher_sql(webdocs),
         "corpus_webclean": webtext.duck_clean_web_corpus_sql(webdocs),
+        "corpus_templates": webtext.duck_strip_templates_sql(
+            f"read_parquet('{sp('hostdocs')}')"
+        ),
         "corpus_gopher": webtext.duck_clean_web_corpus_sql(
             webdocs, gopher_gate=True
         ),

@@ -418,3 +418,73 @@ def test_unicode_quality_on_pages(spark):
     # the fixture must exercise both sides of the ppm gate
     assert got.filter("clean").count() > 0
     assert got.filter("NOT clean").count() > 0
+
+
+# -- per-host template mining + strip ------------------------------------------
+
+NAV = "Home | About | Contact"
+FOOT = "Copyright tpl.example 2024."
+
+
+def _hostdocs_df(spark, tmp_path):
+    rows = []
+    for p in range(5):  # 5 pages: NAV on all, FOOT on 4/5 (80% >= 60%)
+        lines = [NAV, f"Unique content {p} paragraph one.", f"More text {p}."]
+        if p != 0:
+            lines.insert(2, FOOT)
+        rows.append(("tpl.example", f"tpl/p{p}", "\n".join(lines)))
+    # a line on 2/5 pages (40% < 60%) must survive
+    rows[1] = ("tpl.example", "tpl/p1", rows[1][2].replace(
+        "More text 1.", "Semi common line.\nMore text 1."))
+    rows[2] = ("tpl.example", "tpl/p2", rows[2][2] + "\nSemi common line.")
+    # tiny host below TPL_MIN_PAGES: identical lines survive
+    rows += [("tiny.example", "tiny/p0", "Shared.\nBody zero."),
+             ("tiny.example", "tiny/p1", "Shared.\nBody one.")]
+    pdf = pd.DataFrame(rows, columns=["host", "doc_id", "text"])
+    p = str(tmp_path / "hostdocs.parquet")
+    pdf.to_parquet(p)
+    return spark.read.parquet(p), p
+
+
+def test_host_template_mining_semantics(spark, tmp_path):
+    df, _ = _hostdocs_df(spark, tmp_path)
+    tpl = {(r["host"], r["line"]) for r in webtext.host_template_lines(df).collect()}
+    assert ("tpl.example", NAV) in tpl
+    assert ("tpl.example", FOOT) in tpl  # 80% of pages clears the 60% bar
+    assert all(l not in ("Semi common line.",) for _, l in tpl)
+    assert all(h != "tiny.example" for h, _ in tpl)  # below min-pages floor
+
+
+def test_strip_host_templates_order_and_parity(spark, tmp_path):
+    df, p = _hostdocs_df(spark, tmp_path)
+    out = {r["doc_id"]: r for r in webtext.strip_host_templates(df).collect()}
+    # order preserved, only template lines gone
+    assert out["tpl/p1"]["text_clean"] == (
+        "Unique content 1 paragraph one.\nSemi common line.\nMore text 1."
+    )
+    assert out["tpl/p0"]["n_dropped"] == 1      # NAV only (no FOOT on p0)
+    assert out["tiny/p0"]["n_dropped"] == 0     # tiny host untouched
+    con = duckdb.connect()
+    _cmp(
+        webtext.strip_host_templates(df),
+        con.sql(webtext.duck_strip_templates_sql(f"read_parquet('{p}')")),
+        ["doc_id"],
+    )
+
+
+def test_strip_host_templates_synth_parity(spark):
+    synth.ensure_synth("0.001")
+    path = synth.synth_path("0.001", "hostdocs")
+    df = spark.read.parquet(path)
+    out = webtext.strip_host_templates(df)
+    assert out.where(F.col("n_dropped") > 0).count() > 0
+    assert (
+        out.where((F.col("host") == "tiny.example") & (F.col("n_dropped") > 0)).count()
+        == 0
+    )
+    con = duckdb.connect()
+    _cmp(
+        out,
+        con.sql(webtext.duck_strip_templates_sql(f"read_parquet('{path}')")),
+        ["doc_id"],
+    )

@@ -973,3 +973,147 @@ SELECT {id_col}, n_chars, n_nonascii,
    AND floor(n_nonascii::DOUBLE / greatest(n_chars, 1)::DOUBLE * 1e6) <= {MAX_NONASCII_PPM}) AS clean
 FROM s
 """
+
+
+# -- per-host template (boilerplate) mining -------------------------------------
+#
+# Marker lists (BLACKLIST above) catch KNOWN boilerplate; real sites have
+# their own nav/footer templates.  The production method (CCNet, jusText
+# "site-level" mode) is frequency-based: a line that appears on most of a
+# host's pages is template, whatever it says.  Mining then stripping is two
+# co-keyed passes over the line grain — no pairwise page comparison.
+
+TPL_RATIO_PPM = 600_000  # line is template when on >= 60% of the host's pages
+TPL_MIN_PAGES = 3        # hosts with fewer pages are never template-mined
+
+
+def host_template_lines(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ratio_ppm: int = TPL_RATIO_PPM,
+    min_pages: int = TPL_MIN_PAGES,
+) -> DataFrame:
+    """(host, line, df_pages, n_pages, ratio_ppm) for mined template lines.
+
+    Scale shape: explode to line grain map-side; ONE exchange for the
+    (host, line) page-frequency agg (distinct docs, two-phase); the
+    per-host page count is an O(#hosts) agg that broadcasts back.  Group
+    size per (host, line) is bounded by the host's page count — web-scale
+    skew (a million-page host) is the host's own size, not cross-host."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), "\n"))).alias("line"),
+    )
+    pages = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(id_col).cast("long").alias("n_pages")
+    )
+    freq = lines.groupBy("host", "line").agg(
+        F.countDistinct("doc_id").cast("long").alias("df_pages")
+    )
+    return (
+        freq.join(F.broadcast(pages), "host")
+        .withColumn(
+            "ratio_ppm",
+            F.floor(F.col("df_pages") * F.lit(1_000_000) / F.col("n_pages")).cast(
+                "long"
+            ),
+        )
+        .where(
+            (F.col("n_pages") >= min_pages) & (F.col("ratio_ppm") >= ratio_ppm)
+        )
+    )
+
+
+def strip_host_templates(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ratio_ppm: int = TPL_RATIO_PPM,
+    min_pages: int = TPL_MIN_PAGES,
+) -> DataFrame:
+    """Strip mined per-host template lines from every page.
+
+    Output: (doc_id, host, n_lines, n_dropped, text_clean) with line order
+    preserved.  The strip is a left-anti join of the (host, doc, pos,
+    line) grain against the mined template table on (host, line) — both
+    sides keyed the same way, so the exchange is shared — then one
+    per-document reassembly agg ordered by the original position."""
+    tpl = host_template_lines(
+        df, host_col, id_col, text_col, ratio_ppm, min_pages
+    ).select("host", "line")
+    grain = df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    kept = grain.join(tpl, ["host", "line"], "left_anti")
+    counts = grain.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.first("host").alias("host"),
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    return counts.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "host",
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
+def duck_strip_templates_sql(
+    table: str,
+    ratio_ppm: int = TPL_RATIO_PPM,
+    min_pages: int = TPL_MIN_PAGES,
+) -> str:
+    return rf"""
+WITH split_t AS (
+  SELECT host, doc_id, string_split(text, chr(10)) AS lines FROM {table}
+),
+grain AS (
+  SELECT host, doc_id, u.i - 1 AS pos, lines[u.i] AS line
+  FROM split_t, UNNEST(range(1, len(lines) + 1)) AS u(i)
+),
+pages AS (SELECT host, count(DISTINCT doc_id)::BIGINT AS n_pages FROM {table} GROUP BY 1),
+freq AS (
+  SELECT host, line, count(DISTINCT doc_id)::BIGINT AS df_pages
+  FROM grain GROUP BY 1, 2
+),
+tpl AS (
+  SELECT f.host, f.line
+  FROM freq f JOIN pages p USING (host)
+  WHERE p.n_pages >= {min_pages}
+    AND floor(f.df_pages * 1000000 / p.n_pages) >= {ratio_ppm}
+),
+kept AS (
+  SELECT g.* FROM grain g ANTI JOIN tpl t ON g.host = t.host AND g.line = t.line
+),
+counts AS (
+  SELECT doc_id, max(host) AS host, count(*)::BIGINT AS n_lines
+  FROM grain GROUP BY 1
+),
+rebuilt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY 1
+)
+SELECT c.doc_id, c.host, c.n_lines,
+       (c.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_dropped,
+       coalesce(r.text_clean, '') AS text_clean
+FROM counts c LEFT JOIN rebuilt r USING (doc_id)
+"""

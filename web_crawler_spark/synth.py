@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v17"  # v17: bitext (lang-marked url variants); dedicated RNG, all v16 tables byte-identical
+SYNTH_VERSION = "v18"  # v18: hostdocs (per-host template lines); dedicated RNG, all v17 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -801,6 +801,54 @@ def _gen_bitext(urls: list[str], sf: str):
     )
 
 
+def _gen_hostdocs(urls: list[str], sf: str):
+    """(host, doc_id, text) fixture for per-host template mining: each host
+    stamps its own 2-4 nav/footer lines onto (almost) every page, one
+    syndicated line appears across hosts, and each page carries 2-6 unique
+    content lines.  Host ``tiny.example`` has too few pages to clear the
+    miner's min-page floor (nothing may be stripped there).  Dedicated RNG:
+    every v17 fixture's bytes are unchanged."""
+    rng = random.Random(f"hostdocs-{sf}")
+    syndicated = "Share this story on your favorite network today."
+    h_col, d_col, t_col = [], [], []
+    n_hosts = 8
+    pages_per_host = max(6, len(urls) // (n_hosts * 12))
+    for h in range(n_hosts):
+        host = f"tpl{h}.example"
+        templates = [
+            f"Welcome to {host} - all rights reserved {2020 + h}."
+        ] + [
+            f"Menu item {j} for {host}" for j in range(rng.randrange(1, 4))
+        ]
+        for p in range(pages_per_host):
+            lines = []
+            for t in templates:
+                if rng.random() < 0.9:  # templates hit ~90% of pages
+                    lines.append(t)
+            if rng.random() < 0.5:
+                lines.append(syndicated)
+            for c in range(rng.randrange(2, 7)):
+                lines.append(
+                    f"Unique paragraph {c} of page {p} on {host}: "
+                    + " ".join(rng.choices(_WORDS, k=8))
+                )
+            rng.shuffle(lines)
+            h_col.append(host)
+            d_col.append(f"{host}/p{p}")
+            t_col.append("\n".join(lines))
+    for p in range(2):  # below MIN_PAGES: identical lines must survive
+        h_col.append("tiny.example")
+        d_col.append(f"tiny.example/p{p}")
+        t_col.append("Tiny shared header.\nBody of tiny page %d." % p)
+    return pa.table(
+        {
+            "host": pa.array(h_col, pa.string()),
+            "doc_id": pa.array(d_col, pa.string()),
+            "text": pa.array(t_col, pa.string()),
+        }
+    )
+
+
 def ensure_synth(sf_dir_or_name: str) -> str:
     """Generate (once) all synthetic tables for a scale; returns the dir."""
     sf = sf_name_of(sf_dir_or_name)
@@ -824,6 +872,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     redirects = _gen_redirects(urls, sf)
     tracked = _gen_tracked(urls, sf)
     bitext = _gen_bitext(urls, sf)
+    hostdocs = _gen_hostdocs(urls, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -844,6 +893,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(redirects, synth_path(sf, "redirects"), row_group_size=2048)
     pq.write_table(tracked, synth_path(sf, "tracked"), row_group_size=2048)
     pq.write_table(bitext, synth_path(sf, "bitext"), row_group_size=2048)
+    pq.write_table(hostdocs, synth_path(sf, "hostdocs"), row_group_size=2048)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
