@@ -1470,6 +1470,18 @@ def q_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_ops.mg_heavy_hitters_verified(toks, "term")
 
 
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile summary over document lengths: bounded weighted
+    per-partition subsamples (O(s) rows leave a partition), merged by
+    union + weighted-rank scan; graded on the eps*N rank-error guarantee,
+    which holds for any partitioning, so rows are deterministic
+    (operators/bloom.quantile_probes_verified docstring)."""
+    from web_crawler_spark.operators import bloom as bloom_ops
+
+    lens = _docs(spark, sf_dir).select(F.length("text").alias("n_chars"))
+    return bloom_ops.quantile_probes_verified(lens, "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1583,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_merge": q_index_merge,
         "sketch_cms": q_sketch_cms,
         "sketch_topk": q_sketch_topk,
+        "sketch_quantiles": q_sketch_quantiles,
         "events_anomaly": q_events_anomaly,
         "link_components": q_link_components,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -2190,6 +2203,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                WHERE t.term <> '') AS toks''',
             "term",
         ),
+        "sketch_quantiles": bloom_ops.duck_quantile_probes_sql("documents"),
         "sketch_topk": bloom_ops.duck_mg_heavy_hitters_sql(
             '''(SELECT t.term FROM documents,
                  UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))

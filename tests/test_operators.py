@@ -401,3 +401,29 @@ def test_mg_partials_bounded_and_merge_exactness(spark):
         for r in partials.groupBy("term").agg(F.sum("cnt").alias("est")).collect()
     }
     assert merged == {f"k{i}": 200 for i in range(5)}
+
+
+def test_quantile_summary_guarantee_any_partitioning(spark):
+    """The quantile grade must hold for every layout, including a sorted
+    (adversarially clustered) one and a tiny summary size."""
+    vals = [(i * i % 9973,) for i in range(20_000)]
+    df = spark.createDataFrame(vals, ["v"])
+    for d in [df.coalesce(1), df.repartition(16), df.orderBy("v")]:
+        out = bloomlib.quantile_probes_verified(d, "v", s=32).collect()
+        assert len(out) == 5
+        assert all(r["rank_err_ok"] for r in out)
+        assert all(r["n_total"] == 20_000 for r in out)
+
+
+def test_quantile_summary_exact_when_s_covers_n(spark):
+    """With s >= n the summary keeps every element: estimates are exact
+    order statistics, so the rank band check passes with zero slack."""
+    df = spark.createDataFrame([(i,) for i in range(100)], ["v"]).repartition(4)
+    partials = bloomlib.quantile_partial_summaries(df, "v", s=1000)
+    got = sorted(
+        (r["v"], r["w"]) for r in partials.collect()
+    )
+    assert [v for v, _ in got] == list(range(100))
+    assert all(w == 1 for _, w in got)
+    out = bloomlib.quantile_probes_verified(df, "v", s=1000).collect()
+    assert all(r["rank_err_ok"] for r in out)

@@ -465,3 +465,126 @@ t AS (SELECT sum(n_exact) AS n_total FROM c)
 SELECT {key_col}, n_exact, true AS captured, true AS bound_ok
 FROM c, t WHERE n_exact * {k} > n_total
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summary (weighted per-partition subsample)
+# ---------------------------------------------------------------------------
+#
+# Completes the mergeable-summaries family (Bloom membership, HLL distinct,
+# CMS point frequency, MG heavy hitters): rank queries.  Each partition
+# keeps every ceil(n_p/s)-th element of its sorted values, weighted by the
+# gap it represents — a classic eps-approximate quantile summary with rank
+# error <= n_p/s.  Merging summaries by union keeps error <= sum n_p/s =
+# N/s (Greenwald-Khanna / mergeable-summaries folklore bound).  Like the
+# MG grade, the graded output asserts the GUARANTEE — the estimated value's
+# true rank sits within eps*N of the target for every probe quantile —
+# which holds for any partition layout, so rows are deterministic.
+
+QS_S = 256  # per-partition summary size bound (rank error <= N/QS_S)
+QS_PROBES_PPM = (10_000, 250_000, 500_000, 750_000, 990_000)
+
+
+def quantile_partial_summaries(
+    df: DataFrame, value_col: str, s: int = QS_S
+) -> DataFrame:
+    """Per-partition weighted quantile summaries via Arrow batches: buffer
+    the partition's values (bounded in practice by maxPartitionBytes — at
+    cluster scale, size partitions so a numeric column fits), sort once,
+    keep every step-th element carrying ``step`` weight plus the exact max
+    as the tail sentinel."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [pdf[value_col].to_numpy() for pdf in batches]
+        if not parts:
+            yield pd.DataFrame({"v": [], "w": []})
+            return
+        vals = np.sort(np.concatenate(parts))
+        n = len(vals)
+        if n == 0:
+            yield pd.DataFrame({"v": [], "w": []})
+            return
+        step = max(1, -(-n // s))  # ceil(n/s)
+        idx = np.arange(step - 1, n, step)
+        if idx.size == 0 or idx[-1] != n - 1:
+            idx = np.append(idx, n - 1)
+        w = np.diff(np.concatenate(([-1], idx)))
+        yield pd.DataFrame({"v": vals[idx].astype("int64"), "w": w.astype("int64")})
+
+    return df.select(F.col(value_col).cast("long").alias(value_col)).mapInPandas(
+        fold, schema="v long, w long"
+    )
+
+
+def quantile_probes_verified(
+    df: DataFrame,
+    value_col: str,
+    s: int = QS_S,
+    probes_ppm: tuple = QS_PROBES_PPM,
+) -> DataFrame:
+    """(q_ppm, n_total, rank_err_ok) for each probe quantile: estimate the
+    value at rank q*N from the merged summary, then verify its TRUE rank
+    interval against the eps*N band (eps = P/s summed over partitions —
+    conservatively #summaries*step <= 2*N/s here).
+
+    Scale shape: partial summaries bound what leaves each partition to
+    O(s) rows; the merge + weighted-rank scan runs over O(P*s) rows (tiny
+    — one task); the verification join is a broadcast of the <=|probes|
+    estimates against ONE exact-rank aggregation over the data."""
+    partials = quantile_partial_summaries(df, value_col, s)
+    # weighted rank scan over the merged summary (O(P*s) rows, one window)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v", "w").rowsBetween(Window.unboundedPreceding, 0)
+    # materialize: the per-probe lookups below must re-read the summary,
+    # not re-run the partition scan (branch-recompute lesson, plans/schedule)
+    ranked = (
+        partials.select("v", "w", F.sum("w").over(w).alias("cum"))
+        .localCheckpoint(eager=True)
+    )
+    tot = df.agg(F.count("*").cast("long").alias("n_total"))
+    n_total = tot.first()["n_total"]
+    eps_band = 2 * (n_total // s) + 1
+    probes = [(p, max(1, (n_total * p) // 1_000_000)) for p in probes_ppm]
+    ests = []
+    for p_ppm, target in probes:
+        est = (
+            ranked.where(F.col("cum") >= target)
+            .orderBy("v", "cum")
+            .select("v")
+            .limit(1)
+            .first()
+        )
+        ests.append((p_ppm, target, int(est["v"])))
+    est_df = df.sparkSession.createDataFrame(
+        ests, "q_ppm long, target long, est long"
+    )
+    # one pass computes every estimate's true rank interval
+    vals = df.select(F.col(value_col).cast("long").alias("val"))
+    checked = (
+        vals.crossJoin(F.broadcast(est_df))
+        .groupBy("q_ppm", "target", "est")
+        .agg(
+            F.sum((F.col("val") < F.col("est")).cast("long")).alias("n_lt"),
+            F.sum((F.col("val") <= F.col("est")).cast("long")).alias("n_le"),
+        )
+    )
+    return checked.select(
+        "q_ppm",
+        F.lit(n_total).cast("long").alias("n_total"),
+        (
+            (F.col("n_lt") - F.lit(eps_band) < F.col("target"))
+            & (F.col("target") <= F.col("n_le") + F.lit(eps_band))
+        ).alias("rank_err_ok"),
+    )
+
+
+def duck_quantile_probes_sql(
+    table: str, probes_ppm: tuple = QS_PROBES_PPM
+) -> str:
+    rows = ", ".join(f"({p})" for p in probes_ppm)
+    return f"""
+WITH n AS (SELECT count(*)::BIGINT AS n_total FROM {table})
+SELECT p.q_ppm::BIGINT AS q_ppm, n.n_total, true AS rank_err_ok
+FROM (VALUES {rows}) AS p(q_ppm), n
+"""
