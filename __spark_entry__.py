@@ -1341,6 +1341,14 @@ def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlfilter.bitext_candidates(_synth(spark, sf_dir, "bitext"))
 
 
+def q_bitext_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext stage 2: hydrate candidate pairs with page texts by url and
+    gate on Gale-Church-shaped length statistics (sentence-count diff,
+    char-length ratio) — bodies join only onto the bounded candidate set
+    (urlfilter.bitext_align docstring)."""
+    return urlfilter.bitext_align(_synth(spark, sf_dir, "bitext"))
+
+
 def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host declared-vs-crawled coverage audit: distinct-reduce both
     sides map-side, one url-grain hash join, one host-grain partial-agg
@@ -1609,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_params": q_url_params,
         "url_strip": q_url_strip,
         "bitext_pairs": q_bitext_pairs,
+        "bitext_align": q_bitext_align,
         "events_asof": q_events_asof,
         "events_bands": q_events_bands,
     }
@@ -2167,6 +2176,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f"read_parquet('{sp('tracked')}')"
         ),
         "bitext_pairs": urlfilter.duck_bitext_sql(
+            f"read_parquet('{sp('bitext')}')"
+        ),
+        "bitext_align": urlfilter.duck_bitext_align_sql(
             f"read_parquet('{sp('bitext')}')"
         ),
         "events_bands": """

@@ -567,3 +567,51 @@ def test_bitext_synth_parity(spark):
         con.sql(urlfilter.duck_bitext_sql(f"read_parquet('{path}')")),
         ["key", "lang_a", "lang_b"],
     )
+
+
+ALIGN_ROWS = [
+    ("http://s.example/en/a1", "en", "One sentence here. Two now. Three total."),
+    ("http://s.example/de/a1", "de", "Ein Satz hier. Zwei jetzt. Drei gesamt."),
+    # misaligned translation: sentence count differs by 5
+    ("http://s.example/en/a2", "en", "Only one sentence."),
+    ("http://s.example/de/a2", "de", "S1. S2. S3. S4. S5. S6."),
+    # length-ratio failure: counts match but one side is 10x longer
+    ("http://s.example/en/a3", "en", "Tiny. Text."),
+    ("http://s.example/de/a3", "de",
+     ("Lange " * 40 + "Zeile.") + " " + ("Noch " * 40 + "mehr.")),
+]
+
+
+def test_bitext_align_semantics(spark, tmp_path):
+    pdf = pd.DataFrame(ALIGN_ROWS, columns=["url", "lang", "text"])
+    p = str(tmp_path / "align.parquet")
+    pdf.to_parquet(p)
+    df = spark.read.parquet(p)
+    out = {r["key"]: r for r in urlfilter.bitext_align(df).collect()}
+    assert out["http://s.example/L/a1"]["align_ok"]
+    assert out["http://s.example/L/a1"]["n_sents_a"] == 3
+    assert not out["http://s.example/L/a2"]["align_ok"]  # sent-count gate
+    a3 = out["http://s.example/L/a3"]
+    assert a3["n_sents_a"] == a3["n_sents_b"] == 2
+    assert not a3["align_ok"]  # ratio gate
+    con = duckdb.connect()
+    _cmp(
+        urlfilter.bitext_align(df),
+        con.sql(urlfilter.duck_bitext_align_sql(f"read_parquet('{p}')")),
+        ["key", "lang_a", "lang_b"],
+    )
+
+
+def test_bitext_align_synth_parity(spark):
+    synth.ensure_synth("0.001")
+    path = synth.synth_path("0.001", "bitext")
+    out = urlfilter.bitext_align(spark.read.parquet(path))
+    ok = out.where(F.col("align_ok")).count()
+    bad = out.where(~F.col("align_ok")).count()
+    assert ok > 0 and bad > 0  # fixture has both translations and decoys
+    con = duckdb.connect()
+    _cmp(
+        out,
+        con.sql(urlfilter.duck_bitext_align_sql(f"read_parquet('{path}')")),
+        ["key", "lang_a", "lang_b"],
+    )

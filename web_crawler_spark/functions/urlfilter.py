@@ -566,3 +566,111 @@ SELECT a.key AS key, a.lang AS lang_a, a.url AS url_a,
        b.lang AS lang_b, b.url AS url_b
 FROM cand a JOIN cand b ON a.key = b.key AND a.lang < b.lang
 """
+
+
+# candidate pairs whose texts don't look like translations get dropped here
+# (stage 2 of the mining pipeline); thresholds are Gale-Church-shaped —
+# translated texts have near-equal sentence counts and bounded length ratio
+ALIGN_MAX_SENT_DIFF = 1
+ALIGN_MIN_RATIO_PPM = 330_000  # min/max char length >= 1/3
+
+
+def sentence_count(text: Column) -> Column:
+    """Non-empty sentence segments (., !, ? terminators) — JVM split, and
+    textually mirrored in the DuckDB twin."""
+    return F.size(
+        F.filter(F.split(text, r"[.!?]"), lambda x: F.length(F.trim(x)) > 0)
+    ).cast("long")
+
+
+def bitext_align(
+    df: DataFrame,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    max_sent_diff: int = ALIGN_MAX_SENT_DIFF,
+    min_ratio_ppm: int = ALIGN_MIN_RATIO_PPM,
+) -> DataFrame:
+    """Stage 2 of bitext mining: hydrate each URL-candidate pair with its
+    page texts and score translation plausibility by length statistics
+    (Gale & Church 1993's signal, reduced to integer-exact sentence-count
+    and char-ratio gates).
+
+    Output: (key, lang_a, url_a, lang_b, url_b, n_sents_a, n_sents_b,
+    len_ratio_ppm, align_ok).
+
+    Scale shape: the pair table is skinny (urls only) and bounded by true
+    multilingual structure; texts join onto it BY URL — bodies hydrate
+    only the candidates, never the self-join.  Two co-keyed hash joins on
+    url; the per-page stats are a map-side projection computed once."""
+    stats = df.select(
+        F.col(url_col).alias("url"),
+        sentence_count(F.col(text_col)).alias("n_sents"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    pairs = bitext_candidates(df, url_col, lang_col)
+    a = stats.select(
+        F.col("url").alias("url_a"),
+        F.col("n_sents").alias("n_sents_a"),
+        F.col("n_chars").alias("chars_a"),
+    )
+    b = stats.select(
+        F.col("url").alias("url_b"),
+        F.col("n_sents").alias("n_sents_b"),
+        F.col("n_chars").alias("chars_b"),
+    )
+    ratio = F.floor(
+        F.least("chars_a", "chars_b")
+        * F.lit(1_000_000)
+        / F.greatest(F.col("chars_a"), F.col("chars_b"), F.lit(1))
+    ).cast("long")
+    return (
+        pairs.join(a, "url_a")
+        .join(b, "url_b")
+        .select(
+            "key",
+            "lang_a",
+            "url_a",
+            "lang_b",
+            "url_b",
+            "n_sents_a",
+            "n_sents_b",
+            ratio.alias("len_ratio_ppm"),
+            (
+                (
+                    F.abs(F.col("n_sents_a") - F.col("n_sents_b"))
+                    <= F.lit(max_sent_diff)
+                )
+                & (ratio >= F.lit(min_ratio_ppm))
+            ).alias("align_ok"),
+        )
+    )
+
+
+def duck_bitext_align_sql(
+    table: str,
+    max_sent_diff: int = ALIGN_MAX_SENT_DIFF,
+    min_ratio_ppm: int = ALIGN_MIN_RATIO_PPM,
+) -> str:
+    pairs = duck_bitext_sql(table)
+    return rf"""
+WITH pairs AS ({pairs}),
+stats AS (
+  SELECT url,
+    len(list_filter(regexp_split_to_array(text, '[.!?]'),
+                    x -> len(trim(x)) > 0))::BIGINT AS n_sents,
+    length(text)::BIGINT AS n_chars
+  FROM {table}
+)
+SELECT p.key, p.lang_a, p.url_a, p.lang_b, p.url_b,
+  a.n_sents AS n_sents_a, b.n_sents AS n_sents_b,
+  floor(least(a.n_chars, b.n_chars) * 1000000
+        / greatest(a.n_chars, b.n_chars, 1))::BIGINT AS len_ratio_ppm,
+  (abs(a.n_sents - b.n_sents) <= {max_sent_diff}
+   AND floor(least(a.n_chars, b.n_chars) * 1000000
+             / greatest(a.n_chars, b.n_chars, 1)) >= {min_ratio_ppm})
+    AS align_ok
+FROM pairs p
+JOIN stats a ON p.url_a = a.url
+JOIN stats b ON p.url_b = b.url
+"""

@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v18"  # v18: hostdocs (per-host template lines); dedicated RNG, all v17 tables byte-identical
+SYNTH_VERSION = "v19"  # v19: bitext gains translation-shaped texts; dedicated RNG, other v18 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -770,33 +770,56 @@ def _gen_tracked(urls: list[str], sf: str):
 
 
 def _gen_bitext(urls: list[str], sf: str):
-    """(url, lang) fixture for bitext candidate mining: multilingual sites
-    publish the same article under language-marked URLs — path-segment
-    style ``/{lang}/a{n}`` and query-param style ``?id={n}&lang={lang}``.
-    Articles carry 1-4 language versions (singletons are decoys that must
-    yield no pair); a few ``/plain/`` pages have no lang marker in the URL
-    at all (no alignment key — dropped by the miner).  Dedicated RNG: every
-    v16 fixture's bytes are unchanged."""
+    """(url, lang, text) fixture for bitext candidate mining + alignment
+    scoring: multilingual sites publish the same article under
+    language-marked URLs — path-segment style ``/{lang}/a{n}`` and
+    query-param style ``?id={n}&lang={lang}``.  Articles carry 1-4
+    language versions (singletons are decoys that must yield no pair); a
+    few ``/plain/`` pages have no lang marker in the URL at all (no
+    alignment key — dropped by the miner).  Texts are translation-shaped:
+    same sentence count (+/-1) and correlated lengths per language, except
+    every 11th article's non-first versions are deliberately MISALIGNED
+    (wildly different sentence counts) so the aligner has negatives.
+    Dedicated RNG: every v16 fixture's bytes are unchanged."""
     rng = random.Random(f"bitext-{sf}")
     langs = ["en", "de", "fr", "es", "zh"]
-    u_col, l_col = [], []
+    len_mult = {"en": 8, "de": 10, "fr": 9, "es": 9, "zh": 4}
+
+    def article_text(n: int, lang: str, n_sents: int) -> str:
+        words = len_mult[lang]
+        return " ".join(
+            f"Article {n} {lang} sentence {s} "
+            + " ".join(rng.choices(_WORDS, k=words))
+            + "."
+            for s in range(n_sents)
+        )
+
+    u_col, l_col, t_col = [], [], []
     n_articles = max(24, len(urls) // 6)
     for n in range(n_articles):
         site = n % 7
         chosen = rng.sample(langs, rng.randrange(1, 5))
-        for lang in chosen:
+        base_sents = rng.randrange(2, 7)
+        for j, lang in enumerate(chosen):
             if site % 2 == 0:
                 u_col.append(f"http://bt{site}.example/{lang}/a{n}")
             else:
                 u_col.append(f"http://bq{site}.example/art?id={n}&lang={lang}")
             l_col.append(lang)
+            if n % 11 == 0 and j > 0:  # misaligned translation decoy
+                n_sents = base_sents + 6 + rng.randrange(4)
+            else:
+                n_sents = max(1, base_sents + rng.randrange(-1, 2))
+            t_col.append(article_text(n, lang, n_sents))
     for n in range(0, n_articles, 10):
         u_col.append(f"http://bt9.example/plain/{n}")
         l_col.append("en")
+        t_col.append(article_text(n, "en", 3))
     return pa.table(
         {
             "url": pa.array(u_col, pa.string()),
             "lang": pa.array(l_col, pa.string()),
+            "text": pa.array(t_col, pa.string()),
         }
     )
 
