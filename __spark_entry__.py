@@ -94,6 +94,16 @@ def _crawl_state(spark: SparkSession, sf_dir: str):
     return _CRAWL_MEMO[key]
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based main-content extraction (Boilerpipe/readability
+    heuristic): per <p> block, keep long link-light prose, drop nav/footer
+    link lists — pure JVM regex + array lambdas over the page scan, zero
+    Python, zero exchange (html_parse.main_content docstring)."""
+    return html_parse.main_content(
+        _synth(spark, sf_dir, "pages").select("url", "html")
+    )
+
+
 def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: vectorized default-parser extraction (title/text/links_count)."""
     pages = _synth(spark, sf_dir, "pages")
@@ -1512,6 +1522,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_extract": q_parse_extract,
+        "main_content": q_main_content,
         "stream_parse": q_stream_parse,
         "urlnorm": q_urlnorm,
         "seed_dedup": q_seed_dedup,
@@ -1845,6 +1856,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         # crawl domain: goldens are the refsim-computed fixtures (independent
         # per-row implementation of the reference semantics)
         "parse_extract": f"SELECT url, title, text, links_count::INT AS links_count FROM {pages_meta}",
+        "main_content": html_parse.duck_main_content_sql(
+            f"read_parquet('{sp('pages')}')"
+        ),
         "stream_parse": f"SELECT url, title, text, links_count::INT AS links_count FROM {pages_meta}",
         "urlnorm": f"SELECT cand_id, expected AS url_canon FROM {cands}",
         "seed_dedup": f"SELECT url, min(seed_idx) AS seed_idx FROM {seeds} GROUP BY url",

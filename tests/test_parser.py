@@ -101,3 +101,52 @@ def test_null_html_rows_pass_through(spark):
     }
     assert rows["u1"]["text"] is None and rows["u1"]["links_count"] is None
     assert rows["u2"]["text"] == "ok"
+
+
+# -- density-based main-content extraction ----------------------------------
+
+def test_main_content_boundaries(spark):
+    """Block keep/drop semantics at the exact thresholds, script removal,
+    null-html pass-through; Spark vs the DuckDB twin."""
+    import duckdb
+    import pandas as pd
+
+    prose = "w" * html_parse.MC_MIN_BLOCK_CHARS           # exactly at min: kept
+    short = "w" * (html_parse.MC_MIN_BLOCK_CHARS - 1)     # one under: dropped
+    # link density exactly at 30%: 60 text chars of which 18 are anchor text
+    linky_ok = "x" * 42 + '<a href="/z">' + "y" * 18 + "</a>"
+    linky_bad = "x" * 41 + '<a href="/z">' + "y" * 19 + "</a>"
+    docs = [
+        ("u0", f"<p>{prose}</p><p>{short}</p>".encode()),
+        ("u1", f"<p>{linky_ok}</p><p>{linky_bad}</p>".encode()),
+        ("u2", ("<script>var x = '<p>" + "s" * 80 + "</p>';</script>"
+                f"<p>{prose}</p>").encode()),
+        ("u3", None),
+        ("u4", b"<div>no p blocks at all</div>"),
+    ]
+    pdf = pd.DataFrame(docs, columns=["url", "html"])
+    df = spark.createDataFrame(pdf)
+    out = {r["url"]: r for r in html_parse.main_content(df).collect()}
+    assert out["u0"]["n_blocks"] == 2 and out["u0"]["n_kept"] == 1
+    assert out["u0"]["main_text"] == prose
+    assert out["u1"]["n_kept"] == 1          # 30% density kept, over dropped
+    assert out["u2"]["n_blocks"] == 1        # the script's fake <p> is gone
+    assert out["u3"]["n_blocks"] == 0 and out["u3"]["main_text"] == ""
+    assert out["u4"]["n_blocks"] == 0
+    con = duckdb.connect()
+    con.register("mc_pdf", pdf)
+    got = html_parse.main_content(df).toPandas().sort_values("url").reset_index(drop=True)
+    want = con.sql(html_parse.duck_main_content_sql("mc_pdf")).df().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False)
+
+
+def test_main_content_plan_no_python_no_shuffle(spark, sf_small):
+    from web_crawler_spark import synth
+
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    plan = (
+        html_parse.main_content(pages.select("url", "html"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -138,3 +138,129 @@ def with_parsed(df, html_col: str = "html", out_col: str = "parsed"):
     """Attach the parsed struct; keep the html column out of downstream
     projections (column pruning keeps the BINARY scan local to this stage)."""
     return df.withColumn(out_col, parse_html_udf(F.col(html_col)))
+
+
+# -- density-based main-content extraction ---------------------------------
+#
+# The reference parser (above) extracts ALL text byte-identically; corpus
+# curation wants only the MAIN content — nav bars, link lists, and footers
+# out.  The production heuristic (Boilerpipe, Arc90 readability,
+# trafilatura's fallback) is block-level density: prose blocks are long
+# and link-light, boilerplate blocks are short and link-heavy.  Everything
+# below is JVM regex/array lambdas in the Java-regex ∩ RE2 subset, so the
+# DuckDB twin is byte-identical — zero Python, zero shuffle.
+
+MC_MIN_BLOCK_CHARS = 60        # a prose block has at least this much text
+MC_MAX_LINK_DENSITY_PPM = 300_000  # anchor chars / text chars
+
+_MC_SCRIPT_RE = r"(?s)<(script|style)[^>]*>.*?</(script|style)>"
+_MC_BLOCK_RE = r"(?s)<p[^>]*>(.*?)</p>"
+_MC_ANCHOR_RE = r"(?s)<a[^>]*>(.*?)</a>"
+_MC_TAG_RE = r"<[^>]*>"
+
+
+def _block_text(block):  # Column -> Column (tag-stripped, ws-squeezed)
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(block, _MC_TAG_RE, " "), r"\s+", " ")
+    )
+
+
+def main_content(df, html_col: str = "html", url_col: str = "url"):
+    """(url, n_blocks, n_kept, main_text): block-density main content.
+
+    Per page: drop <script>/<style>, split into <p> blocks, strip tags and
+    squeeze whitespace per block, measure anchor-text share, keep blocks
+    with >= MC_MIN_BLOCK_CHARS chars and link density <=
+    MC_MAX_LINK_DENSITY_PPM; main_text joins kept blocks with newlines.
+    Pages with NULL html (failed fetches) yield 0 blocks and ''.
+
+    Scale shape: pure map over the page scan — regex extract + array
+    lambdas, whole-stage codegen, no exchange, no Python; composes with
+    any downstream corpus op without a shuffle."""
+    html = F.regexp_replace(F.col(html_col).cast("string"), _MC_SCRIPT_RE, " ")
+    blocks = F.regexp_extract_all(html, F.lit(_MC_BLOCK_RE), F.lit(1))
+    texts = F.transform(blocks, _block_text)
+    anchors = F.transform(
+        blocks,
+        lambda b: F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.array_join(
+                        F.regexp_extract_all(b, F.lit(_MC_ANCHOR_RE), F.lit(1)),
+                        " ",
+                    ),
+                    _MC_TAG_RE,
+                    " ",
+                ),
+                r"\s+",
+                " ",
+            )
+        ),
+    )
+    scored = F.zip_with(
+        texts,
+        anchors,
+        lambda t, a: F.struct(
+            t.alias("t"),
+            (
+                (F.length(t) >= MC_MIN_BLOCK_CHARS)
+                & (
+                    F.length(a) * F.lit(1_000_000)
+                    <= F.lit(MC_MAX_LINK_DENSITY_PPM)
+                    * F.greatest(F.length(t), F.lit(1))
+                )
+            ).alias("keep"),
+        ),
+    )
+    kept = F.filter(scored, lambda s: s["keep"])
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.when(F.col(html_col).isNull(), F.lit(0))
+        .otherwise(F.size(blocks))
+        .cast("long")
+        .alias("n_blocks"),
+        F.when(F.col(html_col).isNull(), F.lit(0))
+        .otherwise(F.size(kept))
+        .cast("long")
+        .alias("n_kept"),
+        F.when(F.col(html_col).isNull(), F.lit("")).otherwise(
+            F.array_join(F.transform(kept, lambda s: s["t"]), "\n")
+        ).alias("main_text"),
+    )
+
+
+def duck_main_content_sql(table: str, html_col: str = "html", url_col: str = "url") -> str:
+    strip = (
+        lambda x: rf"trim(regexp_replace(regexp_replace({x}, '{_MC_TAG_RE}', ' ', 'g'), '\s+', ' ', 'g'))"
+    )
+    block_t = strip("b")
+    anchor_t = strip(
+        # coalesce: DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
+        rf"coalesce(array_to_string(regexp_extract_all(b, '{_MC_ANCHOR_RE}', 1), ' '), '')"
+    )
+    keep = (
+        rf"len({block_t}) >= {MC_MIN_BLOCK_CHARS} AND "
+        rf"len({anchor_t}) * 1000000 <= {MC_MAX_LINK_DENSITY_PPM} * greatest(len({block_t}), 1)"
+    )
+    return rf"""
+WITH pages AS (
+  SELECT {url_col} AS url,
+    CASE WHEN {html_col} IS NULL THEN NULL
+         ELSE regexp_replace(decode({html_col}), '{_MC_SCRIPT_RE}', ' ', 'g')
+    END AS h
+  FROM {table}
+),
+blk AS (
+  SELECT url, h,
+    CASE WHEN h IS NULL THEN []::VARCHAR[]
+         ELSE regexp_extract_all(h, '{_MC_BLOCK_RE}', 1) END AS blocks
+  FROM pages
+)
+SELECT url,
+  len(blocks)::BIGINT AS n_blocks,
+  len(list_filter(blocks, b -> {keep}))::BIGINT AS n_kept,
+  coalesce(array_to_string(
+    list_transform(list_filter(blocks, b -> {keep}), b -> {block_t}),
+    chr(10)), '') AS main_text
+FROM blk
+"""
