@@ -46,7 +46,12 @@ from web_crawler_spark.operators.politeness import (  # noqa: E402
     with_host,
 )
 from web_crawler_spark.plans.crawl import ChainCrawl, CrawlConfig  # noqa: E402
-from web_crawler_spark.plans.corpus import clean_corpus, duck_clean_corpus_sql  # noqa: E402
+from web_crawler_spark.plans.corpus import (  # noqa: E402
+    clean_corpus,
+    corpus_from_html,
+    duck_clean_corpus_sql,
+    duck_corpus_from_html_sql,
+)
 from web_crawler_spark.plans import recrawl  # noqa: E402
 
 ORACLE_SF = "0.01"  # the driver's correctness scale
@@ -431,6 +436,14 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> MinHash/LSH near-dup prune -> quality gate -> langid.  Oracled as ONE
     DuckDB query so the stage wiring is verified, not just the pieces."""
     return clean_corpus(_docs(spark, sf_dir))
+
+
+def q_corpus_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-native composition: raw html -> main-content extraction ->
+    quality/langid over the EXTRACTED text -> fingerprint dedup with
+    deterministic canonical selection; html never survives the first
+    projection (plans/corpus.corpus_from_html docstring)."""
+    return corpus_from_html(_synth(spark, sf_dir, "pages").select("url", "html"))
 
 
 def q_doc_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1544,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "corpus_clean": q_corpus_clean,
+        "corpus_html": q_corpus_html,
         "doc_clean_lines": q_doc_clean_lines,
         "doc_repetition": q_doc_repetition,
         "doc_pii": q_doc_pii,
@@ -1911,6 +1925,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_fingerprint": textstats.duck_fingerprint_sql("documents"),
         "dedup_exact": dedupsim.duck_exact_dups_sql("documents", min_count=1),
         "corpus_clean": duck_clean_corpus_sql("documents"),
+        "corpus_html": duck_corpus_from_html_sql(
+            f"read_parquet('{sp('pages')}')"
+        ),
         # web-corpus filters (multi-line webdocs fixture)
         "doc_clean_lines": webtext.duck_clean_lines_sql(webdocs),
         "doc_repetition": webtext.duck_repetition_sql(webdocs),

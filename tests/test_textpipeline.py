@@ -1349,3 +1349,49 @@ def test_source_prior_parity_and_broadcast_plan(spark, duck, docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the doc side must not shuffle
     _cmp(out, duck.sql(textstats.duck_source_prior_sql("documents")), ["doc_id"])
+
+
+def test_corpus_from_html_semantics_and_parity(spark, tmp_path):
+    """Same-content pages collapse to the min-url canonical; empty /
+    low-quality extractions are gated; Spark matches the DuckDB twin."""
+    import duckdb as _duck
+
+    from web_crawler_spark.plans import corpus
+
+    prose = (
+        "the quick fox and the lazy dog are with a friend of the family "
+        "and they all share the fine evening near the old stone bridge."
+    )
+    pages = [
+        ("http://a.example/1", f"<p>{prose}</p>".encode()),
+        ("http://a.example/2", f"<p>{prose}</p>".encode()),   # dup -> dropped
+        ("http://a.example/0nav", b'<p>see <a href="/x">here</a> now</p>'),
+        ("http://b.example/junk", ("<p>" + "zxq " * 40 + "end.</p>").encode()),
+        ("http://c.example/dead", None),
+    ]
+    pdf = pd.DataFrame(pages, columns=["url", "html"])
+    df = spark.createDataFrame(pdf)
+    out = {r["url"]: r for r in corpus.corpus_from_html(df).collect()}
+    assert set(out) == {"http://a.example/1"}  # canonical only, gates held
+    assert out["http://a.example/1"]["lang_pred"] == "en"
+    con = _duck.connect()
+    con.register("chp", pdf)
+    got = corpus.corpus_from_html(df).toPandas().sort_values("url").reset_index(drop=True)
+    want = con.sql(corpus.duck_corpus_from_html_sql("chp")).df().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False)
+
+
+def test_corpus_from_html_sheds_html_before_exchange(spark):
+    """The wide html column must die in the first projection: no Exchange
+    in the plan may carry an html attribute."""
+    from web_crawler_spark import synth as _synth_mod
+    from web_crawler_spark.plans import corpus
+
+    pages = spark.read.parquet(_synth_mod.synth_path("0.001", "pages"))
+    plan = (
+        corpus.corpus_from_html(pages.select("url", "html"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "html" not in line, line

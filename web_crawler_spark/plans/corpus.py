@@ -103,3 +103,78 @@ SELECT q.doc_id, l.lang_pred, q.n_tokens
 FROM q JOIN l ON q.doc_id = l.doc_id
 WHERE q.n_tokens >= {min_tokens} AND q.punct_ppm <= {max_punct_ppm}
 """
+
+
+# -- html-to-corpus: the web-native composition --------------------------------
+#
+# clean_corpus above starts from already-extracted documents; a crawl
+# starts from raw HTML.  This is the full web-native wiring: main-content
+# extraction (density heuristic) -> empty-page gate -> quality + language
+# tagging over the EXTRACTED text -> whitespace-fingerprint dedup with
+# deterministic canonical selection (min url).  Each primitive is graded
+# on its own; the composition is oracled as one DuckDB query so the wiring
+# is value-verified too.
+
+HTML_MIN_Q_PPM = 10_000  # stopword-density floor over extracted main text
+
+
+def corpus_from_html(
+    pages: DataFrame, min_q_ppm: int = HTML_MIN_Q_PPM
+) -> DataFrame:
+    """(url, lang_pred, q_ppm, n_chars) for the canonical, gated pages.
+
+    Scale shape: extraction/quality/langid are one map-side JVM projection
+    over the page scan (html never survives past it); the dedup is ONE
+    md5-fingerprint exchange with map-side partial min; the winner join is
+    co-keyed on (fingerprint, url).  The only wide data movement is the
+    skinny (url, fp) projection."""
+    from ..functions import html_parse
+
+    mc = html_parse.main_content(pages)
+    scored = mc.where(F.col("n_kept") > 0).select(
+        "url",
+        textstats.lang_pred(F.col("main_text")).alias("lang_pred"),
+        textstats.quality_columns(F.col("main_text"))["stopword_ppm"].alias(
+            "q_ppm"
+        ),
+        F.length("main_text").cast("long").alias("n_chars"),
+        textstats.fingerprint(F.col("main_text")).alias("fp"),
+    )
+    gated = scored.where(F.col("q_ppm") >= min_q_ppm)
+    winners = gated.groupBy("fp").agg(F.min("url").alias("url"))
+    return gated.join(winners, ["fp", "url"]).select(
+        "url", "lang_pred", "q_ppm", "n_chars"
+    )
+
+
+def duck_corpus_from_html_sql(
+    table: str, min_q_ppm: int = HTML_MIN_Q_PPM
+) -> str:
+    from ..functions import html_parse
+
+    mc = html_parse.duck_main_content_sql(table)
+    stop = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+    toks = (
+        r"CASE WHEN trim(main_text) = '' THEN [] "
+        r"ELSE regexp_split_to_array(trim(main_text), '\s+') END"
+    )
+    lang_sql = textstats.duck_langid_sql("(SELECT url AS doc_id, main_text AS text FROM mc)")
+    return rf"""
+WITH mc AS ({mc}),
+scored AS (
+  SELECT url,
+    floor(len(list_filter({toks}, t -> lower(t) IN ({stop})))
+          / greatest(len({toks}), 1)::DOUBLE * 1e6)::BIGINT AS q_ppm,
+    length(main_text)::BIGINT AS n_chars,
+    md5(lower(regexp_replace(trim(main_text), '\s+', ' ', 'g'))) AS fp
+  FROM mc WHERE n_kept > 0
+),
+langs AS ({lang_sql}),
+gated AS (
+  SELECT s.*, l.lang_pred FROM scored s JOIN langs l ON s.url = l.doc_id
+  WHERE s.q_ppm >= {min_q_ppm}
+),
+winners AS (SELECT fp, min(url) AS url FROM gated GROUP BY fp)
+SELECT g.url, g.lang_pred, g.q_ppm, g.n_chars
+FROM gated g JOIN winners w ON g.fp = w.fp AND g.url = w.url
+"""
