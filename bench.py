@@ -122,6 +122,16 @@ def bench_search_bm25(spark, sf_dir):
     return textstats.bm25_topk(docs).count()
 
 
+def bench_corpus_html(spark, sf):
+    """Web-native composition: raw html -> density main-content extraction
+    (zero-Python JVM regex) -> quality/langid gates -> fingerprint dedup
+    with canonical selection; html dies in the first projection."""
+    from web_crawler_spark.plans import corpus
+
+    pages = spark.read.parquet(synth.synth_path(sf, "pages"))
+    return corpus.corpus_from_html(pages.select("url", "html")).count()
+
+
 def bench_ann_brute(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     q = emb.filter(F.col("vec_id") < 20)
@@ -174,6 +184,8 @@ def main() -> None:
     timings["corpus_webclean"], _ = best_of(bench_corpus_webclean, spark, sf)
 
     timings["snapshot_diff"], _ = best_of(bench_snapshot_diff, spark, sf)
+
+    timings["corpus_html"], _ = best_of(bench_corpus_html, spark, sf)
 
     timings["ann_brute"], _ = best_of(bench_ann_brute, spark, SF_DIR)
 

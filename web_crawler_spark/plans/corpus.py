@@ -130,8 +130,18 @@ def corpus_from_html(
     skinny (url, fp) projection."""
     from ..functions import html_parse
 
-    mc = html_parse.main_content(pages)
-    scored = mc.where(F.col("n_kept") > 0).select(
+    # materialize the extraction: CollapseProject would otherwise inline the
+    # block-regex expression tree into EVERY derived column below (lang
+    # scores, quality, fingerprint), re-running it 5+ times per page —
+    # measured 23s -> ~10s at sf0.1.  The checkpointed frame is the skinny
+    # (url, main_text) projection, html is already gone.
+    mc = (
+        html_parse.main_content(pages)
+        .where(F.col("n_kept") > 0)
+        .select("url", "main_text")
+        .localCheckpoint(eager=False)
+    )
+    scored = mc.select(
         "url",
         textstats.lang_pred(F.col("main_text")).alias("lang_pred"),
         textstats.quality_columns(F.col("main_text"))["stopword_ppm"].alias(
