@@ -819,6 +819,15 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupsim.jaccard_for_pairs(pairs, sh)
 
 
+def q_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity join (prefix filtering, PPJoin-style): all pairs
+    with shingle Jaccard >= 0.5, provably complete — the oracle computes
+    brute-force truth over every co-shingled pair, so the hash-match IS
+    the completeness proof of the prefix filter
+    (dedupsim.ppjoin_exact_pairs docstring)."""
+    return dedupsim.ppjoin_exact_pairs(_docs(spark, sf_dir))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupsim.simhash(_docs(spark, sf_dir))
 
@@ -1598,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_ppjoin": q_dedup_ppjoin,
         "dedup_containment": q_dedup_containment,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2023,6 +2033,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "dedup_minhash": dedupsim.duck_minhash_exploded_sql("documents"),
         "dedup_lsh_pairs": dedupsim.duck_lsh_pairs_sql("documents"),
         "dedup_jaccard": dedupsim.duck_jaccard_sql("documents"),
+        "dedup_ppjoin": dedupsim.duck_ppjoin_sql("documents"),
         "dedup_containment": dedupsim.duck_containment_sql("documents"),
         "dedup_simhash": dedupsim.duck_simhash_sql("documents"),
         "dedup_simhash_pairs": dedupsim.duck_simhash_pairs_sql("documents"),

@@ -1395,3 +1395,59 @@ def test_corpus_from_html_sheds_html_before_exchange(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "html" not in line, line
+
+
+def test_ppjoin_exact_vs_bruteforce(spark, duck, docs):
+    """The prefix-filtered join must return EXACTLY the brute-force pair
+    set — completeness of the filter, not just plausibility."""
+    got = dedupsim.ppjoin_exact_pairs(docs)
+    _cmp(got, duck.sql(dedupsim.duck_ppjoin_sql("documents")), ["a", "b"])
+
+
+def test_ppjoin_semantics_and_threshold_edge(spark, tmp_path):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),
+        (2, base),                                 # identical: J = 1
+        (3, base + " iota kappa"),                 # high overlap
+        (4, "totally different words entirely here now today friend"),
+        (5, ""),                                   # empty: no shingles
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    p = str(tmp_path / "pp.parquet")
+    pdf.to_parquet(p)
+    df = spark.read.parquet(p)
+    out = {(r["a"], r["b"]): r["jaccard_ppm"]
+           for r in dedupsim.ppjoin_exact_pairs(df).collect()}
+    assert out[(1, 2)] == 1_000_000
+    assert (1, 3) in out and out[(1, 3)] >= 500_000
+    assert all(4 not in k and 5 not in k for k in out)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW pp AS SELECT * FROM read_parquet('{p}')")
+    _cmp(
+        dedupsim.ppjoin_exact_pairs(df),
+        con.sql(dedupsim.duck_ppjoin_sql("pp")),
+        ["a", "b"],
+    )
+
+
+def test_ppjoin_prefix_filter_prunes(spark, docs):
+    """The candidate set after the prefix join must be far below n^2/2 —
+    the filter has to EARN the exactness, not degenerate to all-pairs."""
+    from web_crawler_spark.operators.ordering import with_global_seq
+    from pyspark.sql import functions as FF
+
+    sh = dedupsim.shingles(docs)
+    vocab = sh.groupBy("shingle").agg(FF.count("*").alias("df_sh"))
+    ranked = with_global_seq(vocab, ["df_sh", "shingle"], out_col="rnk")
+    g = sh.join(ranked.select("shingle", "rnk"), "shingle")
+    sets = g.groupBy("doc_id").agg(FF.array_sort(FF.collect_list("rnk")).alias("rnks"))
+    plen = FF.expr("size(rnks) - ((size(rnks) * 500000 + 999999) div 1000000) + 1")
+    pre = sets.select("doc_id", FF.explode(FF.slice("rnks", FF.lit(1), plen)).alias("rnk"))
+    n_cand = (
+        pre.alias("l").join(pre.alias("r"), "rnk")
+        .where(FF.col("l.doc_id") < FF.col("r.doc_id"))
+        .select("l.doc_id", "r.doc_id").distinct().count()
+    )
+    n = docs.count()
+    assert n_cand < n * (n - 1) / 2 * 0.25, (n_cand, n)

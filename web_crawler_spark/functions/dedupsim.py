@@ -605,3 +605,82 @@ JOIN sizes sa ON i.doc_a = sa.doc_id
 JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE (1000000 * i.n_inter) // least(sa.n_sh, sb.n_sh) >= {min_ppm}
 """
+
+
+# --------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (PPJoin-style)
+# --------------------------------------------------------------------------
+#
+# MinHash-LSH (above) trades recall for speed; some curation steps need the
+# EXACT pair set (legal dedup audits, eval-set leakage reports).  The
+# scalable exact method is prefix filtering (Chaudhuri et al. 2006, PPJoin
+# Xiao et al. 2008): order every doc's shingles by global rarity; if
+# J(A,B) >= t, then A and B must share one of each other's first
+# n - ceil(t*n) + 1 shingles — so joining on prefix shingles alone loses
+# NOTHING, and rare-first ordering keeps the join groups small.
+
+PPJOIN_T_PPM = 500_000
+
+
+def ppjoin_exact_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    t_ppm: int = PPJOIN_T_PPM,
+) -> DataFrame:
+    """ALL pairs with shingle Jaccard >= t (complete, not probabilistic).
+
+    Output: (a, b, jaccard_ppm), a < b — provably the same set a brute
+    force produces, graded against a DuckDB all-pairs oracle.
+
+    Scale shape: the rarity order is a dense global seq over the VOCAB
+    (operators/ordering's range-partition trick — no 1-partition window);
+    prefix tokens are by construction the rarest, so join groups on them
+    stay small where the data allows it at all; the exact Jaccard verify
+    touches only surviving candidates (reuses jaccard_for_pairs)."""
+    from ..operators.ordering import with_global_seq
+
+    sh = shingles(df, id_col, text_col)
+    vocab = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
+    ranked = with_global_seq(vocab, ["df_sh", "shingle"], out_col="rnk")
+    g = sh.join(ranked.select("shingle", "rnk"), "shingle")
+    sets = g.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("rnk")).alias("rnks")
+    )
+    # prefix length n - ceil(t*n) + 1, in exact integer arithmetic
+    plen = F.expr(f"size(rnks) - ((size(rnks) * {t_ppm} + 999999) div 1000000) + 1")
+    pre = sets.select(
+        "doc_id", F.explode(F.slice("rnks", F.lit(1), plen)).alias("rnk")
+    )
+    cands = (
+        pre.alias("l")
+        .join(pre.alias("r"), "rnk")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    return jaccard_for_pairs(cands, sh).where(
+        F.col("jaccard_ppm") >= F.lit(t_ppm)
+    )
+
+
+def duck_ppjoin_sql(table: str, t_ppm: int = PPJOIN_T_PPM) -> str:
+    """Brute-force truth: exact Jaccard over EVERY co-shingled pair — the
+    completeness of the prefix filter is what the hash-match proves."""
+    return rf"""
+WITH {duck_shingles_cte(table)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS inter
+  FROM shingles sa JOIN shingles sb
+    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+  floor(i.inter / (za.n_sh + zb.n_sh - i.inter)::DOUBLE * 1e6)::BIGINT
+    AS jaccard_ppm
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+WHERE floor(i.inter / (za.n_sh + zb.n_sh - i.inter)::DOUBLE * 1e6) >= {t_ppm}
+"""
