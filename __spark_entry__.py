@@ -48,8 +48,10 @@ from web_crawler_spark.operators.politeness import (  # noqa: E402
 from web_crawler_spark.plans.crawl import ChainCrawl, CrawlConfig  # noqa: E402
 from web_crawler_spark.plans.corpus import (  # noqa: E402
     clean_corpus,
+    corpus_audit,
     corpus_from_html,
     duck_clean_corpus_sql,
+    duck_corpus_audit_sql,
     duck_corpus_from_html_sql,
 )
 from web_crawler_spark.plans import recrawl  # noqa: E402
@@ -444,6 +446,15 @@ def q_corpus_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic canonical selection; html never survives the first
     projection (plans/corpus.corpus_from_html docstring)."""
     return corpus_from_html(_synth(spark, sf_dir, "pages").select("url", "html"))
+
+
+def q_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-reason lineage for corpus_from_html: every input URL labeled
+    with the first gate that removed it (no_fetch / no_content /
+    low_quality / duplicate) or 'kept'.  Rides the pipeline's own plan —
+    one extraction pass, one fingerprint exchange (plans/corpus.py
+    corpus_audit docstring)."""
+    return corpus_audit(_synth(spark, sf_dir, "pages").select("url", "html"))
 
 
 def q_doc_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1567,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "corpus_clean": q_corpus_clean,
         "corpus_html": q_corpus_html,
+        "corpus_audit": q_corpus_audit,
         "doc_clean_lines": q_doc_clean_lines,
         "doc_repetition": q_doc_repetition,
         "doc_pii": q_doc_pii,
@@ -1936,6 +1948,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "dedup_exact": dedupsim.duck_exact_dups_sql("documents", min_count=1),
         "corpus_clean": duck_clean_corpus_sql("documents"),
         "corpus_html": duck_corpus_from_html_sql(
+            f"read_parquet('{sp('pages')}')"
+        ),
+        "corpus_audit": duck_corpus_audit_sql(
             f"read_parquet('{sp('pages')}')"
         ),
         # web-corpus filters (multi-line webdocs fixture)

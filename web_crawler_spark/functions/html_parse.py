@@ -165,8 +165,16 @@ def _block_text(block):  # Column -> Column (tag-stripped, ws-squeezed)
     )
 
 
-def main_content(df, html_col: str = "html", url_col: str = "url"):
-    """(url, n_blocks, n_kept, main_text): block-density main content.
+def main_content(
+    df,
+    html_col: str = "html",
+    url_col: str = "url",
+    passthrough: tuple = (),
+):
+    """(url, n_blocks, n_kept, main_text, *passthrough): block-density
+    main content.  ``passthrough`` names input columns carried through the
+    projection unchanged — lets callers keep page metadata (fetch flags,
+    timestamps) without re-scanning the pages table and joining back.
 
     Per page: drop <script>/<style>, split into <p> blocks, strip tags and
     squeeze whitespace per block, measure anchor-text share, keep blocks
@@ -226,6 +234,7 @@ def main_content(df, html_col: str = "html", url_col: str = "url"):
         F.when(F.col(html_col).isNull(), F.lit("")).otherwise(
             F.array_join(F.transform(kept, lambda s: s["t"]), "\n")
         ).alias("main_text"),
+        *[F.col(c) for c in passthrough],
     )
 
 

@@ -188,3 +188,108 @@ winners AS (SELECT fp, min(url) AS url FROM gated GROUP BY fp)
 SELECT g.url, g.lang_pred, g.q_ppm, g.n_chars
 FROM gated g JOIN winners w ON g.fp = w.fp AND g.url = w.url
 """
+
+
+def corpus_audit(
+    pages: DataFrame, min_q_ppm: int = HTML_MIN_Q_PPM
+) -> DataFrame:
+    """Per-page drop-reason lineage for :func:`corpus_from_html` — every
+    input URL labeled with the FIRST gate that removed it (or ``kept``):
+    ``no_fetch`` (NULL html) -> ``no_content`` (no prose block survived
+    extraction) -> ``low_quality`` (under the stopword floor) ->
+    ``duplicate`` (lost the canonical-min-url election) -> ``kept``.
+
+    Output: (url, reason, q_ppm) — q_ppm is NULL until the quality gate
+    runs, mirroring what the pipeline actually computed for that page.
+
+    Scale shape: identical to corpus_from_html (one extraction pass, one
+    fingerprint exchange) — the audit rides the same plan with a CASE
+    projection instead of filters, so auditing costs what the pipeline
+    costs, not a second methodology.  The fetch flag rides the extraction
+    projection (``main_content(passthrough=...)``); pages is scanned ONCE
+    and nothing joins back on url."""
+    from ..functions import html_parse
+
+    src = pages.select(
+        "url", "html", F.col("html").isNotNull().alias("fetched")
+    )
+    mc = (
+        html_parse.main_content(src, passthrough=("fetched",))
+        .select("url", "n_kept", "main_text", "fetched")
+        .localCheckpoint(eager=False)
+    )
+    scored = mc.select(
+        "url",
+        "n_kept",
+        "fetched",
+        F.when(
+            F.col("n_kept") > 0,
+            textstats.quality_columns(F.col("main_text"))["stopword_ppm"],
+        ).alias("q_ppm"),
+        F.when(
+            F.col("n_kept") > 0, textstats.fingerprint(F.col("main_text"))
+        ).alias("fp"),
+    )
+    gated = scored.where(
+        (F.col("n_kept") > 0) & (F.col("q_ppm") >= min_q_ppm)
+    )
+    winners = (
+        gated.groupBy("fp")
+        .agg(F.min("url").alias("win_url"))
+        .withColumnRenamed("fp", "win_fp")
+    )
+    return (
+        scored.join(winners, F.col("fp") == F.col("win_fp"), "left")
+        .select(
+            "url",
+            F.when(~F.col("fetched"), F.lit("no_fetch"))
+            .when(F.col("n_kept") == 0, F.lit("no_content"))
+            .when(F.col("q_ppm") < min_q_ppm, F.lit("low_quality"))
+            .when(F.col("url") != F.col("win_url"), F.lit("duplicate"))
+            .otherwise(F.lit("kept"))
+            .alias("reason"),
+            "q_ppm",
+        )
+    )
+
+
+def duck_corpus_audit_sql(
+    table: str, min_q_ppm: int = HTML_MIN_Q_PPM
+) -> str:
+    from ..functions import html_parse
+
+    mc = html_parse.duck_main_content_sql(table)
+    stop = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+    toks = (
+        r"CASE WHEN trim(main_text) = '' THEN [] "
+        r"ELSE regexp_split_to_array(trim(main_text), '\s+') END"
+    )
+    return rf"""
+WITH mc AS ({mc}),
+scored AS (
+  SELECT url, n_kept,
+    CASE WHEN n_kept > 0 THEN
+      floor(len(list_filter({toks}, t -> lower(t) IN ({stop})))
+            / greatest(len({toks}), 1)::DOUBLE * 1e6)::BIGINT
+    END AS q_ppm,
+    CASE WHEN n_kept > 0 THEN
+      md5(lower(regexp_replace(trim(main_text), '\s+', ' ', 'g')))
+    END AS fp
+  FROM mc
+),
+winners AS (
+  SELECT fp, min(url) AS win_url FROM scored
+  WHERE n_kept > 0 AND q_ppm >= {min_q_ppm} GROUP BY fp
+),
+fetched AS (SELECT url, html IS NOT NULL AS fetched FROM {table})
+SELECT s.url,
+  CASE WHEN NOT f.fetched THEN 'no_fetch'
+       WHEN s.n_kept = 0 THEN 'no_content'
+       WHEN s.q_ppm < {min_q_ppm} THEN 'low_quality'
+       WHEN s.url <> w.win_url THEN 'duplicate'
+       ELSE 'kept' END AS reason,
+  s.q_ppm
+FROM scored s
+JOIN fetched f ON s.url = f.url
+LEFT JOIN winners w ON s.fp = w.fp
+"""
