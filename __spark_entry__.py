@@ -207,6 +207,111 @@ def q_robots_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROBOTS_RFC_BODIES = {
+    # Deterministic robots.txt bodies exercising the full RFC 9309 matching
+    # model: wildcard `*`, `$` end anchors, Allow overrides,
+    # longest-match-wins with Allow winning ties, regex-metachar escaping,
+    # decoy groups for other agents, multi-agent group headers, empty
+    # Disallow, comments.  The oracle encodes the expected compiled rules by
+    # hand (ROBOTS_RFC_ORACLE) — a parser or translation bug mismatches.
+    "host0.example": (
+        "# corpus ACL\n"
+        "User-agent: otherbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /p/1*\n"
+        "Allow: /p/12*  # re-opened section\n"
+        "Disallow: /p/123$\n"
+        "Disallow: /p/7\n"
+        "Allow: /p/7\n"
+        "Crawl-delay: 2\n"
+    ),
+    "host1.example": (
+        "User-agent: goodbot\n"
+        "User-agent: *\n"
+        "Disallow: /p/*1$\n"
+        "Allow: /p/41$\n"
+    ),
+    "host2.example": (
+        "User-agent: otherbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /p/9.\n"
+    ),
+    "host3.example": (
+        "User-agent: *\n"
+        "Disallow: /p/8$\n"
+        "Disallow:\n"
+    ),
+}
+
+ROBOTS_RFC_ORACLE = [
+    # (host, regex twin — HAND-WRITTEN, independent of rule_to_regex —
+    #  pattern octet length, is_allow)
+    ("host0.example", r"^/p/1.*", 5, False),
+    ("host0.example", r"^/p/12.*", 6, True),
+    ("host0.example", r"^/p/123$", 7, False),
+    ("host0.example", r"^/p/7", 4, False),
+    ("host0.example", r"^/p/7", 4, True),
+    ("host1.example", r"^/p/.*1$", 6, False),
+    ("host1.example", r"^/p/41$", 6, True),
+    ("host2.example", r"^/p/9\.", 5, False),
+    ("host3.example", r"^/p/8$", 5, False),
+]
+
+
+def q_robots_rfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full RFC 9309 ACL over the corpus: robots bodies parse+compile once
+    per host (pandas UDF on config-plane rows), the tiny rules table
+    broadcasts, and every URL's allow/deny decision is one JVM projection
+    (per-row RLIKE inside `filter`, `array_max` longest-match) — the
+    URL-grain side never shuffles and never touches Python."""
+    from web_crawler_spark.sources import robots as robots_src
+
+    meta = _synth(spark, sf_dir, "pages_meta").select("url", "host")
+    robots_df = spark.createDataFrame(
+        list(ROBOTS_RFC_BODIES.items()), "host string, content string"
+    )
+    rules = robots_src.acl_rules_from_robots(robots_df)
+    return robots_src.robots_allowed(meta, rules).select(
+        "url", "host", "allowed", F.col("win_len").cast("long").alias("win_len")
+    )
+
+
+def _robots_rfc_oracle_sql(pages_meta: str) -> str:
+    """DuckDB twin of q_robots_rfc from the hand-written compiled rules:
+    regexp hits -> longest-match window with Allow winning ties."""
+    rule_rows = ", ".join(
+        f"('{h}', '{rx}', {ln}, {str(al).lower()})"
+        for h, rx, ln, al in ROBOTS_RFC_ORACLE
+    )
+    return rf"""
+WITH rules AS (
+  SELECT * FROM (VALUES {rule_rows}) AS t(host, rx, rule_len, is_allow)
+),
+urls AS (
+  SELECT url, host,
+         coalesce(nullif(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''), ''), '/') AS path
+  FROM {pages_meta}
+),
+hits AS (
+  SELECT u.url, r.rule_len, r.is_allow
+  FROM urls u JOIN rules r ON u.host = r.host AND regexp_matches(u.path, r.rx)
+),
+best AS (
+  SELECT url, rule_len, is_allow,
+         row_number() OVER (PARTITION BY url ORDER BY rule_len DESC, is_allow DESC) AS rn
+  FROM hits
+)
+SELECT u.url, u.host,
+       coalesce(b.is_allow, true) AS allowed,
+       coalesce(b.rule_len, 0)::BIGINT AS win_len
+FROM urls u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (url)
+"""
+
+
 def q_link_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: positional link explosion (the next-frontier feeder)."""
     meta = _synth(spark, sf_dir, "pages_meta").select("url", "links")
@@ -1561,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_dedup": q_seed_dedup,
         "host_budget": q_host_budget,
         "robots_budget": q_robots_budget,
+        "robots_rfc": q_robots_rfc,
         "link_explode": q_link_explode,
         "link_stats": q_link_stats,
         "crawl_fetch_log": q_crawl_fetch_log,
@@ -1905,6 +2011,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             QUALIFY host_rank <= 5
         """,
         "robots_budget": _robots_budget_oracle_sql(pages_meta),
+        "robots_rfc": _robots_rfc_oracle_sql(pages_meta),
         "link_explode": f"""
             SELECT url, (i - 1)::BIGINT AS link_pos, links[i] AS link
             FROM {pages_meta}, LATERAL unnest(generate_series(1, len(links))) AS t(i)

@@ -54,6 +54,81 @@ def test_parsed_rules_is_a_projection_not_a_join(spark):
     assert "Join" not in plan
 
 
+def test_rule_to_regex_translation():
+    assert robots_src.rule_to_regex("/p/1*") == "^/p/1.*"
+    assert robots_src.rule_to_regex("/p/123$") == "^/p/123$"
+    assert robots_src.rule_to_regex("/p/*1$") == "^/p/.*1$"
+    assert robots_src.rule_to_regex("/p/9.") == r"^/p/9\."
+    assert robots_src.rule_to_regex("/a+b?(c)[d]{e}|f^g") == r"^/a\+b\?\(c\)\[d\]\{e\}\|f\^g"
+    # inner $ is literal, only a trailing $ anchors
+    assert robots_src.rule_to_regex("/x$y") == r"^/x\$y"
+
+
+def test_parse_robots_acl_groups():
+    rules = robots_src.parse_robots_acl(ROBOTS_A)
+    # Allow lines now count; empty Disallow still contributes nothing;
+    # the googlebot-only group still doesn't apply
+    assert rules == [
+        ("/private/", False),
+        ("/tmp/", False),
+        ("/tmp/ok", True),
+        ("/both/", False),
+    ]
+    assert robots_src.parse_robots_acl(ROBOTS_B) == []
+
+
+def test_robots_allowed_longest_match(spark):
+    """RFC 9309 decision table: longest rule wins, Allow wins ties, no
+    match (or no rules / unknown host) means allowed."""
+    body = (
+        "User-agent: otherbot\nDisallow: /\n\n"
+        "User-agent: *\n"
+        "Disallow: /p/1*\n"
+        "Allow: /p/12*\n"
+        "Disallow: /p/123$\n"
+        "Disallow: /p/7\n"
+        "Allow: /p/7\n"
+    )
+    robots = spark.createDataFrame([("a.example", body)], "host string, content string")
+    rules = robots_src.acl_rules_from_robots(robots)
+    urls = spark.createDataFrame(
+        [
+            ("http://a.example/p/15", "a.example"),     # /p/1* -> blocked
+            ("http://a.example/p/125", "a.example"),    # allow /p/12* outranks /p/1*
+            ("http://a.example/p/123", "a.example"),    # $-anchored longest -> blocked
+            ("http://a.example/p/1234", "a.example"),   # $ doesn't hit; allow 12* wins
+            ("http://a.example/p/7", "a.example"),      # tie -> allow
+            ("http://a.example/p/5", "a.example"),      # no rule matches
+            ("http://a.example", "a.example"),          # empty path -> "/"
+            ("http://z.example/p/1", "z.example"),      # ruleless host
+        ],
+        "url string, host string",
+    )
+    got = {
+        r["url"]: (r["allowed"], r["win_len"])
+        for r in robots_src.robots_allowed(urls, rules).collect()
+    }
+    assert got == {
+        "http://a.example/p/15": (False, 5),
+        "http://a.example/p/125": (True, 6),
+        "http://a.example/p/123": (False, 7),
+        "http://a.example/p/1234": (True, 6),
+        "http://a.example/p/7": (True, 4),
+        "http://a.example/p/5": (True, 0),
+        "http://a.example": (True, 0),
+        "http://z.example/p/1": (True, 0),
+    }
+    # scale shape: rules broadcast; the URL side must not shuffle
+    plan = (
+        robots_src.robots_allowed(urls, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning" not in plan
+
+
 def test_host_rules_and_politeness_integration(spark):
     robots = spark.createDataFrame(
         [("a.example", ROBOTS_A), ("b.example", ROBOTS_B)], "host string, content string"

@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
@@ -39,15 +41,13 @@ PARSED_RULES = StructType(
 )
 
 
-def parse_robots_text(content: str, agent: str = DEFAULT_AGENT) -> tuple[list[str], float | None]:
-    """(disallow paths, crawl delay) for ``agent`` per the RFC 9309 group
-    model.  Pure per-row function (also the unit-test oracle)."""
-    disallow: list[str] = []
-    delay: float | None = None
+def _applicable_directives(content: str, agent: str):
+    """Yield (key, value) directive pairs from the groups that apply to
+    ``agent`` per the RFC 9309 group model: consecutive ``User-agent`` lines
+    open a group; it applies when it names ``*`` or the agent."""
     group_agents: list[str] = []
     in_agent_run = False
     applies = False
-
     for raw in (content or "").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -63,8 +63,16 @@ def parse_robots_text(content: str, agent: str = DEFAULT_AGENT) -> tuple[list[st
             applies = "*" in group_agents or agent.lower() in group_agents
             continue
         in_agent_run = False
-        if not applies:
-            continue
+        if applies:
+            yield key, value
+
+
+def parse_robots_text(content: str, agent: str = DEFAULT_AGENT) -> tuple[list[str], float | None]:
+    """(disallow paths, crawl delay) for ``agent`` per the RFC 9309 group
+    model.  Pure per-row function (also the unit-test oracle)."""
+    disallow: list[str] = []
+    delay: float | None = None
+    for key, value in _applicable_directives(content, agent):
         if key == "disallow" and value:
             disallow.append(value)
         elif key == "crawl-delay":
@@ -116,6 +124,127 @@ def host_rules_from_robots(
         ),
     ).otherwise(F.lit(default_budget))
     return parsed.select("host", "disallow", budget.alias("budget"))
+
+
+# -- RFC 9309 wildcard/anchor Allow/Disallow longest-match ---------------------
+#
+# The full matching model real robots.txt files use (and the plain
+# Disallow-prefix gate above cannot express): ``*`` matches any octet
+# sequence, a trailing ``$`` anchors the end of the path, ``Allow`` rules
+# override ``Disallow``, and the winning rule is the one with the LONGEST
+# pattern (ties break toward Allow).  No matching rule means allowed.
+#
+# Scale shape: patterns compile to Java/RE2 regexes once per host at parse
+# time (robots bodies are config-plane, one small row per host), the rules
+# table broadcasts, and the per-URL decision is a single JVM projection —
+# ``filter(rules, r -> RLIKE(path, r.rx))`` + ``array_max`` over
+# (rule_len, is_allow) structs.  No Python touches the URL-grain data and
+# the frontier side never shuffles.
+
+_RE_META = set("\\.^$+?(){}[]|")
+
+
+def parse_robots_acl(content: str, agent: str = DEFAULT_AGENT) -> list[tuple[str, bool]]:
+    """Ordered (pattern, is_allow) rules for ``agent`` — both ``Allow`` and
+    ``Disallow`` lines from applicable groups; empty values (the
+    'allow everything' idiom) contribute no rule."""
+    rules: list[tuple[str, bool]] = []
+    for key, value in _applicable_directives(content, agent):
+        if key in ("disallow", "allow") and value:
+            rules.append((value, key == "allow"))
+    return rules
+
+
+def rule_to_regex(pattern: str) -> str:
+    """Robots path pattern -> anchored regex valid in both Java regex and
+    RE2 (no backrefs/lookaround): ``*`` -> ``.*``, a trailing ``$`` becomes
+    an end anchor, every other regex metacharacter is escaped, and the
+    whole pattern is start-anchored (robots rules match from the first
+    path octet)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    out = ["^"]
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in _RE_META:
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    if anchored:
+        out.append("$")
+    return "".join(out)
+
+
+ACL_RULES = ArrayType(
+    StructType(
+        [
+            StructField("rx", StringType()),
+            StructField("rule_len", IntegerType()),
+            StructField("is_allow", BooleanType()),
+        ]
+    )
+)
+
+_ACL_RULES_DDL = "array<struct<rx:string,rule_len:int,is_allow:boolean>>"
+
+
+def acl_rules_from_robots(
+    robots: DataFrame, agent: str = DEFAULT_AGENT, content_col: str = "content"
+) -> DataFrame:
+    """(host, content) -> (host, rules) with each rule pre-compiled to
+    (rx, rule_len, is_allow).  ``rule_len`` is the octet length of the
+    ORIGINAL pattern (the RFC's longest-match measure), not the regex."""
+
+    @pandas_udf(ACL_RULES)
+    def compile_rules(contents: pd.Series) -> pd.Series:
+        out = []
+        for c in contents:
+            out.append(
+                [
+                    (rule_to_regex(p), len(p), allow)
+                    for p, allow in parse_robots_acl(c if c is not None else "", agent)
+                ]
+            )
+        return pd.Series(out)
+
+    return robots.select("host", compile_rules(F.col(content_col)).alias("rules"))
+
+
+_PATH_STRIP_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-URL RFC 9309 decision: adds ``allowed`` (boolean) and ``win_len``
+    (length of the winning rule's pattern, 0 when no rule matched).
+
+    Longest-match with Allow-wins-ties falls out of ``array_max`` over
+    ``struct(rule_len, is_allow)`` — struct comparison is lexicographic and
+    false < true.  Hosts absent from the rules table (left join) and hosts
+    whose applicable groups carry no rules are fully allowed."""
+    empty = F.array().cast(_ACL_RULES_DDL)
+    path = F.coalesce(
+        F.nullif(F.regexp_replace(F.col(url_col), _PATH_STRIP_RE, ""), F.lit("")),
+        F.lit("/"),
+    )
+    joined = urls.join(F.broadcast(rules), on=host_col, how="left")
+    hits = F.filter(
+        F.coalesce(F.col("rules"), empty),
+        lambda r: F.regexp_like(path, r["rx"]),
+    )
+    win = F.array_max(
+        F.transform(hits, lambda r: F.struct(r["rule_len"].alias("l"), r["is_allow"].alias("a")))
+    )
+    return joined.select(
+        *[c for c in urls.columns],
+        F.coalesce(win["a"], F.lit(True)).alias("allowed"),
+        F.coalesce(win["l"], F.lit(0)).alias("win_len"),
+    )
 
 
 # -- sitemap discovery ---------------------------------------------------------
