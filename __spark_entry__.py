@@ -312,6 +312,81 @@ FROM urls u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (url)
 """
 
 
+def q_robots_acl_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wired J4+O3 path: RFC 9309 ACL gate (wildcard/anchor
+    longest-match, broadcast, map-side) feeding the salted per-host budget
+    ranking — the full politeness batch a scheduling round emits."""
+    from web_crawler_spark.sources import robots as robots_src
+
+    meta = _synth(spark, sf_dir, "pages_meta").select("url", "host")
+    frontier = meta.withColumn("prio", F.md5(F.col("url")))
+    robots_df = spark.createDataFrame(
+        list(ROBOTS_RFC_BODIES.items()), "host string, content string"
+    )
+    rules = robots_src.acl_rules_from_robots(robots_df)
+    batch = select_host_budget_batch(
+        frontier, ["prio"], budget=ROBOTS_DEFAULT_BUDGET, acl_rules=rules
+    )
+    return batch.select(
+        "url", "host", F.col("host_rank").cast("long").alias("host_rank")
+    )
+
+
+def _robots_acl_batch_oracle_sql(pages_meta: str) -> str:
+    """DuckDB twin of q_robots_acl_batch: the hand-written compiled rules
+    gate the frontier, then per-host md5-priority ranking under the
+    default budget."""
+    rule_rows = ", ".join(
+        f"('{h}', '{rx}', {ln}, {str(al).lower()})"
+        for h, rx, ln, al in ROBOTS_RFC_ORACLE
+    )
+    return rf"""
+WITH rules AS (
+  SELECT * FROM (VALUES {rule_rows}) AS t(host, rx, rule_len, is_allow)
+),
+urls AS (
+  SELECT url, host,
+         coalesce(nullif(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''), ''), '/') AS path
+  FROM {pages_meta}
+),
+hits AS (
+  SELECT u.url, r.rule_len, r.is_allow
+  FROM urls u JOIN rules r ON u.host = r.host AND regexp_matches(u.path, r.rx)
+),
+best AS (
+  SELECT url, rule_len, is_allow,
+         row_number() OVER (PARTITION BY url ORDER BY rule_len DESC, is_allow DESC) AS rn
+  FROM hits
+),
+gated AS (
+  SELECT u.url, u.host
+  FROM urls u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (url)
+  WHERE coalesce(b.is_allow, true)
+)
+SELECT url, host, host_rank FROM (
+  SELECT url, host,
+         row_number() OVER (PARTITION BY host ORDER BY md5(url)) AS host_rank
+  FROM gated
+) WHERE host_rank <= {ROBOTS_DEFAULT_BUDGET}
+"""
+
+
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trafilatura-shaped head metadata over the annotated pages: title /
+    meta description / rel=canonical / og:title, attribute order
+    independent.  One zero-exchange JVM projection — no Python, no
+    shuffle (html_parse.extract_meta)."""
+    return html_parse.extract_meta(_synth(spark, sf_dir, "pages_annot"))
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-link consolidation (the site-declared duplicate channel):
+    pages fold into their rel=canonical target's group; one partial-agg'd
+    exchange on the group key (html_parse.dedup_canonical)."""
+    meta = html_parse.extract_meta(_synth(spark, sf_dir, "pages_annot"))
+    return html_parse.dedup_canonical(meta)
+
+
 def q_link_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: positional link explosion (the next-frontier feeder)."""
     meta = _synth(spark, sf_dir, "pages_meta").select("url", "links")
@@ -676,6 +751,14 @@ def q_doc_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_score(_docs(spark, sf_dir))
 
 
+def q_doc_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed linear classifier inference (the DCLM/CCNet
+    curation gate): unigram+bigram features hash into CLS_BUCKETS, weights
+    sum per doc — ONE zero-exchange JVM projection, no Python, no weight
+    join (textstats.classifier_score)."""
+    return textstats.classifier_score(_docs(spark, sf_dir))
+
+
 def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-trap detection (Heritrix/IRLbot-style) over the weburls
     fixture: collapse each URL to a structural template (query values→V,
@@ -774,6 +857,19 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/sitemap-news.xml # daily refresh\nCrawl-delay: 2"),
     )
     return robots_src.with_sitemaps(hosts.select("host", body.alias("content")))
+
+
+def q_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-freshness recrawl batch: pages whose sitemap <lastmod>
+    postdates their capture, stalest-first per host under the politeness
+    budget (robots.sitemap_recrawl).  Complements the digest-inferred
+    scheduler (recrawl_adaptive)."""
+    from web_crawler_spark.sources import robots as robots_src
+
+    return robots_src.sitemap_recrawl(
+        _synth(spark, sf_dir, "sitemaps"),
+        _synth(spark, sf_dir, "pages"),
+    )
 
 
 def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1667,6 +1763,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget": q_host_budget,
         "robots_budget": q_robots_budget,
         "robots_rfc": q_robots_rfc,
+        "html_meta": q_html_meta,
+        "doc_classifier": q_doc_classifier,
+        "sitemap_recrawl": q_sitemap_recrawl,
+        "robots_acl_batch": q_robots_acl_batch,
+        "dedup_canonical": q_dedup_canonical,
         "link_explode": q_link_explode,
         "link_stats": q_link_stats,
         "crawl_fetch_log": q_crawl_fetch_log,
@@ -2012,6 +2113,17 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         """,
         "robots_budget": _robots_budget_oracle_sql(pages_meta),
         "robots_rfc": _robots_rfc_oracle_sql(pages_meta),
+        "robots_acl_batch": _robots_acl_batch_oracle_sql(pages_meta),
+        "html_meta": html_parse.duck_extract_meta_sql(
+            f"read_parquet('{sp('pages_annot')}')"
+        ),
+        "sitemap_recrawl": robots_src.duck_sitemap_recrawl_sql(
+            f"read_parquet('{sp('sitemaps')}')",
+            f"read_parquet('{sp('pages')}')",
+        ),
+        "dedup_canonical": html_parse.duck_dedup_canonical_sql(
+            html_parse.duck_extract_meta_sql(f"read_parquet('{sp('pages_annot')}')")
+        ),
         "link_explode": f"""
             SELECT url, (i - 1)::BIGINT AS link_pos, links[i] AS link
             FROM {pages_meta}, LATERAL unnest(generate_series(1, len(links))) AS t(i)
@@ -2048,6 +2160,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         """,
         # text pipeline (driver documents view)
         "doc_tokens": textstats.duck_tokens_sql("documents"),
+        "doc_classifier": textstats.duck_classifier_sql("documents"),
         "doc_quality": textstats.duck_quality_sql("documents"),
         "doc_source_prior": textstats.duck_source_prior_sql("documents"),
         "doc_langid": textstats.duck_langid_sql("documents"),

@@ -150,3 +150,59 @@ def test_main_content_plan_no_python_no_shuffle(spark, sf_small):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+META_HTML = """<html><head>
+<meta charset="utf-8">
+<title>T1 page</title>
+<meta content="rev order desc" name="description">
+<link href="http://a.example/p/1" rel="canonical">
+<meta property="og:title" content="OG one">
+</head><body><p>x</p></body></html>"""
+
+
+def test_extract_meta_both_attr_orders(spark):
+    rows = [
+        ("u1", META_HTML.encode()),
+        # name-first spellings + self-canonical
+        ("u2", b'<head><title>T2</title>'
+               b'<meta name="description" content="fwd desc">'
+               b'<link rel="canonical" href="u2">'
+               b'<meta content="OG two" property="og:title"></head>'),
+        ("u3", b"<head></head><body>no metadata</body>"),  # all NULL
+        ("u4", None),                                      # failed fetch
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r for r in html_parse.extract_meta(df).collect()}
+    assert (got["u1"]["title"], got["u1"]["description"],
+            got["u1"]["canonical"], got["u1"]["og_title"]) == (
+        "T1 page", "rev order desc", "http://a.example/p/1", "OG one")
+    assert (got["u2"]["title"], got["u2"]["description"],
+            got["u2"]["canonical"], got["u2"]["og_title"]) == (
+        "T2", "fwd desc", "u2", "OG two")
+    for u in ("u3", "u4"):
+        assert all(got[u][c] is None for c in ("title", "description", "canonical", "og_title"))
+    plan = (
+        html_parse.extract_meta(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dedup_canonical_groups(spark):
+    meta = spark.createDataFrame(
+        [
+            ("a", "c"),      # duplicate of c
+            ("b", "c"),      # duplicate of c
+            ("c", None),     # primary, observed
+            ("d", "d"),      # self-canonical: member, not a dupe
+            ("e", "ghost"),  # target never crawled
+        ],
+        "url string, canonical string",
+    )
+    got = {
+        r["group_url"]: (r["n_members"], r["n_dupes"])
+        for r in html_parse.dedup_canonical(meta).collect()
+    }
+    assert got == {"c": (3, 2), "d": (1, 0), "ghost": (1, 1)}

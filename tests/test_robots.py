@@ -300,3 +300,48 @@ def test_sitemap_coverage_crafted(spark, tmp_path):
         for _, r in odf.iterrows()
     }
     assert want == got
+
+
+def test_sitemap_recrawl_staleness_and_budget(spark):
+    from datetime import datetime, timezone
+
+    xml = (
+        "<urlset>"
+        "<url><loc>http://r.example/a</loc><lastmod>2024-02-01</lastmod></url>"
+        "<url><loc>http://r.example/a</loc><lastmod>2024-03-01</lastmod></url>"  # max wins
+        "<url><loc>http://r.example/fresh</loc><lastmod>2024-01-01</lastmod></url>"
+        "<url><loc>http://r.example/nolast</loc></url>"
+        "<url><loc>http://r.example/uncrawled</loc><lastmod>2024-05-01</lastmod></url>"
+        + "".join(
+            f"<url><loc>http://r.example/s{i}</loc><lastmod>2024-0{i + 2}-15</lastmod></url>"
+            for i in range(6)
+        )
+        + "</urlset>"
+    )
+    sitemaps = spark.createDataFrame(
+        [("http://r.example/sitemap.xml", xml)], "sitemap_url string, xml string"
+    )
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    pages = spark.createDataFrame(
+        [("http://r.example/a", t0), ("http://r.example/fresh", t0),
+         ("http://r.example/nolast", t0)]
+        + [(f"http://r.example/s{i}", t0) for i in range(6)],
+        "url string, warc_ts timestamp",
+    )
+    from web_crawler_spark.sources import robots as robots_src
+
+    out = robots_src.sitemap_recrawl(sitemaps, pages, budget=6)
+    rows = {r["url"]: r for r in out.collect()}
+    # budget caps the host at 6: s5..s1 (stalest first), then /a; s0 (Feb 15)
+    # falls off the batch
+    assert len(rows) == 6
+    assert "http://r.example/fresh" not in rows      # lastmod == capture day, not stale
+    assert "http://r.example/uncrawled" not in rows  # never captured -> not a recrawl
+    assert "http://r.example/nolast" not in rows
+    assert "http://r.example/s0" not in rows
+    assert rows["http://r.example/s5"]["host_rank"] == 1
+    assert rows["http://r.example/a"]["host_rank"] == 6
+    assert rows["http://r.example/a"]["age_s"] == 60 * 86400  # Mar 1 wins over Feb 1
+    # bounded-k window compiles to a partial top-k
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

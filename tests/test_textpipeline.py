@@ -1451,3 +1451,32 @@ def test_ppjoin_prefix_filter_prunes(spark, docs):
     )
     n = docs.count()
     assert n_cand < n * (n - 1) / 2 * 0.25, (n_cand, n)
+
+
+def test_classifier_score_features_and_plan(spark):
+    from web_crawler_spark.functions import textstats as ts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha beta gamma"),   # 3 unigrams + 2 bigrams = 5 features
+            (2, "solo"),               # 1 feature, no bigram
+            (3, ""),                   # empty: 0 features, keep
+            (4, None),                 # failed fetch: same as empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ts.classifier_score(docs).collect()}
+    assert out[1]["n_features"] == 5
+    assert out[2]["n_features"] == 1
+    assert out[3]["n_features"] == 0 and out[3]["w_sum"] == 0 and out[3]["keep"]
+    assert out[4]["n_features"] == 0 and out[4]["keep"]
+    # weight model is integer and bounded
+    assert abs(out[1]["w_sum"]) <= 5 * (ts.CLS_W_MOD - ts.CLS_W_SHIFT)
+    # case folding: same features regardless of case/punct
+    docs2 = spark.createDataFrame([(9, "ALPHA, beta; GAMMA!")], "doc_id long, text string")
+    same = ts.classifier_score(docs2).collect()[0]
+    assert (same["n_features"], same["w_sum"]) == (out[1]["n_features"], out[1]["w_sum"])
+    # inference is one zero-exchange, Python-free projection
+    plan = ts.classifier_score(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -273,3 +273,100 @@ SELECT url,
     chr(10)), '') AS main_text
 FROM blk
 """
+
+
+# -- head metadata extraction (title / description / rel=canonical / og) -------
+#
+# Trafilatura-shaped page metadata: the signals dedup and curation need
+# beyond body text.  rel=canonical in particular is the duplicate-page
+# declaration channel real sites use (CDNs, mirrors, tracking-URL
+# variants all point at one canonical form) — `dedup_canonical` below
+# consolidates on it.  Attribute ORDER varies in the wild, so every
+# field matches both the name-first and content-first spellings.
+#
+# Scale shape: one zero-exchange JVM projection over the html scan —
+# four regexp_extract pairs, no Python, composes with any downstream
+# corpus op without a shuffle.
+
+_META_FIELDS = [
+    # out column -> (name-first regex, content-first regex)
+    ("title", r"(?s)<title[^>]*>([^<]*)</title>", None),
+    (
+        "description",
+        r'<meta[^>]*name="description"[^>]*content="([^"]*)"',
+        r'<meta[^>]*content="([^"]*)"[^>]*name="description"',
+    ),
+    (
+        "canonical",
+        r'<link[^>]*rel="canonical"[^>]*href="([^"]*)"',
+        r'<link[^>]*href="([^"]*)"[^>]*rel="canonical"',
+    ),
+    (
+        "og_title",
+        r'<meta[^>]*property="og:title"[^>]*content="([^"]*)"',
+        r'<meta[^>]*content="([^"]*)"[^>]*property="og:title"',
+    ),
+]
+
+
+def extract_meta(df, html_col: str = "html", url_col: str = "url"):
+    """(url, title, description, canonical, og_title) — NULL when a field
+    is absent (fields are never present-but-empty in valid heads; empty
+    match folds to NULL)."""
+    h = F.col(html_col).cast("string")
+    cols = [F.col(url_col).alias("url")]
+    for name, rx1, rx2 in _META_FIELDS:
+        v = F.nullif(F.regexp_extract(h, rx1, 1), F.lit(""))
+        if rx2 is not None:
+            v = F.coalesce(v, F.nullif(F.regexp_extract(h, rx2, 1), F.lit("")))
+        cols.append(v.alias(name))
+    return df.select(*cols)
+
+
+def duck_extract_meta_sql(table: str, html_col: str = "html", url_col: str = "url") -> str:
+    fields = []
+    for name, rx1, rx2 in _META_FIELDS:
+        v1 = f"nullif(regexp_extract(h, '{rx1}', 1), '')"
+        if rx2 is None:
+            fields.append(f"{v1} AS {name}")
+        else:
+            v2 = f"nullif(regexp_extract(h, '{rx2}', 1), '')"
+            fields.append(f"coalesce({v1}, {v2}) AS {name}")
+    sel = ",\n       ".join(fields)
+    return f"""
+SELECT url, {sel}
+FROM (SELECT {url_col} AS url, decode({html_col}) AS h FROM {table})
+"""
+
+
+def dedup_canonical(meta, url_col: str = "url", canonical_col: str = "canonical"):
+    """Canonical-link consolidation: every page folds into the group of its
+    declared rel=canonical target (itself when none declared).  Returns one
+    row per group: (group_url, n_members, n_dupes) where dupes are members
+    declaring a DIFFERENT url as canonical — the rows a curation pass
+    drops.  Groups exist even when the target itself was never crawled
+    (n_members counts only observed pages).
+
+    Scale shape: map-side coalesce to the group key, then ONE
+    partial-agg'd exchange on group_url — no join, no url-grain shuffle
+    beyond the single groupBy."""
+    group = F.coalesce(F.col(canonical_col), F.col(url_col)).alias("group_url")
+    dupe = (F.col(canonical_col).isNotNull() & (F.col(canonical_col) != F.col(url_col))).cast("long")
+    return (
+        meta.select(group, dupe.alias("is_dupe"))
+        .groupBy("group_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("is_dupe").alias("n_dupes"),
+        )
+    )
+
+
+def duck_dedup_canonical_sql(meta_sql: str) -> str:
+    return f"""
+SELECT coalesce(canonical, url) AS group_url,
+       count(*)::BIGINT AS n_members,
+       sum(CASE WHEN canonical IS NOT NULL AND canonical <> url THEN 1 ELSE 0 END)::BIGINT AS n_dupes
+FROM ({meta_sql})
+GROUP BY 1
+"""

@@ -1133,3 +1133,88 @@ SELECT q.doc_id, q.source, q.doc_q_ppm, prior.prior_ppm,
          AS keep
 FROM q JOIN prior USING (source)
 """
+
+
+# -- fastText-style hashed linear classifier (inference) -----------------------
+#
+# The DCLM/CCNet curation gate shape: a linear model over hashed bag-of-
+# features (unigrams + word bigrams, fastText's default).  Training happens
+# offline on a labeled sample; what the ENGINE owes is the inference plan,
+# and at 100 TB that plan must be a pure map — which this is: tokens ->
+# hashed buckets -> weight lookup -> per-doc sum, all inside ONE row via
+# JVM higher-order functions.  No exchange, no Python, no weight-table
+# join (the model is a closed-form function of the bucket here; a real
+# trained model ships as a 4096-entry literal array the same way).
+#
+# Bucket hash reuses the engine's cross-engine idiom: first 8 md5 hex
+# chars as a 32-bit int (dedupsim.py:221), pmod into CLS_BUCKETS.  The
+# stand-in weights are a deterministic function of the bucket id, integer
+# in [-CLS_W_SHIFT, CLS_W_MOD-1-CLS_W_SHIFT] — integer-exact across
+# engines, no float drift.
+
+CLS_BUCKETS = 4096
+CLS_W_MULT = 2654435761   # Knuth multiplicative constant
+CLS_W_MOD = 1997
+CLS_W_SHIFT = 998
+
+
+def classifier_score(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_features, w_sum, keep): hashed-linear-model inference.
+    ``n_features`` counts unigrams + bigrams, ``w_sum`` their summed
+    weights, ``keep`` the gate (w_sum >= 0; empty docs keep).  One
+    zero-exchange whole-stage-codegen projection."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        lambda x: x.contains(" "),
+    )
+    feats = F.concat(toks, bigrams)
+
+    def weight(t):
+        h32 = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        b = F.pmod(h32, F.lit(CLS_BUCKETS))
+        return (b * CLS_W_MULT) % CLS_W_MOD - CLS_W_SHIFT
+
+    w_sum = F.aggregate(
+        F.transform(feats, weight), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(feats).cast("long").alias("n_features"),
+        w_sum.alias("w_sum"),
+        (w_sum >= 0).alias("keep"),
+    )
+
+
+def duck_classifier_sql(docs: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`classifier_score` (1-indexed lists)."""
+    w = (
+        f"((('0x' || substr(md5(t), 1, 8))::BIGINT % {CLS_BUCKETS})"
+        f" * {CLS_W_MULT}) % {CLS_W_MOD} - {CLS_W_SHIFT}"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split_regex(lower(coalesce({text_col}, '')), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM {docs}
+),
+feats AS (
+  SELECT doc_id,
+         ts || list_transform(range(1, len(ts)),
+                              i -> ts[i] || ' ' || ts[i + 1]) AS fs
+  FROM toks
+)
+SELECT doc_id,
+       len(fs)::BIGINT AS n_features,
+       coalesce(list_sum(list_transform(fs, t -> {w})), 0)::BIGINT AS w_sum,
+       coalesce(list_sum(list_transform(fs, t -> {w})), 0) >= 0 AS keep
+FROM feats
+"""

@@ -122,13 +122,26 @@ def select_host_budget_batch(
     salt_buckets: int | None = None,
     host_col: str = "host",
     rank_col: str = "host_rank",
+    acl_rules: DataFrame | None = None,
 ) -> DataFrame:
     """Return the round's fetch batch: per host, the ``budget`` smallest rows
     by ``order_cols``; ``rank_col`` carries the final within-host rank.
     ``budget=None`` => unbudgeted (whole frontier, still ranked).
     ``salt_buckets``: None trusts the WindowGroupLimit partial top-k
-    (see module docstring); an int forces the explicit two-pass salted plan."""
+    (see module docstring); an int forces the explicit two-pass salted plan.
+    ``acl_rules``: a compiled RFC 9309 rules table
+    (sources/robots.acl_rules_from_robots) — full wildcard/anchor
+    Allow/Disallow longest-match gating, applied as a broadcast-join
+    map-side filter before any ranking work."""
     df = frontier
+    if acl_rules is not None:
+        from ..sources.robots import robots_allowed
+
+        df = (
+            robots_allowed(df, acl_rules, host_col=host_col)
+            .where(F.col("allowed"))
+            .drop("allowed", "win_len")
+        )
     per_row_budget = host_rules is not None
     if per_row_budget:
         df = apply_robots(df, host_rules)

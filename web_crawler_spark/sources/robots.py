@@ -419,3 +419,75 @@ def duck_sitemap_coverage_sql(sitemaps: str, pages: str) -> str:
                     ELSE NULL END::BIGINT AS coverage_ppm
         FROM agg
     """
+
+
+# -- lastmod-driven recrawl scheduling -----------------------------------------
+#
+# The sitemaps protocol's freshness channel: a page whose declared
+# <lastmod> postdates its capture timestamp is STALE and should be
+# refetched before politeness budget goes to speculative recrawls.  This
+# is the declared-freshness complement of the content-hash scheduler in
+# plans/recrawl.py (which infers change rates from observed digests).
+
+from pyspark.sql import Window
+
+
+def sitemap_recrawl(
+    sitemaps: DataFrame, pages: DataFrame, budget: int = 5
+) -> DataFrame:
+    """Per-host stale-page refetch batch: (url, host, age_s, host_rank).
+
+    ``age_s`` = declared lastmod minus capture time in seconds (> 0 ==
+    stale; fresh pages are filtered out), ``host_rank`` orders each host's
+    batch stalest-first (ties on url) and is capped at ``budget``.
+
+    Scale shape: declared entries are sitemap-grain (orders of magnitude
+    below the corpus); per-url max(lastmod) partial-aggs before the
+    exchange; the pages scan is pruned to (url, warc_ts); one hash
+    equi-join on url; the bounded-k window compiles to a partial top-k
+    (WindowGroupLimit) so only <= budget rows per host survive the final
+    exchange.  No Python anywhere."""
+    declared = (
+        parse_sitemap_xml(sitemaps)
+        .where((F.col("kind") == "url") & F.col("lastmod").isNotNull())
+        .groupBy(F.col("loc").alias("url"))
+        .agg(F.max("lastmod").alias("lastmod"))
+    )
+    j = declared.join(pages.select("url", "warc_ts"), "url")
+    age = (
+        F.unix_timestamp(F.to_timestamp("lastmod"))
+        - F.unix_timestamp(F.col("warc_ts"))
+    ).alias("age_s")
+    stale = j.select(
+        "url",
+        F.lower(F.regexp_extract("url", _HOST_OF, 1)).alias("host"),
+        age,
+    ).where(F.col("age_s") > 0)
+    w = Window.partitionBy("host").orderBy(F.desc("age_s"), F.asc("url"))
+    return (
+        stale.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("host_rank") <= budget)
+    )
+
+
+def duck_sitemap_recrawl_sql(sitemaps: str, pages: str, budget: int = 5) -> str:
+    """DuckDB twin of :func:`sitemap_recrawl`."""
+    return f"""
+WITH entries AS ({duck_sitemap_xml_sql(sitemaps)}),
+declared AS (
+  SELECT loc AS url, max(lastmod) AS lastmod
+  FROM entries WHERE kind = 'url' AND lastmod IS NOT NULL
+  GROUP BY 1
+),
+stale AS (
+  SELECT d.url,
+         lower(regexp_extract(d.url, '{_HOST_OF}', 1)) AS host,
+         epoch(d.lastmod::TIMESTAMP)::BIGINT - epoch(p.warc_ts)::BIGINT AS age_s
+  FROM declared d JOIN {pages} p ON d.url = p.url
+  WHERE epoch(d.lastmod::TIMESTAMP) > epoch(p.warc_ts)
+)
+SELECT url, host, age_s,
+       row_number() OVER (PARTITION BY host ORDER BY age_s DESC, url) AS host_rank
+FROM stale
+QUALIFY host_rank <= {budget}
+"""

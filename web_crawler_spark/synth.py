@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v19"  # v19: bitext gains translation-shaped texts; dedicated RNG, other v18 tables byte-identical
+SYNTH_VERSION = "v20"  # v20: adds pages_annot (head-metadata html); dedicated RNG, other v19 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -872,6 +872,54 @@ def _gen_hostdocs(urls: list[str], sf: str):
     )
 
 
+def _gen_annot(urls: list[str], sf: str):
+    """(url, html) fixture with HEAD metadata the main pages table lacks:
+    <title>, <meta name=description>, <link rel=canonical>, og:title —
+    with randomized attribute ORDER (name-first vs content-first) so
+    extraction must handle both spellings.  ~30% of pages declare a
+    rel=canonical, 2/3 of those point at ANOTHER url (the duplicate-page
+    declaration channel real sites use); og:title present ~40%.
+    Dedicated RNG: every v19 fixture's bytes are unchanged."""
+    rng = random.Random(f"annot-{sf}")
+    u_col, h_col = [], []
+    for i, url in enumerate(urls):
+        parts = ["<html><head>"]
+        if rng.random() < 0.8:
+            parts.append('<meta charset="utf-8">')
+        if rng.random() < 0.9:
+            parts.append(f"<title>Annot {i} {' '.join(rng.sample(_WORDS, 2))}</title>")
+        if rng.random() < 0.6:
+            desc = f"Summary {i}: " + " ".join(rng.choices(_WORDS, k=6))
+            if rng.random() < 0.3:
+                parts.append(f'<meta content="{desc}" name="description">')
+            else:
+                parts.append(f'<meta name="description" content="{desc}">')
+        if rng.random() < 0.3:
+            target = url if rng.random() < 1 / 3 else urls[rng.randrange(len(urls))]
+            if rng.random() < 0.3:
+                parts.append(f'<link href="{target}" rel="canonical">')
+            else:
+                parts.append(f'<link rel="canonical" href="{target}">')
+        if rng.random() < 0.4:
+            og = f"OG {i} " + rng.choice(_WORDS)
+            if rng.random() < 0.3:
+                parts.append(f'<meta content="{og}" property="og:title">')
+            else:
+                parts.append(f'<meta property="og:title" content="{og}">')
+        parts.append("</head><body>")
+        for _ in range(rng.randint(1, 2)):
+            parts.append("<p>" + " ".join(rng.choices(_WORDS, k=12)) + "</p>")
+        parts.append("</body></html>")
+        u_col.append(url)
+        h_col.append("\n".join(parts).encode("utf-8"))
+    return pa.table(
+        {
+            "url": pa.array(u_col, pa.string()),
+            "html": pa.array(h_col, pa.binary()),
+        }
+    )
+
+
 def ensure_synth(sf_dir_or_name: str) -> str:
     """Generate (once) all synthetic tables for a scale; returns the dir."""
     sf = sf_name_of(sf_dir_or_name)
@@ -896,6 +944,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     tracked = _gen_tracked(urls, sf)
     bitext = _gen_bitext(urls, sf)
     hostdocs = _gen_hostdocs(urls, sf)
+    annot = _gen_annot(urls, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -917,6 +966,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(tracked, synth_path(sf, "tracked"), row_group_size=2048)
     pq.write_table(bitext, synth_path(sf, "bitext"), row_group_size=2048)
     pq.write_table(hostdocs, synth_path(sf, "hostdocs"), row_group_size=2048)
+    pq.write_table(annot, synth_path(sf, "pages_annot"), row_group_size=2048)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
