@@ -42,6 +42,7 @@ from web_crawler_spark.functions import (  # noqa: E402
 )
 from web_crawler_spark.operators.dedup import first_wins  # noqa: E402
 from web_crawler_spark.operators.politeness import (  # noqa: E402
+    duck_adaptive_budget_sql,
     select_host_budget_batch,
     with_host,
 )
@@ -369,6 +370,25 @@ SELECT url, host, host_rank FROM (
   FROM gated
 ) WHERE host_rank <= {ROBOTS_DEFAULT_BUDGET}
 """
+
+
+def q_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-host budgets from crawl outcomes (error backoff as
+    data): ok-rate ppm and the shrunken next-round budget, one
+    partial-agg'd host exchange (politeness.adaptive_host_budget)."""
+    from web_crawler_spark.operators.politeness import adaptive_host_budget
+
+    return adaptive_host_budget(
+        _synth(spark, sf_dir, "expected_crawl").select("url", "ok")
+    )
+
+
+def q_frontier_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focused-crawl candidate scoring (shark-search): outlinks inherit
+    their strongest parent's classifier relevance, score computed inline
+    in the explode projection — no self-join, one exchange
+    (linkstats.focused_frontier)."""
+    return linkstats.focused_frontier(_synth(spark, sf_dir, "pages_meta"))
 
 
 def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1767,6 +1787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier": q_doc_classifier,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
+        "host_backoff": q_host_backoff,
+        "frontier_topic": q_frontier_topic,
         "dedup_canonical": q_dedup_canonical,
         "link_explode": q_link_explode,
         "link_stats": q_link_stats,
@@ -2114,6 +2136,13 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "robots_budget": _robots_budget_oracle_sql(pages_meta),
         "robots_rfc": _robots_rfc_oracle_sql(pages_meta),
         "robots_acl_batch": _robots_acl_batch_oracle_sql(pages_meta),
+        "host_backoff": duck_adaptive_budget_sql(
+            f"(SELECT url, ok FROM {expected})"
+        ),
+        "frontier_topic": linkstats.duck_focused_frontier_sql(
+            pages_meta,
+            textstats.duck_classifier_sql(pages_meta, id_col="url", text_col="text"),
+        ),
         "html_meta": html_parse.duck_extract_meta_sql(
             f"read_parquet('{sp('pages_annot')}')"
         ),

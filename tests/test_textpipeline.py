@@ -1480,3 +1480,47 @@ def test_classifier_score_features_and_plan(spark):
     plan = ts.classifier_score(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_focused_frontier_inheritance_and_plan(spark):
+    from web_crawler_spark.functions import linkstats, textstats as ts
+
+    pm = spark.createDataFrame(
+        [
+            ("p1", "alpha beta", ["x", "y"]),
+            ("p2", "gamma delta epsilon", ["y"]),
+            ("p3", "", None),          # no links -> contributes nothing
+        ],
+        "url string, text string, links array<string>",
+    )
+    out = {r["url"]: r for r in linkstats.focused_frontier(pm).collect()}
+    s1 = ts.classifier_score(
+        spark.createDataFrame([(1, "alpha beta"), (2, "gamma delta epsilon")],
+                              "doc_id long, text string")
+    ).collect()
+    w = {r["doc_id"]: r["w_sum"] for r in s1}
+    assert out["x"]["n_parents"] == 1 and out["x"]["best_w_sum"] == w[1]
+    assert out["y"]["n_parents"] == 2 and out["y"]["best_w_sum"] == max(w[1], w[2])
+    # one exchange (the candidate agg), no join, no Python
+    plan = linkstats.focused_frontier(pm)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_adaptive_host_budget_math(spark):
+    from web_crawler_spark.operators.politeness import adaptive_host_budget
+
+    log = spark.createDataFrame(
+        [("http://a.example/1", True), ("http://a.example/2", True),
+         ("http://a.example/3", False), ("http://a.example/4", True),
+         ("http://b.example/1", False), ("http://b.example/2", False),
+         ("http://c.example/1", True)],
+        "url string, ok boolean",
+    )
+    got = {r["host"]: r for r in adaptive_host_budget(log, base_budget=5).collect()}
+    a = got["a.example"]
+    assert (a["n_fetched"], a["n_failed"], a["ok_ppm"]) == (4, 1, 750000)
+    assert a["next_budget"] == 3            # floor(5 * 0.75)
+    assert got["b.example"]["next_budget"] == 1   # all-failed host floors at 1
+    assert got["c.example"]["next_budget"] == 5   # clean host keeps the budget

@@ -1044,3 +1044,53 @@ SELECT e.src AS src_url,
        (t.src IS NULL) AS is_loop
 FROM edges e LEFT JOIN terminal t ON e.src = t.src
 """
+
+
+# -- focused crawling (topic-scored frontier) ----------------------------------
+#
+# Fish-search/shark-search shape: an uncrawled candidate inherits the
+# topical relevance of the page(s) that link to it — the crawler spends
+# budget where relevant pages point.  Relevance here is the engine's
+# hashed-linear classifier (textstats.classifier_score) over the parent's
+# extracted text; inference is map-side, the link explode is map-side,
+# and the only exchange is the per-candidate partial agg.
+
+
+def focused_frontier(
+    pages_meta: DataFrame,
+    text_col: str = "text",
+    links_col: str = "links",
+) -> DataFrame:
+    """(url, n_parents, best_w_sum): each outlink candidate with its
+    strongest parent's classifier score (max inheritance, the
+    shark-search rule) and how many crawled pages point at it.
+
+    The parent score is computed INLINE in the same projection that
+    explodes the links (classifier_w_sum is a pure column expression) —
+    no self-join of the pages scan, so the whole operator is one map pass
+    plus one partial-agg'd exchange on the candidate url."""
+    from . import textstats
+
+    parents = pages_meta.select(
+        textstats.classifier_w_sum(text_col).alias("w_sum"),
+        F.explode(F.coalesce(F.col(links_col), F.array())).alias("url"),
+    )
+    return parents.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_parents"),
+        F.max("w_sum").alias("best_w_sum"),
+    )
+
+
+def duck_focused_frontier_sql(pages_meta: str, classifier_sql: str) -> str:
+    """DuckDB twin of :func:`focused_frontier`; ``classifier_sql`` is
+    textstats.duck_classifier_sql over the same table keyed by url."""
+    return f"""
+WITH scored AS ({classifier_sql}),
+parents AS (
+  SELECT m.url AS parent, l.link AS url
+  FROM {pages_meta} m, LATERAL unnest(coalesce(m.links, [])) AS l(link)
+)
+SELECT p.url, count(*)::BIGINT AS n_parents, max(s.w_sum)::BIGINT AS best_w_sum
+FROM parents p JOIN scored s ON s.doc_id = p.parent
+GROUP BY 1
+"""

@@ -1158,11 +1158,8 @@ CLS_W_MOD = 1997
 CLS_W_SHIFT = 998
 
 
-def classifier_score(df, id_col: str = "doc_id", text_col: str = "text"):
-    """(doc_id, n_features, w_sum, keep): hashed-linear-model inference.
-    ``n_features`` counts unigrams + bigrams, ``w_sum`` their summed
-    weights, ``keep`` the gate (w_sum >= 0; empty docs keep).  One
-    zero-exchange whole-stage-codegen projection."""
+def classifier_features(text_col: str = "text"):
+    """Column: the hashed feature array (unigrams + word bigrams)."""
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"),
         lambda x: x != "",
@@ -1175,16 +1172,33 @@ def classifier_score(df, id_col: str = "doc_id", text_col: str = "text"):
         ),
         lambda x: x.contains(" "),
     )
-    feats = F.concat(toks, bigrams)
+    return F.concat(toks, bigrams)
+
+
+def classifier_w_sum(text_col: str = "text"):
+    """Column: the model's summed feature weights — a pure map-side
+    expression, so callers (focused_frontier etc.) can score inline in an
+    existing projection without a join."""
 
     def weight(t):
         h32 = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
         b = F.pmod(h32, F.lit(CLS_BUCKETS))
         return (b * CLS_W_MULT) % CLS_W_MOD - CLS_W_SHIFT
 
-    w_sum = F.aggregate(
-        F.transform(feats, weight), F.lit(0).cast("long"), lambda acc, x: acc + x
+    return F.aggregate(
+        F.transform(classifier_features(text_col), weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
+
+
+def classifier_score(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_features, w_sum, keep): hashed-linear-model inference.
+    ``n_features`` counts unigrams + bigrams, ``w_sum`` their summed
+    weights, ``keep`` the gate (w_sum >= 0; empty docs keep).  One
+    zero-exchange whole-stage-codegen projection."""
+    feats = classifier_features(text_col)
+    w_sum = classifier_w_sum(text_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(feats).cast("long").alias("n_features"),

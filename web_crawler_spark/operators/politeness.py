@@ -179,3 +179,61 @@ def select_host_budget_batch(
             F.col("__b").isNull() | (F.col(rank_col) <= F.col("__b"))
         )
     return ranked.drop("__b")
+
+
+# -- adaptive budgets from observed outcomes -----------------------------------
+
+def adaptive_host_budget(
+    fetch_log: DataFrame,
+    base_budget: int = DEFAULT_BUDGET,
+    url_col: str = "url",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """Next-round per-host budgets from this round's outcomes (the
+    Heritrix-style error backoff, as data): hosts answering cleanly keep
+    their budget, failing hosts shrink proportionally, floored at 1 so a
+    host is never starved out of recovery.
+
+    (host, n_fetched, n_failed, ok_ppm, next_budget) with
+    ``next_budget = max(1, (base_budget * ok_ppm) div 1e6)`` — all
+    integer, cross-engine exact.
+
+    Scale shape: host extraction map-side, ONE partial-agg'd exchange on
+    host; the output is O(#hosts) and broadcasts back into the next
+    round's ``select_host_budget_batch`` as ``host_rules``-style input."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    per_host = (
+        fetch_log.select(host.alias("host"), F.col(ok_col).cast("long").alias("__ok"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetched"),
+            (F.count(F.lit(1)) - F.sum("__ok")).alias("n_failed"),
+        )
+    )
+    ok_ppm = F.expr("(1000000 * (n_fetched - n_failed)) div n_fetched")
+    return per_host.select(
+        "host",
+        "n_fetched",
+        "n_failed",
+        ok_ppm.cast("long").alias("ok_ppm"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"({base_budget} * ((1000000 * (n_fetched - n_failed)) div n_fetched)) div 1000000"),
+        ).alias("next_budget"),
+    )
+
+
+def duck_adaptive_budget_sql(fetch_log: str, base_budget: int = DEFAULT_BUDGET) -> str:
+    """DuckDB twin of :func:`adaptive_host_budget`."""
+    return f"""
+SELECT host, n_fetched, n_failed,
+       ((1000000 * (n_fetched - n_failed)) // n_fetched)::BIGINT AS ok_ppm,
+       greatest(1, ({base_budget} * ((1000000 * (n_fetched - n_failed)) // n_fetched)) // 1000000)::BIGINT AS next_budget
+FROM (
+  SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host,
+         count(*)::BIGINT AS n_fetched,
+         (count(*) - sum(CASE WHEN ok THEN 1 ELSE 0 END))::BIGINT AS n_failed
+  FROM {fetch_log}
+  GROUP BY 1
+)
+"""
