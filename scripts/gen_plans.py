@@ -299,6 +299,29 @@ def main() -> None:
         "shard builds; term-bucketed shard storage would drop the exchange.",
     )
 
+    cap(
+        "doc_classifier — hashed linear inference",
+        E.q_doc_classifier(spark, sf_dir),
+        "Want: ZERO exchange, zero Python — the whole unigram+bigram\n"
+        "feature hash + weight sum lives in one whole-stage-codegen\n"
+        "projection over the documents scan.",
+    )
+    cap(
+        "robots_acl_batch — RFC 9309 gate + budget ranking",
+        E.q_robots_acl_batch(spark, sf_dir),
+        "Want: ACL rules enter via BroadcastExchange only (the frontier\n"
+        "side is gated map-side by the per-row RLIKE filter); the budget\n"
+        "rank is the salted two-pass window; no url-grain shuffle beyond\n"
+        "the ranking exchanges.",
+    )
+    cap(
+        "frontier_topic — focused-crawl candidate scoring",
+        E.q_frontier_topic(spark, sf_dir),
+        "Want: parent classifier score computed INLINE in the link-explode\n"
+        "projection (no self-join of the pages scan); exactly ONE exchange\n"
+        "— the partial-agg'd candidate rollup.",
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")
         f.write(

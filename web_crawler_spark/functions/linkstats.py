@@ -1071,10 +1071,14 @@ def focused_frontier(
     plus one partial-agg'd exchange on the candidate url."""
     from . import textstats
 
-    parents = pages_meta.select(
+    # score FIRST, explode SECOND — keeps the (expensive) classifier
+    # expression below the Generate so it runs once per parent, not once
+    # per outlink
+    scored = pages_meta.select(
         textstats.classifier_w_sum(text_col).alias("w_sum"),
-        F.explode(F.coalesce(F.col(links_col), F.array())).alias("url"),
+        F.coalesce(F.col(links_col), F.array()).alias("__links"),
     )
+    parents = scored.select("w_sum", F.explode("__links").alias("url"))
     return parents.groupBy("url").agg(
         F.count(F.lit(1)).alias("n_parents"),
         F.max("w_sum").alias("best_w_sum"),
