@@ -372,6 +372,46 @@ SELECT url, host, host_rank FROM (
 """
 
 
+SCHED_FAIR_LIMIT = 100
+
+
+def q_sched_fair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fair global fetch order (O1+O3 composed): the per-host budget batch
+    interleaved round-robin across hosts — every host's rank-1 candidate
+    precedes any rank-2 — capped at SCHED_FAIR_LIMIT via
+    TakeOrderedAndProject, dense-sequenced by the two-job range-partition
+    stamp (operators/ordering.fair_interleave)."""
+    from web_crawler_spark.operators.ordering import fair_interleave
+
+    meta = _synth(spark, sf_dir, "pages_meta").select("url", "host")
+    frontier = meta.withColumn("prio", F.md5(F.col("url")))
+    batch = select_host_budget_batch(frontier, ["prio"], budget=ROBOTS_DEFAULT_BUDGET)
+    fair = fair_interleave(batch, ["prio", "url"], limit=SCHED_FAIR_LIMIT)
+    return fair.select(
+        "fetch_seq",
+        "url",
+        "host",
+        F.col("host_rank").cast("long").alias("host_rank"),
+    )
+
+
+def _sched_fair_oracle_sql(pages_meta: str) -> str:
+    """DuckDB twin of q_sched_fair: budget rank per host, then the global
+    (host_rank, prio, url) order capped at the limit."""
+    return f"""
+WITH ranked AS (
+  SELECT url, host, md5(url) AS prio,
+         row_number() OVER (PARTITION BY host ORDER BY md5(url)) AS host_rank
+  FROM {pages_meta}
+  QUALIFY host_rank <= {ROBOTS_DEFAULT_BUDGET}
+)
+SELECT row_number() OVER (ORDER BY host_rank, prio, url) - 1 AS fetch_seq,
+       url, host, host_rank::BIGINT AS host_rank
+FROM ranked
+QUALIFY fetch_seq < {SCHED_FAIR_LIMIT}
+"""
+
+
 def q_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive per-host budgets from crawl outcomes (error backoff as
     data): ok-rate ppm and the shrunken next-round budget, one
@@ -1788,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
         "host_backoff": q_host_backoff,
+        "sched_fair": q_sched_fair,
         "frontier_topic": q_frontier_topic,
         "dedup_canonical": q_dedup_canonical,
         "link_explode": q_link_explode,
@@ -2136,6 +2177,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "robots_budget": _robots_budget_oracle_sql(pages_meta),
         "robots_rfc": _robots_rfc_oracle_sql(pages_meta),
         "robots_acl_batch": _robots_acl_batch_oracle_sql(pages_meta),
+        "sched_fair": _sched_fair_oracle_sql(pages_meta),
         "host_backoff": duck_adaptive_budget_sql(
             f"(SELECT url, ok FROM {expected})"
         ),

@@ -326,3 +326,28 @@ def test_snapshot_diff_bucketed_is_zipper(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS snap_prev_zip")
         spark.sql("DROP TABLE IF EXISTS snap_curr_zip")
+
+
+def test_fair_interleave_round_robin_and_plan(spark):
+    """Every host's rank-1 candidate outranks any host's rank-2; the cap
+    compiles to TakeOrderedAndProject (partial top-k, no global sort)."""
+    from web_crawler_spark.operators.ordering import fair_interleave
+
+    rows = []
+    for h in range(4):
+        for r in range(1, 4):
+            rows.append((f"http://h{h}.example/{r}", f"h{h}.example", f"p{r}", r))
+    batch = spark.createDataFrame(
+        rows, "url string, host string, prio string, host_rank int"
+    )
+    fair = fair_interleave(batch, ["prio", "url"], limit=10)
+    got = fair.orderBy("fetch_seq").collect()
+    assert [r["fetch_seq"] for r in got] == list(range(10))
+    ranks = [r["host_rank"] for r in got]
+    assert ranks == sorted(ranks)          # round-robin: all 1s, then 2s...
+    assert ranks[:4] == [1, 1, 1, 1]       # one slot per host before repeats
+    plan = (
+        batch.orderBy("host_rank", "prio", "url").limit(10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

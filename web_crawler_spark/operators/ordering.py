@@ -85,3 +85,28 @@ def with_global_seq(
     out = ranged.mapInPandas(add_seq, schema=out_schema).localCheckpoint(eager=True)
     ranged.unpersist()
     return out
+
+
+def fair_interleave(
+    batch: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "host_rank",
+    limit: int | None = None,
+    out_col: str = "fetch_seq",
+) -> DataFrame:
+    """Round-robin-across-hosts fetch order: the global sequence sorts by
+    (host_rank, *order_cols), so every host's rank-1 candidate precedes any
+    host's rank-2 — a hot host cannot occupy the head of the fetch queue
+    (head-of-line fairness), and a global ``limit`` takes the fairest
+    prefix instead of one host's run.
+
+    Scale shape: ``limit`` compiles to TakeOrderedAndProject (per-partition
+    partial top-k before the single-row-stream take), and the dense
+    sequence is the two-job range-partition stamp (with_global_seq) — no
+    single-partition window anywhere.  Input is the budget batch, already
+    bounded at hosts x budget rows."""
+    keys = [rank_col] + list(order_cols)
+    df = batch
+    if limit is not None:
+        df = df.orderBy(*[F.col(c) for c in keys]).limit(limit)
+    return with_global_seq(df, keys, out_col=out_col)
