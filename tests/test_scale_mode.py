@@ -327,3 +327,41 @@ def test_bloom_saturation_rebuild_preserves_results(spark, sf_small, monkeypatch
     _, without = _run_scale(spark, use_bloom=False)
     assert list(with_bloom["url"]) == list(without["url"])
     assert list(with_bloom["fetch_seq"]) == list(without["fetch_seq"])
+
+
+def test_scale_crawl_with_acl_rules(spark, tmp_path):
+    """RFC 9309 ACL wired into the round loop: disallowed urls are never
+    fetched and leave the frontier permanently (no round-over-round
+    re-filtering of dead candidates)."""
+    from web_crawler_spark import synth
+    from web_crawler_spark.plans.crawl import ChainCrawl, CrawlConfig
+    from web_crawler_spark.sources import robots as robots_src
+
+    synth.ensure_synth("0.001")
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    seeds = spark.read.parquet(synth.synth_path("0.001", "seeds"))
+    # block the hot host's /p/1* section except /p/12*
+    body = "User-agent: *\nDisallow: /p/1*\nAllow: /p/12*\n"
+    acl = robots_src.acl_rules_from_robots(
+        spark.createDataFrame([("host0.example", body)], "host string, content string")
+    )
+    eng = ChainCrawl(
+        spark, pages,
+        CrawlConfig(rounds=2, mode="scale", host_budget=50),
+        acl_rules=acl,
+    )
+    state = eng.run(seeds)
+    fetched = [r["url"] for r in ChainCrawl.fetch_log(state).collect()]
+    assert fetched, "crawl fetched nothing"
+    for u in fetched:
+        if u.startswith("http://host0.example/p/1"):
+            assert u.startswith("http://host0.example/p/12"), u
+    # baseline without ACL fetches at least one blocked url (the gate matters)
+    eng2 = ChainCrawl(spark, pages, CrawlConfig(rounds=2, mode="scale", host_budget=50))
+    base = [r["url"] for r in ChainCrawl.fetch_log(eng2.run(seeds)).collect()]
+    blocked = [
+        u for u in base
+        if u.startswith("http://host0.example/p/1")
+        and not u.startswith("http://host0.example/p/12")
+    ]
+    assert blocked, "fixture never exercises the gate"

@@ -164,6 +164,7 @@ class ChainCrawl:
         pages: DataFrame,
         config: CrawlConfig,
         host_rules: DataFrame | None = None,
+        acl_rules: DataFrame | None = None,
     ):
         self.spark = spark
         self.pages = pages.select("url", "html")
@@ -173,6 +174,10 @@ class ChainCrawl:
             # spill to disk when it outgrows executor memory)
             self.pages = self.pages.persist()
         self.host_rules = host_rules
+        # compiled RFC 9309 ACL (sources/robots.acl_rules_from_robots):
+        # scale mode gates every round's frontier map-side via the broadcast
+        # rules table; disallowed urls leave the frontier permanently
+        self.acl_rules = acl_rules
         # steps define the round count (reference: `for step in steps`,
         # chain_crawler.py:408); the flat config is a single-parser chain
         self.n_rounds = len(config.steps) if config.steps else config.rounds
@@ -235,6 +240,17 @@ class ChainCrawl:
         """Returns (batch with dense 'pos', remainder-left-in-frontier)."""
         cfg = self.cfg
         order = ["attempt", "depth", "p0", "p1"]
+        if cfg.mode == "scale" and self.acl_rules is not None:
+            # RFC 9309 gate BEFORE the remainder baseline: a disallowed url
+            # is dropped for good (real crawlers never queue it), not
+            # carried round-over-round like a cooled-down host
+            from ..sources.robots import robots_allowed
+
+            frontier = (
+                robots_allowed(frontier, self.acl_rules)
+                .where(F.col("allowed"))
+                .drop("allowed", "win_len")
+            )
         original = frontier
         if host_state is not None:
             # hosts on cooldown sit out the round; their urls stay in the
