@@ -412,6 +412,14 @@ QUALIFY fetch_seq < {SCHED_FAIR_LIMIT}
 """
 
 
+def q_search_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-augmented BM25 (the web-native ranking twist on search_bm25):
+    pages are scored over text + incoming anchor terms, each weighted by
+    reference count — anchors mined in one JVM pass, blobs joined at url
+    grain, html never shuffles (linkstats.bm25_anchor_topk)."""
+    return linkstats.bm25_anchor_topk(_synth(spark, sf_dir, "pages"))
+
+
 def q_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive per-host budgets from crawl outcomes (error backoff as
     data): ok-rate ppm and the shrunken next-round budget, one
@@ -1829,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_acl_batch": q_robots_acl_batch,
         "host_backoff": q_host_backoff,
         "sched_fair": q_sched_fair,
+        "search_anchor": q_search_anchor,
         "frontier_topic": q_frontier_topic,
         "dedup_canonical": q_dedup_canonical,
         "link_explode": q_link_explode,
@@ -2178,6 +2187,10 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "robots_rfc": _robots_rfc_oracle_sql(pages_meta),
         "robots_acl_batch": _robots_acl_batch_oracle_sql(pages_meta),
         "sched_fair": _sched_fair_oracle_sql(pages_meta),
+        "search_anchor": textstats.duck_bm25_sql(
+            f"({linkstats.duck_anchor_expanded_sql(f'read_parquet(%r)' % sp('pages'))})",
+            id_col="doc_id",
+        ),
         "host_backoff": duck_adaptive_budget_sql(
             f"(SELECT url, ok FROM {expected})"
         ),

@@ -1524,3 +1524,26 @@ def test_adaptive_host_budget_math(spark):
     assert a["next_budget"] == 3            # floor(5 * 0.75)
     assert got["b.example"]["next_budget"] == 1   # all-failed host floors at 1
     assert got["c.example"]["next_budget"] == 5   # clean host keeps the budget
+
+
+def test_anchor_expanded_docs(spark):
+    from web_crawler_spark.functions import linkstats
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/t", b'<p><a href="http://a.example/x">spark join</a>'
+                                   b'<a href="http://a.example/x">spark join</a>'
+                                   b'<a href="/y">rel anchor</a></p>', "target body"),
+            ("http://a.example/x", b"<p>no links</p>", "x body"),
+            ("http://a.example/y", b"", "y body"),
+        ],
+        "url string, html binary, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in linkstats.anchor_expanded_docs(pages).collect()}
+    # x referenced twice with the same anchor -> terms counted twice
+    assert got["http://a.example/x"].split().count("spark") == 2
+    assert got["http://a.example/x"].startswith("x body")
+    # root-relative href resolves against the page host
+    assert "rel anchor" in got["http://a.example/y"]
+    # pages nobody links to keep their body (plus the empty blob join)
+    assert got["http://a.example/t"].rstrip() == "target body"

@@ -1098,3 +1098,61 @@ SELECT p.url, count(*)::BIGINT AS n_parents, max(s.w_sum)::BIGINT AS best_w_sum
 FROM parents p JOIN scored s ON s.doc_id = p.parent
 GROUP BY 1
 """
+
+
+# -- anchor-augmented retrieval ------------------------------------------------
+
+
+def anchor_expanded_docs(
+    pages: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text): each page's text expanded with its INCOMING anchor
+    texts, each repeated by reference count — the classic ranking signal
+    ("anchor text mirrors queries"): a page is described by what other
+    pages call it, not only by what it says.
+
+    Scale shape: anchors partial-agg on (dst_url, anchor) (anchor_texts),
+    re-expand by n_refs map-side, collapse to ONE blob row per target, and
+    the url-grain join carries (url, blob) pairs — page html never moves.
+    Anchors pointing at uncrawled targets drop at the left join."""
+    anchors = anchor_texts(pages, url_col=url_col)
+    blob = (
+        anchors.select(
+            "dst_url",
+            F.explode(
+                F.array_repeat(F.col("anchor"), F.col("n_refs").cast("int"))
+            ).alias("a"),
+        )
+        .groupBy("dst_url")
+        .agg(F.array_join(F.collect_list("a"), " ").alias("__anchors"))
+    )
+    return pages.select(
+        F.col(url_col).alias("doc_id"), F.col(text_col).alias("__body")
+    ).join(blob, F.col("doc_id") == F.col("dst_url"), "left").select(
+        "doc_id",
+        F.concat_ws(" ", F.col("__body"), F.coalesce(F.col("__anchors"), F.lit(""))).alias("text"),
+    )
+
+
+def bm25_anchor_topk(pages: DataFrame, **kw) -> DataFrame:
+    """Top-k BM25 over anchor-expanded documents (textstats.bm25_topk on
+    anchor_expanded_docs) — tf counts include the incoming anchor terms,
+    so a page heavily referred to by query words outranks a page merely
+    containing them."""
+    from . import textstats
+
+    return textstats.bm25_topk(anchor_expanded_docs(pages), **kw)
+
+
+def duck_anchor_expanded_sql(pages: str) -> str:
+    """DuckDB twin of :func:`anchor_expanded_docs` (exposes doc_id, text)."""
+    return f"""
+SELECT p.url AS doc_id,
+       p.text || ' ' || coalesce(b.blob, '') AS text
+FROM {pages} p
+LEFT JOIN (
+  SELECT dst_url, string_agg(repeat(anchor || ' ', n_refs::INT), '') AS blob
+  FROM ({duck_anchor_texts_sql(pages)})
+  GROUP BY 1
+) b ON p.url = b.dst_url
+"""
