@@ -412,6 +412,20 @@ QUALIFY fetch_seq < {SCHED_FAIR_LIMIT}
 """
 
 
+def q_doc_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code/math routing gate (StarCoder/DCLM mix prep): structural
+    symbol-density + indented-line signals, integer ppm, zero-exchange
+    (webtext.code_detect)."""
+    return webtext.code_detect(_docs(spark, sf_dir))
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window token chunking with overlap (context-window prep):
+    chunk starts are arithmetic over the token array, windows emit via one
+    posexplode — map-side only (webtext.chunk_docs)."""
+    return webtext.chunk_docs(_docs(spark, sf_dir))
+
+
 def q_search_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-augmented BM25 (the web-native ranking twist on search_bm25):
     pages are scored over text + incoming anchor terms, each weighted by
@@ -1838,6 +1852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_backoff": q_host_backoff,
         "sched_fair": q_sched_fair,
         "search_anchor": q_search_anchor,
+        "doc_code": q_doc_code,
+        "doc_chunks": q_doc_chunks,
         "frontier_topic": q_frontier_topic,
         "dedup_canonical": q_dedup_canonical,
         "link_explode": q_link_explode,
@@ -2245,6 +2261,8 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         # text pipeline (driver documents view)
         "doc_tokens": textstats.duck_tokens_sql("documents"),
         "doc_classifier": textstats.duck_classifier_sql("documents"),
+        "doc_code": webtext.duck_code_detect_sql("documents"),
+        "doc_chunks": webtext.duck_chunk_sql("documents"),
         "doc_quality": textstats.duck_quality_sql("documents"),
         "doc_source_prior": textstats.duck_source_prior_sql("documents"),
         "doc_langid": textstats.duck_langid_sql("documents"),

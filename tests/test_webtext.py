@@ -488,3 +488,41 @@ def test_strip_host_templates_synth_parity(spark):
         con.sql(webtext.duck_strip_templates_sql(f"read_parquet('{path}')")),
         ["doc_id"],
     )
+
+
+def test_code_detect_signals(spark):
+    from web_crawler_spark.functions import webtext
+
+    code = "def f(x):\n    return {x: [1]};\n    y = f(2)\nz = []"
+    prose = "The quick brown fox jumps over the lazy dog again and again."
+    docs = spark.createDataFrame(
+        [(1, code), (2, prose), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in webtext.code_detect(docs).collect()}
+    assert got[1]["is_code"]
+    assert not got[2]["is_code"] and got[2]["symbol_ppm"] == 0
+    assert not got[3]["is_code"] and not got[4]["is_code"]
+    plan = webtext.code_detect(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_chunk_docs_windows(spark):
+    from web_crawler_spark.functions import webtext
+
+    words = " ".join(f"w{i}" for i in range(150))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b"), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    out = webtext.chunk_docs(docs, size=64, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 150 tokens, stride 48: starts 0,48,96,144 -> sizes 64,64,54,6
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_tokens"] for r in c1] == [64, 64, 54, 6]
+    # overlap: chunk k starts at stride*k, so chunk1 begins at token 48
+    assert c1[1]["chunk"].split()[0] == "w48"
+    assert c1[0]["chunk"].split()[48] == "w48"   # shared overlap region
+    assert c1[3]["chunk"].split() == [f"w{i}" for i in range(144, 150)]
+    assert [r["n_tokens"] for r in by_doc[2]] == [2]  # short doc: one tail chunk
+    assert 3 not in by_doc and 4 not in by_doc      # empty docs emit nothing

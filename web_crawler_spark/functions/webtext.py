@@ -1117,3 +1117,130 @@ SELECT c.doc_id, c.host, c.n_lines,
        coalesce(r.text_clean, '') AS text_clean
 FROM counts c LEFT JOIN rebuilt r USING (doc_id)
 """
+
+
+# -- code/math content detection -----------------------------------------------
+#
+# The StarCoder/DCLM routing gate: pretraining mixes route code-shaped
+# pages to a different pipeline (or drop them from the prose corpus).
+# Pure structural signals — symbol density, indented-line share, brace
+# balance — no language model needed; all integer ppm for cross-engine
+# exactness.
+
+CODE_SYMBOLS_RE = r"[{}();=<>\[\]]"
+CODE_INDENT_RE = r"^(    |\t)"
+CODE_MIN_SYMBOL_PPM = 40_000   # symbols per char
+CODE_MIN_INDENT_PPM = 300_000  # indented lines per line
+
+
+def code_detect(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, symbol_ppm, indent_line_ppm, is_code): code-shaped iff
+    symbol density AND indented-line share both clear their floors.
+    Zero-exchange JVM projection."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    n_sym = F.size(F.regexp_extract_all(t, F.lit(CODE_SYMBOLS_RE), F.lit(0)))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_indent = F.size(F.filter(lines, lambda l: l.rlike(CODE_INDENT_RE)))
+    sym_ppm = F.when(n_chars > 0, (n_sym.cast("long") * 1_000_000) / n_chars).otherwise(0).cast("long")
+    ind_ppm = F.when(n_lines > 0, (n_indent.cast("long") * 1_000_000) / n_lines).otherwise(0).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        sym_ppm.alias("symbol_ppm"),
+        ind_ppm.alias("indent_line_ppm"),
+        ((sym_ppm >= CODE_MIN_SYMBOL_PPM) & (ind_ppm >= CODE_MIN_INDENT_PPM)).alias("is_code"),
+    )
+
+
+def duck_code_detect_sql(table: str) -> str:
+    sym = r"len(regexp_extract_all(t, '[{}();=<>\[\]]'))"
+    return rf"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM {table}
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(t) > 0
+              THEN ({sym}::BIGINT * 1000000) // len(t) ELSE 0 END AS symbol_ppm,
+         CASE WHEN len(string_split(t, chr(10))) > 0
+              THEN (len(list_filter(string_split(t, chr(10)),
+                                    l -> regexp_matches(l, '^(    |\t)')))::BIGINT
+                    * 1000000) // len(string_split(t, chr(10)))
+              ELSE 0 END AS indent_line_ppm
+  FROM base
+)
+SELECT doc_id, symbol_ppm, indent_line_ppm,
+       (symbol_ppm >= {CODE_MIN_SYMBOL_PPM} AND indent_line_ppm >= {CODE_MIN_INDENT_PPM}) AS is_code
+FROM m
+"""
+
+
+# -- fixed-window token chunking -----------------------------------------------
+#
+# The context-window prep step every pretraining/RAG pipeline runs:
+# documents split into fixed token windows with overlap, short tails
+# kept.  Chunk boundaries are pure arithmetic over the token array, so
+# the whole op is explode-free of shuffles: one projection computes the
+# chunk starts, one posexplode emits the windows.
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_docs(
+    df: DataFrame,
+    size: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk): whitespace tokens windowed at
+    ``size`` with ``overlap`` carried between neighbors (stride =
+    size - overlap); the final short tail is kept; empty docs emit
+    nothing.  Map-side only — no exchange, no Python."""
+    assert overlap < size
+    stride = size - overlap
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ... while start < n
+    n_chunks = F.when(n > 0, ((n - 1) / stride).cast("int") + 1).otherwise(0)
+    starts = F.transform(F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride)
+    chunks = F.filter(
+        F.transform(starts, lambda s: F.slice(toks, s + 1, size)),
+        lambda c: F.size(c) > 0,
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), chunks.alias("__c"))
+        .select("doc_id", F.posexplode("__c").alias("chunk_idx", "__t"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("__t").cast("long").alias("n_tokens"),
+            F.array_join("__t", " ").alias("chunk"),
+        )
+    )
+
+
+def duck_chunk_sql(table: str, size: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP) -> str:
+    stride = size - overlap
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS ts
+  FROM {table}
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx, ts[1 + i * {stride} : i * {stride} + {size}] AS c
+  FROM toks, LATERAL unnest(range(0, CASE WHEN len(ts) > 0
+                                          THEN (len(ts) - 1) // {stride} + 1
+                                          ELSE 0 END)) AS t(i)
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       len(c)::BIGINT AS n_tokens,
+       array_to_string(c, ' ') AS chunk
+FROM chunks
+WHERE len(c) > 0
+"""
