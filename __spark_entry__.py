@@ -426,6 +426,13 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.chunk_docs(_docs(spark, sf_dir))
 
 
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-table extraction (the WDC corpus shape) over the pages_tables
+    fixture: nested block regexes + two posexplodes, cells tag-stripped —
+    map-side only (html_parse.extract_tables)."""
+    return html_parse.extract_tables(_synth(spark, sf_dir, "pages_tables"))
+
+
 def q_search_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-augmented BM25 (the web-native ranking twist on search_bm25):
     pages are scored over text + incoming anchor terms, each weighted by
@@ -1854,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_anchor": q_search_anchor,
         "doc_code": q_doc_code,
         "doc_chunks": q_doc_chunks,
+        "html_tables": q_html_tables,
         "frontier_topic": q_frontier_topic,
         "dedup_canonical": q_dedup_canonical,
         "link_explode": q_link_explode,
@@ -2213,6 +2221,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "frontier_topic": linkstats.duck_focused_frontier_sql(
             pages_meta,
             textstats.duck_classifier_sql(pages_meta, id_col="url", text_col="text"),
+        ),
+        "html_tables": html_parse.duck_extract_tables_sql(
+            f"read_parquet('{sp('pages_tables')}')"
         ),
         "html_meta": html_parse.duck_extract_meta_sql(
             f"read_parquet('{sp('pages_annot')}')"

@@ -206,3 +206,30 @@ def test_dedup_canonical_groups(spark):
         for r in html_parse.dedup_canonical(meta).collect()
     }
     assert got == {"c": (3, 2), "d": (1, 0), "ghost": (1, 1)}
+
+
+def test_extract_tables_crafted(spark):
+    html = (
+        b"<html><body><p>no table here</p>"
+        b'<table class="x"><tr><th>A</th><th>B</th></tr>'
+        b'<tr align="l"><td><b>bold</b> 1</td><td></td></tr>'
+        b"<tr><td>only</td></tr></table>"
+        b"<table><tr><td>t2</td></tr></table></body></html>"
+    )
+    df = spark.createDataFrame(
+        [("u1", html), ("u2", b"<p>none</p>"), ("u3", None)],
+        "url string, html binary",
+    )
+    got = {
+        (r["url"], r["table_idx"], r["row_idx"]): (r["n_cells"], r["cells"])
+        for r in html_parse.extract_tables(df).collect()
+    }
+    assert got == {
+        ("u1", 0, 0): (2, ["A", "B"]),
+        ("u1", 0, 1): (2, ["bold 1", ""]),   # inner markup stripped; empty cell kept
+        ("u1", 0, 2): (1, ["only"]),         # ragged row keeps its true width
+        ("u1", 1, 0): (1, ["t2"]),
+    }
+    plan = html_parse.extract_tables(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

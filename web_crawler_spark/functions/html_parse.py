@@ -370,3 +370,87 @@ SELECT coalesce(canonical, url) AS group_url,
 FROM ({meta_sql})
 GROUP BY 1
 """
+
+
+# -- web-table extraction (the WDC web-tables shape) ---------------------------
+#
+# Relational data mining from the crawl: every <table> flattens to
+# per-row cell arrays with (table, row) positions, cell text stripped of
+# inner markup.  Two nested posexplodes over regexp block extraction —
+# map-side only, no shuffle, no Python; at 100 TB the cost is the html
+# scan the corpus pass already pays.
+
+_TBL_TABLE_RE = r"(?s)<table[^>]*>(.*?)</table>"
+_TBL_ROW_RE = r"(?s)<tr[^>]*>(.*?)</tr>"
+_TBL_CELL_RE = r"(?s)<t[dh][^>]*>(.*?)</t[dh]>"
+_TBL_TAG_RE = r"<[^>]*>"
+
+
+def extract_tables(df, html_col: str = "html", url_col: str = "url"):
+    """(url, table_idx, row_idx, n_cells, cells): one output row per <tr>,
+    cells tag-stripped and whitespace-squeezed (empty cells stay as ''
+    entries — column alignment matters downstream); header rows (<th>)
+    flatten like data rows.  Pages without tables emit nothing."""
+    h = F.col(html_col).cast("string")
+
+    def clean(cell):
+        return F.trim(
+            F.regexp_replace(F.regexp_replace(cell, _TBL_TAG_RE, " "), r"\s+", " ")
+        )
+
+    tables = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(CAST({html_col} AS STRING), '{_TBL_TABLE_RE}', 1)")
+        ).alias("table_idx", "__t"),
+    )
+    rows = tables.select(
+        "url",
+        "table_idx",
+        F.posexplode(F.expr(f"regexp_extract_all(__t, '{_TBL_ROW_RE}', 1)")).alias(
+            "row_idx", "__r"
+        ),
+    )
+    cells = F.transform(
+        F.expr(f"regexp_extract_all(__r, '{_TBL_CELL_RE}', 1)"), clean
+    )
+    return rows.select(
+        "url",
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.size(cells).cast("long").alias("n_cells"),
+        cells.alias("cells"),
+    )
+
+
+def duck_extract_tables_sql(table: str, html_col: str = "html", url_col: str = "url") -> str:
+    """DuckDB twin of :func:`extract_tables` (generate_series gives the
+    0-based positions the posexplodes emit)."""
+    clean = (
+        "trim(regexp_replace(regexp_replace(c, '<[^>]*>', ' ', 'g'), "
+        r"'\s+', ' ', 'g'))"
+    )
+    return rf"""
+WITH t AS (
+  SELECT {url_col} AS url, ts[i] AS tbl, (i - 1)::BIGINT AS table_idx
+  FROM (
+    SELECT {url_col}, regexp_extract_all(decode({html_col}), '{_TBL_TABLE_RE}', 1) AS ts
+    FROM {table}
+  ), LATERAL unnest(generate_series(1, len(ts))) AS g(i)
+),
+r AS (
+  SELECT url, table_idx, rs[j] AS row, (j - 1)::BIGINT AS row_idx
+  FROM (
+    SELECT url, table_idx, regexp_extract_all(tbl, '{_TBL_ROW_RE}', 1) AS rs
+    FROM t
+  ), LATERAL unnest(generate_series(1, len(rs))) AS g(j)
+)
+SELECT url, table_idx, row_idx,
+       len(cs)::BIGINT AS n_cells,
+       list_transform(cs, c -> {clean}) AS cells
+FROM (
+  SELECT url, table_idx, row_idx,
+         regexp_extract_all(row, '{_TBL_CELL_RE}', 1) AS cs
+  FROM r
+)
+"""

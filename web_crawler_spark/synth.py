@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v20"  # v20: adds pages_annot (head-metadata html); dedicated RNG, other v19 tables byte-identical
+SYNTH_VERSION = "v21"  # v21: adds pages_tables (html tables); dedicated RNG, other v20 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -920,6 +920,50 @@ def _gen_annot(urls: list[str], sf: str):
     )
 
 
+def _gen_tables(urls: list[str], sf: str):
+    """(url, html) fixture for web-table extraction (the WDC shape): every
+    ~3rd page carries 1-3 <table>s with header rows, ragged rows, empty
+    cells, inner markup (<b>/<a>) inside cells, and attribute noise on
+    table/tr/td tags; non-table pages exercise the empty case.  Dedicated
+    RNG: every v20 fixture's bytes are unchanged."""
+    rng = random.Random(f"tables-{sf}")
+    u_col, h_col = [], []
+    for i, url in enumerate(urls):
+        parts = ["<html><body>", f"<p>intro {i} " + " ".join(rng.choices(_WORDS, k=6)) + "</p>"]
+        if i % 3 == 0:
+            for t in range(rng.randint(1, 3)):
+                n_cols = rng.randint(2, 4)
+                attr = ' class="data"' if rng.random() < 0.5 else ""
+                parts.append(f"<table{attr}>")
+                parts.append(
+                    "<tr>" + "".join(f"<th>col{c}</th>" for c in range(n_cols)) + "</tr>"
+                )
+                for r in range(rng.randint(1, 5)):
+                    cells = []
+                    width = n_cols if rng.random() < 0.8 else rng.randint(1, n_cols)
+                    for c in range(width):
+                        if rng.random() < 0.1:
+                            cells.append("<td></td>")
+                        elif rng.random() < 0.2:
+                            cells.append(f"<td><b>{rng.choice(_WORDS)}</b> {r * 10 + c}</td>")
+                        elif rng.random() < 0.1:
+                            cells.append(f'<td><a href="{url}">{rng.choice(_WORDS)}</a></td>')
+                        else:
+                            cells.append(f"<td>{rng.choice(_WORDS)} {r}.{c}</td>")
+                    tr_attr = ' align="left"' if rng.random() < 0.3 else ""
+                    parts.append(f"<tr{tr_attr}>" + "".join(cells) + "</tr>")
+                parts.append("</table>")
+        parts.append("</body></html>")
+        u_col.append(url)
+        h_col.append("\n".join(parts).encode("utf-8"))
+    return pa.table(
+        {
+            "url": pa.array(u_col, pa.string()),
+            "html": pa.array(h_col, pa.binary()),
+        }
+    )
+
+
 def ensure_synth(sf_dir_or_name: str) -> str:
     """Generate (once) all synthetic tables for a scale; returns the dir."""
     sf = sf_name_of(sf_dir_or_name)
@@ -945,6 +989,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     bitext = _gen_bitext(urls, sf)
     hostdocs = _gen_hostdocs(urls, sf)
     annot = _gen_annot(urls, sf)
+    tables = _gen_tables(urls, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -967,6 +1012,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(bitext, synth_path(sf, "bitext"), row_group_size=2048)
     pq.write_table(hostdocs, synth_path(sf, "hostdocs"), row_group_size=2048)
     pq.write_table(annot, synth_path(sf, "pages_annot"), row_group_size=2048)
+    pq.write_table(tables, synth_path(sf, "pages_tables"), row_group_size=2048)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
