@@ -19,7 +19,7 @@ pandas UDF; the resulting rules table broadcasts into the frontier join.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
@@ -428,9 +428,6 @@ def duck_sitemap_coverage_sql(sitemaps: str, pages: str) -> str:
 # refetched before politeness budget goes to speculative recrawls.  This
 # is the declared-freshness complement of the content-hash scheduler in
 # plans/recrawl.py (which infers change rates from observed digests).
-
-from pyspark.sql import Window
-
 
 def sitemap_recrawl(
     sitemaps: DataFrame, pages: DataFrame, budget: int = 5
