@@ -433,6 +433,16 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_parse.extract_tables(_synth(spark, sf_dir, "pages_tables"))
 
 
+def q_table_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-table column typing (WDC stage 2): per-column numeric-share over
+    the extracted cell grid, header row excluded, small tables skipped —
+    one posexplode + one table-grain exchange
+    (html_parse.table_column_types)."""
+    return html_parse.table_column_types(
+        html_parse.extract_tables(_synth(spark, sf_dir, "pages_tables"))
+    )
+
+
 def q_search_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-augmented BM25 (the web-native ranking twist on search_bm25):
     pages are scored over text + incoming anchor terms, each weighted by
@@ -1862,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_code": q_doc_code,
         "doc_chunks": q_doc_chunks,
         "html_tables": q_html_tables,
+        "table_types": q_table_types,
         "frontier_topic": q_frontier_topic,
         "dedup_canonical": q_dedup_canonical,
         "link_explode": q_link_explode,
@@ -2224,6 +2235,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "html_tables": html_parse.duck_extract_tables_sql(
             f"read_parquet('{sp('pages_tables')}')"
+        ),
+        "table_types": html_parse.duck_table_column_types_sql(
+            html_parse.duck_extract_tables_sql(f"read_parquet('{sp('pages_tables')}')")
         ),
         "html_meta": html_parse.duck_extract_meta_sql(
             f"read_parquet('{sp('pages_annot')}')"

@@ -233,3 +233,26 @@ def test_extract_tables_crafted(spark):
     plan = html_parse.extract_tables(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_table_column_types_crafted(spark):
+    html = (
+        b"<table>"
+        b"<tr><th>name</th><th>qty</th><th>price</th></tr>"
+        b"<tr><td>alpha</td><td>3</td><td>1.5</td></tr>"
+        b"<tr><td>beta</td><td>12</td><td>2,75</td></tr>"
+        b"<tr><td>gamma</td><td>x</td><td></td></tr>"
+        b"</table>"
+        b"<table><tr><th>h</th></tr><tr><td>only one body row</td></tr></table>"
+    )
+    df = spark.createDataFrame([("u", html)], "url string, html binary")
+    tables = html_parse.extract_tables(df)
+    got = {
+        (r["table_idx"], r["col_idx"]): (r["n_values"], r["numeric_ppm"], r["col_type"])
+        for r in html_parse.table_column_types(tables).collect()
+    }
+    # header row votes nothing; empty cell excluded from col 2's counts
+    assert got[(0, 0)] == (3, 0, "text")
+    assert got[(0, 1)] == (3, 666666, "numeric")   # 2/3 numeric clears 0.6 floor
+    assert got[(0, 2)] == (2, 1000000, "numeric")  # both comma and dot decimals
+    assert not any(t == 1 for t, _ in got)         # 1-body-row table skipped

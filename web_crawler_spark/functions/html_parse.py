@@ -454,3 +454,77 @@ FROM (
   FROM r
 )
 """
+
+
+_TBL_NUM_RE = r"^-?[0-9]+([.,][0-9]+)?$"
+
+
+def table_column_types(tables_df, min_rows: int = 2, num_floor_ppm: int = 600_000):
+    """WDC-style column typing over :func:`extract_tables` output:
+    (url, table_idx, col_idx, n_values, numeric_ppm, col_type) — a column
+    is 'numeric' when >= ``num_floor_ppm`` of its non-empty body cells
+    (row_idx > 0; the header row votes nothing) parse as numbers, 'text'
+    otherwise; tables with fewer than ``min_rows`` body rows emit nothing
+    (too small to type).
+
+    Scale shape: one posexplode over the cell arrays, one partial-agg'd
+    exchange on (url, table, col) — table grain, orders below the page
+    scan.  No Python."""
+    body = tables_df.where(F.col("row_idx") > 0)
+    cells = body.select(
+        "url",
+        "table_idx",
+        F.posexplode("cells").alias("col_idx", "cell"),
+    ).where(F.col("cell") != "")
+    agg = cells.groupBy("url", "table_idx", F.col("col_idx").cast("long").alias("col_idx")).agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(F.col("cell").rlike(_TBL_NUM_RE).cast("long")).alias("__num"),
+    )
+    n_body = tables_df.where(F.col("row_idx") > 0).groupBy("url", "table_idx").agg(
+        F.count(F.lit(1)).alias("__rows")
+    )
+    ppm = F.expr("(1000000 * __num) div n_values")
+    return (
+        agg.join(n_body, ["url", "table_idx"])
+        .where(F.col("__rows") >= min_rows)
+        .select(
+            "url",
+            "table_idx",
+            "col_idx",
+            "n_values",
+            ppm.cast("long").alias("numeric_ppm"),
+            F.when(ppm >= num_floor_ppm, F.lit("numeric"))
+            .otherwise(F.lit("text"))
+            .alias("col_type"),
+        )
+    )
+
+
+def duck_table_column_types_sql(
+    tables_sql: str, min_rows: int = 2, num_floor_ppm: int = 600_000
+) -> str:
+    """DuckDB twin over the :func:`duck_extract_tables_sql` output."""
+    return rf"""
+WITH tbl AS ({tables_sql}),
+body AS (SELECT * FROM tbl WHERE row_idx > 0),
+nrows AS (
+  SELECT url, table_idx, count(*)::BIGINT AS n_rows FROM body GROUP BY 1, 2
+),
+cells AS (
+  SELECT url, table_idx, (i - 1)::BIGINT AS col_idx, cells[i] AS cell
+  FROM body, LATERAL unnest(generate_series(1, len(cells))) AS g(i)
+  WHERE cells[i] <> ''
+),
+agg AS (
+  SELECT url, table_idx, col_idx,
+         count(*)::BIGINT AS n_values,
+         sum(CASE WHEN regexp_matches(cell, '{_TBL_NUM_RE}') THEN 1 ELSE 0 END)::BIGINT AS n_num
+  FROM cells GROUP BY 1, 2, 3
+)
+SELECT a.url, a.table_idx, a.col_idx, a.n_values,
+       ((1000000 * n_num) // n_values)::BIGINT AS numeric_ppm,
+       CASE WHEN (1000000 * n_num) // n_values >= {num_floor_ppm}
+            THEN 'numeric' ELSE 'text' END AS col_type
+FROM agg a JOIN nrows r USING (url, table_idx)
+WHERE r.n_rows >= {min_rows}
+"""
