@@ -433,6 +433,16 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_parse.extract_tables(_synth(spark, sf_dir, "pages_tables"))
 
 
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (the third discovery channel after seeds and
+    sitemaps): one row per item/entry with link/title/pubdate, CDATA
+    unwrapped — map-side block regexes, no Python
+    (sources/feeds.parse_feed_xml)."""
+    from web_crawler_spark.sources import feeds as feeds_src
+
+    return feeds_src.parse_feed_xml(_synth(spark, sf_dir, "feeds"))
+
+
 def q_table_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-table column typing (WDC stage 2): per-column numeric-share over
     the extracted cell grid, header row excluded, small tables skipped —
@@ -1873,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "html_tables": q_html_tables,
         "table_types": q_table_types,
+        "feed_parse": q_feed_parse,
         "frontier_topic": q_frontier_topic,
         "dedup_canonical": q_dedup_canonical,
         "link_explode": q_link_explode,
@@ -2186,6 +2197,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_for(sf: str) -> dict[str, str]:
     from web_crawler_spark.operators import bloom as bloom_ops
+    from web_crawler_spark.sources import feeds as feeds_src
     from web_crawler_spark.sources import robots as robots_src
     from web_crawler_spark.sources import warc as warc_src
 
@@ -2236,6 +2248,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "html_tables": html_parse.duck_extract_tables_sql(
             f"read_parquet('{sp('pages_tables')}')"
         ),
+        "feed_parse": feeds_src.duck_feed_sql(f"read_parquet('{sp('feeds')}')"),
         "table_types": html_parse.duck_table_column_types_sql(
             html_parse.duck_extract_tables_sql(f"read_parquet('{sp('pages_tables')}')")
         ),

@@ -345,3 +345,52 @@ def test_sitemap_recrawl_staleness_and_budget(spark):
     # bounded-k window compiles to a partial top-k
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_feed_parse_crafted(spark, tmp_path):
+    """RSS items and Atom entries, CDATA titles, missing fields, linkless
+    entries dropped; DuckDB twin agrees."""
+    import duckdb
+
+    from web_crawler_spark.sources import feeds as feeds_src
+
+    rss = (
+        "<rss><channel><title>chan</title>"
+        "<item><title><![CDATA[cdata one]]></title><link>http://a/1</link>"
+        "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+        "<item><link>http://a/2</link></item>"
+        "<item><title>no link</title></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed><title>f</title>'
+        '<entry><title>e1</title><link href="http://b/1"/>'
+        "<updated>2024-02-02T00:00:00Z</updated></entry>"
+        '<entry><link href="http://b/2"/></entry></feed>'
+    )
+    df = spark.createDataFrame(
+        [("http://a/rss.xml", rss), ("http://b/atom.xml", atom)],
+        "feed_url string, xml string",
+    )
+    got = {
+        (r["feed_url"], r["link"]): (r["kind"], r["title"], r["pubdate"])
+        for r in feeds_src.parse_feed_xml(df).collect()
+    }
+    assert got == {
+        ("http://a/rss.xml", "http://a/1"): ("rss", "cdata one", "Mon, 01 Jan 2024 00:00:00 GMT"),
+        ("http://a/rss.xml", "http://a/2"): ("rss", None, None),
+        ("http://b/atom.xml", "http://b/1"): ("atom", "e1", "2024-02-02T00:00:00Z"),
+        ("http://b/atom.xml", "http://b/2"): ("atom", None, None),
+    }
+    p = str(tmp_path / "feeds.parquet")
+    df.toPandas().to_parquet(p)
+    odf = duckdb.sql(feeds_src.duck_feed_sql(f"read_parquet('{p}')")).df()
+    want = {
+        (r["feed_url"], r["link"]): (
+            r["kind"],
+            None if r["title"] != r["title"] or r["title"] is None else r["title"],
+            None if r["pubdate"] != r["pubdate"] or r["pubdate"] is None else r["pubdate"],
+        )
+        for _, r in odf.iterrows()
+    }
+    assert want == got

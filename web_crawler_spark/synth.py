@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v21"  # v21: adds pages_tables (html tables); dedicated RNG, other v20 tables byte-identical
+SYNTH_VERSION = "v22"  # v22: adds feeds (RSS/Atom xml); dedicated RNG, other v21 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -964,6 +964,70 @@ def _gen_tables(urls: list[str], sf: str):
     )
 
 
+def _gen_feeds(pages_meta_tbl: pa.Table, sf: str):
+    """(feed_url, xml) per host: RSS 2.0 documents over that host's real
+    page URLs (title/link/pubDate items, some items missing pubDate or
+    title), every 3rd host an Atom feed (<entry> with href-attribute
+    links, <updated>); a few CDATA titles exercise unescaping-free
+    extraction.  Dedicated RNG: every v21 fixture's bytes are unchanged."""
+    rng = random.Random(f"feeds-{sf}")
+    by_host: dict[str, list[str]] = {}
+    for u, h in zip(
+        pages_meta_tbl.column("url").to_pylist(),
+        pages_meta_tbl.column("host").to_pylist(),
+    ):
+        by_host.setdefault(h, []).append(u)
+    f_url, f_xml = [], []
+    for i, host in enumerate(sorted(by_host)):
+        urls = sorted(by_host[host])[: rng.randrange(2, 12)]
+        if i % 3 == 2:
+            entries = []
+            for u in urls:
+                upd = (
+                    f"<updated>2024-0{rng.randrange(1, 10)}-0{rng.randrange(1, 10)}"
+                    "T00:00:00Z</updated>"
+                    if rng.random() < 0.8
+                    else ""
+                )
+                entries.append(
+                    f'<entry><title>entry {rng.choice(_WORDS)}</title>'
+                    f'<link href="{u}"/>{upd}</entry>'
+                )
+            xml = (
+                '<?xml version="1.0"?>\n<feed xmlns="http://www.w3.org/2005/Atom">'
+                f"<title>{host} feed</title>{''.join(entries)}</feed>"
+            )
+            f_url.append(f"http://{host}/atom.xml")
+        else:
+            items = []
+            for u in urls:
+                title = (
+                    f"<title><![CDATA[story {rng.choice(_WORDS)}]]></title>"
+                    if rng.random() < 0.2
+                    else f"<title>story {rng.choice(_WORDS)}</title>"
+                    if rng.random() < 0.9
+                    else ""
+                )
+                pub = (
+                    f"<pubDate>Mon, 0{rng.randrange(1, 10)} Jan 2024 00:00:00 GMT</pubDate>"
+                    if rng.random() < 0.7
+                    else ""
+                )
+                items.append(f"<item>{title}<link>{u}</link>{pub}</item>")
+            xml = (
+                '<?xml version="1.0"?>\n<rss version="2.0"><channel>'
+                f"<title>{host}</title>{''.join(items)}</channel></rss>"
+            )
+            f_url.append(f"http://{host}/rss.xml")
+        f_xml.append(xml)
+    return pa.table(
+        {
+            "feed_url": pa.array(f_url, pa.string()),
+            "xml": pa.array(f_xml, pa.string()),
+        }
+    )
+
+
 def ensure_synth(sf_dir_or_name: str) -> str:
     """Generate (once) all synthetic tables for a scale; returns the dir."""
     sf = sf_name_of(sf_dir_or_name)
@@ -990,6 +1054,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     hostdocs = _gen_hostdocs(urls, sf)
     annot = _gen_annot(urls, sf)
     tables = _gen_tables(urls, sf)
+    feeds = _gen_feeds(pages_meta, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -1013,6 +1078,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(hostdocs, synth_path(sf, "hostdocs"), row_group_size=2048)
     pq.write_table(annot, synth_path(sf, "pages_annot"), row_group_size=2048)
     pq.write_table(tables, synth_path(sf, "pages_tables"), row_group_size=2048)
+    pq.write_table(feeds, synth_path(sf, "feeds"), row_group_size=2048)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
