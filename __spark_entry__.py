@@ -694,6 +694,15 @@ def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Flesch-Kincaid-surrogate readability gate: vowel-group
+    syllable estimate, [.!?]+ sentence runs, milli-scaled floored ratio terms
+    (textstats.readability_columns).  Pure map over the documents scan."""
+    d = _docs(spark, sf_dir)
+    cols = textstats.readability_columns(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     cols = textstats.quality_columns(F.col("text"))
@@ -1897,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_stats": q_crawl_stats,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
+        "doc_readability": q_doc_readability,
         "doc_source_prior": q_doc_source_prior,
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2302,6 +2312,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_code": webtext.duck_code_detect_sql("documents"),
         "doc_chunks": webtext.duck_chunk_sql("documents"),
         "doc_quality": textstats.duck_quality_sql("documents"),
+        "doc_readability": textstats.duck_readability_sql("documents"),
         "doc_source_prior": textstats.duck_source_prior_sql("documents"),
         "doc_langid": textstats.duck_langid_sql("documents"),
         "doc_fingerprint": textstats.duck_fingerprint_sql("documents"),

@@ -1547,3 +1547,39 @@ def test_anchor_expanded_docs(spark):
     assert "rel anchor" in got["http://a.example/y"]
     # pages nobody links to keep their body (plus the empty blob join)
     assert got["http://a.example/t"].rstrip() == "target body"
+
+
+def test_readability_vs_duckdb_and_crafted(spark, duck, docs):
+    cols = textstats.readability_columns(F.col("text"))
+    got = docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    want = duck.sql(textstats.duck_readability_sql("documents"))
+    _cmp(got, want, ["doc_id"])
+
+    # crafted boundary rows: empty text, no terminal punctuation, known counts
+    crafted = spark.createDataFrame(
+        [
+            ("empty", ""),
+            ("nosent", "plain words no punctuation"),
+            # 2 sentences, 4 words, syllable groups: "-o IY  a-e  o-e  ea-i-e-y" -> count below
+            ("known", "It is. A sentence!"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in crafted.select(
+            "doc_id", *[c.alias(n) for n, c in textstats.readability_columns(F.col("text")).items()]
+        ).collect()
+    }
+    assert out["empty"]["n_words"] == 0
+    assert out["empty"]["n_sents"] == 0
+    assert out["empty"]["fk_grade_milli"] == -15590
+    assert out["nosent"]["n_sents"] == 0
+    # words/s floored at 1 => 390*4 = 1560 for the no-punct row's wps term
+    assert out["nosent"]["n_words"] == 4
+    assert out["known"]["n_words"] == 4
+    assert out["known"]["n_sents"] == 2
+    # "it is. a sentence!" vowel groups: i,i,a,e,e,e -> 6
+    assert out["known"]["n_syllables"] == 6
+    # fk = floor(390*4/2) + floor(11800*6/4) - 15590 = 780 + 17700 - 15590
+    assert out["known"]["fk_grade_milli"] == 780 + 17700 - 15590
