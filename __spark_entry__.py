@@ -1071,6 +1071,15 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_pagerank(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch OPIC host importance (Abiteboul et al., WWW'03) — the
+    crawl-native alternative to PageRank harvest ordering: cash flows along
+    out-links, history accumulates, all integer-exact fixed rounds
+    (linkstats.host_opic); oracle is the iteration unrolled as MATERIALIZED
+    DuckDB CTEs."""
+    return linkstats.host_opic(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_link_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-farm signals per host (TrustRank-style reciprocity analysis):
     high fan-out + low reciprocal-link ratio flags spam networks.  All at
@@ -1945,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_export": q_corpus_export,
         "link_hostgraph": q_link_hostgraph,
         "link_pagerank": q_link_pagerank,
+        "link_opic": q_link_opic,
         "frontier_rank": q_frontier_rank,
         "link_spam": q_link_spam,
         "link_trustrank": q_link_trustrank,
@@ -2401,6 +2411,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "link_hostgraph": linkstats.duck_host_graph_sql(pages_meta),
         "link_pagerank": linkstats.duck_pagerank_sql(pages_meta),
+        "link_opic": linkstats.duck_opic_sql(pages_meta),
         "link_spam": linkstats.duck_link_spam_sql(pages_meta),
         "link_trustrank": linkstats.duck_trustrank_sql(
             pages_meta,

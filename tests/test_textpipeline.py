@@ -1583,3 +1583,62 @@ def test_readability_vs_duckdb_and_crafted(spark, duck, docs):
     assert out["known"]["n_syllables"] == 6
     # fk = floor(390*4/2) + floor(11800*6/4) - 15590 = 780 + 17700 - 15590
     assert out["known"]["fk_grade_milli"] == 780 + 17700 - 15590
+
+
+def _naive_opic(edges, iters, scale):
+    """Independent integer-exact OPIC rounds (dict arithmetic)."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    out: dict = {}
+    for s, _, w in edges:
+        out[s] = out.get(s, 0) + w
+    cash = {h: scale // n for h in nodes}
+    hist = {h: 0 for h in nodes}
+    for _ in range(iters):
+        inflow = {h: 0 for h in nodes}
+        for s, d, w in edges:
+            inflow[d] += (cash[s] * w) // out[s]
+        share = sum(cash[h] for h in nodes if h not in out) // n
+        hist = {h: hist[h] + cash[h] for h in nodes}
+        cash = {h: inflow[h] + share for h in nodes}
+    return hist, cash
+
+
+def test_host_opic_integer_exact(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.functions import linkstats
+
+    # a -> b (x2 pages, 3 edges), a -> c, b -> a; c is dangling
+    rows = [
+        ("http://a.example/1", "a.example",
+         ["http://b.example/x", "http://c.example/y"]),
+        ("http://a.example/2", "a.example", ["http://b.example/z"]),
+        ("http://b.example/1", "b.example", ["http://a.example/w"]),
+        ("http://c.example/1", "c.example", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, links array<string>")
+    got = {
+        r["host"]: (r["hist_ppb"], r["cash_ppb"])
+        for r in linkstats.host_opic(df).collect()
+    }
+    edges = [("a.example", "b.example", 2), ("a.example", "c.example", 1),
+             ("b.example", "a.example", 1)]
+    hist, cash = _naive_opic(edges, linkstats.OPIC_ITERS, linkstats.OPIC_SCALE)
+    assert got == {h: (hist[h], cash[h]) for h in hist}
+    # more cash has flowed THROUGH b (two in-edges) than c over the rounds
+    assert got["b.example"][0] > got["c.example"][0]
+    # oracle parity on the same frame
+    p = str(tmp_path / "opic.parquet")
+    df.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    want = con.sql(linkstats.duck_opic_sql(f"read_parquet('{p}')")).df()
+    assert {
+        r["host"]: (r["hist_ppb"], r["cash_ppb"]) for _, r in want.iterrows()
+    } == got
+    # partition-count invariance
+    got8 = {
+        r["host"]: (r["hist_ppb"], r["cash_ppb"])
+        for r in linkstats.host_opic(df.repartition(8)).collect()
+    }
+    assert got8 == got

@@ -783,6 +783,148 @@ def duck_hits_sql(
     )
 
 
+# --- OPIC (On-line Page Importance Computation, Abiteboul et al., WWW'03) ----
+#
+# The crawl-native importance signal: PageRank needs the full graph and a
+# damping fixpoint, OPIC estimates importance DURING the crawl by moving
+# "cash" along out-links and remembering how much each node has ever held
+# (its history).  The batch variant below runs a fixed number of synchronous
+# integer-exact rounds so the result is bit-identical across engines and
+# partition counts (the host_pagerank determinism rules): per round every
+# host's cash flows out weighted by edge multiplicity (floor division),
+# dangling cash is redistributed uniformly, and history accumulates the cash
+# held at the start of the round.
+
+OPIC_ITERS = 4
+OPIC_SCALE = 10**9
+
+
+def host_opic(
+    df: DataFrame,
+    iters: int = OPIC_ITERS,
+    scale: int = OPIC_SCALE,
+    url_col: str = "url",
+    host_col: str = "host",
+    links_col: str = "links",
+) -> DataFrame:
+    """(host, hist_ppb, cash_ppb) — batch OPIC over the host link graph.
+
+    Scale shape: identical to host_pagerank — the host-grain edge relation is
+    materialized once with out-degree attached; each round is one
+    shuffle-on-host join + one partial-agg'd groupBy + the O(hosts) state
+    join, with per-round ``localCheckpoint`` lineage truncation.  The
+    dangling sum is a scalar driver aggregate, like the loop's fixpoint
+    probes."""
+    edges = host_graph(df, url_col=url_col, host_col=host_col, links_col=links_col)
+    out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("w_out"))
+    edges_w = (
+        edges.select("src_host", "dst_host", "n_links")
+        .join(out_w, on="src_host")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges_w.select(F.col("src_host").alias("host"))
+        .unionByName(edges_w.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "host",
+            F.lit(0).cast("long").alias("hist_ppb"),
+            F.lit(0).cast("long").alias("cash_ppb"),
+        )
+    has_out = out_w.select(F.col("src_host").alias("host"))
+    state = nodes.select(
+        "host",
+        F.lit(scale // n).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    )
+    for _ in range(iters):
+        contrib = edges_w.join(
+            state.select(F.col("host").alias("src_host"), "cash"), on="src_host"
+        ).select(
+            F.col("dst_host").alias("host"),
+            F.expr("cash * n_links DIV w_out").alias("c"),
+        )
+        inflow = contrib.groupBy("host").agg(F.sum("c").alias("in_c"))
+        dangling = (
+            state.join(has_out, on="host", how="left_anti")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0)))
+            .first()[0]
+        )
+        share = int(dangling) // n
+        state = (
+            state.join(inflow, on="host", how="left")
+            .select(
+                "host",
+                (F.coalesce(F.col("in_c"), F.lit(0)) + F.lit(share))
+                .cast("long")
+                .alias("cash"),
+                (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "host",
+        F.col("hist").alias("hist_ppb"),
+        F.col("cash").alias("cash_ppb"),
+    )
+
+
+def duck_opic_sql(
+    pages_meta: str, iters: int = OPIC_ITERS, scale: int = OPIC_SCALE
+) -> str:
+    """DuckDB twin of :func:`host_opic`: the same integer cash-flow rounds
+    unrolled as MATERIALIZED CTEs (each state is referenced three times per
+    round — plain CTEs would re-inline exponentially, the duck_hits_sql
+    lesson)."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT src_host, dst_host, n_links FROM ({duck_host_graph_sql(pages_meta)})
+)""",
+        """nodes AS MATERIALIZED (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM e0 UNION ALL SELECT dst_host FROM e0)
+)""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "outw AS MATERIALIZED (SELECT src_host, sum(n_links) AS w_out FROM e0 GROUP BY 1)",
+        f"""s0 AS MATERIALIZED (
+  SELECT host, {scale}::BIGINT // (SELECT n FROM nn) AS cash, 0::BIGINT AS hist
+  FROM nodes
+)""",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT e.dst_host AS host, sum(s.cash * e.n_links // e2.w_out) AS in_c
+  FROM e0 e JOIN s{p} s ON s.host = e.src_host
+  JOIN outw e2 ON e2.src_host = e.src_host GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""d{k} AS (
+  SELECT coalesce(sum(cash), 0) // (SELECT n FROM nn) AS share
+  FROM s{p} WHERE host NOT IN (SELECT src_host FROM outw)
+)"""
+        )
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT s.host,
+         (coalesce(c.in_c, 0) + (SELECT share FROM d{k}))::BIGINT AS cash,
+         (s.hist + s.cash)::BIGINT AS hist
+  FROM s{p} s LEFT JOIN c{k} c ON c.host = s.host
+)"""
+        )
+    cte = ",\n".join(parts)
+    return (
+        f"WITH {cte}\n"
+        f"SELECT host, hist::BIGINT AS hist_ppb, cash::BIGINT AS cash_ppb FROM s{iters}"
+    )
+
+
 # --- host-graph connected components (site clusters / mirror detection) -------
 
 def host_components(df: DataFrame, max_iter: int = 25) -> DataFrame:
