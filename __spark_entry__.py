@@ -488,6 +488,34 @@ def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_parse.extract_meta(_synth(spark, sf_dir, "pages_annot"))
 
 
+def q_html_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD block extraction over the head-markup fixture:
+    one row per ld+json block with flat Article/Product fields — a
+    zero-exchange posexplode projection (html_parse.extract_jsonld)."""
+    return html_parse.extract_jsonld(_synth(spark, sf_dir, "pages_ext"))
+
+
+def q_html_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectionally-confirmed hreflang alternate pairs (the publisher-
+    declared bitext-mining channel); edges materialize once, the self-join
+    moves only head-grain rows (html_parse.hreflang_pairs)."""
+    return html_parse.hreflang_pairs(_synth(spark, sf_dir, "pages_ext"))
+
+
+def q_html_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=next chain reassembly: (url, chain_id, pos) by level-synchronous
+    BFS over the materialized next-edge relation; oracle is the recursive
+    CTE with min(pos) (html_parse.pagination_chains)."""
+    return html_parse.pagination_chains(_synth(spark, sf_dir, "pages_ext"))
+
+
+def q_html_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-refresh redirect edges (url, delay_s, target) — the html-side
+    complement of the HTTP redirects fixture, same schema contract as
+    linkstats.resolve_redirects input (html_parse.refresh_edges)."""
+    return html_parse.refresh_edges(_synth(spark, sf_dir, "pages_ext"))
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-link consolidation (the site-declared duplicate channel):
     pages fold into their rel=canonical target's group; one partial-agg'd
@@ -1891,6 +1919,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_budget": q_robots_budget,
         "robots_rfc": q_robots_rfc,
         "html_meta": q_html_meta,
+        "html_jsonld": q_html_jsonld,
+        "html_hreflang": q_html_hreflang,
+        "html_pagination": q_html_pagination,
+        "html_refresh": q_html_refresh,
         "doc_classifier": q_doc_classifier,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
@@ -2272,6 +2304,14 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "table_types": html_parse.duck_table_column_types_sql(
             html_parse.duck_extract_tables_sql(f"read_parquet('{sp('pages_tables')}')")
         ),
+        "html_jsonld": html_parse.duck_jsonld_sql(f"read_parquet('{sp('pages_ext')}')"),
+        "html_hreflang": html_parse.duck_hreflang_pairs_sql(
+            f"read_parquet('{sp('pages_ext')}')"
+        ),
+        "html_pagination": html_parse.duck_pagination_sql(
+            f"read_parquet('{sp('pages_ext')}')"
+        ),
+        "html_refresh": html_parse.duck_refresh_sql(f"read_parquet('{sp('pages_ext')}')"),
         "html_meta": html_parse.duck_extract_meta_sql(
             f"read_parquet('{sp('pages_annot')}')"
         ),

@@ -256,3 +256,75 @@ def test_table_column_types_crafted(spark):
     assert got[(0, 1)] == (3, 666666, "numeric")   # 2/3 numeric clears 0.6 floor
     assert got[(0, 2)] == (2, 1000000, "numeric")  # both comma and dot decimals
     assert not any(t == 1 for t, _ in got)         # 1-body-row table skipped
+
+
+def test_head_link_markup_crafted(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.functions import html_parse
+
+    def page(url, head):
+        return (url, f"<html><head>{head}</head><body><p>x</p></body></html>")
+
+    rows = [
+        # two jsonld blocks, order matters; one refresh; chain a1->a2->a3
+        page("http://a/1",
+             '<script type="application/ld+json">{"@type": "Article", "headline": "h one"}</script>'
+             '<script type="application/ld+json">{"@type": "Product", "name": "n two"}</script>'
+             '<link rel="next" href="http://a/2">'),
+        page("http://a/2", '<link rel="prev" href="http://a/1"><link rel="next" href="http://a/3">'),
+        page("http://a/3", '<link rel="prev" href="http://a/2">'),
+        # confirmed hreflang pair b/en <-> b/de; one-way declaration to b/fr
+        page("http://b/en",
+             '<link rel="alternate" hreflang="de" href="http://b/de">'
+             '<link rel="alternate" hreflang="fr" href="http://b/fr">'),
+        page("http://b/de", '<link rel="alternate" hreflang="en" href="http://b/en">'),
+        page("http://b/fr", ""),
+        # rel=next cycle: c1 -> c2 -> c1 (no start => no chain rows)
+        page("http://c/1", '<link rel="next" href="http://c/2">'),
+        page("http://c/2", '<link rel="next" href="http://c/1">'),
+        # meta refresh
+        page("http://d/1", '<meta http-equiv="refresh" content="3;url=http://d/2">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+
+    jl = html_parse.extract_jsonld(df).collect()
+    assert [(r["url"], r["block_pos"], r["jtype"], r["headline"], r["name"])
+            for r in sorted(jl, key=lambda r: r["block_pos"])] == [
+        ("http://a/1", 0, "Article", "h one", None),
+        ("http://a/1", 1, "Product", None, "n two"),
+    ]
+
+    pairs = html_parse.hreflang_pairs(df).collect()
+    assert [(r["url_a"], r["url_b"], r["lang_a"], r["lang_b"]) for r in pairs] == [
+        ("http://b/de", "http://b/en", "de", "en")
+    ]
+
+    chains = {
+        (r["url"], r["chain_id"]): r["pos"]
+        for r in html_parse.pagination_chains(df).collect()
+    }
+    assert chains == {
+        ("http://a/1", "http://a/1"): 0,
+        ("http://a/2", "http://a/1"): 1,
+        ("http://a/3", "http://a/1"): 2,
+    }
+
+    ref = html_parse.refresh_edges(df).collect()
+    assert [(r["url"], r["delay_s"], r["target"]) for r in ref] == [
+        ("http://d/1", 3, "http://d/2")
+    ]
+
+    # oracle parity on the same crafted frame (all four ops)
+    p = str(tmp_path / "ext.parquet")
+    df.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    tbl = f"read_parquet('{p}')"
+    assert len(con.sql(html_parse.duck_jsonld_sql(tbl)).df()) == 2
+    got_pairs = con.sql(html_parse.duck_hreflang_pairs_sql(tbl)).df()
+    assert len(got_pairs) == 1 and got_pairs.iloc[0]["lang_a"] == "de"
+    got_chain = con.sql(html_parse.duck_pagination_sql(tbl)).df()
+    assert {
+        (r["url"], r["chain_id"]): r["pos"] for _, r in got_chain.iterrows()
+    } == chains
+    assert len(con.sql(html_parse.duck_refresh_sql(tbl)).df()) == 1

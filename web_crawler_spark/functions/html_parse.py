@@ -528,3 +528,222 @@ SELECT a.url, a.table_idx, a.col_idx, a.n_values,
 FROM agg a JOIN nrows r USING (url, table_idx)
 WHERE r.n_rows >= {min_rows}
 """
+
+
+# -- head link markup: JSON-LD / hreflang / rel=next pagination / meta refresh --
+#
+# The remaining machine-readable head channels a web-scale pipeline mines
+# (beyond title/canonical/og above): schema.org JSON-LD blocks (structured
+# metadata for articles/products), hreflang alternate clusters (the
+# publisher-declared bitext-mining signal), rel=next/prev pagination chains
+# (multi-page articles that training data should reassemble or dedup), and
+# meta-refresh redirects (the html-side complement of the HTTP `redirects`
+# fixture — the edges feed linkstats.resolve_redirects unchanged).
+#
+# All extraction is map-side block regexes in the Java-regex ∩ RE2 subset
+# (the feeds/sitemap discipline): no shuffle, no Python.  The two composed
+# ops that DO shuffle are head-grain, orders of magnitude below the corpus:
+# hreflang confirmation self-joins the materialized edge set once, and
+# pagination chain assembly is the bfs-depth loop at URL grain.
+
+_JSONLD_BLOCK_RE = r'(?s)<script type="application/ld\+json">(.*?)</script>'
+_JSONLD_FIELDS = [
+    ("jtype", r'"@type": ?"([^"]*)"'),
+    ("headline", r'"headline": ?"([^"]*)"'),
+    ("name", r'"name": ?"([^"]*)"'),
+    ("date_published", r'"datePublished": ?"([^"]*)"'),
+]
+_HREFLANG_TAG_RE = r'<link rel="alternate" hreflang="[^"]*" href="[^"]*">'
+_NEXT_RE = r'<link rel="next" href="([^"]*)">'
+_REFRESH_DELAY_RE = r'<meta http-equiv="refresh" content="([0-9]+);url=[^"]*">'
+_REFRESH_URL_RE = r'<meta http-equiv="refresh" content="[0-9]+;url=([^"]*)">'
+
+
+def extract_jsonld(df, html_col: str = "html", url_col: str = "url"):
+    """(url, block_pos, jtype, headline, name, date_published) — one row per
+    ld+json block in head order; absent fields are NULL; pages without
+    blocks emit nothing.  Field values are pulled with exact-quote regexes
+    (sufficient for schema.org's flat string fields; nested JSON walking
+    would need an engine-specific JSONPath dialect the oracle can't share)."""
+    blocks = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_JSONLD_BLOCK_RE), F.lit(1))
+        ).alias("block_pos", "b"),
+    )
+    return blocks.select(
+        "url",
+        F.col("block_pos").cast("long").alias("block_pos"),
+        *[
+            F.nullif(F.regexp_extract("b", rx, 1), F.lit("")).alias(name)
+            for name, rx in _JSONLD_FIELDS
+        ],
+    )
+
+
+def duck_jsonld_sql(table: str) -> str:
+    """DuckDB twin of :func:`extract_jsonld`."""
+    fields = ",\n       ".join(
+        f"nullif(regexp_extract(bs[i], '{rx}', 1), '') AS {name}"
+        for name, rx in _JSONLD_FIELDS
+    )
+    return rf"""
+SELECT url, (i - 1)::BIGINT AS block_pos,
+       {fields}
+FROM (SELECT url, regexp_extract_all(html, '{_JSONLD_BLOCK_RE}', 1) AS bs FROM {table}),
+     LATERAL unnest(generate_series(1, len(bs))) AS t(i)
+"""
+
+
+def hreflang_edges(df, html_col: str = "html", url_col: str = "url"):
+    """(url, lang, href) — one row per declared hreflang alternate."""
+    return (
+        df.select(
+            F.col(url_col).alias("url"),
+            F.explode(
+                F.regexp_extract_all(F.col(html_col), F.lit(_HREFLANG_TAG_RE), F.lit(0))
+            ).alias("t"),
+        )
+        .select(
+            "url",
+            F.regexp_extract("t", r'hreflang="([^"]*)"', 1).alias("lang"),
+            F.regexp_extract("t", r'href="([^"]*)"', 1).alias("href"),
+        )
+        .where(F.col("href") != "")
+    )
+
+
+def hreflang_pairs(df, html_col: str = "html", url_col: str = "url"):
+    """(url_a, url_b, lang_a, lang_b) — BIDIRECTIONALLY-confirmed alternate
+    pairs (a declares b AND b declares a; one-way declarations are the
+    spam/misconfiguration case bitext mining must drop), url_a < url_b.
+
+    The edge set is materialized before the self-join (one extraction pass,
+    not two — the winnow branch-recompute lesson); the join shuffles only
+    head-grain edges."""
+    e = hreflang_edges(df, html_col=html_col, url_col=url_col).localCheckpoint(
+        eager=True
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.href") == F.col("b.url"))
+            & (F.col("b.href") == F.col("a.url")),
+        )
+        .where(F.col("a.url") < F.col("a.href"))
+        .select(
+            F.col("a.url").alias("url_a"),
+            F.col("a.href").alias("url_b"),
+            F.col("b.lang").alias("lang_a"),
+            F.col("a.lang").alias("lang_b"),
+        )
+    )
+
+
+def duck_hreflang_pairs_sql(table: str) -> str:
+    """DuckDB twin of :func:`hreflang_pairs`."""
+    return rf"""
+WITH e AS MATERIALIZED (
+  SELECT url,
+         regexp_extract(t, 'hreflang="([^"]*)"', 1) AS lang,
+         regexp_extract(t, 'href="([^"]*)"', 1) AS href
+  FROM (SELECT url, unnest(regexp_extract_all(html, '{_HREFLANG_TAG_RE}')) AS t
+        FROM {table})
+  WHERE regexp_extract(t, 'href="([^"]*)"', 1) <> ''
+)
+SELECT a.url AS url_a, a.href AS url_b, b.lang AS lang_a, a.lang AS lang_b
+FROM e a JOIN e b ON b.url = a.href AND b.href = a.url
+WHERE a.url < a.href
+"""
+
+
+def pagination_chains(
+    df, html_col: str = "html", url_col: str = "url", max_iter: int = 25
+):
+    """(url, chain_id, pos) — rel=next chains reassembled: chain_id is the
+    chain's first page (a page with an outgoing next-edge that nothing
+    points to), pos the hop count from it.  Level-synchronous BFS, so pos is
+    the MINIMUM hop distance (ties/cycles converge; walk capped at
+    ``max_iter`` in both engines).  Pages in no chain emit nothing.
+
+    Scale shape: the next-edge relation (head-grain, tiny vs the corpus) is
+    materialized once; each round is one join + an anti-join visited guard
+    with per-round localCheckpoint — the bfs-depth loop at URL grain."""
+    nxt = F.regexp_extract(F.col(html_col), _NEXT_RE, 1)
+    edges = (
+        df.select(F.col(url_col).alias("url"), nxt.alias("next_url"))
+        .where(F.col("next_url") != "")
+        .localCheckpoint(eager=True)
+    )
+    starts = edges.join(
+        edges.select(F.col("next_url").alias("url")), on="url", how="left_anti"
+    ).select("url")
+    state = starts.select(
+        "url", F.col("url").alias("chain_id"), F.lit(0).cast("long").alias("pos")
+    ).localCheckpoint(eager=True)
+    frontier = state
+    for _ in range(max_iter):
+        step = (
+            frontier.where(F.col("pos") < max_iter)
+            .join(edges, on="url")
+            .select(
+                F.col("next_url").alias("url"),
+                "chain_id",
+                (F.col("pos") + 1).alias("pos"),
+            )
+            .join(state.select("url", "chain_id"), on=["url", "chain_id"], how="left_anti")
+            .groupBy("url", "chain_id")
+            .agg(F.min("pos").alias("pos"))
+            .localCheckpoint(eager=True)
+        )
+        if step.count() == 0:
+            break
+        state = state.unionByName(step).localCheckpoint(eager=True)
+        frontier = step
+    return state.select("url", "chain_id", F.col("pos").cast("long").alias("pos"))
+
+
+def duck_pagination_sql(table: str, max_iter: int = 25) -> str:
+    """Recursive-CTE twin of :func:`pagination_chains` (UNION dedups the
+    walk; min(pos) mirrors the BFS first-reach)."""
+    return rf"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT url, regexp_extract(html, '{_NEXT_RE}', 1) AS next_url
+  FROM {table}
+  WHERE regexp_extract(html, '{_NEXT_RE}', 1) <> ''
+),
+starts AS (SELECT url FROM e WHERE url NOT IN (SELECT next_url FROM e)),
+walk(url, chain_id, pos) AS (
+  SELECT url, url, 0::BIGINT FROM starts
+  UNION
+  SELECT e.next_url, w.chain_id, w.pos + 1
+  FROM e JOIN walk w ON w.url = e.url
+  WHERE w.pos < {max_iter}
+)
+SELECT url, chain_id, min(pos)::BIGINT AS pos FROM walk GROUP BY 1, 2
+"""
+
+
+def refresh_edges(df, html_col: str = "html", url_col: str = "url"):
+    """(url, delay_s, target) — meta-refresh redirect declarations; the
+    html-side complement of HTTP 3xx edges (same schema contract as the
+    `redirects` fixture, so linkstats.resolve_redirects consumes them
+    unchanged)."""
+    h = F.col(html_col)
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(h, _REFRESH_DELAY_RE, 1).cast("long").alias("delay_s"),
+        F.regexp_extract(h, _REFRESH_URL_RE, 1).alias("target"),
+    ).where(F.col("target") != "")
+
+
+def duck_refresh_sql(table: str) -> str:
+    """DuckDB twin of :func:`refresh_edges`."""
+    return rf"""
+SELECT url,
+       regexp_extract(html, '{_REFRESH_DELAY_RE}', 1)::BIGINT AS delay_s,
+       regexp_extract(html, '{_REFRESH_URL_RE}', 1) AS target
+FROM {table}
+WHERE regexp_extract(html, '{_REFRESH_URL_RE}', 1) <> ''
+"""

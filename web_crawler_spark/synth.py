@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v22"  # v22: adds feeds (RSS/Atom xml); dedicated RNG, other v21 tables byte-identical
+SYNTH_VERSION = "v23"  # v23: adds pages_ext (head markup); dedicated RNG, other v22 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -1028,6 +1028,102 @@ def _gen_feeds(pages_meta_tbl: pa.Table, sf: str):
     )
 
 
+
+def _gen_pages_ext(pages_meta_tbl: pa.Table, sf: str):
+    """(url, host, html) — head-markup-rich page variants over the real crawl
+    URL space: rel=next/prev pagination chains, hreflang alternate clusters
+    (some deliberately unconfirmed one-way), JSON-LD Article/Product blocks,
+    meta-refresh redirects, and soft-404 bodies served as normal pages.
+    Dedicated RNG: every v22 table's bytes are unchanged."""
+    rng = random.Random(f"pages_ext-{sf}")
+    by_host: dict[str, list[str]] = {}
+    for u, h in zip(
+        pages_meta_tbl.column("url").to_pylist(),
+        pages_meta_tbl.column("host").to_pylist(),
+    ):
+        by_host.setdefault(h, []).append(u)
+    r_url, r_host, r_html = [], [], []
+
+    def emit(url: str, host: str, title: str, head: list[str], body: str):
+        r_url.append(url)
+        r_host.append(host)
+        r_html.append(
+            f"<html><head><title>{title}</title>{''.join(head)}</head>"
+            f"<body><p>{body}</p></body></html>"
+        )
+
+    def prose(lo: int, hi: int) -> str:
+        n = rng.randrange(lo, hi)
+        words = [rng.choice(_WORDS) for _ in range(n)]
+        return " ".join(words) + "."
+
+    for host in sorted(by_host):
+        urls = sorted(by_host[host])
+        nxt: dict[str, str] = {}
+        prv: dict[str, str] = {}
+        i = 0
+        while i < len(urls):
+            chain = urls[i : i + rng.randrange(1, 7)]
+            for a, b in zip(chain, chain[1:]):
+                nxt[a], prv[b] = b, a
+            i += len(chain)
+        for j, u in enumerate(urls):
+            head: list[str] = []
+            if u in nxt:
+                head.append(f'<link rel="next" href="{nxt[u]}">')
+            if u in prv:
+                head.append(f'<link rel="prev" href="{prv[u]}">')
+            if j % 5 == 1:
+                langs = rng.sample(["de", "fr", "es", "vi"], rng.randrange(1, 3))
+                alts = [(lg, f"{u}-{lg}") for lg in langs]
+                for lg, au in alts:
+                    head.append(f'<link rel="alternate" hreflang="{lg}" href="{au}">')
+                for lg, au in alts:
+                    ahead = []
+                    if rng.random() >= 0.2:  # 20%: broken one-way declaration
+                        ahead.append(f'<link rel="alternate" hreflang="en" href="{u}">')
+                    for lg2, au2 in alts:
+                        if au2 != au:
+                            ahead.append(
+                                f'<link rel="alternate" hreflang="{lg2}" href="{au2}">'
+                            )
+                    emit(au, host, f"alt {lg} {j}", ahead, prose(20, 60))
+            if rng.random() < 0.4:
+                d = f"2024-{rng.randrange(1, 13):02d}-{rng.randrange(1, 29):02d}"
+                head.append(
+                    '<script type="application/ld+json">'
+                    f'{{"@type": "Article", "headline": "story {rng.choice(_WORDS)} {j}",'
+                    f' "datePublished": "{d}"}}</script>'
+                )
+                if rng.random() < 0.25:
+                    head.append(
+                        '<script type="application/ld+json">'
+                        f'{{"@type": "Product", "name": "item {rng.choice(_WORDS)}"}}'
+                        "</script>"
+                    )
+            roll = rng.random()
+            if roll < 0.05 and len(urls) > 1:
+                target = rng.choice([x for x in urls if x != u])
+                head.append(
+                    f'<meta http-equiv="refresh" content="{rng.randrange(0, 6)};url={target}">'
+                )
+                emit(u, host, f"moved {j}", head, prose(3, 8))
+            elif roll < 0.13:
+                emit(
+                    u, host, "404 Not Found", head,
+                    "404 Page Not Found. The page you requested does not exist.",
+                )
+            else:
+                emit(u, host, f"page {j}", head, prose(20, 80))
+    return pa.table(
+        {
+            "url": pa.array(r_url, pa.string()),
+            "host": pa.array(r_host, pa.string()),
+            "html": pa.array(r_html, pa.string()),
+        }
+    )
+
+
 def ensure_synth(sf_dir_or_name: str) -> str:
     """Generate (once) all synthetic tables for a scale; returns the dir."""
     sf = sf_name_of(sf_dir_or_name)
@@ -1055,6 +1151,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     annot = _gen_annot(urls, sf)
     tables = _gen_tables(urls, sf)
     feeds = _gen_feeds(pages_meta, sf)
+    pages_ext = _gen_pages_ext(pages_meta, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -1079,6 +1176,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(annot, synth_path(sf, "pages_annot"), row_group_size=2048)
     pq.write_table(tables, synth_path(sf, "pages_tables"), row_group_size=2048)
     pq.write_table(feeds, synth_path(sf, "feeds"), row_group_size=2048)
+    pq.write_table(pages_ext, synth_path(sf, "pages_ext"), row_group_size=2048)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
