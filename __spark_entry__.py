@@ -516,6 +516,14 @@ def q_html_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_parse.refresh_edges(_synth(spark, sf_dir, "pages_ext"))
 
 
+def q_crawl_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (error pages served with 200, Bar-Yossef et al.):
+    error-phrase marker AND body thinner than half the host's floor-mean —
+    map-side flags, one O(hosts) exchange, broadcast join back
+    (webtext.soft404_flags)."""
+    return webtext.soft404_flags(_synth(spark, sf_dir, "pages_ext"))
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-link consolidation (the site-declared duplicate channel):
     pages fold into their rel=canonical target's group; one partial-agg'd
@@ -1923,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_hreflang": q_html_hreflang,
         "html_pagination": q_html_pagination,
         "html_refresh": q_html_refresh,
+        "crawl_soft404": q_crawl_soft404,
         "doc_classifier": q_doc_classifier,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
@@ -2312,6 +2321,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f"read_parquet('{sp('pages_ext')}')"
         ),
         "html_refresh": html_parse.duck_refresh_sql(f"read_parquet('{sp('pages_ext')}')"),
+        "crawl_soft404": webtext.duck_soft404_sql(f"read_parquet('{sp('pages_ext')}')"),
         "html_meta": html_parse.duck_extract_meta_sql(
             f"read_parquet('{sp('pages_annot')}')"
         ),

@@ -526,3 +526,38 @@ def test_chunk_docs_windows(spark):
     assert c1[3]["chunk"].split() == [f"w{i}" for i in range(144, 150)]
     assert [r["n_tokens"] for r in by_doc[2]] == [2]  # short doc: one tail chunk
     assert 3 not in by_doc and 4 not in by_doc      # empty docs emit nothing
+
+
+def test_soft404_flags_crafted(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.functions import webtext
+
+    long_body = "<p>" + " ".join(["word"] * 100) + "</p>"
+    rows = [
+        # marker + thin vs host mean -> soft404
+        ("http://a/404", "a", "<html><title>404 Not Found</title><body>Page Not Found</body></html>"),
+        ("http://a/big1", "a", f"<html><body>{long_body}</body></html>"),
+        ("http://a/big2", "a", f"<html><body>{long_body}</body></html>"),
+        # marker but NOT thin (every page on host b is the same size)
+        ("http://b/1", "b", "<html><body>404 things I did</body></html>"),
+        ("http://b/2", "b", "<html><body>three more word rows</body></html>"),
+        # thin but no marker
+        ("http://a/stub", "a", "<html><body>short page</body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, html string")
+    got = {r["url"]: r for r in webtext.soft404_flags(df).collect()}
+    assert got["http://a/404"]["has_marker"] and got["http://a/404"]["soft404"]
+    assert got["http://b/1"]["has_marker"] and not got["http://b/1"]["soft404"]
+    assert not got["http://a/stub"]["has_marker"] and not got["http://a/stub"]["soft404"]
+    assert got["http://a/big1"]["host_mean_tokens"] == got["http://a/404"]["host_mean_tokens"]
+    # oracle parity
+    p = str(tmp_path / "s404.parquet")
+    df.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    want = con.sql(webtext.duck_soft404_sql(f"read_parquet('{p}')")).df()
+    for _, r in want.iterrows():
+        g = got[r["url"]]
+        assert (g["has_marker"], g["n_tokens"], g["host_mean_tokens"], g["soft404"]) == (
+            r["has_marker"], r["n_tokens"], r["host_mean_tokens"], r["soft404"]
+        )

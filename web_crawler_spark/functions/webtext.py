@@ -1244,3 +1244,69 @@ SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
 FROM chunks
 WHERE len(c) > 0
 """
+
+
+# --- soft-404 detection (error pages served with 200) --------------------------
+#
+# Real sites answer missing pages with a styled "not found" page and HTTP
+# 200; a crawler that trusts status codes fills the corpus and the frontier
+# with them (Bar-Yossef et al., WWW'04).  Content-side detection: an error-
+# phrase marker AND a body much thinner than the host's typical page.  The
+# host norm is an integer floor-mean (medians need per-host sorts; the mean
+# is one partial-agg'd exchange and is robust enough once the marker gates).
+
+_SOFT404_MARKER_RE = (
+    r"(?i)(page not found|does not exist|no longer available|\b404\b)"
+)
+
+
+def soft404_flags(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """(url, has_marker, n_tokens, host_mean_tokens, soft404) — soft404 is
+    has_marker AND 2*n_tokens < host_mean_tokens.  One zero-Python map over
+    the scan (tag-strip + token count + marker regex), one O(hosts)
+    partial-agg'd exchange, broadcast join back."""
+    txt = F.regexp_replace(F.col(html_col).cast("string"), "<[^>]*>", " ")
+    toks = F.when(F.length(F.trim(txt)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(txt), r"\s+"))
+    )
+    flags = df.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        txt.rlike(_SOFT404_MARKER_RE).alias("has_marker"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    means = flags.groupBy("host").agg(
+        F.expr("sum(n_tokens) DIV count(1)").alias("host_mean_tokens")
+    )
+    return flags.join(F.broadcast(means), on="host").select(
+        "url",
+        "has_marker",
+        "n_tokens",
+        F.col("host_mean_tokens").cast("long").alias("host_mean_tokens"),
+        (F.col("has_marker") & (F.col("n_tokens") * 2 < F.col("host_mean_tokens"))).alias(
+            "soft404"
+        ),
+    )
+
+
+def duck_soft404_sql(table: str) -> str:
+    """DuckDB twin of :func:`soft404_flags`."""
+    return rf"""
+WITH t AS MATERIALIZED (
+  SELECT url, host,
+         regexp_matches(txt, '{_SOFT404_MARKER_RE}') AS has_marker,
+         (CASE WHEN trim(txt) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(txt), '\s+')) END)::BIGINT AS n_tokens
+  FROM (SELECT url, host, regexp_replace(html, '<[^>]*>', ' ', 'g') AS txt
+        FROM {table})
+),
+m AS (SELECT host, sum(n_tokens) // count(*) AS host_mean_tokens FROM t GROUP BY 1)
+SELECT t.url, t.has_marker, t.n_tokens, m.host_mean_tokens::BIGINT AS host_mean_tokens,
+       (t.has_marker AND 2 * t.n_tokens < m.host_mean_tokens) AS soft404
+FROM t JOIN m USING (host)
+"""
