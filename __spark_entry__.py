@@ -524,6 +524,18 @@ def q_crawl_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.soft404_flags(_synth(spark, sf_dir, "pages_ext"))
 
 
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k overlap between two crawl snapshots (Beyer et al.,
+    SIGMOD'07): Jaccard + union-cardinality estimates from two <=k-row
+    sketches; TakeOrderedAndProject keeps the exchange at <=k rows per map
+    partition (bloom.kmv_overlap; mergeability pytest-proved)."""
+    from web_crawler_spark.operators import bloom as bloom_ops
+
+    a = _synth(spark, sf_dir, "pages_meta").select("url")
+    b = _synth(spark, sf_dir, "pages_prev").select("url")
+    return bloom_ops.kmv_overlap(a, b)
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-link consolidation (the site-declared duplicate channel):
     pages fold into their rel=canonical target's group; one partial-agg'd
@@ -1932,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_pagination": q_html_pagination,
         "html_refresh": q_html_refresh,
         "crawl_soft404": q_crawl_soft404,
+        "sketch_kmv": q_sketch_kmv,
         "doc_classifier": q_doc_classifier,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
@@ -2322,6 +2335,10 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "html_refresh": html_parse.duck_refresh_sql(f"read_parquet('{sp('pages_ext')}')"),
         "crawl_soft404": webtext.duck_soft404_sql(f"read_parquet('{sp('pages_ext')}')"),
+        "sketch_kmv": bloom_ops.duck_kmv_overlap_sql(
+            f"(SELECT url FROM read_parquet('{sp('pages_meta')}'))",
+            f"(SELECT url FROM read_parquet('{sp('pages_prev')}'))",
+        ),
         "html_meta": html_parse.duck_extract_meta_sql(
             f"read_parquet('{sp('pages_annot')}')"
         ),

@@ -427,3 +427,40 @@ def test_quantile_summary_exact_when_s_covers_n(spark):
     assert all(w == 1 for _, w in got)
     out = bloomlib.quantile_probes_verified(df, "v", s=1000).collect()
     assert all(r["rank_err_ok"] for r in out)
+
+
+def test_kmv_sketch_merge_and_estimates(spark):
+    from web_crawler_spark.operators import bloom
+
+    a = spark.createDataFrame([(f"http://h/{i}",) for i in range(3000)], "url string")
+    b = spark.createDataFrame(
+        [(f"http://h/{i}",) for i in range(1500, 4500)], "url string"
+    )
+    # mergeability: bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B))
+    direct = [
+        r["hash_val"]
+        for r in bloom.kmv_sketch(a.unionByName(b)).orderBy("rank").collect()
+    ]
+    sa = bloom.kmv_sketch(a).select("hash_val")
+    sb = bloom.kmv_sketch(b).select("hash_val")
+    from pyspark.sql import functions as F
+    merged = [
+        r["hash_val"]
+        for r in sa.unionByName(sb).distinct().orderBy("hash_val")
+        .limit(bloom.KMV_K).collect()
+    ]
+    assert direct == merged
+    # estimates: true jaccard = 1500/4500 = 0.3333, true union = 4500
+    row = bloom.kmv_overlap(a, b).first()
+    assert row["k_sample"] == bloom.KMV_K
+    assert abs(row["jaccard_ppm"] / 1e6 - 1 / 3) < 0.12
+    assert abs(row["union_est"] - 4500) / 4500 < 0.25
+    # duplicate rows must not move the sketch
+    row_dup = bloom.kmv_overlap(a.unionByName(a), b).first()
+    assert (row_dup["jaccard_ppm"], row_dup["union_est"]) == (
+        row["jaccard_ppm"], row["union_est"]
+    )
+    # scale-plan guard: the bottom-k compiles to TakeOrderedAndProject,
+    # never a global Sort
+    plan = bloom.kmv_sketch(a)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -588,3 +588,116 @@ WITH n AS (SELECT count(*)::BIGINT AS n_total FROM {table})
 SELECT p.q_ppm::BIGINT AS q_ppm, n.n_total, true AS rank_err_ok
 FROM (VALUES {rows}) AS p(q_ppm), n
 """
+
+
+# --- KMV (bottom-k / K-minimum-values) sketch ----------------------------------
+#
+# The set-OVERLAP twin of the HLL register table (Beyer et al., SIGMOD'07):
+# HLL answers "how many distinct URLs", KMV's bottom-k hash sample also
+# answers "how much do two crawls overlap" — Jaccard between monthly
+# snapshots, dedup-rate forecasting, frontier-vs-seen intersection — because
+# bottom-k of the UNION is computable from the two bottom-k sketches alone
+# (mergeability, pytest-proved).  Everything is integer ops on a 60-bit
+# md5-derived key, so the sketch is bit-identical across engines.
+
+KMV_K = 256
+KMV_HEX = 15              # 60-bit key: substr(md5, 1, 15)
+KMV_MAX = 1 << (KMV_HEX * 4)
+
+
+def kmv_hash(col: "Column") -> "Column":
+    """60-bit integer hash: first 15 md5 hex chars (positive BIGINT)."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, KMV_HEX), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_sketch(df: "DataFrame", col: str = "url", k: int = KMV_K) -> "DataFrame":
+    """(rank, hash_val) — the k smallest distinct hash values of ``col``.
+
+    Plan shape: map-side hash projection -> distinct -> orderBy().limit(k),
+    which Spark compiles to TakeOrderedAndProject: each map partition keeps
+    a k-element heap and the exchange carries <= k rows per partition — no
+    global sort, no unbounded state, at any corpus size."""
+    from pyspark.sql import Window, functions as F
+
+    bottom = (
+        df.select(kmv_hash(F.col(col)).alias("hash_val"))
+        .distinct()
+        .orderBy("hash_val")
+        .limit(k)
+    )
+    w = Window.orderBy("hash_val")  # <= k rows: the single-partition window is fine
+    return bottom.select(
+        (F.row_number().over(w) - 1).cast("long").alias("rank"), "hash_val"
+    )
+
+
+def kmv_overlap(
+    a: "DataFrame", b: "DataFrame", col: str = "url", k: int = KMV_K
+) -> "DataFrame":
+    """One-row overlap estimate between two URL sets from their KMV sketches:
+    (k_sample, n_in_both, jaccard_ppm, union_est).
+
+    jaccard_ppm = floor(1e6 * |{x in bottomk(A∪B): x in A and x in B}| / k'),
+    union_est   = (KMV_MAX // max(bottomk)) * (k'-1)   [k' = |bottomk(A∪B)|]
+
+    The union sketch is built from the two per-set sketches (mergeability),
+    and membership probes are broadcast semi-joins of the <= k-row sample
+    against each side's sketch — constant-size work beyond the two scans."""
+    from pyspark.sql import functions as F
+
+    sa = kmv_sketch(a, col=col, k=k).select("hash_val").localCheckpoint(eager=True)
+    sb = kmv_sketch(b, col=col, k=k).select("hash_val").localCheckpoint(eager=True)
+    union = (
+        sa.unionByName(sb).distinct().orderBy("hash_val").limit(k)
+        .localCheckpoint(eager=True)
+    )
+    both = union.join(F.broadcast(sa), on="hash_val", how="left_semi").join(
+        F.broadcast(sb), on="hash_val", how="left_semi"
+    )
+    kk = union.agg(
+        F.count("*").alias("k_sample"), F.max("hash_val").alias("kth")
+    )
+    nb = both.agg(F.count("*").alias("n_in_both"))
+    return kk.crossJoin(nb).select(
+        F.col("k_sample").cast("long").alias("k_sample"),
+        F.col("n_in_both").cast("long").alias("n_in_both"),
+        F.expr("n_in_both * 1000000 DIV k_sample").cast("long").alias("jaccard_ppm"),
+        (
+            F.expr(f"{KMV_MAX}L DIV kth") * (F.col("k_sample") - 1)
+        ).cast("long").alias("union_est"),
+    )
+
+
+def duck_kmv_overlap_sql(
+    table_a: str, table_b: str, col: str = "url", k: int = KMV_K
+) -> str:
+    """DuckDB twin of :func:`kmv_overlap` (same 60-bit md5 keys)."""
+    h = f"('0x' || substring(md5({col}::VARCHAR), 1, {KMV_HEX}))::BIGINT"
+    return rf"""
+WITH sa AS MATERIALIZED (
+  SELECT DISTINCT {h} AS hash_val FROM {table_a} ORDER BY 1 LIMIT {k}
+),
+sb AS MATERIALIZED (
+  SELECT DISTINCT {h} AS hash_val FROM {table_b} ORDER BY 1 LIMIT {k}
+),
+u AS MATERIALIZED (
+  SELECT DISTINCT hash_val FROM (
+    SELECT hash_val FROM sa UNION ALL SELECT hash_val FROM sb)
+  ORDER BY 1 LIMIT {k}
+),
+kk AS (SELECT count(*) AS k_sample, max(hash_val) AS kth FROM u),
+nb AS (
+  SELECT count(*) AS n_in_both
+  FROM u
+  WHERE hash_val IN (SELECT hash_val FROM sa)
+    AND hash_val IN (SELECT hash_val FROM sb)
+)
+SELECT k_sample::BIGINT AS k_sample, n_in_both::BIGINT AS n_in_both,
+       (n_in_both * 1000000 // k_sample)::BIGINT AS jaccard_ppm,
+       (({KMV_MAX}::BIGINT // kth) * (k_sample - 1))::BIGINT AS union_est
+FROM kk, nb
+"""
