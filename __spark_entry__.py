@@ -536,6 +536,24 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_ops.kmv_overlap(a, b)
 
 
+SCHED_BYTE_BUDGET = 65536
+
+
+def q_sched_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandwidth-aware per-host scheduling: estimated bytes from the prior
+    snapshot (default for never-fetched URLs), md5-deterministic priority,
+    running-total selection within a per-host byte budget; count-capped
+    map-side BEFORE the byte window so the hot host arrives pre-pruned
+    (politeness.select_host_byte_budget)."""
+    from web_crawler_spark.operators import politeness as pol
+
+    frontier = _synth(spark, sf_dir, "pages_meta").select("url", "host")
+    sizes = _synth(spark, sf_dir, "pages_prev").select(
+        "url", F.length(F.col("html")).cast("long").alias("est_bytes")
+    )
+    return pol.select_host_byte_budget(frontier, sizes, SCHED_BYTE_BUDGET)
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-link consolidation (the site-declared duplicate channel):
     pages fold into their rel=canonical target's group; one partial-agg'd
@@ -1945,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_refresh": q_html_refresh,
         "crawl_soft404": q_crawl_soft404,
         "sketch_kmv": q_sketch_kmv,
+        "sched_bytes": q_sched_bytes,
         "doc_classifier": q_doc_classifier,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
@@ -2271,6 +2290,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_for(sf: str) -> dict[str, str]:
     from web_crawler_spark.operators import bloom as bloom_ops
+    from web_crawler_spark.operators import politeness as _politeness
     from web_crawler_spark.sources import feeds as feeds_src
     from web_crawler_spark.sources import robots as robots_src
     from web_crawler_spark.sources import warc as warc_src
@@ -2335,6 +2355,11 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "html_refresh": html_parse.duck_refresh_sql(f"read_parquet('{sp('pages_ext')}')"),
         "crawl_soft404": webtext.duck_soft404_sql(f"read_parquet('{sp('pages_ext')}')"),
+        "sched_bytes": _politeness.duck_host_byte_budget_sql(
+            f"(SELECT url, host FROM read_parquet('{sp('pages_meta')}'))",
+            f"(SELECT url, octet_length(html)::BIGINT AS est_bytes FROM read_parquet('{sp('pages_prev')}'))",
+            SCHED_BYTE_BUDGET,
+        ),
         "sketch_kmv": bloom_ops.duck_kmv_overlap_sql(
             f"(SELECT url FROM read_parquet('{sp('pages_meta')}'))",
             f"(SELECT url FROM read_parquet('{sp('pages_prev')}'))",

@@ -351,3 +351,49 @@ def test_fair_interleave_round_robin_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_host_byte_budget_crafted(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.operators import politeness as pol
+
+    frontier = spark.createDataFrame(
+        [(f"http://a/{i}", "a") for i in range(6)] + [("http://b/1", "b")],
+        "url string, host string",
+    )
+    # sizes known for a/0..a/3 (big), unknown for the rest -> default 16384
+    sizes = spark.createDataFrame(
+        [(f"http://a/{i}", 30000) for i in range(4)], "url string, est_bytes long"
+    )
+    budget = 65536
+    out = pol.select_host_byte_budget(frontier, sizes, budget)
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["http://b/1"]["est_bytes"] == pol.DEFAULT_PAGE_BYTES
+    assert rows["http://b/1"]["selected"]
+    # within host a, selection is a prefix in md5 order and stops at the budget
+    a_rows = sorted(
+        (r for u, r in rows.items() if r["host"] == "a"),
+        key=lambda r: r["cum_bytes"],
+    )
+    sel = [r["selected"] for r in a_rows]
+    assert sel == sorted(sel, reverse=True), "selected must be a prefix"
+    for r in a_rows:
+        assert r["selected"] == (r["cum_bytes"] <= budget)
+    assert any(sel) and not all(sel)
+    # oracle parity
+    fp, sp_ = str(tmp_path / "f.parquet"), str(tmp_path / "s.parquet")
+    frontier.toPandas().to_parquet(fp)
+    sizes.toPandas().to_parquet(sp_)
+    con = duckdb.connect()
+    want = con.sql(
+        pol.duck_host_byte_budget_sql(
+            f"read_parquet('{fp}')", f"read_parquet('{sp_}')", budget
+        )
+    ).df()
+    assert {
+        (r["url"], r["cum_bytes"], r["selected"]) for _, r in want.iterrows()
+    } == {(u, r["cum_bytes"], r["selected"]) for u, r in rows.items()}
+    # the count prune compiles to the partial WindowGroupLimit rewrite
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -237,3 +237,86 @@ FROM (
   GROUP BY 1
 )
 """
+
+
+# --- per-host BYTE budget (bandwidth-aware scheduling) --------------------------
+#
+# Count budgets (above) treat a 1 KB stub and a 20 MB PDF alike; a
+# bandwidth-capped crawler schedules by ESTIMATED BYTES, with the estimate
+# taken from the previous snapshot (the recrawl case) or a default for
+# never-fetched URLs.  Selection = deterministic-priority ordered prefix of
+# each host whose running byte total stays within the host's budget.
+#
+# Scale shape: the size join moves (url, est_bytes) pairs only; the cumsum
+# is one window exchange on host.  For the hot-host tail, cap by count
+# map-side FIRST (budget_bytes DIV min_page_bytes is an upper bound on how
+# many rows can ever fit), which compiles to the WindowGroupLimit partial
+# top-k above — the byte window then runs over <= that many rows per host.
+
+DEFAULT_PAGE_BYTES = 16384
+MIN_PAGE_BYTES = 512
+
+
+def select_host_byte_budget(
+    frontier: DataFrame,
+    sizes: DataFrame,
+    budget_bytes: int,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """(url, host, est_bytes, cum_bytes, selected) — ``sizes`` is
+    (url, est_bytes) from the prior snapshot; unknown URLs estimate
+    ``DEFAULT_PAGE_BYTES``.  Priority is md5(url) order (deterministic,
+    resume-stable — the J3 proxy-assignment discipline); a row is selected
+    while the running total INCLUDING it fits the budget."""
+    cand = frontier.select(F.col(url_col).alias("url"), F.col(host_col).alias("host"))
+    est = cand.join(sizes.select("url", "est_bytes"), on="url", how="left").select(
+        "url",
+        "host",
+        F.coalesce(F.col("est_bytes"), F.lit(DEFAULT_PAGE_BYTES))
+        .cast("long")
+        .alias("est_bytes"),
+    )
+    # map-side count prune: no more than this many rows can ever fit
+    max_rows = max(budget_bytes // MIN_PAGE_BYTES, 1)
+    wr = Window.partitionBy("host").orderBy(F.md5(F.col("url")), F.col("url"))
+    pruned = est.withColumn("rn", F.row_number().over(wr)).where(
+        F.col("rn") <= max_rows
+    )
+    cum = pruned.select(
+        "url",
+        "host",
+        "est_bytes",
+        F.sum("est_bytes").over(wr.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_bytes"),
+    )
+    return cum.withColumn("selected", F.col("cum_bytes") <= F.lit(budget_bytes))
+
+
+def duck_host_byte_budget_sql(
+    frontier: str, sizes: str, budget_bytes: int
+) -> str:
+    """DuckDB twin of :func:`select_host_byte_budget`."""
+    max_rows = max(budget_bytes // MIN_PAGE_BYTES, 1)
+    return rf"""
+WITH est AS (
+  SELECT f.url, f.host,
+         coalesce(s.est_bytes, {DEFAULT_PAGE_BYTES})::BIGINT AS est_bytes
+  FROM {frontier} f LEFT JOIN {sizes} s ON s.url = f.url
+),
+pruned AS (
+  SELECT url, host, est_bytes,
+         row_number() OVER (PARTITION BY host ORDER BY md5(url), url) AS rn
+  FROM est
+)
+SELECT url, host, est_bytes,
+       sum(est_bytes) OVER (
+         PARTITION BY host ORDER BY md5(url), url
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_bytes,
+       (sum(est_bytes) OVER (
+         PARTITION BY host ORDER BY md5(url), url
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) <= {budget_bytes} AS selected
+FROM pruned
+WHERE rn <= {max_rows}
+"""
