@@ -554,6 +554,22 @@ def q_sched_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pol.select_host_byte_budget(frontier, sizes, SCHED_BYTE_BUDGET)
 
 
+def q_frontier_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All seven discovery channels merged into one attributed frontier
+    (seeds, sitemap urlsets, feed items, hreflang alternates, rel=next
+    targets, meta-refresh targets, redirect destinations): channel-grain
+    union, ONE partial-agg'd exchange on url (plans/discovery.py)."""
+    from web_crawler_spark.plans import discovery
+
+    return discovery.discovery_frontier(
+        _synth(spark, sf_dir, "seeds").select("url"),
+        _synth(spark, sf_dir, "sitemaps"),
+        _synth(spark, sf_dir, "feeds"),
+        _synth(spark, sf_dir, "pages_ext"),
+        _synth(spark, sf_dir, "redirects"),
+    )
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-link consolidation (the site-declared duplicate channel):
     pages fold into their rel=canonical target's group; one partial-agg'd
@@ -1964,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_soft404": q_crawl_soft404,
         "sketch_kmv": q_sketch_kmv,
         "sched_bytes": q_sched_bytes,
+        "frontier_discovery": q_frontier_discovery,
         "doc_classifier": q_doc_classifier,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
@@ -2291,6 +2308,7 @@ def oracle_sql() -> dict[str, str]:
 def _oracle_sql_for(sf: str) -> dict[str, str]:
     from web_crawler_spark.operators import bloom as bloom_ops
     from web_crawler_spark.operators import politeness as _politeness
+    from web_crawler_spark.plans import discovery as _discovery
     from web_crawler_spark.sources import feeds as feeds_src
     from web_crawler_spark.sources import robots as robots_src
     from web_crawler_spark.sources import warc as warc_src
@@ -2355,6 +2373,13 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "html_refresh": html_parse.duck_refresh_sql(f"read_parquet('{sp('pages_ext')}')"),
         "crawl_soft404": webtext.duck_soft404_sql(f"read_parquet('{sp('pages_ext')}')"),
+        "frontier_discovery": _discovery.duck_discovery_sql(
+            f"(SELECT url FROM read_parquet('{sp('seeds')}'))",
+            f"read_parquet('{sp('sitemaps')}')",
+            f"read_parquet('{sp('feeds')}')",
+            f"read_parquet('{sp('pages_ext')}')",
+            f"read_parquet('{sp('redirects')}')",
+        ),
         "sched_bytes": _politeness.duck_host_byte_budget_sql(
             f"(SELECT url, host FROM read_parquet('{sp('pages_meta')}'))",
             f"(SELECT url, octet_length(html)::BIGINT AS est_bytes FROM read_parquet('{sp('pages_prev')}'))",

@@ -397,3 +397,62 @@ def test_host_byte_budget_crafted(spark, tmp_path):
     # the count prune compiles to the partial WindowGroupLimit rewrite
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_discovery_frontier_crafted(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.plans import discovery
+
+    seeds = spark.createDataFrame([("http://x/1",)], "url string")
+    sitemaps = spark.createDataFrame(
+        [("http://x/sm.xml",
+          "<urlset><url><loc>http://x/1</loc></url>"
+          "<url><loc>http://x/2</loc></url></urlset>")],
+        "sitemap_url string, xml string",
+    )
+    feeds = spark.createDataFrame(
+        [("http://x/rss.xml",
+          "<rss><channel><item><link>http://x/2</link></item>"
+          "<item><link>http://x/3</link></item></channel></rss>")],
+        "feed_url string, xml string",
+    )
+    pages_ext = spark.createDataFrame(
+        [("http://x/3", "x",
+          '<html><head><link rel="next" href="http://x/4">'
+          '<meta http-equiv="refresh" content="0;url=http://x/5"></head></html>')],
+        "url string, host string, html string",
+    )
+    redirects = spark.createDataFrame(
+        [("http://x/old", "http://x/5")], "src_url string, dst_url string"
+    )
+    out = {
+        r["url"]: (r["channel"], r["n_channels"])
+        for r in discovery.discovery_frontier(
+            seeds, sitemaps, feeds, pages_ext, redirects
+        ).collect()
+    }
+    assert out == {
+        "http://x/1": ("seed", 2),        # seed beats sitemap
+        "http://x/2": ("sitemap", 2),     # sitemap beats feed
+        "http://x/3": ("feed", 1),
+        "http://x/4": ("pagination", 1),
+        "http://x/5": ("refresh", 2),     # refresh beats redirect
+    }
+    # oracle parity
+    paths = {}
+    for name, df in [("seeds", seeds), ("sitemaps", sitemaps), ("feeds", feeds),
+                     ("pages_ext", pages_ext), ("redirects", redirects)]:
+        paths[name] = str(tmp_path / f"{name}.parquet")
+        df.toPandas().to_parquet(paths[name])
+    con = duckdb.connect()
+    want = con.sql(discovery.duck_discovery_sql(
+        f"read_parquet('{paths['seeds']}')",
+        f"read_parquet('{paths['sitemaps']}')",
+        f"read_parquet('{paths['feeds']}')",
+        f"read_parquet('{paths['pages_ext']}')",
+        f"read_parquet('{paths['redirects']}')",
+    )).df()
+    assert {
+        r["url"]: (r["channel"], r["n_channels"]) for _, r in want.iterrows()
+    } == out
