@@ -570,6 +570,15 @@ def q_frontier_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted epoch expansion for data-constrained training mixes
+    (Muennighoff et al. 2023): high-stopword prose repeats up to 4 epochs,
+    each copy deterministically assigned to a DIFFERENT shard via
+    md5(doc_id:epoch) — map-side constant fan-out, no shuffle
+    (sampling.epoch_expand)."""
+    return sampling.epoch_expand(_docs(spark, sf_dir))
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-link consolidation (the site-declared duplicate channel):
     pages fold into their rel=canonical target's group; one partial-agg'd
@@ -1981,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv": q_sketch_kmv,
         "sched_bytes": q_sched_bytes,
         "frontier_discovery": q_frontier_discovery,
+        "corpus_epochs": q_corpus_epochs,
         "doc_classifier": q_doc_classifier,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
@@ -2373,6 +2383,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "html_refresh": html_parse.duck_refresh_sql(f"read_parquet('{sp('pages_ext')}')"),
         "crawl_soft404": webtext.duck_soft404_sql(f"read_parquet('{sp('pages_ext')}')"),
+        "corpus_epochs": sampling.duck_epoch_expand_sql("documents"),
         "frontier_discovery": _discovery.duck_discovery_sql(
             f"(SELECT url FROM read_parquet('{sp('seeds')}'))",
             f"read_parquet('{sp('sitemaps')}')",

@@ -1642,3 +1642,33 @@ def test_host_opic_integer_exact(spark, tmp_path):
         for r in linkstats.host_opic(df.repartition(8)).collect()
     }
     assert got8 == got
+
+
+def test_epoch_expand_crafted(spark, duck, docs):
+    from web_crawler_spark.functions import sampling
+
+    # crafted: ~0% / ~15% / ~35% stopword ratios -> 1 / 2 / 4 epochs
+    crafted = spark.createDataFrame(
+        [
+            ("zero", "alpha beta gamma delta"),
+            ("some", "the alpha beta gamma delta epsilon zeta"),
+            ("lots", "the a of and to alpha beta gamma delta epsilon"),
+        ],
+        "doc_id string, text string",
+    )
+    out = sampling.epoch_expand(crafted).collect()
+    by_doc = {}
+    shards = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+        shards.setdefault(r["doc_id"], set()).add(r["shard"])
+        assert r["n_epochs"] == max(by_doc[r["doc_id"]] + [r["n_epochs"]])
+    assert sorted(by_doc["zero"]) == [1]
+    assert sorted(by_doc["some"]) == [1, 2]
+    assert sorted(by_doc["lots"]) == [1, 2, 3, 4]
+    # copies of one doc land in different shards (no shard sees a doc twice)
+    assert len(shards["lots"]) == 4
+    # full differential vs the DuckDB twin on the driver fixture
+    got = sampling.epoch_expand(docs)
+    want = duck.sql(sampling.duck_epoch_expand_sql("documents"))
+    _cmp(got, want, ["doc_id", "epoch"])

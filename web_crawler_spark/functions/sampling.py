@@ -398,3 +398,101 @@ cum AS (
 SELECT doc_id, n_tokens, score_ppm, tok_offset
 FROM cum WHERE tok_offset < {budget}
 """
+
+
+# --- quality-weighted epoch expansion (data-constrained training mixes) ---------
+#
+# Data-constrained recipes repeat high-quality sources for several epochs
+# while low-quality text is seen once (Muennighoff et al. 2023 find ~4
+# epochs of repetition nearly as good as fresh data).  The operator
+# materializes the repetition as shard-assigned copies so the training
+# reader streams a uniform mix with no runtime weighting logic.
+#
+# epochs(doc) = least(MAX_EPOCHS, 1 + stopword_ppm DIV EPOCH_STEP): the
+# stopword ratio is the repo's cheap integer prose-quality surrogate (real
+# deployments plug the classifier or unigram-LM score — same shape, any
+# integer signal works).  Each copy's shard comes from md5(doc_id:epoch),
+# so copies of one document land in DIFFERENT shards deterministically
+# (resume/retry-stable, and no shard sees a doc twice).
+
+MAX_EPOCHS = 4
+EPOCH_STEP = 100_000  # +1 epoch per 10% stopword ratio
+EPOCH_SHARDS = 64
+
+
+def epoch_expand(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_epochs: int = MAX_EPOCHS,
+    shards: int = EPOCH_SHARDS,
+) -> DataFrame:
+    """(doc_id, quality_ppm, n_epochs, epoch, shard) — one row per retained
+    copy.  Map-side only: quality signal + sequence() fan-out + posexplode;
+    the fan-out factor is <= max_epochs, a constant — no shuffle, and the
+    shard column is what the partitioned write clusters on."""
+    from web_crawler_spark.functions import textstats
+
+    toks = textstats.tokens_col(F.col(text_col))
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(textstats.STOPWORDS)))
+    q = F.floor(
+        stop_hits.cast("double")
+        / F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+        * 1e6
+    ).cast("long")
+    base = df.select(F.col(id_col).alias("doc_id"), q.alias("quality_ppm")).select(
+        "doc_id",
+        "quality_ppm",
+        F.least(
+            F.lit(max_epochs).cast("long"),
+            F.lit(1) + F.expr(f"quality_ppm DIV {EPOCH_STEP}"),
+        ).cast("long").alias("n_epochs"),
+    )
+    return base.select(
+        "doc_id",
+        "quality_ppm",
+        "n_epochs",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))).alias("epoch"),
+    ).withColumn(
+        "shard",
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("epoch"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % shards,
+    )
+
+
+def duck_epoch_expand_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_epochs: int = MAX_EPOCHS,
+    shards: int = EPOCH_SHARDS,
+) -> str:
+    """DuckDB twin of :func:`epoch_expand`."""
+    from web_crawler_spark.functions import textstats
+
+    stopset = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+    toks = (
+        f"CASE WHEN trim({text_col}) = '' THEN [] "
+        f"ELSE regexp_split_to_array(trim({text_col}), '\\s+') END"
+    )
+    return rf"""
+WITH q AS (
+  SELECT {id_col} AS doc_id,
+         floor(len(list_filter({toks}, t -> lower(t) IN ({stopset})))::DOUBLE
+               / greatest(len({toks}), 1)::DOUBLE * 1e6)::BIGINT AS quality_ppm
+  FROM {table}
+),
+e AS (
+  SELECT doc_id, quality_ppm,
+         least({max_epochs}, 1 + quality_ppm // {EPOCH_STEP})::BIGINT AS n_epochs
+  FROM q
+)
+SELECT doc_id, quality_ppm, n_epochs, epoch::BIGINT AS epoch,
+       (('0x' || substring(md5(doc_id::VARCHAR || ':' || epoch::VARCHAR), 1, 4))::BIGINT
+        % {shards})::BIGINT AS shard
+FROM e, LATERAL unnest(generate_series(1, n_epochs)) AS t(epoch)
+"""
