@@ -579,6 +579,14 @@ def q_corpus_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.epoch_expand(_docs(spark, sf_dir))
 
 
+def q_url_suspicious(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-side URL hygiene (Ma et al., KDD'09 features): IP-literal
+    hosts, userinfo@ tricks, punycode labels, deep subdomain stacks,
+    non-standard ports — one zero-exchange JVM map over the frontier scan
+    (urlfilter.suspicious_url_flags)."""
+    return urlfilter.suspicious_url_flags(_synth(spark, sf_dir, "urls_sus"))
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-link consolidation (the site-declared duplicate channel):
     pages fold into their rel=canonical target's group; one partial-agg'd
@@ -1991,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sched_bytes": q_sched_bytes,
         "frontier_discovery": q_frontier_discovery,
         "corpus_epochs": q_corpus_epochs,
+        "url_suspicious": q_url_suspicious,
         "doc_classifier": q_doc_classifier,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
@@ -2384,6 +2393,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "html_refresh": html_parse.duck_refresh_sql(f"read_parquet('{sp('pages_ext')}')"),
         "crawl_soft404": webtext.duck_soft404_sql(f"read_parquet('{sp('pages_ext')}')"),
         "corpus_epochs": sampling.duck_epoch_expand_sql("documents"),
+        "url_suspicious": urlfilter.duck_suspicious_sql(
+            f"read_parquet('{sp('urls_sus')}')"
+        ),
         "frontier_discovery": _discovery.duck_discovery_sql(
             f"(SELECT url FROM read_parquet('{sp('seeds')}'))",
             f"read_parquet('{sp('sitemaps')}')",

@@ -615,3 +615,44 @@ def test_bitext_align_synth_parity(spark):
         con.sql(urlfilter.duck_bitext_align_sql(f"read_parquet('{path}')")),
         ["key", "lang_a", "lang_b"],
     )
+
+
+def test_suspicious_url_flags_pinned(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.functions import urlfilter
+
+    rows = [
+        ("http://host0.example/fine.html",),
+        ("http://10.0.42.7/p/1",),
+        ("http://admin@host1.example/login",),
+        ("http://xn--mnchen-3ya.example/strasse",),
+        ("http://a.b.c.d.host2.example/deep",),
+        ("http://host3.example:8443/alt",),
+        ("https://host4.example:443/std",),
+        ("http://999.1.2.3.4/not-quite-ip-5-labels",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r["url"]: r for r in urlfilter.suspicious_url_flags(df).collect()}
+    assert not got["http://host0.example/fine.html"]["suspicious"]
+    assert got["http://10.0.42.7/p/1"]["is_ip"]
+    assert got["http://admin@host1.example/login"]["has_userinfo"]
+    assert got["http://admin@host1.example/login"]["host"] == "host1.example"
+    assert got["http://xn--mnchen-3ya.example/strasse"]["has_punycode"]
+    assert got["http://a.b.c.d.host2.example/deep"]["n_labels"] == 6
+    assert got["http://a.b.c.d.host2.example/deep"]["suspicious"]
+    assert got["http://host3.example:8443/alt"]["nonstd_port"]
+    assert not got["https://host4.example:443/std"]["nonstd_port"]
+    assert not got["https://host4.example:443/std"]["suspicious"]
+    five = got["http://999.1.2.3.4/not-quite-ip-5-labels"]
+    assert not five["is_ip"] and five["n_labels"] == 5 and five["suspicious"]
+    # oracle parity on the crafted frame
+    p = str(tmp_path / "sus.parquet")
+    df.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    want = con.sql(urlfilter.duck_suspicious_sql(f"read_parquet('{p}')")).df()
+    for _, r in want.iterrows():
+        g = got[r["url"]]
+        for c in ["host", "is_ip", "has_userinfo", "has_punycode",
+                  "n_labels", "nonstd_port", "suspicious"]:
+            assert g[c] == r[c], (r["url"], c, g[c], r[c])

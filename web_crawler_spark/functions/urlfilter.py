@@ -674,3 +674,79 @@ FROM pairs p
 JOIN stats a ON p.url_a = a.url
 JOIN stats b ON p.url_b = b.url
 """
+
+
+# --- suspicious-authority URL flags (phishing / spam hygiene) -------------------
+#
+# The authority-side complement of the path/param gate above: IP-literal
+# hosts, userinfo@ tricks (http://bank.com@evil.example/), punycode labels
+# (homograph attacks), deep subdomain stacks, and non-standard ports are
+# the classic phishing/URL-spam features (Ma et al., KDD'09); a crawl
+# frontier and a training corpus both drop or down-weight them.  One
+# zero-exchange JVM map over the frontier scan.
+
+_AUTH_RE = r"(?i)^https?://([^/?#]+)"
+
+
+def suspicious_url_flags(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, host, is_ip, has_userinfo, has_punycode, n_labels, nonstd_port,
+    suspicious) — authority parsed with the scheme regex; host = authority
+    minus userinfo and port; standard ports (80, 443) are not flagged."""
+    auth = F.regexp_extract(F.col(url_col), _AUTH_RE, 1)
+    has_user = auth.contains("@")
+    hostport = F.element_at(F.split(auth, "@"), -1)
+    host = F.lower(F.element_at(F.split(hostport, ":"), 1))
+    port = F.when(
+        hostport.contains(":"), F.element_at(F.split(hostport, ":"), 2)
+    ).otherwise(F.lit(""))
+    nonstd_port = (port != "") & ~port.isin("80", "443")
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    has_puny = host.rlike(r"(^|\.)xn--")
+    n_labels = F.size(F.split(host, r"\.")).cast("long")
+    deep = n_labels >= 5
+    return df.select(
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        is_ip.alias("is_ip"),
+        has_user.alias("has_userinfo"),
+        has_puny.alias("has_punycode"),
+        n_labels.alias("n_labels"),
+        nonstd_port.alias("nonstd_port"),
+        (is_ip | has_user | has_puny | deep | nonstd_port).alias("suspicious"),
+    )
+
+
+def duck_suspicious_sql(table: str, url_col: str = "url") -> str:
+    """DuckDB twin of :func:`suspicious_url_flags`."""
+    return rf"""
+WITH a AS (
+  SELECT {url_col} AS url,
+         coalesce(regexp_extract({url_col}, '{_AUTH_RE}', 1), '') AS auth
+  FROM {table}
+),
+b AS (
+  SELECT url, auth,
+         auth LIKE '%@%' AS has_userinfo,
+         list_extract(string_split(auth, '@'), -1) AS hostport
+  FROM a
+),
+c AS (
+  SELECT url, has_userinfo,
+         lower(string_split(hostport, ':')[1]) AS host,
+         CASE WHEN hostport LIKE '%:%' THEN string_split(hostport, ':')[2]
+              ELSE '' END AS port
+  FROM b
+)
+SELECT url, host,
+       regexp_matches(host, '^\d{{1,3}}(\.\d{{1,3}}){{3}}$') AS is_ip,
+       has_userinfo,
+       regexp_matches(host, '(^|\.)xn--') AS has_punycode,
+       len(string_split(host, '.'))::BIGINT AS n_labels,
+       (port <> '' AND port NOT IN ('80', '443')) AS nonstd_port,
+       (regexp_matches(host, '^\d{{1,3}}(\.\d{{1,3}}){{3}}$')
+        OR has_userinfo
+        OR regexp_matches(host, '(^|\.)xn--')
+        OR len(string_split(host, '.')) >= 5
+        OR (port <> '' AND port NOT IN ('80', '443'))) AS suspicious
+FROM c
+"""

@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v23"  # v23: adds pages_ext (head markup); dedicated RNG, other v22 tables byte-identical
+SYNTH_VERSION = "v24"  # v24: adds urls_sus (URL hygiene); dedicated RNG, other v23 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -1124,6 +1124,52 @@ def _gen_pages_ext(pages_meta_tbl: pa.Table, sf: str):
     )
 
 
+
+def _gen_urls_sus(sf: str):
+    """(url_id, url) — URL-hygiene fixture: mostly benign host URLs plus the
+    suspicious-authority shapes a phishing/spam URL gate flags (IP-literal
+    hosts, userinfo@, punycode labels, deep subdomain stacks, non-standard
+    ports).  Dedicated RNG; all v23 tables byte-identical."""
+    rng = random.Random(f"urls_sus-{sf}")
+    n = _SF_WEBURLS[sf]
+    urls = [
+        # pinned boundary rows
+        "http://host0.example/fine.html",
+        "http://10.0.42.7/p/1",                     # IP literal
+        "http://admin@host1.example/login",          # userinfo
+        "http://xn--mnchen-3ya.example/strasse",     # punycode label
+        "http://a.b.c.d.host2.example/deep",         # 6 labels
+        "http://host3.example:8443/alt-port",        # non-standard port
+        "https://host4.example:443/standard-port",   # standard port: benign
+        "http://host5.example:80/standard-port",     # standard port: benign
+    ]
+    for i in range(len(urls), n):
+        h = rng.randrange(200)
+        r = rng.random()
+        if r < 0.70:
+            urls.append(f"http://host{h}.example/p/{i}")
+        elif r < 0.76:
+            urls.append(
+                f"http://{rng.randrange(1, 250)}.{rng.randrange(256)}"
+                f".{rng.randrange(256)}.{rng.randrange(1, 250)}/p/{i}"
+            )
+        elif r < 0.82:
+            urls.append(f"http://user{i}@host{h}.example/p/{i}")
+        elif r < 0.88:
+            urls.append(f"http://xn--{rng.choice(_WORDS)}-{i}a.example/p/{i}")
+        elif r < 0.94:
+            labels = ".".join(rng.choice(_WORDS)[:3] for _ in range(rng.randint(3, 6)))
+            urls.append(f"http://{labels}.host{h}.example/p/{i}")
+        else:
+            urls.append(f"http://host{h}.example:{rng.choice([81, 8080, 8443, 444])}/p/{i}")
+    return pa.table(
+        {
+            "url_id": pa.array(range(len(urls)), pa.int64()),
+            "url": pa.array(urls, pa.string()),
+        }
+    )
+
+
 def ensure_synth(sf_dir_or_name: str) -> str:
     """Generate (once) all synthetic tables for a scale; returns the dir."""
     sf = sf_name_of(sf_dir_or_name)
@@ -1152,6 +1198,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     tables = _gen_tables(urls, sf)
     feeds = _gen_feeds(pages_meta, sf)
     pages_ext = _gen_pages_ext(pages_meta, sf)
+    urls_sus = _gen_urls_sus(sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -1177,6 +1224,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(tables, synth_path(sf, "pages_tables"), row_group_size=2048)
     pq.write_table(feeds, synth_path(sf, "feeds"), row_group_size=2048)
     pq.write_table(pages_ext, synth_path(sf, "pages_ext"), row_group_size=2048)
+    pq.write_table(urls_sus, synth_path(sf, "urls_sus"), row_group_size=2048)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
