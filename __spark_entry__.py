@@ -587,6 +587,14 @@ def q_url_suspicious(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlfilter.suspicious_url_flags(_synth(spark, sf_dir, "urls_sus"))
 
 
+def q_doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style corpus keyphrases (Rose et al. 2010): stopword/punct-
+    delimited multiword candidates mined map-side, one partial-agg'd
+    exchange on phrase, TakeOrderedAndProject top-k
+    (textstats.corpus_keyphrases)."""
+    return textstats.corpus_keyphrases(_docs(spark, sf_dir))
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-link consolidation (the site-declared duplicate channel):
     pages fold into their rel=canonical target's group; one partial-agg'd
@@ -2000,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_discovery": q_frontier_discovery,
         "corpus_epochs": q_corpus_epochs,
         "url_suspicious": q_url_suspicious,
+        "doc_keyphrases": q_doc_keyphrases,
         "doc_classifier": q_doc_classifier,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
@@ -2463,6 +2472,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_chunks": webtext.duck_chunk_sql("documents"),
         "doc_quality": textstats.duck_quality_sql("documents"),
         "doc_readability": textstats.duck_readability_sql("documents"),
+        "doc_keyphrases": textstats.duck_keyphrases_sql("documents"),
         "doc_source_prior": textstats.duck_source_prior_sql("documents"),
         "doc_langid": textstats.duck_langid_sql("documents"),
         "doc_fingerprint": textstats.duck_fingerprint_sql("documents"),

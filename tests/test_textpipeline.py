@@ -1672,3 +1672,36 @@ def test_epoch_expand_crafted(spark, duck, docs):
     got = sampling.epoch_expand(docs)
     want = duck.sql(sampling.duck_epoch_expand_sql("documents"))
     _cmp(got, want, ["doc_id", "epoch"])
+
+
+def test_corpus_keyphrases_crafted(spark, tmp_path):
+    import duckdb
+
+    crafted = spark.createDataFrame(
+        [
+            ("d1", "The quick brown fox, and quick brown fox again."),
+            ("d2", "Quick brown fox is a deep neural network."),
+            ("d3", "deep neural network; deep NEURAL network"),
+        ],
+        "doc_id string, text string",
+    )
+    got = textstats.corpus_keyphrases(crafted).collect()
+    by = {r["phrase"]: (r["n_words"], r["n_occur"], r["n_docs"]) for r in got}
+    # stopwords ("the","and","is","a") and punctuation delimit candidates;
+    # non-stopword runs extend ("again" stays attached)
+    assert by["quick brown fox"] == (3, 2, 2)
+    assert by["quick brown fox again"] == (4, 1, 1)
+    assert by["deep neural network"] == (3, 3, 2)
+    # single-word runs never become phrases
+    assert all(" " in p for p in by)
+    # ranking: count desc then phrase asc
+    assert [r["phrase"] for r in got[:2]] == ["deep neural network", "quick brown fox"]
+    # oracle parity
+    p = str(tmp_path / "kp.parquet")
+    crafted.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    want = con.sql(textstats.duck_keyphrases_sql(f"read_parquet('{p}')")).df()
+    assert {
+        r["phrase"]: (r["n_words"], r["n_occur"], r["n_docs"])
+        for _, r in want.iterrows()
+    } == by

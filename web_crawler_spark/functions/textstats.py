@@ -1289,3 +1289,98 @@ FROM (
   FROM {table}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Keyphrase extraction (RAKE-style stopword-delimited candidates)
+# ---------------------------------------------------------------------------
+#
+# RAKE's core insight (Rose et al. 2010): content keyphrases are the maximal
+# token runs BETWEEN stopwords and punctuation.  The candidate mining is
+# pure string surgery — lowercase, punctuation -> boundary, stopword ->
+# boundary, split — so it runs as one zero-Python map over the scan in both
+# engines; corpus-level ranking is one partial-agg'd exchange on phrase and
+# a TakeOrderedAndProject top-k.  (RAKE's degree/frequency word score needs
+# float division; corpus frequency of the multiword phrase is the
+# integer-exact surrogate and ranks near-identically on prose.)
+
+KEYPHRASE_TOP_K = 100
+_STOPWORD_BOUNDARY_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+
+def keyphrase_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, phrase) — one row per multiword (>=2 token) candidate
+    occurrence, normalized to single-spaced lowercase alnum."""
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, r"[^a-z0-9\s]+", "|")
+    t = F.regexp_replace(t, _STOPWORD_BOUNDARY_RE, "|")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(t, r"\|")).alias("raw"),
+        )
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace(F.col("raw"), r"\s+", " ")).alias("phrase"),
+        )
+        .where(F.col("phrase").contains(" "))
+    )
+
+
+def corpus_keyphrases(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = KEYPHRASE_TOP_K,
+) -> DataFrame:
+    """(phrase, n_words, n_occur, n_docs) — corpus top-k keyphrases by
+    occurrence count (ties break on phrase text).  One exchange (partial
+    agg on phrase), then the top-k compiles to TakeOrderedAndProject."""
+    cand = keyphrase_candidates(df, id_col=id_col, text_col=text_col)
+    agg = cand.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occur"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return (
+        agg.select(
+            "phrase",
+            F.size(F.split(F.col("phrase"), " ")).cast("long").alias("n_words"),
+            "n_occur",
+            "n_docs",
+        )
+        .orderBy(F.col("n_occur").desc(), F.col("phrase").asc())
+        .limit(k)
+    )
+
+
+def duck_keyphrases_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text",
+    k: int = KEYPHRASE_TOP_K,
+) -> str:
+    """DuckDB twin of :func:`corpus_keyphrases`."""
+    return rf"""
+WITH cand AS (
+  SELECT {id_col} AS doc_id,
+         trim(regexp_replace(raw, '\s+', ' ', 'g')) AS phrase
+  FROM (
+    SELECT {id_col},
+           unnest(string_split(
+             regexp_replace(
+               regexp_replace(lower({text_col}), '[^a-z0-9\s]+', '|', 'g'),
+               '{_STOPWORD_BOUNDARY_RE}', '|', 'g'),
+             '|')) AS raw
+    FROM {table}
+  )
+  WHERE trim(regexp_replace(raw, '\s+', ' ', 'g')) LIKE '% %'
+)
+SELECT phrase,
+       len(string_split(phrase, ' '))::BIGINT AS n_words,
+       count(*)::BIGINT AS n_occur,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM cand
+GROUP BY phrase
+ORDER BY n_occur DESC, phrase ASC
+LIMIT {k}
+"""
