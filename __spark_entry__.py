@@ -1695,6 +1695,26 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over per-user event streams (the pathing /
+    next-action analysis): lead() within user ordered by (ts, event_id) —
+    ONE window exchange on user_id, then a partial-agg'd pair count.
+    Deterministic tie order via event_id."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    return pairs.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("long").alias("n_transitions")
+    )
+
+
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traffic-spike detection over hourly event counts: flag hours whose
     squared deviation from the per-type mean exceeds 9x the per-type
@@ -2103,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_user_rank": q_events_user_rank,
         "events_funnel": q_events_funnel,
+        "events_transitions": q_events_transitions,
         "events_retention": q_events_retention,
         "link_hits": q_link_hits,
         "search_bm25": q_search_bm25,
@@ -2671,6 +2692,18 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rnk
             FROM events GROUP BY user_id
             QUALIFY rnk <= 20
+        """,
+        "events_transitions": """
+            WITH seq AS (
+              SELECT event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ) AS next_type
+              FROM events
+            )
+            SELECT event_type, next_type, count(*)::BIGINT AS n_transitions
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
         """,
         "events_funnel": f"""
             WITH ev AS (

@@ -237,3 +237,30 @@ def test_events_bands_boundary_semantics(spark, tmp_path):
         ).df().iterrows()
     }
     assert want == got
+
+
+def test_events_transitions_order_and_ties(spark):
+    """lead() follows (ts, event_id) order; last event per user emits no pair."""
+    import datetime as dt
+
+    import __spark_entry__ as entry
+
+    rows = [
+        # user 1: view -> click -> purchase (with a ts tie broken by event_id)
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 10, "view"),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 1), 10, "click"),
+        (3, dt.datetime(2024, 1, 1, 0, 0, 1), 10, "purchase"),  # tie: id 2 < 3
+        # user 2: single event -> contributes nothing
+        (4, dt.datetime(2024, 1, 1, 0, 0, 0), 20, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    import os, tempfile
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        (r["event_type"], r["next_type"]): r["n_transitions"]
+        for r in entry.q_events_transitions(spark, d).collect()
+    }
+    assert out == {("view", "click"): 1, ("click", "purchase"): 1}
