@@ -595,6 +595,49 @@ def q_doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.corpus_keyphrases(_docs(spark, sf_dir))
 
 
+def _phash_golden_path(sf: str) -> str:
+    """Materialize the naive-Python dHash golden for the synth media table
+    (differential by construction vs the vectorized numpy path under
+    test); cache key embeds the grid params."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark.functions import multimodal
+
+    out = os.path.join(
+        synth.SYNTH_ROOT,
+        f"phash_golden_sf{sf}_r{multimodal.PHASH_ROWS}c{multimodal.PHASH_COLS}.parquet",
+    )
+    if os.path.exists(out):
+        return out
+    os.makedirs(synth.SYNTH_ROOT, exist_ok=True)
+    synth.ensure_synth(sf)
+    media = pq.read_table(synth.synth_path(sf, "media"), columns=["media_id", "payload"])
+    ids, hashes = [], []
+    for mid, payload in zip(media.column("media_id"), media.column("payload")):
+        ids.append(mid.as_py())
+        hashes.append(multimodal.naive_phash(payload.as_py()))
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.table({"media_id": pa.array(ids, pa.int64()),
+                  "phash": pa.array(hashes, pa.int64())}),
+        tmp,
+    )
+    os.replace(tmp, out)
+    return out
+
+
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash near-dup hashing over the media payloads: Arrow-
+    batched pseudo-decode (honest stub, multimodal.py module note) + 64-bit
+    gradient-sign hash + per-hash copy counts; payloads never shuffle —
+    the exchange carries 8-byte hashes (multimodal.media_phash).  Oracle is
+    an independent row-at-a-time plain-int golden."""
+    from web_crawler_spark.functions import multimodal
+
+    return multimodal.media_phash(_synth(spark, sf_dir, "media"))
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-link consolidation (the site-declared duplicate channel):
     pages fold into their rel=canonical target's group; one partial-agg'd
@@ -2029,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_epochs": q_corpus_epochs,
         "url_suspicious": q_url_suspicious,
         "doc_keyphrases": q_doc_keyphrases,
+        "media_phash": q_media_phash,
         "doc_classifier": q_doc_classifier,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
@@ -2423,6 +2467,15 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "html_refresh": html_parse.duck_refresh_sql(f"read_parquet('{sp('pages_ext')}')"),
         "crawl_soft404": webtext.duck_soft404_sql(f"read_parquet('{sp('pages_ext')}')"),
         "corpus_epochs": sampling.duck_epoch_expand_sql("documents"),
+        "media_phash": f"""
+            WITH g AS (SELECT media_id, phash
+                       FROM read_parquet('{_phash_golden_path(ORACLE_SF)}')),
+            c AS (SELECT phash, count(*)::BIGINT AS n_copies FROM g GROUP BY 1)
+            SELECT g.media_id, m.kind, g.phash, c.n_copies
+            FROM g
+            JOIN read_parquet('{sp('media')}') m USING (media_id)
+            JOIN c USING (phash)
+        """,
         "url_suspicious": urlfilter.duck_suspicious_sql(
             f"read_parquet('{sp('urls_sus')}')"
         ),

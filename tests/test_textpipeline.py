@@ -1705,3 +1705,40 @@ def test_corpus_keyphrases_crafted(spark, tmp_path):
         r["phrase"]: (r["n_words"], r["n_occur"], r["n_docs"])
         for _, r in want.iterrows()
     } == by
+
+
+def test_media_phash_near_dup_property(spark):
+    from web_crawler_spark.functions import multimodal as mm
+
+    # identical payloads share a hash; small byte perturbations stay within
+    # a small Hamming radius; different payloads diverge
+    import random
+    rng = random.Random(7)
+    base = bytes(rng.getrandbits(8) for _ in range(400))
+    perturbed = bytearray(base)
+    for i in (3, 97, 251, 310):
+        perturbed[i] ^= 0xC0
+    other = bytes(rng.getrandbits(8) for _ in range(400))
+    df = spark.createDataFrame(
+        [(0, "image", base), (1, "image", base), (2, "image", bytes(perturbed)),
+         (3, "image", other)],
+        "media_id long, kind string, payload binary",
+    )
+    got = {r["media_id"]: r for r in mm.media_phash(df).collect()}
+    assert got[0]["phash"] == got[1]["phash"]
+    assert got[0]["n_copies"] == 2 and got[3]["n_copies"] == 1
+    ham = bin((got[0]["phash"] ^ got[2]["phash"]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 6
+    ham_other = bin((got[0]["phash"] ^ got[3]["phash"]) & ((1 << 64) - 1)).count("1")
+    assert ham_other > ham
+    # vectorized path == independent naive golden on every fixture payload
+    from web_crawler_spark import synth as synthmod
+
+    synthmod.ensure_synth("0.001")
+    media = spark.read.parquet(
+        synthmod.synth_path("0.001", "media")
+    ).select("media_id", "payload").collect()
+    for r in media[:100]:
+        assert mm._vector_phash(bytes(r["payload"])) == mm.naive_phash(
+            bytes(r["payload"])
+        )

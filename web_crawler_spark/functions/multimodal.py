@@ -212,3 +212,94 @@ def sample_frames(
     return media.select("media_id", "kind", "payload", "duration_s").mapInPandas(
         run, schema="media_id long, frame_idx long, ts_ms long, frame binary"
     )
+
+
+# --- perceptual hash (dHash) over the pseudo-decode ----------------------------
+#
+# Image near-dup dedup hashes PIXELS, not bytes: resized thumbnails /
+# re-encodes share a dHash (gradient sign grid) while md5 differs.  The
+# decode stage is the container stub above, so the "pixels" here are the
+# deterministic byte-chunk means (the same honest stand-in _fake_feature
+# uses, at 8x9 resolution); swapping in a real `decode_image` + resize
+# keeps every downstream line identical.  Small payload perturbations move
+# few chunk means, so Hamming distance stays small — the property banded
+# near-dup joins need (see dedupsim.simhash_pairs for the banding family
+# this hash plugs into).
+
+PHASH_ROWS = 8
+PHASH_COLS = 9  # cols-1 comparisons per row -> 64 bits
+_PHASH_CELLS = PHASH_ROWS * PHASH_COLS
+
+
+def naive_phash(payload: bytes) -> int:
+    """Row-at-a-time plain-int dHash — the differential golden."""
+    n = len(payload)
+    grid = []
+    for c in range(_PHASH_CELLS):
+        lo, hi = c * n // _PHASH_CELLS, (c + 1) * n // _PHASH_CELLS
+        chunk = payload[lo:hi]
+        grid.append(sum(chunk) // len(chunk) if chunk else 0)
+    bits = 0
+    for r in range(PHASH_ROWS):
+        for c in range(PHASH_COLS - 1):
+            bits = (bits << 1) | (
+                1 if grid[r * PHASH_COLS + c + 1] > grid[r * PHASH_COLS + c] else 0
+            )
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def _vector_phash(payload: bytes) -> int:
+    """Vectorized numpy dHash (the path under test; independent of
+    :func:`naive_phash`)."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n = len(arr)
+    bounds = (np.arange(_PHASH_CELLS) * n) // _PHASH_CELLS
+    counts = np.diff(np.append(bounds, n))
+    if n == 0:
+        grid = np.zeros(_PHASH_CELLS, dtype=np.int64)
+    else:
+        sums = np.add.reduceat(arr, np.minimum(bounds, max(n - 1, 0)))
+        sums = np.where(counts > 0, sums, 0)
+        grid = np.where(counts > 0, sums // np.maximum(counts, 1), 0)
+    g = grid.reshape(PHASH_ROWS, PHASH_COLS)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint64).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """(media_id, kind, phash, n_copies) — Arrow-batched dHash plus the
+    per-hash copy count (one partial-agg'd exchange on the 8-byte hash;
+    payloads never shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "phash": [
+                        _vector_phash(bytes(p)) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    hashed = media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+    counts = hashed.groupBy("phash").agg(F.count("*").cast("long").alias("n_copies"))
+    return hashed.join(counts, on="phash").select(
+        "media_id", "kind", "phash", "n_copies"
+    )
