@@ -638,6 +638,81 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_phash(_synth(spark, sf_dir, "media"))
 
 
+def _bpe_golden_paths(sf: str) -> tuple[str, str]:
+    """Materialize the plain-Python BPE golden (merge table + applied
+    per-doc counts) for the driver documents table; cache key embeds the
+    training params."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark.functions import bpe
+
+    tag = f"sf{sf}_v{bpe.BPE_TOP_WORDS}m{bpe.BPE_MERGES}p{bpe.BPE_MIN_PAIR}"
+    out_m = os.path.join(synth.SYNTH_ROOT, f"bpe_merges_golden_{tag}.parquet")
+    out_a = os.path.join(synth.SYNTH_ROOT, f"bpe_apply_golden_{tag}.parquet")
+    if os.path.exists(out_m) and os.path.exists(out_a):
+        return out_m, out_a
+    os.makedirs(synth.SYNTH_ROOT, exist_ok=True)
+    merges, applied = bpe.naive_bpe_golden(f"/root/testdata/sf{sf}/documents.parquet")
+    tm, ta = out_m + ".tmp", out_a + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "merge_idx": pa.array([m[0] for m in merges], pa.int64()),
+                "left": pa.array([m[1] for m in merges], pa.string()),
+                "right": pa.array([m[2] for m in merges], pa.string()),
+                "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+            }
+        ),
+        tm,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([a[0] for a in applied], pa.int64()),
+                "n_words": pa.array([a[1] for a in applied], pa.int64()),
+                "n_bpe_symbols": pa.array([a[2] for a in applied], pa.int64()),
+            }
+        ),
+        ta,
+    )
+    os.replace(tm, out_m)
+    os.replace(ta, out_a)
+    return out_m, out_a
+
+
+_BPE_MERGES_MEMO: dict[str, list] = {}
+
+
+def _trained_merges(spark: SparkSession, sf_dir: str):
+    from web_crawler_spark.functions import bpe
+
+    key = sf_dir
+    if key not in _BPE_MERGES_MEMO:
+        _BPE_MERGES_MEMO[key] = bpe.train_bpe(_docs(spark, sf_dir))
+    return _BPE_MERGES_MEMO[key]
+
+
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training on the corpus (Sennrich et al. 2016): the
+    distributed work is ONE word-count exchange + a TakeOrderedAndProject
+    top-V cut; the exact integer merge loop runs driver-side on that
+    bounded type table (the IVF sample discipline), deterministic across
+    partition counts (functions/bpe.py)."""
+    from web_crawler_spark.functions import bpe
+
+    return bpe.merges_df(spark, _trained_merges(spark, sf_dir))
+
+
+def q_doc_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges to every document: Arrow-batched
+    inference with broadcast ranks and in-batch word memoization — no
+    shuffle (bpe.apply_merges)."""
+    from web_crawler_spark.functions import bpe
+
+    return bpe.apply_merges(_docs(spark, sf_dir), _trained_merges(spark, sf_dir))
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-link consolidation (the site-declared duplicate channel):
     pages fold into their rel=canonical target's group; one partial-agg'd
@@ -2073,6 +2148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_suspicious": q_url_suspicious,
         "doc_keyphrases": q_doc_keyphrases,
         "media_phash": q_media_phash,
+        "corpus_bpe_merges": q_corpus_bpe_merges,
+        "doc_bpe_apply": q_doc_bpe_apply,
         "doc_classifier": q_doc_classifier,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
@@ -2467,6 +2544,12 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "html_refresh": html_parse.duck_refresh_sql(f"read_parquet('{sp('pages_ext')}')"),
         "crawl_soft404": webtext.duck_soft404_sql(f"read_parquet('{sp('pages_ext')}')"),
         "corpus_epochs": sampling.duck_epoch_expand_sql("documents"),
+        "corpus_bpe_merges": (
+            lambda paths: f"SELECT * FROM read_parquet('{paths[0]}')"
+        )(_bpe_golden_paths(ORACLE_SF)),
+        "doc_bpe_apply": (
+            lambda paths: f"SELECT * FROM read_parquet('{paths[1]}')"
+        )(_bpe_golden_paths(ORACLE_SF)),
         "media_phash": f"""
             WITH g AS (SELECT media_id, phash
                        FROM read_parquet('{_phash_golden_path(ORACLE_SF)}')),

@@ -1742,3 +1742,46 @@ def test_media_phash_near_dup_property(spark):
         assert mm._vector_phash(bytes(r["payload"])) == mm.naive_phash(
             bytes(r["payload"])
         )
+
+
+def test_bpe_train_and_apply_crafted(spark):
+    from web_crawler_spark.functions import bpe
+
+    # corpus: "aaab" x3, "aab" x2 -> pair counts: (a,a)=3*2+2=8? no:
+    # 'aaab': pairs (a,a),(a,a),(a,b); 'aab': (a,a),(a,b)
+    # (a,a) = 3*2 + 2*1 = 8, (a,b) = 3 + 2 = 5 -> merge 0 = (a,a)
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab aab aab")], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe(docs, n_merges=3)
+    assert merges[0][1:3] == ("a", "a") and merges[0][3] == 8
+    # after merge 0: 'aaab' -> [aa, a, b], 'aab' -> [aa, b]
+    # pairs: (aa,a)=3, (a,b)=3, (aa,b)=2 -> tie 3/3 broken lexicographically: (a,b)
+    assert merges[1][1:3] == ("a", "b") and merges[1][3] == 3
+    # partition invariance
+    merges8 = bpe.train_bpe(docs.repartition(8), n_merges=3)
+    assert merges8 == merges
+    # apply: 'aaab' with ranks {(a,a):0, (a,b):1, ...} -> aa,a,b -> aa,ab -> 2
+    out = {r["doc_id"]: r for r in bpe.apply_merges(docs, merges).collect()}
+    assert out[1]["n_words"] == 5
+    # empty text contributes 0
+    empty = spark.createDataFrame([(2, "")], "doc_id long, text string")
+    got = bpe.apply_merges(empty, merges).first()
+    assert (got["n_words"], got["n_bpe_symbols"]) == (0, 0)
+    # golden parity end-to-end on the driver fixture
+    import __spark_entry__ as entry
+    m_path, a_path = entry._bpe_golden_paths("0.001")
+    import pandas as pd
+    want_m = pd.read_parquet(m_path)
+    got_m = entry.q_corpus_bpe_merges(spark, "/root/testdata/sf0.001").toPandas()
+    pd.testing.assert_frame_equal(
+        got_m.sort_values("merge_idx").reset_index(drop=True),
+        want_m.sort_values("merge_idx").reset_index(drop=True),
+        check_dtype=False,
+    )
+    want_a = pd.read_parquet(a_path).sort_values("doc_id").reset_index(drop=True)
+    got_a = (
+        entry.q_doc_bpe_apply(spark, "/root/testdata/sf0.001")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_a, want_a, check_dtype=False)
