@@ -713,6 +713,18 @@ def q_doc_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.apply_merges(_docs(spark, sf_dir), _trained_merges(spark, sf_dir))
 
 
+def q_sketch_host_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host HLL distinct-URL sketches (frontier budgeting / trap
+    detection at site grain): map-side partial max keeps the exchange at
+    <= |hosts| x 4096 register rows, and per-host sketches merge by the
+    same max (bloom.hll_registers_by)."""
+    from web_crawler_spark.operators import bloom as bloom_ops
+
+    return bloom_ops.hll_registers_by(
+        _synth(spark, sf_dir, "pages_meta").select("host", "url")
+    )
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-link consolidation (the site-declared duplicate channel):
     pages fold into their rel=canonical target's group; one partial-agg'd
@@ -2150,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": q_media_phash,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "doc_bpe_apply": q_doc_bpe_apply,
+        "sketch_host_hll": q_sketch_host_hll,
         "doc_classifier": q_doc_classifier,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
@@ -2568,6 +2581,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f"read_parquet('{sp('feeds')}')",
             f"read_parquet('{sp('pages_ext')}')",
             f"read_parquet('{sp('redirects')}')",
+        ),
+        "sketch_host_hll": bloom_ops.duck_hll_registers_by_sql(
+            f"(SELECT host, url FROM read_parquet('{sp('pages_meta')}'))"
         ),
         "sched_bytes": _politeness.duck_host_byte_budget_sql(
             f"(SELECT url, host FROM read_parquet('{sp('pages_meta')}'))",

@@ -464,3 +464,42 @@ def test_kmv_sketch_merge_and_estimates(spark):
     # never a global Sort
     plan = bloom.kmv_sketch(a)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hll_registers_by_group_merge_and_estimate(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.operators import bloom
+
+    rows = [("a", f"http://a/{i}") for i in range(4000)] + [
+        ("b", f"http://b/{i % 50}") for i in range(2000)  # b: only 50 distinct
+    ]
+    df = spark.createDataFrame(rows, "host string, url string")
+    regs = bloom.hll_registers_by(df).collect()
+    by_host: dict = {}
+    for r in regs:
+        by_host.setdefault(r["host"], {})[r["register"]] = r["max_rank"]
+    est_a = bloom.hll_estimate(by_host["a"])
+    est_b = bloom.hll_estimate(by_host["b"])
+    assert abs(est_a - 4000) / 4000 < 0.05
+    assert abs(est_b - 50) / 50 < 0.25
+    # merge(shard1, shard2) by max == sketch of the union, per group
+    s1 = bloom.hll_registers_by(df.where("url LIKE '%0'"))
+    s2 = bloom.hll_registers_by(df.where("url NOT LIKE '%0'"))
+    from pyspark.sql import functions as F
+    merged = {
+        (r["host"], r["register"]): r["mr"]
+        for r in s1.unionByName(s2)
+        .groupBy("host", "register")
+        .agg(F.max("max_rank").alias("mr"))
+        .collect()
+    }
+    assert merged == {(r["host"], r["register"]): r["max_rank"] for r in regs}
+    # oracle parity
+    p = str(tmp_path / "hg.parquet")
+    df.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    want = con.sql(bloom.duck_hll_registers_by_sql(f"read_parquet('{p}')")).df()
+    assert {
+        (r["host"], r["register"]): r["max_rank"] for _, r in want.iterrows()
+    } == {(r["host"], r["register"]): r["max_rank"] for r in regs}

@@ -701,3 +701,56 @@ SELECT k_sample::BIGINT AS k_sample, n_in_both::BIGINT AS n_in_both,
        (({KMV_MAX}::BIGINT // kth) * (k_sample - 1))::BIGINT AS union_est
 FROM kk, nb
 """
+
+
+# --- grouped HLL (per-host distinct-URL sketches) -------------------------------
+#
+# The per-GROUP variant of the register table above: one mergeable distinct
+# sketch per host answers "how many distinct URLs does each site expose"
+# (frontier budgeting, trap detection, coverage dashboards) without a
+# (host, url) distinct — whose exchange at 10^10 URLs is the corpus itself.
+# The grouped sketch's exchange is <= |hosts| * m register rows after map-
+# side partial max, and per-host sketches from shards/days merge by the
+# same max.
+
+def hll_registers_by(
+    df: "DataFrame", group_col: str = "host", col: str = "url"
+) -> "DataFrame":
+    """(group, register, max_rank) — one HLL register table per group."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.col(col).cast("string"))
+    reg = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 4, HLL_W_HEX), 16, 10).cast("long")
+    rank = (
+        F.when(w == 0, F.lit(HLL_MAX_RANK))
+        .otherwise(F.lit(HLL_W_HEX * 4) - F.length(F.bin(w)) + 1)
+        .cast("long")
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"), reg.alias("register"), rank.alias("rank")
+        )
+        .groupBy("grp", "register")
+        .agg(F.max("rank").alias("max_rank"))
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def duck_hll_registers_by_sql(
+    table: str, group_col: str = "host", col: str = "url"
+) -> str:
+    return rf"""
+WITH h AS (
+  SELECT {group_col} AS grp, md5({col}::VARCHAR) AS hx FROM {table}
+),
+r AS (
+  SELECT grp, CAST('0x' || substring(hx, 1, 3) AS BIGINT) AS register,
+         CAST('0x' || substring(hx, 4, {HLL_W_HEX}) AS BIGINT) AS w
+  FROM h
+)
+SELECT grp AS {group_col}, register,
+       max(CASE WHEN w = 0 THEN {HLL_MAX_RANK}
+                ELSE {HLL_W_HEX * 4} - length(bin(w)) + 1 END)::BIGINT AS max_rank
+FROM r GROUP BY grp, register
+"""
