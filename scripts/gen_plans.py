@@ -322,6 +322,32 @@ def main() -> None:
         "— the partial-agg'd candidate rollup.",
     )
 
+    cap(
+        "sched_bytes — byte-budget selection with map-side count prune",
+        E.q_sched_bytes(spark, sf_dir),
+        "Want: WindowGroupLimit Partial below the host exchange (the count\n"
+        "cap prunes the hot host BEFORE the byte cumsum window); est-bytes\n"
+        "join moves (url, est_bytes) pairs only.",
+    )
+    from web_crawler_spark.operators import bloom as _kmvlib  # noqa: E402
+
+    cap(
+        "sketch_kmv — bottom-k via TakeOrderedAndProject",
+        _kmvlib.kmv_sketch(
+            spark.read.parquet(synth.synth_path("0.001", "pages_meta")).select("url")
+        ),
+        "Want: TakeOrderedAndProject (per-partition k-heap), never a global Sort.",
+    )
+    cap(
+        "frontier_discovery — seven channels, one exchange",
+        E.q_frontier_discovery(spark, sf_dir),
+        "Want: every channel a map-side extraction (regex/posexplode) under a\n"
+        "Union; the distinct-channel count compiles to the standard two-phase\n"
+        "shape — partial agg on (url, prio) before the first exchange (duplicate\n"
+        "discoveries die map-side), then the url-grain merge; both exchanges\n"
+        "carry channel-grain rows, never page bodies.",
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")
         f.write(
