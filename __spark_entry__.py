@@ -1845,6 +1845,63 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OVERLAP_W_US = 3_600_000_000  # 1h buckets
+OVERLAP_TOP = 5
+
+
+def q_events_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-x-INTERVAL overlap join (the generalization of the
+    events_bands range join): per-user daily activity intervals vs the
+    corpus's top-5 peak-hour windows, realized by exploding each interval
+    into its covering hour buckets (<= 24, map-side sequence) and
+    broadcast-equi-joining on bucket — never the BroadcastNestedLoopJoin
+    the naive inequality pair compiles to.  The oracle runs the TRUE
+    inequality join, proving the decomposition exact."""
+    w, top = OVERLAP_W_US, OVERLAP_TOP
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    peak = (
+        ev.groupBy(F.expr(f"ts_us DIV {w}").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("bucket").asc())
+        .limit(top)
+        .select(
+            "bucket",
+            (F.col("bucket") * w).alias("b_start"),
+            ((F.col("bucket") + 1) * w).alias("b_end"),
+        )
+    )
+    sess = ev.groupBy(
+        "user_id", F.expr("ts_us DIV 86400000000").alias("day")
+    ).agg(
+        F.min("ts_us").alias("s_start"), (F.max("ts_us") + 1).alias("s_end")
+    )
+    expanded = sess.select(
+        "user_id",
+        "day",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_start DIV {w}"), F.expr(f"(s_end - 1) DIV {w}")
+            )
+        ).alias("bucket"),
+    )
+    return (
+        expanded.join(F.broadcast(peak), on="bucket")
+        .filter((F.col("s_start") < F.col("b_end")) & (F.col("b_start") < F.col("s_end")))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").cast("long").alias("n_peak_windows"),
+            F.sum(
+                F.least(F.col("s_end"), F.col("b_end"))
+                - F.greatest(F.col("s_start"), F.col("b_start"))
+            ).cast("long").alias("overlap_us"),
+        )
+    )
+
+
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traffic-spike detection over hourly event counts: flag hours whose
     squared deviation from the per-type mean exceeds 9x the per-type
@@ -2258,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_rank": q_events_user_rank,
         "events_funnel": q_events_funnel,
         "events_transitions": q_events_transitions,
+        "events_overlaps": q_events_overlaps,
         "events_retention": q_events_retention,
         "link_hits": q_link_hits,
         "search_bm25": q_search_bm25,
@@ -2844,6 +2902,28 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rnk
             FROM events GROUP BY user_id
             QUALIFY rnk <= 20
+        """,
+        "events_overlaps": f"""
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS ts_us FROM events
+            ),
+            peak AS (
+              SELECT (ts_us // {OVERLAP_W_US}) * {OVERLAP_W_US} AS b_start,
+                     ((ts_us // {OVERLAP_W_US}) + 1) * {OVERLAP_W_US} AS b_end
+              FROM ev GROUP BY 1, 2
+              ORDER BY count(*) DESC, b_start ASC LIMIT {OVERLAP_TOP}
+            ),
+            sess AS (
+              SELECT user_id, ts_us // 86400000000 AS day,
+                     min(ts_us) AS s_start, max(ts_us) + 1 AS s_end
+              FROM ev GROUP BY 1, 2
+            )
+            SELECT user_id, day,
+                   count(*)::BIGINT AS n_peak_windows,
+                   sum(least(s_end, b_end) - greatest(s_start, b_start))::BIGINT
+                     AS overlap_us
+            FROM sess JOIN peak ON s_start < b_end AND b_start < s_end
+            GROUP BY 1, 2
         """,
         "events_transitions": """
             WITH seq AS (

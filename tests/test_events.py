@@ -264,3 +264,54 @@ def test_events_transitions_order_and_ties(spark):
         for r in entry.q_events_transitions(spark, d).collect()
     }
     assert out == {("view", "click"): 1, ("click", "purchase"): 1}
+
+
+def test_events_overlaps_decomposition_exact(spark, tmp_path):
+    """The bucket decomposition matches the true inequality join, including
+    a session spanning several buckets and one touching a window edge."""
+    import datetime as dt
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    rows = []
+    eid = 0
+    # hours 0,2,3,4,5 dense -> the top-5 peak windows; hour 1 sparse
+    for hr in (0, 2, 3, 4, 5):
+        for m in range(hr * 60, hr * 60 + 50, 5):
+            eid += 1; rows.append((eid, at(m), 1, "view"))
+    # user 3: one event in sparse hour 1 only -> its daily interval still
+    # overlaps nothing unless a peak window covers it
+    eid += 1; rows.append((eid, at(70), 3, "view"))
+    # user 4: spans hours 0..2 -> overlaps both peak windows
+    eid += 1; rows.append((eid, at(1), 4, "view"))
+    eid += 1; rows.append((eid, at(140), 4, "view"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        (r["user_id"], r["day"]): (r["n_peak_windows"], r["overlap_us"])
+        for r in entry.q_events_overlaps(spark, d).collect()
+    }
+    # true join oracle on the same parquet
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('"
+        + os.path.join(d, "events.parquet", "*.parquet") + "')"
+    )
+    want = {
+        (r["user_id"], r["day"]): (r["n_peak_windows"], r["overlap_us"])
+        for _, r in con.sql(entry.oracle_sql()["events_overlaps"]).df().iterrows()
+    }
+    assert got == want
+    assert got[(4, 19723)][0] == 2  # spans both peak hours
+    assert (3, 19723) not in got or got[(3, 19723)][0] <= 1
