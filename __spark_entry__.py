@@ -725,6 +725,16 @@ def q_sketch_host_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage diagnostic: per-doc OOV rate vs the corpus's own
+    deterministic top-V vocabulary — vocab broadcasts, tokens explode
+    map-side, ONE per-doc exchange (bpe.oov_stats)."""
+    from web_crawler_spark.functions import bpe
+
+    d = _docs(spark, sf_dir)
+    return bpe.oov_stats(d, bpe.top_vocab(d))
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-link consolidation (the site-declared duplicate channel):
     pages fold into their rel=canonical target's group; one partial-agg'd
@@ -2220,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "doc_bpe_apply": q_doc_bpe_apply,
         "sketch_host_hll": q_sketch_host_hll,
+        "doc_oov": q_doc_oov,
         "doc_classifier": q_doc_classifier,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
@@ -2547,6 +2558,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_for(sf: str) -> dict[str, str]:
+    from web_crawler_spark.functions import bpe as _bpe
     from web_crawler_spark.operators import bloom as bloom_ops
     from web_crawler_spark.operators import politeness as _politeness
     from web_crawler_spark.plans import discovery as _discovery
@@ -2615,6 +2627,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "html_refresh": html_parse.duck_refresh_sql(f"read_parquet('{sp('pages_ext')}')"),
         "crawl_soft404": webtext.duck_soft404_sql(f"read_parquet('{sp('pages_ext')}')"),
         "corpus_epochs": sampling.duck_epoch_expand_sql("documents"),
+        "doc_oov": _bpe.duck_oov_sql("documents"),
         "corpus_bpe_merges": (
             lambda paths: f"SELECT * FROM read_parquet('{paths[0]}')"
         )(_bpe_golden_paths(ORACLE_SF)),

@@ -1785,3 +1785,18 @@ def test_bpe_train_and_apply_crafted(spark):
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got_a, want_a, check_dtype=False)
+
+
+def test_oov_stats_crafted(spark):
+    from web_crawler_spark.functions import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha zzz"), (3, "")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("alpha",), ("beta",)], "word string")
+    got = {r["doc_id"]: r for r in bpe.oov_stats(docs, vocab).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_oov"], got[1]["oov_ppm"]) == (3, 0, 0)
+    assert (got[2]["n_tokens"], got[2]["n_oov"], got[2]["oov_ppm"]) == (2, 1, 500000)
+    # blank docs survive with 0/0 (the left join restore)
+    assert (got[3]["n_tokens"], got[3]["n_oov"], got[3]["oov_ppm"]) == (0, 0, 0)

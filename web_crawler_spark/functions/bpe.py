@@ -196,3 +196,94 @@ def naive_bpe_golden(parquet_path: str, top_words: int = BPE_TOP_WORDS,
             total += cache[w]
         applied.append((doc_id, len(words), total))
     return merges, applied
+
+
+# --- vocabulary coverage / OOV diagnostics --------------------------------------
+#
+# The fit diagnostic for any fixed vocabulary (the BPE top-V above, or a
+# deployed tokenizer's word list): what fraction of each document's tokens
+# fall outside it.  High OOV flags domain shift (code in a prose corpus,
+# new languages) before training does.  Shape: the vocab is O(V) and
+# BROADCASTS; the token explode is map-side; the only exchange is the
+# per-doc partial agg.
+
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_ppm) — vocab is a (word) DataFrame."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+    flagged = toks.join(
+        F.broadcast(vocab.select("word").withColumn("_in", F.lit(1))),
+        on="word",
+        how="left",
+    )
+    counted = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+    )
+    # empty/blank docs emit no tokens: restore them with 0/0
+    all_docs = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_docs.join(counted, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+        F.floor(
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(F.col("n_tokens"), F.lit(0)).cast("double"), F.lit(1.0))
+            * 1e6
+        ).cast("long").alias("oov_ppm"),
+    )
+
+
+def top_vocab(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    top_words: int = BPE_TOP_WORDS,
+) -> DataFrame:
+    """(word) — the deterministic top-V cut (count desc, word asc);
+    TakeOrderedAndProject, no global sort."""
+    return (
+        word_counts(df, id_col=id_col, text_col=text_col)
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(top_words)
+        .select("word")
+    )
+
+
+def duck_oov_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text",
+    top_words: int = BPE_TOP_WORDS,
+) -> str:
+    """DuckDB twin of oov_stats(df, top_vocab(df))."""
+    toks = (
+        f"SELECT {id_col} AS doc_id, unnest(regexp_split_to_array("
+        f"trim(lower({text_col})), '\\s+')) AS word FROM {table} "
+        f"WHERE trim({text_col}) <> ''"
+    )
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, word FROM ({toks}) WHERE word <> ''
+),
+vocab AS MATERIALIZED (
+  SELECT word FROM toks GROUP BY word
+  ORDER BY count(*) DESC, word ASC LIMIT {top_words}
+),
+counted AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON v.word = t.word
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(c.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(c.n_oov, 0)::BIGINT AS n_oov,
+       floor(coalesce(c.n_oov, 0)::DOUBLE
+             / greatest(coalesce(c.n_tokens, 0), 1)::DOUBLE * 1e6)::BIGINT AS oov_ppm
+FROM (SELECT DISTINCT {id_col} AS doc_id FROM {table}) d
+LEFT JOIN counted c USING (doc_id)
+"""
