@@ -1800,3 +1800,28 @@ def test_oov_stats_crafted(spark):
     assert (got[2]["n_tokens"], got[2]["n_oov"], got[2]["oov_ppm"]) == (2, 1, 500000)
     # blank docs survive with 0/0 (the left join restore)
     assert (got[3]["n_tokens"], got[3]["n_oov"], got[3]["oov_ppm"]) == (0, 0, 0)
+
+
+def test_ivfpq_topk_recall_and_compression(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simsearch.ivfpq_topk(emb, q, k=5, n_lists=8, nprobe=6).collect()
+    }
+    per_q: dict = {}
+    for qid, nid in exact:
+        hit, tot = per_q.get(qid, (0, 0))
+        per_q[qid] = (hit + ((qid, nid) in approx), tot + 1)
+    recalls = [h / t for h, t in per_q.values()]
+    assert min(recalls) >= 0.4
+    assert sum(recalls) / len(recalls) > 0.8
+    # the index really is compressed: PQ_M small ints + a list id per vector
+    from web_crawler_spark.functions.simsearch import PQ_M
+    assert PQ_M * 4 <= 32  # 4-bit codes -> <= 4 bytes of payload per vector

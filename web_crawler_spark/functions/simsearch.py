@@ -448,3 +448,182 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized inverted file (Jégou et al., TPAMI 2011)
+# ---------------------------------------------------------------------------
+#
+# The compressed-index scale path: IVF alone still stores full vectors;
+# PQ encodes each corpus vector's RESIDUAL (v - coarse centroid) as M
+# subspace codebook ids — PQ_M bytes per vector instead of 4*d, which is
+# what makes a 10^10-vector index fit a cluster's memory.  Search is
+# asymmetric distance (decode-free LUT in spirit; here the decoded-vector
+# form, vectorized per Arrow batch) over the probed lists, then an exact
+# re-rank of the top ADC candidates against the true vectors.
+#
+# Training follows the IVF discipline: codebooks fit driver-side on the
+# deterministic md5-order sample (no RNG state), broadcast everywhere; the
+# corpus-side work stays vectorized Arrow passes keyed by list id.
+
+PQ_M = 4       # subspaces
+PQ_K = 16      # codewords per subspace (4-bit codes)
+PQ_ITERS = 8
+PQ_RERANK = 400
+
+
+def _pq_codebooks(Xn, C, assign, m: int = PQ_M, k: int = PQ_K,
+                  iters: int = PQ_ITERS):
+    """(m, k, d/m) codebooks over residuals; deterministic sample-order
+    init, euclidean Lloyd iterations."""
+    import numpy as np
+
+    res = Xn - C[assign]
+    d = res.shape[1]
+    sub = d // m
+    books = []
+    for mi in range(m):
+        S = res[:, mi * sub : (mi + 1) * sub]
+        kk = min(k, len(S))
+        B = S[:kk].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(kk):
+                mask = a == c
+                if mask.any():
+                    B[c] = S[mask].mean(axis=0)
+        books.append(B)
+    return np.stack(books)  # (m, k', sub)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    n_lists: int = IVF_LISTS,
+    nprobe: int = IVF_NPROBE,
+    pq_m: int = PQ_M,
+    pq_k: int = PQ_K,
+    rerank: int = PQ_RERANK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search: (1) encode the corpus once as (list_id, codes) — the
+    compressed index; (2) ADC-score the probed lists per query in a
+    vectorized Arrow pass; (3) exact-cosine re-rank of the top ``rerank``
+    ADC candidates.  Shuffles: the list-id equi-join (queries broadcast)
+    and the candidate re-rank join — codes, never full vectors, move in
+    step 2."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+    spark = corpus.sparkSession
+    C = ivf_centroids(corpus, n_lists, id_col, vec_col)
+    # deterministic sample (same md5 order as ivf_centroids) for PQ training
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+        .withColumn("__o", F.md5(F.col("cid").cast("string")))
+        .orderBy("__o")
+        .limit(IVF_SAMPLE)
+        .collect()
+    )
+    X = np.array([r["cv"] for r in rows])
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(norms == 0, 1.0, norms)
+    assign = (Xn @ C.T).argmax(axis=1)
+    books = _pq_codebooks(Xn, C, assign, pq_m, pq_k)
+    bc_C = spark.sparkContext.broadcast(C)
+    bc_B = spark.sparkContext.broadcast(books)
+    sub = C.shape[1] // pq_m
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        Cv, Bv = bc_C.value, bc_B.value
+        out = []
+        for v in vecs:
+            a = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(a)
+            an = a / n if n else a
+            li = int((Cv @ an).argmax())
+            r = an - Cv[li]
+            codes = [li]
+            for mi in range(pq_m):
+                S = r[mi * sub : (mi + 1) * sub]
+                d2 = ((Bv[mi] - S[None, :]) ** 2).sum(axis=1)
+                codes.append(int(d2.argmin()))
+            out.append(codes)
+        return pd.Series(out)
+
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("cd")
+    ).select(
+        "neighbor_id",
+        F.element_at("cd", 1).alias("list_id"),
+        F.slice("cd", 2, pq_m).alias("codes"),
+    ).localCheckpoint(eager=True)  # the compressed index, built ONCE
+
+    q_assign = _assign_udf(spark, C, nprobe)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+            F.explode(q_assign(F.col(vec_col))).alias("list_id"),
+        )
+    )
+
+    @pandas_udf(DoubleType())
+    def adc(q_vecs: pd.Series, list_ids: pd.Series, codes: pd.Series) -> pd.Series:
+        Cv, Bv = bc_C.value, bc_B.value
+        out = np.empty(len(q_vecs))
+        for i, (qv, li, cd) in enumerate(zip(q_vecs, list_ids, codes)):
+            a = np.asarray(qv, dtype=np.float64)
+            n = np.linalg.norm(a)
+            an = a / n if n else a
+            dec = Cv[int(li)].copy()
+            for mi in range(pq_m):
+                dec[mi * sub : (mi + 1) * sub] += Bv[mi][int(cd[mi])]
+            dn = np.linalg.norm(dec)
+            out[i] = float(an @ dec / dn) if dn else 0.0
+        return pd.Series(out)
+
+    cand = (
+        q.join(enc, on="list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc(F.col("q_vec"), F.col("list_id"), F.col("codes")).alias("adc_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("adc_sim").alias("adc_sim"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"), F.asc("neighbor_id"))
+    shortlist = cand.withColumn("r", F.row_number().over(wr)).filter(
+        F.col("r") <= rerank
+    ).select("query_id", "neighbor_id")
+    # exact re-rank: candidates join true vectors; full vectors move only
+    # for the <= rerank-per-query shortlist
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_full")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_full")
+    )
+    exact = (
+        shortlist.join(cv, on="neighbor_id")
+        .join(F.broadcast(qv), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("q_full"), F.col("c_full")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
