@@ -1525,6 +1525,35 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.recall_flags(exact, approx, ANN_IVFPQ_RECALL_PPM)
 
 
+def q_crawl_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-operations report (the post-crawl health dashboard):
+    fetch success rate, text volume, and intra-host duplicate-digest rate —
+    digests computed map-side (bodies never shuffle), ONE host-grain
+    partial-agg'd exchange."""
+    pages = _synth(spark, sf_dir, "pages")
+    meta = _synth(spark, sf_dir, "pages_meta").select("url", "host")
+    toks = F.when(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    per_page = pages.join(meta, on="url").select(
+        "host",
+        (F.col("html").isNotNull()).alias("ok"),
+        toks.cast("long").alias("n_tokens"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("digest"),
+    )
+    return per_page.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_ok"),
+        F.floor(
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double") * 1e6
+        ).cast("long").alias("ok_ppm"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr("sum(n_tokens) DIV count(1)").cast("long").alias("mean_tokens"),
+        F.countDistinct("digest").cast("long").alias("n_distinct_digests"),
+    )
+
+
 def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _synth(spark, sf_dir, "media")
     return multimodal.sniff_kinds(media)
@@ -2248,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_apply": q_doc_bpe_apply,
         "sketch_host_hll": q_sketch_host_hll,
         "doc_oov": q_doc_oov,
+        "crawl_host_report": q_crawl_host_report,
         "doc_classifier": q_doc_classifier,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
@@ -2646,6 +2676,27 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "crawl_soft404": webtext.duck_soft404_sql(f"read_parquet('{sp('pages_ext')}')"),
         "corpus_epochs": sampling.duck_epoch_expand_sql("documents"),
         "doc_oov": _bpe.duck_oov_sql("documents"),
+        "crawl_host_report": f"""
+            WITH pp AS (
+              SELECT m.host,
+                     p.html IS NOT NULL AS ok,
+                     (CASE WHEN trim(coalesce(p.text, '')) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(p.text), '\s+'))
+                      END)::BIGINT AS n_tokens,
+                     md5(coalesce(p.text, '')) AS digest
+              FROM read_parquet('{sp('pages')}') p
+              JOIN (SELECT url, host FROM read_parquet('{sp('pages_meta')}')) m
+                USING (url)
+            )
+            SELECT host, count(*)::BIGINT AS n_pages,
+                   sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+                   floor(sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*)::DOUBLE * 1e6)::BIGINT AS ok_ppm,
+                   sum(n_tokens)::BIGINT AS total_tokens,
+                   (sum(n_tokens) // count(*))::BIGINT AS mean_tokens,
+                   count(DISTINCT digest)::BIGINT AS n_distinct_digests
+            FROM pp GROUP BY host
+        """,
         "corpus_bpe_merges": (
             lambda paths: f"SELECT * FROM read_parquet('{paths[0]}')"
         )(_bpe_golden_paths(ORACLE_SF)),
