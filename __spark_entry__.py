@@ -1237,6 +1237,23 @@ def q_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-side payload dedup: WARC 1.1 §6.7.2 revisit typing across the
+    previous+current crawl snapshots — first capture of each distinct body
+    is a full `response` record, later byte-identical captures become
+    `revisit` pointers (bytes_saved accounting rides along).  Bodies are
+    digested map-side; one digest exchange, one window
+    (warc.revisit_records docstring)."""
+    from web_crawler_spark.sources import warc
+
+    return warc.revisit_records(
+        [
+            _synth(spark, sf_dir, "pages_prev"),
+            _synth(spark, sf_dir, "pages"),
+        ]
+    )
+
+
 def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot delta between the previous and current crawl (Common-Crawl
     monthly-diff shape): added/gone/changed/unchanged per URL.  Each side is
@@ -2331,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "warc_scan": q_warc_scan,
         "warc_cdx": q_warc_cdx,
+        "warc_revisit": q_warc_revisit,
         "recrawl_sched": q_recrawl_sched,
         "crawl_diff": q_crawl_diff,
         "recrawl_adaptive": q_recrawl_adaptive,
@@ -2836,6 +2854,12 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             FROM read_parquet('{sp('pages')}')
         """,
         "warc_cdx": warc_src.duck_cdx_sql(f"read_parquet('{sp('pages')}')"),
+        "warc_revisit": warc_src.duck_revisit_sql(
+            [
+                f"read_parquet('{sp('pages_prev')}')",
+                f"read_parquet('{sp('pages')}')",
+            ]
+        ),
         "crawl_diff": recrawl.duck_snapshot_diff_sql(
             f"read_parquet('{sp('pages_prev')}')", f"read_parquet('{sp('pages')}')"
         ),

@@ -134,3 +134,53 @@ def test_write_cdx_sorted_shards(spark, tmp_path):
             last_key_prev = keys[-1]
             all_lines += len(keys)
     assert all_lines == pages.count()
+
+
+def test_revisit_records_typing_and_plan(spark):
+    ts1 = datetime(2024, 3, 1, 12, 0, 0)
+    ts2 = datetime(2024, 4, 1, 12, 0, 0)
+    prev = spark.createDataFrame(
+        [
+            ("http://a.example/1", ts1, bytearray(b"<html>same</html>")),
+            ("http://a.example/2", ts1, bytearray(b"<html>old</html>")),
+        ],
+        "url string, warc_ts timestamp, html binary",
+    )
+    curr = spark.createDataFrame(
+        [
+            # unchanged body, later capture -> revisit pointing at prev
+            ("http://a.example/1", ts2, bytearray(b"<html>same</html>")),
+            # changed body -> fresh response
+            ("http://a.example/2", ts2, bytearray(b"<html>new</html>")),
+            # different URL, identical body to /1 -> url-agnostic revisit
+            ("http://b.example/copy", ts2, bytearray(b"<html>same</html>")),
+        ],
+        "url string, warc_ts timestamp, html binary",
+    )
+    out = warc.revisit_records([prev, curr])
+    rows = {(r["url"], r["ts_us"]): r for r in out.collect()}
+    us1 = int(ts1.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+    orig = rows[("http://a.example/1", us1)]
+    assert orig["record_type"] == "response"
+    assert orig["refers_to_url"] is None and orig["bytes_saved"] == 0
+    us2 = int(ts2.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+    rev = rows[("http://a.example/1", us2)]
+    assert rev["record_type"] == "revisit"
+    assert rev["refers_to_url"] == "http://a.example/1"
+    assert rev["refers_to_ts_us"] == us1
+    assert rev["bytes_saved"] == len(b"<html>same</html>")
+    # url-agnostic dedup: b.example/copy refers to the a.example original
+    xrev = rows[("http://b.example/copy", us2)]
+    assert xrev["record_type"] == "revisit"
+    assert xrev["refers_to_url"] == "http://a.example/1"
+    # changed body is a fresh response on both captures
+    assert rows[("http://a.example/2", us1)]["record_type"] == "response"
+    assert rows[("http://a.example/2", us2)]["record_type"] == "response"
+    # scale shape: every capture row moves exactly once, keyed by digest
+    # (Spark pushes the exchange below the union: one Exchange node per
+    # snapshot branch, all on digest) — and bodies are digested map-side,
+    # so no other partitioning key appears anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_digest = plan.count("Exchange hashpartitioning(digest")
+    assert 1 <= n_digest <= 2
+    assert plan.count("Exchange hashpartitioning") == n_digest

@@ -206,6 +206,92 @@ def write_warc_dir(df: DataFrame, out_dir: str, n_files: int | None = None) -> N
     data.foreachPartition(dump)
 
 
+# --- revisit records (archive-side payload dedup) ---------------------------
+
+
+def revisit_records(snapshots: "list[DataFrame]") -> DataFrame:
+    """WARC ``revisit`` typing (WARC 1.1 §6.7.2, "identical payload digest"
+    profile) across one or more crawl snapshots: the FIRST capture of each
+    distinct payload is archived as a full ``response`` record; every later
+    byte-identical capture becomes a ``revisit`` record that points at the
+    original capture instead of re-storing the body — the dedup that keeps a
+    monthly re-crawl's archives from carrying unchanged pages twice.
+
+    Output (one row per capture): ``url, ts_us, digest, record_type``
+    (``response`` | ``revisit``), ``refers_to_url, refers_to_ts_us`` (NULL
+    on response rows), ``bytes_saved`` (the payload length the archive did
+    NOT store again; 0 on response rows).
+
+    Scale shape: each snapshot is digested map-side (md5 + octet_length —
+    page bodies never enter the shuffle), the union exchanges ONCE on
+    digest, and the original-capture winner resolves inside that partition
+    with a single (ts, url)-ordered window.  A payload shared by k captures
+    costs k rows in one partition — linear, unlike pairwise-join dedup.
+    Parity: the reference sink stores every fetch unconditionally
+    (web_crawler/storage.py:47-58); revisit typing is that sink's
+    archive-scale upgrade, composing with :func:`dedup
+    <..plans.recrawl.dedup_snapshots>` which keeps only canonical bodies."""
+    from pyspark.sql import Window
+
+    caps = None
+    for s in snapshots:
+        d = s.select(
+            "url",
+            F.unix_micros("warc_ts").alias("ts_us"),
+            F.md5("html").alias("digest"),
+            F.octet_length("html").cast("long").alias("n_bytes"),
+        )
+        caps = d if caps is None else caps.unionByName(d)
+    w = Window.partitionBy("digest").orderBy("ts_us", "url")
+    rn = F.row_number().over(w)
+    is_orig = rn == 1
+    return caps.select(
+        "url",
+        "ts_us",
+        "digest",
+        F.when(is_orig, F.lit("response")).otherwise(F.lit("revisit")).alias(
+            "record_type"
+        ),
+        F.when(is_orig, F.lit(None).cast("string"))
+        .otherwise(F.first("url").over(w))
+        .alias("refers_to_url"),
+        F.when(is_orig, F.lit(None).cast("long"))
+        .otherwise(F.first("ts_us").over(w))
+        .alias("refers_to_ts_us"),
+        F.when(is_orig, F.lit(0).cast("long"))
+        .otherwise(F.col("n_bytes"))
+        .alias("bytes_saved"),
+    )
+
+
+def duck_revisit_sql(snapshots: "list[str]") -> str:
+    """DuckDB twin of :func:`revisit_records` (md5 over the decoded utf-8
+    payload, same convention as :func:`duck_cdx_sql`)."""
+    sides = " UNION ALL ".join(
+        f"SELECT url, epoch_us(warc_ts)::BIGINT AS ts_us,"
+        f" md5(decode(html)) AS digest,"
+        f" octet_length(html)::BIGINT AS n_bytes FROM {t}"
+        for t in snapshots
+    )
+    return f"""
+WITH caps AS ({sides}),
+w AS (
+  SELECT url, ts_us, digest, n_bytes,
+    row_number() OVER (PARTITION BY digest ORDER BY ts_us, url) AS rn,
+    first_value(url) OVER
+      (PARTITION BY digest ORDER BY ts_us, url) AS o_url,
+    first_value(ts_us) OVER
+      (PARTITION BY digest ORDER BY ts_us, url) AS o_ts
+  FROM caps)
+SELECT url, ts_us, digest,
+  CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS record_type,
+  CASE WHEN rn = 1 THEN NULL ELSE o_url END AS refers_to_url,
+  CASE WHEN rn = 1 THEN NULL ELSE o_ts END AS refers_to_ts_us,
+  CASE WHEN rn = 1 THEN 0 ELSE n_bytes END::BIGINT AS bytes_saved
+FROM w
+"""
+
+
 # --- CDX capture index -----------------------------------------------------
 
 _SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
