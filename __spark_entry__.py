@@ -180,6 +180,32 @@ def q_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.select("url", "host", F.col("host_rank").cast("long").alias("host_rank"))
 
 
+IP_BUDGET = 4
+
+
+def q_ip_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 at IP grain (virtual-host collapsing): hosts sharing a server
+    share one politeness budget — the dns fixture puts ~20% of hosts on a
+    shared-hosting IP pool, multihomed hosts collapse to min(ip), unresolved
+    hosts fall back to host grain.  O(#hosts) resolver agg + broadcast
+    attach; the ranked window runs salted because shared IPs concentrate
+    many hosts' candidates on one key (politeness.select_ip_budget_batch)."""
+    from web_crawler_spark.operators.politeness import select_ip_budget_batch
+
+    meta = _synth(spark, sf_dir, "pages_meta").select("url", "host")
+    frontier = meta.withColumn("prio", F.md5(F.col("url")))
+    batch = select_ip_budget_batch(
+        frontier,
+        _synth(spark, sf_dir, "dns"),
+        ["prio"],
+        budget=IP_BUDGET,
+        salt_buckets=8,
+    )
+    return batch.select(
+        "url", "host", "ip_key", F.col("ip_rank").cast("long").alias("ip_rank")
+    )
+
+
 ROBOTS_RULES = [
     # (host, disallow prefixes, per-round budget) — deterministic inline
     # rules grading the J4 path: robots prefix filtering + per-row budgets,
@@ -2275,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urlnorm": q_urlnorm,
         "seed_dedup": q_seed_dedup,
         "host_budget": q_host_budget,
+        "ip_budget": q_ip_budget,
         "robots_budget": q_robots_budget,
         "robots_rfc": q_robots_rfc,
         "html_meta": q_html_meta,
@@ -2661,6 +2688,12 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             FROM {pages_meta}
             QUALIFY host_rank <= 5
         """,
+        "ip_budget": _politeness.duck_ip_budget_sql(
+            f"(SELECT url, host, md5(url) AS prio FROM {pages_meta})",
+            f"read_parquet('{sp('dns')}')",
+            budget=IP_BUDGET,
+            order_sql="prio",
+        ),
         "robots_budget": _robots_budget_oracle_sql(pages_meta),
         "robots_rfc": _robots_rfc_oracle_sql(pages_meta),
         "robots_acl_batch": _robots_acl_batch_oracle_sql(pages_meta),
@@ -2699,7 +2732,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
               SELECT m.host,
                      p.html IS NOT NULL AS ok,
                      (CASE WHEN trim(coalesce(p.text, '')) = '' THEN 0
-                           ELSE len(regexp_split_to_array(trim(p.text), '\s+'))
+                           ELSE len(regexp_split_to_array(trim(p.text), '\\s+'))
                       END)::BIGINT AS n_tokens,
                      md5(coalesce(p.text, '')) AS digest
               FROM read_parquet('{sp('pages')}') p

@@ -456,3 +456,50 @@ def test_discovery_frontier_crafted(spark, tmp_path):
     assert {
         r["url"]: (r["channel"], r["n_channels"]) for _, r in want.iterrows()
     } == out
+
+
+def test_ip_budget_collapses_shared_hosts(spark):
+    from web_crawler_spark.operators.politeness import (
+        resolve_politeness_key,
+        select_ip_budget_batch,
+    )
+
+    # a.example + b.example share one server; c.example is multihomed;
+    # d.example never resolves
+    dns = spark.createDataFrame(
+        [
+            ("a.example", "203.0.113.7"),
+            ("b.example", "203.0.113.7"),
+            ("c.example", "198.51.100.9"),
+            ("c.example", "198.51.100.2"),
+        ],
+        "host string, ip string",
+    )
+    rows = [
+        (f"http://{h}/p/{i}", h, i)
+        for h in ("a.example", "b.example", "c.example", "d.example")
+        for i in range(5)
+    ]
+    frontier = spark.createDataFrame(rows, "url string, host string, prio int")
+
+    keyed = resolve_politeness_key(frontier, dns)
+    keys = {r["host"]: r["ip_key"] for r in keyed.distinct().collect()}
+    assert keys["a.example"] == keys["b.example"] == "203.0.113.7"
+    assert keys["c.example"] == "198.51.100.2"  # min A record, exactly one key
+    assert keys["d.example"] == "unres:d.example"  # NXDOMAIN -> host grain
+
+    batch = select_ip_budget_batch(frontier, dns, ["prio", "url"], budget=4)
+    got = batch.groupBy("ip_key").count().collect()
+    by_key = {r["ip_key"]: r["count"] for r in got}
+    # the shared server gets ONE budget of 4 across both vhosts (10 cands),
+    # not 4 per host
+    assert by_key["203.0.113.7"] == 4
+    assert by_key["198.51.100.2"] == 4
+    assert by_key["unres:d.example"] == 4
+    shared = batch.filter(F.col("ip_key") == "203.0.113.7").collect()
+    # prio ties across hosts: both vhosts appear, lowest prios win
+    assert sorted(r["prio"] for r in shared) == [0, 0, 1, 1]
+
+    # multihomed host: every candidate row survives once at most, never
+    # duplicated per A record
+    assert batch.count() == batch.select("url").distinct().count()

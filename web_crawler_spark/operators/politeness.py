@@ -320,3 +320,90 @@ SELECT url, host, est_bytes,
 FROM pruned
 WHERE rn <= {max_rows}
 """
+
+
+# -- IP-grain politeness (virtual-host collapsing) ------------------------------
+
+
+def resolve_politeness_key(
+    frontier: DataFrame,
+    dns: DataFrame,
+    host_col: str = "host",
+    out: str = "ip_key",
+) -> DataFrame:
+    """Attach the IP-grain politeness key: hosts that share a server must
+    share a budget (shared hosting puts thousands of vhosts on one box —
+    host-grain budgets multiply into a hammering of that one machine;
+    Heritrix/BUbiNG both offer IP politeness for exactly this).
+
+    ``dns`` is (host, ip) with possibly several A records per host; the key
+    is min(ip) per host — ONE deterministic pick, so a multihomed host never
+    gets k budgets — and unresolved hosts fall back to ``unres:<host>``
+    (their own private key, host-grain behavior).
+
+    Scale shape: the dns table is O(#hosts) — orders below the frontier —
+    so the min-ip agg is a tiny exchange and the attach join broadcasts;
+    the frontier itself does not shuffle here."""
+    key = dns.groupBy(F.col("host")).agg(F.min("ip").alias("__ip"))
+    return (
+        frontier.join(
+            F.broadcast(key), on=frontier[host_col] == key["host"], how="left"
+        )
+        .drop(key["host"])
+        .withColumn(
+            out,
+            F.coalesce(F.col("__ip"), F.concat(F.lit("unres:"), F.col(host_col))),
+        )
+        .drop("__ip")
+    )
+
+
+def select_ip_budget_batch(
+    frontier: DataFrame,
+    dns: DataFrame,
+    order_cols: "list[str]",
+    budget: int | None = DEFAULT_BUDGET,
+    host_col: str = "host",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Per-IP politeness batch: resolve each host to its politeness key
+    (:func:`resolve_politeness_key`), then take the ``budget`` smallest rows
+    per key — :func:`select_host_budget_batch` at IP grain, so the ranked
+    window is the same WindowGroupLimit partial top-k (or the explicit
+    salted two-pass when ``salt_buckets`` is set: shared-hosting IPs
+    concentrate MANY hosts' candidates on one key, the skew case the salting
+    path exists for)."""
+    keyed = resolve_politeness_key(frontier, dns, host_col=host_col)
+    return select_host_budget_batch(
+        keyed,
+        order_cols,
+        budget=budget,
+        salt_buckets=salt_buckets,
+        host_col="ip_key",
+        rank_col="ip_rank",
+    )
+
+
+def duck_ip_budget_sql(
+    frontier: str,
+    dns: str,
+    budget: int,
+    order_sql: str = "md5(url), url",
+    select_cols: str = "url, host, ip_key",
+) -> str:
+    """DuckDB twin of :func:`select_ip_budget_batch`."""
+    return rf"""
+WITH key AS (
+  SELECT host, min(ip) AS __ip FROM {dns} GROUP BY host
+),
+keyed AS (
+  SELECT f.*, coalesce(k.__ip, 'unres:' || f.host) AS ip_key
+  FROM {frontier} f LEFT JOIN key k ON k.host = f.host
+)
+SELECT {select_cols}, ip_rank::BIGINT AS ip_rank FROM (
+  SELECT keyed.*,
+         row_number() OVER (PARTITION BY ip_key ORDER BY {order_sql})
+           AS ip_rank
+  FROM keyed)
+WHERE ip_rank <= {budget}
+"""

@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v24"  # v24: adds urls_sus (URL hygiene); dedicated RNG, other v23 tables byte-identical
+SYNTH_VERSION = "v25"  # v25: adds dns (IP politeness); dedicated RNG, other v24 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -1170,6 +1170,39 @@ def _gen_urls_sus(sf: str):
     )
 
 
+def _gen_dns(pages_meta_tbl: pa.Table, sf: str):
+    """(host, ip) — resolver fixture over the crawl's real host space for
+    IP-grain politeness: ~20% of hosts sit on a small pool of shared-hosting
+    IPs (many vhosts, one box — the case host-grain budgets overload), ~10%
+    are multihomed (2-3 A records; politeness must pick ONE deterministic
+    key), ~5% don't resolve at all (fallback to host-grain), the rest get a
+    unique address.  Dedicated RNG; all v24 tables byte-identical."""
+    rng = random.Random(f"dns-{sf}")
+    hosts = sorted(set(pages_meta_tbl.column("host").to_pylist()))
+    shared_pool = [f"203.0.113.{i}" for i in range(1, max(2, len(hosts) // 8))]
+    r_host, r_ip = [], []
+    for i, h in enumerate(hosts):
+        roll = rng.random()
+        if roll < 0.05:
+            continue  # NXDOMAIN: absent from the table
+        if roll < 0.25:
+            r_host.append(h)
+            r_ip.append(rng.choice(shared_pool))
+        elif roll < 0.35:
+            for j in range(rng.randint(2, 3)):  # multihomed
+                r_host.append(h)
+                r_ip.append(f"198.51.100.{(3 * i + j) % 254 + 1}")
+        else:
+            r_host.append(h)
+            r_ip.append(f"10.{(i >> 8) & 255}.{i & 255}.{rng.randrange(1, 254)}")
+    return pa.table(
+        {
+            "host": pa.array(r_host, pa.string()),
+            "ip": pa.array(r_ip, pa.string()),
+        }
+    )
+
+
 def ensure_synth(sf_dir_or_name: str) -> str:
     """Generate (once) all synthetic tables for a scale; returns the dir."""
     sf = sf_name_of(sf_dir_or_name)
@@ -1199,6 +1232,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     feeds = _gen_feeds(pages_meta, sf)
     pages_ext = _gen_pages_ext(pages_meta, sf)
     urls_sus = _gen_urls_sus(sf)
+    dns = _gen_dns(pages_meta, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -1225,6 +1259,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(feeds, synth_path(sf, "feeds"), row_group_size=2048)
     pq.write_table(pages_ext, synth_path(sf, "pages_ext"), row_group_size=2048)
     pq.write_table(urls_sus, synth_path(sf, "urls_sus"), row_group_size=2048)
+    pq.write_table(dns, synth_path(sf, "dns"))
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
