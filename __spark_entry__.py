@@ -1150,6 +1150,24 @@ def q_doc_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.classifier_score(_docs(spark, sf_dir))
 
 
+DSIR_TARGET_SOURCE = "src0"
+
+
+def q_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS'23), integer-exact: the
+    `src0` slice of the documents table is the target-domain sample, every
+    other doc is scored by hashed-ngram target-vs-pool ppm weights.
+    Training = two bounded bucket aggregations (<=4096 rows per exchange at
+    any corpus size); the trained table ships as a bucket-indexed literal
+    array so scoring is a zero-exchange pure map
+    (textstats DSIR block docstring)."""
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("source") == DSIR_TARGET_SOURCE)
+    pool = docs.filter(F.col("source") != DSIR_TARGET_SOURCE)
+    weights = textstats.train_dsir_weights(pool, target)
+    return textstats.dsir_scores(pool, weights)
+
+
 def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-trap detection (Heritrix/IRLbot-style) over the weburls
     fixture: collapse each URL to a structural template (query values→V,
@@ -2323,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_oov": q_doc_oov,
         "crawl_host_report": q_crawl_host_report,
         "doc_classifier": q_doc_classifier,
+        "corpus_dsir": q_corpus_dsir,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
         "host_backoff": q_host_backoff,
@@ -2832,6 +2851,12 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         # text pipeline (driver documents view)
         "doc_tokens": textstats.duck_tokens_sql("documents"),
         "doc_classifier": textstats.duck_classifier_sql("documents"),
+        "corpus_dsir": textstats.duck_dsir_sql(
+            f"(SELECT doc_id, text FROM documents"
+            f" WHERE source <> '{DSIR_TARGET_SOURCE}')",
+            f"(SELECT text FROM documents"
+            f" WHERE source = '{DSIR_TARGET_SOURCE}')",
+        ),
         "doc_code": webtext.duck_code_detect_sql("documents"),
         "doc_chunks": webtext.duck_chunk_sql("documents"),
         "doc_quality": textstats.duck_quality_sql("documents"),

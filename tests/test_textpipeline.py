@@ -1825,3 +1825,36 @@ def test_ivfpq_topk_recall_and_compression(spark):
     # the index really is compressed: PQ_M small ints + a list id per vector
     from web_crawler_spark.functions.simsearch import PQ_M
     assert PQ_M * 4 <= 32  # 4-bit codes -> <= 4 bytes of payload per vector
+
+
+def test_dsir_training_and_scoring(spark):
+    from web_crawler_spark.functions import textstats as ts
+
+    # target talks about astronomy, pool about cooking; a new doc made of
+    # target-distinctive ngrams must outscore one of pool-distinctive ones
+    target = spark.createDataFrame(
+        [(i, "stellar parallax measures distant supernova light") for i in range(4)],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            (0, "simmer the garlic butter sauce gently"),
+            (1, "simmer the onion butter sauce gently"),
+            (2, "stellar parallax measures distant supernova light"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    w = ts.train_dsir_weights(pool, target)
+    assert len(w) == ts.DSIR_BUCKETS and all(isinstance(x, int) for x in w)
+    out = {r["doc_id"]: r for r in ts.dsir_scores(pool, w).collect()}
+    # the target-like doc scores strictly above every cooking doc
+    assert out[2]["dsir_score"] > out[0]["dsir_score"]
+    assert out[2]["dsir_score"] > out[1]["dsir_score"]
+    # empty doc: zero features, zero score, still present
+    assert out[3]["n_features"] == 0 and out[3]["dsir_score"] == 0
+    # scoring is a pure map: no exchange, no Python anywhere in the plan
+    plan = (
+        ts.dsir_scores(pool, w)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan

@@ -1235,6 +1235,146 @@ FROM feats
 
 
 # ---------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (Xie et al., NeurIPS'23)
+# ---------------------------------------------------------------------------
+#
+# DSIR reweights a raw pool toward a target-domain sample by comparing the
+# two corpora's distributions over HASHED n-gram buckets (the same
+# unigram+bigram feature space as the classifier gate above), then scoring
+# every pool document by how much more target-like than pool-like its
+# features are.  The published method uses log-probability ratios; the
+# engine's integer-exact surrogate is the ppm-difference weight
+#
+#   w[b] = target_count[b]*1e6 // target_total - pool_count[b]*1e6 // pool_total
+#   score(doc) = sum over the doc's features f of w[bucket(f)]
+#
+# which is monotone in the same direction (positive = target-enriched
+# bucket) and bit-identical across engines (BIGINT floor division only).
+#
+# Scale shape — the part the engine owes at 100 TB:
+#   * training = TWO bucket-count aggregations whose exchanges carry at
+#     most DSIR_BUCKETS rows per map task (partial agg over a 4096-bucket
+#     key space), regardless of corpus size;
+#   * the trained table is bounded (4096 ints), so it ships into the
+#     scoring pass as a bucket-indexed LITERAL array — the classifier
+#     block's "a real model ships as a literal array" discipline — and
+#     scoring is a PURE MAP over the pool scan: no join, no exchange, no
+#     Python, empty docs score 0 without special casing.
+
+DSIR_BUCKETS = 4096
+_DSIR_PPM = 1_000_000
+
+
+def dsir_bucket_counts(df, text_col: str = "text") -> "DataFrame":
+    """(b, c): hashed-feature bucket counts over a corpus — the exchange
+    carries <= DSIR_BUCKETS rows per map task (partial agg)."""
+    h32 = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+    return (
+        df.select(F.explode(classifier_features(text_col)).alias("t"))
+        .select(F.pmod(h32, F.lit(DSIR_BUCKETS)).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def train_dsir_weights(pool, target, text_col: str = "text") -> "list[int]":
+    """The DSIR_BUCKETS-entry integer weight table: target ppm minus pool
+    ppm per bucket.  Driver-side state is the bounded bucket summary (the
+    IVF-sample discipline), never document rows."""
+    def counts(df) -> dict:
+        return {r["b"]: r["c"] for r in dsir_bucket_counts(df, text_col).collect()}
+
+    tc, sc = counts(target), counts(pool)
+    t_tot, s_tot = max(sum(tc.values()), 1), max(sum(sc.values()), 1)
+    return [
+        tc.get(b, 0) * _DSIR_PPM // t_tot - sc.get(b, 0) * _DSIR_PPM // s_tot
+        for b in range(DSIR_BUCKETS)
+    ]
+
+
+def dsir_scores(pool, weights: "list[int]", id_col: str = "doc_id",
+                text_col: str = "text") -> "DataFrame":
+    """(doc_id, n_features, dsir_score): importance score per pool document
+    under a trained weight table — one zero-exchange projection."""
+    w_arr = F.array(*[F.lit(int(x)) for x in weights])
+    feats = classifier_features(text_col)
+    score = F.aggregate(
+        F.transform(
+            feats,
+            lambda t: F.element_at(
+                w_arr,
+                (
+                    F.pmod(
+                        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+                        F.lit(DSIR_BUCKETS),
+                    )
+                    + 1
+                ).cast("int"),
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return pool.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(feats).cast("long").alias("n_features"),
+        score.alias("dsir_score"),
+    )
+
+
+def duck_dsir_sql(pool: str, target: str, id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """DuckDB twin of train+score: the whole DSIR pipeline as one query
+    (bucket ppm tables -> full-outer weight join -> per-doc feature sum)."""
+    b_of = f"(('0x' || substr(md5(t), 1, 8))::BIGINT % {DSIR_BUCKETS})"
+
+    def mk_feats(src: str, id_sql: str) -> str:
+        toks = (
+            f"list_filter(string_split_regex(lower(coalesce({text_col}, '')),"
+            " '[^a-z0-9]+'), x -> x <> '')"
+        )
+        return (
+            f"SELECT ts_id, ts || list_transform(range(1, len(ts)),"
+            f" i -> ts[i] || ' ' || ts[i + 1]) AS fs FROM ("
+            f"SELECT {id_sql} AS ts_id, {toks} AS ts FROM {src})"
+        )
+
+    return rf"""
+WITH pf AS ({mk_feats(pool, id_col)}),
+tf AS ({mk_feats(target, "1")}),
+sb AS (
+  SELECT {b_of} AS b, count(*)::BIGINT AS c
+  FROM (SELECT unnest(fs) AS t FROM pf) GROUP BY 1
+),
+tb AS (
+  SELECT {b_of} AS b, count(*)::BIGINT AS c
+  FROM (SELECT unnest(fs) AS t FROM tf) GROUP BY 1
+),
+w AS (
+  SELECT coalesce(tb.b, sb.b) AS b,
+         coalesce(tb.c, 0) * {_DSIR_PPM}
+           // greatest((SELECT sum(c) FROM tb), 1)
+         - coalesce(sb.c, 0) * {_DSIR_PPM}
+           // greatest((SELECT sum(c) FROM sb), 1) AS wt
+  FROM tb FULL OUTER JOIN sb ON tb.b = sb.b
+),
+doc_feats AS (
+  SELECT ts_id AS doc_id, {b_of} AS b
+  FROM (SELECT ts_id, unnest(fs) AS t FROM pf)
+),
+sums AS (
+  SELECT d.doc_id, count(*)::BIGINT AS n_features,
+         sum(coalesce(w.wt, 0))::BIGINT AS dsir_score
+  FROM doc_feats d LEFT JOIN w ON w.b = d.b GROUP BY 1
+)
+SELECT p.ts_id AS doc_id,
+       coalesce(s.n_features, 0)::BIGINT AS n_features,
+       coalesce(s.dsir_score, 0)::BIGINT AS dsir_score
+FROM pf p LEFT JOIN sums s ON s.doc_id = p.ts_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Readability (integer-exact Flesch-Kincaid surrogate)
 # ---------------------------------------------------------------------------
 #
