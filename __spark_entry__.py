@@ -2066,6 +2066,16 @@ def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_components(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection inside the host graph (Raghavan et al. 2007
+    label propagation): the denser sub-clusters components can't see —
+    topical neighborhoods, cross-linking spam farms.  Synchronous rounds,
+    fixed horizon, min-label ties: deterministic across engines; one
+    join + partial-agg'd vote exchange per round at host grain
+    (linkstats.host_communities)."""
+    return linkstats.host_communities(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-length quantiles at power-of-two bucket grain,
     derived from the histogram (no per-language global sort — the
@@ -2452,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": q_sketch_quantiles,
         "events_anomaly": q_events_anomaly,
         "link_components": q_link_components,
+        "link_communities": q_link_communities,
         "doc_length_quantiles": q_doc_length_quantiles,
         "link_depth": q_link_depth,
         "corpus_budget": q_corpus_budget,
@@ -3175,6 +3186,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             FROM m
         """,
         "link_components": linkstats.duck_host_components_sql(pages_meta),
+        "link_communities": linkstats.duck_communities_sql(pages_meta),
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),
         "corpus_budget": sampling.duck_select_budget_sql("documents"),

@@ -1858,3 +1858,41 @@ def test_dsir_training_and_scoring(spark):
         ts.dsir_scores(pool, w)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_host_communities_crafted(spark, tmp_path):
+    import duckdb
+
+    from web_crawler_spark.functions import linkstats
+
+    # one connected component, two dense triangles bridged by a single weak
+    # edge — components cannot separate them, LPA must
+    tri1 = ["a.example", "b.example", "c.example"]
+    tri2 = ["x.example", "y.example", "z.example"]
+    rows = []
+    for tri in (tri1, tri2):
+        for s in tri:
+            for d in tri:
+                if s != d:
+                    # double links inside a triangle: heavy intra weight
+                    rows.append((f"http://{s}/{d}", s, [f"http://{d}/", f"http://{d}/2"]))
+    rows.append(("http://c.example/bridge", "c.example", ["http://x.example/"]))
+    df = spark.createDataFrame(rows, "url string, host string, links array<string>")
+
+    comp = {r["host"]: r["component"] for r in linkstats.host_components(df).collect()}
+    assert len(set(comp.values())) == 1  # single component — no separation
+
+    got = {r["host"]: r["community"] for r in linkstats.host_communities(df).collect()}
+    assert {got[h] for h in tri1} == {"a.example"}
+    assert {got[h] for h in tri2} == {"x.example"}
+
+    # DuckDB unrolled-CTE parity on the same crafted graph
+    p = str(tmp_path / "lpa.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["host"]: r["community"]
+        for _, r in duckdb.sql(
+            linkstats.duck_communities_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

@@ -1298,3 +1298,106 @@ LEFT JOIN (
   GROUP BY 1
 ) b ON p.url = b.dst_url
 """
+
+
+# --- host communities via label propagation (LPA) ---------------------------
+#
+# Connected components (host_components) finds mirror FAMILIES — everything
+# reachable ends up together.  Community detection finds the denser
+# sub-clusters inside the giant component (topical site neighborhoods, spam
+# farms cross-linking each other), the grain crawl-budget and corpus-mix
+# decisions actually want.  Raghavan et al. 2007 label propagation, made
+# deterministic for cross-engine grading: SYNCHRONOUS updates, a FIXED
+# iteration count (synchronous LPA can oscillate on bipartite structure —
+# a fixpoint test would not terminate; a fixed horizon is the standard
+# batch rendering), and ties broken by lexicographically-smallest label.
+
+LPA_ITERS = 4
+
+
+def host_communities(df: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """(host, community) after ``iters`` synchronous LPA rounds over the
+    undirected weighted host graph: each round every host adopts the label
+    with the largest summed edge weight among its neighbors (ties -> min
+    label).  Self-loops are dropped (a self-vote freezes the start layout).
+
+    Scale shape: host-grain edges (orders below the page corpus); one
+    join + two-level keyed agg per round, each with map-side partial agg;
+    per-round localCheckpoint keeps the plan flat (the crawl loop's lineage
+    discipline).  The argmax is min(struct(-w, label)) — ONE aggregation,
+    no per-node window sort."""
+    e0 = host_graph(df).filter(F.col("src_host") != F.col("dst_host"))
+    edges = (
+        e0.select("src_host", "dst_host", "n_links")
+        .unionByName(
+            e0.select(
+                F.col("dst_host").alias("src_host"),
+                F.col("src_host").alias("dst_host"),
+                "n_links",
+            )
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("n_links").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src_host").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        votes = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst_host"), on="dst_host"
+            )
+            .groupBy(F.col("src_host").alias("node"), "label")
+            .agg(F.sum("w").alias("ws"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("ws")).alias("nw"), "label"))["label"].alias(
+                    "label"
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("node").alias("host"), F.col("label").alias("community"))
+
+
+def duck_communities_sql(pages_meta: str, iters: int = LPA_ITERS) -> str:
+    """DuckDB twin: the same synchronous rounds unrolled as a CTE chain
+    (the duck_pagerank_sql convention); argmax = row_number over
+    (ws DESC, label)."""
+    parts = [
+        f"""e0 AS (
+  SELECT src_host, dst_host, n_links FROM ({duck_host_graph_sql(pages_meta)})
+  WHERE src_host <> dst_host
+)""",
+        """edges AS (
+  SELECT src_host, dst_host, sum(n_links) AS w FROM (
+    SELECT src_host, dst_host, n_links FROM e0
+    UNION ALL SELECT dst_host, src_host, n_links FROM e0)
+  GROUP BY 1, 2
+)""",
+        "l0 AS (SELECT DISTINCT src_host AS node, src_host AS label FROM edges)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""v{k} AS (
+  SELECT e.src_host AS node, l.label, sum(e.w) AS ws
+  FROM edges e JOIN l{p} l ON l.node = e.dst_host GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""l{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY ws DESC, label) AS rn
+    FROM v{k}) WHERE rn = 1
+)"""
+        )
+    cte = ",\n".join(parts)
+    return f"WITH {cte}\nSELECT node AS host, label AS community FROM l{iters}"
