@@ -1717,6 +1717,31 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h length, 15min slide — the trending /
+    rate-monitor shape): every event lands in exactly 4 epoch-aligned
+    windows; Spark's window() generates them map-side, so the plan is one
+    4x explode + partial-agg'd exchange on (window, type) — never a
+    self-join of the event stream against a window table.  Epoch-seconds
+    output keeps the hash comparison timezone-proof."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("long").alias("win_start_s"),
+            "event_type",
+            F.col("n_events").cast("long"),
+            F.col("n_users").cast("long"),
+        )
+    )
+
+
 def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return ev.groupBy("event_type").agg(
@@ -2442,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": q_doc_winnow,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
         "events_by_type": q_events_by_type,
         "events_sessions": q_events_sessions,
         "events_rollup": q_events_rollup,
@@ -3043,6 +3069,14 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    count(*)::BIGINT AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            SELECT (floor(epoch(ts))::BIGINT // 900 - k.k) * 900 AS win_start_s,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events, (SELECT unnest(range(4)) AS k) k
+            GROUP BY 1, 2
         """,
         "events_by_type": """
             SELECT event_type, count(*)::BIGINT AS n_events,

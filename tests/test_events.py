@@ -315,3 +315,53 @@ def test_events_overlaps_decomposition_exact(spark, tmp_path):
     assert got == want
     assert got[(4, 19723)][0] == 2  # spans both peak hours
     assert (3, 19723) not in got or got[(3, 19723)][0] <= 1
+
+
+def test_events_sliding_window_membership(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    # one event on an exact 15-min boundary, one mid-window: each must land
+    # in exactly 4 epoch-aligned (1h, 15min) windows, earliest start 45 min
+    # back (boundary) / aligned-floor minus 45 min (mid)
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 5, 1, 10, 45, 0), 7, "click", 1.0, None),
+            (2, datetime(2024, 5, 1, 10, 52, 30), 8, "view", 1.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    ev.toPandas().to_parquet(p)
+    out = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .count()
+        .select(
+            F.unix_timestamp("win.start").cast("long").alias("ws"), "event_type"
+        )
+        .collect()
+    )
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r["ws"])
+    t1 = int(datetime(2024, 5, 1, 10, 45, tzinfo=timezone.utc).timestamp())
+    t2 = int(datetime(2024, 5, 1, 10, 52, 30, tzinfo=timezone.utc).timestamp())
+    assert sorted(by_type["click"]) == [t1 - 2700, t1 - 1800, t1 - 900, t1]
+    floor2 = t2 // 900 * 900
+    assert sorted(by_type["view"]) == [
+        floor2 - 2700, floor2 - 1800, floor2 - 900, floor2
+    ]
+    # oracle parity on the same crafted rows
+    import duckdb as _duckdb
+
+    got = sorted(
+        (r["win_start_s"], r["event_type"])
+        for _, r in _duckdb.sql(
+            f"""SELECT (floor(epoch(ts))::BIGINT // 900 - k.k) * 900 AS win_start_s,
+                      event_type
+               FROM read_parquet('{p}'), (SELECT unnest(range(4)) AS k) k"""
+        ).df().iterrows()
+    )
+    assert got == sorted((r["ws"], r["event_type"]) for r in out)
