@@ -521,6 +521,14 @@ def q_html_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_parse.extract_jsonld(_synth(spark, sf_dir, "pages_ext"))
 
 
+def q_html_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org MICRODATA extraction (the attribute-based sibling of
+    JSON-LD) over the pages_micro fixture: one row per itemprop in document
+    order, content= beats inline text, empty values NULL — two map-side
+    generates, no shuffle, no Python (html_parse.extract_microdata)."""
+    return html_parse.extract_microdata(_synth(spark, sf_dir, "pages_micro"))
+
+
 def q_html_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bidirectionally-confirmed hreflang alternate pairs (the publisher-
     declared bitext-mining channel); edges materialize once, the self-join
@@ -2359,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rfc": q_robots_rfc,
         "html_meta": q_html_meta,
         "html_jsonld": q_html_jsonld,
+        "html_microdata": q_html_microdata,
         "html_hreflang": q_html_hreflang,
         "html_pagination": q_html_pagination,
         "html_refresh": q_html_refresh,
@@ -2773,6 +2782,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             html_parse.duck_extract_tables_sql(f"read_parquet('{sp('pages_tables')}')")
         ),
         "html_jsonld": html_parse.duck_jsonld_sql(f"read_parquet('{sp('pages_ext')}')"),
+        "html_microdata": html_parse.duck_microdata_sql(
+            f"read_parquet('{sp('pages_micro')}')"
+        ),
         "html_hreflang": html_parse.duck_hreflang_pairs_sql(
             f"read_parquet('{sp('pages_ext')}')"
         ),

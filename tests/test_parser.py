@@ -328,3 +328,44 @@ def test_head_link_markup_crafted(spark, tmp_path):
         (r["url"], r["chain_id"]): r["pos"] for _, r in got_chain.iterrows()
     } == chains
     assert len(con.sql(html_parse.duck_refresh_sql(tbl)).df()) == 1
+
+
+def test_extract_microdata_crafted(spark):
+    from web_crawler_spark.functions import html_parse
+
+    html = (
+        "<html><body>"
+        '<div itemscope itemtype="https://schema.org/Product">'
+        '<span itemprop="name">Widget A</span> '
+        '<meta itemprop="price" content="12.50"> '
+        '<meta itemprop="sku" content=""></div> '
+        '<div itemscope itemtype="https://schema.org/Person"></div> '
+        '<div itemscope itemtype="https://schema.org/Article">'
+        '<span itemprop="headline">Story</span></div>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [("http://m.example/1", html), ("http://m.example/2", "<html></html>")],
+        "url string, html string",
+    )
+    rows = sorted(
+        (
+            (r["url"], r["item_pos"], r["prop_pos"], r["itemtype"], r["prop"], r["value"])
+            for r in html_parse.extract_microdata(df).collect()
+        )
+    )
+    assert rows == [
+        ("http://m.example/1", 0, 0, "Product", "name", "Widget A"),
+        ("http://m.example/1", 0, 1, "Product", "price", "12.50"),
+        ("http://m.example/1", 0, 2, "Product", "sku", None),  # empty content
+        # props-less Person item emits nothing; page 2 emits nothing
+        ("http://m.example/1", 2, 0, "Article", "headline", "Story"),
+    ]
+    # map-side only: no exchange, no Python
+    plan = (
+        html_parse.extract_microdata(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan

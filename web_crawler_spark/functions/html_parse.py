@@ -747,3 +747,81 @@ SELECT url,
 FROM {table}
 WHERE regexp_extract(html, '{_REFRESH_URL_RE}', 1) <> ''
 """
+
+
+# --- schema.org microdata (attribute-based structured data) ------------------
+#
+# The attribute sibling of the JSON-LD channel: itemscope/itemtype declare an
+# item, itemprop tags inside carry its properties (inline text or content=).
+# Same honest scope as extract_jsonld: FLAT items via shared-dialect regexes
+# (nested itemscopes would need a real HTML walk both engines can't share);
+# the fixture and real-world product/article markup are covered by the flat
+# case.  Everything is map-side JVM string work — two generates, no shuffle,
+# no Python.
+
+_MICRO_BLOCK_RE = r'<div itemscope itemtype="[^"]*">.*?</div>'
+_MICRO_TYPE_RE = r'itemtype="https?://schema\.org/([^"]+)"'
+_MICRO_TAG_RE = r'<[a-z]+ itemprop="[^"]*"[^>]*>[^<]*'
+_MICRO_PROP_RE = r'itemprop="([^"]+)"'
+_MICRO_CONTENT_RE = r'content="([^"]*)"'
+_MICRO_TEXT_RE = r">([^<]*)$"
+
+
+def extract_microdata(df, html_col: str = "html", url_col: str = "url"):
+    """(url, item_pos, prop_pos, itemtype, prop, value) — one row per
+    itemprop in document order; a ``content=`` attribute wins over inline
+    text, empty values are NULL; items without properties and pages without
+    items emit nothing."""
+    items = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_MICRO_BLOCK_RE), F.lit(0))
+        ).alias("item_pos", "blk"),
+    )
+    tags = items.select(
+        "url",
+        F.col("item_pos").cast("long").alias("item_pos"),
+        F.regexp_extract("blk", _MICRO_TYPE_RE, 1).alias("itemtype"),
+        F.posexplode(
+            F.regexp_extract_all(F.col("blk"), F.lit(_MICRO_TAG_RE), F.lit(0))
+        ).alias("prop_pos", "tag"),
+    )
+    value = F.coalesce(
+        F.nullif(F.regexp_extract("tag", _MICRO_CONTENT_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract("tag", _MICRO_TEXT_RE, 1), F.lit("")),
+    )
+    return tags.select(
+        "url",
+        "item_pos",
+        F.col("prop_pos").cast("long").alias("prop_pos"),
+        "itemtype",
+        F.regexp_extract("tag", _MICRO_PROP_RE, 1).alias("prop"),
+        value.alias("value"),
+    )
+
+
+def duck_microdata_sql(table: str) -> str:
+    """DuckDB twin of :func:`extract_microdata` (1-indexed lists)."""
+    return rf"""
+WITH items AS (
+  SELECT url, (i - 1)::BIGINT AS item_pos, bs[i] AS blk
+  FROM (SELECT url,
+               regexp_extract_all(html, '{_MICRO_BLOCK_RE}') AS bs
+        FROM {table}),
+       LATERAL unnest(generate_series(1, len(bs))) AS t(i)
+),
+tags AS (
+  SELECT url, item_pos,
+         regexp_extract(blk, '{_MICRO_TYPE_RE}', 1) AS itemtype,
+         (j - 1)::BIGINT AS prop_pos, ts[j] AS tag
+  FROM (SELECT url, item_pos, blk,
+               regexp_extract_all(blk, '{_MICRO_TAG_RE}') AS ts
+        FROM items),
+       LATERAL unnest(generate_series(1, len(ts))) AS t(j)
+)
+SELECT url, item_pos, prop_pos, itemtype,
+       regexp_extract(tag, '{_MICRO_PROP_RE}', 1) AS prop,
+       coalesce(nullif(regexp_extract(tag, '{_MICRO_CONTENT_RE}', 1), ''),
+                nullif(regexp_extract(tag, '{_MICRO_TEXT_RE}', 1), '')) AS value
+FROM tags
+"""

@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v25"  # v25: adds dns (IP politeness); dedicated RNG, other v24 tables byte-identical
+SYNTH_VERSION = "v26"  # v26: adds pages_micro (microdata); dedicated RNG, other v25 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -1170,6 +1170,56 @@ def _gen_urls_sus(sf: str):
     )
 
 
+def _gen_pages_micro(pages_meta_tbl: pa.Table, sf: str):
+    """(url, html) — schema.org MICRODATA page variants (the attribute-based
+    sibling of the JSON-LD channel): ~half the pages carry 1-2 flat
+    itemscope blocks (Product/Article/Person/Offer) whose properties mix
+    inline-text spans and content= metas; boundary rows include an empty
+    content= (NULL value) and a props-less item.  Dedicated RNG; all v25
+    tables byte-identical."""
+    rng = random.Random(f"pages_micro-{sf}")
+    urls = pages_meta_tbl.column("url").to_pylist()
+    types = ["Product", "Article", "Person", "Offer"]
+    r_url, r_html = [], []
+    for j, u in enumerate(urls):
+        if rng.random() < 0.5:
+            continue  # no microdata on this page
+        blocks = []
+        for _ in range(rng.randint(1, 2)):
+            t = rng.choice(types)
+            props = []
+            if rng.random() < 0.08:
+                pass  # props-less item (boundary)
+            else:
+                props.append(
+                    f'<span itemprop="name">{rng.choice(_WORDS)} {j}</span>'
+                )
+                if rng.random() < 0.6:
+                    price = f"{rng.randrange(1, 500)}.{rng.randrange(100):02d}"
+                    props.append(f'<meta itemprop="price" content="{price}">')
+                if rng.random() < 0.3:
+                    props.append('<meta itemprop="sku" content="">')  # NULL value
+                if rng.random() < 0.4:
+                    props.append(
+                        f'<span itemprop="description">{rng.choice(_WORDS)}'
+                        f" {rng.choice(_WORDS)}</span>"
+                    )
+            blocks.append(
+                f'<div itemscope itemtype="https://schema.org/{t}">'
+                + " ".join(props)
+                + "</div>"
+            )
+        body = f"<p>{rng.choice(_WORDS)}</p> " + " ".join(blocks)
+        r_url.append(u)
+        r_html.append(f"<html><head><title>m{j}</title></head><body>{body}</body></html>")
+    return pa.table(
+        {
+            "url": pa.array(r_url, pa.string()),
+            "html": pa.array(r_html, pa.string()),
+        }
+    )
+
+
 def _gen_dns(pages_meta_tbl: pa.Table, sf: str):
     """(host, ip) — resolver fixture over the crawl's real host space for
     IP-grain politeness: ~20% of hosts sit on a small pool of shared-hosting
@@ -1233,6 +1283,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pages_ext = _gen_pages_ext(pages_meta, sf)
     urls_sus = _gen_urls_sus(sf)
     dns = _gen_dns(pages_meta, sf)
+    pages_micro = _gen_pages_micro(pages_meta, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -1260,6 +1311,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(pages_ext, synth_path(sf, "pages_ext"), row_group_size=2048)
     pq.write_table(urls_sus, synth_path(sf, "urls_sus"), row_group_size=2048)
     pq.write_table(dns, synth_path(sf, "dns"))
+    pq.write_table(pages_micro, synth_path(sf, "pages_micro"), row_group_size=2048)
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
