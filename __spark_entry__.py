@@ -661,6 +661,59 @@ def _phash_golden_path(sf: str) -> str:
     return out
 
 
+def _audio_golden_path(sf: str) -> str:
+    """Materialize the naive-Python audio-segmentation golden (row-at-a-time
+    plain ints, independent of the vectorized numpy path under test); cache
+    key embeds frame/threshold params."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark.functions import multimodal
+
+    out = os.path.join(
+        synth.SYNTH_ROOT,
+        f"audioseg_golden_sf{sf}_f{multimodal.AUDIO_FRAME}"
+        f"t{multimodal.AUDIO_VAD_THRESHOLD}.parquet",
+    )
+    if os.path.exists(out):
+        return out
+    os.makedirs(synth.SYNTH_ROOT, exist_ok=True)
+    synth.ensure_synth(sf)
+    media = pq.read_table(
+        synth.synth_path(sf, "media"), columns=["media_id", "kind", "payload"]
+    )
+    cols = {k: [] for k in ("media_id", "seg_idx", "start_frame", "n_frames", "energy_sum")}
+    for mid, kind, payload in zip(
+        media.column("media_id"), media.column("kind"), media.column("payload")
+    ):
+        if kind.as_py() != "audio":
+            continue
+        for i, s, n, e in multimodal.naive_audio_segments(payload.as_py()):
+            cols["media_id"].append(mid.as_py())
+            cols["seg_idx"].append(i)
+            cols["start_frame"].append(s)
+            cols["n_frames"].append(n)
+            cols["energy_sum"].append(e)
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()}), tmp
+    )
+    os.replace(tmp, out)
+    return out
+
+
+def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-audio segmentation (VAD shape) over the media payloads:
+    honest-stub decode (bytes ARE the samples — the multimodal module
+    convention), integer frame energies, maximal active runs as one
+    Arrow-batched zero-exchange map; kind filter is a scan predicate.
+    Graded vs an independent row-at-a-time plain-int golden
+    (multimodal.media_audio_segments)."""
+    from web_crawler_spark.functions import multimodal
+
+    return multimodal.media_audio_segments(_synth(spark, sf_dir, "media"))
+
+
 def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual dHash near-dup hashing over the media payloads: Arrow-
     batched pseudo-decode (honest stub, multimodal.py module note) + 64-bit
@@ -2379,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_suspicious": q_url_suspicious,
         "doc_keyphrases": q_doc_keyphrases,
         "media_phash": q_media_phash,
+        "media_audio": q_media_audio,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "doc_bpe_apply": q_doc_bpe_apply,
         "sketch_host_hll": q_sketch_host_hll,
@@ -2831,6 +2885,10 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             JOIN read_parquet('{sp('media')}') m USING (media_id)
             JOIN c USING (phash)
         """,
+        "media_audio": (
+            "SELECT media_id, seg_idx, start_frame, n_frames, energy_sum"
+            f" FROM read_parquet('{_audio_golden_path(sf)}')"
+        ),
         "url_suspicious": urlfilter.duck_suspicious_sql(
             f"read_parquet('{sp('urls_sus')}')"
         ),

@@ -1896,3 +1896,39 @@ def test_host_communities_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_audio_segments_crafted_and_golden(spark):
+    import random as _random
+
+    from web_crawler_spark.functions import multimodal as mm
+
+    f = mm.AUDIO_FRAME
+    silent = bytes([128] * f)
+    loud = bytes([255] * f)
+    # silence | 2 loud frames | silence | 1 loud frame => two segments
+    payload = silent + loud + loud + silent + loud
+    segs = mm._vector_audio_segments(payload)
+    assert segs == [(0, 1, 2, 2 * 127), (1, 4, 1, 127)]
+    assert mm.naive_audio_segments(payload) == segs
+    # all-silent and sub-frame payloads produce nothing
+    assert mm._vector_audio_segments(silent * 3) == []
+    assert mm._vector_audio_segments(b"\xff" * (f - 1)) == []
+    # differential: vectorized path == row-at-a-time golden on random bytes
+    rng = _random.Random(7)
+    for _ in range(25):
+        p = bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 6 * f + 13)))
+        assert mm._vector_audio_segments(p) == mm.naive_audio_segments(p)
+    # Spark op: scan-predicate filter + one Arrow map, no exchange
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(payload)), (2, "image", bytearray(loud * 4))],
+        "media_id long, kind string, payload binary",
+    )
+    out = mm.media_audio_segments(df)
+    rows = sorted(
+        (r["media_id"], r["seg_idx"], r["start_frame"], r["n_frames"], r["energy_sum"])
+        for r in out.collect()
+    )
+    assert rows == [(1, 0, 1, 2, 254), (1, 1, 4, 1, 127)]  # image row filtered
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

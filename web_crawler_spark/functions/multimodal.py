@@ -303,3 +303,110 @@ def media_phash(media: DataFrame) -> DataFrame:
     return hashed.join(counts, on="phash").select(
         "media_id", "kind", "phash", "n_copies"
     )
+
+
+# --- audio: energy-based activity segmentation (VAD shape) -------------------
+#
+# Real audio decode (ffmpeg/soundfile) is absent from this container, so the
+# decode step is the module's honest-stub convention: samples ARE the payload
+# bytes, centered at the uint8 midpoint.  Everything downstream — framing,
+# integer energy, run detection, the Arrow batch shape, the exploded
+# 1-row-per-segment output — is the real plumbing a voice-activity /
+# music-detection stage needs, and swapping in a true PCM decoder changes
+# only the `samples` line.  Integer math end to end (sum // count), so the
+# differential golden is bit-exact.
+
+AUDIO_FRAME = 64        # samples per frame
+AUDIO_VAD_THRESHOLD = 64  # mean |sample-128| >= this => active frame
+
+
+def naive_audio_segments(payload: bytes) -> "list[tuple[int, int, int, int]]":
+    """Row-at-a-time plain-int golden: (seg_idx, start_frame, n_frames,
+    energy_sum) per maximal run of active frames."""
+    n_frames = len(payload) // AUDIO_FRAME
+    segs = []
+    cur = None  # [start, n, esum]
+    for f in range(n_frames):
+        chunk = payload[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME]
+        energy = sum(abs(b - 128) for b in chunk) // AUDIO_FRAME
+        if energy >= AUDIO_VAD_THRESHOLD:
+            if cur is None:
+                cur = [f, 0, 0]
+            cur[1] += 1
+            cur[2] += energy
+        elif cur is not None:
+            segs.append(cur)
+            cur = None
+    if cur is not None:
+        segs.append(cur)
+    return [(i, s, n, e) for i, (s, n, e) in enumerate(segs)]
+
+
+AUDIO_SEG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("seg_idx", LongType(), False),
+        StructField("start_frame", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("energy_sum", LongType(), False),
+    ]
+)
+
+
+def _vector_audio_segments(payload: bytes) -> "list[tuple[int, int, int, int]]":
+    """Vectorized numpy segmenter (the path under test; independent of the
+    golden)."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n_frames = len(arr) // AUDIO_FRAME
+    if n_frames == 0:
+        return []
+    frames = arr[: n_frames * AUDIO_FRAME].reshape(n_frames, AUDIO_FRAME)
+    energy = np.abs(frames - 128).sum(axis=1) // AUDIO_FRAME
+    active = energy >= AUDIO_VAD_THRESHOLD
+    if not active.any():
+        return []
+    edges = np.diff(active.astype(np.int8), prepend=0, append=0)
+    starts = np.flatnonzero(edges == 1)
+    ends = np.flatnonzero(edges == -1)
+    csum = np.concatenate(([0], np.cumsum(energy)))
+    return [
+        (i, int(s), int(e - s), int(csum[e] - csum[s]))
+        for i, (s, e) in enumerate(zip(starts, ends))
+    ]
+
+
+def media_audio_segments(media: DataFrame) -> DataFrame:
+    """(media_id, seg_idx, start_frame, n_frames, energy_sum) — active-audio
+    segments per payload.  Scale shape: the kind filter is a scan predicate
+    (pushes to parquet row-group stats), the segmenter is ONE Arrow-batched
+    map pass whose output is segment rows (bounded by frames/2 per payload,
+    orders below the byte volume) — payload bytes never shuffle, and
+    there's no exchange at all in this op."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sidx, sfr, nfr, esum = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                for i, s, n, e in _vector_audio_segments(bytes(p)):
+                    ids.append(mid)
+                    sidx.append(i)
+                    sfr.append(s)
+                    nfr.append(n)
+                    esum.append(e)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "seg_idx": pd.Series(sidx, dtype="int64"),
+                    "start_frame": pd.Series(sfr, dtype="int64"),
+                    "n_frames": pd.Series(nfr, dtype="int64"),
+                    "energy_sum": pd.Series(esum, dtype="int64"),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=AUDIO_SEG_SCHEMA)
+    )
