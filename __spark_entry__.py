@@ -1803,6 +1803,28 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavior matrix (the wide feature-table shape user-model
+    training pipelines export): pivot written as DIRECT conditional
+    aggregation over the known type list — ONE (user_id) exchange with
+    map-side partials.  Deliberately not DataFrame.pivot(): even with an
+    explicit value list it plans a (user_id, type) pre-agg plus a second
+    user_id agg — two exchanges for what one conditional pass does
+    (plan-asserted in tests/test_events.py)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, F.lit(1)))
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ]
+    )
+
+
 def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return ev.groupBy("event_type").agg(
@@ -2531,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
+        "events_pivot": q_events_pivot,
         "events_by_type": q_events_by_type,
         "events_sessions": q_events_sessions,
         "events_rollup": q_events_rollup,
@@ -3147,6 +3170,15 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events, (SELECT unnest(range(4)) AS k) k
             GROUP BY 1, 2
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+                   count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+                   count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+                   count(*) FILTER (event_type = 'view')::BIGINT AS n_view
+            FROM events GROUP BY user_id
         """,
         "events_by_type": """
             SELECT event_type, count(*)::BIGINT AS n_events,

@@ -365,3 +365,27 @@ def test_events_sliding_window_membership(spark, tmp_path):
         ).df().iterrows()
     )
     assert got == sorted((r["ws"], r["event_type"]) for r in out)
+
+
+def test_events_pivot_single_exchange(spark):
+    import __spark_entry__ as e
+
+    out = e.q_events_pivot(spark, SF_DIR)
+    # explicit value list => single-pass conditional agg: exactly one
+    # exchange (user_id), no second job for a distinct scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Exchange") == plan.count("Exchange hashpartitioning(user_id")
+    row = out.filter(out.user_id == 1).collect()
+    if row:  # column totals reconcile with the raw counts for that user
+        r = row[0]
+        import duckdb as d
+
+        want = d.sql(
+            f"SELECT count(*) FROM read_parquet('{SF_DIR}/events.parquet')"
+            " WHERE user_id = 1"
+        ).fetchone()[0]
+        assert (
+            r["n_click"] + r["n_error"] + r["n_purchase"] + r["n_signup"] + r["n_view"]
+            == want
+        )

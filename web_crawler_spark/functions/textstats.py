@@ -539,10 +539,15 @@ def bm25_topk(
         .groupBy("doc_id")
         .agg(F.sum("c_ppm").cast("long").alias("score_ppm"))
     )
+    # global top-k via orderBy+limit => TakeOrderedAndProject (per-partition
+    # partial top-k; each map task ships <= k rows) — NOT a row_number over
+    # an unpartitioned window, which would sort every scored doc in one
+    # task.  The rank window then runs over the <= k survivors only (the
+    # bloom.py bounded-single-partition convention).
+    top = scored.orderBy(F.desc("score_ppm"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("doc_id", "score_ppm", "rnk")
     )
 
