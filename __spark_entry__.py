@@ -1567,6 +1567,23 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupsim.connected_components(pairs, docs=docs)
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid split: hash-split at near-dup-COMPONENT
+    grain (LSH pair graph -> connected components -> md5(component) bucket)
+    so a document and its near-duplicate can never straddle sides — the
+    eval-contamination guard doc_id-hash splits lack.  The split itself is
+    a zero-exchange map over the components frame
+    (dedupsim.leakage_safe_split)."""
+    docs = _docs(spark, sf_dir)
+    sh = dedupsim.shingles(docs)
+    pairs = dedupsim.lsh_candidate_pairs(
+        dedupsim.lsh_bands(dedupsim.minhash_signatures(sh))
+    )
+    return dedupsim.leakage_safe_split(
+        dedupsim.connected_components(pairs, docs=docs)
+    )
+
+
 def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc distinctive-term extraction (tf DESC, df ASC, term ASC) —
     integer-only ranking, exact tf/df emitted for downstream idf."""
@@ -2540,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_components": q_dedup_components,
+        "corpus_split": q_corpus_split,
         "doc_top_terms": q_doc_top_terms,
         "dedup_embed": q_dedup_embed,
         "ann_brute": q_ann_brute,
@@ -3110,6 +3128,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "dedup_simhash": dedupsim.duck_simhash_sql("documents"),
         "dedup_simhash_pairs": dedupsim.duck_simhash_pairs_sql("documents"),
         "dedup_components": dedupsim.duck_components_sql("documents"),
+        "corpus_split": dedupsim.duck_split_sql("documents"),
         "doc_top_terms": textstats.duck_top_terms_sql("documents"),
         "dedup_embed": simsearch.duck_cosine_dups_sql("embeddings", COSINE_DUP_THRESHOLD_PPM),
         "ann_brute": simsearch.duck_brute_force_sql("embeddings", N_ANN_QUERIES, ANN_K),

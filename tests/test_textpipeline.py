@@ -1932,3 +1932,31 @@ def test_audio_segments_crafted_and_golden(spark):
     assert rows == [(1, 0, 1, 2, 254), (1, 1, 4, 1, 127)]  # image row filtered
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_leakage_safe_split_coherence(spark):
+    from web_crawler_spark.functions import dedupsim as ds
+
+    # crafted components: dups share a component, singleton keeps own id
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4), (5, 4)],
+        "doc_id long, component long",
+    )
+    out = {r["doc_id"]: r["split"] for r in ds.leakage_safe_split(comp).collect()}
+    assert out[1] == out[2]  # same component -> same side, always
+    assert out[4] == out[5]
+    assert set(out.values()) <= {"train", "valid"}
+    # zero-exchange map
+    plan = (
+        ds.leakage_safe_split(comp)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    # end-to-end on the real corpus: every component is split-pure and the
+    # valid share is in a sane band for a 5% hash split
+    import __spark_entry__ as e
+
+    full = e.q_corpus_split(spark, SF_DIR).toPandas()
+    purity = full.groupby("component")["split"].nunique()
+    assert (purity == 1).all()
+    frac = (full["split"] == "valid").mean()
+    assert 0.0 < frac < 0.25

@@ -684,3 +684,47 @@ JOIN sizes za ON za.doc_id = i.a
 JOIN sizes zb ON zb.doc_id = i.b
 WHERE floor(i.inter / (za.n_sh + zb.n_sh - i.inter)::DOUBLE * 1e6) >= {t_ppm}
 """
+
+
+# --- leakage-safe train/validation split -------------------------------------
+#
+# Splitting by doc_id hash leaks: a document and its near-duplicate land on
+# opposite sides and the validation loss silently measures memorization
+# (the classic C4/GPT-3-era eval-contamination failure).  The fix is to
+# split by NEAR-DUP COMPONENT — every doc in a duplicate cluster goes to
+# the same side — which composes directly from the LSH pair graph's
+# connected components; the side is a deterministic hash of the component
+# id, so the split is resume-stable and engine-independent.
+
+SPLIT_VALID_PCT = 5
+
+
+def leakage_safe_split(components: DataFrame, valid_pct: int = SPLIT_VALID_PCT) -> DataFrame:
+    """(doc_id, component, split): hash-split at COMPONENT grain —
+    'valid' for md5(component) % 100 < valid_pct, else 'train'.  Pure
+    map over the components frame; near-dups cannot straddle sides by
+    construction."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(100),
+    )
+    return components.select(
+        "doc_id",
+        "component",
+        F.when(bucket < valid_pct, F.lit("valid"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def duck_split_sql(table: str, valid_pct: int = SPLIT_VALID_PCT) -> str:
+    """DuckDB twin over the recursive-closure components oracle."""
+    return rf"""
+SELECT doc_id, component,
+       CASE WHEN ('0x' || substr(md5(component::VARCHAR), 1, 8))::BIGINT % 100
+                 < {valid_pct}
+            THEN 'valid' ELSE 'train' END AS split
+FROM ({duck_components_sql(table)})
+"""
