@@ -2191,6 +2191,14 @@ def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_components(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host edge reciprocity, the link-farm signal (organic linking is
+    one-way; farms cross-link): one left-semi self-join on the reversed
+    host pair + one partial-agg'd host exchange, integer ppm output
+    (linkstats.host_reciprocity)."""
+    return linkstats.host_reciprocity(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection inside the host graph (Raghavan et al. 2007
     label propagation): the denser sub-clusters components can't see —
@@ -2593,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "link_components": q_link_components,
         "link_communities": q_link_communities,
+        "link_reciprocity": q_link_reciprocity,
         "doc_length_quantiles": q_doc_length_quantiles,
         "link_depth": q_link_depth,
         "corpus_budget": q_corpus_budget,
@@ -3342,6 +3351,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         """,
         "link_components": linkstats.duck_host_components_sql(pages_meta),
         "link_communities": linkstats.duck_communities_sql(pages_meta),
+        "link_reciprocity": linkstats.duck_reciprocity_sql(pages_meta),
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),
         "corpus_budget": sampling.duck_select_budget_sql("documents"),

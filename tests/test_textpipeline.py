@@ -1960,3 +1960,26 @@ def test_leakage_safe_split_coherence(spark):
     assert (purity == 1).all()
     frac = (full["split"] == "valid").mean()
     assert 0.0 < frac < 0.25
+
+
+def test_host_reciprocity_crafted(spark):
+    from web_crawler_spark.functions import linkstats
+
+    # farm: f1<->f2 cross-link; organic: a->b->c one-way chain
+    rows = [
+        (
+            "http://f1.example/",
+            "f1.example",
+            ["http://f2.example/", "http://c.example/"],  # one of two reciprocated
+        ),
+        ("http://f2.example/", "f2.example", ["http://f1.example/"]),
+        ("http://a.example/", "a.example", ["http://b.example/", "http://f1.example/"]),
+        ("http://b.example/", "b.example", ["http://c.example/"]),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, links array<string>")
+    got = {r["host"]: r for r in linkstats.host_reciprocity(df).collect()}
+    assert got["f1.example"]["recip_ppm"] == 500_000  # 1 of 2 edges reciprocated
+    assert got["f2.example"]["recip_ppm"] == 1_000_000
+    assert got["a.example"]["recip_ppm"] == 0
+    assert got["b.example"]["recip_ppm"] == 0
+    assert "c.example" not in got  # no outgoing edges -> no row

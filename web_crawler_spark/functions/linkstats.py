@@ -1401,3 +1401,70 @@ def duck_communities_sql(pages_meta: str, iters: int = LPA_ITERS) -> str:
         )
     cte = ",\n".join(parts)
     return f"WITH {cte}\nSELECT node AS host, label AS community FROM l{iters}"
+
+
+# --- edge reciprocity (link-farm signal) -------------------------------------
+
+
+def host_reciprocity(df: DataFrame) -> DataFrame:
+    """(host, n_out, n_recip, recip_ppm): per source host, how many of its
+    distinct outgoing host edges are reciprocated — organic linking is
+    heavily one-way, link farms cross-link (Becchetti et al., "Link analysis
+    for Web spam detection": reciprocity ranks with TrustRank as a working
+    farm signal).
+
+    Scale shape: the host-grain edge list is orders below the page corpus;
+    reciprocation is ONE self-join on the reversed key (left-semi, so
+    nothing widens) followed by one partial-agg'd host exchange — no page
+    row ever moves, and ppm output keeps the ratio integer-exact."""
+    e = host_graph(df).filter(F.col("src_host") != F.col("dst_host")).select(
+        "src_host", "dst_host"
+    )
+    recip = e.join(
+        e.select(
+            F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host")
+        ),
+        on=["src_host", "dst_host"],
+        how="left_semi",
+    )
+    out_deg = e.groupBy(F.col("src_host").alias("host")).agg(
+        F.count("*").cast("long").alias("n_out")
+    )
+    rec_deg = recip.groupBy(F.col("src_host").alias("host")).agg(
+        F.count("*").cast("long").alias("n_recip")
+    )
+    return (
+        out_deg.join(rec_deg, on="host", how="left")
+        .select(
+            "host",
+            "n_out",
+            F.coalesce(F.col("n_recip"), F.lit(0)).cast("long").alias("n_recip"),
+        )
+        # integer DIV keeps the ratio bit-exact across engines (repo rule)
+        .withColumn("recip_ppm", F.expr("n_recip * 1000000L DIV n_out"))
+    )
+
+
+def duck_reciprocity_sql(pages_meta: str) -> str:
+    """DuckDB twin of :func:`host_reciprocity`."""
+    return rf"""
+WITH e AS (
+  SELECT src_host, dst_host FROM ({duck_host_graph_sql(pages_meta)})
+  WHERE src_host <> dst_host
+),
+r AS (
+  SELECT a.src_host, a.dst_host
+  FROM e a WHERE EXISTS (
+    SELECT 1 FROM e b
+    WHERE b.src_host = a.dst_host AND b.dst_host = a.src_host)
+)
+SELECT e.src_host AS host,
+       count(*)::BIGINT AS n_out,
+       coalesce(any_value(rc.n_recip), 0)::BIGINT AS n_recip,
+       (coalesce(any_value(rc.n_recip), 0) * 1000000 // count(*))::BIGINT
+         AS recip_ppm
+FROM e
+LEFT JOIN (SELECT src_host, count(*)::BIGINT AS n_recip FROM r GROUP BY 1) rc
+  ON rc.src_host = e.src_host
+GROUP BY e.src_host
+"""
