@@ -158,6 +158,45 @@ def q_stream_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_HOURLY_WATERMARK_H = 2
+
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 graded: STREAMING windowed aggregation with watermark semantics —
+    readStream over the events table, 1h tumbling windows + 2h watermark,
+    append mode under Trigger.AvailableNow (the final no-data batch advances
+    the watermark and commits every closed window).  The oracle states the
+    contract exactly: a window is emitted iff its END clears max(ts) minus
+    the watermark — so this grades the late-data EVICTION rule, not just
+    the counts (streaming/windowed.py)."""
+    import shutil
+
+    from web_crawler_spark.streaming.windowed import run_windowed_available_now
+
+    out = os.path.join(synth.SYNTH_ROOT, "stream_hourly")
+    shutil.rmtree(out, ignore_errors=True)
+    in_dir = os.path.join(out, "in")
+    os.makedirs(in_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    run_windowed_available_now(
+        spark,
+        in_dir,
+        os.path.join(out, "data"),
+        os.path.join(out, "ck"),
+        window="1 hour",
+        watermark=f"{STREAM_HOURLY_WATERMARK_H} hours",
+    )
+    return spark.read.parquet(os.path.join(out, "data")).select(
+        "window_start",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "max_value",
+    )
+
+
 def q_urlnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: RFC 3986 canonicalization over raw candidate URLs."""
     cands = _synth(spark, sf_dir, "url_candidates")
@@ -2459,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_extract": q_parse_extract,
         "main_content": q_main_content,
         "stream_parse": q_stream_parse,
+        "stream_hourly": q_stream_hourly,
         "urlnorm": q_urlnorm,
         "seed_dedup": q_seed_dedup,
         "host_budget": q_host_budget,
@@ -2849,6 +2889,14 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f"read_parquet('{sp('pages')}')"
         ),
         "stream_parse": f"SELECT url, title, text, links_count::INT AS links_count FROM {pages_meta}",
+        "stream_hourly": f"""
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*)::BIGINT AS n_events, max(value) AS max_value
+            FROM events GROUP BY 1, 2
+            HAVING window_start + INTERVAL 1 HOUR
+                   <= (SELECT max(ts) FROM events)
+                      - INTERVAL {STREAM_HOURLY_WATERMARK_H} HOUR
+        """,
         "urlnorm": f"SELECT cand_id, expected AS url_canon FROM {cands}",
         "seed_dedup": f"SELECT url, min(seed_idx) AS seed_idx FROM {seeds} GROUP BY url",
         "host_budget": f"""
