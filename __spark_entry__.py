@@ -753,6 +753,78 @@ def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_audio_segments(_synth(spark, sf_dir, "media"))
 
 
+def _scene_golden_path(sf: str) -> str:
+    """Materialize the naive-Python scene-cut golden (independent of the
+    vectorized hash path under test); cache key embeds frame/threshold
+    params."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark.functions import multimodal
+
+    out = os.path.join(
+        synth.SYNTH_ROOT,
+        f"scene_golden_sf{sf}_f{multimodal.SCENE_MAX_FRAMES}"
+        f"h{multimodal.SCENE_CUT_HAMMING}.parquet",
+    )
+    if os.path.exists(out):
+        return out
+    os.makedirs(synth.SYNTH_ROOT, exist_ok=True)
+    synth.ensure_synth(sf)
+    media = pq.read_table(
+        synth.synth_path(sf, "media"),
+        columns=["media_id", "kind", "payload", "duration_s"],
+    )
+    cols = {
+        k: []
+        for k in ("media_id", "frame_idx", "ts_ms", "phash", "hamming_prev", "is_cut")
+    }
+    for mid, kind, payload, dur in zip(
+        media.column("media_id"),
+        media.column("kind"),
+        media.column("payload"),
+        media.column("duration_s"),
+    ):
+        if kind.as_py() != "video":
+            continue
+        for i, ts, h, ham, cut in multimodal.naive_scene_rows(
+            payload.as_py(), dur.as_py()
+        ):
+            cols["media_id"].append(mid.as_py())
+            cols["frame_idx"].append(i)
+            cols["ts_ms"].append(ts)
+            cols["phash"].append(h)
+            cols["hamming_prev"].append(ham)
+            cols["is_cut"].append(cut if ham is not None else None)
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(cols["media_id"], pa.int64()),
+                "frame_idx": pa.array(cols["frame_idx"], pa.int64()),
+                "ts_ms": pa.array(cols["ts_ms"], pa.int64()),
+                "phash": pa.array(cols["phash"], pa.int64()),
+                "hamming_prev": pa.array(cols["hamming_prev"], pa.int64()),
+                "is_cut": pa.array(cols["is_cut"], pa.bool_()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+    return out
+
+
+def q_media_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection over sampled frames: per-frame dHash +
+    consecutive Hamming diff, all inside ONE Arrow map (frames of a video
+    are generated together — no window, no exchange; decode honestly
+    stubbed per the multimodal convention).  Graded vs an independent
+    row-at-a-time golden (multimodal.media_scenes)."""
+    from web_crawler_spark.functions import multimodal
+
+    return multimodal.media_scenes(_synth(spark, sf_dir, "media"))
+
+
 def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual dHash near-dup hashing over the media payloads: Arrow-
     batched pseudo-decode (honest stub, multimodal.py module note) + 64-bit
@@ -2520,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keyphrases": q_doc_keyphrases,
         "media_phash": q_media_phash,
         "media_audio": q_media_audio,
+        "media_scenes": q_media_scenes,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "doc_bpe_apply": q_doc_bpe_apply,
         "sketch_host_hll": q_sketch_host_hll,
@@ -2986,6 +3059,10 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "media_audio": (
             "SELECT media_id, seg_idx, start_frame, n_frames, energy_sum"
             f" FROM read_parquet('{_audio_golden_path(sf)}')"
+        ),
+        "media_scenes": (
+            "SELECT media_id, frame_idx, ts_ms, phash, hamming_prev, is_cut"
+            f" FROM read_parquet('{_scene_golden_path(sf)}')"
         ),
         "url_suspicious": urlfilter.duck_suspicious_sql(
             f"read_parquet('{sp('urls_sus')}')"

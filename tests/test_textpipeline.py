@@ -1983,3 +1983,29 @@ def test_host_reciprocity_crafted(spark):
     assert got["a.example"]["recip_ppm"] == 0
     assert got["b.example"]["recip_ppm"] == 0
     assert "c.example" not in got  # no outgoing edges -> no row
+
+
+def test_media_scenes_crafted(spark):
+    from web_crawler_spark.functions import multimodal as mm
+
+    payload = bytes(range(256)) * 3
+    # vector path == naive golden, including NULL first-frame hamming
+    golden = mm.naive_scene_rows(payload, 6.0)
+    assert golden[0][3] is None and golden[0][4] is False
+    assert all(g[3] is not None for g in golden[1:])
+    df = spark.createDataFrame(
+        [
+            (1, "video", bytearray(payload), 6.0),
+            (2, "image", bytearray(payload), None),  # filtered by kind
+            (3, "video", bytearray(payload), 0.0),   # zero duration -> no rows
+        ],
+        "media_id long, kind string, payload binary, duration_s double",
+    )
+    out = mm.media_scenes(df)
+    got = sorted(
+        (r["media_id"], r["frame_idx"], r["ts_ms"], r["phash"], r["hamming_prev"])
+        for r in out.collect()
+    )
+    assert got == [(1, g[0], g[1], g[2], g[3]) for g in golden]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -409,4 +410,117 @@ def media_audio_segments(media: DataFrame) -> DataFrame:
         media.filter(F.col("kind") == "audio")
         .select("media_id", "payload")
         .mapInPandas(run, schema=AUDIO_SEG_SCHEMA)
+    )
+
+
+# --- video: scene-cut detection over sampled frames ---------------------------
+#
+# Completes the media triad (image dHash, audio activity, video scenes).
+# Real scene detection diffs consecutive DECODED frames; the container has
+# no codec, so the stub "frame" is the payload with everything before the
+# frame's time offset blanked — a deterministic stand-in whose adjacent
+# frames differ proportionally to the time step, which is exactly the
+# property a cut detector needs (small diffs within a scene, a real decoder
+# swaps in at one line).  Each frame is dHashed and a cut fires when the
+# consecutive Hamming distance exceeds the threshold.  All per-video work
+# happens inside ONE Arrow batch pass — frames of a video are generated
+# together, so even the consecutive diff needs no window and no exchange.
+
+SCENE_MAX_FRAMES = 8
+SCENE_CUT_HAMMING = 8
+
+
+def _scene_frame_bytes(payload: bytes, i: int, n: int) -> bytes:
+    off = i * len(payload) // max(n, 1)
+    return b"\x00" * off + payload[off:]
+
+
+def naive_scene_rows(payload: bytes, dur: "float | None"):
+    """Row-at-a-time golden: (frame_idx, ts_ms, phash, hamming_prev,
+    is_cut) per sampled frame; hamming_prev is NULL (None) on frame 0."""
+    if payload is None or dur is None or dur <= 0:
+        return []
+    n = min(SCENE_MAX_FRAMES, max(1, int(dur)))
+    rows, prev = [], None
+    for i in range(n):
+        h = naive_phash(_scene_frame_bytes(payload, i, n))
+        if prev is None:
+            ham = None
+        else:
+            ham = bin((h ^ prev) & ((1 << 64) - 1)).count("1")
+        rows.append(
+            (
+                i,
+                int((i + 0.5) * float(dur) / n * 1000),
+                h,
+                ham,
+                bool(ham is not None and ham > SCENE_CUT_HAMMING),
+            )
+        )
+        prev = h
+    return rows
+
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("phash", LongType(), False),
+        StructField("hamming_prev", LongType(), True),
+        StructField("is_cut", BooleanType(), True),
+    ]
+)
+
+
+def media_scenes(media: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, ts_ms, phash, hamming_prev, is_cut) — video
+    scene-cut candidates.  Scale shape: kind filter is a pushed scan
+    predicate; ONE Arrow-batched map computes frames, hashes, and the
+    consecutive Hamming diff together (no window, no exchange, payloads
+    never shuffle); output is frame-grain, orders below the byte volume."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "media_id", "frame_idx", "ts_ms", "phash", "hamming_prev", "is_cut"
+            )}
+            for mid, p, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_s"]
+            ):
+                if p is None or dur is None or dur <= 0:
+                    continue
+                n = min(SCENE_MAX_FRAMES, max(1, int(dur)))
+                prev = None
+                for i in range(n):
+                    h = _vector_phash(_scene_frame_bytes(bytes(p), i, n))
+                    ham = (
+                        None
+                        if prev is None
+                        else int(bin((h ^ prev) & ((1 << 64) - 1)).count("1"))
+                    )
+                    cols["media_id"].append(mid)
+                    cols["frame_idx"].append(i)
+                    cols["ts_ms"].append(int((i + 0.5) * float(dur) / n * 1000))
+                    cols["phash"].append(h)
+                    cols["hamming_prev"].append(ham)
+                    cols["is_cut"].append(
+                        None if ham is None else ham > SCENE_CUT_HAMMING
+                    )
+                    prev = h
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(cols["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(cols["frame_idx"], dtype="int64"),
+                    "ts_ms": pd.Series(cols["ts_ms"], dtype="int64"),
+                    "phash": pd.Series(cols["phash"], dtype="int64"),
+                    "hamming_prev": pd.Series(cols["hamming_prev"], dtype="object"),
+                    "is_cut": pd.Series(cols["is_cut"], dtype="object"),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload", "duration_s")
+        .mapInPandas(run, schema=SCENE_SCHEMA)
     )
