@@ -184,3 +184,29 @@ def test_revisit_records_typing_and_plan(spark):
     n_digest = plan.count("Exchange hashpartitioning(digest")
     assert 1 <= n_digest <= 2
     assert plan.count("Exchange hashpartitioning") == n_digest
+
+
+def test_revisit_warc_round_trip(tmp_path):
+    ts1 = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+    ts2 = datetime(2024, 4, 1, 12, 0, 0, tzinfo=timezone.utc)
+    body = b"<html>same</html>"
+    recs = [
+        ("http://a.example/1", ts1, body, "response", None, None),
+        ("http://a.example/1", ts2, body, "revisit", "http://a.example/1", ts1),
+        ("http://b.example/2", ts2, b"<html>x</html>", "response", None, None),
+    ]
+    p = str(tmp_path / "rv.warc")
+    assert warc.write_warc_revisits(recs, p) == 3
+    data = open(p, "rb").read()
+    # revisit bodies are NOT stored — that's the saving the record encodes
+    assert data.count(body) == 1
+    assert b"identical-payload-digest" in data
+    got = list(warc.parse_warc_typed(data))
+    assert [(u, t, bytes(pl), rt, ru, rts) for u, t, pl, rt, ru, rts in got] == [
+        ("http://a.example/1", ts1, body, "response", None, None),
+        ("http://a.example/1", ts2, b"", "revisit", "http://a.example/1", ts1),
+        ("http://b.example/2", ts2, b"<html>x</html>", "response", None, None),
+    ]
+    # the plain reader still sees only full response records
+    plain = list(warc.parse_warc_member(data))
+    assert [u for u, _, _ in plain] == ["http://a.example/1", "http://b.example/2"]

@@ -369,3 +369,99 @@ def write_cdx(pages: DataFrame, out_dir: str, n_shards: int = 32) -> None:
         .write.mode("overwrite")
         .text(out_dir)
     )
+
+
+# --- revisit-aware WARC writing / reading ------------------------------------
+
+
+def write_warc_revisits(records, path: str) -> int:
+    """Write typed records — ``(url, ts, html, record_type, refers_to_url,
+    refers_to_ts)`` — as WARC response/revisit records (WARC 1.1 §6.7.2
+    identical-payload-digest profile: revisit records carry
+    ``WARC-Refers-To-Target-URI``/``-Date`` and an EMPTY payload — the
+    storage saving is the whole point).  Atomic tmp+rename like
+    :func:`write_warc`."""
+    n = 0
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        for url, ts, html, rtype, ref_url, ref_ts in records:
+            is_rev = rtype == "revisit"
+            payload = b"" if is_rev else (bytes(html) if html is not None else b"")
+            lines = [
+                "WARC/1.0",
+                f"WARC-Type: {'revisit' if is_rev else 'response'}",
+                f"WARC-Target-URI: {url}",
+                f"WARC-Date: {ts.strftime(WARC_DT)}",
+            ]
+            if is_rev:
+                lines.append(
+                    "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+                    "identical-payload-digest"
+                )
+                lines.append(f"WARC-Refers-To-Target-URI: {ref_url}")
+                lines.append(f"WARC-Refers-To-Date: {ref_ts.strftime(WARC_DT)}")
+            lines.append(f"Content-Length: {len(payload)}")
+            f.write(("\r\n".join(lines) + "\r\n\r\n").encode("utf-8"))
+            f.write(payload)
+            f.write(b"\r\n\r\n")
+            n += 1
+    os.replace(tmp, path)
+    return n
+
+
+def parse_warc_typed(data: bytes) -> Iterator[tuple]:
+    """Yield (url, warc_ts, payload, record_type, refers_to_url,
+    refers_to_ts) from one WARC file's bytes — :func:`parse_warc_member`'s
+    grammar, but keeping revisit records instead of skipping them (the
+    archive-reader side of :func:`write_warc_revisits`); other non-response
+    types are still skipped, and the same malformed-record tolerance
+    applies."""
+    i, n = 0, len(data)
+    while i < n:
+        j = data.find(b"\r\n\r\n", i)
+        if j < 0:
+            break
+        head = data[i:j].decode("utf-8", "replace")
+        if not head.startswith("WARC/"):
+            k = data.find(b"WARC/1.0", i + 1)
+            if k < 0:
+                break
+            i = k
+            continue
+        fields = {}
+        for line in head.split("\r\n")[1:]:
+            if ": " in line:
+                key, val = line.split(": ", 1)
+                fields[key.strip().lower()] = val.strip()
+        try:
+            length = int(fields.get("content-length", ""))
+        except ValueError:
+            i = j + 4
+            continue
+        payload = data[j + 4 : j + 4 + length]
+        i = j + 4 + length + 4
+        if len(payload) < length:
+            break
+        rtype = fields.get("warc-type", "response")
+        if rtype not in ("response", "revisit"):
+            continue
+        url = fields.get("warc-target-uri")
+        if not url:
+            continue
+
+        def _ts(raw):
+            if not raw:
+                return None
+            try:
+                return datetime.strptime(raw, WARC_DT).replace(tzinfo=timezone.utc)
+            except ValueError:
+                return None
+
+        yield (
+            url,
+            _ts(fields.get("warc-date")),
+            payload,
+            rtype,
+            fields.get("warc-refers-to-target-uri"),
+            _ts(fields.get("warc-refers-to-date")),
+        )
