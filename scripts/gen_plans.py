@@ -348,6 +348,34 @@ def main() -> None:
         "carry channel-grain rows, never page bodies.",
     )
 
+    cap(
+        "warc_revisit — digest-keyed revisit typing",
+        E.q_warc_revisit(spark, sf_dir),
+        "Want: md5/octet_length projected BELOW the union (bodies digested\n"
+        "map-side), every Exchange keyed on digest (one per snapshot branch —\n"
+        "each capture row moves exactly once), one Window resolves originals.",
+    )
+    cap(
+        "corpus_dsir — trained weights as a literal array, zero-exchange scoring",
+        E.q_corpus_dsir(spark, sf_dir),
+        "Want: scoring is Project-over-Scan only — no Exchange, no Python\n"
+        "(the 4096-entry weight table is a literal; training ran as two\n"
+        "bounded bucket aggregations before this plan was built).",
+    )
+    cap(
+        "ip_budget — IP-grain politeness through the salted rank",
+        E.q_ip_budget(spark, sf_dir),
+        "Want: the dns min-ip agg is its own tiny exchange; the attach join\n"
+        "is a BroadcastHashJoin (the frontier side never shuffles for\n"
+        "resolution); ranking shows the two-pass salted window pair.",
+    )
+    cap(
+        "events_pivot — wide matrix via single-pass conditional agg",
+        E.q_events_pivot(spark, sf_dir),
+        "Want: exactly ONE Exchange (user_id) with a partial HashAggregate\n"
+        "below it — not DataFrame.pivot()'s two-level aggregation.",
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")
         f.write(
