@@ -48,6 +48,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="lang=permille[,lang=permille...] stratified keep rates (pre-clean)",
     )
     p.add_argument("--source-cap", type=int, default=None, help="max docs per source (pre-clean)")
+    p.add_argument(
+        "--dsir-target-source",
+        default=None,
+        help="source value whose docs are the DSIR target-domain sample; "
+        "the rest of the corpus is scored and only docs above --dsir-min-score keep",
+    )
+    p.add_argument(
+        "--dsir-min-score",
+        type=int,
+        default=0,
+        help="keep pool docs with dsir_score >= this (integer ppm-weight sum)",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p
@@ -85,6 +97,23 @@ def main(argv: list[str] | None = None) -> int:
     if rates is not None and "lang" in docs.columns:
         keep = sampling.stratified_sample(docs, rates=rates).select("doc_id")
         docs = docs.join(keep, on="doc_id", how="left_semi")
+    n_dsir_target = None
+    if args.dsir_target_source is not None and "source" in docs.columns:
+        # DSIR selection (textstats DSIR block): train ppm-difference weights
+        # on the declared target slice, keep pool docs scoring above the bar;
+        # target docs always keep (they ARE the target distribution)
+        from web_crawler_spark.functions import textstats
+
+        tgt = docs.filter(F.col("source") == args.dsir_target_source)
+        pool = docs.filter(F.col("source") != args.dsir_target_source)
+        n_dsir_target = tgt.count()
+        weights = textstats.train_dsir_weights(pool, tgt)
+        keep = (
+            textstats.dsir_scores(pool, weights)
+            .filter(F.col("dsir_score") >= args.dsir_min_score)
+            .select("doc_id")
+        )
+        docs = tgt.unionByName(pool.join(keep, on="doc_id", how="left_semi"))
 
     if args.bench:
         bench = spark.read.parquet(args.bench)
@@ -106,7 +135,10 @@ def main(argv: list[str] | None = None) -> int:
         "shard"
     ).parquet(args.output)
 
-    written = spark.read.parquet(args.output)
+    # schema-pinned read-back: a fully-filtered corpus writes only _SUCCESS,
+    # and schema inference on an empty directory would crash the job right
+    # after a successful (empty) export
+    written = spark.read.schema(out.schema).parquet(args.output)
     n_out = written.count()
     stats = {
         "docs_in": n_in,
@@ -115,6 +147,8 @@ def main(argv: list[str] | None = None) -> int:
         "shards": args.shards,
         "gopher_gate": bool(args.gopher),
         "decontaminated": bool(args.bench),
+        "dsir_target_source": args.dsir_target_source,
+        "dsir_target_docs": n_dsir_target,
         "master": spark.sparkContext.master,
     }
     print(json.dumps(stats))

@@ -303,3 +303,62 @@ def test_corpus_cli_end_to_end(tmp_path):
 
     t = pq.read_table(out_dir)
     assert {"doc_id", "n_pii", "text_out"} <= set(t.column_names)
+
+
+def test_corpus_cli_dsir_selection(tmp_path):
+    """--dsir-target-source trains weights on the declared slice and keeps
+    only pool docs above the score bar; target docs always keep."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # crafted corpus: target talks astronomy; half the pool is astronomy-
+    # like (kept), half cooking (dropped at min-score 1).  Lines are C4-
+    # clean (>=5 words, terminal punctuation) so the cleaner keeps them.
+    # unique final word per doc so the corpus LINE dedup doesn't collapse
+    # the fixture to one surviving doc
+    astro = "Stellar parallax measures the distant supernova light tonight num{}."
+    cook = "Simmer the garlic butter sauce gently before plating dinner num{}."
+    rows = []
+    for i in range(8):
+        rows.append((i, astro.format(i), "target"))
+    for i in range(8, 16):
+        rows.append((i, astro.format(i), "web"))
+    for i in range(16, 24):
+        rows.append((i, cook.format(i), "web"))
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        docs,
+    )
+    out_dir = str(tmp_path / "shards")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "corpus.py"),
+            "--docs", docs,
+            "--output", out_dir,
+            "--shards", "2",
+            "--dsir-target-source", "target",
+            "--dsir-min-score", "1",
+            "--master", "local[2]",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["dsir_target_source"] == "target"
+    assert stats["dsir_target_docs"] == 8
+    # 8 target + 8 astronomy pool kept; 8 cooking pool dropped
+    assert stats["docs_in"] == 24 and stats["docs_out"] == 16
+    kept = pq.read_table(out_dir).column("doc_id").to_pylist()
+    assert sorted(kept) == list(range(16))
