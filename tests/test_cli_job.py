@@ -362,3 +362,65 @@ def test_corpus_cli_dsir_selection(tmp_path):
     assert stats["docs_in"] == 24 and stats["docs_out"] == 16
     kept = pq.read_table(out_dir).column("doc_id").to_pylist()
     assert sorted(kept) == list(range(16))
+
+
+def test_archive_cli_revisit_round_trip(tmp_path):
+    """jobs/archive.py rewrites an archive with revisit typing: duplicate
+    bodies stored once, total capture count preserved, and the rewritten
+    archive reads back with correct refers-to pointers."""
+    from datetime import datetime, timezone
+
+    from web_crawler_spark.sources import warc as warc_src
+
+    ts1 = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    ts2 = datetime(2024, 4, 1, tzinfo=timezone.utc)
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    warc_src.write_warc(
+        [
+            ("http://a.example/1", ts1, b"<html>same</html>"),
+            ("http://a.example/2", ts1, b"<html>two</html>"),
+        ],
+        os.path.join(src, "part-00000.warc"),
+    )
+    warc_src.write_warc(
+        [
+            ("http://a.example/1", ts2, b"<html>same</html>"),  # unchanged
+            ("http://a.example/2", ts2, b"<html>new</html>"),
+        ],
+        os.path.join(src, "part-00001.warc"),
+    )
+    out_dir = str(tmp_path / "dedup")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "archive.py"),
+            "--warc-in", os.path.join(src, "part-*.warc"),
+            "--output", out_dir,
+            "--mode", "revisit",
+            "--shards", "2",
+            "--master", "local[2]",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["responses"] == 3 and stats["revisits"] == 1
+    assert stats["bytes_saved"] == len(b"<html>same</html>")
+    # read the rewritten archive back with the typed reader
+    recs = []
+    for fname in sorted(os.listdir(out_dir)):
+        with open(os.path.join(out_dir, fname), "rb") as f:
+            recs.extend(warc_src.parse_warc_typed(f.read()))
+    assert len(recs) == 4
+    by_key = {(u, t): (rt, bytes(p), ru) for u, t, p, rt, ru, _ in recs}
+    assert by_key[("http://a.example/1", ts1)][0] == "response"
+    rt, payload, ref = by_key[("http://a.example/1", ts2)]
+    assert rt == "revisit" and payload == b"" and ref == "http://a.example/1"
+    assert by_key[("http://a.example/2", ts2)] == (
+        "response", b"<html>new</html>", None
+    )
