@@ -210,3 +210,41 @@ def test_revisit_warc_round_trip(tmp_path):
     # the plain reader still sees only full response records
     plain = list(warc.parse_warc_member(data))
     assert [u for u, _, _ in plain] == ["http://a.example/1", "http://b.example/2"]
+
+
+def test_revisit_warc_round_trip_property():
+    """Property: write -> typed-parse is identity for arbitrary payloads —
+    including payloads that EMBED the record separator and the WARC/1.0
+    magic (Content-Length framing must win over any content sniffing)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payloads = st.binary(max_size=200) | st.just(
+        b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\n"
+    )
+    urls = st.from_regex(r"http://[a-z]{1,8}\.example/[a-z0-9]{0,12}", fullmatch=True)
+    rec = st.tuples(urls, payloads, st.booleans())
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(rec, max_size=6))
+    def run(recs):
+        typed = []
+        for k, (u, p, is_rev) in enumerate(recs):
+            if is_rev:
+                typed.append((u, TS, b"ignored", "revisit", u + "#orig", TS))
+            else:
+                typed.append((u, TS, p, "response", None, None))
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".warc") as f:
+            warc.write_warc_revisits(typed, f.name)
+            got = list(warc.parse_warc_typed(open(f.name, "rb").read()))
+        want = [
+            (u, ts, b"" if rt == "revisit" else bytes(p), rt, ru, rts)
+            for (u, ts, p, rt, ru, rts) in typed
+        ]
+        assert [
+            (u, t, bytes(p), rt, ru, rts) for u, t, p, rt, ru, rts in got
+        ] == want
+
+    run()
