@@ -365,3 +365,30 @@ def test_scale_crawl_with_acl_rules(spark, tmp_path):
         and not u.startswith("http://host0.example/p/12")
     ]
     assert blocked, "fixture never exercises the gate"
+
+
+def test_scale_ip_budget_collapses_vhosts(spark):
+    """With a dns table, hosts sharing an IP share ONE per-round budget in
+    the crawl loop itself; without it, each host gets its own."""
+    # two vhosts on one server, each with 3 pages; seeds cover all 6 urls
+    rows = []
+    for h in ("va.example", "vb.example"):
+        for i in range(3):
+            rows.append((f"http://{h}/p/{i}", bytearray(f"<html><body>{h} {i}</body></html>".encode())))
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    seeds = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(rows)], "seed_idx long, url string"
+    )
+    dns = spark.createDataFrame(
+        [("va.example", "203.0.113.9"), ("vb.example", "203.0.113.9")],
+        "host string, ip string",
+    )
+    cfg = CrawlConfig(rounds=1, mode="scale", host_budget=2, use_seen_store=False)
+
+    eng = ChainCrawl(spark, pages, cfg, dns=dns)
+    log = ChainCrawl.fetch_log(eng.run(seeds))
+    assert log.count() == 2  # one shared budget across both vhosts
+
+    eng2 = ChainCrawl(spark, pages, CrawlConfig(rounds=1, mode="scale", host_budget=2, use_seen_store=False))
+    log2 = ChainCrawl.fetch_log(eng2.run(seeds))
+    assert log2.count() == 4  # host-grain: 2 per vhost

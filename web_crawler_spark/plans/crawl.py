@@ -165,6 +165,7 @@ class ChainCrawl:
         config: CrawlConfig,
         host_rules: DataFrame | None = None,
         acl_rules: DataFrame | None = None,
+        dns: DataFrame | None = None,
     ):
         self.spark = spark
         self.pages = pages.select("url", "html")
@@ -178,6 +179,9 @@ class ChainCrawl:
         # scale mode gates every round's frontier map-side via the broadcast
         # rules table; disallowed urls leave the frontier permanently
         self.acl_rules = acl_rules
+        # (host, ip) resolver table for IP-grain politeness (virtual-host
+        # collapsing — see _select_batch); None keeps host-grain budgets
+        self.dns = dns
         # steps define the round count (reference: `for step in steps`,
         # chain_crawler.py:408); the flat config is a single-parser chain
         self.n_rounds = len(config.steps) if config.steps else config.rounds
@@ -258,14 +262,28 @@ class ChainCrawl:
             cooled = host_state.filter(F.col("until_round") > round_idx).select("host")
             frontier = frontier.join(cooled, on="host", how="left_anti")
         if cfg.mode == "scale" and (cfg.host_budget is not None or self.host_rules is not None):
+            rank_input, rank_key = frontier, "host"
+            if self.dns is not None and self.host_rules is None:
+                # IP-grain politeness: vhosts sharing a server share ONE
+                # budget (politeness.resolve_politeness_key — O(#hosts) agg
+                # + broadcast attach, the frontier never shuffles here).
+                # Per-host robots budget tables stay host-grain, so the two
+                # compose only via the ACL pre-filter above.
+                from ..operators.politeness import resolve_politeness_key
+
+                rank_input = resolve_politeness_key(frontier, self.dns)
+                rank_key = "ip_key"
             ranked = select_host_budget_batch(
-                frontier,
+                rank_input,
                 order_cols=order,
                 budget=cfg.host_budget,
                 host_rules=self.host_rules,
                 salt_buckets=cfg.salt_buckets,
+                host_col=rank_key,
             )
             batch = ranked.drop("host_rank")
+            if rank_key == "ip_key":
+                batch = batch.drop("ip_key")
         else:
             batch = frontier
         batch = with_global_seq(batch, order, out_col="pos")
