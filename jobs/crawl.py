@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--robots-round-seconds", type=float, default=60.0,
                    help="round window used to convert Crawl-delay to a budget")
+    p.add_argument(
+        "--dns-parquet",
+        help="(host, ip) resolver table -> IP-grain politeness: vhosts "
+        "sharing a server share one per-round budget (ignored when "
+        "--robots-parquet supplies host-grain budget rules)",
+    )
     p.add_argument("--checkpoint-dir")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--output", help="results sink path")
@@ -170,7 +176,8 @@ def main(argv: list[str] | None = None) -> int:
             default_budget=args.host_budget or 5,
             round_seconds=args.robots_round_seconds,
         )
-    state = ChainCrawl(spark, pages, cfg, host_rules=host_rules).run(seeds)
+    dns = spark.read.parquet(args.dns_parquet) if args.dns_parquet else None
+    state = ChainCrawl(spark, pages, cfg, host_rules=host_rules, dns=dns).run(seeds)
     log = ChainCrawl.fetch_log(state)
 
     if log is not None and args.storage == "mongodb":

@@ -424,3 +424,59 @@ def test_archive_cli_revisit_round_trip(tmp_path):
     assert by_key[("http://a.example/2", ts2)] == (
         "response", b"<html>new</html>", None
     )
+
+
+def test_crawl_cli_dns_ip_budget(tmp_path):
+    """--dns-parquet collapses vhosts to one shared per-round budget."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (f"http://v{h}.example/p/{i}",
+         f"<html><body>v{h} {i}</body></html>".encode())
+        for h in "ab" for i in range(3)
+    ]
+    pages = str(tmp_path / "pages.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows]),
+                "html": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        ),
+        pages,
+    )
+    seeds_file = tmp_path / "seeds.txt"
+    seeds_file.write_text("\n".join(r[0] for r in rows) + "\n")
+    dns = str(tmp_path / "dns.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(["va.example", "vb.example"]),
+                "ip": pa.array(["203.0.113.4", "203.0.113.4"]),
+            }
+        ),
+        dns,
+    )
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "crawl.py"),
+            "--urls-file", str(seeds_file),
+            "--pages", pages,
+            "--rounds", "1",
+            "--mode", "scale",
+            "--host-budget", "2",
+            "--dns-parquet", dns,
+            "--master", "local[2]",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    # one shared budget of 2 across both vhosts (4 without --dns-parquet)
+    assert stats["total_urls"] == 2
