@@ -158,6 +158,34 @@ def q_stream_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 graded: the STREAMING stateful URL-seen dedup
+    (applyInPandasWithState, hash-bucketed state shards with exact url
+    confirmation behind the int64 prefilter) over BOTH crawl snapshots fed
+    as one file stream — every url that appears in either snapshot must be
+    emitted exactly once, which is precisely SELECT DISTINCT url in the
+    oracle (streaming/seen_state.py module docstring)."""
+    import shutil
+
+    from web_crawler_spark.streaming.seen_state import run_dedup_available_now
+
+    key = synth.ensure_synth(sf_dir)
+    sf = synth.sf_name_of(key)
+    out = os.path.join(synth.SYNTH_ROOT, f"stream_dedup_sf{sf}")
+    shutil.rmtree(out, ignore_errors=True)
+    in_dir = os.path.join(out, "in")
+    os.makedirs(in_dir)
+    for t in ("pages", "pages_prev"):
+        os.symlink(synth.synth_path(sf, t), os.path.join(in_dir, f"{t}.parquet"))
+    run_dedup_available_now(
+        spark,
+        in_dir,
+        os.path.join(out, "data"),
+        os.path.join(out, "ck"),
+    )
+    return spark.read.parquet(os.path.join(out, "data")).select("url")
+
+
 STREAM_HOURLY_WATERMARK_H = 2
 
 
@@ -2571,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "stream_parse": q_stream_parse,
         "stream_hourly": q_stream_hourly,
+        "stream_dedup": q_stream_dedup,
         "urlnorm": q_urlnorm,
         "seed_dedup": q_seed_dedup,
         "host_budget": q_host_budget,
@@ -2962,6 +2991,12 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f"read_parquet('{sp('pages')}')"
         ),
         "stream_parse": f"SELECT url, title, text, links_count::INT AS links_count FROM {pages_meta}",
+        "stream_dedup": (
+            "SELECT url FROM ("
+            f"SELECT url FROM read_parquet('{sp('pages')}')"
+            f" UNION ALL SELECT url FROM read_parquet('{sp('pages_prev')}')"
+            ") GROUP BY url"
+        ),
         "stream_hourly": f"""
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*)::BIGINT AS n_events, max(value) AS max_value
