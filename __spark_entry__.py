@@ -186,6 +186,55 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out, "data")).select("url")
 
 
+STREAM_THROTTLE_BUDGET = 7
+
+
+def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 graded: the STREAMING per-host throttle (applyInPandasWithState;
+    bounded pending carryover) on a one-batch AvailableNow drive — per host
+    exactly the budget lowest-(prio, url) rows emit, the remainder is
+    counted as pending, nothing silently drops.  The md5-derived prio makes
+    the pick order cross-engine exact (streaming/rate_limit.py)."""
+    import shutil
+
+    from web_crawler_spark.streaming.rate_limit import streaming_host_throttle
+
+    key = synth.ensure_synth(sf_dir)
+    sf = synth.sf_name_of(key)
+    out = os.path.join(synth.SYNTH_ROOT, f"stream_throttle_sf{sf}")
+    shutil.rmtree(out, ignore_errors=True)
+    in_dir = os.path.join(out, "in")
+    os.makedirs(in_dir)
+    os.symlink(
+        synth.synth_path(sf, "pages_meta"), os.path.join(in_dir, "meta.parquet")
+    )
+    stream = spark.readStream.schema("url string").parquet(in_dir)
+    cand = stream.select(
+        "url",
+        F.pmod(
+            F.conv(F.substring(F.md5("url"), 1, 8), 16, 10).cast("long"),
+            F.lit(1_000_000),
+        ).alias("prio"),
+    )
+    q = (
+        streaming_host_throttle(cand, budget=STREAM_THROTTLE_BUDGET)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out, "data"))
+        .option("checkpointLocation", os.path.join(out, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(out, "data")).select(
+        "host",
+        "url",
+        F.col("prio").cast("long").alias("prio"),
+        F.col("n_pending").cast("long").alias("n_pending"),
+        F.col("n_overflow").cast("long").alias("n_overflow"),
+    )
+
+
 STREAM_HOURLY_WATERMARK_H = 2
 
 
@@ -2600,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_parse": q_stream_parse,
         "stream_hourly": q_stream_hourly,
         "stream_dedup": q_stream_dedup,
+        "stream_throttle": q_stream_throttle,
         "urlnorm": q_urlnorm,
         "seed_dedup": q_seed_dedup,
         "host_budget": q_host_budget,
@@ -2991,6 +3041,28 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f"read_parquet('{sp('pages')}')"
         ),
         "stream_parse": f"SELECT url, title, text, links_count::INT AS links_count FROM {pages_meta}",
+        "stream_throttle": f"""
+            WITH cand AS (
+              SELECT lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1))
+                       AS host,
+                     url,
+                     (('0x' || substr(md5(url), 1, 8))::BIGINT % 1000000)
+                       AS prio
+              FROM read_parquet('{sp('pages_meta')}')
+            ),
+            ranked AS (
+              SELECT host, url, prio,
+                     row_number() OVER (PARTITION BY host ORDER BY prio, url)
+                       AS rn,
+                     count(*) OVER (PARTITION BY host) AS n_host
+              FROM cand
+            )
+            SELECT host, url, prio::BIGINT AS prio,
+                   greatest(n_host - {STREAM_THROTTLE_BUDGET}, 0)::BIGINT
+                     AS n_pending,
+                   0::BIGINT AS n_overflow
+            FROM ranked WHERE rn <= {STREAM_THROTTLE_BUDGET}
+        """,
         "stream_dedup": (
             "SELECT url FROM ("
             f"SELECT url FROM read_parquet('{sp('pages')}')"
