@@ -1971,6 +1971,133 @@ def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow.shared_fingerprint_pairs(_docs(spark, sf_dir), min_shared=2)
 
 
+# ---------------------------------------------------------------------------
+# Relational analytics over the driver's TPC-H-ish tables — the classic
+# multi-table join/aggregate shapes (pricing rollup, top-N revenue join,
+# local-supplier 6-table join, exists semi-join).  Money columns arrive as
+# DOUBLE; every aggregate first converts to integer cents via
+# floor(x*100 + 0.5) — identical IEEE arithmetic in both engines — because
+# summing doubles is reduction-order-dependent and can never hash-match.
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _cents(col: str):
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 shape: pricing summary rollup over lineitem — one partial-agg'd
+    exchange on the 6-value (returnflag, linestatus) key; the date filter
+    pushes to the scan.  All money in integer cents."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    qty_c, price_c = _cents("l_quantity"), _cents("l_extendedprice")
+    disc_p, tax_p = _cents("l_discount"), _cents("l_tax")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            qty_c.alias("qty_c"),
+            price_c.alias("price_c"),
+            (price_c * (100 - disc_p)).alias("disc_c"),
+            (price_c * (100 - disc_p) * (100 + tax_p)).alias("charge_c"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_c").alias("sum_qty_c"),
+            F.sum("price_c").alias("sum_base_c"),
+            F.sum("disc_c").alias("sum_disc_c"),
+            F.sum("charge_c").alias("sum_charge_c"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_tpch_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: unshipped-revenue top-10 across customer ⋈ orders ⋈
+    lineitem — the dim filters cut each side BEFORE the joins, and the
+    global top-10 compiles to TakeOrderedAndProject (never a full sort)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    rev = (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("rev_c")
+    return (
+        li.select("l_orderkey", rev)
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust.select("c_custkey"), on=F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_c").alias("revenue_c"))
+        .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: local-supplier revenue per nation across SIX tables —
+    nation/region broadcast as true dims, the customer-nation = supplier-
+    nation equality rides the join, one final partial-agg'd exchange on the
+    tiny nation key."""
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("rev_c")
+    return (
+        li.select("l_orderkey", "l_suppkey", rev)
+        .join(orders.select("o_orderkey", "o_custkey"),
+              on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              on=F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup.select("s_suppkey", "s_nationkey"),
+              on=(F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(n.select("n_nationkey", "n_name", "n_regionkey"),
+              on=F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r.select("r_regionkey"),
+              on=F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev_c").alias("revenue_c"))
+    )
+
+
+def q_tpch_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: per-priority count of orders with at least one LATE
+    lineitem (shipped >30 days after the order date) — a left-semi join on
+    a compound condition, then one tiny-key aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li.select("l_orderkey", "l_shipdate"),
+        on=(F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        how="left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_late_orders")
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation (1h buckets)."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -2769,6 +2896,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "doc_winnow": q_doc_winnow,
         "doc_winnow_pairs": q_doc_winnow_pairs,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_revenue_topn": q_tpch_revenue_topn,
+        "tpch_nation_revenue": q_tpch_nation_revenue,
+        "tpch_late_priority": q_tpch_late_priority,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "events_pivot": q_events_pivot,
@@ -3417,6 +3548,61 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS n_shared
             FROM fp l JOIN fp r ON l.fp = r.fp AND l.doc_id < r.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "tpch_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS sum_qty_c,
+                   sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT AS sum_base_c,
+                   sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT AS sum_disc_c,
+                   sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l_discount * 100 + 0.5)::BIGINT)
+                       * (100 + floor(l_tax * 100 + 0.5)::BIGINT))::BIGINT AS sum_charge_c,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "tpch_revenue_topn": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT
+                     AS revenue_c
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_c DESC, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_nation_revenue": """
+            SELECT n_name,
+                   sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT
+                     AS revenue_c
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "tpch_late_priority": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+            GROUP BY 1
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -251,3 +251,19 @@ def test_scale_loop_seen_anti_join_moves_only_candidates(spark, sf_small):
             eng.close()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_tpch_plans_scale_shapes(spark):
+    """The relational-analytics queries keep the shapes that survive 100x:
+    top-N compiles to TakeOrderedAndProject, the 6-table join broadcasts
+    its true dims, and the pricing rollup pushes its date filter to the
+    scan."""
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    p3 = e.q_tpch_revenue_topn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p3 and "Sort [revenue_c" not in p3
+    p5 = e.q_tpch_nation_revenue(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p5
+    p1 = e.q_tpch_pricing(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "PushedFilters" in p1 and "l_shipdate" in p1
