@@ -2098,6 +2098,70 @@ def q_tpch_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of customers by order count — LEFT OUTER
+    join (zero-order customers must appear) then two chained aggregations,
+    each with map-side partials; the second groups the first's already-tiny
+    output."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, on=F.col("c_custkey") == F.col("o_custkey"), how="left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: the top supplier nation's revenue share per order year —
+    conditional aggregation (CASE inside sum) over the joined fact, share
+    as integer ppm via DIV; years derive from the order date map-side."""
+    sup = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("rev_c")
+    j = (
+        li.select("l_orderkey", "l_suppkey", rev)
+        .join(orders, on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            sup.select("s_suppkey", "s_nationkey"),
+            on=F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            n.select("n_nationkey", "n_name"),
+            on=F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    # the tracked nation is DATA-DERIVED (top total revenue, ties -> min
+    # name): a constant target degenerates to share 0 at scales where that
+    # nation has no suppliers.  The 1-row top-nation frame broadcasts.
+    top1 = (
+        j.groupBy("n_name")
+        .agg(F.sum("rev_c").alias("t"))
+        .orderBy(F.desc("t"), F.asc("n_name"))
+        .limit(1)
+        .select(F.col("n_name").alias("target_nation"))
+    )
+    return (
+        j.crossJoin(F.broadcast(top1))
+        .groupBy("o_year", "target_nation")
+        .agg(
+            F.sum(
+                F.when(F.col("n_name") == F.col("target_nation"), F.col("rev_c"))
+                .otherwise(0)
+            ).alias("nation_rev_c"),
+            F.sum("rev_c").alias("total_rev_c"),
+        )
+        .withColumn("share_ppm", F.expr("nation_rev_c * 1000000L DIV total_rev_c"))
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation (1h buckets)."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -2900,6 +2964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_revenue_topn": q_tpch_revenue_topn,
         "tpch_nation_revenue": q_tpch_nation_revenue,
         "tpch_late_priority": q_tpch_late_priority,
+        "tpch_custdist": q_tpch_custdist,
+        "tpch_market_share": q_tpch_market_share,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "events_pivot": q_events_pivot,
@@ -3603,6 +3669,37 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
               WHERE l_orderkey = o_orderkey
                 AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
             GROUP BY 1
+        """,
+        "tpch_custdist": """
+            SELECT c_count, count(*)::BIGINT AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+              FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+              GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "tpch_market_share": """
+            WITH j AS (
+              SELECT year(o_orderdate) AS o_year, n_name,
+                     floor(l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l_discount * 100 + 0.5)::BIGINT) AS rev_c
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+            )
+            , top1 AS (
+              SELECT n_name AS target_nation FROM j
+              GROUP BY n_name ORDER BY sum(rev_c) DESC, n_name LIMIT 1
+            )
+            SELECT o_year::BIGINT AS o_year,
+                   (SELECT target_nation FROM top1) AS target_nation,
+                   sum(CASE WHEN n_name = (SELECT target_nation FROM top1)
+                            THEN rev_c ELSE 0 END)::BIGINT AS nation_rev_c,
+                   sum(rev_c)::BIGINT AS total_rev_c,
+                   (sum(CASE WHEN n_name = (SELECT target_nation FROM top1)
+                             THEN rev_c ELSE 0 END)
+                    * 1000000 // sum(rev_c))::BIGINT AS share_ppm
+            FROM j GROUP BY 1
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
