@@ -2162,6 +2162,65 @@ def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: suppliers achieving the MAXIMUM total revenue — the
+    join-against-an-aggregate-scalar pattern: per-supplier revenue (one
+    partial-agg'd exchange), the 1-row max broadcasts back as a filter;
+    no window, no second scan of lineitem."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("rev_c")
+    per_sup = (
+        li.select("l_suppkey", rev)
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_c").alias("total_rev_c"))
+    )
+    mx = per_sup.agg(F.max("total_rev_c").alias("mx"))
+    top = per_sup.join(
+        F.broadcast(mx), on=F.col("total_rev_c") == F.col("mx")
+    ).drop("mx")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return top.join(sup, on=F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "s_suppkey", "s_name", "total_rev_c"
+    )
+
+
+def q_events_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user LOW-MEDIAN inter-event gap (seconds): consecutive
+    gaps via lag in one user-grain window, then the rank-(n+1)/2 element —
+    both the gap and the median stay in the same user partition, so the
+    whole query is ONE exchange; integer low-median (no averaging) keeps it
+    engine-exact."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(wu))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    wg = Window.partitionBy("user_id").orderBy("gap_s")
+    n = Window.partitionBy("user_id")
+    ranked = gaps.select(
+        "user_id",
+        "gap_s",
+        F.row_number().over(wg).alias("rn"),
+        F.count("*").over(n).alias("n_gaps"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_gaps + 1) DIV 2")
+    ).select(
+        "user_id",
+        F.col("gap_s").cast("long").alias("median_gap_s"),
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation (1h buckets)."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -2966,6 +3025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_late_priority": q_tpch_late_priority,
         "tpch_custdist": q_tpch_custdist,
         "tpch_market_share": q_tpch_market_share,
+        "tpch_top_supplier": q_tpch_top_supplier,
+        "events_median_gap": q_events_median_gap,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "events_pivot": q_events_pivot,
@@ -3700,6 +3761,41 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                              THEN rev_c ELSE 0 END)
                     * 1000000 // sum(rev_c))::BIGINT AS share_ppm
             FROM j GROUP BY 1
+        """,
+        "tpch_top_supplier": """
+            WITH per_sup AS (
+              SELECT l_suppkey,
+                     sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                         * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT
+                       AS total_rev_c
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, total_rev_c
+            FROM per_sup JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev_c = (SELECT max(total_rev_c) FROM per_sup)
+        """,
+        "events_median_gap": """
+            WITH gaps AS (
+              SELECT user_id,
+                     floor(epoch(ts))::BIGINT
+                       - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)))::BIGINT
+                       AS gap_s
+              FROM events
+            ),
+            ranked AS (
+              SELECT user_id, gap_s,
+                     row_number() OVER (PARTITION BY user_id ORDER BY gap_s)
+                       AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n_gaps
+              FROM gaps WHERE gap_s IS NOT NULL
+            )
+            SELECT user_id, gap_s::BIGINT AS median_gap_s,
+                   n_gaps::BIGINT AS n_gaps
+            FROM ranked WHERE rn = (n_gaps + 1) // 2
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
