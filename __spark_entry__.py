@@ -1772,6 +1772,27 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup diagnostics: the near-dup CLUSTER-SIZE histogram (how much of
+    the corpus sits in duplicate clusters, and how big the worst clusters
+    are — the number a dedup run is judged by).  Two chained tiny-key
+    aggregations over the components frame; docs_remove = what cluster-
+    level dedup would delete at each size."""
+    docs = _docs(spark, sf_dir)
+    sh = dedupsim.shingles(docs)
+    pairs = dedupsim.lsh_candidate_pairs(
+        dedupsim.lsh_bands(dedupsim.minhash_signatures(sh))
+    )
+    comp = dedupsim.connected_components(pairs, docs=docs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.count("*") * (F.col("cluster_size") - 1))
+        .cast("long")
+        .alias("docs_removed"),
+    ).select(F.col("cluster_size").cast("long"), "n_clusters", "docs_removed")
+
+
 def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc distinctive-term extraction (tf DESC, df ASC, term ASC) —
     integer-only ranking, exact tf/df emitted for downstream idf."""
@@ -3008,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_components": q_dedup_components,
         "corpus_split": q_corpus_split,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "doc_top_terms": q_doc_top_terms,
         "dedup_embed": q_dedup_embed,
         "ann_brute": q_ann_brute,
@@ -3628,6 +3650,15 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "dedup_simhash_pairs": dedupsim.duck_simhash_pairs_sql("documents"),
         "dedup_components": dedupsim.duck_components_sql("documents"),
         "corpus_split": dedupsim.duck_split_sql("documents"),
+        "dedup_cluster_sizes": f"""
+            WITH comp AS ({dedupsim.duck_components_sql('documents')}),
+            sizes AS (
+              SELECT component, count(*)::BIGINT AS cluster_size
+              FROM comp GROUP BY 1)
+            SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+                   (count(*) * (cluster_size - 1))::BIGINT AS docs_removed
+            FROM sizes GROUP BY 1
+        """,
         "doc_top_terms": textstats.duck_top_terms_sql("documents"),
         "dedup_embed": simsearch.duck_cosine_dups_sql("embeddings", COSINE_DUP_THRESHOLD_PPM),
         "ann_brute": simsearch.duck_brute_force_sql("embeddings", N_ANN_QUERIES, ANN_K),
