@@ -2119,6 +2119,26 @@ def q_tpch_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension rollup: revenue and quantity by brand across
+    part ⋈ lineitem — the star-join fact-to-dimension shape with the
+    dimension broadcast (part is orders below lineitem); covers the last
+    driver table without a graded consumer."""
+    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("rev_c")
+    return (
+        li.select("l_partkey", _cents("l_quantity").alias("qty_c"), rev)
+        .join(part, on=F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum("rev_c").alias("revenue_c"),
+            F.sum("qty_c").alias("sum_qty_c"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
 def q_tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 shape: distribution of customers by order count — LEFT OUTER
     join (zero-order customers must appear) then two chained aggregations,
@@ -3048,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_custdist": q_tpch_custdist,
         "tpch_market_share": q_tpch_market_share,
         "tpch_top_supplier": q_tpch_top_supplier,
+        "tpch_brand_volume": q_tpch_brand_volume,
         "events_median_gap": q_events_median_gap,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
@@ -3792,6 +3813,16 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                              THEN rev_c ELSE 0 END)
                     * 1000000 // sum(rev_c))::BIGINT AS share_ppm
             FROM j GROUP BY 1
+        """,
+        "tpch_brand_volume": """
+            SELECT p_brand,
+                   sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT
+                     AS revenue_c,
+                   sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS sum_qty_c,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
         """,
         "tpch_top_supplier": """
             WITH per_sup AS (
