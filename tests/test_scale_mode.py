@@ -392,3 +392,38 @@ def test_scale_ip_budget_collapses_vhosts(spark):
     eng2 = ChainCrawl(spark, pages, CrawlConfig(rounds=1, mode="scale", host_budget=2, use_seen_store=False))
     log2 = ChainCrawl.fetch_log(eng2.run(seeds))
     assert log2.count() == 4  # host-grain: 2 per vhost
+
+
+def test_checkpoint_gc_keeps_resume_working(spark, sf_small, tmp_path):
+    """checkpoint_gc drops superseded heavy state but resume and the
+    reconstructed fetch log stay identical to the un-GC'd run."""
+    import os
+
+    base, log_plain = _run_scale(spark, tmpdir=str(tmp_path / "plain"), rounds=3)
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    seeds = spark.read.parquet(synth.synth_path("0.001", "seeds"))
+    ck = str(tmp_path / "gc")
+    cfg = CrawlConfig(
+        rounds=3, mode="scale", host_budget=20, use_bloom=True,
+        bloom_min_seen=0, checkpoint_dir=ck, checkpoint_gc=True,
+    )
+    eng = ChainCrawl(spark, pages, cfg)
+    state = eng.run(seeds)
+    log_gc = (
+        ChainCrawl.fetch_log(state).orderBy("fetch_seq").toPandas()
+    )
+    # superseded heavy state is gone, last round's is intact
+    assert not os.path.exists(os.path.join(ck, "round=0000", "url_seen"))
+    assert not os.path.exists(os.path.join(ck, "round=0000", "frontier"))
+    assert os.path.exists(os.path.join(ck, "round=0002", "frontier"))
+    # results of every round survive (fetch-log reconstruction reads them)
+    assert os.path.exists(os.path.join(ck, "round=0000", "results"))
+    # resume from the GC'd checkpoint still replays to the same log
+    cfg_r = CrawlConfig(
+        rounds=3, mode="scale", host_budget=20, use_bloom=True,
+        bloom_min_seen=0, checkpoint_dir=ck, checkpoint_gc=True, resume=True,
+    )
+    eng3 = ChainCrawl(spark, pages, cfg_r)
+    state3 = eng3.run(seeds)
+    log_resumed = ChainCrawl.fetch_log(state3).orderBy("fetch_seq").toPandas()
+    assert log_resumed["url"].tolist() == log_gc["url"].tolist()

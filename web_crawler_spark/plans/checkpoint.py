@@ -69,3 +69,40 @@ class Checkpointer:
         p = os.path.join(self._round_dir(round_idx), "info.json")
         with open(p) as f:
             return json.load(f)
+
+    # heavy per-round STATE tables: resume only ever reads these from the
+    # LAST committed round (plans/crawl.py run()); everything else —
+    # results, url_seen_delta, info.json — is read from every round and
+    # must survive GC
+    GC_STATE_TABLES = ("url_seen", "frontier", "host_state")
+
+    def gc_state(self, keep_last: int = 1, last: "int | None" = None) -> int:
+        """Drop the heavy state snapshots of committed rounds older than the
+        newest ``keep_last`` — a 1000-round crawl otherwise stores ~1000
+        copies of the full seen set (O(rounds x |seen|)); after GC storage
+        is O(|seen| + rounds x |delta|).  Round dirs, commit markers,
+        results, deltas, and info are untouched, so resume and fetch-log
+        reconstruction still work.  Returns the number of table dirs
+        removed.
+
+        ``last``: the caller's notion of the newest round (the crawl loop
+        passes the round it JUST committed).  Defaults to the scan-derived
+        ``last_committed()`` — but a fresh run over a dir holding STALE
+        later rounds must pass its own round, else the stale markers would
+        GC the state it just wrote."""
+        if last is None:
+            last = self.last_committed()
+        if last is None:
+            return 0
+        cutoff = last - keep_last + 1
+        removed = 0
+        for r in range(cutoff):
+            rd = self._round_dir(r)
+            if not os.path.exists(os.path.join(rd, "_COMMITTED")):
+                continue
+            for name in self.GC_STATE_TABLES:
+                p = os.path.join(rd, name)
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+                    removed += 1
+        return removed

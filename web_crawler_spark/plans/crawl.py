@@ -121,6 +121,11 @@ class CrawlConfig:
     # appends add one file per bucket per round; long crawls compact so scan
     # file counts stay bounded).  None = never compact in-loop.
     seen_compact_every: Optional[int] = None
+    # drop superseded heavy state snapshots (url_seen/frontier/host_state of
+    # rounds older than the last committed) right after each commit — a
+    # 1000-round crawl otherwise stores O(rounds x |seen|)
+    # (checkpoint.Checkpointer.gc_state)
+    checkpoint_gc: bool = False
     checkpoint_dir: Optional[str] = None
     resume: bool = False
     cache_pages: bool = True
@@ -629,6 +634,8 @@ class ChainCrawl:
                     "lineage": lineage_rows,
                 },
             )
+            if cfg.checkpoint_gc:
+                self.ckpt.gc_state(keep_last=1, last=r)
             state_next.frontier = self.ckpt.read(self.spark, r, "frontier")
             state_next.results[-1] = self.ckpt.read(self.spark, r, "results")
             if new_seen is not None and self._seen_store is None:
