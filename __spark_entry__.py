@@ -1236,6 +1236,28 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", textstats.lang_pred(F.col("text")).alias("lang_pred"))
 
 
+def q_doc_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION query: the langid confusion matrix against the
+    table's declared language — (lang, lang_pred, n, share_ppm of the
+    declared-language row).  One tiny-key exchange; the diagnostic every
+    langid gate ships with."""
+    d = _docs(spark, sf_dir)
+    pred = d.select("lang", textstats.lang_pred(F.col("text")).alias("lang_pred"))
+    cm = pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("lang")
+    return (
+        cm.withColumn("lang_total", F.sum("n").over(tot))
+        .select(
+            "lang",
+            "lang_pred",
+            F.col("n").cast("long").alias("n"),
+            F.expr("n * 1000000L DIV lang_total").alias("share_ppm"),
+        )
+    )
+
+
 def q_doc_source_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb/DCLM-style curation gate on doc quality AND a mined
     per-source prior: map-side quality projection, O(#sources) two-phase
@@ -2996,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": q_doc_readability,
         "doc_source_prior": q_doc_source_prior,
         "doc_langid": q_doc_langid,
+        "doc_langid_eval": q_doc_langid_eval,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "corpus_clean": q_corpus_clean,
@@ -3554,6 +3577,22 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_keyphrases": textstats.duck_keyphrases_sql("documents"),
         "doc_source_prior": textstats.duck_source_prior_sql("documents"),
         "doc_langid": textstats.duck_langid_sql("documents"),
+        "doc_langid_eval": f"""
+            WITH pred AS (
+              SELECT d.lang, p.lang_pred
+              FROM documents d
+              JOIN ({textstats.duck_langid_sql('documents')}) p
+                ON p.doc_id = d.doc_id
+            ),
+            cm AS (
+              SELECT lang, lang_pred, count(*)::BIGINT AS n
+              FROM pred GROUP BY 1, 2
+            )
+            SELECT lang, lang_pred, n,
+                   (n * 1000000 // sum(n) OVER (PARTITION BY lang))::BIGINT
+                     AS share_ppm
+            FROM cm
+        """,
         "doc_fingerprint": textstats.duck_fingerprint_sql("documents"),
         "dedup_exact": dedupsim.duck_exact_dups_sql("documents", min_count=1),
         "corpus_clean": duck_clean_corpus_sql("documents"),

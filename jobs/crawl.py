@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--robots-parquet supplies host-grain budget rules)",
     )
     p.add_argument("--checkpoint-dir")
+    p.add_argument(
+        "--checkpoint-gc",
+        action="store_true",
+        help="drop superseded heavy state snapshots after each commit "
+        "(keeps results/deltas/markers; resume unchanged)",
+    )
     p.add_argument("--resume", action="store_true")
     p.add_argument("--output", help="results sink path")
     p.add_argument(
@@ -165,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
         max_retries=args.retries,
         use_bloom=not args.no_bloom,
         checkpoint_dir=args.checkpoint_dir,
+        checkpoint_gc=args.checkpoint_gc,
         resume=args.resume,
     )
     host_rules = None
