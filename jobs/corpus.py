@@ -60,6 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=0,
         help="keep pool docs with dsir_score >= this (integer ppm-weight sum)",
     )
+    p.add_argument(
+        "--split-valid-pct",
+        type=int,
+        default=None,
+        help="add a train/valid split column, hash-assigned at content-"
+        "FINGERPRINT grain so exact duplicates never straddle sides "
+        "(near-dup-grain splitting is the corpus_split LSH path)",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p
@@ -127,6 +135,25 @@ def main(argv: list[str] | None = None) -> int:
             "n_pii",
             sampling.hash_bucket(F.col("doc_id"), args.shards).alias("shard"),
             "text_out",
+        )
+
+    if args.split_valid_pct is not None:
+        # train/valid split at content-FINGERPRINT grain: exact duplicates
+        # share a fingerprint, so they can never straddle sides (the
+        # doc_id-hash split's eval-leakage failure); a pure map column
+        from web_crawler_spark.functions import textstats
+
+        bucket = F.pmod(
+            F.conv(
+                F.substring(textstats.fingerprint(F.col("text_out")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(100),
+        )
+        out = out.withColumn(
+            "split",
+            F.when(bucket < args.split_valid_pct, F.lit("valid")).otherwise(
+                F.lit("train")
+            ),
         )
 
     # one file per shard: partitioned write, repartitioned by the shard key
