@@ -531,3 +531,48 @@ def test_corpus_cli_split_column(tmp_path):
     purity = t.groupby(t["text_out"])["split"].nunique()
     assert (purity == 1).all()
     assert (t["split"] == "valid").any() or len(t) < 5  # 30% bucket plausible
+
+
+def test_archive_cli_cdx_mode(tmp_path):
+    """jobs/archive.py --mode cdx writes the sorted lookup index."""
+    from datetime import datetime, timezone
+
+    from web_crawler_spark.sources import warc as warc_src
+
+    ts = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    warc_src.write_warc(
+        [
+            ("http://b.example/p/2", ts, b"two"),
+            ("http://a.example/p/1", ts, b"one"),
+        ],
+        os.path.join(src, "part-00000.warc"),
+    )
+    out_dir = str(tmp_path / "cdx")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "archive.py"),
+            "--warc-in", os.path.join(src, "part-*.warc"),
+            "--output", out_dir,
+            "--mode", "cdx",
+            "--shards", "2",
+            "--master", "local[2]",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["mode"] == "cdx" and stats["captures"] == 2
+    import glob
+
+    lines = []
+    for p in sorted(glob.glob(os.path.join(out_dir, "part-*"))):
+        lines += open(p).read().splitlines()
+    keys = [ln.split(" ", 1)[0] for ln in lines if ln]
+    assert keys == sorted(keys) == ["example,a)/p/1", "example,b)/p/2"]
