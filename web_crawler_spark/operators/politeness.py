@@ -330,6 +330,7 @@ def resolve_politeness_key(
     dns: DataFrame,
     host_col: str = "host",
     out: str = "ip_key",
+    broadcast_dns: bool = True,
 ) -> DataFrame:
     """Attach the IP-grain politeness key: hosts that share a server must
     share a budget (shared hosting puts thousands of vhosts on one box —
@@ -343,11 +344,17 @@ def resolve_politeness_key(
 
     Scale shape: the dns table is O(#hosts) — orders below the frontier —
     so the min-ip agg is a tiny exchange and the attach join broadcasts;
-    the frontier itself does not shuffle here."""
+    the frontier itself does not shuffle here.  ``broadcast_dns=False``
+    drops the hint for resolver tables past broadcast size (~10^8-host
+    deployments: a 3 GB map must not ship to every executor) — AQE then
+    plans the join, and the extra host exchange it may cost is absorbed by
+    the ip_key exchange the budget rank needs anyway."""
     key = dns.groupBy(F.col("host")).agg(F.min("ip").alias("__ip"))
+    if broadcast_dns:
+        key = F.broadcast(key)
     return (
         frontier.join(
-            F.broadcast(key), on=frontier[host_col] == key["host"], how="left"
+            key, on=frontier[host_col] == key["host"], how="left"
         )
         .drop(key["host"])
         .withColumn(
