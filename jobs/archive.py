@@ -49,19 +49,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def rewrite_with_revisits(spark, warc_glob: str, out_dir: str, shards: int) -> dict:
-    """Read captures, type them, and write ``shards`` revisit-aware WARC
-    files.  The typing join keys on (url, ts_us) — digest-grain work never
-    touches bodies; bodies ride the final repartition once, with revisit
-    rows carrying NO payload at all."""
+    """Read captures, type them, and write revisit-aware WARC files.
+
+    Bodies move across the cluster EXACTLY ONCE: captures repartition on
+    digest (``shards`` partitions — the output file count), the
+    original-vs-revisit decision is a window *within* that partitioning
+    (no second exchange; Spark reuses the repartition), and each task
+    writes its partition directly — revisit rows carry NO payload.  The
+    naive plan (type on digests, join bodies back on (url, ts)) ships
+    every body through a second shuffle."""
     caps = warc.read_warc(spark, warc_glob)
-    typed = warc.revisit_records([caps])
-    # attach bodies to response rows only; revisit rows stay body-free
-    joined = (
-        caps.select("url", F.unix_micros("warc_ts").alias("ts_us"), "html")
-        .join(typed, on=["url", "ts_us"])
-        .withColumn(
-            "html", F.when(F.col("record_type") == "response", F.col("html"))
-        )
+    joined = warc.revisit_records(
+        [caps], carry_payload=True, repartition_to=shards
     )
 
     os.makedirs(out_dir, exist_ok=True)
@@ -98,8 +97,9 @@ def rewrite_with_revisits(spark, warc_glob: str, out_dir: str, shards: int) -> d
             os.path.join(out_dir, f"part-{pid:05d}.warc"),
         )
 
-    joined.repartition(shards).foreachPartition(dump)
-    agg = typed.groupBy("record_type").agg(
+    joined = joined.persist()  # one pass feeds both the write and the stats
+    joined.foreachPartition(dump)
+    agg = joined.groupBy("record_type").agg(
         F.count("*").alias("n"), F.sum("bytes_saved").alias("saved")
     )
     stats = {r["record_type"]: (r["n"], r["saved"]) for r in agg.collect()}

@@ -209,7 +209,11 @@ def write_warc_dir(df: DataFrame, out_dir: str, n_files: int | None = None) -> N
 # --- revisit records (archive-side payload dedup) ---------------------------
 
 
-def revisit_records(snapshots: "list[DataFrame]") -> DataFrame:
+def revisit_records(
+    snapshots: "list[DataFrame]",
+    carry_payload: bool = False,
+    repartition_to: "int | None" = None,
+) -> DataFrame:
     """WARC ``revisit`` typing (WARC 1.1 §6.7.2, "identical payload digest"
     profile) across one or more crawl snapshots: the FIRST capture of each
     distinct payload is archived as a full ``response`` record; every later
@@ -230,7 +234,12 @@ def revisit_records(snapshots: "list[DataFrame]") -> DataFrame:
     Parity: the reference sink stores every fetch unconditionally
     (web_crawler/storage.py:47-58); revisit typing is that sink's
     archive-scale upgrade, composing with :func:`dedup
-    <..plans.recrawl.dedup_snapshots>` which keeps only canonical bodies."""
+    <..plans.recrawl.dedup_snapshots>` which keeps only canonical bodies.
+
+    ``carry_payload=True`` keeps the body column on the typed rows (nulled
+    on revisit rows) so a rewriting sink can consume this frame directly —
+    bodies then ride the ONE digest exchange and never move again
+    (jobs/archive.py); the default drops bodies before the shuffle."""
     from pyspark.sql import Window
 
     caps = None
@@ -240,8 +249,11 @@ def revisit_records(snapshots: "list[DataFrame]") -> DataFrame:
             F.unix_micros("warc_ts").alias("ts_us"),
             F.md5("html").alias("digest"),
             F.octet_length("html").cast("long").alias("n_bytes"),
+            *([F.col("html")] if carry_payload else []),
         )
         caps = d if caps is None else caps.unionByName(d)
+    if repartition_to is not None:
+        caps = caps.repartition(repartition_to, "digest")
     w = Window.partitionBy("digest").orderBy("ts_us", "url")
     rn = F.row_number().over(w)
     is_orig = rn == 1
@@ -261,6 +273,7 @@ def revisit_records(snapshots: "list[DataFrame]") -> DataFrame:
         F.when(is_orig, F.lit(0).cast("long"))
         .otherwise(F.col("n_bytes"))
         .alias("bytes_saved"),
+        *([F.when(is_orig, F.col("html")).alias("html")] if carry_payload else []),
     )
 
 
