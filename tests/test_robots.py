@@ -394,3 +394,49 @@ def test_feed_parse_crafted(spark, tmp_path):
         for _, r in odf.iterrows()
     }
     assert want == got
+
+
+def test_write_sitemaps_round_trip(spark, tmp_path):
+    """Producer -> parser round trip: every page url appears exactly once
+    across the emitted urlset shards, shards respect the 50k cap (here
+    forced tiny), files are in sorted-run layout, and lastmod carries the
+    capture date."""
+    import glob
+    import os
+
+    from web_crawler_spark import synth
+    from web_crawler_spark.sources import robots as robots_src
+
+    synth.ensure_synth("0.001")
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    out = str(tmp_path / "sitemaps")
+    robots_src.write_sitemaps(pages, out, max_urls=300)
+    files = sorted(glob.glob(os.path.join(out, "sitemap-*.xml")))
+    assert len(files) >= 4  # 1000 urls / 300 cap
+    # parse back with the engine's own sitemap parser
+    sm = spark.createDataFrame(
+        [(os.path.basename(p), open(p).read()) for p in files],
+        "sitemap_url string, xml string",
+    )
+    parsed = robots_src.parse_sitemap_xml(sm).filter(F.col("kind") == "url")
+    back = parsed.select(F.col("loc").alias("url")).toPandas()["url"]
+    want = pages.select("url").toPandas()["url"]
+    assert sorted(back) == sorted(want)
+    assert len(back) == len(set(back)) == 1000
+    # per-file cap + sorted-run layout (in-file order AND cross-file ranges)
+    last_max = None
+    for p in files:
+        locs = [
+            r["loc"]
+            for r in parsed.filter(
+                F.col("sitemap_url") == os.path.basename(p)
+            ).collect()
+        ]
+        assert 0 < len(locs) <= 300
+        assert locs == sorted(locs)
+        if last_max is not None:
+            assert last_max <= locs[0]
+        last_max = locs[-1]
+    # lastmod present and date-shaped
+    lm = parsed.select("lastmod").distinct().collect()
+    assert all(r["lastmod"] and len(r["lastmod"]) == 10 for r in lm)

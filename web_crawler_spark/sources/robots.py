@@ -488,3 +488,63 @@ SELECT url, host, age_s,
 FROM stale
 QUALIFY host_rank <= {budget}
 """
+
+
+# -- sitemap XML generation (the producer side) ---------------------------------
+
+
+SITEMAP_MAX_URLS = 50_000  # sitemaps.org protocol hard limit per file
+
+
+def write_sitemaps(
+    pages: DataFrame,
+    out_dir: str,
+    max_urls: int = SITEMAP_MAX_URLS,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> None:
+    """Render the crawled corpus as sitemaps-protocol XML shards — the
+    PRODUCER side of :func:`parse_sitemap_xml` (a crawl that republishes
+    its captures, or a site pipeline emitting its own sitemap set).
+
+    Layout follows write_cdx's sorted-run discipline: urls range-partition
+    so each task owns a contiguous url range, each partition renders ONE
+    ``<urlset>`` file capped at the protocol's 50k-url limit, and
+    ``<lastmod>`` carries the capture date.  The partition count is derived
+    from the row count so the cap holds without a global sort."""
+    import math
+    import os as _os
+
+    from pyspark import TaskContext
+
+    n = pages.count()
+    n_files = max(1, math.ceil(n / max_urls))
+    _os.makedirs(out_dir, exist_ok=True)
+    rows = (
+        pages.select(
+            F.col(url_col).alias("loc"),
+            F.date_format(ts_col, "yyyy-MM-dd").alias("lastmod"),
+        )
+        .repartitionByRange(n_files, "loc")
+        .sortWithinPartitions("loc")
+    )
+
+    def dump(it) -> None:
+        it = list(it)
+        if not it:
+            return
+        pid = TaskContext.get().partitionId()
+        tmp = _os.path.join(out_dir, f"sitemap-{pid:05d}.xml.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+            f.write('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n')
+            for r in it:
+                f.write("<url>")
+                f.write(f"<loc>{r['loc']}</loc>")
+                if r["lastmod"]:
+                    f.write(f"<lastmod>{r['lastmod']}</lastmod>")
+                f.write("</url>\n")
+            f.write("</urlset>\n")
+        _os.replace(tmp, _os.path.join(out_dir, f"sitemap-{pid:05d}.xml"))
+
+    rows.foreachPartition(dump)
