@@ -187,6 +187,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_THROTTLE_BUDGET = 7
+STREAM_THROTTLE_MAX_PENDING = 10_000  # rate_limit.DEFAULT_MAX_PENDING
 
 
 def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3382,9 +3383,11 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
               FROM cand
             )
             SELECT host, url, prio::BIGINT AS prio,
-                   greatest(n_host - {STREAM_THROTTLE_BUDGET}, 0)::BIGINT
-                     AS n_pending,
-                   0::BIGINT AS n_overflow
+                   least(greatest(n_host - {STREAM_THROTTLE_BUDGET}, 0),
+                         {STREAM_THROTTLE_MAX_PENDING})::BIGINT AS n_pending,
+                   greatest(n_host - {STREAM_THROTTLE_BUDGET}
+                            - {STREAM_THROTTLE_MAX_PENDING}, 0)::BIGINT
+                     AS n_overflow
             FROM ranked WHERE rn <= {STREAM_THROTTLE_BUDGET}
         """,
         "stream_dedup": (
