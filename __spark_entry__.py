@@ -1422,6 +1422,16 @@ def q_doc_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.classifier_score(_docs(spark, sf_dir))
 
 
+def q_doc_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION query #2: exact Mann-Whitney ROC-AUC of the
+    hashed-linear gate's score against the table's declared-English label
+    (the AUC a DCLM/CCNet-style filter reports).  Rank statistics aggregate
+    to one row per distinct score, cumulatives via the two-job
+    range-partition prefix sum — no corpus-wide window
+    (textstats.classifier_auc docstring)."""
+    return textstats.classifier_auc(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
 DSIR_TARGET_SOURCE = "src0"
 
 
@@ -2992,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_oov": q_doc_oov,
         "crawl_host_report": q_crawl_host_report,
         "doc_classifier": q_doc_classifier,
+        "doc_classifier_auc": q_doc_classifier_auc,
         "corpus_dsir": q_corpus_dsir,
         "sitemap_recrawl": q_sitemap_recrawl,
         "robots_acl_batch": q_robots_acl_batch,
@@ -3567,6 +3578,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         # text pipeline (driver documents view)
         "doc_tokens": textstats.duck_tokens_sql("documents"),
         "doc_classifier": textstats.duck_classifier_sql("documents"),
+        "doc_classifier_auc": textstats.duck_classifier_auc_sql("documents"),
         "corpus_dsir": textstats.duck_dsir_sql(
             f"(SELECT doc_id, text FROM documents"
             f" WHERE source <> '{DSIR_TARGET_SOURCE}')",

@@ -1239,6 +1239,89 @@ FROM feats
 """
 
 
+def classifier_auc(df, label_col, text_col: str = "text"):
+    """Exact ROC-AUC of the classifier score against a boolean label column
+    — the evaluation every curation gate ships with (DCLM reports AUC for
+    its fastText filter).  Single row ``(n_pos, n_neg, u_x2, auc_ppm)``
+    via the Mann-Whitney rank-sum identity with mid-rank tie handling:
+
+        2*U = sum over distinct scores s of
+                n_pos(s) * (2 * n_neg_below(s) + n_neg_at(s))
+        AUC   = U / (n_pos * n_neg)
+
+    kept integer-exact cross-engine by carrying 2*U and emitting ppm.
+
+    Scale shape: the per-doc pass is the classifier's zero-exchange
+    projection; the rank statistics aggregate to ONE ROW PER DISTINCT
+    SCORE before any ordering, and the cumulative counts come from the
+    two-job range-partition prefix sum (ordering.with_prefix_sums) — no
+    single-partition window over the corpus.  BIGINT bounds: u_x2 <=
+    2*n_pos*n_neg, so the ppm math is exact to ~2e9 evaluated docs per
+    side — evaluation runs on labeled samples, not the raw 10^10 corpus."""
+    from web_crawler_spark.operators.ordering import with_prefix_sums
+
+    scored = df.select(
+        classifier_w_sum(text_col).alias("score"),
+        F.when(label_col, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("pos"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.sum("pos").alias("np_"), F.count("*").alias("n_")
+    )
+    cum = with_prefix_sums(by_score, ["score"], ["np_", "n_"])
+    totals = cum.agg(
+        F.sum("np_").cast("long").alias("n_pos"),
+        F.sum(F.col("n_") - F.col("np_")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("np_")
+            * (
+                2 * (F.col("n__before") - F.col("np__before"))
+                + (F.col("n_") - F.col("np_"))
+            )
+        )
+        .cast("long")
+        .alias("u_x2"),
+    )
+    return totals.select(
+        "n_pos",
+        "n_neg",
+        "u_x2",
+        F.expr("u_x2 * 1000000L DIV (2 * n_pos * n_neg)").alias("auc_ppm"),
+    )
+
+
+def duck_classifier_auc_sql(
+    docs: str, label_sql: str = "d.lang = 'en'", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`classifier_auc` (window prefix is fine at
+    oracle scale)."""
+    return f"""
+WITH scored AS (
+  SELECT s.w_sum AS score,
+         CASE WHEN {label_sql} THEN 1 ELSE 0 END AS pos
+  FROM ({duck_classifier_sql(docs, text_col=text_col)}) s
+  JOIN {docs} d USING (doc_id)
+),
+by_score AS (
+  SELECT score, sum(pos)::BIGINT AS np, count(*)::BIGINT AS n
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT np, n,
+         coalesce(sum(n)  OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bn,
+         coalesce(sum(np) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bp
+  FROM by_score
+)
+SELECT sum(np)::BIGINT AS n_pos,
+       (sum(n) - sum(np))::BIGINT AS n_neg,
+       sum(np * (2 * (bn - bp) + (n - np)))::BIGINT AS u_x2,
+       (sum(np * (2 * (bn - bp) + (n - np))) * 1000000
+          // (2 * sum(np) * (sum(n) - sum(np))))::BIGINT AS auc_ppm
+FROM cum
+"""
+
+
 # ---------------------------------------------------------------------------
 # DSIR — data selection with importance resampling (Xie et al., NeurIPS'23)
 # ---------------------------------------------------------------------------

@@ -87,6 +87,76 @@ def with_global_seq(
     return out
 
 
+def with_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach EXCLUSIVE prefix sums of ``sum_cols`` in the total order of
+    ``order_cols`` — the running-total primitive behind rank-statistic
+    evaluation (AUC), CDF/quantile tables, and water-level searches.
+
+    Same two-job range-partition shape as :func:`with_global_seq` (never a
+    single-partition ``sum() over (order by ...)``): per-partition totals
+    are a tiny collected aggregate prefix-summed on the driver and
+    broadcast; the stamp pass is one Arrow-batched scan adding
+    ``{c}_before`` = sum of ``c`` over rows STRICTLY earlier in the total
+    order.  Ties in ``order_cols`` must not straddle row identity (callers
+    aggregate to one row per key first — range partitioning routes equal
+    keys to one partition, but intra-key "before" would be arbitrary).
+
+    Cache discipline mirrors with_global_seq: eager localCheckpoint of the
+    output, explicit unpersist of the ranged intermediate."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(2, spark.sparkContext.defaultParallelism)
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    partials = {
+        r["__pid"]: [r[f"__s_{c}"] or 0 for c in sum_cols]
+        for r in ranged.groupBy("__pid")
+        .agg(*[F.sum(c).alias(f"__s_{c}") for c in sum_cols])
+        .collect()
+    }
+    offsets, acc = {}, [0] * len(sum_cols)
+    for pid in sorted(partials):
+        offsets[pid] = list(acc)
+        acc = [a + p for a, p in zip(acc, partials[pid])]
+    offsets_bc = spark.sparkContext.broadcast(offsets)
+
+    out_schema = StructType(
+        [f for f in df.schema.fields]
+        + [StructField(f"{c}_before", LongType(), False) for c in sum_cols]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def add_prefix(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = list(offsets_bc.value[int(pdf["__pid"].iloc[0])])
+            out = pdf[in_cols].copy()
+            for i, c in enumerate(sum_cols):
+                vals = pdf[c].fillna(0).astype("int64")
+                out[f"{c}_before"] = run[i] + vals.cumsum() - vals
+                run[i] += int(vals.sum())
+            yield out
+
+    out = ranged.mapInPandas(add_prefix, schema=out_schema).localCheckpoint(
+        eager=True
+    )
+    ranged.unpersist()
+    return out
+
+
 def fair_interleave(
     batch: DataFrame,
     order_cols: list[str],
