@@ -2490,6 +2490,41 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users: per-day DAU, trailing-window WAU, and
+    DAU/WAU stickiness ppm — the engagement rollup every event pipeline
+    ships.  Days are pure integer epoch-day buckets (the retention query's
+    no-calendar discipline).
+
+    Scale shape: Spark has no count-distinct-over-range-window, and a
+    per-day self-join re-shuffles the activity relation 7x on the BIG side.
+    Instead the (user, day) DISTINCT relation (one partial-agg'd exchange,
+    bounded by users x active days << events) explodes each row into the
+    <=7 window-days it serves — fan-out on the already-deduped small
+    relation — then one count_distinct per window day.  Window days with
+    no same-day activity are clipped by the inner join to DAU days,
+    mirroring the oracle."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) DIV 86400000000").alias("day"),
+    )
+    pairs = ev.distinct()
+    dau = pairs.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    contrib = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6))).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        F.col("day").cast("long").alias("day"),
+        "dau",
+        "wau",
+        F.expr("dau * 1000000L DIV wau").alias("stickiness_ppm"),
+    )
+
+
 # value bands (lo inclusive, hi exclusive) — deliberately NOT aligned to any
 # bucket boundary, so the bucket-decomposed equi-join rewrite is actually
 # exercised (aligned bands would degenerate to pure bucketing)
@@ -3116,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "events_overlaps": q_events_overlaps,
         "events_retention": q_events_retention,
+        "events_dau": q_events_dau,
         "link_hits": q_link_hits,
         "search_bm25": q_search_bm25,
         "search_phrase": q_search_phrase,
@@ -4042,6 +4078,23 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    count(DISTINCT a.user_id)::BIGINT AS n_users
             FROM activity a JOIN cohort c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "events_dau": """
+            WITH pairs AS (
+              SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            dau AS (
+              SELECT day, count(*)::BIGINT AS dau FROM pairs GROUP BY 1
+            ),
+            wau AS (
+              SELECT d.day AS day, count(DISTINCT p.user_id)::BIGINT AS wau
+              FROM dau d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+              GROUP BY 1
+            )
+            SELECT day::BIGINT AS day, dau, wau,
+                   (dau * 1000000 // wau)::BIGINT AS stickiness_ppm
+            FROM dau JOIN wau USING (day)
         """,
         "link_hits": linkstats.duck_hits_sql(pages_meta),
         "search_bm25": textstats.duck_bm25_sql("documents"),

@@ -389,3 +389,43 @@ def test_events_pivot_single_exchange(spark):
             r["n_click"] + r["n_error"] + r["n_purchase"] + r["n_signup"] + r["n_view"]
             == want
         )
+
+
+def test_events_dau_rolling_window_semantics(spark, tmp_path):
+    """WAU(d) counts distinct users active in [d-6, d]; a user active
+    twice in the window counts once; stickiness is integer ppm."""
+    import datetime as dt
+    import os
+
+    import __spark_entry__ as entry
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)  # epoch-day 19732
+
+    def ts(day_off):
+        return base + dt.timedelta(days=day_off)
+
+    rows = [
+        # u1 active day 0 and day 3 (one WAU head at day 3+)
+        ("e1", ts(0), "u1", "view", 1.0, ""),
+        ("e2", ts(3), "u1", "view", 1.0, ""),
+        # u2 active day 3 only
+        ("e3", ts(3), "u2", "view", 1.0, ""),
+        # u3 active day 8 — outside day-3's window, inside day-8's
+        ("e4", ts(8), "u3", "view", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id string, ts timestamp, user_id string, "
+        "event_type string, value double, props string"
+    )
+    d = str(tmp_path / "ev")
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    out = {r["day"]: r for r in entry.q_events_dau(spark, d).collect()}
+    day0 = int(base.timestamp() * 1_000_000) // 86_400_000_000
+    assert out[day0]["dau"] == 1 and out[day0]["wau"] == 1
+    # day 3: u1 + u2 same-day; window [d-6,d] adds nothing new; u1 once
+    assert out[day0 + 3]["dau"] == 2 and out[day0 + 3]["wau"] == 2
+    # day 8: u3 same-day; u1/u2 (day 3) inside the trailing window
+    assert out[day0 + 8]["dau"] == 1 and out[day0 + 8]["wau"] == 3
+    assert out[day0 + 8]["stickiness_ppm"] == 1 * 10**6 // 3
+    # only days with same-day activity appear
+    assert set(out) == {day0, day0 + 3, day0 + 8}
