@@ -518,6 +518,33 @@ SELECT url, host, host_rank FROM (
 SCHED_FAIR_LIMIT = 100
 
 
+WATERFILL_CAPACITY = 1000
+
+
+def q_sched_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min-fair fetch-bandwidth allocation across hosts: the round may
+    fetch WATERFILL_CAPACITY URLs, each host demands its pending-URL count,
+    and every host receives min(demand, water level) with the integer
+    remainder distributed deterministically — sum(quota) = min(capacity,
+    sum(demand)), hot hosts capped, small hosts never starved.  The level
+    search runs on the distinct-demand relation with range-partition prefix
+    sums; driver state is two bounded rows
+    (politeness.waterfill_quotas docstring)."""
+    from web_crawler_spark.operators.politeness import waterfill_quotas
+
+    demands = (
+        _synth(spark, sf_dir, "weburls")
+        .select(
+            F.lower(
+                F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)
+            ).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("demand"))
+    )
+    return waterfill_quotas(demands, WATERFILL_CAPACITY)
+
+
 def q_sched_fair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fair global fetch order (O1+O3 composed): the per-host budget batch
     interleaved round-robin across hosts — every host's rank-1 candidate
@@ -3043,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_acl_batch": q_robots_acl_batch,
         "host_backoff": q_host_backoff,
         "sched_fair": q_sched_fair,
+        "sched_waterfill": q_sched_waterfill,
         "search_anchor": q_search_anchor,
         "doc_code": q_doc_code,
         "doc_chunks": q_doc_chunks,
@@ -3557,6 +3585,16 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "sketch_host_hll": bloom_ops.duck_hll_registers_by_sql(
             f"(SELECT host, url FROM read_parquet('{sp('pages_meta')}'))"
+        ),
+        "sched_waterfill": _politeness.duck_waterfill_sql(
+            f"""(
+              SELECT host, count(*)::BIGINT AS demand FROM (
+                SELECT lower(coalesce(
+                  regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1), ''))
+                  AS host
+                FROM read_parquet('{sp('weburls')}'))
+              GROUP BY 1)""",
+            WATERFILL_CAPACITY,
         ),
         "sched_bytes": _politeness.duck_host_byte_budget_sql(
             f"(SELECT url, host FROM read_parquet('{sp('pages_meta')}'))",

@@ -588,3 +588,66 @@ def test_classifier_auc_matches_naive_rank_sum(spark):
     # degenerates, so just pin the ppm bound
     out = textstats.classifier_auc(sep, F.col("label")).collect()[0]
     assert 0 <= out["auc_ppm"] <= 10**6
+
+
+def test_waterfill_quotas_three_regimes(spark):
+    """Water level segments, integer remainder, and both degenerate
+    branches; sum(quota) == min(capacity, sum(demand)) always."""
+    from web_crawler_spark.operators.politeness import waterfill_quotas
+
+    rows = [("a", 2), ("b", 5), ("c", 5), ("d", 11), ("e", 30)]
+    df = spark.createDataFrame(rows, "host string, demand long")
+
+    # no overflow: everyone gets their demand
+    out = {r["host"]: r["quota"] for r in waterfill_quotas(df, 100).collect()}
+    assert out == dict(rows)
+
+    # capacity 30: level search — sum(min(d, lam)) <= 30.
+    # lam=5: 2+5+5+5+5=22; lam=7: 2+5+5+7+7=26; remaining 4 over 2
+    # unsaturated hosts -> lam=9 gives 2+5+5+9+9=30 exactly, r=0
+    out = {r["host"]: r["quota"] for r in waterfill_quotas(df, 30).collect()}
+    assert out == {"a": 2, "b": 5, "c": 5, "d": 9, "e": 9}
+    assert sum(out.values()) == 30
+
+    # capacity 31: lam=9, remainder 1 -> first unsaturated host by name (d)
+    out = {r["host"]: r["quota"] for r in waterfill_quotas(df, 31).collect()}
+    assert out == {"a": 2, "b": 5, "c": 5, "d": 10, "e": 9}
+
+    # capacity below m * min(demand): lam = C//m, extras to first C%m hosts
+    out = {r["host"]: r["quota"] for r in waterfill_quotas(df, 7).collect()}
+    assert out == {"a": 2, "b": 2, "c": 1, "d": 1, "e": 1}
+    assert sum(out.values()) == 7
+
+
+def test_waterfill_matches_duckdb_oracle(spark, tmp_path):
+    """Engine vs duck_waterfill_sql on a randomized demand table, every
+    capacity regime."""
+    import random
+
+    import duckdb
+
+    from web_crawler_spark.operators.politeness import (
+        duck_waterfill_sql,
+        waterfill_quotas,
+    )
+
+    rng = random.Random("waterfill")
+    rows = [(f"h{i:03d}", rng.randint(1, 200)) for i in range(80)]
+    df = spark.createDataFrame(rows, "host string, demand long")
+    p = str(tmp_path / "demands.parquet")
+    df.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    total = sum(d for _, d in rows)
+    for cap in (1, 37, total // 3, total - 1, total, total + 50):
+        got = {
+            r["host"]: r["quota"]
+            for r in waterfill_quotas(df, cap).collect()
+        }
+        want = {
+            r[0]: r[2]
+            for r in con.sql(
+                duck_waterfill_sql(f"read_parquet('{p}')", cap)
+            ).fetchall()
+        }
+        assert got == want, f"capacity={cap}"
+        assert sum(got.values()) == min(cap, total)

@@ -414,3 +414,143 @@ SELECT {select_cols}, ip_rank::BIGINT AS ip_rank FROM (
   FROM keyed)
 WHERE ip_rank <= {budget}
 """
+
+
+def waterfill_quotas(
+    demands: DataFrame,
+    capacity: int,
+    host_col: str = "host",
+    demand_col: str = "demand",
+) -> DataFrame:
+    """Exact integer water-filling fetch-bandwidth allocation — the
+    max-min-fair answer to "the round may fetch ``capacity`` URLs; every
+    host wants ``demand``": each host receives ``min(demand, lambda)``
+    where the water level lambda is the largest level the capacity funds,
+    and the integer remainder goes +1 each to the first hosts (by host
+    order) still above the level.  Properties: sum(quota) =
+    min(capacity, sum(demand)); no host starves while a hot host monopolizes
+    the round (the skew failure of proportional splits).
+
+    Scale shape — nothing host-grain ever funnels:
+      * the water-level search runs on the DISTINCT-DEMAND relation
+        (#distinct demand values, orders below #hosts), with cumulative
+        host-counts/demand-sums from the two-job range-partition prefix
+        sum (ordering.with_prefix_sums);
+      * driver-side state is two bounded rows (grand totals + the chosen
+        level segment) — the bloom/IVF "bounded aggregate" discipline;
+      * remainder assignment stamps a dense seq over only the unsaturated
+        hosts (with_global_seq), then flags ``seq < r`` map-side.
+
+    Output: (host, demand, quota) — one row per input host."""
+    from web_crawler_spark.operators.ordering import (
+        with_global_seq,
+        with_prefix_sums,
+    )
+
+    d = demands.select(
+        F.col(host_col).alias("host"),
+        F.col(demand_col).cast("long").alias("demand"),
+    )
+    tot = d.agg(
+        F.sum("demand").alias("td"), F.count("*").alias("m")
+    ).collect()[0]
+    td, m = tot["td"] or 0, tot["m"]
+    if m == 0 or td <= capacity:
+        return d.withColumn("quota", F.col("demand"))
+
+    by_v = d.groupBy(F.col("demand").alias("v")).agg(
+        F.count("*").alias("n_at"),
+        F.sum("demand").alias("s_at"),
+    )
+    cum = with_prefix_sums(by_v, ["v"], ["n_at", "s_at"])
+    seg = (
+        cum.withColumn(
+            "need", F.col("s_at_before") + F.col("v") * (m - F.col("n_at_before"))
+        )
+        .filter(F.col("need") <= capacity)
+        .orderBy(F.col("v").desc())
+        .limit(1)
+        .collect()
+    )
+    if seg:
+        s = seg[0]
+        cnt_gt = m - s["n_at_before"] - s["n_at"]
+        rem = capacity - s["need"]
+        # cnt_gt == 0 would mean every host saturates within capacity,
+        # i.e. td <= capacity — already returned above
+        lam = s["v"] + rem // cnt_gt
+        extra_r = rem % cnt_gt
+    else:
+        # capacity cannot even fund the smallest demand for every host
+        lam = capacity // m
+        extra_r = capacity % m
+
+    sat = d.filter(F.col("demand") <= lam).select(
+        "host", "demand", F.col("demand").alias("quota")
+    )
+    uns = with_global_seq(
+        d.filter(F.col("demand") > lam), ["host"], out_col="__seq"
+    ).select(
+        "host",
+        "demand",
+        (
+            F.lit(lam)
+            + F.when(F.col("__seq") < extra_r, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    return sat.unionByName(uns)
+
+
+def duck_waterfill_sql(
+    demands: str, capacity: int, host_col: str = "host", demand_col: str = "demand"
+) -> str:
+    """DuckDB twin of :func:`waterfill_quotas` (windows are fine at oracle
+    scale).  ``demands`` is any relation with (host, demand) columns."""
+    return rf"""
+WITH demands AS (
+  SELECT {host_col} AS host, {demand_col}::BIGINT AS demand FROM {demands}
+),
+tot AS (SELECT sum(demand) AS td, count(*) AS m FROM demands),
+lev AS (
+  SELECT demand AS v, count(*)::BIGINT AS n_at, sum(demand)::BIGINT AS s_at
+  FROM demands GROUP BY 1
+),
+cum AS (
+  SELECT v, n_at,
+         coalesce(sum(n_at) OVER w, 0) AS bc,
+         coalesce(sum(s_at) OVER w, 0) AS bs
+  FROM lev
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+seg AS (
+  SELECT c.v, c.n_at, c.bc, c.bs + c.v * (t.m - c.bc) AS need
+  FROM cum c, tot t
+  WHERE c.bs + c.v * (t.m - c.bc) <= {capacity}
+  ORDER BY c.v DESC LIMIT 1
+),
+params AS (
+  SELECT
+    CASE WHEN t.td <= {capacity} THEN NULL
+         WHEN s.v IS NULL THEN {capacity} // t.m
+         ELSE s.v + ({capacity} - s.need) // (t.m - s.bc - s.n_at) END AS lam,
+    CASE WHEN t.td <= {capacity} THEN 0
+         WHEN s.v IS NULL THEN {capacity} % t.m
+         ELSE ({capacity} - s.need) % (t.m - s.bc - s.n_at) END AS extra_r
+  FROM tot t LEFT JOIN seg s ON TRUE
+),
+ranked AS (
+  SELECT d.host, d.demand, p.lam, p.extra_r,
+         row_number() OVER (
+           PARTITION BY CASE WHEN p.lam IS NOT NULL AND d.demand > p.lam
+                             THEN 1 ELSE 0 END
+           ORDER BY d.host) AS rn
+  FROM demands d CROSS JOIN params p
+)
+SELECT host, demand,
+       (CASE WHEN lam IS NULL OR demand <= lam THEN demand
+             ELSE lam + CASE WHEN rn <= extra_r THEN 1 ELSE 0 END
+        END)::BIGINT AS quota
+FROM ranked
+"""
