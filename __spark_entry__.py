@@ -1784,6 +1784,14 @@ def q_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupsim.ppjoin_exact_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup EVALUATION query: MinHash-LSH candidate recall/precision vs
+    the exact prefix-filter join at Jaccard >= 0.5 — the number that
+    justifies (or indicts) the banding constants before a 100-TB dedup
+    run trusts them (dedupsim.lsh_eval_report docstring)."""
+    return dedupsim.lsh_eval_report(_docs(spark, sf_dir))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupsim.simhash(_docs(spark, sf_dir))
 
@@ -3142,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_ppjoin": q_dedup_ppjoin,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
         "dedup_containment": q_dedup_containment,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -3794,6 +3803,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "dedup_lsh_pairs": dedupsim.duck_lsh_pairs_sql("documents"),
         "dedup_jaccard": dedupsim.duck_jaccard_sql("documents"),
         "dedup_ppjoin": dedupsim.duck_ppjoin_sql("documents"),
+        "dedup_lsh_recall": dedupsim.duck_lsh_eval_sql("documents"),
         "dedup_containment": dedupsim.duck_containment_sql("documents"),
         "dedup_simhash": dedupsim.duck_simhash_sql("documents"),
         "dedup_simhash_pairs": dedupsim.duck_simhash_pairs_sql("documents"),

@@ -2009,3 +2009,31 @@ def test_media_scenes_crafted(spark):
     assert got == [(1, g[0], g[1], g[2], g[3]) for g in golden]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_lsh_eval_report_counts_and_ratios(spark):
+    """On a corpus with one exact-dup pair and one unrelated doc, truth and
+    candidates both contain exactly the dup pair -> recall = precision = 1e6;
+    report invariants hold (n_hit <= min(n_true, n_cand))."""
+    from web_crawler_spark.functions import dedupsim
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs = [
+        ("d1", body),
+        ("d2", body),
+        ("d3", "completely different words nothing shared here at all " * 4),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    r = dedupsim.lsh_eval_report(df).collect()[0]
+    assert r["n_true"] == 1 and r["n_hit"] == 1
+    assert r["n_cand"] >= 1
+    assert r["recall_ppm"] == 10**6
+    assert r["precision_ppm"] == 10**6 * r["n_hit"] // r["n_cand"]
+
+    # empty-truth denominator -> NULL ppm, not a crash
+    solo = spark.createDataFrame(
+        [("a", "one two three four five six seven eight nine ten " * 3)],
+        "doc_id string, text string",
+    )
+    r2 = dedupsim.lsh_eval_report(solo).collect()[0]
+    assert r2["n_true"] == 0 and r2["recall_ppm"] is None

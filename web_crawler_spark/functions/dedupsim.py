@@ -728,3 +728,71 @@ SELECT doc_id, component,
             THEN 'valid' ELSE 'train' END AS split
 FROM ({duck_components_sql(table)})
 """
+
+
+def lsh_eval_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    t_ppm: int = PPJOIN_T_PPM,
+) -> DataFrame:
+    """Candidate-quality evaluation of MinHash-LSH against exact truth —
+    the report a dedup pipeline publishes before trusting its banding
+    constants: recall (what fraction of true Jaccard>=t pairs the bands
+    surface) and precision (what fraction of surfaced candidates are
+    truly >=t).  Truth is the prefix-filter EXACT join (ppjoin_exact_pairs
+    — scalable, provably complete), never an all-pairs scan.
+
+    Single row: (n_true, n_cand, n_hit, recall_ppm, precision_ppm), ppm
+    NULL when the denominator is empty.  Both pair relations are
+    localCheckpointed before reuse (each feeds a count AND the
+    intersection join — the engine's branch-recompute discipline); the
+    final assembly cross-joins three single-row aggregates (bounded)."""
+    truth = (
+        ppjoin_exact_pairs(df, id_col, text_col, t_ppm)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    sh = shingles(df, id_col, text_col)
+    cand = (
+        lsh_candidate_pairs(lsh_bands(minhash_signatures(sh)))
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    n_hit = truth.join(cand, ["a", "b"]).agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.expr("n_hit * 1000000L DIV nullif(n_true, 0)").alias("recall_ppm"),
+            F.expr("n_hit * 1000000L DIV nullif(n_cand, 0)").alias(
+                "precision_ppm"
+            ),
+        )
+    )
+
+
+def duck_lsh_eval_sql(table: str, t_ppm: int = PPJOIN_T_PPM) -> str:
+    """DuckDB twin of :func:`lsh_eval_report`."""
+    return rf"""
+WITH truth AS (SELECT a, b FROM ({duck_ppjoin_sql(table, t_ppm)})),
+cand AS (SELECT a, b FROM ({duck_lsh_pairs_sql(table)})),
+counts AS (
+  SELECT
+    (SELECT count(*) FROM truth)::BIGINT AS n_true,
+    (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+    (SELECT count(*) FROM truth t JOIN cand c
+       ON t.a = c.a AND t.b = c.b)::BIGINT AS n_hit
+)
+SELECT n_true, n_cand, n_hit,
+       (n_hit * 1000000 // nullif(n_true, 0))::BIGINT AS recall_ppm,
+       (n_hit * 1000000 // nullif(n_cand, 0))::BIGINT AS precision_ppm
+FROM counts
+"""
