@@ -275,6 +275,46 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_SESSION_WATERMARK_H = 2
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 graded: STREAMING stateful sessionization — readStream over the
+    events table, per-user ``session_window`` (30-min inclusive gap, the
+    batch events_sessions semantics) under a 2h watermark, append mode +
+    AvailableNow.  A session is emitted iff its END (last event + gap)
+    clears max(ts) minus the watermark (probe-verified boundary: equality
+    emits), so the oracle grades the state-eviction rule, not just counts;
+    sessions merge across micro-batches via the state store
+    (streaming/windowed.session_counts)."""
+    import shutil
+
+    from web_crawler_spark.streaming.windowed import run_sessions_available_now
+
+    out = os.path.join(synth.SYNTH_ROOT, "stream_sessions")
+    shutil.rmtree(out, ignore_errors=True)
+    in_dir = os.path.join(out, "in")
+    os.makedirs(in_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    run_sessions_available_now(
+        spark,
+        in_dir,
+        os.path.join(out, "data"),
+        os.path.join(out, "ck"),
+        gap=SESSION_GAP,
+        watermark=f"{STREAM_SESSION_WATERMARK_H} hours",
+    )
+    return spark.read.parquet(os.path.join(out, "data")).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def q_urlnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: RFC 3986 canonicalization over raw candidate URLs."""
     cands = _synth(spark, sf_dir, "url_candidates")
@@ -3042,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "stream_parse": q_stream_parse,
         "stream_hourly": q_stream_hourly,
+        "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
         "stream_throttle": q_stream_throttle,
         "urlnorm": q_urlnorm,
@@ -3487,6 +3528,34 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             HAVING window_start + INTERVAL 1 HOUR
                    <= (SELECT max(ts) FROM events)
                       - INTERVAL {STREAM_HOURLY_WATERMARK_H} HOUR
+        """,
+        "stream_sessions": f"""
+            WITH m AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            ),
+            sess AS (
+              SELECT user_id, min(ts) AS session_start,
+                     max(ts) + INTERVAL 30 MINUTE AS session_end,
+                     count(*)::BIGINT AS n_events
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT user_id, session_start, session_end, n_events
+            FROM sess
+            -- append-mode emission rule (probe-verified: equality emits):
+            -- the watermark (max ts - delay) must reach the session end
+            WHERE session_end <= (SELECT max(ts) FROM events)
+                                 - INTERVAL {STREAM_SESSION_WATERMARK_H} HOUR
         """,
         "urlnorm": f"SELECT cand_id, expected AS url_canon FROM {cands}",
         "seed_dedup": f"SELECT url, min(seed_idx) AS seed_idx FROM {seeds} GROUP BY url",

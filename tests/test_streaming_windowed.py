@@ -48,3 +48,67 @@ def test_watermark_closes_windows_and_drops_late(spark, tmp_path):
     # emitted exactly once per (window, type)
     all_rows = spark.read.parquet(out_dir).groupBy("window_start", "event_type").count().collect()
     assert all(r["count"] == 1 for r in all_rows)
+
+
+def test_stream_sessions_boundary_and_cross_batch_merge(spark, tmp_path):
+    """Emission boundary: a session whose end EQUALS the watermark emits;
+    one past it does not.  Events exactly gap apart merge (inclusive
+    boundary), and merging works across micro-batches (two input files)."""
+    import datetime as dt
+    import os
+
+    from web_crawler_spark.streaming.windowed import run_sessions_available_now
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows, sub):
+        import glob
+        import shutil
+
+        df = spark.createDataFrame(
+            rows, "ts timestamp, user_id bigint, event_type string"
+        )
+        stage = str(tmp_path / "stage" / sub)
+        df.coalesce(1).write.parquet(stage)
+        os.makedirs(str(tmp_path / "in"), exist_ok=True)
+        shutil.copy(
+            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            str(tmp_path / "in" / sub),
+        )
+
+    # file 1: uA event at 0:00; uB at 0:15; uC at 0:00
+    mk(
+        [
+            (base, 1, "view"),
+            (base + dt.timedelta(minutes=15), 2, "view"),
+            (base, 3, "view"),
+        ],
+        "f1.parquet",
+    )
+    # file 2: uC again at exactly +30min (inclusive gap -> merges into one
+    # session, across the file boundary); max-ts driver at 3:00
+    mk(
+        [
+            (base + dt.timedelta(minutes=30), 3, "view"),
+            (base + dt.timedelta(hours=3), 9, "view"),
+        ],
+        "f2.parquet",
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_sessions_available_now(
+        spark, str(tmp_path / "in"), out, ck, gap="30 minutes", watermark="2 hours"
+    )
+    got = {
+        r["user_id"]: (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # watermark = 3:00 - 2h = 1:00
+    # uA: end 0:30 <= 1:00 -> emitted
+    assert got[1] == (base, base + dt.timedelta(minutes=30), 1)
+    # uB: end 0:45 <= 1:00 -> emitted
+    assert got[2][2] == 1
+    # uC: merged single session 0:00 + 0:30 events, end 1:00 == watermark
+    # -> emitted (equality emits), n_events = 2 across the file boundary
+    assert got[3] == (base, base + dt.timedelta(hours=1), 2)
+    # u9 (max-ts driver): end 3:30 > 1:00 -> held in state, NOT emitted
+    assert 9 not in got

@@ -54,3 +54,49 @@ def run_windowed_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+SESSION_EVENTS_SCHEMA = "ts timestamp, user_id bigint, event_type string"
+
+
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stateful gap-based sessionization over the stream — the built-in
+    ``session_window`` under a watermark: events merge into a per-user
+    session while gaps stay <= ``gap`` (boundary inclusive, the batch
+    events_sessions semantics); a session is finalized and emitted once
+    the watermark passes its end (last event + gap).  Sessions merge
+    correctly ACROSS micro-batches via the state store."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_sessions_available_now(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> None:
+    stream = spark.readStream.schema(SESSION_EVENTS_SCHEMA).parquet(in_dir)
+    q = (
+        session_counts(stream, gap, watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
