@@ -376,6 +376,31 @@ def main() -> None:
         "below it — not DataFrame.pivot()'s two-level aggregation.",
     )
 
+    cap(
+        "doc_classifier_auc — rank statistics without a corpus window",
+        E.q_doc_classifier_auc(spark, sf_dir),
+        "Want: the plan's heavy side is the classifier projection + ONE\n"
+        "(score)-grain partial HashAggregate; the prefix-sum stamp shows as\n"
+        "a checkpointed scan (with_prefix_sums ran its two bounded jobs\n"
+        "before this plan was built) — no single-partition Window, no\n"
+        "corpus-wide Sort.",
+    )
+    cap(
+        "sched_waterfill — allocation after the bounded level search",
+        E.q_sched_waterfill(spark, sf_dir),
+        "Want: a union of two host-grain branches (saturated filter;\n"
+        "unsaturated via the checkpointed seq stamp); the distinct-demand\n"
+        "level search ran as bounded pre-jobs — nothing here sorts or\n"
+        "windows the host relation globally.",
+    )
+    cap(
+        "events_dau — trailing distinct window as deduped fan-out",
+        E.q_events_dau(spark, sf_dir),
+        "Want: one partial-agg'd distinct of (user, day), then the <=7x\n"
+        "explode feeding count_distinct per day; the DAU-WAU join is on\n"
+        "day grain (tiny).  No event-grain self-join, no range window.",
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")
         f.write(
