@@ -1720,6 +1720,22 @@ def q_link_hostgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_graph(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-domain mining by co-citation: host pairs cited by >= 2
+    shared sources, Jaccard ppm over their citing-source sets; the pair
+    join is the postings shape with an out-degree cap on aggregator
+    super-nodes (linkstats.host_cocitation docstring)."""
+    return linkstats.host_cocitation(_synth(spark, sf_dir, "pages_meta"))
+
+
+def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts (clustering coefficient numerator — the
+    Becchetti web-spam signal) via degree-ordered orientation: hubs become
+    sinks, wedge groups stay O(sqrt(edges)); each triangle enumerated once
+    (linkstats.host_triangles docstring)."""
+    return linkstats.host_triangles(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank (crawl harvest ordering / corpus quality prior):
     fixed integer-exact power iterations so the result is bit-identical
@@ -3179,6 +3195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": q_corpus_pack,
         "corpus_export": q_corpus_export,
         "link_hostgraph": q_link_hostgraph,
+        "link_cocitation": q_link_cocitation,
+        "link_triangles": q_link_triangles,
         "link_pagerank": q_link_pagerank,
         "link_opic": q_link_opic,
         "frontier_rank": q_frontier_rank,
@@ -3851,6 +3869,8 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             webdocs, f"read_parquet('{sp('evaldocs')}')"
         ),
         "link_hostgraph": linkstats.duck_host_graph_sql(pages_meta),
+        "link_cocitation": linkstats.duck_cocitation_sql(pages_meta),
+        "link_triangles": linkstats.duck_triangles_sql(pages_meta),
         "link_pagerank": linkstats.duck_pagerank_sql(pages_meta),
         "link_opic": linkstats.duck_opic_sql(pages_meta),
         "link_spam": linkstats.duck_link_spam_sql(pages_meta),

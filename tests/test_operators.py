@@ -651,3 +651,82 @@ def test_waterfill_matches_duckdb_oracle(spark, tmp_path):
         }
         assert got == want, f"capacity={cap}"
         assert sum(got.values()) == min(cap, total)
+
+
+def _mk_pages_meta(spark, edges):
+    """pages_meta-shaped frame from (src_host, [dst_hosts]) pairs."""
+    rows = [
+        (
+            f"http://{src}/p{i}",
+            src,
+            [f"http://{d}/x" for d in dsts],
+        )
+        for i, (src, dsts) in enumerate(edges)
+    ]
+    return spark.createDataFrame(
+        rows, "url string, host string, links array<string>"
+    )
+
+
+def test_host_cocitation_crafted(spark):
+    """Three sources citing both x and y -> n_shared=3, jaccard=1e6; a
+    pair sharing one source falls below min_shared."""
+    from web_crawler_spark.functions.linkstats import host_cocitation
+
+    df = _mk_pages_meta(
+        spark,
+        [
+            ("s1", ["x.example", "y.example"]),
+            ("s2", ["x.example", "y.example"]),
+            ("s3", ["x.example", "y.example", "z.example"]),
+        ],
+    )
+    out = {
+        (r["host_a"], r["host_b"]): r
+        for r in host_cocitation(df, out_cap=10, min_shared=2).collect()
+    }
+    r = out[("x.example", "y.example")]
+    assert r["n_shared"] == 3 and r["n_a"] == 3 and r["n_b"] == 3
+    assert r["jaccard_ppm"] == 10**6
+    # (x,z) and (y,z) share only s3 -> below min_shared=2
+    assert ("x.example", "z.example") not in out
+
+    # super-node pruning: with out_cap=2, s3 (out-degree 3) is dropped
+    out2 = {
+        (r["host_a"], r["host_b"]): r
+        for r in host_cocitation(df, out_cap=2, min_shared=2).collect()
+    }
+    assert out2[("x.example", "y.example")]["n_shared"] == 2
+
+
+def test_host_triangles_crafted(spark):
+    """One triangle a-b-c plus a pendant d->a; directions and duplicate
+    page-level links must not change the undirected count."""
+    from web_crawler_spark.functions.linkstats import host_triangles
+
+    df = _mk_pages_meta(
+        spark,
+        [
+            ("a.example", ["b.example", "c.example"]),
+            ("b.example", ["c.example", "a.example"]),  # a-b both directions
+            ("d.example", ["a.example"]),
+        ],
+    )
+    got = {r["host"]: r["n_triangles"] for r in host_triangles(df).collect()}
+    assert got == {"a.example": 1, "b.example": 1, "c.example": 1}
+
+    # two triangles sharing edge a-b
+    df2 = _mk_pages_meta(
+        spark,
+        [
+            ("a.example", ["b.example", "c.example", "e.example"]),
+            ("b.example", ["c.example", "e.example"]),
+        ],
+    )
+    got2 = {r["host"]: r["n_triangles"] for r in host_triangles(df2).collect()}
+    assert got2 == {
+        "a.example": 2,
+        "b.example": 2,
+        "c.example": 1,
+        "e.example": 1,
+    }

@@ -1468,3 +1468,208 @@ LEFT JOIN (SELECT src_host, count(*)::BIGINT AS n_recip FROM r GROUP BY 1) rc
   ON rc.src_host = e.src_host
 GROUP BY e.src_host
 """
+
+
+# --- co-citation similarity (related-domain mining) --------------------------
+#
+# Two hosts are related when many DISTINCT sources link to both (classic
+# co-citation analysis, Small 1973, applied to the host web graph).  The
+# scalable form is the inverted-index self-join on the source host — the
+# same postings shape as the dedup containment join, with the same
+# super-node defense: a source linking k hosts contributes k² pair rows,
+# so sources above an out-degree cap are pruned from BOTH the pair join
+# and the in-degree denominators (consistent "discriminative source
+# space"; directory/aggregator hosts carry no similarity signal anyway).
+
+COCIT_OUT_CAP = 128       # fixture-sized; production uses O(10^2-10^3)
+COCIT_MIN_SHARED = 10
+
+
+def host_cocitation(
+    df: DataFrame,
+    out_cap: int = COCIT_OUT_CAP,
+    min_shared: int = COCIT_MIN_SHARED,
+) -> DataFrame:
+    """(host_a, host_b, n_shared, n_a, n_b, jaccard_ppm): host pairs
+    co-cited by >= ``min_shared`` distinct sources, with exact-integer
+    Jaccard over their (capped) citing-source sets.
+
+    Scale shape: edges collapse to the distinct host-pair relation first
+    (host_graph's partial-agg exchange); the pair join fans out <= cap²
+    per surviving source; in-degrees ride one partial-agg'd exchange and
+    broadcast back onto the (much smaller) pair relation."""
+    e = host_graph(df).select("src_host", "dst_host")
+    out_deg = e.groupBy("src_host").agg(F.count("*").alias("out_deg"))
+    kept = e.join(
+        out_deg.where(F.col("out_deg") <= out_cap).select("src_host"),
+        "src_host",
+    )
+    in_deg = kept.groupBy("dst_host").agg(F.count("*").alias("in_deg"))
+    pairs = (
+        kept.alias("l")
+        .join(
+            kept.alias("r"),
+            on=[
+                F.col("l.src_host") == F.col("r.src_host"),
+                F.col("l.dst_host") < F.col("r.dst_host"),
+            ],
+        )
+        .groupBy(
+            F.col("l.dst_host").alias("host_a"),
+            F.col("r.dst_host").alias("host_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            in_deg.select(
+                F.col("dst_host").alias("host_a"), F.col("in_deg").alias("n_a")
+            ),
+            "host_a",
+        )
+        .join(
+            in_deg.select(
+                F.col("dst_host").alias("host_b"), F.col("in_deg").alias("n_b")
+            ),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "n_shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("n_shared * 1000000L DIV (n_a + n_b - n_shared)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+
+
+def duck_cocitation_sql(
+    pages_meta: str,
+    out_cap: int = COCIT_OUT_CAP,
+    min_shared: int = COCIT_MIN_SHARED,
+) -> str:
+    """DuckDB twin of :func:`host_cocitation`."""
+    return rf"""
+WITH g AS ({duck_host_graph_sql(pages_meta)}),
+e AS (SELECT src_host, dst_host FROM g),
+keep AS (
+  SELECT src_host FROM e GROUP BY 1 HAVING count(*) <= {out_cap}
+),
+kept AS (SELECT e.* FROM e JOIN keep USING (src_host)),
+indeg AS (SELECT dst_host, count(*)::BIGINT AS in_deg FROM kept GROUP BY 1),
+pairs AS (
+  SELECT l.dst_host AS host_a, r.dst_host AS host_b,
+         count(*)::BIGINT AS n_shared
+  FROM kept l JOIN kept r
+    ON l.src_host = r.src_host AND l.dst_host < r.dst_host
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_shared}
+)
+SELECT p.host_a, p.host_b, p.n_shared,
+       ia.in_deg AS n_a, ib.in_deg AS n_b,
+       (p.n_shared * 1000000 // (ia.in_deg + ib.in_deg - p.n_shared))::BIGINT
+         AS jaccard_ppm
+FROM pairs p
+JOIN indeg ia ON ia.dst_host = p.host_a
+JOIN indeg ib ON ib.dst_host = p.host_b
+"""
+
+
+# --- triangle counting (clustering coefficient / link-farm signal) -----------
+#
+# Local triangle counts over the undirected host graph: link farms and
+# mutual-admiration spam cliques show anomalously high triangle density
+# (Becchetti et al., KDD'08 use exactly this signal for web-spam
+# detection).  The scalable enumeration is the classic degree-ordered
+# orientation (Chiba-Nishizeki / "compact-forward"): orient every edge
+# from the lower-(degree, name) endpoint to the higher, so every wedge
+# join group is bounded by the oriented out-degree <= O(sqrt(edges)) —
+# the hub that would explode a naive wedge join becomes a SINK with
+# near-zero out-degree.
+
+
+def host_triangles(df: DataFrame) -> DataFrame:
+    """(host, n_triangles): per-host triangle participation counts over
+    the undirected distinct host graph (self-loops dropped).
+
+    Plan: distinct undirected edges -> degree agg (one small exchange) ->
+    orientation by (degree, host) total order -> wedge self-join on the
+    oriented source -> closing-edge semi-join -> 3-way explode back to
+    host grain.  Each triangle is enumerated exactly once."""
+    e = host_graph(df).select("src_host", "dst_host")
+    und = (
+        e.where(F.col("src_host") != F.col("dst_host"))
+        .select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("h"))
+        .unionAll(und.select(F.col("b").alias("h")))
+        .groupBy("h")
+        .agg(F.count("*").alias("deg"))
+    )
+    wd = (
+        und.join(deg.select(F.col("h").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("h").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = wd.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    l, r = oriented.alias("l"), oriented.alias("r")
+    wedges = l.join(
+        r,
+        on=[
+            F.col("l.u") == F.col("r.u"),
+            (F.col("l.dv") < F.col("r.dv"))
+            | ((F.col("l.dv") == F.col("r.dv")) & (F.col("l.v") < F.col("r.v"))),
+        ],
+    ).select(
+        F.col("l.u").alias("x"), F.col("l.v").alias("y"), F.col("r.v").alias("z")
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("y"), F.col("v").alias("z")),
+        ["y", "z"],
+        "leftsemi",
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
+def duck_triangles_sql(pages_meta: str) -> str:
+    """DuckDB twin of :func:`host_triangles` — lexicographic x<y<z
+    enumeration (orientation-invariant: the triangle multiset is the
+    same, so per-host counts match the degree-ordered engine)."""
+    return rf"""
+WITH g AS ({duck_host_graph_sql(pages_meta)}),
+e0 AS (
+  SELECT DISTINCT least(src_host, dst_host) AS a,
+                  greatest(src_host, dst_host) AS b
+  FROM g WHERE src_host <> dst_host
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT host, count(*)::BIGINT AS n_triangles FROM (
+  SELECT x AS host FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) GROUP BY 1
+"""
