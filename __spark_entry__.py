@@ -315,6 +315,38 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 graded: STREAM-STREAM event-time interval join (the sixth graded
+    streaming path, and the one operator class streaming had not yet
+    covered): clicks attributed to the view they followed within 30 min,
+    per user — watermarks on BOTH sides bound the join state, AvailableNow
+    drains the table, and the inner-join result equals the batch interval
+    join the oracle runs (streaming/windowed.interval_join)."""
+    import shutil
+
+    from web_crawler_spark.streaming.windowed import (
+        run_interval_join_available_now,
+    )
+
+    out = os.path.join(synth.SYNTH_ROOT, "stream_join")
+    shutil.rmtree(out, ignore_errors=True)
+    in_dir = os.path.join(out, "in")
+    os.makedirs(in_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    run_interval_join_available_now(
+        spark, in_dir, os.path.join(out, "data"), os.path.join(out, "ck")
+    )
+    return spark.read.parquet(os.path.join(out, "data")).select(
+        "view_id",
+        "click_id",
+        "user_id",
+        F.col("gap_us").cast("long").alias("gap_us"),
+    )
+
+
 def q_urlnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: RFC 3986 canonicalization over raw candidate URLs."""
     cands = _synth(spark, sf_dir, "url_candidates")
@@ -3099,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_parse": q_stream_parse,
         "stream_hourly": q_stream_hourly,
         "stream_sessions": q_stream_sessions,
+        "stream_join": q_stream_join,
         "stream_dedup": q_stream_dedup,
         "stream_throttle": q_stream_throttle,
         "urlnorm": q_urlnorm,
@@ -3574,6 +3607,16 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             -- the watermark (max ts - delay) must reach the session end
             WHERE session_end <= (SELECT max(ts) FROM events)
                                  - INTERVAL {STREAM_SESSION_WATERMARK_H} HOUR
+        """,
+        "stream_join": """
+            SELECT v.event_id AS view_id, c.event_id AS click_id,
+                   v.user_id,
+                   (epoch_us(c.ts) - epoch_us(v.ts))::BIGINT AS gap_us
+            FROM events v JOIN events c
+              ON v.event_type = 'view' AND c.event_type = 'click'
+             AND c.user_id = v.user_id
+             AND c.ts >= v.ts
+             AND c.ts <= v.ts + INTERVAL 30 MINUTE
         """,
         "urlnorm": f"SELECT cand_id, expected AS url_canon FROM {cands}",
         "seed_dedup": f"SELECT url, min(seed_idx) AS seed_idx FROM {seeds} GROUP BY url",

@@ -112,3 +112,57 @@ def test_stream_sessions_boundary_and_cross_batch_merge(spark, tmp_path):
     assert got[3] == (base, base + dt.timedelta(hours=1), 2)
     # u9 (max-ts driver): end 3:30 > 1:00 -> held in state, NOT emitted
     assert 9 not in got
+
+
+def test_stream_interval_join_cross_batch(spark, tmp_path):
+    """A view in batch 1 joins a click arriving in batch 2 (state kept
+    until the watermark passes view_ts + within); pairs outside the
+    30-min window never emit; self-pairs of the same type never emit."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from web_crawler_spark.streaming.windowed import (
+        run_interval_join_available_now,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows, sub):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        stage = str(tmp_path / "stage" / sub)
+        df.coalesce(1).write.parquet(stage)
+        os.makedirs(str(tmp_path / "in"), exist_ok=True)
+        shutil.copy(
+            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            str(tmp_path / "in" / sub),
+        )
+
+    # batch 1: u1 view at 0:00; u2 view at 0:00; u1 click at 0:10 (in-batch pair)
+    mk(
+        [
+            (1, base, 1, "view"),
+            (2, base, 2, "view"),
+            (3, base + dt.timedelta(minutes=10), 1, "click"),
+        ],
+        "f1.parquet",
+    )
+    # batch 2: u2 click at 0:20 (cross-batch pair, within 30m);
+    # u1 click at 1:00 (outside 30m of the view) — no pair
+    mk(
+        [
+            (4, base + dt.timedelta(minutes=20), 2, "click"),
+            (5, base + dt.timedelta(hours=1), 1, "click"),
+        ],
+        "f2.parquet",
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_interval_join_available_now(spark, str(tmp_path / "in"), out, ck)
+    got = {
+        (r["view_id"], r["click_id"]): r["gap_us"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 3): 600 * 10**6, (2, 4): 1200 * 10**6}

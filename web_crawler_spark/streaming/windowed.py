@@ -100,3 +100,69 @@ def run_sessions_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+JOIN_EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string"
+)
+
+
+def interval_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM event-time interval join — the canonical attribution
+    shape (click joined to the view it followed within ``within``): both
+    sides carry watermarks and the join condition bounds event time on
+    both ends, so each side's state evicts once the other side's watermark
+    passes view_ts + within — bounded state at any stream length."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return v.join(
+        c,
+        F.expr(
+            f"user_id = c_user_id AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + interval {within}"
+        ),
+    ).select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
+def run_interval_join_available_now(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> None:
+    ev = spark.readStream.schema(JOIN_EVENTS_SCHEMA).parquet(in_dir)
+    j = interval_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        within=within,
+        watermark=watermark,
+    )
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
