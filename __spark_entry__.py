@@ -2384,6 +2384,120 @@ def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape (large-volume orders): orders whose total quantity exceeds
+    a threshold, hydrated with customer + order attributes.  The heavy work
+    is ONE partial-agg'd exchange on l_orderkey; the having-filter shrinks
+    the relation to the ~1% tail BEFORE the dimension joins, so orders and
+    customer join against a tiny survivor set (broadcast at any scale where
+    the tail stays small — AQE picks it up from runtime stats).  Threshold
+    filter instead of top-N keeps the result set deterministic with no
+    tie-break."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", _cents("l_quantity").alias("qty_c"))
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty_c").cast("long").alias("total_qty_c"))
+        .filter(F.col("total_qty_c") > 250 * 100)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", _cents("o_totalprice").alias("o_totalprice_c")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        per_order.join(orders, on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, on=F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice_c", "total_qty_c")
+    )
+
+
+def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape (returned-item reporting): per-customer lost revenue from
+    RETURNED lineitems of orders placed in one quarter.  Both filters reach
+    the scans (l_returnflag on lineitem, the date range on orders — plan-
+    tested PushedFilters); the fact joins the pre-filtered orders, then one
+    customer-grain exchange aggregates, and the nation dim broadcasts.  No
+    top-N: every customer with returned revenue in the window is emitted."""
+    rev = (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("rev_c")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", rev)
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", _cents("c_acctbal").alias("c_acctbal_c")
+    )
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    per_cust = (
+        li.join(orders, on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_c").cast("long").alias("lost_rev_c"))
+    )
+    return (
+        per_cust.join(cust, on=F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, on=F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "c_acctbal_c", "lost_rev_c")
+    )
+
+
+def q_tpch_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (parts/supplier relationship counts): distinct suppliers
+    per (p_brand, p_size), from the OBSERVED (l_partkey, l_suppkey) pairs
+    (this schema carries no partsupp table), excluding suppliers with a
+    negative balance (the complaints-exclusion surrogate).  The pair
+    relation dedups with a partial agg before counting; the exclusion list
+    is a broadcast anti-join (tiny side); part is the only other dim."""
+    pairs = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    return (
+        pairs.join(F.broadcast(bad), on=F.col("l_suppkey") == F.col("s_suppkey"),
+                   how="left_anti")
+        .join(part, on=F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape (small-quantity-order revenue): total revenue from
+    lineitems whose quantity is below 20% of their part's average.  The
+    per-part average is a partial-agg'd exchange over (sum, count); the
+    comparison is the EXACT integer cross-multiplication
+    qty*5*cnt < sum (qty < 0.2*avg with no float division), and the
+    per-part aggregate joins back to the fact — at scale that join is the
+    classic fact×small-agg broadcast.  Single-row result."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        _cents("l_quantity").alias("qty_c"),
+        _cents("l_extendedprice").alias("price_c"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty_c").cast("long").alias("sum_qty_c"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+    small = li.join(
+        per_part.withColumnRenamed("l_partkey", "pp_partkey"),
+        on=F.col("l_partkey") == F.col("pp_partkey"),
+    ).filter(F.col("qty_c") * 5 * F.col("n_items") < F.col("sum_qty_c"))
+    return small.agg(
+        F.sum("price_c").cast("long").alias("small_rev_c"),
+        F.count("*").cast("long").alias("n_small_items"),
+    )
+
+
 def q_events_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-user LOW-MEDIAN inter-event gap (seconds): consecutive
     gaps via lag in one user-grain window, then the rank-(n+1)/2 element —
@@ -3267,6 +3381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_custdist": q_tpch_custdist,
         "tpch_market_share": q_tpch_market_share,
         "tpch_top_supplier": q_tpch_top_supplier,
+        "tpch_large_orders": q_tpch_large_orders,
+        "tpch_returned_items": q_tpch_returned_items,
+        "tpch_parts_suppliers": q_tpch_parts_suppliers,
+        "tpch_small_qty": q_tpch_small_qty,
         "tpch_brand_volume": q_tpch_brand_volume,
         "events_median_gap": q_events_median_gap,
         "events_hourly": q_events_hourly,
@@ -4108,6 +4226,65 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             SELECT s_suppkey, s_name, total_rev_c
             FROM per_sup JOIN supplier ON l_suppkey = s_suppkey
             WHERE total_rev_c = (SELECT max(total_rev_c) FROM per_sup)
+        """,
+        "tpch_large_orders": """
+            WITH per_order AS (
+              SELECT l_orderkey,
+                     sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT
+                       AS total_qty_c
+              FROM lineitem GROUP BY 1 HAVING total_qty_c > 25000
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   floor(o_totalprice * 100 + 0.5)::BIGINT AS o_totalprice_c,
+                   total_qty_c
+            FROM per_order
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "tpch_returned_items": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                         * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT
+                       AS lost_rev_c
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1996-07-01'
+              GROUP BY 1
+            )
+            SELECT c_custkey, c_name, n_name,
+                   floor(c_acctbal * 100 + 0.5)::BIGINT AS c_acctbal_c,
+                   lost_rev_c
+            FROM per_cust
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "tpch_parts_suppliers": """
+            SELECT p_brand, p_size::BIGINT AS p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2
+        """,
+        "tpch_small_qty": """
+            WITH li AS (
+              SELECT l_partkey,
+                     floor(l_quantity * 100 + 0.5)::BIGINT AS qty_c,
+                     floor(l_extendedprice * 100 + 0.5)::BIGINT AS price_c
+              FROM lineitem
+            ), per_part AS (
+              SELECT l_partkey AS pp_partkey,
+                     sum(qty_c)::BIGINT AS sum_qty_c,
+                     count(*)::BIGINT AS n_items
+              FROM li GROUP BY 1
+            )
+            SELECT sum(price_c)::BIGINT AS small_rev_c,
+                   count(*)::BIGINT AS n_small_items
+            FROM li JOIN per_part ON l_partkey = pp_partkey
+            WHERE qty_c * 5 * n_items < sum_qty_c
         """,
         "events_median_gap": """
             WITH gaps AS (

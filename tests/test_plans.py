@@ -267,3 +267,16 @@ def test_tpch_plans_scale_shapes(spark):
     assert "BroadcastHashJoin" in p5
     p1 = e.q_tpch_pricing(spark, sf_dir)._jdf.queryExecution().toString()
     assert "PushedFilters" in p1 and "l_shipdate" in p1
+    # Q10 shape: both selective filters reach their scans
+    p10 = e.q_tpch_returned_items(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "l_returnflag" in p10.split("PushedFilters", 1)[1]
+    assert "o_orderdate" in p10
+    # Q16 shape: the complaints exclusion is a broadcast ANTI join, and the
+    # (part,supplier) pair relation dedups before the count
+    p16 = e.q_tpch_parts_suppliers(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p16 and "LeftAnti" in p16
+    # Q18 shape: the having-filter lands on the aggregate BEFORE the
+    # dimension joins (survivor set shrinks first)
+    p18 = e.q_tpch_large_orders(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    agg_i = p18.index("Aggregate")
+    assert "Filter (total_qty_c" in p18 or p18.index("Filter") < agg_i
