@@ -2993,6 +2993,15 @@ def q_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_communities(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the host graph (core number per host) via
+    the integer h-index fixpoint (Lu et al. PNAS 2016) — the
+    densest-neighborhood signal for spam-farm detection and crawl
+    prioritization; oracle unrolls the same iteration to a horizon the
+    engine asserts it converged within (linkstats.host_coreness)."""
+    return linkstats.host_coreness(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-length quantiles at power-of-two bucket grain,
     derived from the histogram (no per-language global sort — the
@@ -3412,6 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "link_components": q_link_components,
         "link_communities": q_link_communities,
+        "link_coreness": q_link_coreness,
         "link_reciprocity": q_link_reciprocity,
         "doc_length_quantiles": q_doc_length_quantiles,
         "link_depth": q_link_depth,
@@ -4488,6 +4498,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         """,
         "link_components": linkstats.duck_host_components_sql(pages_meta),
         "link_communities": linkstats.duck_communities_sql(pages_meta),
+        "link_coreness": linkstats.duck_coreness_sql(pages_meta),
         "link_reciprocity": linkstats.duck_reciprocity_sql(pages_meta),
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),

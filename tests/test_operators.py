@@ -730,3 +730,52 @@ def test_host_triangles_crafted(spark):
         "c.example": 1,
         "e.example": 1,
     }
+
+
+def test_host_coreness_crafted(spark, tmp_path):
+    """Known decomposition: a 4-clique (core 3), a triangle hanging off it
+    by one bridge edge (core 2), and a pendant chain (core 1); direction
+    and duplicate page-level links must not matter.  DuckDB unrolled-
+    iteration parity on the same frame."""
+    import duckdb
+
+    from web_crawler_spark.functions.linkstats import (
+        duck_coreness_sql,
+        host_coreness,
+    )
+
+    df = _mk_pages_meta(
+        spark,
+        [
+            # 4-clique a,b,c,d
+            ("a.example", ["b.example", "c.example", "d.example"]),
+            ("b.example", ["c.example", "d.example", "a.example"]),
+            ("c.example", ["d.example"]),
+            # triangle t1,t2,t3 bridged to the clique via a-t1
+            ("t1.example", ["t2.example", "t3.example", "a.example"]),
+            ("t2.example", ["t3.example"]),
+            # pendant chain d - p1 - p2
+            ("p1.example", ["d.example", "p2.example"]),
+        ],
+    )
+    got = {r["host"]: r["core"] for r in host_coreness(df).collect()}
+    assert got == {
+        "a.example": 3,
+        "b.example": 3,
+        "c.example": 3,
+        "d.example": 3,
+        "t1.example": 2,
+        "t2.example": 2,
+        "t3.example": 2,
+        "p1.example": 1,
+        "p2.example": 1,
+    }
+    p = str(tmp_path / "core.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["host"]: r["core"]
+        for _, r in duckdb.sql(
+            duck_coreness_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

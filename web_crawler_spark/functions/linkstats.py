@@ -1673,3 +1673,117 @@ SELECT host, count(*)::BIGINT AS n_triangles FROM (
   UNION ALL SELECT z FROM tri
 ) GROUP BY 1
 """
+
+
+# --- coreness decomposition (graph-density / spam-neighborhood signal) -----
+#
+# Core number per host over the undirected host graph — the k-core
+# decomposition used as a web-spam feature (Becchetti et al. KDD'08 use
+# degree-family features; coreness is the standard densest-neighborhood
+# refinement) and as a crawl-prioritization prior (high-core hosts sit in
+# densely interlinked regions; low-core hosts are the periphery).
+#
+# Algorithm: the h-index fixpoint (Lu, Chen, Zhou, Stanley, PNAS 2016):
+# start from degree and repeatedly set c(v) := H(c(u) for u ~ v), the
+# largest h such that at least h neighbors have value >= h.  The sequence
+# is integer, monotonically non-increasing, and converges exactly to the
+# core number — so a fixpoint reached in i iterations is unchanged by any
+# further iteration, and an oracle that unrolls max_iter levels matches the
+# engine that stopped at the fixpoint.  All-integer: bit-identical across
+# engines and reduction orders.
+
+CORENESS_MAX_ITER = 28
+
+
+def host_coreness(df: DataFrame, max_iter: int = CORENESS_MAX_ITER) -> DataFrame:
+    """(host, coreness) over the undirected host link graph (self-loops
+    dropped, edges deduped).
+
+    Scale shape: the state is one row per host; each iteration is one
+    edge->state join plus a per-host window on the neighbor values (host
+    grain — partitions by the same key the join shuffled on, so Catalyst
+    reuses the exchange) and a partial-agg'd max.  Rounds are data-bounded
+    (fixpoint checked with a scalar count); each round localCheckpoints to
+    keep the lineage flat — the repo's iterative-plan discipline.  Raises
+    if the fixpoint is not reached within ``max_iter`` so the unrolled
+    oracle depth is provably sufficient."""
+    from pyspark.sql import Window
+
+    g = host_graph(df).select("src_host", "dst_host").filter(
+        F.col("src_host") != F.col("dst_host")
+    )
+    edges = (
+        g.unionByName(
+            g.select(
+                F.col("dst_host").alias("src_host"),
+                F.col("src_host").alias("dst_host"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    state = (
+        edges.groupBy(F.col("src_host").alias("host"))
+        .agg(F.count("*").cast("long").alias("core"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("nval").desc(), F.col("dst_host")
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            state.withColumnRenamed("host", "dst_host").withColumnRenamed(
+                "core", "nval"
+            ),
+            on="dst_host",
+        ).select(F.col("src_host").alias("node"), "dst_host", "nval")
+        new = (
+            nbr.select(
+                "node", F.least(F.row_number().over(w), F.col("nval")).alias("h")
+            )
+            .groupBy(F.col("node").alias("host"))
+            .agg(F.max("h").cast("long").alias("core"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(state.alias("o"), on="host")
+            .filter(F.col("n.core") != F.col("o.core"))
+            .count()
+        )
+        state = new
+        if changed == 0:
+            return state
+    raise RuntimeError(
+        f"host_coreness: no fixpoint within {max_iter} iterations"
+    )
+
+
+def duck_coreness_sql(pages_meta: str, max_iter: int = CORENESS_MAX_ITER) -> str:
+    """DuckDB twin of :func:`host_coreness` — the same h-index iteration
+    unrolled ``max_iter`` levels (the engine asserts its fixpoint landed
+    within that horizon, and the iteration is a no-op at the fixpoint, so
+    extra unrolled levels cannot diverge)."""
+    head = rf"""
+WITH g AS MATERIALIZED ({duck_host_graph_sql(pages_meta)}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT src_host AS src, dst_host AS dst FROM g
+  WHERE src_host <> dst_host
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+),
+c0 AS (SELECT src AS host, count(*)::BIGINT AS core FROM edges GROUP BY 1)
+"""
+    steps = []
+    for i in range(max_iter):
+        steps.append(rf""",
+c{i + 1} AS MATERIALIZED (
+  SELECT node AS host, max(least(rn, nval))::BIGINT AS core FROM (
+    SELECT e.src AS node, c.core AS nval,
+           row_number() OVER (PARTITION BY e.src
+                              ORDER BY c.core DESC, e.dst) AS rn
+    FROM edges e JOIN c{i} c ON e.dst = c.host
+  ) GROUP BY 1
+)""")
+    return head + "".join(steps) + f"\nSELECT host, core FROM c{max_iter}"
