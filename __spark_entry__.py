@@ -2097,6 +2097,84 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_golden_path(sf: str) -> str:
+    """Materialize the (vec_id, cluster) assignment golden for SemDeDup:
+    an independent numpy re-implementation of the documented deterministic
+    k-means spec (md5-ordered sample, first-k init, fixed Lloyd iterations,
+    argmax-cosine assignment) reading the parquet directly — no Spark.  The
+    intra-cluster duplicate logic is NOT in the golden; that part stays a
+    cross-engine DuckDB-vs-Spark comparison."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark.functions import simsearch as ss
+
+    out = os.path.join(
+        synth.SYNTH_ROOT,
+        f"semdedup_golden_sf{sf}_l{ss.SEMDEDUP_LISTS}"
+        f"s{ss.IVF_SAMPLE}i{ss.IVF_KMEANS_ITERS}.parquet",
+    )
+    if os.path.exists(out):
+        return out
+    os.makedirs(synth.SYNTH_ROOT, exist_ok=True)
+    tbl = pq.read_table(
+        f"/root/testdata/sf{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = [v.as_py() for v in tbl.column("vec_id")]
+    X_all = np.array([v.as_py() for v in tbl.column("embedding")], dtype=np.float64)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest(),
+    )[: ss.IVF_SAMPLE]
+    X = X_all[order]
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(norms == 0, 1.0, norms)
+    k = min(ss.SEMDEDUP_LISTS, len(Xn))
+    C = Xn[:k].copy()
+    for _ in range(ss.IVF_KMEANS_ITERS):
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        Cn = C / np.where(cn == 0, 1.0, cn)
+        assign = (Xn @ Cn.T).argmax(axis=1)
+        for l in range(k):
+            mask = assign == l
+            if mask.any():
+                C[l] = Xn[mask].mean(axis=0)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    mat = C / np.where(cn == 0, 1.0, cn)
+    cent = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    clusters = []
+    for v in X_all:
+        n = np.linalg.norm(v)
+        clusters.append(int(np.argmax(cent @ (v / n if n else v))))
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(clusters, pa.int64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+    return out
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cluster the embedding space,
+    quadratic cosine check ONLY inside clusters, deterministic first-wins
+    keep rule — the LLM-corpus semantic dedup pass.  Cluster assignment is
+    graded against an independent numpy golden; the intra-cluster dup
+    logic is graded cross-engine (DuckDB n-per-cluster join)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return simsearch.semantic_dedup(
+        emb, threshold_ppm=COSINE_DUP_THRESHOLD_PPM
+    )
+
+
 def _winnow_golden_path(sf: str) -> str:
     """Materialize the naive-Python winnow oracle for the driver documents
     table at scale ``sf`` as a parquet the DuckDB oracle reads.  Differential
@@ -3374,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "doc_top_terms": q_doc_top_terms,
         "dedup_embed": q_dedup_embed,
+        "dedup_semantic": q_dedup_semantic,
         "ann_brute": q_ann_brute,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -4080,6 +4159,26 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         """,
         "doc_top_terms": textstats.duck_top_terms_sql("documents"),
         "dedup_embed": simsearch.duck_cosine_dups_sql("embeddings", COSINE_DUP_THRESHOLD_PPM),
+        "dedup_semantic": f"""
+            WITH cl AS (
+              SELECT vec_id, cluster
+              FROM read_parquet('{_semdedup_golden_path(sf)}')
+            ),
+            v AS (
+              SELECT e.vec_id, cl.cluster, e.embedding::DOUBLE[] AS vec
+              FROM embeddings e JOIN cl ON e.vec_id = cl.vec_id
+            ),
+            drops AS (
+              SELECT DISTINCT b.vec_id
+              FROM v a JOIN v b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              WHERE floor(list_cosine_similarity(a.vec, b.vec) * 1e6)
+                    >= {COSINE_DUP_THRESHOLD_PPM}
+            )
+            SELECT vec_id, cluster,
+                   (vec_id NOT IN (SELECT vec_id FROM drops)) AS kept
+            FROM cl
+        """,
         "ann_brute": simsearch.duck_brute_force_sql("embeddings", N_ANN_QUERIES, ANN_K),
         # self-verifying recall checks: the Spark side computes per-query
         # recall vs its (hash-verified) brute-force result; the oracle asserts

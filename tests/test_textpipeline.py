@@ -2037,3 +2037,38 @@ def test_lsh_eval_report_counts_and_ratios(spark):
     )
     r2 = dedupsim.lsh_eval_report(solo).collect()[0]
     assert r2["n_true"] == 0 and r2["recall_ppm"] is None
+
+
+def test_semantic_dedup_crafted(spark):
+    """Two tight semantic groups + one outlier: first-wins keep inside each
+    group, outlier survives; cluster assignment puts each group together;
+    the final plan carries no Python stage (assignment is materialized
+    behind the localCheckpoint)."""
+    from web_crawler_spark.functions.simsearch import semantic_dedup
+
+    rows = [
+        # group A around e0
+        (1, [1.0, 0.01, 0.0, 0.0]),
+        (2, [1.0, 0.02, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.01, 0.0]),
+        # group B around e2
+        (10, [0.0, 0.01, 1.0, 0.0]),
+        (11, [0.01, 0.0, 1.0, 0.0]),
+        # outlier: e3-dominant, below threshold vs everything
+        (20, [0.0, 0.3, 0.3, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    res = semantic_dedup(emb, n_lists=2, threshold_ppm=900_000)
+    got = {r["vec_id"]: (r["cluster"], r["kept"]) for r in res.collect()}
+    assert set(got) == {1, 2, 3, 10, 11, 20}
+    # groups land in one cluster each
+    assert got[1][0] == got[2][0] == got[3][0]
+    assert got[10][0] == got[11][0]
+    # first-wins keep: smallest id per dup group survives
+    assert got[1][1] is True and got[2][1] is False and got[3][1] is False
+    assert got[10][1] is True and got[11][1] is False
+    assert got[20][1] is True
+    # scale shape: the cluster-assignment UDF is materialized once — the
+    # consuming plan is pure JVM (no ArrowEvalPython / BatchEvalPython)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

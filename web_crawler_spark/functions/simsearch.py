@@ -627,3 +627,93 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via cluster-then-pairwise (Abbas et al.
+# 2023, arXiv:2303.09540) — the embedding-space analogue of MinHash dedup
+# used on web-scale LLM pretraining corpora.
+# ---------------------------------------------------------------------------
+#
+# Shape: k-means clusters the corpus (deterministic driver-side training on
+# an md5-ordered sample, exactly :func:`ivf_centroids`), every vector gets
+# its argmax-cosine cluster in one Arrow pass, and the quadratic duplicate
+# check runs ONLY inside clusters — at 10^10 docs with n/k ~ 10^4-vector
+# clusters the pair join is k independent bounded self-joins on the cluster
+# key, never a global n^2.  The keep rule is deterministic first-wins: a
+# vector is dropped iff some same-cluster vector with a SMALLER id sits
+# above the cosine threshold (the paper keeps one exemplar per dup group;
+# id-order makes that choice engine-independent).
+
+SEMDEDUP_LISTS = 16
+
+
+def _assign_top1_udf(spark, mat):
+    """argmax-cosine cluster id per vector (ties impossible up to float
+    equality; argmax — not argsort — so the golden twin's tie rule is
+    identical)."""
+    import numpy as np
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(norm)
+
+    from pyspark.sql.types import IntegerType
+
+    @pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        cent = bc.value
+        out = []
+        for v in vecs:
+            a = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(a)
+            out.append(int(np.argmax(cent @ (a / n if n else a))))
+        return pd.Series(out)
+
+    return assign
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_lists: int = SEMDEDUP_LISTS,
+    threshold_ppm: int = 900_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, kept) — SemDeDup over the embedding column.
+
+    The intra-cluster pair join shuffles once on the cluster key; the drop
+    list is the distinct larger-id side of above-threshold pairs, removed
+    with a broadcastable anti-join (dup lists are tiny next to the corpus).
+    The assignment frame is localCheckpointed so the cluster UDF runs once,
+    not once per join branch (branch-recompute discipline)."""
+    spark = corpus.sparkSession
+    mat = ivf_centroids(corpus, n_lists, id_col, vec_col)
+    assign = _assign_top1_udf(spark, mat)
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        assign(F.col(vec_col).cast("array<double>")).alias("cluster"),
+    ).localCheckpoint(eager=True)
+    a = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("a"), F.col("vec").alias("va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("b"), F.col("vec").alias("vb")
+    )
+    sim = cosine_col(F.col("va"), F.col("vb"))
+    drops = (
+        a.join(b, on="cluster")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.floor(sim * 1e6).cast("long") >= threshold_ppm)
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(F.broadcast(drops.withColumn("__drop", F.lit(True))),
+                      on="vec_id", how="left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )
