@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--urls-file", help="one URL per line; blanks and # comments skipped")
     p.add_argument("--seeds-parquet", help="(seed_idx, url) parquet table")
     p.add_argument("--pages", required=True, help="pages parquet/Iceberg path")
+    p.add_argument(
+        "--pages-format",
+        choices=["parquet", "iceberg", "table"],
+        default="parquet",
+        help="pages source: parquet path (default), iceberg table identifier"
+        " (needs the iceberg-spark runtime jar), or catalog table name",
+    )
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--mode", choices=["parity", "scale"], default="scale")
     p.add_argument("--max-urls-per-step", type=int, default=None)
@@ -162,7 +169,7 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
 
-    pages = pages_src.read_pages(spark, args.pages)
+    pages = pages_src.read_pages(spark, args.pages, fmt=args.pages_format)
     cfg = CrawlConfig(
         rounds=args.rounds,
         mode=args.mode,

@@ -576,3 +576,28 @@ def test_archive_cli_cdx_mode(tmp_path):
         lines += open(p).read().splitlines()
     keys = [ln.split(" ", 1)[0] for ln in lines if ln]
     assert keys == sorted(keys) == ["example,a)/p/1", "example,b)/p/2"]
+
+
+def test_read_pages_formats(spark, tmp_path):
+    """parquet path unchanged; `table` reads a catalog table; `iceberg`
+    without the runtime jar raises the documented error instead of silently
+    degrading to a snapshot-less read; unknown format rejected."""
+    import pytest
+
+    from web_crawler_spark.sources import pages as pages_src
+
+    df = spark.createDataFrame(
+        [("http://a.example/", None, None, "t", "en")],
+        pages_src.PAGES_SCHEMA,
+    )
+    p = str(tmp_path / "pg.parquet")
+    df.write.parquet(p)
+    assert pages_src.read_pages(spark, p).count() == 1
+    df.createOrReplaceTempView("pages_tbl_fmt")
+    got = pages_src.read_pages(spark, "pages_tbl_fmt", fmt="table")
+    assert got.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert got.count() == 1
+    with pytest.raises(RuntimeError, match="iceberg"):
+        pages_src.read_pages(spark, "cat.db.pages", fmt="iceberg")
+    with pytest.raises(ValueError, match="unknown pages format"):
+        pages_src.read_pages(spark, p, fmt="orc2")

@@ -15,11 +15,40 @@ from pyspark.sql import DataFrame, SparkSession
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def read_pages(spark: SparkSession, path: str, with_html: bool = True) -> DataFrame:
+def read_pages(
+    spark: SparkSession,
+    path: str,
+    with_html: bool = True,
+    fmt: str = "parquet",
+) -> DataFrame:
     """Read the Common-Crawl-style pages table (input_hint shape).  Pass
     ``with_html=False`` for scheduling-side uses so Parquet never materializes
-    the binary column."""
-    df = spark.read.parquet(path)
+    the binary column.
+
+    ``fmt``: ``parquet`` (default — a path), ``iceberg`` (an Iceberg table
+    identifier, e.g. ``catalog.db.pages``; requires the iceberg-spark
+    runtime on the cluster classpath — the deployment target, not this
+    sandbox), or ``table`` (any metastore/catalog table).  Column pruning
+    and predicate pushdown behave identically through all three: the
+    engine only ever expresses projections/filters on the DataFrame, so
+    Iceberg's scan planning (partition pruning by url bucket / warc_ts
+    range, snapshot isolation for resumable rounds) is picked up with no
+    plan change."""
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt == "iceberg":
+        try:
+            df = spark.read.format("iceberg").load(path)
+        except Exception as exc:  # pragma: no cover - no runtime jar here
+            raise RuntimeError(
+                "iceberg format requires the iceberg-spark-runtime jar "
+                "(spark.jars.packages org.apache.iceberg:...); falling back "
+                "is unsafe because snapshot isolation would silently vanish"
+            ) from exc
+    elif fmt == "table":
+        df = spark.table(path)
+    else:
+        raise ValueError(f"unknown pages format: {fmt!r}")
     cols = ["url", "warc_ts", "html", "text", "lang"] if with_html else ["url", "warc_ts", "lang"]
     return df.select(*[c for c in cols if c in df.columns])
 
