@@ -347,6 +347,45 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 graded: built-in bounded-state streaming dedup
+    (dropDuplicatesWithinWatermark) — the events table fed TWICE as
+    separate file batches (maxFilesPerTrigger=1 forces multi-batch
+    draining), every event emitted exactly once.  The delay covers the
+    table's full event-time span so nothing is late at this scale; the
+    eviction/late boundary is pinned by crafted pytest instead
+    (streaming/windowed.run_dedup_within_watermark_available_now)."""
+    import shutil
+
+    from web_crawler_spark.streaming.windowed import (
+        run_dedup_within_watermark_available_now,
+    )
+
+    out = os.path.join(synth.SYNTH_ROOT, "stream_dedup_wm")
+    shutil.rmtree(out, ignore_errors=True)
+    in_dir = os.path.join(out, "in")
+    os.makedirs(in_dir)
+    for alias in ("ev1.parquet", "ev2.parquet"):
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(in_dir, alias),
+        )
+    run_dedup_within_watermark_available_now(
+        spark,
+        in_dir,
+        os.path.join(out, "data"),
+        os.path.join(out, "ck"),
+        delay="800 hours",  # > the events table's ~30-day span
+        max_files_per_trigger=1,
+    )
+    return spark.read.parquet(os.path.join(out, "data")).select(
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        "user_id",
+        "event_type",
+    )
+
+
 def q_urlnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: RFC 3986 canonicalization over raw candidate URLs."""
     cands = _synth(spark, sf_dir, "url_candidates")
@@ -3334,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "stream_join": q_stream_join,
         "stream_dedup": q_stream_dedup,
+        "stream_dedup_wm": q_stream_dedup_wm,
         "stream_throttle": q_stream_throttle,
         "urlnorm": q_urlnorm,
         "seed_dedup": q_seed_dedup,
@@ -3814,6 +3854,11 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             -- the watermark (max ts - delay) must reach the session end
             WHERE session_end <= (SELECT max(ts) FROM events)
                                  - INTERVAL {STREAM_SESSION_WATERMARK_H} HOUR
+        """,
+        "stream_dedup_wm": """
+            SELECT event_id, floor(epoch(ts))::BIGINT AS ts_s,
+                   user_id, event_type
+            FROM events
         """,
         "stream_join": """
             SELECT v.event_id AS view_id, c.event_id AS click_id,

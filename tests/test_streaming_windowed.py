@@ -166,3 +166,65 @@ def test_stream_interval_join_cross_batch(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {(1, 3): 600 * 10**6, (2, 4): 1200 * 10**6}
+
+
+def test_stream_dedup_within_watermark_boundary(spark, tmp_path):
+    """Probe-verified semantics (the contract the operator docstring
+    pins): a cross-batch dup within the delay is suppressed exactly; a
+    merely-LATE row — older than the watermark but with ts + delay still
+    ahead of it — passes through and is emitted (the watermark bounds
+    STATE, not input); and an input row is dropped iff it is EXPIRED on
+    arrival (ts + delay <= current watermark), so a re-arrival of an
+    evicted key is dropped rather than double-emitted."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from web_crawler_spark.streaming.windowed import (
+        run_dedup_within_watermark_available_now,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mtime = [1_700_000_000]
+
+    def mk(rows, sub):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        stage = str(tmp_path / "stage" / sub)
+        df.coalesce(1).write.parquet(stage)
+        os.makedirs(str(tmp_path / "in"), exist_ok=True)
+        dst = str(tmp_path / "in" / sub)
+        shutil.copy(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        # FileStreamSource with maxFilesPerTrigger orders by mtime; pin
+        # strictly increasing mtimes so batch order is deterministic.
+        mtime[0] += 60
+        os.utime(dst, (mtime[0], mtime[0]))
+
+    # batch 1: ids 1, 2; max ts = base+1h -> watermark after batch = base-1h
+    mk([(1, base, 7, "view"), (2, base + dt.timedelta(hours=1), 7, "click")], "f1.parquet")
+    # batch 2: dup of 1 (state alive) -> suppressed; id 3 at base-2h is
+    # late vs the base-1h watermark but unexpired (base-2h + 2h = base >
+    # base-1h) -> emitted; id 4 fresh
+    mk(
+        [
+            (1, base, 7, "view"),
+            (3, base - dt.timedelta(hours=2), 8, "view"),
+            (4, base + dt.timedelta(hours=2), 9, "purchase"),
+        ],
+        "f2.parquet",
+    )
+    # batch 3: id 5 at base+10h drives the watermark to base+8h, past
+    # id 1's eviction point (base + 2h delay)
+    mk([(5, base + dt.timedelta(hours=10), 9, "view")], "f3.parquet")
+    # batch 4: id 1 re-arrives after eviction, but it is expired on
+    # arrival (base + 2h <= base+8h watermark) -> dropped, NOT re-emitted
+    mk([(1, base, 7, "view")], "f4.parquet")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_dedup_within_watermark_available_now(
+        spark, str(tmp_path / "in"), out, ck, delay="2 hours",
+        max_files_per_trigger=1,
+    )
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5]
