@@ -3119,6 +3119,16 @@ def q_link_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_coreness(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition of the host graph (Broder et al. 2000): the
+    giant-SCC CORE anchored at the deterministic max-degree pivot, IN/OUT
+    reachability sets, TENDRILS in the weak component, DISCONNECTED
+    islands — three delta-frontier BFS passes whose per-round exchange is
+    the frontier boundary, not the visited set; oracle is the
+    recursive-CTE closure triple (linkstats.host_bowtie docstring)."""
+    return linkstats.host_bowtie(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-length quantiles at power-of-two bucket grain,
     derived from the histogram (no per-language global sort — the
@@ -3541,6 +3551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_components": q_link_components,
         "link_communities": q_link_communities,
         "link_coreness": q_link_coreness,
+        "link_bowtie": q_link_bowtie,
         "link_reciprocity": q_link_reciprocity,
         "doc_length_quantiles": q_doc_length_quantiles,
         "link_depth": q_link_depth,
@@ -4643,6 +4654,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "link_components": linkstats.duck_host_components_sql(pages_meta),
         "link_communities": linkstats.duck_communities_sql(pages_meta),
         "link_coreness": linkstats.duck_coreness_sql(pages_meta),
+        "link_bowtie": linkstats.duck_bowtie_sql(pages_meta),
         "link_reciprocity": linkstats.duck_reciprocity_sql(pages_meta),
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),

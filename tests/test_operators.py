@@ -779,3 +779,49 @@ def test_host_coreness_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_host_bowtie_crafted(spark, tmp_path):
+    """All five regions on a crafted graph: 2-cycle CORE {a,b} (a is the
+    deterministic max-degree pivot), IN {i} -> a, b -> OUT {o}, TENDRILS
+    {t} hanging off IN and {t2} feeding OUT (neither reaches nor is
+    reached by the core), and a DISCONNECTED pair {x,y}.  DuckDB
+    recursive-closure parity on the same frame."""
+    import duckdb
+
+    from web_crawler_spark.functions.linkstats import (
+        duck_bowtie_sql,
+        host_bowtie,
+    )
+
+    df = _mk_pages_meta(
+        spark,
+        [
+            ("a.example", ["b.example"]),
+            ("b.example", ["a.example", "o.example"]),
+            ("i.example", ["a.example", "t.example"]),
+            ("t2.example", ["o.example"]),
+            ("x.example", ["y.example"]),
+        ],
+    )
+    want = {
+        "a.example": "core",
+        "b.example": "core",
+        "i.example": "in",
+        "o.example": "out",
+        "t.example": "tendril",
+        "t2.example": "tendril",
+        "x.example": "disconnected",
+        "y.example": "disconnected",
+    }
+    got = {r["host"]: r["region"] for r in host_bowtie(df).collect()}
+    assert got == want
+    p = str(tmp_path / "bowtie.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["host"]: r["region"]
+        for _, r in duckdb.sql(
+            duck_bowtie_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == want

@@ -1787,3 +1787,127 @@ c{i + 1} AS MATERIALIZED (
   ) GROUP BY 1
 )""")
     return head + "".join(steps) + f"\nSELECT host, core FROM c{max_iter}"
+
+
+# --- bow-tie decomposition (Broder et al., "Graph structure in the Web") ------
+#
+# The macroscopic map of a crawled web graph: the giant strongly-connected
+# CORE, the IN set that reaches it, the OUT set it reaches, TENDRILS hanging
+# off IN/OUT (tubes folded in), and DISCONNECTED islands.  Crawl planning
+# reads this directly — seeds in IN ∪ CORE cover CORE+OUT; anything outside
+# the weak component of the core is unreachable no matter the budget.  The
+# reference has no counterpart; this is crawl-analytics breadth.
+
+BOWTIE_MAX_ITER = 30
+
+
+def _reach(edges: DataFrame, seed: DataFrame, max_iter: int) -> DataFrame:
+    """Hosts reachable from ``seed`` over directed (src, dst) edges.  Delta
+    frontier BFS: each round joins only the NEW frontier against the edge
+    relation and anti-joins the visited set — per-round exchange is
+    O(frontier boundary), not O(visited), and rounds = reachable diameter
+    (small-world web: ~O(10)).  Visited/frontier are host-grain (~10^8 rows
+    at 10^10-URL scale) and localCheckpointed per round to cut lineage."""
+    visited = seed.localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(max_iter):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("host", "src"), on="src")
+            .select(F.col("dst").alias("host"))
+            .distinct()
+            .join(visited, on="host", how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def host_bowtie(df: DataFrame, max_iter: int = BOWTIE_MAX_ITER) -> DataFrame:
+    """(host, region) — region in {core, in, out, tendril, disconnected}.
+
+    Pivot = max-degree host (ties to the lexicographically smallest), the
+    standard giant-SCC anchor; CORE = forward ∩ backward reachable set of
+    the pivot, IN = backward-only, OUT = forward-only, TENDRIL = in the
+    pivot's weak component but none of the above, DISCONNECTED = the rest.
+    Three delta-frontier BFS passes (forward, reversed, symmetric) over the
+    distinct host-grain edge set materialized once; the pivot is a scalar
+    driver value by construction (orderBy.limit(1) on the degree rollup)."""
+    e0 = (
+        host_graph(df)
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e0.select(F.col("src").alias("host"))
+        .unionByName(e0.select(F.col("dst").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    pivot = deg.orderBy(F.desc("deg"), F.asc("host")).limit(1).select("host")
+    rev = e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = e0.unionByName(rev).distinct().localCheckpoint(eager=True)
+    fwd = _reach(e0, pivot, max_iter)
+    bwd = _reach(rev, pivot, max_iter)
+    weak = _reach(sym, pivot, max_iter)
+    return (
+        deg.select("host")
+        .join(fwd.withColumn("f", F.lit(1)), on="host", how="left")
+        .join(bwd.withColumn("b", F.lit(1)), on="host", how="left")
+        .join(weak.withColumn("w", F.lit(1)), on="host", how="left")
+        .select(
+            "host",
+            F.when(F.col("f").isNotNull() & F.col("b").isNotNull(), F.lit("core"))
+            .when(F.col("b").isNotNull(), F.lit("in"))
+            .when(F.col("f").isNotNull(), F.lit("out"))
+            .when(F.col("w").isNotNull(), F.lit("tendril"))
+            .otherwise(F.lit("disconnected"))
+            .alias("region"),
+        )
+    )
+
+
+def duck_bowtie_sql(pages_meta: str) -> str:
+    """Recursive-CTE oracle: forward / backward / weak transitive closures
+    from the same deterministic pivot — an implementation-independent
+    fixpoint the delta BFS must match."""
+    return rf"""
+WITH RECURSIVE g AS MATERIALIZED (
+  SELECT DISTINCT src_host AS src, dst_host AS dst
+  FROM ({duck_host_graph_sql(pages_meta)}) WHERE src_host <> dst_host
+),
+deg AS MATERIALIZED (
+  SELECT host, count(*)::BIGINT AS deg FROM (
+    SELECT src AS host FROM g UNION ALL SELECT dst FROM g
+  ) GROUP BY host
+),
+pv AS MATERIALIZED (SELECT host FROM deg ORDER BY deg DESC, host ASC LIMIT 1),
+sym AS MATERIALIZED (SELECT src, dst FROM g UNION SELECT dst, src FROM g),
+fwd(host) AS (
+  SELECT host FROM pv
+  UNION SELECT e.dst FROM g e JOIN fwd w ON w.host = e.src
+),
+bwd(host) AS (
+  SELECT host FROM pv
+  UNION SELECT e.src FROM g e JOIN bwd w ON w.host = e.dst
+),
+weak(host) AS (
+  SELECT host FROM pv
+  UNION SELECT e.dst FROM sym e JOIN weak w ON w.host = e.src
+)
+SELECT d.host,
+  CASE WHEN f.host IS NOT NULL AND b.host IS NOT NULL THEN 'core'
+       WHEN b.host IS NOT NULL THEN 'in'
+       WHEN f.host IS NOT NULL THEN 'out'
+       WHEN w.host IS NOT NULL THEN 'tendril'
+       ELSE 'disconnected' END AS region
+FROM deg d
+LEFT JOIN fwd f ON d.host = f.host
+LEFT JOIN bwd b ON d.host = b.host
+LEFT JOIN weak w ON d.host = w.host
+"""
