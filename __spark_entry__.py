@@ -1459,6 +1459,14 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.repetition_stats(_synth(spark, sf_dir, "webdocs"))
 
 
+def q_doc_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity gate: exact Renyi-2 collision probability in
+    integer ppm (the no-libm entropy surrogate) + top-char share — the
+    gibberish / padding / binary-junk detector next to the line- and
+    n-gram-grain repetition gates (webtext.char_diversity docstring)."""
+    return webtext.char_diversity(_synth(spark, sf_dir, "webdocs"))
+
+
 def q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: count + redact emails and NNN-NNN-NNNN phones."""
     return webtext.pii_scrub(_synth(spark, sf_dir, "webdocs"))
@@ -3450,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_audit": q_corpus_audit,
         "doc_clean_lines": q_doc_clean_lines,
         "doc_repetition": q_doc_repetition,
+        "doc_char_diversity": q_doc_char_diversity,
         "doc_pii": q_doc_pii,
         "dedup_lines": q_dedup_lines,
         "doc_gopher": q_doc_gopher,
@@ -4096,6 +4105,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         # web-corpus filters (multi-line webdocs fixture)
         "doc_clean_lines": webtext.duck_clean_lines_sql(webdocs),
         "doc_repetition": webtext.duck_repetition_sql(webdocs),
+        "doc_char_diversity": webtext.duck_char_diversity_sql(webdocs),
         "doc_pii": webtext.duck_pii_sql(webdocs),
         "dedup_lines": webtext.duck_dedup_lines_sql(webdocs),
         "doc_gopher": webtext.duck_gopher_sql(webdocs),

@@ -561,3 +561,37 @@ def test_soft404_flags_crafted(spark, tmp_path):
         assert (g["has_marker"], g["n_tokens"], g["host_mean_tokens"], g["soft404"]) == (
             r["has_marker"], r["n_tokens"], r["host_mean_tokens"], r["soft404"]
         )
+
+
+def test_char_diversity_boundary(boundary):
+    df, con = boundary
+    _cmp(
+        webtext.char_diversity(df),
+        con.sql(webtext.duck_char_diversity_sql("wdocs")),
+    )
+
+
+def test_char_diversity_pinned(spark):
+    """Hand-computed collision / top-char values: all-same-char saturates
+    at 1e6 ppm, alternation halves the top share, empty and NULL text are
+    all-zeros rows (not dropped), all-distinct has zero collisions."""
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, ""), (4, None), (5, "abcd")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chars"],
+            r["n_distinct_chars"],
+            r["collision_ppm"],
+            r["top_char_ppm"],
+        )
+        for r in webtext.char_diversity(df).collect()
+    }
+    assert got == {
+        1: (4, 1, 1_000_000, 1_000_000),
+        2: (4, 2, 333_333, 500_000),
+        3: (0, 0, 0, 0),
+        4: (0, 0, 0, 0),
+        5: (4, 4, 0, 250_000),
+    }

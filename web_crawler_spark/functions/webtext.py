@@ -1310,3 +1310,84 @@ SELECT t.url, t.has_marker, t.n_tokens, m.host_mean_tokens::BIGINT AS host_mean_
        (t.has_marker AND 2 * t.n_tokens < m.host_mean_tokens) AS soft404
 FROM t JOIN m USING (host)
 """
+
+
+# --- character-diversity gate (gibberish / binary-junk detection) --------------
+
+
+def char_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chars, n_distinct_chars, collision_ppm, top_char_ppm):
+    codepoint-grain diversity.  collision_ppm is the exact collision
+    probability sum c*(c-1) / (n*(n-1)) in integer ppm — the Renyi-2 /
+    Simpson surrogate for character entropy: monotone in it but an exact
+    rational, so it hash-matches across engines where float log-entropy
+    cannot (the module's no-libm doctrine).  Low-entropy junk ("aaaa...",
+    one-char padding, null-byte runs) scores high; natural prose sits low;
+    top_char_ppm catches single-char domination directly.
+
+    Scale shape: the char explode is map-side; the only exchange is the
+    (doc_id, ch) partial agg (<= charset-size rows per doc after map-side
+    combine), and the doc-grain rollup rides the same keying.  Overflow
+    bound: n*(n-1)*1e6 < 2^63 needs n < ~3e6 chars/doc — shard longer docs
+    first (web text is ~10^3-10^5).  Spark's split(text, '') and DuckDB's
+    regexp_extract_all('(?s).') agree per codepoint over the BMP (parity
+    probed; neither emits boundary empties)."""
+    chars = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), "")).alias("ch"),
+    ).where(F.col("ch") != "")  # split("", "") -> [""]; no other input emits ""
+    agg = (
+        chars.groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_chars"),
+            F.count("*").cast("long").alias("n_distinct_chars"),
+            F.sum(F.expr("c * (c - 1)")).alias("coll"),
+            F.max("c").alias("top"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct_chars",
+            F.expr("coll * 1000000 DIV greatest(n_chars * (n_chars - 1), 1)")
+            .cast("long")
+            .alias("collision_ppm"),
+            F.expr("top * 1000000 DIV n_chars").cast("long").alias("top_char_ppm"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(agg, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce("n_distinct_chars", F.lit(0)).cast("long").alias(
+            "n_distinct_chars"
+        ),
+        F.coalesce("collision_ppm", F.lit(0)).cast("long").alias("collision_ppm"),
+        F.coalesce("top_char_ppm", F.lit(0)).cast("long").alias("top_char_ppm"),
+    )
+
+
+def duck_char_diversity_sql(table: str) -> str:
+    return rf"""
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '(?s).')) AS ch
+  FROM {table}
+),
+per AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_chars,
+         count(*)::BIGINT AS n_distinct_chars,
+         sum(c * (c - 1))::BIGINT AS coll, max(c)::BIGINT AS top
+  FROM per GROUP BY 1
+)
+SELECT d.doc_id,
+  coalesce(a.n_chars, 0)::BIGINT AS n_chars,
+  coalesce(a.n_distinct_chars, 0)::BIGINT AS n_distinct_chars,
+  coalesce(a.coll * 1000000 // greatest(a.n_chars * (a.n_chars - 1), 1), 0)::BIGINT
+    AS collision_ppm,
+  coalesce(a.top * 1000000 // a.n_chars, 0)::BIGINT AS top_char_ppm
+FROM {table} d LEFT JOIN agg a USING (doc_id)
+"""
