@@ -3127,6 +3127,15 @@ def q_link_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_coreness(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority scores over the host graph (Lempel & Moran
+    2001): the degree-normalized random-walk variant of HITS that resists
+    the tightly-knit-community effect — fixed integer iterations, per-edge
+    floor division by degree weight, L1 renorm by scalar divisors
+    (linkstats.host_salsa docstring)."""
+    return linkstats.host_salsa(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_link_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bow-tie decomposition of the host graph (Broder et al. 2000): the
     giant-SCC CORE anchored at the deterministic max-degree pivot, IN/OUT
@@ -3561,6 +3570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_communities": q_link_communities,
         "link_coreness": q_link_coreness,
         "link_bowtie": q_link_bowtie,
+        "link_salsa": q_link_salsa,
         "link_reciprocity": q_link_reciprocity,
         "doc_length_quantiles": q_doc_length_quantiles,
         "link_depth": q_link_depth,
@@ -4665,6 +4675,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "link_communities": linkstats.duck_communities_sql(pages_meta),
         "link_coreness": linkstats.duck_coreness_sql(pages_meta),
         "link_bowtie": linkstats.duck_bowtie_sql(pages_meta),
+        "link_salsa": linkstats.duck_salsa_sql(pages_meta),
         "link_reciprocity": linkstats.duck_reciprocity_sql(pages_meta),
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),

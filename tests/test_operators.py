@@ -825,3 +825,40 @@ def test_host_bowtie_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == want
+
+
+def test_host_salsa_crafted(spark, tmp_path):
+    """Degree normalization is the SALSA/HITS split: a 3-hub co-citation
+    cluster pointing at one authority vs a lone hub pointing at another —
+    the popular authority wins on in-degree, hubs that split their weight
+    across targets don't multiply it (each edge carries hub/out-weight).
+    DuckDB unrolled-iteration parity on the same frame."""
+    import duckdb
+
+    from web_crawler_spark.functions.linkstats import duck_salsa_sql, host_salsa
+
+    df = _mk_pages_meta(
+        spark,
+        [
+            ("h1.example", ["pop.example"]),
+            ("h2.example", ["pop.example"]),
+            ("h3.example", ["pop.example", "niche.example"]),
+            ("h4.example", ["niche.example"]),
+        ],
+    )
+    got = {r["host"]: (r["auth_ppb"], r["hub_ppb"]) for r in host_salsa(df).collect()}
+    # popular authority strictly outranks the niche one
+    assert got["pop.example"][0] > got["niche.example"][0] > 0
+    # pure authorities have zero hub mass; every hub has zero auth mass
+    assert got["pop.example"][1] == 0 and got["niche.example"][1] == 0
+    for h in ("h1.example", "h2.example", "h3.example", "h4.example"):
+        assert got[h][0] == 0 and got[h][1] > 0
+    p = str(tmp_path / "salsa.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["host"]: (r["auth_ppb"], r["hub_ppb"])
+        for _, r in duckdb.sql(
+            duck_salsa_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

@@ -1911,3 +1911,169 @@ LEFT JOIN fwd f ON d.host = f.host
 LEFT JOIN bwd b ON d.host = b.host
 LEFT JOIN weak w ON d.host = w.host
 """
+
+
+# --- SALSA (Lempel & Moran 2001) ----------------------------------------------
+#
+# The degree-normalized alternative to HITS: hubs and authorities are the
+# stationary distributions of a random walk that alternates backward/forward
+# along links, dividing by out-/in-degree at each step.  Unlike HITS it is
+# not dominated by tightly-knit clusters (the TKC effect) — the reason
+# production link-analysis stacks (e.g. follow-recommenders) picked it.
+# Same determinism contract as host_pagerank/host_hits: every step is BIGINT
+# arithmetic (per-edge floor division by the degree weight, L1 renorm by a
+# scalar integer divisor), bit-identical across engines and partitionings.
+
+SALSA_ITERS = 4
+SALSA_SCALE = 10**9
+
+
+def host_salsa(
+    df: DataFrame,
+    iters: int = SALSA_ITERS,
+    scale: int = SALSA_SCALE,
+) -> DataFrame:
+    """(host, auth_ppb, hub_ppb) — fixed-iteration integer SALSA over the
+    weighted host graph.  Each half-step moves mass along every edge
+    divided by the source side's total edge weight (out-weight for the
+    hub->auth step, in-weight for auth->hub), then renormalizes the L1
+    total back to ``scale``.
+
+    Scale shape: the edge relation is materialized ONCE with both degree
+    weights attached (two partial-agg'd rollups + two broadcast-or-shuffle
+    joins before the loop), so each iteration is one shuffle-on-host join
+    + one partial-agg'd groupBy, per-iteration localCheckpoint — identical
+    to the pagerank/HITS loop economics.  Overflow: mass <= scale and
+    per-edge product mass * n_links needs n_links < 2^63 / scale ~ 9e9
+    per host pair, same bound as pagerank."""
+    e0 = host_graph(df).select("src_host", "dst_host", "n_links")
+    outw = e0.groupBy("src_host").agg(F.sum("n_links").alias("ow"))
+    inw = e0.groupBy("dst_host").agg(F.sum("n_links").alias("iw"))
+    edges = (
+        e0.join(outw, on="src_host").join(inw, on="dst_host")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "host",
+            F.lit(0).cast("long").alias("auth_ppb"),
+            F.lit(0).cast("long").alias("hub_ppb"),
+        )
+    hub = nodes.select("host", F.lit(scale // n).cast("long").alias("hub"))
+    auth = nodes.select("host", F.lit(0).cast("long").alias("auth"))
+    for _ in range(iters):
+        araw = (
+            edges.join(hub.withColumnRenamed("host", "src_host"), on="src_host")
+            .groupBy("dst_host")
+            .agg(F.sum(F.expr("hub * n_links DIV ow")).alias("a_raw"))
+            .localCheckpoint(eager=True)
+        )
+        atot = araw.agg(F.coalesce(F.sum("a_raw"), F.lit(0))).first()[0]
+        qa = max(int(atot) // scale, 1)
+        auth = (
+            nodes.join(araw.withColumnRenamed("dst_host", "host"), on="host", how="left")
+            .select(
+                "host",
+                F.expr(f"coalesce(a_raw, 0L) DIV {qa}L").cast("long").alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hraw = (
+            edges.join(auth.withColumnRenamed("host", "dst_host"), on="dst_host")
+            .groupBy("src_host")
+            .agg(F.sum(F.expr("auth * n_links DIV iw")).alias("h_raw"))
+            .localCheckpoint(eager=True)
+        )
+        htot = hraw.agg(F.coalesce(F.sum("h_raw"), F.lit(0))).first()[0]
+        qh = max(int(htot) // scale, 1)
+        hub = (
+            nodes.join(hraw.withColumnRenamed("src_host", "host"), on="host", how="left")
+            .select(
+                "host",
+                F.expr(f"coalesce(h_raw, 0L) DIV {qh}L").cast("long").alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(auth, on="host", how="left")
+        .join(hub, on="host", how="left")
+        .select(
+            "host",
+            F.coalesce(F.col("auth"), F.lit(0)).cast("long").alias("auth_ppb"),
+            F.coalesce(F.col("hub"), F.lit(0)).cast("long").alias("hub_ppb"),
+        )
+    )
+
+
+def duck_salsa_sql(
+    pages_meta: str, iters: int = SALSA_ITERS, scale: int = SALSA_SCALE
+) -> str:
+    """DuckDB twin: the same integer degree-normalized walk unrolled as a
+    CTE chain; per-edge floor division and scalar L1 divisors mirror the
+    Spark expressions term-for-term."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT src_host, dst_host, n_links FROM ({duck_host_graph_sql(pages_meta)})
+)""",
+        """ew AS MATERIALIZED (
+  SELECT e.src_host, e.dst_host, e.n_links, o.ow, i.iw
+  FROM e0 e
+  JOIN (SELECT src_host, sum(n_links) AS ow FROM e0 GROUP BY 1) o
+    ON o.src_host = e.src_host
+  JOIN (SELECT dst_host, sum(n_links) AS iw FROM e0 GROUP BY 1) i
+    ON i.dst_host = e.dst_host
+)""",
+        """nodes AS MATERIALIZED (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM e0 UNION ALL SELECT dst_host FROM e0)
+)""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"h0 AS MATERIALIZED (SELECT host, {scale}::BIGINT // (SELECT n FROM nn) AS hub"
+        " FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""ar{k} AS MATERIALIZED (
+  SELECT e.dst_host AS host, sum(h.hub * e.n_links // e.ow) AS a_raw
+  FROM ew e JOIN h{p} h ON h.host = e.src_host GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""a{k} AS MATERIALIZED (
+  SELECT n.host,
+         coalesce(c.a_raw, 0)
+           // greatest((SELECT coalesce(sum(a_raw), 0) FROM ar{k}) // {scale}, 1)
+           AS auth
+  FROM nodes n LEFT JOIN ar{k} c ON c.host = n.host
+)"""
+        )
+        parts.append(
+            f"""hr{k} AS MATERIALIZED (
+  SELECT e.src_host AS host, sum(a.auth * e.n_links // e.iw) AS h_raw
+  FROM ew e JOIN a{k} a ON a.host = e.dst_host GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""h{k} AS MATERIALIZED (
+  SELECT n.host,
+         coalesce(c.h_raw, 0)
+           // greatest((SELECT coalesce(sum(h_raw), 0) FROM hr{k}) // {scale}, 1)
+           AS hub
+  FROM nodes n LEFT JOIN hr{k} c ON c.host = n.host
+)"""
+        )
+    cte = ",\n".join(parts)
+    return (
+        f"WITH {cte}\n"
+        f"SELECT n.host, a.auth::BIGINT AS auth_ppb, h.hub::BIGINT AS hub_ppb\n"
+        f"FROM nodes n JOIN a{iters} a ON a.host = n.host"
+        f" JOIN h{iters} h ON h.host = n.host"
+    )
