@@ -3127,6 +3127,14 @@ def q_link_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_coreness(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve (Colizza et al. 2006) over the
+    undirected host graph: for each degree value k, the edge density among
+    hosts of degree > k, exact-rational integer ppm — hub-interlock /
+    syndication-ring structure (linkstats.host_rich_club docstring)."""
+    return linkstats.host_rich_club(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_link_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALSA hub/authority scores over the host graph (Lempel & Moran
     2001): the degree-normalized random-walk variant of HITS that resists
@@ -3571,6 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_coreness": q_link_coreness,
         "link_bowtie": q_link_bowtie,
         "link_salsa": q_link_salsa,
+        "link_richclub": q_link_richclub,
         "link_reciprocity": q_link_reciprocity,
         "doc_length_quantiles": q_doc_length_quantiles,
         "link_depth": q_link_depth,
@@ -4676,6 +4685,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "link_coreness": linkstats.duck_coreness_sql(pages_meta),
         "link_bowtie": linkstats.duck_bowtie_sql(pages_meta),
         "link_salsa": linkstats.duck_salsa_sql(pages_meta),
+        "link_richclub": linkstats.duck_rich_club_sql(pages_meta),
         "link_reciprocity": linkstats.duck_reciprocity_sql(pages_meta),
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),

@@ -862,3 +862,43 @@ def test_host_salsa_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_host_rich_club_crafted(spark, tmp_path):
+    """K4 clique {a,b,c,d} + pendant p-a: at k=1 the qualifying set is
+    exactly the clique, so phi = 1e6 (complete); at k=3 only one host
+    qualifies (phi undefined -> 0); at k=4 nothing qualifies.  Link
+    direction and page-level duplicates must not matter.  DuckDB parity."""
+    import duckdb
+
+    from web_crawler_spark.functions.linkstats import (
+        duck_rich_club_sql,
+        host_rich_club,
+    )
+
+    df = _mk_pages_meta(
+        spark,
+        [
+            ("a.example", ["b.example", "c.example", "d.example", "p.example"]),
+            ("b.example", ["c.example", "d.example", "a.example"]),
+            ("c.example", ["d.example"]),
+        ],
+    )
+    got = {
+        r["k"]: (r["n_hosts_gt"], r["n_edges_gt"], r["rich_club_ppm"])
+        for r in host_rich_club(df).collect()
+    }
+    assert got == {
+        1: (4, 6, 1_000_000),
+        3: (1, 0, 0),
+        4: (0, 0, 0),
+    }
+    p = str(tmp_path / "rc.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["k"]: (r["n_hosts_gt"], r["n_edges_gt"], r["rich_club_ppm"])
+        for _, r in duckdb.sql(
+            duck_rich_club_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

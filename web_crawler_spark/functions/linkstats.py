@@ -2077,3 +2077,113 @@ def duck_salsa_sql(
         f"FROM nodes n JOIN a{iters} a ON a.host = n.host"
         f" JOIN h{iters} h ON h.host = n.host"
     )
+
+
+# --- rich-club coefficient (Colizza et al. 2006) -------------------------------
+#
+# phi(k): among hosts of degree > k, what fraction of the possible edges
+# exist?  A rising tail says the web's high-degree core is a densely wired
+# elite (hub-interlock, syndication rings); spam detection and crawl-budget
+# design both read it.  Exact rational in integer ppm — no float, no
+# sampling: both suffix counts (hosts above k, edges whose endpoint degrees
+# are both above k) come from one descending cumulative window over the
+# DISTINCT-DEGREE-VALUE frame, so the curve costs two partial aggs + one
+# tiny window, never a per-k pass over the graph.
+
+
+def host_rich_club(df: DataFrame) -> DataFrame:
+    """(k, n_hosts_gt, n_edges_gt, rich_club_ppm) for every degree value k
+    present: n_hosts_gt = #hosts with degree > k, n_edges_gt = #undirected
+    edges with min(deg_u, deg_v) > k, rich_club_ppm =
+    2 * n_edges_gt * 1e6 DIV (n_hosts_gt * (n_hosts_gt - 1)) (0 when fewer
+    than two hosts qualify).
+
+    Scale shape: degree rollup + (u < v) unordered edge frame are host- /
+    edge-grain partial aggs; the suffix sums run on the distinct-degree
+    frame (<= max-degree rows, ~10^5 even at 10^10-URL scale — a
+    single-partition window over a provably tiny frame, documented the
+    same way as the quantile/histogram ops)."""
+    e0 = (
+        host_graph(df)
+        .select(F.col("src_host").alias("u"), F.col("dst_host").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    und = e0.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("host"))
+        .unionByName(und.select(F.col("v").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    edge_m = (
+        und.join(deg.withColumnRenamed("host", "u").withColumnRenamed("deg", "du"), on="u")
+        .join(deg.withColumnRenamed("host", "v").withColumnRenamed("deg", "dv"), on="v")
+        .select(F.least("du", "dv").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("e_cnt"))
+    )
+    deg_k = deg.groupBy(F.col("deg").alias("k")).agg(
+        F.count("*").cast("long").alias("h_cnt")
+    )
+    from pyspark.sql import Window
+
+    merged = deg_k.join(edge_m, on="k", how="left").select(
+        "k", "h_cnt", F.coalesce("e_cnt", F.lit(0)).alias("e_cnt")
+    )
+    w = (
+        Window.orderBy(F.desc("k"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return merged.select(
+        F.col("k").cast("long").alias("k"),
+        F.coalesce(F.sum("h_cnt").over(w), F.lit(0)).cast("long").alias("n_hosts_gt"),
+        F.coalesce(F.sum("e_cnt").over(w), F.lit(0)).cast("long").alias("n_edges_gt"),
+    ).select(
+        "k",
+        "n_hosts_gt",
+        "n_edges_gt",
+        F.expr(
+            "2 * n_edges_gt * 1000000 DIV greatest(n_hosts_gt * (n_hosts_gt - 1), 1)"
+        )
+        .cast("long")
+        .alias("rich_club_ppm"),
+    )
+
+
+def duck_rich_club_sql(pages_meta: str) -> str:
+    return rf"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS u, greatest(src_host, dst_host) AS v
+  FROM ({duck_host_graph_sql(pages_meta)}) WHERE src_host <> dst_host
+),
+deg AS MATERIALIZED (
+  SELECT host, count(*)::BIGINT AS deg FROM (
+    SELECT u AS host FROM e0 UNION ALL SELECT v FROM e0
+  ) GROUP BY host
+),
+em AS (
+  SELECT least(du.deg, dv.deg) AS k, count(*)::BIGINT AS e_cnt
+  FROM e0 JOIN deg du ON du.host = e0.u JOIN deg dv ON dv.host = e0.v
+  GROUP BY 1
+),
+dk AS (SELECT deg AS k, count(*)::BIGINT AS h_cnt FROM deg GROUP BY 1),
+m AS (
+  SELECT dk.k, dk.h_cnt, coalesce(em.e_cnt, 0) AS e_cnt
+  FROM dk LEFT JOIN em ON em.k = dk.k
+),
+s AS (
+  SELECT k,
+    coalesce(sum(h_cnt) OVER (ORDER BY k DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS n_hosts_gt,
+    coalesce(sum(e_cnt) OVER (ORDER BY k DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS n_edges_gt
+  FROM m
+)
+SELECT k::BIGINT AS k, n_hosts_gt, n_edges_gt,
+  (2 * n_edges_gt * 1000000 // greatest(n_hosts_gt * (n_hosts_gt - 1), 1))::BIGINT
+    AS rich_club_ppm
+FROM s
+"""
