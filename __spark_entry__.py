@@ -3127,6 +3127,14 @@ def q_link_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_coreness(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_gapcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebGraph-style adjacency compression planning (Boldi & Vigna 2004):
+    Elias-gamma gap-encoding cost of each host's sorted successor list
+    under dense lexicographic ids vs the flat fixed-width baseline, exact
+    integer bits (linkstats.host_gap_encoding docstring)."""
+    return linkstats.host_gap_encoding(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_link_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club coefficient curve (Colizza et al. 2006) over the
     undirected host graph: for each degree value k, the edge density among
@@ -3580,6 +3588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_bowtie": q_link_bowtie,
         "link_salsa": q_link_salsa,
         "link_richclub": q_link_richclub,
+        "link_gapcode": q_link_gapcode,
         "link_reciprocity": q_link_reciprocity,
         "doc_length_quantiles": q_doc_length_quantiles,
         "link_depth": q_link_depth,
@@ -4686,6 +4695,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "link_bowtie": linkstats.duck_bowtie_sql(pages_meta),
         "link_salsa": linkstats.duck_salsa_sql(pages_meta),
         "link_richclub": linkstats.duck_rich_club_sql(pages_meta),
+        "link_gapcode": linkstats.duck_gap_encoding_sql(pages_meta),
         "link_reciprocity": linkstats.duck_reciprocity_sql(pages_meta),
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),

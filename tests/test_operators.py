@@ -902,3 +902,42 @@ def test_host_rich_club_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_host_gap_encoding_crafted(spark, tmp_path):
+    """Hand-computed gamma costs under lexicographic ids a=0,b=1,c=2,d=3:
+    a->{b,c,d} costs gamma(zigzag(1-0)=3)=3 + gamma(1)+gamma(1) = 5 bits
+    vs 3*2 flat; the lone backward edge d->a pays gamma(zigzag(-3)=6)=5
+    bits vs 2 flat (ratio > 1e6: gap coding loses without locality).
+    DuckDB parity on the same frame."""
+    import duckdb
+
+    from web_crawler_spark.functions.linkstats import (
+        duck_gap_encoding_sql,
+        host_gap_encoding,
+    )
+
+    df = _mk_pages_meta(
+        spark,
+        [
+            ("a.example", ["b.example", "c.example", "d.example"]),
+            ("d.example", ["a.example"]),
+        ],
+    )
+    got = {
+        r["host"]: (r["out_deg"], r["gap_bits"], r["flat_bits"], r["ratio_ppm"])
+        for r in host_gap_encoding(df).collect()
+    }
+    assert got == {
+        "a.example": (3, 5, 6, 833_333),
+        "d.example": (1, 5, 2, 2_500_000),
+    }
+    p = str(tmp_path / "gap.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["host"]: (r["out_deg"], r["gap_bits"], r["flat_bits"], r["ratio_ppm"])
+        for _, r in duckdb.sql(
+            duck_gap_encoding_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

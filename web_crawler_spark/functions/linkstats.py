@@ -2187,3 +2187,112 @@ SELECT k::BIGINT AS k, n_hosts_gt, n_edges_gt,
     AS rich_club_ppm
 FROM s
 """
+
+
+# --- adjacency gap-encoding cost (WebGraph / Boldi & Vigna 2004) ---------------
+#
+# The compression-planning metric behind the WebGraph framework: assign
+# hosts dense LEXICOGRAPHIC ids (the ordering that makes web adjacency
+# lists local), delta-encode each host's sorted successor list, and charge
+# each gap its Elias-gamma cost 2*floor(log2 g)+1 bits.  The ratio vs a
+# flat fixed-width encoding says how much locality the graph actually has
+# — the planning number for frontier/seen-set storage at 10^10-URL scale.
+# Exact integers end-to-end: gamma cost via the binary-string-length
+# bit-length idiom (textstats.length_histogram), zigzag for the first gap.
+
+
+def host_gap_encoding(df: DataFrame) -> DataFrame:
+    """(host, out_deg, gap_bits, flat_bits, ratio_ppm) per linking host:
+    gap_bits = Elias-gamma cost of the zigzag(first dst id - src id) gap
+    plus gamma(successive deltas) over the sorted successor ids; flat_bits
+    = out_deg * bitlen(n_hosts - 1) (the fixed-width baseline); ratio_ppm
+    = gap_bits * 1e6 DIV flat_bits (< 1e6 means gap coding wins).
+
+    Scale shape: dense lexicographic host ids come from the two-job
+    range-partition sequence (ordering.with_global_seq — no 1-partition
+    window); the successor sort is per-src inside one partial-agg'd
+    groupBy (collect_set bounded by out-degree); gamma costs are JVM
+    higher-order array folds, no Python.  The only scalars on the driver
+    are the host count (id width) and with_global_seq's per-partition
+    offsets."""
+    from web_crawler_spark.operators.ordering import with_global_seq
+
+    e0 = host_graph(df).select("src_host", "dst_host").distinct()
+    hosts = (
+        e0.select(F.col("src_host").alias("host"))
+        .unionByName(e0.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    ids = with_global_seq(hosts, ["host"], out_col="hid")
+    n_hosts = ids.count()
+    width = max((n_hosts - 1).bit_length(), 1)
+    edges = (
+        e0.join(ids.withColumnRenamed("host", "src_host").withColumnRenamed("hid", "sid"), on="src_host")
+        .join(ids.withColumnRenamed("host", "dst_host").withColumnRenamed("hid", "did"), on="dst_host")
+        .select(F.col("src_host").alias("host"), "sid", "did")
+    )
+    adj = edges.groupBy("host", "sid").agg(
+        F.sort_array(F.collect_set("did")).alias("adj")
+    )
+    gamma = "(2 * length(conv(cast({x} as string), 10, 2)) - 1)"
+    first_z = (
+        "CASE WHEN adj[0] >= sid THEN 2 * (adj[0] - sid) + 1"
+        " ELSE 2 * (sid - adj[0]) END"
+    )
+    gap_bits = (
+        f"{gamma.format(x=first_z)} + "
+        "CASE WHEN size(adj) > 1 THEN aggregate(sequence(1, size(adj) - 1), 0L, "
+        f"(acc, i) -> acc + {gamma.format(x='adj[i] - adj[i - 1]')}) ELSE 0L END"
+    )
+    return adj.select(
+        "host",
+        F.size("adj").cast("long").alias("out_deg"),
+        F.expr(gap_bits).cast("long").alias("gap_bits"),
+        (F.size("adj").cast("long") * F.lit(width)).alias("flat_bits"),
+    ).withColumn(
+        "ratio_ppm",
+        F.expr("gap_bits * 1000000 DIV flat_bits").cast("long"),
+    )
+
+
+def duck_gap_encoding_sql(pages_meta: str) -> str:
+    """DuckDB twin: row_number lexicographic ids, lag-window deltas, the
+    same zigzag + gamma integer costs."""
+    return rf"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT src_host, dst_host FROM ({duck_host_graph_sql(pages_meta)})
+),
+hosts AS MATERIALIZED (
+  SELECT host, row_number() OVER (ORDER BY host) - 1 AS hid
+  FROM (SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM e0 UNION ALL SELECT dst_host FROM e0))
+),
+w AS (
+  SELECT CASE WHEN count(*) <= 1 THEN 1
+              ELSE length(bin(count(*) - 1)) END AS width
+  FROM hosts
+),
+ed AS (
+  SELECT e.src_host AS host, s.hid AS sid, d.hid AS did
+  FROM e0 e JOIN hosts s ON s.host = e.src_host
+            JOIN hosts d ON d.host = e.dst_host
+),
+adj AS (
+  SELECT host, sid, did,
+         row_number() OVER (PARTITION BY sid ORDER BY did) AS rn,
+         lag(did) OVER (PARTITION BY sid ORDER BY did) AS prev
+  FROM ed
+)
+SELECT host, count(*)::BIGINT AS out_deg,
+  sum(CASE WHEN rn = 1 THEN
+        2 * length(bin(CASE WHEN did >= sid THEN 2 * (did - sid) + 1
+                            ELSE 2 * (sid - did) END)) - 1
+      ELSE 2 * length(bin(did - prev)) - 1 END)::BIGINT AS gap_bits,
+  (count(*) * (SELECT width FROM w))::BIGINT AS flat_bits,
+  (sum(CASE WHEN rn = 1 THEN
+        2 * length(bin(CASE WHEN did >= sid THEN 2 * (did - sid) + 1
+                            ELSE 2 * (sid - did) END)) - 1
+      ELSE 2 * length(bin(did - prev)) - 1 END)
+     * 1000000 // (count(*) * (SELECT width FROM w)))::BIGINT AS ratio_ppm
+FROM adj GROUP BY host, sid
+"""
