@@ -3127,6 +3127,14 @@ def q_link_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_coreness(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-correlation profile knn(k) (Pastor-Satorras et al. 2001):
+    average neighbor degree per degree value in exact integer milli —
+    disassortative web vs hub-interlock, localized in the degree spectrum
+    (linkstats.host_degree_correlation docstring)."""
+    return linkstats.host_degree_correlation(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_link_gapcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebGraph-style adjacency compression planning (Boldi & Vigna 2004):
     Elias-gamma gap-encoding cost of each host's sorted successor list
@@ -3589,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_salsa": q_link_salsa,
         "link_richclub": q_link_richclub,
         "link_gapcode": q_link_gapcode,
+        "link_assort": q_link_assort,
         "link_reciprocity": q_link_reciprocity,
         "doc_length_quantiles": q_doc_length_quantiles,
         "link_depth": q_link_depth,
@@ -4696,6 +4705,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "link_salsa": linkstats.duck_salsa_sql(pages_meta),
         "link_richclub": linkstats.duck_rich_club_sql(pages_meta),
         "link_gapcode": linkstats.duck_gap_encoding_sql(pages_meta),
+        "link_assort": linkstats.duck_degree_correlation_sql(pages_meta),
         "link_reciprocity": linkstats.duck_reciprocity_sql(pages_meta),
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),

@@ -941,3 +941,39 @@ def test_host_gap_encoding_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_host_degree_correlation_crafted(spark, tmp_path):
+    """Star a-{b,c,d} plus an isolated pair e-f: knn(3) = 1000 milli (the
+    hub sees only degree-1 leaves), knn(1) = (3+3+3+1+1)*1000 // 5 = 2200
+    (leaves see the hub or each other) — the disassortative signature.
+    Direction and page-level duplicates must not matter.  DuckDB parity."""
+    import duckdb
+
+    from web_crawler_spark.functions.linkstats import (
+        duck_degree_correlation_sql,
+        host_degree_correlation,
+    )
+
+    df = _mk_pages_meta(
+        spark,
+        [
+            ("a.example", ["b.example", "c.example", "d.example"]),
+            ("b.example", ["a.example"]),  # duplicate reverse edge
+            ("e.example", ["f.example"]),
+        ],
+    )
+    got = {
+        r["k"]: (r["n_hosts"], r["knn_milli"])
+        for r in host_degree_correlation(df).collect()
+    }
+    assert got == {3: (1, 1000), 1: (5, 2200)}
+    p = str(tmp_path / "assort.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["k"]: (r["n_hosts"], r["knn_milli"])
+        for _, r in duckdb.sql(
+            duck_degree_correlation_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

@@ -2296,3 +2296,78 @@ SELECT host, count(*)::BIGINT AS out_deg,
      * 1000000 // (count(*) * (SELECT width FROM w)))::BIGINT AS ratio_ppm
 FROM adj GROUP BY host, sid
 """
+
+
+# --- degree-correlation profile knn(k) (Pastor-Satorras et al. 2001) -----------
+#
+# Average neighbor degree as a function of host degree, the assortativity
+# profile: a falling knn(k) (disassortative) is the normal web shape — hubs
+# link to the periphery; a rising tail means hub-interlock (together with
+# the rich-club curve this pins WHERE in the degree spectrum it happens).
+# Exact integer milli-units: knn(k) = sum of neighbor degrees over all
+# degree-k hosts, floor-divided by (k * #hosts of degree k).
+
+
+def host_degree_correlation(df: DataFrame) -> DataFrame:
+    """(k, n_hosts, knn_milli) over the undirected distinct host graph.
+
+    Scale shape: degree rollup (host grain), one edge-to-degree join per
+    direction folded into a single symmetric edge frame, one (host)
+    partial agg for neighbor-degree sums, one (k) partial agg for the
+    curve — every exchange is host- or degree-value-grain; no windows, no
+    driver loops."""
+    e0 = (
+        host_graph(df)
+        .select(F.col("src_host").alias("u"), F.col("dst_host").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    und = e0.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("u").alias("host")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    nb = (
+        sym.join(deg.withColumnRenamed("host", "v").withColumnRenamed("deg", "nb_deg"), on="v")
+        .groupBy(F.col("u").alias("host"))
+        .agg(F.sum("nb_deg").cast("long").alias("nb_sum"))
+    )
+    return (
+        deg.join(nb, on="host")
+        .groupBy(F.col("deg").alias("k"))
+        .agg(
+            F.count("*").cast("long").alias("n_hosts"),
+            F.sum("nb_sum").alias("nb_tot"),
+        )
+        .select(
+            "k",
+            "n_hosts",
+            F.expr("nb_tot * 1000 DIV (k * n_hosts)").cast("long").alias("knn_milli"),
+        )
+    )
+
+
+def duck_degree_correlation_sql(pages_meta: str) -> str:
+    return rf"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS u, greatest(src_host, dst_host) AS v
+  FROM ({duck_host_graph_sql(pages_meta)}) WHERE src_host <> dst_host
+),
+sym AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+),
+deg AS MATERIALIZED (
+  SELECT u AS host, count(*)::BIGINT AS deg FROM sym GROUP BY 1
+),
+nb AS (
+  SELECT s.u AS host, sum(d.deg)::BIGINT AS nb_sum
+  FROM sym s JOIN deg d ON d.host = s.v GROUP BY 1
+)
+SELECT g.deg::BIGINT AS k, count(*)::BIGINT AS n_hosts,
+       (sum(n.nb_sum) * 1000 // (g.deg * count(*)))::BIGINT AS knn_milli
+FROM deg g JOIN nb n ON n.host = g.host
+GROUP BY g.deg
+"""
