@@ -1578,6 +1578,18 @@ def q_doc_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.classifier_auc(_docs(spark, sf_dir), F.col("lang") == "en")
 
 
+def q_doc_classifier_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION query #3: reliability diagram — rank-decile
+    score buckets vs observed declared-English rate, integer ppm.  AUC
+    grades the ordering; this grades where the curation threshold should
+    sit.  Buckets assigned at distinct-score grain off the two-job
+    prefix sum, tie-stable cross-engine
+    (textstats.classifier_calibration docstring)."""
+    return textstats.classifier_calibration(
+        _docs(spark, sf_dir), F.col("lang") == "en"
+    )
+
+
 DSIR_TARGET_SOURCE = "src0"
 
 
@@ -3492,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clean_lines": q_doc_clean_lines,
         "doc_repetition": q_doc_repetition,
         "doc_char_diversity": q_doc_char_diversity,
+        "doc_classifier_calib": q_doc_classifier_calib,
         "doc_pii": q_doc_pii,
         "dedup_lines": q_dedup_lines,
         "doc_gopher": q_doc_gopher,
@@ -4101,6 +4114,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_tokens": textstats.duck_tokens_sql("documents"),
         "doc_classifier": textstats.duck_classifier_sql("documents"),
         "doc_classifier_auc": textstats.duck_classifier_auc_sql("documents"),
+        "doc_classifier_calib": textstats.duck_classifier_calibration_sql("documents"),
         "corpus_dsir": textstats.duck_dsir_sql(
             f"(SELECT doc_id, text FROM documents"
             f" WHERE source <> '{DSIR_TARGET_SOURCE}')",

@@ -977,3 +977,52 @@ def test_host_degree_correlation_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_classifier_calibration_matches_naive(spark):
+    """Calibration buckets on a crafted corpus equal the naive Python
+    bucketing (tie-consistent rank deciles over distinct scores): doc
+    counts conserve, buckets partition the score axis in order, and the
+    per-bucket label rate matches exactly."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions import textstats
+
+    docs = [
+        (f"d{i}", f"word{i % 7} tail{i % 3} common", "en" if i % 3 else "de")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string, lang string")
+    got = {
+        r["bucket"]: (r["n_docs"], r["n_pos"], r["pos_ppm"], r["min_score"], r["max_score"])
+        for r in textstats.classifier_calibration(df, F.col("lang") == "en").collect()
+    }
+    scored = {
+        r["doc_id"]: r["w_sum"] for r in textstats.classifier_score(df).collect()
+    }
+    # naive: group by distinct score, bucket by docs-before, aggregate
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0])
+    for d, _, l in docs:
+        per[scored[d]][0] += 1
+        per[scored[d]][1] += l == "en"
+    before, total = 0, len(docs)
+    want = defaultdict(lambda: [0, 0, None, None])
+    for s in sorted(per):
+        n, np_ = per[s]
+        b = min(9, before * 10 // total)
+        want[b][0] += n
+        want[b][1] += np_
+        want[b][2] = s if want[b][2] is None else want[b][2]
+        want[b][3] = s
+        before += n
+    assert got == {
+        b: (n, np_, np_ * 10**6 // n, lo, hi)
+        for b, (n, np_, lo, hi) in want.items()
+    }
+    # buckets partition the axis in order
+    ks = sorted(got)
+    for a, b in zip(ks, ks[1:]):
+        assert got[a][4] < got[b][3]
+    assert sum(v[0] for v in got.values()) == total

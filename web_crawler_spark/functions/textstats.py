@@ -1322,6 +1322,97 @@ FROM cum
 """
 
 
+
+CAL_BUCKETS = 10
+
+
+def classifier_calibration(df, label_col, text_col: str = "text", n_buckets: int = CAL_BUCKETS):
+    """Reliability diagram for the curation gate: rank-decile score buckets
+    vs observed label rate — the companion evaluation to ROC-AUC (AUC says
+    the ordering works; calibration says WHERE on the score axis the
+    gate's threshold should sit).  Output: (bucket, n_docs, n_pos,
+    pos_ppm, min_score, max_score), one row per non-empty bucket.
+
+    Buckets are assigned at DISTINCT-SCORE grain from the two-job
+    range-partition prefix sum: bucket = min(n_buckets - 1,
+    docs_before * n_buckets DIV total_docs) — a tied score never splits
+    across buckets, so the bucketing is order-free and hash-stable
+    cross-engine.  Scale shape: identical to classifier_auc (one exchange
+    at distinct-score grain + the prefix-sum stamp); the only driver
+    scalar is the total doc count."""
+    from web_crawler_spark.operators.ordering import with_prefix_sums
+
+    scored = df.select(
+        classifier_w_sum(text_col).alias("score"),
+        F.when(label_col, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("pos"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.sum("pos").alias("np_"), F.count("*").alias("n_")
+    )
+    cum = with_prefix_sums(by_score, ["score"], ["n_"])
+    total = max(int(by_score.agg(F.sum("n_")).first()[0] or 0), 1)
+    return (
+        cum.select(
+            F.expr(
+                f"least({n_buckets - 1}L, n__before * {n_buckets} DIV {total})"
+            ).alias("bucket"),
+            "np_",
+            "n_",
+            "score",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_").cast("long").alias("n_docs"),
+            F.sum("np_").cast("long").alias("n_pos"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_docs",
+            "n_pos",
+            F.expr("n_pos * 1000000 DIV n_docs").cast("long").alias("pos_ppm"),
+            "min_score",
+            "max_score",
+        )
+    )
+
+
+def duck_classifier_calibration_sql(
+    docs: str,
+    label_sql: str = "d.lang = 'en'",
+    text_col: str = "text",
+    n_buckets: int = CAL_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`classifier_calibration`."""
+    return f"""
+WITH scored AS (
+  SELECT s.w_sum AS score,
+         CASE WHEN {label_sql} THEN 1 ELSE 0 END AS pos
+  FROM ({duck_classifier_sql(docs, text_col=text_col)}) s
+  JOIN {docs} d USING (doc_id)
+),
+by_score AS (
+  SELECT score, sum(pos)::BIGINT AS np, count(*)::BIGINT AS n
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT score, np, n,
+         coalesce(sum(n) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+         greatest((SELECT sum(n) FROM by_score), 1) AS tot
+  FROM by_score
+)
+SELECT least({n_buckets - 1}, before * {n_buckets} // tot)::BIGINT AS bucket,
+       sum(n)::BIGINT AS n_docs,
+       sum(np)::BIGINT AS n_pos,
+       (sum(np) * 1000000 // sum(n))::BIGINT AS pos_ppm,
+       min(score)::BIGINT AS min_score,
+       max(score)::BIGINT AS max_score
+FROM cum GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # DSIR — data selection with importance resampling (Xie et al., NeurIPS'23)
 # ---------------------------------------------------------------------------
