@@ -1578,6 +1578,15 @@ def q_doc_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.classifier_auc(_docs(spark, sf_dir), F.col("lang") == "en")
 
 
+def q_doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth over the documents corpus in
+    deterministic doc_id order: distinct terms after the first 2^b - 1
+    docs — tokenizer-budget / OOV planning.  Doc ranks via the two-job
+    range-partition sequence, term first-seen via one term-grain min agg,
+    bands via the bit-length idiom (textstats.vocab_growth docstring)."""
+    return textstats.vocab_growth(_docs(spark, sf_dir))
+
+
 def q_doc_classifier_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier EVALUATION query #3: reliability diagram — rank-decile
     score buckets vs observed declared-English rate, integer ppm.  AUC
@@ -3505,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_char_diversity": q_doc_char_diversity,
         "doc_classifier_calib": q_doc_classifier_calib,
+        "doc_vocab_growth": q_doc_vocab_growth,
         "doc_pii": q_doc_pii,
         "dedup_lines": q_dedup_lines,
         "doc_gopher": q_doc_gopher,
@@ -4115,6 +4125,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_classifier": textstats.duck_classifier_sql("documents"),
         "doc_classifier_auc": textstats.duck_classifier_auc_sql("documents"),
         "doc_classifier_calib": textstats.duck_classifier_calibration_sql("documents"),
+        "doc_vocab_growth": textstats.duck_vocab_growth_sql("documents"),
         "corpus_dsir": textstats.duck_dsir_sql(
             f"(SELECT doc_id, text FROM documents"
             f" WHERE source <> '{DSIR_TARGET_SOURCE}')",

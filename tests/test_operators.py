@@ -1026,3 +1026,36 @@ def test_classifier_calibration_matches_naive(spark):
     for a, b in zip(ks, ks[1:]):
         assert got[a][4] < got[b][3]
     assert sum(v[0] for v in got.values()) == total
+
+
+def test_vocab_growth_crafted(spark, tmp_path):
+    """Hand-computed Heaps curve on 5 docs in doc_id order: bands cover
+    doc prefixes 1 / 3 / 7(capped to 5); first-seen assignment, band
+    bit-length, prefix capping and the cumulative vocab all pinned.
+    DuckDB parity on the same frame."""
+    import duckdb
+
+    from web_crawler_spark.functions import textstats
+
+    docs = [
+        ("d0", "a b"),
+        ("d1", "b c"),
+        ("d2", "c d e"),
+        ("d3", "a f"),
+        ("d4", "g"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r["band"]: (r["prefix_docs"], r["new_terms"], r["vocab_size"])
+        for r in textstats.vocab_growth(df).collect()
+    }
+    assert got == {1: (1, 2, 2), 2: (3, 3, 5), 3: (5, 2, 7)}
+    p = str(tmp_path / "vg.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["band"]: (r["prefix_docs"], r["new_terms"], r["vocab_size"])
+        for _, r in duckdb.sql(
+            textstats.duck_vocab_growth_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

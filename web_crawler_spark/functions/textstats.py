@@ -1413,6 +1413,80 @@ FROM cum GROUP BY 1
 """
 
 
+
+def vocab_growth(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Heaps'-law vocabulary-growth curve: distinct-term count after the
+    first 1, 3, 7, ..., 2^b - 1 documents of the deterministic corpus
+    order — the tokenizer-budget / OOV-planning view (how fast does the
+    vocabulary still grow at the corpus tail?).  Output: (band,
+    prefix_docs, new_terms, vocab_size), band b covering docs
+    [2^(b-1), 2^b - 1] in the doc_id order.
+
+    Exact integers, no sampling: doc ranks come from the two-job
+    range-partition sequence (ordering.with_global_seq, start=1); each
+    term's first-seen rank is one (term) partial agg min; the
+    power-of-two band is the binary-string bit-length idiom; the
+    cumulative vocab size is a window over the ~log2(n_docs)-row band
+    frame (bounded-single-partition convention).  Scale shape: the heavy
+    exchange is the (term, min seq) agg — term grain, map-side combined;
+    nothing corpus-wide sorts or windows."""
+    from pyspark.sql import Window
+
+    from web_crawler_spark.operators.ordering import with_global_seq
+
+    seq = with_global_seq(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        ["doc_id"],
+        out_col="seq",
+        start=1,
+    )
+    total = seq.count()
+    toks = seq.select(
+        "seq",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    first = toks.groupBy("term").agg(F.min("seq").alias("fs"))
+    bands = first.groupBy(
+        F.length(F.conv(F.col("fs").cast("string"), 10, 2)).cast("long").alias("band")
+    ).agg(F.count("*").cast("long").alias("new_terms"))
+    w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    return bands.select(
+        "band",
+        F.expr(f"least(shiftleft(1L, cast(band as int)) - 1, {total}L)")
+        .cast("long")
+        .alias("prefix_docs"),
+        "new_terms",
+        F.sum("new_terms").over(w).cast("long").alias("vocab_size"),
+    )
+
+
+def duck_vocab_growth_sql(docs: str) -> str:
+    """DuckDB twin of :func:`vocab_growth`."""
+    return rf"""
+WITH seq AS (
+  SELECT row_number() OVER (ORDER BY doc_id) AS seq, text FROM {docs}
+),
+toks AS (
+  SELECT seq, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM seq
+),
+first_seen AS (
+  SELECT term, min(seq)::BIGINT AS fs FROM toks WHERE term <> '' GROUP BY 1
+),
+bands AS (
+  SELECT length(bin(fs))::BIGINT AS band, count(*)::BIGINT AS new_terms
+  FROM first_seen GROUP BY 1
+)
+SELECT band,
+  least((1::BIGINT << band) - 1, (SELECT count(*) FROM {docs}))::BIGINT
+    AS prefix_docs,
+  new_terms,
+  sum(new_terms) OVER (ORDER BY band
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS vocab_size
+FROM bands
+"""
+
+
 # ---------------------------------------------------------------------------
 # DSIR — data selection with importance resampling (Xie et al., NeurIPS'23)
 # ---------------------------------------------------------------------------
