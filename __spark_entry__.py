@@ -1578,6 +1578,14 @@ def q_doc_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.classifier_auc(_docs(spark, sf_dir), F.col("lang") == "en")
 
 
+def q_doc_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile of the documents corpus: token mass by
+    power-of-two rank band under the deterministic (freq DESC, term ASC)
+    order — head-concentration view, Heaps' companion
+    (textstats.zipf_curve docstring)."""
+    return textstats.zipf_curve(_docs(spark, sf_dir))
+
+
 def q_doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary growth over the documents corpus in
     deterministic doc_id order: distinct terms after the first 2^b - 1
@@ -3515,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_char_diversity": q_doc_char_diversity,
         "doc_classifier_calib": q_doc_classifier_calib,
         "doc_vocab_growth": q_doc_vocab_growth,
+        "doc_zipf": q_doc_zipf,
         "doc_pii": q_doc_pii,
         "dedup_lines": q_dedup_lines,
         "doc_gopher": q_doc_gopher,
@@ -4126,6 +4135,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_classifier_auc": textstats.duck_classifier_auc_sql("documents"),
         "doc_classifier_calib": textstats.duck_classifier_calibration_sql("documents"),
         "doc_vocab_growth": textstats.duck_vocab_growth_sql("documents"),
+        "doc_zipf": textstats.duck_zipf_curve_sql("documents"),
         "corpus_dsir": textstats.duck_dsir_sql(
             f"(SELECT doc_id, text FROM documents"
             f" WHERE source <> '{DSIR_TARGET_SOURCE}')",

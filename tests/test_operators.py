@@ -1059,3 +1059,38 @@ def test_vocab_growth_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_zipf_curve_crafted(spark, tmp_path):
+    """Hand-computed rank bands on freqs a=4 b=3 c=2 d=1 e=1 (d/e tie
+    broken by term asc): band 1 = {a}, band 2 = {b,c}, band 3 = {d,e};
+    masses 4/5/2 of 11 give cum ppm 363636/818181/1000000.  DuckDB
+    parity on the same frame."""
+    import duckdb
+
+    from web_crawler_spark.functions import textstats
+
+    docs = [("d0", "a a a a b b b"), ("d1", "c c d e")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r["band"]: (
+            r["n_terms"], r["mass"], r["max_freq"], r["min_freq"], r["cum_mass_ppm"]
+        )
+        for r in textstats.zipf_curve(df).collect()
+    }
+    assert got == {
+        1: (1, 4, 4, 4, 363_636),
+        2: (2, 5, 3, 2, 818_181),
+        3: (2, 2, 1, 1, 1_000_000),
+    }
+    p = str(tmp_path / "zipf.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["band"]: (
+            r["n_terms"], r["mass"], r["max_freq"], r["min_freq"], r["cum_mass_ppm"]
+        )
+        for _, r in duckdb.sql(
+            textstats.duck_zipf_curve_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

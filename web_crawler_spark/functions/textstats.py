@@ -1487,6 +1487,85 @@ FROM bands
 """
 
 
+
+def zipf_curve(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Zipf rank-frequency profile: corpus term-occurrence mass by
+    power-of-two RANK band (ranks 1, 2-3, 4-7, ...) — Heaps' companion
+    view (vocab_growth says how fast new types arrive; this says how
+    concentrated the token mass is on the head).  Output: (band,
+    n_terms, mass, max_freq, min_freq, cum_mass_ppm), band b covering
+    ranks [2^(b-1), 2^b - 1] under (freq DESC, term ASC) — the
+    deterministic total order, so ties never straddle engines.
+
+    Scale shape: term-frequency agg is the one heavy exchange (term
+    grain, map-side combined); ranks come from the two-job
+    range-partition sequence over the TERM frame (never a corpus
+    window); bands + cumulative mass live on the ~log2(V)-row band frame
+    (bounded-single-partition convention)."""
+    from pyspark.sql import Window
+
+    from web_crawler_spark.operators.ordering import with_global_seq
+
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count("*").cast("long").alias("freq"))
+    ranked = with_global_seq(
+        freq.withColumn("neg", -F.col("freq")), ["neg", "term"], out_col="rank", start=1
+    )
+    bands = ranked.groupBy(
+        F.length(F.conv(F.col("rank").cast("string"), 10, 2)).cast("long").alias("band")
+    ).agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("freq").cast("long").alias("mass"),
+        F.max("freq").cast("long").alias("max_freq"),
+        F.min("freq").cast("long").alias("min_freq"),
+    )
+    w_cum = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        bands.withColumn("cum", F.sum("mass").over(w_cum))
+        .withColumn("tot", F.sum("mass").over(w_all))
+        .select(
+            "band",
+            "n_terms",
+            "mass",
+            "max_freq",
+            "min_freq",
+            F.expr("cum * 1000000 DIV tot").cast("long").alias("cum_mass_ppm"),
+        )
+    )
+
+
+def duck_zipf_curve_sql(docs: str) -> str:
+    """DuckDB twin of :func:`zipf_curve`."""
+    return rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM {docs}
+),
+freq AS (
+  SELECT term, count(*)::BIGINT AS freq FROM toks WHERE term <> '' GROUP BY 1
+),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+  FROM freq
+),
+bands AS (
+  SELECT length(bin(rank))::BIGINT AS band, count(*)::BIGINT AS n_terms,
+         sum(freq)::BIGINT AS mass, max(freq)::BIGINT AS max_freq,
+         min(freq)::BIGINT AS min_freq
+  FROM ranked GROUP BY 1
+)
+SELECT band, n_terms, mass, max_freq, min_freq,
+  (sum(mass) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+     * 1000000 // (SELECT sum(mass) FROM bands))::BIGINT AS cum_mass_ppm
+FROM bands
+"""
+
+
 # ---------------------------------------------------------------------------
 # DSIR — data selection with importance resampling (Xie et al., NeurIPS'23)
 # ---------------------------------------------------------------------------
