@@ -1459,6 +1459,16 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.repetition_stats(_synth(spark, sf_dir, "webdocs"))
 
 
+def q_host_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host language concentration over the pages table (url, lang):
+    dominant language + exact Renyi-2 collision ppm at (host, lang) grain
+    — mixed-language hosts are the scraped-aggregator signal, and the
+    dominant language routes hosts to per-language pipelines
+    (webtext.host_lang_mix docstring)."""
+    pages = _synth(spark, sf_dir, "pages")
+    return webtext.host_lang_mix(pages.select("url", "lang"))
+
+
 def q_doc_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-diversity gate: exact Renyi-2 collision probability in
     integer ppm (the no-libm entropy surrogate) + top-char share — the
@@ -3524,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier_calib": q_doc_classifier_calib,
         "doc_vocab_growth": q_doc_vocab_growth,
         "doc_zipf": q_doc_zipf,
+        "host_lang_mix": q_host_lang_mix,
         "doc_pii": q_doc_pii,
         "dedup_lines": q_dedup_lines,
         "doc_gopher": q_doc_gopher,
@@ -4178,6 +4189,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_clean_lines": webtext.duck_clean_lines_sql(webdocs),
         "doc_repetition": webtext.duck_repetition_sql(webdocs),
         "doc_char_diversity": webtext.duck_char_diversity_sql(webdocs),
+        "host_lang_mix": webtext.duck_host_lang_mix_sql(
+            f"read_parquet('{sp('pages')}')"
+        ),
         "doc_pii": webtext.duck_pii_sql(webdocs),
         "dedup_lines": webtext.duck_dedup_lines_sql(webdocs),
         "doc_gopher": webtext.duck_gopher_sql(webdocs),

@@ -595,3 +595,46 @@ def test_char_diversity_pinned(spark):
         4: (0, 0, 0, 0),
         5: (4, 4, 0, 250_000),
     }
+
+
+def test_host_lang_mix_crafted(spark, tmp_path):
+    """Hand-computed concentration: 2-of-3 English host, single-page
+    host, an exact tie breaking to the lexicographically smaller lang,
+    and NULL lang folding to 'und'.  DuckDB parity on the same frame."""
+    import duckdb
+
+    rows = [
+        ("http://h1.example/a", "en"),
+        ("http://h1.example/b", "en"),
+        ("http://h1.example/c", "de"),
+        ("http://h2.example/a", "fr"),
+        ("http://h3.example/a", "en"),
+        ("http://h3.example/b", "de"),
+        ("http://h4.example/a", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, lang string")
+    got = {
+        r["host"]: (
+            r["n_pages"], r["n_langs"], r["top_lang"],
+            r["top_lang_ppm"], r["lang_collision_ppm"],
+        )
+        for r in webtext.host_lang_mix(df).collect()
+    }
+    assert got == {
+        "h1.example": (3, 2, "en", 666_666, 333_333),
+        "h2.example": (1, 1, "fr", 1_000_000, 0),
+        "h3.example": (2, 2, "de", 500_000, 0),
+        "h4.example": (1, 1, "und", 1_000_000, 0),
+    }
+    p = str(tmp_path / "langmix.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["host"]: (
+            r["n_pages"], r["n_langs"], r["top_lang"],
+            r["top_lang_ppm"], r["lang_collision_ppm"],
+        )
+        for _, r in duckdb.sql(
+            webtext.duck_host_lang_mix_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

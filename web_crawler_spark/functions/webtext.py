@@ -1391,3 +1391,75 @@ SELECT d.doc_id,
   coalesce(a.top * 1000000 // a.n_chars, 0)::BIGINT AS top_char_ppm
 FROM {table} d LEFT JOIN agg a USING (doc_id)
 """
+
+
+# --- host language mix (curation / geo-routing signal) -------------------------
+
+
+def host_lang_mix(df: DataFrame, url_col: str = "url", lang_col: str = "lang") -> DataFrame:
+    """(host, n_pages, n_langs, top_lang, top_lang_ppm, lang_collision_ppm)
+    — per-host language concentration over the pages scan.  Mixed-language
+    hosts are a known low-quality signal (scraped/aggregator sites), and
+    the dominant language routes the host to the right language pipeline;
+    collision ppm is the same exact Renyi-2 surrogate as char_diversity,
+    at (host, lang) grain.  top_lang ties break to the lexicographically
+    smallest language via min(struct(-cnt, lang)) — order-free and
+    hash-stable cross-engine.
+
+    Scale shape: one (host, lang) partial agg (bounded by hosts x
+    languages), then a host-grain rollup riding the same keying; the url
+    -> host parse is the map-side regex the host graph uses."""
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"(?i)^https?://([^/:?#]+)", 1)
+    )
+    per = (
+        df.select(host.alias("host"), F.coalesce(F.col(lang_col), F.lit("und")).alias("lang"))
+        .filter(F.col("host") != "")
+        .groupBy("host", "lang")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        per.groupBy("host")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_pages"),
+            F.count("*").cast("long").alias("n_langs"),
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lang").alias("lg"))).alias("m"),
+            F.sum(F.expr("cnt * (cnt - 1)")).alias("coll"),
+        )
+        .select(
+            "host",
+            "n_pages",
+            "n_langs",
+            F.col("m.lg").alias("top_lang"),
+            F.expr("(-m.nc) * 1000000 DIV n_pages").cast("long").alias("top_lang_ppm"),
+            F.expr("coll * 1000000 DIV greatest(n_pages * (n_pages - 1), 1)")
+            .cast("long")
+            .alias("lang_collision_ppm"),
+        )
+    )
+
+
+def duck_host_lang_mix_sql(pages: str) -> str:
+    return rf"""
+WITH per AS (
+  SELECT lower(coalesce(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1), ''))
+           AS host,
+         coalesce(lang, 'und') AS lang, count(*)::BIGINT AS cnt
+  FROM {pages}
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT host, lang, cnt,
+         row_number() OVER (PARTITION BY host ORDER BY cnt DESC, lang ASC) AS rn
+  FROM per WHERE host <> ''
+)
+SELECT host,
+  sum(cnt)::BIGINT AS n_pages,
+  count(*)::BIGINT AS n_langs,
+  max(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+  (max(CASE WHEN rn = 1 THEN cnt END) * 1000000 // sum(cnt))::BIGINT
+    AS top_lang_ppm,
+  (sum(cnt * (cnt - 1)) * 1000000
+     // greatest(sum(cnt) * (sum(cnt) - 1), 1))::BIGINT AS lang_collision_ppm
+FROM rk GROUP BY host
+"""
