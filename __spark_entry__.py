@@ -1735,6 +1735,19 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_src.with_sitemaps(hosts.select("host", body.alias("content")))
 
 
+def q_recrawl_condget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-GET revalidation planning (RFC 9110 s13.1): per-host
+    304-eligible page counts and body bytes saved on a recrawl of the
+    current snapshot given the previous one — both sides project to
+    (url, digest, size) map-side so bodies never shuffle
+    (plans/recrawl.conditional_get_plan docstring)."""
+    from web_crawler_spark.plans import recrawl
+
+    return recrawl.conditional_get_plan(
+        _synth(spark, sf_dir, "pages_prev"), _synth(spark, sf_dir, "pages")
+    )
+
+
 def q_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-freshness recrawl batch: pages whose sitemap <lastmod>
     postdates their capture, stalest-first per host under the politeness
@@ -3535,6 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_growth": q_doc_vocab_growth,
         "doc_zipf": q_doc_zipf,
         "host_lang_mix": q_host_lang_mix,
+        "recrawl_condget": q_recrawl_condget,
         "doc_pii": q_doc_pii,
         "dedup_lines": q_dedup_lines,
         "doc_gopher": q_doc_gopher,
@@ -4238,6 +4252,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f"read_parquet('{sp('pages_prev')}')", f"read_parquet('{sp('pages')}')"
         ),
         "recrawl_adaptive": recrawl.duck_adaptive_sql(
+            f"read_parquet('{sp('pages_prev')}')", f"read_parquet('{sp('pages')}')"
+        ),
+        "recrawl_condget": recrawl.duck_conditional_get_sql(
             f"read_parquet('{sp('pages_prev')}')", f"read_parquet('{sp('pages')}')"
         ),
         "sketch_url_hll": bloom_ops.duck_hll_registers_sql(

@@ -1094,3 +1094,58 @@ def test_zipf_curve_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_conditional_get_plan_crafted(spark, tmp_path):
+    """Revalidation classes pinned: byte-identical -> 304 (bytes saved),
+    changed / new / NULL-to-bytes -> full fetch, gone -> excluded, and a
+    NULL-to-NULL pair counts as unchanged (presence is a flag, digest
+    nullness never doubles as row existence).  DuckDB parity."""
+    import duckdb
+
+    from web_crawler_spark.plans.recrawl import (
+        conditional_get_plan,
+        duck_conditional_get_sql,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "url string, html binary")
+
+    u = "http://h.example/"
+    prev = mk(
+        [
+            (u + "1", b"AAA"),
+            (u + "2", b"BB"),
+            (u + "4", b"D"),
+            (u + "5", None),
+            (u + "6", None),
+        ]
+    )
+    curr = mk(
+        [
+            (u + "1", b"AAA"),
+            (u + "2", b"BBBB"),
+            (u + "3", b"CCCCC"),
+            (u + "5", None),
+            (u + "6", b"EE"),
+        ]
+    )
+    got = conditional_get_plan(prev, curr).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (
+        r["host"], r["n_not_modified"], r["n_modified"], r["n_new"],
+        r["bytes_saved"], r["bytes_fetch"], r["saved_ppm"],
+    ) == ("h.example", 2, 2, 1, 3, 11, 3 * 10**6 // 14)
+    pp, pc = str(tmp_path / "prev.parquet"), str(tmp_path / "curr.parquet")
+    prev.toPandas().to_parquet(pp)
+    curr.toPandas().to_parquet(pc)
+    od = duckdb.sql(
+        duck_conditional_get_sql(f"read_parquet('{pp}')", f"read_parquet('{pc}')")
+    ).df()
+    assert len(od) == 1
+    o = od.iloc[0]
+    assert (
+        o["host"], o["n_not_modified"], o["n_modified"], o["n_new"],
+        o["bytes_saved"], o["bytes_fetch"], o["saved_ppm"],
+    ) == ("h.example", 2, 2, 1, 3, 11, 3 * 10**6 // 14)

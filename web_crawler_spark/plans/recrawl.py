@@ -370,3 +370,105 @@ g AS (
 )
 SELECT * FROM g WHERE n_hosts > 1
 """
+
+
+# -- conditional-GET revalidation planning (HTTP 304 / If-None-Match) ----------
+
+
+def conditional_get_plan(prev: DataFrame, curr: DataFrame) -> DataFrame:
+    """(host, n_not_modified, n_modified, n_new, bytes_saved, bytes_fetch,
+    saved_ppm) — the bandwidth case for validator-based revalidation: on a
+    recrawl of the current snapshot's URLs, pages whose bytes are
+    unchanged since the previous snapshot answer 304 Not Modified (body
+    not transferred — its size is "saved"); changed and newly discovered
+    pages pay a full fetch.  saved_ppm = bytes_saved * 1e6 DIV total —
+    the per-host revalidation win a crawl scheduler weighs against
+    holding validators in frontier state (reference has no counterpart;
+    cf. crawler ETag/Last-Modified practice, RFC 9110 s13.1).
+
+    Scale shape: both snapshots project to (url, md5 digest, byte size)
+    MAP-SIDE, so the url-grain full-outer join moves ~40-byte rows, never
+    page bodies (the snapshot_diff economics); the host rollup is one
+    partial-agg'd exchange bounded by host count."""
+    def proj(df: DataFrame, tag: str) -> DataFrame:
+        # NULL html (unfetchable page) folds to the empty body BEFORE the
+        # digest, with presence carried by an explicit flag — digest
+        # nullness must not double as row-existence (the oracle mirrors
+        # the same coalesce so NULL==NULL compares unchanged)
+        return df.select(
+            F.col("url"),
+            F.lit(1).alias(f"{tag}_in"),
+            F.md5(F.expr("coalesce(html, X'')")).alias(f"{tag}_h"),
+            F.expr("octet_length(coalesce(html, X''))")
+            .cast("long")
+            .alias(f"{tag}_b"),
+        )
+
+    j = (
+        proj(prev, "prev")
+        .join(proj(curr, "curr"), on="url", how="full_outer")
+        .filter(F.col("curr_in").isNotNull())  # gone pages are not refetched
+    )
+    status = (
+        F.when(F.col("prev_in").isNull(), F.lit("new"))
+        .when(F.col("prev_h") == F.col("curr_h"), F.lit("not_modified"))
+        .otherwise(F.lit("modified"))
+    )
+    host = F.lower(F.regexp_extract(F.col("url"), r"(?i)^https?://([^/:?#]+)", 1))
+    per = j.select(host.alias("host"), status.alias("status"), F.col("curr_b"))
+    nm = F.col("status") == "not_modified"
+    return (
+        per.filter(F.col("host") != "")
+        .groupBy("host")
+        .agg(
+            F.count(F.when(nm, 1)).cast("long").alias("n_not_modified"),
+            F.count(F.when(F.col("status") == "modified", 1))
+            .cast("long")
+            .alias("n_modified"),
+            F.count(F.when(F.col("status") == "new", 1)).cast("long").alias("n_new"),
+            F.coalesce(F.sum(F.when(nm, F.col("curr_b"))), F.lit(0))
+            .cast("long")
+            .alias("bytes_saved"),
+            F.coalesce(F.sum(F.when(~nm, F.col("curr_b"))), F.lit(0))
+            .cast("long")
+            .alias("bytes_fetch"),
+        )
+        .withColumn(
+            "saved_ppm",
+            F.expr(
+                "bytes_saved * 1000000 DIV greatest(bytes_saved + bytes_fetch, 1)"
+            ).cast("long"),
+        )
+    )
+
+
+def duck_conditional_get_sql(prev: str, curr: str) -> str:
+    """DuckDB twin: direct byte comparison stands in for the digest
+    equality (same equivalence on these snapshots)."""
+    return rf"""
+WITH j AS (
+  SELECT c.url,
+    CASE WHEN p.url IS NULL THEN 'new'
+         WHEN coalesce(p.html, ''::BLOB) = coalesce(c.html, ''::BLOB)
+           THEN 'not_modified'
+         ELSE 'modified' END AS status,
+    octet_length(coalesce(c.html, ''::BLOB))::BIGINT AS curr_b,
+    lower(coalesce(regexp_extract(c.url, '(?i)^https?://([^/:?#]+)', 1), ''))
+      AS host
+  FROM {curr} c LEFT JOIN {prev} p ON p.url = c.url
+),
+agg AS (
+  SELECT host,
+    count(CASE WHEN status = 'not_modified' THEN 1 END)::BIGINT AS n_not_modified,
+    count(CASE WHEN status = 'modified' THEN 1 END)::BIGINT AS n_modified,
+    count(CASE WHEN status = 'new' THEN 1 END)::BIGINT AS n_new,
+    coalesce(sum(CASE WHEN status = 'not_modified' THEN curr_b END), 0)::BIGINT
+      AS bytes_saved,
+    coalesce(sum(CASE WHEN status <> 'not_modified' THEN curr_b END), 0)::BIGINT
+      AS bytes_fetch
+  FROM j WHERE host <> '' GROUP BY host
+)
+SELECT *, (bytes_saved * 1000000
+             // greatest(bytes_saved + bytes_fetch, 1))::BIGINT AS saved_ppm
+FROM agg
+"""
