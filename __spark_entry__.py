@@ -2400,6 +2400,97 @@ def q_tpch_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape generalized: the cross-nation trade matrix — revenue by
+    (supplier nation, customer nation, ship year) over lineitem ⋈ supplier
+    ⋈ orders ⋈ customer with BOTH nation dims broadcast (the two-sided
+    nation join is Q7's topology; the full matrix replaces the brittle
+    fixed pair, which degenerates to empty at small SF).  Same-nation
+    flows excluded, ship-date window pushed to the scan, money in exact
+    cents."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31"))
+    )
+    rev = (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("rev_c")
+    n = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    j = (
+        li.select(
+            "l_orderkey", "l_suppkey", F.year("l_shipdate").cast("long").alias("l_year"), rev
+        )
+        .join(
+            _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+            on=F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            n.select(
+                F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+            ),
+            on=F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            n.select(
+                F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+            ),
+            on=F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.sum("rev_c").cast("long").alias("revenue_c"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+def q_tpch_top_savers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape adapted to the reduced schema: per low-key nation
+    (c_nationkey < 10), customers whose balance exceeds the floor-average
+    positive balance across those nations AND who placed no order in the
+    final 365 days of the data — the scalar-subquery threshold +
+    left-anti join topology that defines Q22, with a data-derived recency
+    cutoff so the anti-join is non-vacuous at every SF.  Both 1-row
+    scalars broadcast; the anti-join is key-grain."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 10)
+    orders = _t(spark, sf_dir, "orders")
+    bal_c = _cents("c_acctbal")
+    avg1 = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.expr(
+                "floor(sum(floor(c_acctbal * 100 + 0.5)) / count(*))"
+            )
+            .cast("long")
+            .alias("avg_c")
+        )
+    )
+    cutoff = orders.agg(
+        F.expr("max(o_orderdate) - INTERVAL 365 DAYS").alias("co")
+    )
+    recent = (
+        orders.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate") >= F.col("co"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    eligible = (
+        cust.select("c_custkey", "c_nationkey", bal_c.alias("bal_c"))
+        .crossJoin(F.broadcast(avg1))
+        .filter(F.col("bal_c") > F.col("avg_c"))
+        .join(recent, on="c_custkey", how="left_anti")
+    )
+    return eligible.groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey")).agg(
+        F.count("*").cast("long").alias("n_custs"),
+        F.sum("bal_c").cast("long").alias("total_bal_c"),
+    )
+
+
 def q_tpch_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 shape: local-supplier revenue per nation across SIX tables —
     nation/region broadcast as true dims, the customer-nation = supplier-
@@ -3617,6 +3708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_late_priority": q_tpch_late_priority,
         "tpch_custdist": q_tpch_custdist,
         "tpch_market_share": q_tpch_market_share,
+        "tpch_trade_flows": q_tpch_trade_flows,
+        "tpch_top_savers": q_tpch_top_savers,
         "tpch_top_supplier": q_tpch_top_supplier,
         "tpch_large_orders": q_tpch_large_orders,
         "tpch_returned_items": q_tpch_returned_items,
@@ -4455,6 +4548,48 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
               FROM customer LEFT JOIN orders ON o_custkey = c_custkey
               GROUP BY c_custkey)
             GROUP BY c_count
+        """,
+        "tpch_trade_flows": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(l_shipdate)::BIGINT AS l_year,
+                   sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT
+                     AS revenue_c,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                                 AND TIMESTAMP '1996-12-31'
+              AND sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_top_savers": """
+            WITH base AS (
+              SELECT c_custkey, c_nationkey,
+                     floor(c_acctbal * 100 + 0.5)::BIGINT AS bal_c,
+                     c_acctbal
+              FROM customer WHERE c_nationkey < 10
+            ),
+            a AS (
+              SELECT floor(sum(bal_c) / count(*))::BIGINT AS avg_c
+              FROM base WHERE c_acctbal > 0
+            ),
+            cutoff AS (
+              SELECT max(o_orderdate) - INTERVAL 365 DAY AS co FROM orders
+            )
+            SELECT c_nationkey::BIGINT AS c_nationkey,
+                   count(*)::BIGINT AS n_custs,
+                   sum(bal_c)::BIGINT AS total_bal_c
+            FROM base, a
+            WHERE bal_c > a.avg_c
+              AND NOT EXISTS (SELECT 1 FROM orders o, cutoff
+                              WHERE o.o_custkey = base.c_custkey
+                                AND o.o_orderdate >= cutoff.co)
+            GROUP BY 1
         """,
         "tpch_market_share": """
             WITH j AS (
