@@ -3270,6 +3270,14 @@ def q_link_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_coreness(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-pivot harmonic centrality (Eppstein & Wang 2004; harmonic
+    form per Boldi & Vigna): sum over md5-sampled pivots of 1000 DIV
+    undirected distance — one labeled multi-source BFS whose state is
+    (pivot, host, depth) (linkstats.host_harmonic_centrality docstring)."""
+    return linkstats.host_harmonic_centrality(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_link_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-correlation profile knn(k) (Pastor-Satorras et al. 2001):
     average neighbor degree per degree value in exact integer milli —
@@ -3748,6 +3756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_richclub": q_link_richclub,
         "link_gapcode": q_link_gapcode,
         "link_assort": q_link_assort,
+        "link_centrality": q_link_centrality,
         "link_reciprocity": q_link_reciprocity,
         "doc_length_quantiles": q_doc_length_quantiles,
         "link_depth": q_link_depth,
@@ -4907,6 +4916,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "link_richclub": linkstats.duck_rich_club_sql(pages_meta),
         "link_gapcode": linkstats.duck_gap_encoding_sql(pages_meta),
         "link_assort": linkstats.duck_degree_correlation_sql(pages_meta),
+        "link_centrality": linkstats.duck_harmonic_centrality_sql(pages_meta),
         "link_reciprocity": linkstats.duck_reciprocity_sql(pages_meta),
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),

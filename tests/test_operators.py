@@ -1149,3 +1149,68 @@ def test_conditional_get_plan_crafted(spark, tmp_path):
         o["host"], o["n_not_modified"], o["n_modified"], o["n_new"],
         o["bytes_saved"], o["bytes_fetch"], o["saved_ppm"],
     ) == ("h.example", 2, 2, 1, 3, 11, 3 * 10**6 // 14)
+
+
+def test_host_harmonic_centrality_crafted(spark, tmp_path):
+    """Naive-BFS differential on a path graph plus an isolated pair: the
+    engine's md5-sampled pivots, integer 1000//d harmonic sums, zero
+    self-contribution, and cross-component zeros all match a hand-rolled
+    Python BFS over the same pivot rule.  DuckDB recursive-closure
+    parity on the same frame."""
+    import hashlib
+    from collections import deque
+
+    import duckdb
+
+    from web_crawler_spark.functions.linkstats import (
+        duck_harmonic_centrality_sql,
+        host_harmonic_centrality,
+    )
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    hosts = sorted({h for e in und for h in e})
+    adj = {h: set() for h in hosts}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    full = lambda h: f"{h}.example"  # noqa: E731
+    pivots = sorted(
+        (full(h) for h in hosts),
+        key=lambda h: (hashlib.md5(h.encode()).hexdigest(), h),
+    )[:4]
+
+    def bfs(src):
+        d, q = {src: 0}, deque([src])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in d:
+                    d[w] = d[u] + 1
+                    q.append(w)
+        return d
+
+    want = {}
+    for h in hosts:
+        dd = bfs(h)
+        reached = [
+            dd[p[: p.index(".")]]
+            for p in pivots
+            if p[: p.index(".")] in dd and dd[p[: p.index(".")]] > 0
+        ]
+        want[full(h)] = (len(reached), sum(1000 // d for d in reached))
+
+    df = _mk_pages_meta(spark, [(full(u), [full(v)]) for u, v in und])
+    got = {
+        r["host"]: (r["n_pivots_reached"], r["harmonic_milli"])
+        for r in host_harmonic_centrality(df).collect()
+    }
+    assert got == want
+    p = str(tmp_path / "hc.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["host"]: (r["n_pivots_reached"], r["harmonic_milli"])
+        for _, r in duckdb.sql(
+            duck_harmonic_centrality_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

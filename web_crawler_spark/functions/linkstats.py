@@ -2371,3 +2371,127 @@ SELECT g.deg::BIGINT AS k, count(*)::BIGINT AS n_hosts,
 FROM deg g JOIN nb n ON n.host = g.host
 GROUP BY g.deg
 """
+
+
+# --- sampled-pivot harmonic centrality (Eppstein & Wang 2004) ------------------
+#
+# Closeness-family centrality at web scale: exact all-pairs BFS is
+# O(V*E) and dead on arrival, so the standard estimator runs BFS from a
+# small deterministic pivot sample and scores every host by sum over
+# pivots of 1/dist — harmonic form, so unreachable pairs contribute 0
+# instead of poisoning the mean (Boldi & Vigna's axioms pick harmonic
+# over classic closeness for exactly this reason).  Crawl prioritization
+# reads it as "how central is this host to the known web".
+
+CENTRALITY_PIVOTS = 4
+
+
+def host_harmonic_centrality(
+    df: DataFrame, n_pivots: int = CENTRALITY_PIVOTS, max_iter: int = 30
+) -> DataFrame:
+    """(host, n_pivots_reached, harmonic_milli) — harmonic_milli = sum
+    over reached pivots of 1000 DIV dist (dist > 0; the pivot itself
+    contributes 0).  Pivots are the md5-smallest hosts (deterministic,
+    uniform-ish sample, no RNG); distances are undirected.
+
+    Scale shape: ONE labeled multi-source BFS — state is (pivot, host,
+    depth), so each round is one join + partial-agg min keyed by
+    (pivot, host), volume <= n_pivots x the single-source cost; edge
+    relation materialized once, per-round localCheckpoint, changed-count
+    fixpoint; rounds = reachable diameter (~O(10) small-world)."""
+    e0 = (
+        host_graph(df)
+        .select(F.col("src_host").alias("u"), F.col("dst_host").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("u").alias("host")).distinct().localCheckpoint(
+        eager=True
+    )
+    pivots = (
+        nodes.orderBy(F.md5(F.col("host")), F.col("host"))
+        .limit(n_pivots)
+        .select(F.col("host").alias("pivot"))
+    )
+    dist = pivots.select(
+        "pivot", F.col("pivot").alias("host"), F.lit(0).cast("long").alias("depth")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        hop = (
+            edges.join(dist.withColumnRenamed("host", "u"), on="u")
+            .select("pivot", F.col("v").alias("host"), (F.col("depth") + 1).alias("depth"))
+        )
+        new = (
+            dist.unionByName(hop)
+            .groupBy("pivot", "host")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(dist.alias("o"), on=["pivot", "host"], how="left")
+            .filter(F.col("o.depth").isNull() | (F.col("n.depth") != F.col("o.depth")))
+            .count()
+        )
+        dist = new
+        if changed == 0:
+            break
+    scores = (
+        dist.filter(F.col("depth") > 0)
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_pivots_reached"),
+            F.sum(F.expr("1000 DIV depth")).cast("long").alias("harmonic_milli"),
+        )
+    )
+    return nodes.join(scores, on="host", how="left").select(
+        "host",
+        F.coalesce("n_pivots_reached", F.lit(0)).cast("long").alias(
+            "n_pivots_reached"
+        ),
+        F.coalesce("harmonic_milli", F.lit(0)).cast("long").alias("harmonic_milli"),
+    )
+
+
+def duck_harmonic_centrality_sql(
+    pages_meta: str, n_pivots: int = CENTRALITY_PIVOTS
+) -> str:
+    """Recursive-CTE oracle: multi-source min-depth closure from the same
+    md5-ordered pivots, same integer harmonic sum."""
+    return rf"""
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS a, greatest(src_host, dst_host) AS b
+  FROM ({duck_host_graph_sql(pages_meta)}) WHERE src_host <> dst_host
+),
+edges AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0
+),
+nodes AS MATERIALIZED (SELECT DISTINCT u AS host FROM edges),
+pv AS MATERIALIZED (
+  SELECT host AS pvt FROM nodes ORDER BY md5(host), host LIMIT {n_pivots}
+),
+walk(pvt, host, depth) AS (
+  SELECT pvt, pvt, 0::BIGINT FROM pv
+  UNION
+  SELECT w.pvt, e.v, w.depth + 1
+  FROM edges e JOIN walk w ON w.host = e.u
+  WHERE w.depth < 50
+),
+md AS (
+  SELECT pvt, host, min(depth)::BIGINT AS depth FROM walk GROUP BY 1, 2
+),
+sc AS (
+  SELECT host, count(*)::BIGINT AS n_pivots_reached,
+         sum(1000 // depth)::BIGINT AS harmonic_milli
+  FROM md WHERE depth > 0 GROUP BY 1
+)
+SELECT n.host,
+  coalesce(sc.n_pivots_reached, 0)::BIGINT AS n_pivots_reached,
+  coalesce(sc.harmonic_milli, 0)::BIGINT AS harmonic_milli
+FROM nodes n LEFT JOIN sc ON sc.host = n.host
+"""
