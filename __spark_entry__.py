@@ -386,6 +386,38 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 graded: foreachBatch COMPLETE-mode state upsert — the streaming
+    path whose output is a continuously-overwritten serving table (per
+    user: running event count + last event by (ts, event_id)).  The
+    events table feeds twice as separate micro-batches, so counts double
+    and cross-batch state accumulation is actually exercised
+    (streaming/windowed.run_state_upsert_available_now)."""
+    import shutil
+
+    from web_crawler_spark.streaming.windowed import (
+        run_state_upsert_available_now,
+    )
+
+    out = os.path.join(synth.SYNTH_ROOT, "stream_upsert")
+    shutil.rmtree(out, ignore_errors=True)
+    in_dir = os.path.join(out, "in")
+    os.makedirs(in_dir)
+    for alias in ("ev1.parquet", "ev2.parquet"):
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(in_dir, alias),
+        )
+    run_state_upsert_available_now(
+        spark,
+        in_dir,
+        os.path.join(out, "data"),
+        os.path.join(out, "ck"),
+        max_files_per_trigger=1,
+    )
+    return spark.read.parquet(os.path.join(out, "data"))
+
+
 def q_urlnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: RFC 3986 canonicalization over raw candidate URLs."""
     cands = _synth(spark, sf_dir, "url_candidates")
@@ -3576,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": q_stream_join,
         "stream_dedup": q_stream_dedup,
         "stream_dedup_wm": q_stream_dedup_wm,
+        "stream_upsert": q_stream_upsert,
         "stream_throttle": q_stream_throttle,
         "urlnorm": q_urlnorm,
         "seed_dedup": q_seed_dedup,
@@ -4075,6 +4108,23 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             SELECT event_id, floor(epoch(ts))::BIGINT AS ts_s,
                    user_id, event_type
             FROM events
+        """,
+        "stream_upsert": """
+            WITH last AS (
+              SELECT user_id, ts, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ),
+            cnt AS (
+              SELECT user_id, (2 * count(*))::BIGINT AS n_events
+              FROM events GROUP BY 1
+            )
+            SELECT c.user_id, c.n_events,
+                   floor(epoch(l.ts))::BIGINT AS last_ts_s,
+                   l.event_id::BIGINT AS last_event_id,
+                   l.event_type AS last_event_type
+            FROM cnt c JOIN last l ON l.user_id = c.user_id AND l.rn = 1
         """,
         "stream_join": """
             SELECT v.event_id AS view_id, c.event_id AS click_id,

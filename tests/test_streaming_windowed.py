@@ -228,3 +228,61 @@ def test_stream_dedup_within_watermark_boundary(spark, tmp_path):
     )
     got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 4, 5]
+
+
+def test_stream_state_upsert_accumulates_across_batches(spark, tmp_path):
+    """Complete-mode foreachBatch upsert: counts accumulate across
+    micro-batches, the serving table always reflects the LATEST snapshot
+    (overwrite, not append), and the last-event pick follows the total
+    (ts, event_id) order even when the later batch carries an older
+    event."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from web_crawler_spark.streaming.windowed import (
+        run_state_upsert_available_now,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mtime = [1_700_000_000]
+
+    def mk(rows, sub):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        stage = str(tmp_path / "stage" / sub)
+        df.coalesce(1).write.parquet(stage)
+        os.makedirs(str(tmp_path / "in"), exist_ok=True)
+        dst = str(tmp_path / "in" / sub)
+        shutil.copy(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        mtime[0] += 60
+        os.utime(dst, (mtime[0], mtime[0]))
+
+    mk(
+        [
+            (1, base, 7, "view"),
+            (2, base + dt.timedelta(hours=2), 7, "click"),
+            (3, base, 9, "view"),
+        ],
+        "f1.parquet",
+    )
+    # batch 2: user 7 gets an OLDER event (must not displace the click);
+    # user 9 gets a newer purchase
+    mk(
+        [
+            (4, base - dt.timedelta(hours=1), 7, "signup"),
+            (5, base + dt.timedelta(hours=1), 9, "purchase"),
+        ],
+        "f2.parquet",
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_state_upsert_available_now(
+        spark, str(tmp_path / "in"), out, ck, max_files_per_trigger=1
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["last_event_id"], r["last_event_type"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {7: (3, 2, "click"), 9: (2, 5, "purchase")}

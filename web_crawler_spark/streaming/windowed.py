@@ -206,3 +206,56 @@ def run_dedup_within_watermark_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_state_upsert_available_now(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming state upsert via ``foreachBatch`` — the production
+    "live dashboard table" pattern the other six streaming paths don't
+    exercise: a streaming aggregation in COMPLETE output mode whose every
+    micro-batch snapshot overwrites the serving directory, so readers
+    always see the latest per-key state (per user: last event by
+    (ts, event_id), running event count, last event time).
+
+    Aggregation state is bounded by the KEY cardinality (users), not the
+    stream length — complete mode is the right tool exactly when keys <<
+    events; for unbounded key spaces the update-mode + idempotent-merge
+    variant takes over.  The last-event pick is max_by over the
+    (ts, event_id) struct: event_id is unique, so the tie rule is total
+    and the result engine-independent."""
+    reader = spark.readStream.schema(JOIN_EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(in_dir)
+    state = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(F.struct("ts", "event_id", "event_type")).alias("last"),
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                "user_id",
+                "n_events",
+                F.unix_timestamp("last.ts").cast("long").alias("last_ts_s"),
+                F.col("last.event_id").cast("long").alias("last_event_id"),
+                F.col("last.event_type").alias("last_event_type"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = (
+        state.writeStream.outputMode("complete")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
