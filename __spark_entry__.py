@@ -3310,6 +3310,13 @@ def q_link_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_harmonic_centrality(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_hopplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop plot from the md5-sampled pivots (Broder et al.'s small-world
+    curve; the 900000-ppm crossing is the effective diameter) — rides the
+    shared labeled multi-source BFS (linkstats.host_hop_plot docstring)."""
+    return linkstats.host_hop_plot(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_link_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-correlation profile knn(k) (Pastor-Satorras et al. 2001):
     average neighbor degree per degree value in exact integer milli —
@@ -3790,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_gapcode": q_link_gapcode,
         "link_assort": q_link_assort,
         "link_centrality": q_link_centrality,
+        "link_hopplot": q_link_hopplot,
         "link_reciprocity": q_link_reciprocity,
         "doc_length_quantiles": q_doc_length_quantiles,
         "link_depth": q_link_depth,
@@ -4967,6 +4975,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "link_gapcode": linkstats.duck_gap_encoding_sql(pages_meta),
         "link_assort": linkstats.duck_degree_correlation_sql(pages_meta),
         "link_centrality": linkstats.duck_harmonic_centrality_sql(pages_meta),
+        "link_hopplot": linkstats.duck_hop_plot_sql(pages_meta),
         "link_reciprocity": linkstats.duck_reciprocity_sql(pages_meta),
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),

@@ -1214,3 +1214,68 @@ def test_host_harmonic_centrality_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_host_hop_plot_crafted(spark, tmp_path):
+    """Naive-BFS differential for the distance distribution on the same
+    path-plus-pair graph as the centrality test: per-depth pair counts
+    and the integer cumulative share match a hand-rolled BFS from the
+    engine's md5-pivot rule.  DuckDB parity."""
+    import hashlib
+    from collections import Counter, deque
+
+    import duckdb
+
+    from web_crawler_spark.functions.linkstats import (
+        duck_hop_plot_sql,
+        host_hop_plot,
+    )
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    hosts = sorted({h for e in und for h in e})
+    adj = {h: set() for h in hosts}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    full = lambda h: f"{h}.example"  # noqa: E731
+    pivots = sorted(
+        (full(h) for h in hosts),
+        key=lambda h: (hashlib.md5(h.encode()).hexdigest(), h),
+    )[:4]
+
+    def bfs(src):
+        d, q = {src: 0}, deque([src])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in d:
+                    d[w] = d[u] + 1
+                    q.append(w)
+        return d
+
+    cnt = Counter()
+    for p in pivots:
+        for h, d in bfs(p[: p.index(".")]).items():
+            if d > 0:
+                cnt[d] += 1
+    tot = sum(cnt.values())
+    cum, want = 0, {}
+    for d in sorted(cnt):
+        cum += cnt[d]
+        want[d] = (cnt[d], cum * 10**6 // tot)
+
+    df = _mk_pages_meta(spark, [(full(u), [full(v)]) for u, v in und])
+    got = {
+        r["depth"]: (r["n_pairs"], r["cum_ppm"])
+        for r in host_hop_plot(df).collect()
+    }
+    assert got == want
+    p = str(tmp_path / "hp.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["depth"]: (r["n_pairs"], r["cum_ppm"])
+        for _, r in duckdb.sql(
+            duck_hop_plot_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

@@ -2386,19 +2386,17 @@ GROUP BY g.deg
 CENTRALITY_PIVOTS = 4
 
 
-def host_harmonic_centrality(
-    df: DataFrame, n_pivots: int = CENTRALITY_PIVOTS, max_iter: int = 30
-) -> DataFrame:
-    """(host, n_pivots_reached, harmonic_milli) — harmonic_milli = sum
-    over reached pivots of 1000 DIV dist (dist > 0; the pivot itself
-    contributes 0).  Pivots are the md5-smallest hosts (deterministic,
-    uniform-ish sample, no RNG); distances are undirected.
-
-    Scale shape: ONE labeled multi-source BFS — state is (pivot, host,
-    depth), so each round is one join + partial-agg min keyed by
-    (pivot, host), volume <= n_pivots x the single-source cost; edge
-    relation materialized once, per-round localCheckpoint, changed-count
-    fixpoint; rounds = reachable diameter (~O(10) small-world)."""
+def _pivot_distances(
+    df: DataFrame, n_pivots: int, max_iter: int = 30
+) -> tuple[DataFrame, DataFrame]:
+    """(nodes, dist) — dist = (pivot, host, depth) exact min hop counts
+    over the undirected host graph from the md5-smallest ``n_pivots``
+    hosts (deterministic sample, no RNG).  ONE labeled multi-source BFS:
+    each round is one join + partial-agg min keyed by (pivot, host),
+    volume <= n_pivots x the single-source cost; edge relation
+    materialized once, per-round localCheckpoint, changed-count fixpoint;
+    rounds = reachable diameter (~O(10) small-world).  Shared by
+    host_harmonic_centrality and host_hop_plot."""
     e0 = (
         host_graph(df)
         .select(F.col("src_host").alias("u"), F.col("dst_host").alias("v"))
@@ -2441,6 +2439,16 @@ def host_harmonic_centrality(
         dist = new
         if changed == 0:
             break
+    return nodes, dist
+
+
+def host_harmonic_centrality(
+    df: DataFrame, n_pivots: int = CENTRALITY_PIVOTS, max_iter: int = 30
+) -> DataFrame:
+    """(host, n_pivots_reached, harmonic_milli) — harmonic_milli = sum
+    over reached pivots of 1000 DIV dist (dist > 0; the pivot itself
+    contributes 0).  Pivot sampling / BFS economics: _pivot_distances."""
+    nodes, dist = _pivot_distances(df, n_pivots, max_iter)
     scores = (
         dist.filter(F.col("depth") > 0)
         .groupBy("host")
@@ -2494,4 +2502,75 @@ SELECT n.host,
   coalesce(sc.n_pivots_reached, 0)::BIGINT AS n_pivots_reached,
   coalesce(sc.harmonic_milli, 0)::BIGINT AS harmonic_milli
 FROM nodes n LEFT JOIN sc ON sc.host = n.host
+"""
+
+
+def host_hop_plot(
+    df: DataFrame, n_pivots: int = CENTRALITY_PIVOTS, max_iter: int = 30
+) -> DataFrame:
+    """Hop plot / distance distribution (the Broder et al. small-world
+    evidence; effective diameter = the depth where cum_ppm crosses
+    900000): (depth, n_pairs, cum_ppm) over exact (pivot, host) min
+    distances from the md5-sampled pivots, depth > 0.  cum_ppm is the
+    integer-DIV cumulative share of reachable pairs — the curve's knee IS
+    the effective diameter, read off directly.
+
+    Scale shape: the heavy work is the shared labeled multi-source BFS
+    (_pivot_distances); the rollup and cumulative window live on the
+    <= max-depth-row frame (bounded-single-partition convention)."""
+    from pyspark.sql import Window
+
+    _, dist = _pivot_distances(df, n_pivots, max_iter)
+    byd = (
+        dist.filter(F.col("depth") > 0)
+        .groupBy("depth")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    w_cum = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("depth").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        byd.withColumn("cum", F.sum("n_pairs").over(w_cum))
+        .withColumn("tot", F.sum("n_pairs").over(w_all))
+        .select(
+            F.col("depth").cast("long").alias("depth"),
+            "n_pairs",
+            F.expr("cum * 1000000 DIV tot").cast("long").alias("cum_ppm"),
+        )
+    )
+
+
+def duck_hop_plot_sql(pages_meta: str, n_pivots: int = CENTRALITY_PIVOTS) -> str:
+    """Recursive-CTE oracle over the same pivot closure."""
+    return rf"""
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS a, greatest(src_host, dst_host) AS b
+  FROM ({duck_host_graph_sql(pages_meta)}) WHERE src_host <> dst_host
+),
+edges AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0
+),
+nodes AS MATERIALIZED (SELECT DISTINCT u AS host FROM edges),
+pv AS MATERIALIZED (
+  SELECT host AS pvt FROM nodes ORDER BY md5(host), host LIMIT {n_pivots}
+),
+walk(pvt, host, depth) AS (
+  SELECT pvt, pvt, 0::BIGINT FROM pv
+  UNION
+  SELECT w.pvt, e.v, w.depth + 1
+  FROM edges e JOIN walk w ON w.host = e.u
+  WHERE w.depth < 50
+),
+md AS (
+  SELECT pvt, host, min(depth)::BIGINT AS depth FROM walk GROUP BY 1, 2
+),
+byd AS (
+  SELECT depth, count(*)::BIGINT AS n_pairs FROM md WHERE depth > 0 GROUP BY 1
+)
+SELECT depth, n_pairs,
+  (sum(n_pairs) OVER (ORDER BY depth
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+   * 1000000 // (SELECT sum(n_pairs) FROM byd))::BIGINT AS cum_ppm
+FROM byd
 """
