@@ -2523,6 +2523,46 @@ def q_tpch_top_savers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape adapted to the reduced schema: per (supplier nation, order
+    year) profit on 'red'-named parts — revenue minus a retail-price
+    cost surrogate (no partsupp table here), both in the same
+    cent-hundredth units so the subtraction stays integer-exact.  The
+    part filter prunes the fact FIRST (the Q9 plan point: the selective
+    dim drives the join order), nation broadcasts."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = _t(spark, sf_dir, "lineitem")
+    amount = (
+        _cents("l_extendedprice") * (100 - _cents("l_discount"))
+        - _cents("p_retailprice") * _cents("l_quantity")
+    ).alias("amount_c")
+    j = (
+        li.join(
+            part.select("p_partkey", "p_retailprice"),
+            on=F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+            on=F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            on=F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "orders").select(
+                "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+            ),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("n_name").alias("nation"), "o_year", amount)
+    )
+    return j.groupBy("nation", "o_year").agg(
+        F.sum("amount_c").cast("long").alias("profit_c"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
 def q_tpch_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 shape: local-supplier revenue per nation across SIX tables —
     nation/region broadcast as true dims, the customer-nation = supplier-
@@ -3757,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_custdist": q_tpch_custdist,
         "tpch_market_share": q_tpch_market_share,
         "tpch_trade_flows": q_tpch_trade_flows,
+        "tpch_profit": q_tpch_profit,
         "tpch_top_savers": q_tpch_top_savers,
         "tpch_top_supplier": q_tpch_top_supplier,
         "tpch_large_orders": q_tpch_large_orders,
@@ -4615,6 +4656,22 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
               FROM customer LEFT JOIN orders ON o_custkey = c_custkey
               GROUP BY c_custkey)
             GROUP BY c_count
+        """,
+        "tpch_profit": """
+            SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+                   sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                         * (100 - floor(l_discount * 100 + 0.5)::BIGINT)
+                       - floor(p_retailprice * 100 + 0.5)::BIGINT
+                         * floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT
+                     AS profit_c,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
         """,
         "tpch_trade_flows": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
