@@ -3559,6 +3559,14 @@ def q_doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bigram_lm_scores(_docs(spark, sf_dir))
 
 
+def q_corpus_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020): fluency
+    terciles under the exact-integer bigram LM — head gets sampled
+    harder, tail gets audited/dropped; tie-consistent rank terciles at
+    distinct-score grain (textstats.ccnet_buckets docstring)."""
+    return textstats.ccnet_buckets(_docs(spark, sf_dir))
+
+
 def q_doc_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-training pair counts: the only corpus-scale pass is the
     word-frequency groupBy; pair extraction runs over the vocabulary-sized
@@ -3726,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier_calib": q_doc_classifier_calib,
         "doc_vocab_growth": q_doc_vocab_growth,
         "doc_zipf": q_doc_zipf,
+        "corpus_ccnet": q_corpus_ccnet,
         "host_lang_mix": q_host_lang_mix,
         "recrawl_condget": q_recrawl_condget,
         "doc_pii": q_doc_pii,
@@ -4362,6 +4371,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_classifier_calib": textstats.duck_classifier_calibration_sql("documents"),
         "doc_vocab_growth": textstats.duck_vocab_growth_sql("documents"),
         "doc_zipf": textstats.duck_zipf_curve_sql("documents"),
+        "corpus_ccnet": textstats.duck_ccnet_buckets_sql("documents"),
         "corpus_dsir": textstats.duck_dsir_sql(
             f"(SELECT doc_id, text FROM documents"
             f" WHERE source <> '{DSIR_TARGET_SOURCE}')",

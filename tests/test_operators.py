@@ -1279,3 +1279,45 @@ def test_host_hop_plot_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_ccnet_buckets_crafted(spark, tmp_path):
+    """Fluency terciles partition the corpus in score order: head scores
+    >= middle >= tail, doc counts conserve, and DuckDB lands on the
+    identical split (tie-consistent rank terciles)."""
+    import duckdb
+
+    from web_crawler_spark.functions import textstats
+
+    fluent = "the crawl is fast and the crawl is good and the crawl is fast"
+    docs = [
+        ("d0", fluent),
+        ("d1", fluent + " and the crawl is good"),
+        ("d2", "the crawl is fast but pages vary wildly here"),
+        ("d3", "zeta qoph vex jumble wyrd kraken oblique"),
+        ("d4", "mixed the of and crawl order random tokens the"),
+        ("d5", "another mixed bag of tokens the crawl never saw"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = {r["bucket"]: r for r in textstats.ccnet_buckets(df).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    assert sum(r["n_docs"] for r in rows.values()) == len(docs)
+    assert rows["head"]["min_score_ppm"] >= rows["middle"]["max_score_ppm"]
+    assert rows["middle"]["min_score_ppm"] >= rows["tail"]["max_score_ppm"]
+    p = str(tmp_path / "ccnet.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["bucket"]: (
+            r["n_docs"], r["total_bigrams"], r["min_score_ppm"], r["max_score_ppm"]
+        )
+        for _, r in duckdb.sql(
+            textstats.duck_ccnet_buckets_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    got = {
+        b: (
+            r["n_docs"], r["total_bigrams"], r["min_score_ppm"], r["max_score_ppm"]
+        )
+        for b, r in rows.items()
+    }
+    assert oracle == got

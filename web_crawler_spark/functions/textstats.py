@@ -1566,6 +1566,84 @@ FROM bands
 """
 
 
+
+def ccnet_buckets(df, id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet's head / middle / tail corpus split (Wenzek et al. 2020):
+    rank every document by LM quality and cut the corpus into fluency
+    terciles — training recipes then sample the head harder and audit or
+    drop the tail.  The quality axis is the engine's exact-integer bigram
+    LM (bigram_lm_scores); HIGHER score = more fluent = head.  Output:
+    (bucket, n_docs, total_bigrams, min_score_ppm, max_score_ppm).
+
+    Tercile assignment is tie-consistent at DISTINCT-SCORE grain off the
+    two-job range-partition prefix sum over DESCENDING score (same
+    machinery as classifier_calibration — a tied score never splits
+    across buckets, hash-stable cross-engine).  Scale shape: the LM
+    scoring's two corpus passes dominate; the bucketing adds one
+    distinct-score-grain exchange + the prefix-sum stamp."""
+    from web_crawler_spark.operators.ordering import with_prefix_sums
+
+    scored = bigram_lm_scores(df, id_col=id_col, text_col=text_col)
+    by_score = scored.groupBy("score_ppm").agg(
+        F.count("*").alias("n_"), F.sum("n_bigrams").alias("nb_")
+    )
+    cum = with_prefix_sums(
+        by_score.withColumn("neg", -F.col("score_ppm")), ["neg"], ["n_"]
+    )
+    total = max(int(by_score.agg(F.sum("n_")).first()[0] or 0), 1)
+    return (
+        cum.select(
+            F.expr(f"least(2L, n__before * 3 DIV {total})").alias("b"),
+            "n_",
+            "nb_",
+            "score_ppm",
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("n_").cast("long").alias("n_docs"),
+            F.sum("nb_").cast("long").alias("total_bigrams"),
+            F.min("score_ppm").cast("long").alias("min_score_ppm"),
+            F.max("score_ppm").cast("long").alias("max_score_ppm"),
+        )
+        .select(
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                (F.col("b") + 1).cast("int"),
+            ).alias("bucket"),
+            "n_docs",
+            "total_bigrams",
+            "min_score_ppm",
+            "max_score_ppm",
+        )
+    )
+
+
+def duck_ccnet_buckets_sql(docs: str) -> str:
+    """DuckDB twin of :func:`ccnet_buckets` (window prefix over the
+    distinct-score frame at oracle scale)."""
+    return rf"""
+WITH scored AS ({duck_bigram_lm_sql(docs)}),
+by_score AS (
+  SELECT score_ppm, count(*)::BIGINT AS n_, sum(n_bigrams)::BIGINT AS nb_
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT score_ppm, n_, nb_,
+         coalesce(sum(n_) OVER (ORDER BY score_ppm DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+         greatest((SELECT sum(n_) FROM by_score), 1) AS tot
+  FROM by_score
+)
+SELECT ['head', 'middle', 'tail'][(least(2, before * 3 // tot) + 1)::INT]
+         AS bucket,
+       sum(n_)::BIGINT AS n_docs,
+       sum(nb_)::BIGINT AS total_bigrams,
+       min(score_ppm)::BIGINT AS min_score_ppm,
+       max(score_ppm)::BIGINT AS max_score_ppm
+FROM cum GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # DSIR — data selection with importance resampling (Xie et al., NeurIPS'23)
 # ---------------------------------------------------------------------------
