@@ -280,3 +280,31 @@ def test_tpch_plans_scale_shapes(spark):
     p18 = e.q_tpch_large_orders(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
     agg_i = p18.index("Aggregate")
     assert "Filter (total_qty_c" in p18 or p18.index("Filter") < agg_i
+
+
+def test_char_diversity_plan_jvm_and_bounded_exchanges(spark, sf_small):
+    """The char gate must stay JVM-side (no Python) and pay at most the
+    (doc, ch) partial agg, the doc rollup, and the ids join — partial
+    aggregation (map-side combine) must appear below the first exchange."""
+    from web_crawler_spark import synth
+    from web_crawler_spark.functions import webtext
+
+    wd = spark.read.parquet(synth.synth_path("0.001", "webdocs"))
+    plan = _plan(webtext.char_diversity(wd))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 4
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_host_lang_mix_plan_jvm_single_rollup(spark, sf_small):
+    """Language-mix: pure JVM, exchanges bounded by the (host, lang)
+    partial agg + host rollup; the dominant-language pick is an agg-side
+    struct min, never a window."""
+    from web_crawler_spark import synth
+    from web_crawler_spark.functions import webtext
+
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    plan = _plan(webtext.host_lang_mix(pages.select("url", "lang")))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 3
