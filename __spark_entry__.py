@@ -1476,6 +1476,14 @@ def q_doc_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.clean_lines(_synth(spark, sf_dir, "webdocs"))
 
 
+def q_doc_syndication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-host syndication detection over the hostdocs fixture: lines on
+    >= 3 distinct hosts (wire content / share widgets / legal boilerplate)
+    — the duplication axis per-host template mining structurally misses;
+    one (line) partial-agg exchange (webtext.syndicated_lines docstring)."""
+    return webtext.syndicated_lines(_synth(spark, sf_dir, "hostdocs"))
+
+
 def q_corpus_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host template removal over the hostdocs fixture: mine lines on
     >=60% of a host's pages (frequency-based, CCNet/jusText site mode),
@@ -3742,6 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher": q_doc_gopher,
         "corpus_webclean": q_corpus_webclean,
         "corpus_templates": q_corpus_templates,
+        "doc_syndication": q_doc_syndication,
         "corpus_gopher": q_corpus_gopher,
         "doc_dup_ngrams": q_doc_dup_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -4421,6 +4430,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "dedup_lines": webtext.duck_dedup_lines_sql(webdocs),
         "doc_gopher": webtext.duck_gopher_sql(webdocs),
         "corpus_webclean": webtext.duck_clean_web_corpus_sql(webdocs),
+        "doc_syndication": webtext.duck_syndicated_lines_sql(
+            f"read_parquet('{sp('hostdocs')}')"
+        ),
         "corpus_templates": webtext.duck_strip_templates_sql(
             f"read_parquet('{sp('hostdocs')}')"
         ),

@@ -638,3 +638,37 @@ def test_host_lang_mix_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_syndicated_lines_crafted(spark, tmp_path):
+    """A line on 3 hosts qualifies; one on 2 hosts does not (even with
+    many docs); within-host repeats don't inflate n_hosts; a doc
+    repeating the line twice votes once (array_distinct); blank lines
+    never qualify.  DuckDB parity."""
+    import duckdb
+
+    wire = "Share this story on your favorite network."
+    local = "Local header only here."
+    rows = [
+        ("h1", "h1/a", wire + "\nUnique a\n" + wire),   # dup within doc
+        ("h1", "h1/b", wire + "\nUnique b"),
+        ("h2", "h2/a", wire + "\n" + local),
+        ("h3", "h3/a", wire + "\n\n" + local),          # blank line too
+        ("h4", "h4/a", "Nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "host string, doc_id string, text string")
+    got = {
+        r["line"]: (r["n_hosts"], r["n_docs"])
+        for r in webtext.syndicated_lines(df).collect()
+    }
+    # wire: hosts {h1,h2,h3}, docs {h1/a, h1/b, h2/a, h3/a}; local only 2 hosts
+    assert got == {wire: (3, 4)}
+    p = str(tmp_path / "synd.parquet")
+    df.toPandas().to_parquet(p)
+    oracle = {
+        r["line"]: (r["n_hosts"], r["n_docs"])
+        for _, r in duckdb.sql(
+            webtext.duck_syndicated_lines_sql(f"read_parquet('{p}')")
+        ).df().iterrows()
+    }
+    assert oracle == got

@@ -1463,3 +1463,57 @@ SELECT host,
      // greatest(sum(cnt) * (sum(cnt) - 1), 1))::BIGINT AS lang_collision_ppm
 FROM rk GROUP BY host
 """
+
+
+# --- cross-host syndication detection -------------------------------------------
+
+SYND_MIN_HOSTS = 3
+
+
+def syndicated_lines(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hosts: int = SYND_MIN_HOSTS,
+) -> DataFrame:
+    """(line, n_hosts, n_docs) for every line appearing on >= ``min_hosts``
+    DISTINCT hosts — wire-syndicated content (press releases, share
+    widgets, legal boilerplate) that per-host template mining
+    (host_template_lines) structurally cannot see: a line on 2% of each
+    of 500 hosts' pages never clears any within-host ratio, yet it is
+    pure duplication corpus-wide.  News/corpus dedup strips or
+    down-weights these before training.
+
+    Scale shape: line explode is map-side (array_distinct keeps a doc
+    from voting twice); ONE (line) partial-agg exchange carrying exact
+    two-level distincts (host, doc) — at 100 TB the line relation is
+    bounded by distinct line text, and partial aggregation collapses the
+    per-partition repeats before the shuffle."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), "\n"))).alias("line"),
+    ).where(F.trim(F.col("line")) != "")
+    return (
+        lines.groupBy("line")
+        .agg(
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.countDistinct("host", "doc_id").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_hosts") >= min_hosts)
+    )
+
+
+def duck_syndicated_lines_sql(hostdocs: str, min_hosts: int = SYND_MIN_HOSTS) -> str:
+    return rf"""
+WITH l AS (
+  SELECT host, doc_id,
+         unnest(list_distinct(string_split(text, chr(10)))) AS line
+  FROM {hostdocs}
+)
+SELECT line, count(DISTINCT host)::BIGINT AS n_hosts,
+       count(DISTINCT (host, doc_id))::BIGINT AS n_docs
+FROM l WHERE trim(line) <> ''
+GROUP BY line HAVING count(DISTINCT host) >= {min_hosts}
+"""
