@@ -386,6 +386,38 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 graded: stream-static enrichment join — events stream left-joins
+    the static customer dimension (user_id -> market segment) per
+    micro-batch, stateless; the one Structured Streaming join flavor the
+    other paths don't cover
+    (streaming/windowed.run_static_enrich_available_now)."""
+    import shutil
+
+    from web_crawler_spark.streaming.windowed import (
+        run_static_enrich_available_now,
+    )
+
+    out = os.path.join(synth.SYNTH_ROOT, "stream_enrich")
+    shutil.rmtree(out, ignore_errors=True)
+    in_dir = os.path.join(out, "in")
+    os.makedirs(in_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(in_dir, "ev.parquet")
+    )
+    static = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    run_static_enrich_available_now(
+        spark, in_dir, static, os.path.join(out, "data"), os.path.join(out, "ck")
+    )
+    return spark.read.parquet(os.path.join(out, "data"))
+
+
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3 graded: foreachBatch COMPLETE-mode state upsert — the streaming
     path whose output is a continuously-overwritten serving table (per
@@ -3672,6 +3704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_dedup_wm": q_stream_dedup_wm,
         "stream_upsert": q_stream_upsert,
+        "stream_enrich": q_stream_enrich,
         "stream_throttle": q_stream_throttle,
         "urlnorm": q_urlnorm,
         "seed_dedup": q_seed_dedup,
@@ -4175,6 +4208,12 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             SELECT event_id, floor(epoch(ts))::BIGINT AS ts_s,
                    user_id, event_type
             FROM events
+        """,
+        "stream_enrich": """
+            SELECT e.event_id, floor(epoch(e.ts))::BIGINT AS ts_s,
+                   e.user_id, e.event_type, c.c_mktsegment AS segment
+            FROM events e
+            LEFT JOIN customer c ON c.c_custkey = e.user_id
         """,
         "stream_upsert": """
             WITH last AS (

@@ -286,3 +286,46 @@ def test_stream_state_upsert_accumulates_across_batches(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {7: (3, 2, "click"), 9: (2, 5, "purchase")}
+
+
+def test_stream_static_enrich_left_join(spark, tmp_path):
+    """Stream-static enrichment: matched users carry the dimension value,
+    unmatched users flow through with NULL (left join, stateless), and
+    enrichment spans micro-batches."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from web_crawler_spark.streaming.windowed import (
+        run_static_enrich_available_now,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mtime = [1_700_000_000]
+
+    def mk(rows, sub):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        stage = str(tmp_path / "stage" / sub)
+        df.coalesce(1).write.parquet(stage)
+        os.makedirs(str(tmp_path / "in"), exist_ok=True)
+        dst = str(tmp_path / "in" / sub)
+        shutil.copy(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        mtime[0] += 60
+        os.utime(dst, (mtime[0], mtime[0]))
+
+    mk([(1, base, 7, "view"), (2, base, 99, "click")], "f1.parquet")
+    mk([(3, base, 8, "view")], "f2.parquet")
+    static = spark.createDataFrame(
+        [(7, "BUILDING"), (8, "AUTO")], "user_id bigint, segment string"
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_static_enrich_available_now(
+        spark, str(tmp_path / "in"), static, out, ck, max_files_per_trigger=1
+    )
+    got = {
+        r["event_id"]: r["segment"] for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: "BUILDING", 2: None, 3: "AUTO"}

@@ -259,3 +259,44 @@ def run_state_upsert_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_static_enrich_available_now(
+    spark: SparkSession,
+    in_dir: str,
+    static_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Stream-static enrichment join — the remaining Structured Streaming
+    join flavor the engine's paths didn't yet exercise (stream-stream is
+    the interval join; this is the dimension-lookup side): each
+    micro-batch of events left-joins the STATIC frame, stateless, no
+    watermark needed — the static side re-resolves per micro-batch, so a
+    dimension table that is really a slowly-changing view stays current
+    without restarts.
+
+    At scale the static side is broadcast when small (the planner's
+    default here) or a bucketed SMJ when it isn't; either way no
+    streaming state accrues — enrichment is embarrassingly incremental."""
+    reader = spark.readStream.schema(JOIN_EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(in_dir)
+    enriched = ev.join(static_df, on="user_id", how="left").select(
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "segment",
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
