@@ -3063,6 +3063,64 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous-aggregate cascade (the third custom-operator
+    class the brief names, after as-of and range joins): minute -> hour ->
+    day rollups where every COARSER grain aggregates the FINER grain's
+    partials — raw events are scanned and exchanged exactly once (the
+    minute agg); the hour and day aggs run over the already-tiny minute /
+    hour relations.  Only cascade-safe aggregates (counts/sums — never
+    distincts) ride the hierarchy, which is what makes the three grains
+    exactly equal to direct aggregation, as the oracle proves.  Output:
+    (grain, bucket_start_s, n_events, n_purchases)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    minute = (
+        ev.select(
+            F.expr("unix_micros(cast(ts as timestamp)) DIV 60000000").alias("m"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("p"),
+        )
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("p").cast("long").alias("n_purchases"),
+        )
+    )
+    hour = minute.groupBy(F.expr("m DIV 60").alias("h")).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("n_purchases").cast("long").alias("n_purchases"),
+    )
+    day = hour.groupBy(F.expr("h DIV 24").alias("d")).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("n_purchases").cast("long").alias("n_purchases"),
+    )
+    return (
+        minute.select(
+            F.lit("minute").alias("grain"),
+            (F.col("m") * 60).cast("long").alias("bucket_start_s"),
+            "n_events",
+            "n_purchases",
+        )
+        .unionByName(
+            hour.select(
+                F.lit("hour").alias("grain"),
+                (F.col("h") * 3600).cast("long").alias("bucket_start_s"),
+                "n_events",
+                "n_purchases",
+            )
+        )
+        .unionByName(
+            day.select(
+                F.lit("day").alias("grain"),
+                (F.col("d") * 86400).cast("long").alias("bucket_start_s"),
+                "n_events",
+                "n_purchases",
+            )
+        )
+    )
+
+
 def q_events_user_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -3863,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": q_events_by_type,
         "events_sessions": q_events_sessions,
         "events_rollup": q_events_rollup,
+        "events_cascade": q_events_cascade,
         "events_user_rank": q_events_user_rank,
         "events_funnel": q_events_funnel,
         "events_transitions": q_events_transitions,
@@ -4957,6 +5016,24 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS n_events,
                    GROUPING(event_type)::BIGINT AS is_total
             FROM events GROUP BY ROLLUP(event_type)
+        """,
+        "events_cascade": """
+            WITH base AS (
+              SELECT epoch_us(ts) // 60000000 AS m,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+              FROM events
+            )
+            SELECT 'minute' AS grain, (m * 60)::BIGINT AS bucket_start_s,
+                   count(*)::BIGINT AS n_events, sum(p)::BIGINT AS n_purchases
+            FROM base GROUP BY m
+            UNION ALL
+            SELECT 'hour', ((m // 60) * 3600)::BIGINT,
+                   count(*)::BIGINT, sum(p)::BIGINT
+            FROM base GROUP BY m // 60
+            UNION ALL
+            SELECT 'day', ((m // 1440) * 86400)::BIGINT,
+                   count(*)::BIGINT, sum(p)::BIGINT
+            FROM base GROUP BY m // 1440
         """,
         "events_user_rank": """
             SELECT user_id, count(*)::BIGINT AS n_events,

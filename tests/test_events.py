@@ -429,3 +429,47 @@ def test_events_dau_rolling_window_semantics(spark, tmp_path):
     assert out[day0 + 8]["stickiness_ppm"] == 1 * 10**6 // 3
     # only days with same-day activity appear
     assert set(out) == {day0, day0 + 3, day0 + 8}
+
+
+def test_events_cascade_matches_direct(spark):
+    """The continuous-aggregate cascade (minute -> hour -> day, coarser
+    grains aggregating finer partials) must equal direct aggregation from
+    raw at every grain — the cascade-safety property that restricts the
+    hierarchy to counts/sums; boundary events at exact hour/day edges
+    land in the right bucket."""
+    import datetime as dt
+
+    from __spark_entry__ import q_events_cascade
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "view"),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 59), 1, "purchase"),
+        (3, dt.datetime(2024, 1, 1, 0, 59, 59), 2, "purchase"),
+        (4, dt.datetime(2024, 1, 1, 1, 0, 0), 2, "view"),   # hour edge
+        (5, dt.datetime(2024, 1, 2, 0, 0, 0), 3, "view"),   # day edge
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["grain"], r["bucket_start_s"]): (r["n_events"], r["n_purchases"])
+            for r in q_events_cascade(spark, d).collect()
+        }
+    epoch = lambda *a: int(dt.datetime(*a, tzinfo=dt.timezone.utc).timestamp())  # noqa: E731
+    base = epoch(2024, 1, 1)
+    # direct per-grain truth
+    assert got[("minute", base)] == (2, 1)
+    assert got[("minute", base + 59 * 60)] == (1, 1)
+    assert got[("minute", base + 3600)] == (1, 0)
+    assert got[("minute", base + 86400)] == (1, 0)
+    assert got[("hour", base)] == (3, 2)
+    assert got[("hour", base + 3600)] == (1, 0)
+    assert got[("hour", base + 86400)] == (1, 0)
+    assert got[("day", base)] == (4, 2)
+    assert got[("day", base + 86400)] == (1, 0)
+    assert len(got) == 4 + 3 + 2
