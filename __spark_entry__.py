@@ -2132,6 +2132,26 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.brute_force_topk(emb, q, k=ANN_K)
 
 
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (the filtered-ANN capability class:
+    predicate + similarity in one query): top-k cosine neighbors among
+    only the corpus vectors whose joined document row passes lang = 'en'.
+    The filter applies BEFORE any distance computation — a left-semi join
+    prunes the corpus side first, so at 10^10 vectors the scan feeding
+    the distance kernel is already predicate-thinned (pre-filtering; the
+    post-filter alternative computes k' >> k neighbors then discards, and
+    under-fills when the predicate is selective).  Queries themselves are
+    NOT restricted — any query may search an attribute-sliced corpus."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    allowed = docs.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = emb.join(allowed, on="vec_id", how="left_semi")
+    q = emb.filter(F.col("vec_id") < N_ANN_QUERIES)
+    return simsearch.brute_force_topk(corpus, q, k=ANN_K)
+
+
 # pinned recall bars for the self-verifying ANN queries: measured per-query
 # minimum is 0.60 for both (LSH: sf0.01 and sf0.001; IVF: 0.60 at sf0.01,
 # 0.80 at sf0.001).  Both pipelines are fully deterministic on fixed input,
@@ -3922,6 +3942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_rollup": q_events_rollup,
         "events_cascade": q_events_cascade,
+        "ann_filtered": q_ann_filtered,
         "events_user_rank": q_events_user_rank,
         "events_funnel": q_events_funnel,
         "events_transitions": q_events_transitions,
@@ -4670,6 +4691,25 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             FROM cl
         """,
         "ann_brute": simsearch.duck_brute_force_sql("embeddings", N_ANN_QUERIES, ANN_K),
+        "ann_filtered": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {N_ANN_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings e
+      WHERE EXISTS (SELECT 1 FROM documents d
+                    WHERE d.doc_id = e.vec_id AND d.lang = 'en')),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
+""",
         # self-verifying recall checks: the Spark side computes per-query
         # recall vs its (hash-verified) brute-force result; the oracle asserts
         # every query clears the pinned bar

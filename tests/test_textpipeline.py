@@ -2072,3 +2072,34 @@ def test_semantic_dedup_crafted(spark):
     # consuming plan is pure JVM (no ArrowEvalPython / BatchEvalPython)
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_filtered_ann_prefilters_corpus(spark):
+    """Filtered vector search: every returned neighbor passes the
+    predicate, excluded near-duplicates are absent even when they would
+    dominate the unfiltered top-k, and ranks stay dense after the
+    pre-filter (never a post-filtered ranking with holes)."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions import simsearch
+
+    # v0 query; v1 nearly identical but EXCLUDED; v2 allowed, close;
+    # v3 allowed, orthogonal-ish
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    allowed = spark.createDataFrame([(0,), (2,), (3,)], "vec_id bigint")
+    corpus = emb.join(allowed, on="vec_id", how="left_semi")
+    q = emb.filter(F.col("vec_id") == 0)
+    got = [
+        (r["neighbor_id"], r["rank"])
+        for r in simsearch.brute_force_topk(corpus, q, k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    # v1 (the best unfiltered neighbor) must not appear; ranks dense from 1
+    assert got == [(2, 1), (3, 2)]
