@@ -2132,6 +2132,17 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.brute_force_topk(emb, q, k=ANN_K)
 
 
+def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid query-by-document retrieval with reciprocal-rank fusion
+    (Cormack et al., SIGIR'09): lexical distinct-term-overlap ranks fused
+    with cosine ranks over the aligned embeddings — integer RRF, no score
+    calibration, each arm contributing only its top-k
+    (simsearch.hybrid_topk docstring)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return simsearch.hybrid_topk(docs, emb, N_ANN_QUERIES, k=ANN_K)
+
+
 def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-FILTERED vector search (the filtered-ANN capability class:
     predicate + similarity in one query): top-k cosine neighbors among
@@ -3943,6 +3954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_cascade": q_events_cascade,
         "ann_filtered": q_ann_filtered,
+        "search_hybrid": q_search_hybrid,
         "events_user_rank": q_events_user_rank,
         "events_funnel": q_events_funnel,
         "events_transitions": q_events_transitions,
@@ -4691,6 +4703,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             FROM cl
         """,
         "ann_brute": simsearch.duck_brute_force_sql("embeddings", N_ANN_QUERIES, ANN_K),
+        "search_hybrid": simsearch.duck_hybrid_sql(
+            "documents", "embeddings", N_ANN_QUERIES, ANN_K
+        ),
         "ann_filtered": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < {N_ANN_QUERIES}),

@@ -2103,3 +2103,40 @@ def test_filtered_ann_prefilters_corpus(spark):
     ]
     # v1 (the best unfiltered neighbor) must not appear; ranks dense from 1
     assert got == [(2, 1), (3, 2)]
+
+
+def test_hybrid_rrf_arbitrates_between_arms(spark):
+    """RRF on a corpus where the arms disagree: a lexical twin (shared
+    words, orthogonal vector), a semantic twin (no shared words,
+    near-identical vector), and a middling doc — hand-computed integer
+    RRF ranks the both-arms doc above the single-arm ones exactly."""
+    from web_crawler_spark.functions import simsearch
+
+    docs = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta gamma"),          # lexical twin
+        (2, "delta epsilon zeta"),        # semantic twin (below)
+        (3, "alpha unrelated words"),     # middling: 1 shared term
+    ]
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),                  # orthogonal
+        (2, [0.999, 0.01]),               # near-identical
+        (3, [0.7, 0.7]),                  # middling
+    ]
+    d = spark.createDataFrame(docs, "doc_id bigint, text string")
+    e = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    got = [
+        (r["neighbor_id"], r["rrf_micro"], r["fused_rank"])
+        for r in simsearch.hybrid_topk(d, e, n_queries=1, k=3)
+        .orderBy("fused_rank")
+        .collect()
+    ]
+    # lex: d1 r1 (3 shared), d3 r2 (1 shared); d2 absent
+    # sem: d2 r1, d3 r2, d1 r3
+    rrf = lambda *rs: sum(10**6 // (60 + r) for r in rs)  # noqa: E731
+    assert got == [
+        (1, rrf(1, 3), 1),
+        (3, rrf(2, 2), 2),
+        (2, rrf(1), 3),
+    ]

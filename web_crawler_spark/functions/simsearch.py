@@ -717,3 +717,141 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR'09) -------
+
+RRF_K = 60  # the canonical RRF damping constant
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_queries: int,
+    k: int = DEFAULT_K,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """(query_id, neighbor_id, rrf_micro, fused_rank) — query-by-document
+    hybrid search: for each query doc, a LEXICAL arm (distinct-term
+    overlap ranking) and a SEMANTIC arm (cosine ranking over the aligned
+    embedding) are fused by reciprocal-rank fusion, the standard
+    ensemble that needs no score calibration because it consumes only
+    RANKS: rrf(d) = sum over arms of 1e6 DIV (rrf_k + rank_arm(d)),
+    missing-from-an-arm contributing 0 — all integer, hash-stable.
+
+    Scale shape: the lexical arm is a term-keyed join of the (tiny)
+    query-doc token set against the corpus token set — at web scale the
+    join prunes stop-terms by document frequency first (the co-citation
+    hub cap; at this fixture's size the raw join is exact and cheap);
+    the semantic arm is the broadcast brute-force kernel (swap in the
+    IVF/LSH path beyond memory).  Each arm emits its top-k only; fusion
+    and the final top-k run on <= 2k rows per query."""
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    qt = toks.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    overlap = (
+        qt.join(toks.withColumnRenamed("doc_id", "neighbor_id"), on="term")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("n_shared"), F.asc("neighbor_id")
+    )
+    lex = (
+        overlap.withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= k)
+        .select("query_id", "neighbor_id", "lex_rank")
+    )
+    sem = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < n_queries), k=k
+    ).withColumnRenamed("rank", "sem_rank")
+    fused = (
+        lex.join(sem, on=["query_id", "neighbor_id"], how="full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 DIV ({rrf_k} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 DIV ({rrf_k} + sem_rank)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_micro",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )
+
+
+def duck_hybrid_sql(
+    docs: str, emb: str, n_queries: int, k: int = DEFAULT_K, rrf_k: int = RRF_K
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM {docs}
+),
+overlap AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         count(*)::BIGINT AS n_shared
+  FROM toks q JOIN toks c USING (term)
+  WHERE q.doc_id < {n_queries} AND q.doc_id <> c.doc_id
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY n_shared DESC, neighbor_id ASC) AS lex_rank
+  FROM overlap QUALIFY lex_rank <= {k}
+),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM {emb}
+       WHERE vec_id < {n_queries}),
+cv AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM {emb}),
+sem AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY list_cosine_similarity(qv.v, cv.v) DESC,
+                    neighbor_id ASC) AS sem_rank
+  FROM qv CROSS JOIN cv WHERE query_id <> neighbor_id
+  QUALIFY sem_rank <= {k}
+),
+fused AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.neighbor_id, s.neighbor_id) AS neighbor_id,
+         (coalesce(1000000 // ({rrf_k} + l.lex_rank), 0)
+          + coalesce(1000000 // ({rrf_k} + s.sem_rank), 0))::BIGINT AS rrf_micro
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, rrf_micro,
+       row_number() OVER (PARTITION BY query_id
+         ORDER BY rrf_micro DESC, neighbor_id ASC)::BIGINT AS fused_rank
+FROM fused QUALIFY fused_rank <= {k}
+"""
