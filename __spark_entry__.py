@@ -2132,6 +2132,16 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.brute_force_topk(emb, q, k=ANN_K)
 
 
+def q_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified reranking (Carbonell & Goldstein, SIGIR'98) over
+    each query's cosine top-pool: greedy relevance-vs-redundancy picks on
+    exact milli-quantized integer dot products (bit-identical greedy both
+    engines; oracle unrolls the k steps as a CTE chain)
+    (simsearch.mmr_rerank docstring)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return simsearch.mmr_rerank(emb, N_ANN_QUERIES, k=ANN_K)
+
+
 def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid query-by-document retrieval with reciprocal-rank fusion
     (Cormack et al., SIGIR'09): lexical distinct-term-overlap ranks fused
@@ -3955,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cascade": q_events_cascade,
         "ann_filtered": q_ann_filtered,
         "search_hybrid": q_search_hybrid,
+        "search_mmr": q_search_mmr,
         "events_user_rank": q_events_user_rank,
         "events_funnel": q_events_funnel,
         "events_transitions": q_events_transitions,
@@ -4703,6 +4714,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             FROM cl
         """,
         "ann_brute": simsearch.duck_brute_force_sql("embeddings", N_ANN_QUERIES, ANN_K),
+        "search_mmr": simsearch.duck_mmr_sql("embeddings", N_ANN_QUERIES, ANN_K),
         "search_hybrid": simsearch.duck_hybrid_sql(
             "documents", "embeddings", N_ANN_QUERIES, ANN_K
         ),

@@ -2140,3 +2140,28 @@ def test_hybrid_rrf_arbitrates_between_arms(spark):
         (3, rrf(2, 2), 2),
         (2, rrf(1), 3),
     ]
+
+
+def test_mmr_rerank_picks_diverse_over_near_dup(spark):
+    """Hand-computed greedy: the first pick is the relevance tie broken
+    to the smallest id; the second pick is the DIVERSE candidate (the
+    near-duplicate of pick 1 scores higher on pure relevance but its
+    redundancy penalty sinks it); exact milli-integer arithmetic."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions import simsearch
+
+    vecs = [
+        (0, [1.0, 0.0]),       # query
+        (1, [0.9, 0.4]),       # rel 900000 (tie with id3 -> picked first)
+        (2, [0.89, 0.41]),     # near-dup of id1: rel 890000, div vs 1 = 965000
+        (3, [0.9, -0.4]),      # rel 900000, div vs 1 = 650000 -> 2nd pick
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    got = [
+        (r["neighbor_id"], r["mmr_rank"])
+        for r in simsearch.mmr_rerank(emb, n_queries=1, k=3, pool=3)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert got == [(1, 1), (3, 2), (2, 3)]

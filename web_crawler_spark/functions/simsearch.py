@@ -855,3 +855,152 @@ SELECT query_id, neighbor_id, rrf_micro,
          ORDER BY rrf_micro DESC, neighbor_id ASC)::BIGINT AS fused_rank
 FROM fused QUALIFY fused_rank <= {k}
 """
+
+
+# --- MMR diversified reranking (Carbonell & Goldstein, SIGIR'98) ----------------
+#
+# Top-k lists from any retriever collapse onto near-duplicates; MMR greedily
+# re-picks results trading relevance against similarity to what's already
+# picked: argmax over remaining c of
+#     lambda * rel(q, c) - (1 - lambda) * max_{s in picked} sim(c, s).
+# Determinism contract: embeddings quantize to milli-integers component-wise
+# and every rel/sim is the exact INTEGER dot product of those quantized
+# vectors (the module's no-float-compare doctrine — cosine differs only by
+# per-vector normalization, which callers can pre-apply); lambda is a milli
+# ratio; ties break to the smallest neighbor id.  The greedy is therefore
+# bit-identical across engines, and the oracle unrolls the k selection steps
+# as a CTE chain (the coreness precedent).
+
+MMR_LAMBDA_MILLI = 700
+MMR_POOL = 20
+
+
+def _milli(vec):
+    return F.transform(
+        vec.cast("array<double>"),
+        lambda x: F.floor(x * 1000).cast("long"),
+    )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    n_queries: int,
+    k: int = 10,
+    pool: int = MMR_POOL,
+    lambda_milli: int = MMR_LAMBDA_MILLI,
+) -> DataFrame:
+    """(query_id, neighbor_id, mmr_rank) — MMR over each query's
+    cosine-brute top-``pool`` candidates.
+
+    Scale shape: the pool comes from the existing top-k kernel (swap in
+    the IVF/LSH path at 10^10 vectors); the greedy itself runs per query
+    over <= pool rows inside one applyInPandas group — O(k * pool^2)
+    integer ops on a frame whose size is queries x pool, independent of
+    corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    cands = brute_force_topk(emb, emb.filter(F.col("vec_id") < n_queries), k=pool)
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"), _milli(F.col("embedding")).alias("q_m")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _milli(F.col("embedding")).alias("c_m")
+    )
+    joined = cands.join(F.broadcast(qv), on="query_id").join(cv, on="neighbor_id")
+
+    lam, lam_c = int(lambda_milli), 1000 - int(lambda_milli)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qm = np.asarray(pdf["q_m"].iloc[0], dtype=np.int64)
+        V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["c_m"]])
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = V @ qm  # exact int64 dots
+        order = np.argsort(ids, kind="stable")
+        remaining = list(order)  # id-ascending: ties pick the smallest id
+        picked: list[int] = []
+        out_ids = []
+        while remaining and len(picked) < k:
+            best_i, best_score = None, None
+            for i in remaining:
+                div = max((int(V[i] @ V[j]) for j in picked), default=0)
+                score = lam * int(rel[i]) - lam_c * div
+                if best_score is None or score > best_score:
+                    best_i, best_score = i, score
+            picked.append(best_i)
+            out_ids.append(ids[best_i])
+            remaining.remove(best_i)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": out_ids,
+                "mmr_rank": np.arange(1, len(out_ids) + 1, dtype=np.int64),
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(
+        greedy, schema="query_id long, neighbor_id long, mmr_rank long"
+    )
+
+
+def duck_mmr_sql(
+    emb: str,
+    n_queries: int,
+    k: int = 10,
+    pool: int = MMR_POOL,
+    lambda_milli: int = MMR_LAMBDA_MILLI,
+) -> str:
+    """Unrolled-greedy oracle: k selection steps as a CTE chain; integer
+    milli-dots via list_zip folds, same tie rule (smallest neighbor id)."""
+    lam, lam_c = int(lambda_milli), 1000 - int(lambda_milli)
+    dot = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " x -> x[1] * x[2]))::BIGINT"
+    )
+    head = f"""
+WITH mv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding::DOUBLE[],
+                                x -> floor(x * 1000)::BIGINT) AS m
+  FROM {emb}
+),
+cand AS MATERIALIZED (
+  SELECT b.query_id, b.neighbor_id,
+         qm.m AS q_m, cm.m AS c_m,
+         {dot.format(a='qm.m', b='cm.m')} AS rel
+  FROM ({duck_brute_force_sql(emb, n_queries, pool)}) b
+  JOIN mv qm ON qm.vec_id = b.query_id
+  JOIN mv cm ON cm.vec_id = b.neighbor_id
+),
+p0 AS (SELECT query_id, neighbor_id, c_m, rel FROM cand WHERE FALSE)
+"""
+    steps = []
+    for s in range(1, k + 1):
+        p = s - 1
+        steps.append(f""",
+sc{s} AS (
+  SELECT c.query_id, c.neighbor_id, c.c_m, c.rel,
+         {lam} * c.rel - {lam_c} * coalesce((
+            SELECT max({dot.format(a='c.c_m', b='pp.c_m')})
+            FROM p{p} pp WHERE pp.query_id = c.query_id
+         ), 0) AS score
+  FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM p{p} pp
+                    WHERE pp.query_id = c.query_id
+                      AND pp.neighbor_id = c.neighbor_id)
+),
+pick{s} AS (
+  SELECT query_id, neighbor_id, c_m, rel, {s}::BIGINT AS mmr_rank
+  FROM sc{s}
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, neighbor_id ASC) = 1
+),
+p{s} AS (
+  SELECT query_id, neighbor_id, c_m, rel FROM p{p}
+  UNION ALL SELECT query_id, neighbor_id, c_m, rel FROM pick{s}
+)""")
+        
+    picks = " UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, mmr_rank FROM pick{s}"
+        for s in range(1, k + 1)
+    )
+    return head + "".join(steps) + f"\n{picks}"
