@@ -3127,11 +3127,15 @@ def q_events_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_events"),
             F.sum("p").cast("long").alias("n_purchases"),
         )
+        # materialize the finest grain: without this, each union branch
+        # re-aggregates the RAW scan (the branch-recompute trap BENCH.md
+        # documents) — the whole point of the cascade is one raw pass
+        .localCheckpoint(eager=True)
     )
     hour = minute.groupBy(F.expr("m DIV 60").alias("h")).agg(
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("n_purchases").cast("long").alias("n_purchases"),
-    )
+    ).localCheckpoint(eager=True)
     day = hour.groupBy(F.expr("h DIV 24").alias("d")).agg(
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("n_purchases").cast("long").alias("n_purchases"),

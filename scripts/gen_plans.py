@@ -400,6 +400,38 @@ def main() -> None:
         "explode feeding count_distinct per day; the DAU-WAU join is on\n"
         "day grain (tiny).  No event-grain self-join, no range window.",
     )
+    cap(
+        "doc_char_diversity — codepoint gate as two partial aggs",
+        E.q_doc_char_diversity(spark, sf_dir),
+        "Want: map-side char explode (Generate below the first Exchange),\n"
+        "partial HashAggregate on (doc, ch), doc-grain rollup, ids left\n"
+        "join — zero Python, no Window.",
+    )
+    cap(
+        "host_lang_mix — dominant language without a window",
+        E.q_host_lang_mix(spark, sf_dir),
+        "Want: one (host, lang) partial agg + host rollup whose top-lang\n"
+        "pick is a min(struct(-cnt, lang)) inside the aggregate — no\n"
+        "Window, no Python, host-grain exchanges only.",
+    )
+    cap(
+        "link_gapcode — gamma costs as JVM array folds",
+        E.q_link_gapcode(spark, sf_dir),
+        "Want: the successor sort lives inside ONE partial-agg'd\n"
+        "collect_set groupBy; gamma costs are aggregate/transform\n"
+        "expressions (whole-stage codegen), and the lexicographic id\n"
+        "stamp shows as checkpointed scans (with_global_seq's bounded\n"
+        "two-job pass ran before this plan) — no 1-partition window.",
+    )
+    cap(
+        "events_cascade — raw scanned once, coarser grains off partials",
+        E.q_events_cascade(spark, sf_dir),
+        "Want: exactly ONE parquet scan of the events source (the minute\n"
+        "grain, materialized); the hour/day branches read the checkpointed\n"
+        "minute/hour relations — never a second pass over raw (the\n"
+        "branch-recompute trap this plan originally exhibited and now\n"
+        "guards against).",
+    )
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")
