@@ -601,3 +601,50 @@ def test_read_pages_formats(spark, tmp_path):
         pages_src.read_pages(spark, "cat.db.pages", fmt="iceberg")
     with pytest.raises(ValueError, match="unknown pages format"):
         pages_src.read_pages(spark, p, fmt="orc2")
+
+
+def test_graph_cli_end_to_end(tmp_path):
+    """The graph-analytics job writes one parquet per requested op over a
+    pages_meta table and reports honest row counts; unknown ops fail
+    loudly at parse time."""
+    from web_crawler_spark import synth
+
+    synth.ensure_synth("0.001")
+    out_dir = str(tmp_path / "graph")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "graph.py"),
+            "--pages-meta", synth.synth_path("0.001", "pages_meta"),
+            "--output", out_dir,
+            "--ops", "components,bowtie,richclub,salsa",
+            "--master", "local[2]",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert set(stats["rows"]) == {"components", "bowtie", "richclub", "salsa"}
+    assert all(n > 0 for n in stats["rows"].values())
+    # bow-tie and components cover the same host set
+    assert stats["rows"]["bowtie"] == stats["rows"]["components"]
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(out_dir, "bowtie"))
+    assert {"host", "region"} == set(t.column_names)
+
+    from jobs.graph import build_parser, main
+
+    p = build_parser()
+    assert "components" in p.parse_args(
+        ["--pages-meta", "/x", "--output", "/y"]
+    ).ops
+    try:
+        main(["--pages-meta", "/x", "--output", "/y", "--ops", "nope"])
+        raise AssertionError("unknown op must SystemExit")
+    except SystemExit as ex:
+        assert "nope" in str(ex)
