@@ -1931,6 +1931,14 @@ def q_link_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_cocitation(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar / resource-allocation link prediction: non-adjacent host
+    pairs scored by exact-integer common-neighbor indices (floor-log2 AA
+    variant); center-out wedge join with a degree cap on mega-hub centers
+    (linkstats.host_link_prediction docstring)."""
+    return linkstats.host_link_prediction(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host triangle counts (clustering coefficient numerator — the
     Becchetti web-spam signal) via degree-ordered orientation: hubs become
@@ -3913,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hostgraph": q_link_hostgraph,
         "link_cocitation": q_link_cocitation,
         "link_triangles": q_link_triangles,
+        "link_prediction": q_link_prediction,
         "link_pagerank": q_link_pagerank,
         "link_opic": q_link_opic,
         "frontier_rank": q_frontier_rank,
@@ -4659,6 +4668,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "link_hostgraph": linkstats.duck_host_graph_sql(pages_meta),
         "link_cocitation": linkstats.duck_cocitation_sql(pages_meta),
         "link_triangles": linkstats.duck_triangles_sql(pages_meta),
+        "link_prediction": linkstats.duck_link_prediction_sql(pages_meta),
         "link_pagerank": linkstats.duck_pagerank_sql(pages_meta),
         "link_opic": linkstats.duck_opic_sql(pages_meta),
         "link_spam": linkstats.duck_link_spam_sql(pages_meta),

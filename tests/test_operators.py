@@ -732,6 +732,66 @@ def test_host_triangles_crafted(spark):
     }
 
 
+def test_host_link_prediction_crafted(spark):
+    """Hand-computed AA/RA scores: a--z1--b and a--z2--b (a,b non-adjacent,
+    two degree-2 common neighbors) plus pendant a--c.  Also the symmetric
+    (z1,z2) pair through centers a (deg 3) and b (deg 2).  Adding the a--b
+    edge must remove the pair (adjacency anti-join); a degree cap of 2 must
+    prune center a."""
+    from web_crawler_spark.functions.linkstats import host_link_prediction
+
+    df = _mk_pages_meta(
+        spark,
+        [
+            ("z1.example", ["a.example", "b.example"]),
+            ("z2.example", ["a.example", "b.example"]),
+            ("a.example", ["c.example"]),
+        ],
+    )
+    out = {
+        (r["host_a"], r["host_b"]): r
+        for r in host_link_prediction(df, deg_cap=10, min_common=2).collect()
+    }
+    ab = out[("a.example", "b.example")]
+    # two common neighbors of degree 2: aa = 2 * (1e6 DIV floor(log2 2)=1),
+    # ra = 2 * (1e6 DIV 2)
+    assert ab["n_common"] == 2
+    assert ab["aa_score_ppm"] == 2_000_000
+    assert ab["ra_score_ppm"] == 1_000_000
+    z12 = out[("z1.example", "z2.example")]
+    # common neighbors a (deg 3, floor-log2 = 1) and b (deg 2)
+    assert z12["n_common"] == 2
+    assert z12["aa_score_ppm"] == 2_000_000
+    assert z12["ra_score_ppm"] == 10**6 // 3 + 500_000
+    assert set(out) == {
+        ("a.example", "b.example"),
+        ("z1.example", "z2.example"),
+    }
+
+    # adjacency exclusion: once a links b, the (a,b) prediction disappears
+    df2 = _mk_pages_meta(
+        spark,
+        [
+            ("z1.example", ["a.example", "b.example"]),
+            ("z2.example", ["a.example", "b.example"]),
+            ("a.example", ["c.example", "b.example"]),
+        ],
+    )
+    out2 = {
+        (r["host_a"], r["host_b"])
+        for r in host_link_prediction(df2, deg_cap=10, min_common=2).collect()
+    }
+    assert ("a.example", "b.example") not in out2
+
+    # super-node pruning: deg_cap=2 drops center a (deg 3) -> (z1,z2) loses
+    # one of its two common neighbors and falls below min_common
+    out3 = {
+        (r["host_a"], r["host_b"])
+        for r in host_link_prediction(df, deg_cap=2, min_common=2).collect()
+    }
+    assert out3 == {("a.example", "b.example")}
+
+
 def test_host_coreness_crafted(spark, tmp_path):
     """Known decomposition: a 4-clique (core 3), a triangle hanging off it
     by one bridge edge (core 2), and a pendant chain (core 1); direction

@@ -2574,3 +2574,125 @@ SELECT depth, n_pairs,
    * 1000000 // (SELECT sum(n_pairs) FROM byd))::BIGINT AS cum_ppm
 FROM byd
 """
+
+
+# --- link prediction (Adamic-Adar / resource-allocation) ---------------------
+#
+# Score non-adjacent host pairs by their common-neighbor structure over the
+# undirected host graph — the classic "friend-of-friend" link-prediction
+# indices (Adamic & Adar 2003; Zhou/Lu/Zhang 2009 resource allocation).
+# Crawl use: predicted links are discovery candidates (hosts likely to link
+# soon, or links the crawl has not fetched yet) and related-domain
+# suggestions that complement co-citation.
+#
+# Determinism contract: Adamic-Adar's 1/ln(deg) is float and its sum is
+# reduction-order dependent, so the engine scores with EXACT integers —
+# aa weight = 10^6 DIV floor(log2(deg z)) (floor-log2 via binary-string
+# length, bit-exact in both engines; a constant-factor rescale of 1/log
+# that preserves ranking) and ra weight = 10^6 DIV deg z.  Integer sums
+# are associative/commutative, so results are bit-identical across
+# partition counts and engines.  Every common neighbor has deg >= 2, so
+# floor(log2) >= 1 and neither division can hit zero.
+#
+# Scale shape: wedges are enumerated center-out — each common neighbor z
+# emits C(deg z, 2) pair rows, so centers above ``deg_cap`` are pruned
+# (mega-hubs contribute ~no discriminative signal, exactly the co-citation
+# super-node defense) and the pre-agg wedge relation is bounded by
+# cap²/2 per center.  The already-adjacent filter is an anti-join against
+# the (far smaller, distinct) edge relation — broadcastable at any realistic
+# host-graph size; everything else is one partial-agg'd exchange.
+
+LINKPRED_DEG_CAP = 128    # fixture max undirected degree is ~63; production guard
+LINKPRED_MIN_COMMON = 2
+
+
+def host_link_prediction(
+    df: DataFrame,
+    deg_cap: int = LINKPRED_DEG_CAP,
+    min_common: int = LINKPRED_MIN_COMMON,
+) -> DataFrame:
+    """(host_a, host_b, n_common, aa_score_ppm, ra_score_ppm): NON-adjacent
+    host pairs with >= ``min_common`` common neighbors, scored by exact
+    integer Adamic-Adar (log2 variant) and resource-allocation indices.
+
+    Plan: undirected distinct edges -> degree agg -> center-out wedge
+    self-join (centers capped at ``deg_cap``) -> partial-agg'd pair
+    aggregation -> anti-join dropping already-linked pairs."""
+    e = host_graph(df).select("src_host", "dst_host")
+    und = (
+        e.where(F.col("src_host") != F.col("dst_host"))
+        .select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+        )
+        .distinct()
+    )
+    nbr = und.select(F.col("a").alias("z"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    deg = nbr.groupBy("z").agg(F.count("*").alias("deg"))
+    centers = nbr.join(
+        deg.where((F.col("deg") >= 2) & (F.col("deg") <= deg_cap)), "z"
+    )
+    pairs = (
+        centers.alias("l")
+        .join(
+            centers.alias("r"),
+            on=[
+                F.col("l.z") == F.col("r.z"),
+                F.col("l.n") < F.col("r.n"),
+            ],
+        )
+        .select(
+            F.col("l.n").alias("host_a"),
+            F.col("r.n").alias("host_b"),
+            # floor(log2(deg)) == length(bin(deg)) - 1, exact in both engines
+            F.expr("1000000L DIV (length(bin(l.deg)) - 1)").alias("aa_w"),
+            F.expr("1000000L DIV l.deg").alias("ra_w"),
+        )
+        .groupBy("host_a", "host_b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("aa_w").cast("long").alias("aa_score_ppm"),
+            F.sum("ra_w").cast("long").alias("ra_score_ppm"),
+        )
+        .where(F.col("n_common") >= min_common)
+    )
+    return pairs.join(
+        und.select(F.col("a").alias("host_a"), F.col("b").alias("host_b")),
+        ["host_a", "host_b"],
+        "left_anti",
+    )
+
+
+def duck_link_prediction_sql(
+    pages_meta: str,
+    deg_cap: int = LINKPRED_DEG_CAP,
+    min_common: int = LINKPRED_MIN_COMMON,
+) -> str:
+    """DuckDB twin of :func:`host_link_prediction`."""
+    return rf"""
+WITH g AS ({duck_host_graph_sql(pages_meta)}),
+und AS (
+  SELECT DISTINCT least(src_host, dst_host) AS a,
+                  greatest(src_host, dst_host) AS b
+  FROM g WHERE src_host <> dst_host
+),
+nbr AS (SELECT a AS z, b AS n FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT z, count(*)::BIGINT AS deg FROM nbr GROUP BY 1),
+ctr AS (
+  SELECT nbr.z, nbr.n, deg.deg FROM nbr JOIN deg USING (z)
+  WHERE deg.deg BETWEEN 2 AND {deg_cap}
+),
+pairs AS (
+  SELECT l.n AS host_a, r.n AS host_b,
+         count(*)::BIGINT AS n_common,
+         sum(1000000 // (length(bin(l.deg)) - 1))::BIGINT AS aa_score_ppm,
+         sum(1000000 // l.deg)::BIGINT AS ra_score_ppm
+  FROM ctr l JOIN ctr r ON l.z = r.z AND l.n < r.n
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_common}
+)
+SELECT p.* FROM pairs p
+ANTI JOIN und ON und.a = p.host_a AND und.b = p.host_b
+"""
