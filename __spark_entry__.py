@@ -3102,6 +3102,76 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTR_LOOKBACK_US = 24 * 3600 * 1_000_000  # 24h attribution window
+ATTR_CHANNELS = ("view", "click", "signup")
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution (first-touch / last-touch /
+    linear) over the events stream: every purchase distributes exactly
+    10^6 ppm of credit across the touch events (view/click/signup) by the
+    same user inside a 24h lookback window.
+
+    Determinism: linear credit is 10^6 DIV n per touch with the remainder
+    assigned to the last touch (ties broken by event_id), so per-conversion
+    credit sums to exactly 10^6 and all sums are integer — bit-identical
+    across engines and partition counts.
+
+    Scale shape: the touch->conversion range join is bounded by per-user
+    activity inside the lookback (never a global range join); the three
+    position signals ride ONE window exchange keyed on the conversion id;
+    final channel agg is a partial-agg'd 3-row exchange."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts_us").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin(*ATTR_CHANNELS)).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        "event_id",
+        "ts_us",
+    )
+    j = touch.join(
+        conv,
+        on=[
+            touch["user_id"] == conv["user_id"],
+            touch["ts_us"] <= conv["conv_ts"],
+            touch["ts_us"] > conv["conv_ts"] - F.lit(ATTR_LOOKBACK_US),
+        ],
+    ).select("channel", "conv_id", "ts_us", "event_id")
+    w = Window.partitionBy("conv_id")
+    wo = w.orderBy("ts_us", "event_id")
+    r = j.select(
+        "channel",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    return r.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_touch_rows"),
+        F.sum((F.col("rn") == 1).cast("long")).cast("long").alias("n_first"),
+        F.sum((F.col("rn") == F.col("n")).cast("long"))
+        .cast("long")
+        .alias("n_last"),
+        F.sum(
+            F.expr("1000000L DIV n")
+            + F.when(F.col("rn") == F.col("n"), F.expr("1000000L % n")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("linear_ppm"),
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (event_type): per-type counts plus the grand total, with
     an explicit grouping flag (null-vs-total disambiguation)."""
@@ -3980,6 +4050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid": q_search_hybrid,
         "search_mmr": q_search_mmr,
         "events_user_rank": q_events_user_rank,
+        "events_attribution": q_events_attribution,
         "events_funnel": q_events_funnel,
         "events_transitions": q_events_transitions,
         "events_overlaps": q_events_overlaps,
@@ -5155,6 +5226,42 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
             SELECT event_type, next_type, count(*)::BIGINT AS n_transitions
             FROM seq WHERE next_type IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "events_attribution": f"""
+            WITH ev AS (
+              SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+              FROM events
+            ),
+            conv AS (
+              SELECT user_id, event_id AS conv_id, ts_us AS conv_ts
+              FROM ev WHERE event_type = 'purchase'
+            ),
+            touch AS (
+              SELECT user_id, event_type AS channel, event_id, ts_us
+              FROM ev WHERE event_type IN {ATTR_CHANNELS!r}
+            ),
+            j AS (
+              SELECT t.channel, c.conv_id, t.ts_us, t.event_id
+              FROM touch t JOIN conv c
+                ON t.user_id = c.user_id
+               AND t.ts_us <= c.conv_ts
+               AND t.ts_us > c.conv_ts - {ATTR_LOOKBACK_US}
+            ),
+            r AS (
+              SELECT channel,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY ts_us, event_id) AS rn,
+                     count(*) OVER (PARTITION BY conv_id) AS n
+              FROM j
+            )
+            SELECT channel,
+                   count(*)::BIGINT AS n_touch_rows,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_first,
+                   sum(CASE WHEN rn = n THEN 1 ELSE 0 END)::BIGINT AS n_last,
+                   sum(1000000 // n
+                       + CASE WHEN rn = n THEN 1000000 % n ELSE 0 END)::BIGINT
+                     AS linear_ppm
+            FROM r GROUP BY 1
         """,
         "events_funnel": f"""
             WITH ev AS (

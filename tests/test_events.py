@@ -473,3 +473,56 @@ def test_events_cascade_matches_direct(spark):
     assert got[("day", base)] == (4, 2)
     assert got[("day", base + 86400)] == (1, 0)
     assert len(got) == 4 + 3 + 2
+
+
+def test_events_attribution_credit_exact(spark, tmp_path):
+    """Crafted attribution: user 1 purchase preceded by 3 touches inside
+    the 24h lookback (view, click, view) -> linear credit 333333 per touch
+    + remainder 1 to the LAST touch; first = the view, last = the second
+    view.  A touch outside the lookback and a touch AFTER the purchase
+    must get nothing.  Oracle parity on the same frame."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def s(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, s(-60 * 25), 1, "view", 0.0, ""),   # outside 24h lookback
+        (2, s(-120), 1, "view", 0.0, ""),       # first touch
+        (3, s(-60), 1, "click", 0.0, ""),       # middle touch
+        (4, s(-10), 1, "view", 0.0, ""),        # last touch (gets remainder)
+        (5, s(0), 1, "purchase", 1.0, ""),
+        (6, s(5), 1, "click", 0.0, ""),         # after conversion: no credit
+        # user 2: single-touch conversion -> full 10^6 to signup
+        (7, s(-30), 2, "signup", 0.0, ""),
+        (8, s(0), 2, "purchase", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(p)
+    got = {
+        r["channel"]: r
+        for r in entry.q_events_attribution(spark, str(tmp_path)).collect()
+    }
+    assert got["view"]["n_touch_rows"] == 2
+    assert got["view"]["n_first"] == 1 and got["view"]["n_last"] == 1
+    # 333333 (first view) + 333333 + 1 remainder (last view)
+    assert got["view"]["linear_ppm"] == 666_667
+    assert got["click"]["n_touch_rows"] == 1
+    assert got["click"]["n_first"] == 0 and got["click"]["n_last"] == 0
+    assert got["click"]["linear_ppm"] == 333_333
+    assert got["signup"]["linear_ppm"] == 1_000_000
+    # every conversion's credit sums to exactly 10^6
+    assert sum(r["linear_ppm"] for r in got.values()) == 2_000_000
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = con.sql(entry._oracle_sql_for("0.001")["events_attribution"])
+    _cmp(entry.q_events_attribution(spark, str(tmp_path)), want, ["channel"])
