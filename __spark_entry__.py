@@ -1439,6 +1439,14 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", textstats.lang_pred(F.col("text")).alias("lang_pred"))
 
 
+def q_doc_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-watermark detection (Kirchenbauer green-list z-test) — keeps
+    machine-generated watermarked text out of the training corpus; md5
+    green predicate + squared-integer z-test, entirely map-side
+    (textstats.watermark_scores docstring)."""
+    return textstats.watermark_scores(_docs(spark, sf_dir))
+
+
 def q_doc_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier EVALUATION query: the langid confusion matrix against the
     table's declared language — (lang, lang_pred, n, share_ppm of the
@@ -3944,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": q_doc_readability,
         "doc_source_prior": q_doc_source_prior,
         "doc_langid": q_doc_langid,
+        "doc_watermark": q_doc_watermark,
         "doc_langid_eval": q_doc_langid_eval,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -4620,6 +4629,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_keyphrases": textstats.duck_keyphrases_sql("documents"),
         "doc_source_prior": textstats.duck_source_prior_sql("documents"),
         "doc_langid": textstats.duck_langid_sql("documents"),
+        "doc_watermark": textstats.duck_watermark_sql("documents"),
         "doc_langid_eval": f"""
             WITH pred AS (
               SELECT d.lang, p.lang_pred

@@ -2165,3 +2165,46 @@ def test_mmr_rerank_picks_diverse_over_near_dup(spark):
         .collect()
     ]
     assert got == [(1, 1), (3, 2), (2, 3)]
+
+
+def test_watermark_detection_crafted(spark):
+    """Greedily synthesized green-list text must flag; its red-only twin
+    must not; a two-token doc and the gamma-rate null case pin the z-test
+    arithmetic.  The green predicate here reimplements the engine's md5
+    rule independently in pure Python."""
+    import hashlib
+
+    def green(prev, tok):
+        h = int(hashlib.md5(f"{prev} {tok}".encode()).hexdigest()[:8], 16)
+        return h % textstats.WM_GAMMA_DEN < textstats.WM_GAMMA_NUM
+
+    vocab = [f"w{i}" for i in range(40)]
+
+    def synth(n_tokens, want_green):
+        toks = ["the"]
+        while len(toks) < n_tokens:
+            nxt = next(t for t in vocab if green(toks[-1], t) == want_green)
+            toks.append(nxt)
+        return " ".join(toks)
+
+    wm, plain = synth(120, True), synth(120, False)
+    df = spark.createDataFrame(
+        [(1, wm), (2, plain), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.watermark_scores(df).collect()}
+    assert out[1]["n_scored"] == 119 and out[1]["n_green"] == 119
+    assert out[1]["green_ppm"] == 1_000_000 and out[1]["is_watermarked"]
+    assert out[2]["n_green"] == 0 and not out[2]["is_watermarked"]
+    # 2 tokens -> 1 scored pair; even a green pair cannot clear z=4
+    assert out[3]["n_scored"] == 1 and not out[3]["is_watermarked"]
+
+    # DuckDB twin on the same frame (green predicate + z-test parity)
+    con = duckdb.connect()
+    pdf = df.toPandas()
+    con.register("wmdocs", pdf)
+    want = con.sql(textstats.duck_watermark_sql("wmdocs")).df()
+    got = textstats.watermark_scores(df).toPandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values("doc_id").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

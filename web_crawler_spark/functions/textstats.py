@@ -1934,3 +1934,88 @@ GROUP BY phrase
 ORDER BY n_occur DESC, phrase ASC
 LIMIT {k}
 """
+
+
+# --- LLM-watermark detection (green-list z-test) ------------------------------
+#
+# Kirchenbauer et al. 2023 ("A Watermark for Large Language Models"): a
+# watermarking LLM seeds a PRNG with the previous token and biases sampling
+# toward the resulting "green list" (fraction gamma of the vocabulary).
+# The detector needs no model: for each adjacent token pair, recompute the
+# green/red split from the previous token and z-test whether the green
+# fraction exceeds gamma.  A training-data pipeline runs this to keep
+# synthetic (machine-generated, watermarked) text out of the corpus.
+#
+# Determinism contract: the green predicate is md5-derived (Spark
+# conv(substr(md5,1,8),16,10) == DuckDB ('0x'||substr(md5,1,8))::BIGINT,
+# the repo's cross-engine hash), gamma is the exact ratio NUM/DEN, and the
+# z-test is evaluated in squared integer form —
+#   g - gamma*T > z*sqrt(T*gamma*(1-gamma))
+#   <=>  d := g*DEN - T*NUM > 0  AND  d*d > z^2 * T * NUM * (DEN-NUM)
+# so the flag is bit-identical across engines with no float sqrt.
+#
+# Scale shape: entirely map-side — token split, pair scoring, and the
+# green count are array lambdas inside one projection (no explode, no
+# exchange); the output is doc-grain.
+
+WM_GAMMA_NUM, WM_GAMMA_DEN = 1, 4  # gamma = 0.25
+WM_Z2 = 16                         # z = 4 (detection threshold)
+
+
+def watermark_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_scored, n_green, green_ppm, is_watermarked) for every
+    document with at least one adjacent token pair.  Green predicate:
+    md5(prev || ' ' || tok) mod DEN < NUM."""
+    num, den, z2 = WM_GAMMA_NUM, WM_GAMMA_DEN, WM_Z2
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    scored = df.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        (F.size("toks") - 1).cast("long").alias("n_scored"),
+        F.expr(
+            f"""aggregate(
+              transform(
+                slice(toks, 2, size(toks) - 1),
+                (t, i) -> IF(conv(substring(md5(concat(toks[i], ' ', t)), 1, 8),
+                             16, 10) % {den} < {num}, 1L, 0L)),
+              0L, (acc, x) -> acc + x)"""
+        ).alias("n_green"),
+    )
+    d = F.col("n_green") * den - F.col("n_scored") * num
+    return scored.where(F.col("n_scored") >= 1).select(
+        "doc_id",
+        "n_scored",
+        "n_green",
+        F.expr("n_green * 1000000L DIV n_scored").alias("green_ppm"),
+        ((d > 0) & (d * d > F.col("n_scored") * (z2 * num * (den - num)))).alias(
+            "is_watermarked"
+        ),
+    )
+
+
+def duck_watermark_sql(documents: str, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`watermark_scores` (1-based list indexing)."""
+    num, den, z2 = WM_GAMMA_NUM, WM_GAMMA_DEN, WM_Z2
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM {documents}
+),
+sc AS (
+  SELECT doc_id,
+         (len(toks) - 1)::BIGINT AS n_scored,
+         coalesce(list_sum(list_transform(range(2, len(toks) + 1),
+           i -> CASE WHEN ('0x' || substr(md5(toks[i-1] || ' ' || toks[i]), 1, 8))::BIGINT
+                          % {den} < {num} THEN 1 ELSE 0 END)), 0)::BIGINT AS n_green
+  FROM toks WHERE len(toks) >= 2
+)
+SELECT doc_id, n_scored, n_green,
+       (n_green * 1000000 // n_scored)::BIGINT AS green_ppm,
+       (n_green * {den} - n_scored * {num} > 0 AND
+        (n_green * {den} - n_scored * {num}) * (n_green * {den} - n_scored * {num})
+          > n_scored * {z2 * num * (den - num)}) AS is_watermarked
+FROM sc
+"""
