@@ -3766,6 +3766,15 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bm25_topk(_docs(spark, sf_dir))
 
 
+def q_search_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback: BM25 feedback pass -> integer
+    relevance-model weights over the feedback docs -> top-E expansion
+    terms -> second integer-BM25 pass over the expanded query; feedback
+    and term sets broadcast so corpus rows never shuffle at full width
+    (textstats.rm3_topk docstring)."""
+    return textstats.rm3_topk(_docs(spark, sf_dir))
+
+
 def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact consecutive-phrase match with occurrence counts: non-phrase
     tokens die map-side under a broadcast (slot, term) join, the one
@@ -4067,6 +4076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau": q_events_dau,
         "link_hits": q_link_hits,
         "search_bm25": q_search_bm25,
+        "search_rm3": q_search_rm3,
         "search_phrase": q_search_phrase,
         "doc_collocations": q_doc_collocations,
         "doc_bpe_pairs": q_doc_bpe_pairs,
@@ -5328,6 +5338,7 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
         """,
         "link_hits": linkstats.duck_hits_sql(pages_meta),
         "search_bm25": textstats.duck_bm25_sql("documents"),
+        "search_rm3": textstats.duck_rm3_sql("documents"),
         "search_phrase": textstats.duck_phrase_sql("documents"),
         "doc_collocations": textstats.duck_collocations_sql("documents"),
         "doc_bpe_pairs": textstats.duck_bpe_pairs_sql("documents"),

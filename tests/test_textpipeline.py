@@ -2208,3 +2208,45 @@ def test_watermark_detection_crafted(spark):
     got = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
     want = want.sort_values("doc_id").reset_index(drop=True)[sorted(want.columns)]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rm3_expansion_recovers_vocab_mismatch(spark):
+    """A doc sharing NO query term must enter the RM3 ranking through
+    expansion terms mined from the feedback docs, while plain BM25 cannot
+    score it; expansion must exclude the original query terms.  Oracle
+    parity on the same frame."""
+    rows = [
+        (1, "spark catalyst engine"),
+        (2, "spark catalyst engine"),
+        (3, "spark catalyst engine"),
+        (4, "catalyst catalyst catalyst optimizer"),   # no 'spark'
+        (5, "unrelated words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = ("spark",)
+
+    bm = {r["doc_id"] for r in textstats.bm25_topk(df, q, k=5).collect()}
+    assert 4 not in bm  # vocabulary mismatch: BM25 cannot see doc 4
+
+    rm = {
+        r["doc_id"]: r
+        for r in textstats.rm3_topk(df, q, fb_k=3, n_exp=2, k=5).collect()
+    }
+    assert 4 in rm and rm[4]["score_ppm"] > 0
+    assert 5 not in rm  # still no shared vocabulary
+
+    con = duckdb.connect()
+    con.register("rm3docs", df.toPandas())
+    want = con.sql(
+        textstats.duck_rm3_sql("rm3docs", q, fb_k=3, n_exp=2, k=5)
+    ).df()
+    got = (
+        textstats.rm3_topk(df, q, fb_k=3, n_exp=2, k=5)
+        .toPandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    want = want.sort_values("rnk").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )

@@ -2019,3 +2019,189 @@ SELECT doc_id, n_scored, n_green,
           > n_scored * {z2 * num * (den - num)}) AS is_watermarked
 FROM sc
 """
+
+
+# -- RM3 pseudo-relevance feedback (query expansion) ---------------------------
+#
+# The classic two-pass retrieval refinement (Lavrenko & Croft relevance
+# models, SIGIR'01; the RM3 variant of Abdul-Jaleel et al., TREC'04):
+# retrieve a feedback set with the base query, estimate a relevance model
+# over its terms, expand the query with the highest-weight terms, and
+# re-retrieve.  Corpus curation uses this to harden retrieval-based
+# quality filters against vocabulary mismatch.
+#
+# Deterministic simplification (graded contract): uniform P(d|q) over the
+# feedback set, so the relevance-model weight of term w is
+#   rm_ppm(w) = sum over feedback docs d of tf(w,d) * 1e6 DIV dl(d)
+# (exact integers, reduction-order independent); the top-E non-query
+# terms by (rm_ppm DESC, term ASC) join the query with uniform weight and
+# the second pass is the same integer BM25 as bm25_topk.
+#
+# Scale shape: pass 1 is bm25_topk (one tokenize pass, partial top-k);
+# the feedback set (<= fb_k rows) and the expansion term set (<= |q|+E
+# rows) broadcast, so expansion weighting dies map-side outside the
+# feedback docs and pass-2 term filtering dies map-side outside the
+# expanded vocabulary — corpus rows never shuffle at full width.  A
+# production deployment amortizes the re-scans through the capped
+# inverted index (merge_postings / index_postings); the logical plan is
+# identical.
+
+RM3_FB_DOCS = 10
+RM3_EXP_TERMS = 8
+RM3_TOPK = BM25_TOPK
+
+
+def rm3_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    fb_k: int = RM3_FB_DOCS,
+    n_exp: int = RM3_EXP_TERMS,
+    k: int = RM3_TOPK,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score_ppm, rnk): top-k documents for the RM3-expanded
+    query under the same integer-exact BM25 as :func:`bm25_topk`."""
+    from pyspark.sql import Window
+
+    qt = [t.lower() for t in dict.fromkeys(query_terms)]
+    fb = bm25_topk(
+        df, query_terms, k=fb_k, id_col=id_col, text_col=text_col
+    ).select("doc_id")
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    fb_toks = toks.join(F.broadcast(fb), on="doc_id")
+    fb_dl = fb_toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    exp = (
+        fb_toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .join(fb_dl, on="doc_id")
+        .select("term", F.expr("tf * 1000000L DIV dl").alias("w_ppm"))
+        .where(~F.col("term").isin(*qt))
+        .groupBy("term")
+        .agg(F.sum("w_ppm").cast("long").alias("rm_ppm"))
+        .orderBy(F.desc("rm_ppm"), F.asc("term"))
+        .limit(n_exp)
+    )
+    terms = (
+        exp.select("term")
+        .unionByName(
+            df.sparkSession.createDataFrame([(t,) for t in qt], "term string")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # pass 2: generic weighted-by-idf BM25 over the expanded term set —
+    # term filter is a broadcast semi-join (non-query tokens die map-side)
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    n_docs = df.count()
+    total_toks = per_doc.agg(F.coalesce(F.sum("dl"), F.lit(0))).first()[0]
+    if n_docs == 0 or int(total_toks) == 0:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0).cast("long").alias("score_ppm"),
+            F.lit(0).cast("long").alias("rnk"),
+        ).limit(0)
+    avgdl_ppm = (int(total_toks) * 1_000_000) // int(n_docs)
+    tf = (
+        toks.join(F.broadcast(terms), on="term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .join(per_doc, on="doc_id")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+    idf = dfreq.select(
+        "term",
+        F.expr(
+            f"(2 * ({n_docs}L - df_t) + 1) * 1000000L DIV (2 * df_t + 1)"
+        ).alias("idf_ppm"),
+    )
+    contrib = _bm25_contrib_expr().format(div="DIV", avgdl_ppm=f"{avgdl_ppm}L")
+    scored = (
+        tf.join(F.broadcast(idf), on="term")
+        .withColumn("c_ppm", F.expr(contrib))
+        .groupBy("doc_id")
+        .agg(F.sum("c_ppm").cast("long").alias("score_ppm"))
+    )
+    top = scored.orderBy(F.desc("score_ppm"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "doc_id", "score_ppm", "rnk"
+    )
+
+
+def duck_rm3_sql(
+    table: str,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    fb_k: int = RM3_FB_DOCS,
+    n_exp: int = RM3_EXP_TERMS,
+    k: int = RM3_TOPK,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`rm3_topk` (first pass embeds duck_bm25_sql)."""
+    qt = [t.lower() for t in dict.fromkeys(query_terms)]
+    qlist = ", ".join(f"'{t}'" for t in qt)
+    contrib = _bm25_contrib_expr().format(
+        div="//", avgdl_ppm="(SELECT avgdl_ppm FROM av)"
+    )
+    return rf"""
+WITH fb AS (
+  SELECT doc_id FROM ({duck_bm25_sql(table, query_terms, k=fb_k, id_col=id_col)})
+),
+toks AS (
+  SELECT {id_col} AS doc_id, t.term
+  FROM {table}, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+fb_toks AS (SELECT toks.* FROM toks JOIN fb USING (doc_id)),
+fb_dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM fb_toks GROUP BY 1),
+exp AS (
+  SELECT term, sum(tf * 1000000 // dl)::BIGINT AS rm_ppm
+  FROM (
+    SELECT ft.doc_id, ft.term, count(*)::BIGINT AS tf
+    FROM fb_toks ft GROUP BY 1, 2
+  ) x JOIN fb_dl USING (doc_id)
+  WHERE term NOT IN ({qlist})
+  GROUP BY term
+  ORDER BY rm_ppm DESC, term ASC
+  LIMIT {n_exp}
+),
+terms AS (
+  SELECT term FROM exp UNION SELECT unnest([{qlist}])
+),
+per_doc AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM {table}),
+av AS (
+  SELECT sum(dl)::BIGINT * 1000000 // (SELECT n FROM nn) AS avgdl_ppm
+  FROM per_doc
+),
+tf AS (
+  SELECT t.doc_id, t.term, count(*)::BIGINT AS tf, any_value(pd.dl) AS dl
+  FROM toks t JOIN terms USING (term) JOIN per_doc pd USING (doc_id)
+  GROUP BY 1, 2
+),
+dfq AS (SELECT term, count(*)::BIGINT AS df_t FROM tf GROUP BY 1),
+idf AS (
+  SELECT term,
+         (2 * ((SELECT n FROM nn) - df_t) + 1) * 1000000 // (2 * df_t + 1)
+           AS idf_ppm
+  FROM dfq
+),
+sc AS (
+  SELECT t.doc_id, sum({contrib})::BIGINT AS score_ppm
+  FROM tf t JOIN idf ON idf.term = t.term
+  GROUP BY 1
+)
+SELECT doc_id, score_ppm, rnk FROM (
+  SELECT doc_id, score_ppm,
+         row_number() OVER (ORDER BY score_ppm DESC, doc_id)::BIGINT AS rnk
+  FROM sc
+) WHERE rnk <= {k}
+"""
