@@ -3783,6 +3783,14 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.phrase_search(_docs(spark, sf_dir))
 
 
+def q_doc_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer entity tagging (dictionary NER): typed surface forms
+    matched by the multi-phrase positional-postings anchor join — one
+    broadcast (entity, slot, term) join, one exchange carrying only
+    gazetteer-term occurrences (textstats.gazetteer_tag docstring)."""
+    return textstats.gazetteer_tag(_docs(spark, sf_dir))
+
+
 def q_doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dice-scored bigram collocations in exact BIGINT arithmetic: bigrams
     built map-side by self-shifted array zip (no positional join), support
@@ -3962,6 +3970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_prior": q_doc_source_prior,
         "doc_langid": q_doc_langid,
         "doc_watermark": q_doc_watermark,
+        "doc_entities": q_doc_entities,
         "doc_langid_eval": q_doc_langid_eval,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -4640,6 +4649,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "doc_source_prior": textstats.duck_source_prior_sql("documents"),
         "doc_langid": textstats.duck_langid_sql("documents"),
         "doc_watermark": textstats.duck_watermark_sql("documents"),
+        "doc_entities": textstats.duck_gazetteer_sql("documents"),
         "doc_langid_eval": f"""
             WITH pred AS (
               SELECT d.lang, p.lang_pred

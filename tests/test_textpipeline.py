@@ -2250,3 +2250,49 @@ def test_rm3_expansion_recovers_vocab_mismatch(spark):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
+
+
+def test_gazetteer_tagging_crafted(spark):
+    """Nested/overlapping matches all count ('sort merge join' holds both
+    OPERATOR bigrams), matching is case-insensitive, single-token entities
+    count every occurrence, and punctuation between words does NOT break
+    adjacency (the [^a-z0-9]+ tokenizer treats it as one separator — the
+    documented phrase semantics shared with phrase_search).  Oracle parity
+    on the same frame."""
+    gaz = (
+        ("hash join", "OPERATOR"),
+        ("sort merge", "OPERATOR"),
+        ("merge join", "OPERATOR"),
+        ("spark", "ENGINE"),
+    )
+    rows = [
+        (1, "the sort merge join beats the hash join"),
+        (2, "spark, Spark and SPARK run a hash. join"),
+        (3, "nothing relevant"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["entity"]): (r["etype"], r["n_mentions"])
+        for r in textstats.gazetteer_tag(df, gaz).collect()
+    }
+    assert got[(1, "sort merge")] == ("OPERATOR", 1)
+    assert got[(1, "merge join")] == ("OPERATOR", 1)   # nested overlap counts
+    assert got[(1, "hash join")] == ("OPERATOR", 1)
+    assert got[(2, "spark")] == ("ENGINE", 3)          # case-insensitive
+    assert (2, "hash join") in got  # tokenizer strips punctuation: 'hash. join'
+    assert all(d != 3 for d, _ in got)
+
+    con = duckdb.connect()
+    con.register("gazdocs", df.toPandas())
+    want = con.sql(textstats.duck_gazetteer_sql("gazdocs", gaz)).df()
+    got_df = (
+        textstats.gazetteer_tag(df, gaz)
+        .toPandas()
+        .sort_values(["doc_id", "entity"])
+        .reset_index(drop=True)
+    )
+    want = want.sort_values(["doc_id", "entity"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_df[sorted(got_df.columns)], want[sorted(want.columns)],
+        check_dtype=False,
+    )

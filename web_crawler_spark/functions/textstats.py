@@ -2205,3 +2205,110 @@ SELECT doc_id, score_ppm, rnk FROM (
   FROM sc
 ) WHERE rnk <= {k}
 """
+
+
+# -- gazetteer entity tagging (dictionary NER) ---------------------------------
+#
+# Dictionary-based entity tagging — the exact-match NER pass every web-corpus
+# pipeline runs before (or instead of) model NER: a curated gazetteer of
+# typed surface forms (products, locations, orgs) is matched against the
+# token stream and mention counts feed entity-level corpus statistics and
+# filtering.  Multi-word surface forms use the positional-postings anchor
+# trick of phrase_search generalized to many phrases at once: one broadcast
+# (entity, slot, term) join kills every non-gazetteer token map-side, and
+# the single exchange — keyed (doc, entity, anchor) — carries only
+# gazetteer-term occurrences, never the corpus.  All matches count,
+# including nested/overlapping ones (dictionary-tagging semantics).
+
+GAZETTEER = (
+    ("hash join", "OPERATOR"),
+    ("sort merge", "OPERATOR"),
+    ("merge join", "OPERATOR"),
+    ("table scan", "OPERATOR"),
+    ("window", "OPERATOR"),
+    ("spark", "ENGINE"),
+    ("batch stream", "MODE"),
+)
+
+
+def gazetteer_tag(
+    df: DataFrame,
+    gazetteer: tuple[tuple[str, str], ...] = GAZETTEER,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, entity, etype, n_mentions): occurrence counts of every
+    gazetteer surface form per document (exact consecutive-token match,
+    lowercase token normalization)."""
+    slot_rows = []
+    for entity, etype in gazetteer:
+        toks = [t for t in entity.lower().split() if t]
+        for i, t in enumerate(toks):
+            slot_rows.append((entity, etype, i, t, len(toks)))
+    slot_df = df.sparkSession.createDataFrame(
+        slot_rows, "entity string, etype string, slot int, term string, plen int"
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("pos", "term"),
+    )
+    cand = toks.join(F.broadcast(slot_df), "term").select(
+        "doc_id",
+        "entity",
+        "etype",
+        (F.col("pos") - F.col("slot")).alias("anchor"),
+        "plen",
+    )
+    hits = (
+        cand.groupBy("doc_id", "entity", "etype", "anchor")
+        .agg(F.count("*").alias("ns"), F.max("plen").alias("plen"))
+        .where(F.col("ns") == F.col("plen"))
+    )
+    return hits.groupBy("doc_id", "entity", "etype").agg(
+        F.count("*").cast("long").alias("n_mentions")
+    )
+
+
+def duck_gazetteer_sql(
+    table: str, gazetteer: tuple[tuple[str, str], ...] = GAZETTEER
+) -> str:
+    """DuckDB twin of :func:`gazetteer_tag`."""
+    slot_rows = []
+    for entity, etype in gazetteer:
+        toks = [t for t in entity.lower().split() if t]
+        for i, t in enumerate(toks):
+            slot_rows.append(
+                f"('{entity}', '{etype}', {i}, '{t}', {len(toks)})"
+            )
+    values = ", ".join(slot_rows)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(arr) AS term,
+         unnest(range(len(arr))) AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS arr
+    FROM {table}
+  )
+),
+slots(entity, etype, slot, term, plen) AS (VALUES {values}),
+cand AS (
+  SELECT t.doc_id, s.entity, s.etype, t.pos - s.slot AS anchor, s.plen
+  FROM toks t JOIN slots s USING (term)
+),
+hits AS (
+  SELECT doc_id, entity, etype, anchor
+  FROM cand
+  GROUP BY doc_id, entity, etype, anchor, plen
+  HAVING count(*) = plen
+)
+SELECT doc_id, entity, etype, count(*)::BIGINT AS n_mentions
+FROM hits GROUP BY 1, 2, 3
+"""
