@@ -940,6 +940,14 @@ def q_url_suspicious(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlfilter.suspicious_url_flags(_synth(spark, sf_dir, "urls_sus"))
 
 
+def q_url_typosquat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typosquat screen: hosts within edit distance 1 of a top-10 brand
+    host — partial-agg'd host relation x broadcast brand list with a
+    length prefilter ahead of levenshtein
+    (urlfilter.typosquat_candidates docstring)."""
+    return urlfilter.typosquat_candidates(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE-style corpus keyphrases (Rose et al. 2010): stopword/punct-
     delimited multiword candidates mined map-side, one partial-agg'd
@@ -3930,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_discovery": q_frontier_discovery,
         "corpus_epochs": q_corpus_epochs,
         "url_suspicious": q_url_suspicious,
+        "url_typosquat": q_url_typosquat,
         "doc_keyphrases": q_doc_keyphrases,
         "media_phash": q_media_phash,
         "media_audio": q_media_audio,
@@ -4554,6 +4563,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "url_suspicious": urlfilter.duck_suspicious_sql(
             f"read_parquet('{sp('urls_sus')}')"
         ),
+        "url_typosquat": urlfilter.duck_typosquat_sql(pages_meta),
         "frontier_discovery": _discovery.duck_discovery_sql(
             f"(SELECT url FROM read_parquet('{sp('seeds')}'))",
             f"read_parquet('{sp('sitemaps')}')",

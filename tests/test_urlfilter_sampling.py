@@ -656,3 +656,56 @@ def test_suspicious_url_flags_pinned(spark, tmp_path):
         for c in ["host", "is_ip", "has_userinfo", "has_punycode",
                   "n_labels", "nonstd_port", "suspicious"]:
             assert g[c] == r[c], (r["url"], c, g[c], r[c])
+
+
+def test_typosquat_crafted(spark):
+    """gooogle.example (one insertion) and googel.example (one transposition
+    = 2 classic edits but levenshtein 2 -> NOT flagged at dist 1) pin the
+    distance semantics; the brand itself is excluded; low-traffic hosts
+    never become brands.  Oracle parity on the same frame."""
+    import duckdb
+    import pandas as pd
+
+    from web_crawler_spark.functions import urlfilter
+
+    rows = (
+        [("google.example",)] * 50
+        + [("gooogle.example",)] * 2   # insertion: dist 1 -> flagged
+        + [("googel.example",)] * 2    # transposition: levenshtein 2 -> not at d=1
+        + [("froogle.example",)] * 2   # dist 2 -> not flagged
+        + [("other.example",)] * 40
+    )
+    df = spark.createDataFrame(rows, "host string")
+    got = {
+        (r["host"], r["brand"]): r
+        for r in urlfilter.typosquat_candidates(
+            df, n_brands=2, max_dist=1
+        ).collect()
+    }
+    assert ("gooogle.example", "google.example") in got
+    assert got[("gooogle.example", "google.example")]["dist"] == 1
+    assert got[("gooogle.example", "google.example")]["brand_pages"] == 50
+    assert ("googel.example", "google.example") not in got
+    assert ("froogle.example", "google.example") not in got
+    assert ("google.example", "google.example") not in got
+    # brands are (google, other); no host is within 1 edit of other.example
+    assert all(b == "google.example" for _, b in got)
+
+    con = duckdb.connect()
+    con.register("typodocs", df.toPandas())
+    want = (
+        con.sql(urlfilter.duck_typosquat_sql("typodocs", n_brands=2, max_dist=1))
+        .df()
+        .sort_values(["host", "brand"])
+        .reset_index(drop=True)
+    )
+    got_df = (
+        urlfilter.typosquat_candidates(df, n_brands=2, max_dist=1)
+        .toPandas()
+        .sort_values(["host", "brand"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_df[sorted(got_df.columns)], want[sorted(want.columns)],
+        check_dtype=False,
+    )

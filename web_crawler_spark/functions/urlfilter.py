@@ -750,3 +750,84 @@ SELECT url, host,
         OR (port <> '' AND port NOT IN ('80', '443'))) AS suspicious
 FROM c
 """
+
+
+# --- typosquat detection (brand-protection / phishing-feed filter) -----------
+#
+# Flag hosts within a small edit distance of a high-traffic "brand" host —
+# the standard typosquatting screen (Szurdi et al., USENIX Sec'14; Wang et
+# al. "Strider Typo-Patrol") a crawl pipeline runs to keep phishing mirrors
+# and parked typo domains out of a training corpus and to route them to a
+# security review queue.
+#
+# Scale shape: hosts collapse to one partial-agg'd (host, n_pages) relation
+# first; the brand list is a top-N (TakeOrderedAndProject) broadcast, so
+# the comparison is a map-side nested loop of |hosts| x N with a length
+# prefilter (|len(a)-len(b)| <= d, a necessary condition for edit distance
+# <= d) evaluated before levenshtein.  Levenshtein is classic edit distance
+# in both engines — integer, engine-exact.
+
+TYPO_TOP_BRANDS = 10
+TYPO_MAX_DIST = 1
+
+
+def typosquat_candidates(
+    df: DataFrame,
+    host_col: str = "host",
+    n_brands: int = TYPO_TOP_BRANDS,
+    max_dist: int = TYPO_MAX_DIST,
+) -> DataFrame:
+    """(host, brand, dist, n_pages, brand_pages): hosts within ``max_dist``
+    edits of a top-``n_brands`` host (by page count, host-name tie-break),
+    excluding exact self-matches."""
+    hosts = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").cast("long").alias("n_pages")
+    )
+    brands = (
+        hosts.orderBy(F.desc("n_pages"), F.asc("host"))
+        .limit(n_brands)
+        .select(
+            F.col("host").alias("brand"), F.col("n_pages").alias("brand_pages")
+        )
+    )
+    cand = hosts.join(
+        F.broadcast(brands),
+        on=[
+            F.col("host") != F.col("brand"),
+            # cheap necessary condition evaluated before levenshtein
+            F.abs(F.length("host") - F.length("brand")) <= max_dist,
+        ],
+    )
+    return cand.select(
+        "host",
+        "brand",
+        F.levenshtein("host", "brand").cast("long").alias("dist"),
+        "n_pages",
+        "brand_pages",
+    ).where(F.col("dist") <= max_dist)
+
+
+def duck_typosquat_sql(
+    table: str,
+    host_col: str = "host",
+    n_brands: int = TYPO_TOP_BRANDS,
+    max_dist: int = TYPO_MAX_DIST,
+) -> str:
+    """DuckDB twin of :func:`typosquat_candidates`."""
+    return rf"""
+WITH hosts AS (
+  SELECT {host_col} AS host, count(*)::BIGINT AS n_pages
+  FROM {table} GROUP BY 1
+),
+brands AS (
+  SELECT host AS brand, n_pages AS brand_pages
+  FROM hosts ORDER BY n_pages DESC, host ASC LIMIT {n_brands}
+)
+SELECT h.host, b.brand,
+       levenshtein(h.host, b.brand)::BIGINT AS dist,
+       h.n_pages, b.brand_pages
+FROM hosts h JOIN brands b
+  ON h.host <> b.brand
+ AND abs(length(h.host) - length(b.brand)) <= {max_dist}
+WHERE levenshtein(h.host, b.brand) <= {max_dist}
+"""
