@@ -720,6 +720,16 @@ def q_sched_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_quotas(demands, WATERFILL_CAPACITY)
 
 
+def q_sched_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash (HRW) crawler-agent assignment: every host argmaxes
+    S md5 weights JVM-side (no explode, no window) — balanced and
+    minimally disruptive on resize, the UbiCrawler partitioning
+    (politeness.hrw_shard_assignment docstring)."""
+    from web_crawler_spark.operators.politeness import hrw_shard_assignment
+
+    return hrw_shard_assignment(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_sched_fair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fair global fetch order (O1+O3 composed): the per-host budget batch
     interleaved round-robin across hosts — every host's rank-1 candidate
@@ -3955,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_acl_batch": q_robots_acl_batch,
         "host_backoff": q_host_backoff,
         "sched_fair": q_sched_fair,
+        "sched_shards": q_sched_shards,
         "sched_waterfill": q_sched_waterfill,
         "search_anchor": q_search_anchor,
         "doc_code": q_doc_code,
@@ -4574,6 +4585,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "sketch_host_hll": bloom_ops.duck_hll_registers_by_sql(
             f"(SELECT host, url FROM read_parquet('{sp('pages_meta')}'))"
         ),
+        "sched_shards": _politeness.duck_hrw_shard_sql(pages_meta),
         "sched_waterfill": _politeness.duck_waterfill_sql(
             f"""(
               SELECT host, count(*)::BIGINT AS demand FROM (

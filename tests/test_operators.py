@@ -1381,3 +1381,53 @@ def test_ccnet_buckets_crafted(spark, tmp_path):
         for b, r in rows.items()
     }
     assert oracle == got
+
+
+def test_hrw_shard_minimal_disruption(spark):
+    """The HRW contract: growing S=4 -> S=5 must only move hosts whose new
+    argmax IS the new shard — no host may move between pre-existing shards
+    (the property that makes rendezvous hashing the UbiCrawler assignment).
+    Plus balance sanity and DuckDB parity (numeric, not lexicographic,
+    weight comparison)."""
+    import duckdb
+    import pandas as pd
+
+    from web_crawler_spark.operators.politeness import (
+        duck_hrw_shard_sql,
+        hrw_shard_assignment,
+    )
+
+    df = spark.createDataFrame(
+        [(f"host{i}.example",) for i in range(200)], "host string"
+    )
+    a4 = {
+        r["host"]: r["shard"]
+        for r in hrw_shard_assignment(df, n_shards=4).collect()
+    }
+    a5 = {
+        r["host"]: r["shard"]
+        for r in hrw_shard_assignment(df, n_shards=5).collect()
+    }
+    moved = {h for h in a4 if a4[h] != a5[h]}
+    assert all(a5[h] == 4 for h in moved)          # only to the NEW shard
+    assert 0 < len(moved) < len(a4)                # some move, not all
+    assert set(a4.values()) == {0, 1, 2, 3}        # every shard populated
+    assert set(a5.values()) == {0, 1, 2, 3, 4}
+
+    con = duckdb.connect()
+    con.register("hrwhosts", df.toPandas())
+    want = (
+        con.sql(duck_hrw_shard_sql("hrwhosts", n_shards=5))
+        .df()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    got = (
+        hrw_shard_assignment(df, n_shards=5)
+        .toPandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )

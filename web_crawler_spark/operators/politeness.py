@@ -554,3 +554,67 @@ SELECT host, demand,
         END)::BIGINT AS quota
 FROM ranked
 """
+
+
+# --- rendezvous (HRW) shard assignment (distributed-crawler partitioning) ----
+#
+# Assign every host to one of S crawler agents by highest-random-weight
+# hashing (Thaler & Ravishankar 1996; the UbiCrawler assignment, Boldi et
+# al. 2004): shard(host) = argmax over s of hash(host '#' s).  Two
+# properties make HRW the standard here over mod-hashing: (1) balance —
+# each agent gets ~|hosts|/S of the key space; (2) minimal disruption —
+# growing S to S+1 only moves hosts whose argmax is the NEW shard (~1/(S+1)
+# of them); nothing ever moves between pre-existing shards, so in-flight
+# per-host crawl state never migrates on a resize.
+#
+# Scale shape: zero exchange beyond the (host, n_pages) partial agg — the
+# argmax over S candidate weights is a JVM array expression per row
+# (transform + array_position(array_max)); no explode, no window.  The
+# md5-derived weights are the repo's cross-engine hash, so assignments are
+# bit-identical in Spark and DuckDB.
+
+HRW_SHARDS = 8
+
+
+def hrw_shard_assignment(
+    df: DataFrame, host_col: str = "host", n_shards: int = HRW_SHARDS
+) -> DataFrame:
+    """(host, shard, n_pages): rendezvous-hash crawler-agent assignment for
+    every distinct host, with the host's page count for balance audits."""
+    hosts = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").cast("long").alias("n_pages")
+    )
+    # conv() returns STRING — cast inside the lambda so array_max compares
+    # numerically (a lexicographic max would silently diverge from DuckDB)
+    w = (
+        f"transform(sequence(0, {n_shards - 1}), "
+        "s -> cast(conv(substring(md5(concat(host, '#', s)), 1, 8), 16, 10)"
+        " as bigint))"
+    )
+    return hosts.select(
+        "host",
+        F.expr(
+            f"cast(array_position({w}, array_max({w})) - 1 as bigint)"
+        ).alias("shard"),
+        "n_pages",
+    )
+
+
+def duck_hrw_shard_sql(
+    table: str, host_col: str = "host", n_shards: int = HRW_SHARDS
+) -> str:
+    """DuckDB twin of :func:`hrw_shard_assignment` (1-based list_position)."""
+    w = (
+        f"list_transform(range(0, {n_shards}), "
+        f"s -> ('0x' || substring(md5(host || '#' || s), 1, 8))::BIGINT)"
+    )
+    return rf"""
+WITH hosts AS (
+  SELECT {host_col} AS host, count(*)::BIGINT AS n_pages
+  FROM {table} GROUP BY 1
+)
+SELECT host,
+       (list_position({w}, list_max({w})) - 1)::BIGINT AS shard,
+       n_pages
+FROM hosts
+"""
