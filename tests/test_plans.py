@@ -308,3 +308,79 @@ def test_host_lang_mix_plan_jvm_single_rollup(spark, sf_small):
     assert "EvalPython" not in plan
     assert "Window" not in plan
     assert plan.count("Exchange") <= 3
+
+
+def test_watermark_plan_is_one_mapside_stage(spark):
+    """Watermark scoring must compile to a shuffle-free JVM projection —
+    no Exchange, no explode-driven Generate, no Python: the 100 TB
+    screening-pass shape."""
+    from web_crawler_spark.functions import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.watermark_scores(docs))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_hrw_shard_plan_single_exchange(spark, sf_small):
+    """HRW assignment: the only exchange is the host partial agg; the
+    S-way argmax is a per-row JVM array expression (no explode, no window,
+    no Python)."""
+    from web_crawler_spark.operators.politeness import hrw_shard_assignment
+
+    meta = spark.read.parquet(synth.synth_path("0.001", "pages_meta"))
+    plan = _plan(hrw_shard_assignment(meta))
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan  # map-side combine before the exchange
+    assert "Generate" not in plan and "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_gazetteer_plan_broadcasts_dictionary(spark):
+    """The gazetteer join must broadcast the (entity, slot, term) dim so
+    non-gazetteer tokens die map-side; no corpus-side shuffle before it."""
+    from web_crawler_spark.functions import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.gazetteer_tag(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    # token relation must not be exchanged ahead of the broadcast join:
+    # the only exchanges are the two partial-agg'd aggregations
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_typosquat_plan_broadcast_no_cartesian(spark, sf_small):
+    """Brand comparison is a broadcast nested loop with the length
+    prefilter — never a CartesianProduct, never Python."""
+    from web_crawler_spark.functions import urlfilter
+
+    meta = spark.read.parquet(synth.synth_path("0.001", "pages_meta"))
+    plan = _plan(urlfilter.typosquat_candidates(meta))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_link_prediction_plan_anti_join_no_cartesian(spark, sf_small):
+    """Link prediction: equi-keyed wedge join (never a cross product) and
+    a left-anti adjacency filter; all JVM."""
+    from web_crawler_spark.functions import linkstats
+
+    meta = spark.read.parquet(synth.synth_path("0.001", "pages_meta"))
+    plan = _plan(linkstats.host_link_prediction(meta))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "LeftAnti" in plan
+    assert "EvalPython" not in plan
+
+
+def test_attribution_plan_equi_range_join(spark):
+    """The touch->conversion lookback join must keep user_id as an equi
+    key (SMJ/hash join with the time bounds as post-conditions), never a
+    cross/nested-loop join."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_events_attribution(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "EvalPython" not in plan
