@@ -730,6 +730,18 @@ def q_sched_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hrw_shard_assignment(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_sched_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mercator politeness timeline: per-URL fetch start offsets under
+    per-host serialized scheduling with host-specific crawl delays — one
+    host-keyed window exchange, map-side arithmetic, no global window
+    (politeness.mercator_timeline docstring)."""
+    from web_crawler_spark.operators.politeness import mercator_timeline
+
+    return mercator_timeline(
+        _synth(spark, sf_dir, "pages_meta").select("url", "host")
+    )
+
+
 def q_sched_fair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fair global fetch order (O1+O3 composed): the per-host budget batch
     interleaved round-robin across hosts — every host's rank-1 candidate
@@ -3966,6 +3978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_backoff": q_host_backoff,
         "sched_fair": q_sched_fair,
         "sched_shards": q_sched_shards,
+        "sched_timeline": q_sched_timeline,
         "sched_waterfill": q_sched_waterfill,
         "search_anchor": q_search_anchor,
         "doc_code": q_doc_code,
@@ -4586,6 +4599,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f"(SELECT host, url FROM read_parquet('{sp('pages_meta')}'))"
         ),
         "sched_shards": _politeness.duck_hrw_shard_sql(pages_meta),
+        "sched_timeline": _politeness.duck_mercator_timeline_sql(
+            f"(SELECT url, host FROM {pages_meta})"
+        ),
         "sched_waterfill": _politeness.duck_waterfill_sql(
             f"""(
               SELECT host, count(*)::BIGINT AS demand FROM (

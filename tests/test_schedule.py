@@ -503,3 +503,47 @@ def test_ip_budget_collapses_shared_hosts(spark):
     # multihomed host: every candidate row survives once at most, never
     # duplicated per A record
     assert batch.count() == batch.select("url").distinct().count()
+
+
+def test_mercator_timeline_semantics(spark):
+    """Per-host serialization: host_seq dense from 0 in md5-priority order,
+    start_ms = host_seq * that host's delay, delays host-specific within
+    [200, 1000] in 100 ms steps, hosts independent.  Plan: exactly one
+    exchange (the host window), no Python."""
+    import hashlib
+
+    from web_crawler_spark.operators.politeness import (
+        TIMELINE_BASE_DELAY_MS,
+        TIMELINE_DELAY_STEPS,
+        TIMELINE_STEP_MS,
+        mercator_timeline,
+    )
+
+    rows = [
+        (f"http://{h}.example/p/{i}", f"{h}.example")
+        for h in ("a", "b", "c")
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "url string, host string")
+    out = mercator_timeline(df).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    for h, rs in by_host.items():
+        rs.sort(key=lambda r: r["host_seq"])
+        assert [r["host_seq"] for r in rs] == list(range(7))
+        want_delay = (
+            TIMELINE_BASE_DELAY_MS
+            + (int(hashlib.md5(h.encode()).hexdigest()[:8], 16)
+               % TIMELINE_DELAY_STEPS) * TIMELINE_STEP_MS
+        )
+        for r in rs:
+            assert r["delay_ms"] == want_delay
+            assert r["start_ms"] == r["host_seq"] * want_delay
+        # within-host order is the independent md5 priority
+        prios = [int(hashlib.md5(r["url"].encode()).hexdigest()[:8], 16) for r in rs]
+        assert prios == sorted(prios)
+
+    plan = mercator_timeline(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan

@@ -618,3 +618,75 @@ SELECT host,
        n_pages
 FROM hosts
 """
+
+
+# --- Mercator politeness timeline (crawl-duration planning) ------------------
+#
+# The Mercator frontier (Heydon & Najork 1999) serializes each host's URLs
+# through a per-host back-queue separated by that host's crawl delay; with
+# worker threads plentiful (the Mercator operating point), politeness — not
+# compute — binds, and URL k of a host starts at k * delay(host).  The
+# batch-analytics form answers the capacity question every crawl op asks
+# before launching: WHEN does each URL become fetchable and how long does
+# the politeness-bound tail of each host run?
+#
+# Host delays here derive deterministically from the host hash (200-1000 ms
+# in 100 ms steps — the md5 cross-engine idiom) standing in for per-host
+# robots Crawl-delay; a deployment joins the real directive in, same plan.
+#
+# Scale shape: ONE window exchange keyed by host (the politeness key the
+# composed scheduler already partitions by — Catalyst reuses the exchange
+# when chained after the budget selector); the start-time arithmetic is
+# map-side.  No global window: the timeline IS the (start_ms, host,
+# host_seq) order, materialized lazily by whoever consumes it (the
+# two-job range-partition stamp if a dense global seq is needed).
+
+TIMELINE_BASE_DELAY_MS = 200
+TIMELINE_DELAY_STEPS = 9
+TIMELINE_STEP_MS = 100
+
+
+def mercator_timeline(
+    df: DataFrame, url_col: str = "url", host_col: str = "host"
+) -> DataFrame:
+    """(url, host, host_seq, delay_ms, start_ms): per-URL politeness-bound
+    fetch start offsets under per-host serialized scheduling; within a
+    host, order is the deterministic md5 priority (url tie-break)."""
+    prio = F.expr(
+        f"cast(conv(substring(md5({url_col}), 1, 8), 16, 10) as bigint)"
+    )
+    delay = F.expr(
+        f"{TIMELINE_BASE_DELAY_MS}L + "
+        f"(cast(conv(substring(md5({host_col}), 1, 8), 16, 10) as bigint) "
+        f"% {TIMELINE_DELAY_STEPS}) * {TIMELINE_STEP_MS}"
+    )
+    w = Window.partitionBy(host_col).orderBy(prio.asc(), F.col(url_col).asc())
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        (F.row_number().over(w) - 1).cast("long").alias("host_seq"),
+        delay.cast("long").alias("delay_ms"),
+    ).withColumn("start_ms", (F.col("host_seq") * F.col("delay_ms")).cast("long"))
+
+
+def duck_mercator_timeline_sql(
+    table: str, url_col: str = "url", host_col: str = "host"
+) -> str:
+    """DuckDB twin of :func:`mercator_timeline`."""
+    prio = f"('0x' || substring(md5({url_col}), 1, 8))::BIGINT"
+    delay = (
+        f"{TIMELINE_BASE_DELAY_MS} + (('0x' || substring(md5({host_col}), 1, 8))::BIGINT"
+        f" % {TIMELINE_DELAY_STEPS}) * {TIMELINE_STEP_MS}"
+    )
+    return rf"""
+SELECT url, host, host_seq, delay_ms,
+       (host_seq * delay_ms)::BIGINT AS start_ms
+FROM (
+  SELECT {url_col} AS url, {host_col} AS host,
+         (row_number() OVER (PARTITION BY {host_col}
+                             ORDER BY {prio} ASC, {url_col} ASC) - 1)::BIGINT
+           AS host_seq,
+         ({delay})::BIGINT AS delay_ms
+  FROM {table}
+)
+"""
