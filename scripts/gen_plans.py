@@ -433,6 +433,41 @@ def main() -> None:
         "guards against).",
     )
 
+    cap(
+        "doc_watermark — green-list z-test screening pass",
+        E.q_doc_watermark(spark, sf_dir),
+        "Want: ZERO exchange, zero Python, zero Generate — tokenize, pair\n"
+        "scoring and the squared-integer z-test are array lambdas in one\n"
+        "whole-stage-codegen projection over the documents scan.",
+    )
+    cap(
+        "sched_shards — rendezvous-hash agent assignment",
+        E.q_sched_shards(spark, sf_dir),
+        "Want: ONE exchange (the partial-agg'd host rollup); the S-way\n"
+        "argmax is a per-row JVM array expression — no explode, no window.",
+    )
+    cap(
+        "doc_entities — gazetteer dictionary tagging",
+        E.q_doc_entities(spark, sf_dir),
+        "Want: the (entity, slot, term) dictionary enters via\n"
+        "BroadcastExchange so non-gazetteer tokens die map-side; the\n"
+        "exchanges carry only gazetteer-term occurrences (anchor agg +\n"
+        "mention rollup), never the corpus.",
+    )
+    cap(
+        "sched_timeline — Mercator politeness timeline",
+        E.q_sched_timeline(spark, sf_dir),
+        "Want: exactly ONE exchange — the host window; delay derivation and\n"
+        "start-time arithmetic are map-side JVM; no global window.",
+    )
+    cap(
+        "link_prediction — Adamic-Adar / resource-allocation",
+        E.q_link_prediction(spark, sf_dir),
+        "Want: equi-keyed center-out wedge join (no cross product); the\n"
+        "adjacency filter is a LeftAnti join on the distinct edge relation;\n"
+        "integer ppm weights, partial-agg'd pair rollup.",
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")
         f.write(
