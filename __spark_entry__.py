@@ -730,6 +730,15 @@ def q_sched_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hrw_shard_assignment(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_crawl_equity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-equity Gini over per-host fetch mass — exact BIGINT rational,
+    ascending rank from the two-job range-partition sequence (never a
+    single-task window) (politeness.crawl_equity docstring)."""
+    from web_crawler_spark.operators.politeness import crawl_equity
+
+    return crawl_equity(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_sched_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mercator politeness timeline: per-URL fetch start offsets under
     per-host serialized scheduling with host-specific crawl delays — one
@@ -3979,6 +3988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sched_fair": q_sched_fair,
         "sched_shards": q_sched_shards,
         "sched_timeline": q_sched_timeline,
+        "crawl_equity": q_crawl_equity,
         "sched_waterfill": q_sched_waterfill,
         "search_anchor": q_search_anchor,
         "doc_code": q_doc_code,
@@ -4602,6 +4612,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "sched_timeline": _politeness.duck_mercator_timeline_sql(
             f"(SELECT url, host FROM {pages_meta})"
         ),
+        "crawl_equity": _politeness.duck_crawl_equity_sql(pages_meta),
         "sched_waterfill": _politeness.duck_waterfill_sql(
             f"""(
               SELECT host, count(*)::BIGINT AS demand FROM (

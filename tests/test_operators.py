@@ -1431,3 +1431,39 @@ def test_hrw_shard_minimal_disruption(spark):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
+
+
+def test_crawl_equity_gini_known_values(spark):
+    """Exact Gini pins: perfect equality -> 0; extreme concentration
+    approaches (n-1)/n; a hand-computed mixed case; DuckDB parity."""
+    import duckdb
+    import pandas as pd
+
+    from web_crawler_spark.operators.politeness import (
+        crawl_equity,
+        duck_crawl_equity_sql,
+    )
+
+    def gini(dist):
+        rows = [(f"h{i}.example",) for i, c in enumerate(dist) for _ in range(c)]
+        df = spark.createDataFrame(rows, "host string")
+        return crawl_equity(df).collect()[0]
+
+    eq = gini([5, 5, 5, 5])
+    assert eq["gini_ppm"] == 0 and eq["n_hosts"] == 4 and eq["total_pages"] == 20
+
+    # one host holds 97 of 100 pages over 4 hosts: G = (2*409 - 5*100)/400
+    conc = gini([1, 1, 1, 97])
+    # sorted x = [1,1,1,97], sum(i*x) = 1+2+3+4*97 = 394 -> (788-500)*1e6/400
+    assert conc["gini_ppm"] == (2 * 394 - 5 * 100) * 10**6 // (4 * 100)
+
+    # oracle parity on a skewed frame
+    rows = [(f"h{i % 7}.example",) for i in range(200)] + [("h0.example",)] * 300
+    df = spark.createDataFrame(rows, "host string")
+    con = duckdb.connect()
+    con.register("eqhosts", df.toPandas())
+    want = con.sql(duck_crawl_equity_sql("eqhosts")).df()
+    got = crawl_equity(df).toPandas()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )

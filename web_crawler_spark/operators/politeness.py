@@ -690,3 +690,57 @@ FROM (
   FROM {table}
 )
 """
+
+
+# --- crawl-equity report (Gini over per-host fetch mass) ----------------------
+#
+# The crawl-ops fairness dashboard number: the Gini coefficient of pages
+# fetched per host.  A polite broad crawl should sit LOW (fetch mass spread
+# across hosts); a runaway scope rule or a trap shows up as the coefficient
+# drifting toward 1.  Exact rational form over the ascending-sorted counts
+# x_1 <= ... <= x_n:
+#
+#   gini_ppm = (2 * sum(i * x_i) - (n + 1) * sum(x)) * 1e6 DIV (n * sum(x))
+#
+# computed entirely in BIGINT (bit-identical across engines).  The global
+# ascending rank comes from the repo's two-job range-partition sequence
+# (operators/ordering.with_global_seq) — never a single-task window.
+# Overflow bound: sum(rank * x) <= n * max(rank * x) ~ n^2 * avg(x); at the
+# 10^7-host / 10^10-page design point that is ~5e16 << 2^63.
+
+def crawl_equity(
+    df: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """One row (n_hosts, total_pages, gini_ppm): fetch-distribution
+    inequality across hosts, ties broken by host name for a total order."""
+    from .ordering import with_global_seq
+
+    counts = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ranked = with_global_seq(counts, ["n", "host"], out_col="seq", start=1)
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum("n").cast("long").alias("total_pages"),
+        F.expr(
+            "(2 * sum(seq * n) - (count(*) + 1) * sum(n)) * 1000000L"
+            " DIV (count(*) * sum(n))"
+        ).cast("long").alias("gini_ppm"),
+    )
+
+
+def duck_crawl_equity_sql(table: str, host_col: str = "host") -> str:
+    """DuckDB twin of :func:`crawl_equity`."""
+    return rf"""
+WITH counts AS (
+  SELECT {host_col} AS host, count(*)::BIGINT AS n FROM {table} GROUP BY 1
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n, host)::BIGINT AS seq FROM counts
+)
+SELECT count(*)::BIGINT AS n_hosts,
+       sum(n)::BIGINT AS total_pages,
+       ((2 * sum(seq * n) - (count(*) + 1) * sum(n)) * 1000000
+         // (count(*) * sum(n)))::BIGINT AS gini_ppm
+FROM ranked
+"""
