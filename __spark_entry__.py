@@ -730,6 +730,17 @@ def q_sched_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hrw_shard_assignment(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot vocabulary drift: exact-integer total-
+    variation distance plus the top-50 most-moved terms — the "crawl
+    scope / spam mix changed" alarm before data reaches training
+    (webtext.corpus_drift docstring)."""
+    return webtext.corpus_drift(
+        _synth(spark, sf_dir, "pages_prev").select("text"),
+        _synth(spark, sf_dir, "pages_meta").select("text"),
+    )
+
+
 def q_crawl_equity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-equity Gini over per-host fetch mass — exact BIGINT rational,
     ascending rank from the two-job range-partition sequence (never a
@@ -4018,6 +4029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "corpus_clean": q_corpus_clean,
+        "corpus_drift": q_corpus_drift,
         "corpus_html": q_corpus_html,
         "corpus_audit": q_corpus_audit,
         "doc_clean_lines": q_doc_clean_lines,
@@ -4613,6 +4625,10 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f"(SELECT url, host FROM {pages_meta})"
         ),
         "crawl_equity": _politeness.duck_crawl_equity_sql(pages_meta),
+        "corpus_drift": webtext.duck_corpus_drift_sql(
+            f"(SELECT text FROM read_parquet('{sp('pages_prev')}'))",
+            f"(SELECT text FROM {pages_meta})",
+        ),
         "sched_waterfill": _politeness.duck_waterfill_sql(
             f"""(
               SELECT host, count(*)::BIGINT AS demand FROM (

@@ -672,3 +672,48 @@ def test_syndicated_lines_crafted(spark, tmp_path):
         ).df().iterrows()
     }
     assert oracle == got
+
+
+def test_corpus_drift_exact_tv(spark):
+    """Hand-computed drift: corpus A = 'x x y z', corpus B = 'x y y y'.
+    Shares (ppm): A {x:500000, y:250000, z:250000}, B {x:250000, y:750000,
+    z:0} -> deltas {x:250000, y:500000, z:250000}, TV = 500000.  Identical
+    corpora -> TV 0.  Oracle parity."""
+    import duckdb
+    import pandas as pd
+
+    from web_crawler_spark.functions import webtext
+
+    a = spark.createDataFrame([("x x y z",)], "text string")
+    b = spark.createDataFrame([("x y y y",)], "text string")
+    rows = {r["term"]: r for r in webtext.corpus_drift(a, b, k=10).collect()}
+    assert rows["x"]["share_a_ppm"] == 500_000
+    assert rows["x"]["share_b_ppm"] == 250_000
+    assert rows["y"]["delta_ppm"] == 500_000
+    assert rows["z"]["share_b_ppm"] == 0 and rows["z"]["delta_ppm"] == 250_000
+    assert all(r["tv_ppm"] == 500_000 for r in rows.values())
+    # ranks: y (500000) first, then x before z by term tie-break
+    assert [r["term"] for r in sorted(rows.values(), key=lambda r: r["rnk"])] \
+        == ["y", "x", "z"]
+
+    same = webtext.corpus_drift(a, a, k=10).collect()
+    assert all(r["delta_ppm"] == 0 and r["tv_ppm"] == 0 for r in same)
+
+    con = duckdb.connect()
+    con.register("da", a.toPandas())
+    con.register("db", b.toPandas())
+    want = (
+        con.sql(webtext.duck_corpus_drift_sql("da", "db", k=10))
+        .df()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    got = (
+        webtext.corpus_drift(a, b, k=10)
+        .toPandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )

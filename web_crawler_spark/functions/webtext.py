@@ -1517,3 +1517,121 @@ SELECT line, count(DISTINCT host)::BIGINT AS n_hosts,
 FROM l WHERE trim(line) <> ''
 GROUP BY line HAVING count(DISTINCT host) >= {min_hosts}
 """
+
+
+# --- corpus distribution drift (snapshot-over-snapshot monitoring) ------------
+#
+# Data-drift monitoring for a standing ingestion pipeline: compare the
+# unigram distributions of two crawl snapshots and surface (a) the
+# total-variation distance and (b) the terms that moved most.  TV distance
+# is the drift metric of choice here because — unlike KL — it needs no
+# logarithm, so the whole computation stays in exact BIGINT ppm arithmetic
+# (bit-identical across engines): share_ppm = tf * 1e6 DIV corpus_tokens,
+# tv_ppm = sum(|share_a - share_b|) DIV 2.  A spike in tv_ppm between
+# snapshots is the canonical "the crawl scope / spam mix changed" alarm
+# before the data reaches training.
+#
+# Scale shape: each corpus collapses to its term-frequency relation with
+# map-side partial aggregation (vocab-sized, not corpus-sized); the
+# full-outer term join and the delta arithmetic run at vocab grain; the
+# scalar TV re-enters as a broadcast of one row; top-k collapses to
+# TakeOrderedAndProject.
+
+DRIFT_TOPK = 50
+
+
+def corpus_drift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    k: int = DRIFT_TOPK,
+) -> DataFrame:
+    """(term, share_a_ppm, share_b_ppm, delta_ppm, tv_ppm, rnk): the top-k
+    most-drifted terms between corpora ``a`` and ``b``, every row carrying
+    the corpus-level total-variation distance; ties broken by term."""
+    from pyspark.sql import Window
+
+    def freqs(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+                ).alias("term")
+            )
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("tf"))
+        )
+    fa, fb = freqs(a), freqs(b)
+    # corpus totals from the SMALL freq tables (no second token pass)
+    ta = fa.agg(F.sum("tf").alias("t")).first()[0] or 0
+    tb = fb.agg(F.sum("tf").alias("t")).first()[0] or 0
+    if ta == 0 or tb == 0:
+        return a.sparkSession.createDataFrame(
+            [],
+            "term string, share_a_ppm long, share_b_ppm long,"
+            " delta_ppm long, tv_ppm long, rnk long",
+        )
+    joined = (
+        fa.withColumnRenamed("tf", "tf_a")
+        .join(fb.withColumnRenamed("tf", "tf_b"), on="term", how="full_outer")
+        .select(
+            "term",
+            F.expr(f"coalesce(tf_a, 0L) * 1000000L DIV {ta}L").alias(
+                "share_a_ppm"
+            ),
+            F.expr(f"coalesce(tf_b, 0L) * 1000000L DIV {tb}L").alias(
+                "share_b_ppm"
+            ),
+        )
+        .withColumn(
+            "delta_ppm", F.abs(F.col("share_a_ppm") - F.col("share_b_ppm"))
+        )
+    )
+    tv = joined.agg(
+        F.expr("sum(delta_ppm) DIV 2").cast("long").alias("tv_ppm")
+    )
+    top = (
+        joined.crossJoin(F.broadcast(tv))
+        .orderBy(F.desc("delta_ppm"), F.asc("term"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("delta_ppm"), F.asc("term"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def duck_corpus_drift_sql(
+    table_a: str, table_b: str, text_col: str = "text", k: int = DRIFT_TOPK
+) -> str:
+    """DuckDB twin of :func:`corpus_drift`."""
+    def freq(t: str) -> str:
+        return (
+            f"SELECT x.term, count(*)::BIGINT AS tf FROM {t}, "
+            f"UNNEST(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+'))"
+            f" AS x(term) WHERE x.term <> '' GROUP BY 1"
+        )
+    return rf"""
+WITH fa AS ({freq(table_a)}),
+fb AS ({freq(table_b)}),
+ta AS (SELECT sum(tf)::BIGINT AS t FROM fa),
+tb AS (SELECT sum(tf)::BIGINT AS t FROM fb),
+j AS (
+  SELECT coalesce(fa.term, fb.term) AS term,
+         coalesce(fa.tf, 0) * 1000000 // (SELECT t FROM ta) AS share_a_ppm,
+         coalesce(fb.tf, 0) * 1000000 // (SELECT t FROM tb) AS share_b_ppm
+  FROM fa FULL OUTER JOIN fb ON fa.term = fb.term
+),
+d AS (
+  SELECT term, share_a_ppm::BIGINT AS share_a_ppm,
+         share_b_ppm::BIGINT AS share_b_ppm,
+         abs(share_a_ppm - share_b_ppm)::BIGINT AS delta_ppm
+  FROM j
+),
+tv AS (SELECT (sum(delta_ppm) // 2)::BIGINT AS tv_ppm FROM d)
+SELECT term, share_a_ppm, share_b_ppm, delta_ppm,
+       (SELECT tv_ppm FROM tv) AS tv_ppm,
+       row_number() OVER (ORDER BY delta_ppm DESC, term ASC)::BIGINT AS rnk
+FROM d
+ORDER BY delta_ppm DESC, term ASC
+LIMIT {k}
+"""
