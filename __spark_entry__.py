@@ -2579,6 +2579,90 @@ def q_tpch_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: discounted revenue under an OR-of-ANDs predicate across
+    three (brand, size-range, quantity-range) branches.  The classic Q19
+    optimization is applied engine-side: the union of the branch part
+    predicates (brand IN (...), size <= max) is derived as a conjunctive
+    prefilter that PUSHES to the part scan, the part side broadcasts, and
+    the full disjunction evaluates map-side post-join — semantically
+    identical to the oracle's pure OR form.  Money in exact cents."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 35)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        on=F.col("l_partkey") == F.col("p_partkey"),
+    )
+    b = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 45)
+        )
+    )
+    rev = (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("r")
+    return j.filter(b).select(rev).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("r").cast("long").alias("revenue_c"),
+    )
+
+
+def q_tpch_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 topology on the driver schema (no commit/receipt dates, so the
+    'late' predicate becomes returnflag='R'): suppliers who were the SOLE
+    returning supplier on a multi-supplier order — the exists + not-exists
+    double correlation, decorrelated into two order-grain aggregates
+    (distinct-supplier count >= 2; distinct-R-supplier count == 1) joined
+    back, never a per-row subquery.  Top 20 by (numwait DESC, s_name)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    r_pairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    r_per_order = r_pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_r_supp")
+    )
+    sole = (
+        r_pairs.join(per_order.filter(F.col("n_supp") >= 2), on="l_orderkey")
+        .join(r_per_order.filter(F.col("n_r_supp") == 1), on="l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+    out = (
+        sole.join(
+            F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
+            on=F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("numwait"), F.asc("s_name"))
+    return out.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
 def q_tpch_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 shape generalized: the cross-nation trade matrix — revenue by
     (supplier nation, customer nation, ship year) over lineitem ⋈ supplier
@@ -4112,6 +4196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_custdist": q_tpch_custdist,
         "tpch_market_share": q_tpch_market_share,
         "tpch_trade_flows": q_tpch_trade_flows,
+        "tpch_disjunctive": q_tpch_disjunctive,
+        "tpch_waiting": q_tpch_waiting,
         "tpch_profit": q_tpch_profit,
         "tpch_top_savers": q_tpch_top_savers,
         "tpch_top_supplier": q_tpch_top_supplier,
@@ -5039,6 +5125,50 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
             JOIN orders ON l_orderkey = o_orderkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2
+        """,
+        "tpch_disjunctive": """
+            SELECT count(*)::BIGINT AS n_lines,
+                   sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT
+                     AS revenue_c
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 15)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 30)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 45)
+        """,
+        "tpch_waiting": """
+            WITH li AS (
+              SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+            ),
+            r_pairs AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM li
+              WHERE l_returnflag = 'R'
+            ),
+            per_order AS (
+              SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp
+              FROM li GROUP BY 1
+            ),
+            r_per_order AS (
+              SELECT l_orderkey, count(*) AS n_r_supp FROM r_pairs GROUP BY 1
+            ),
+            sole AS (
+              SELECT r.l_suppkey, count(*)::BIGINT AS numwait
+              FROM r_pairs r
+              JOIN per_order po ON po.l_orderkey = r.l_orderkey
+                AND po.n_supp >= 2
+              JOIN r_per_order rp ON rp.l_orderkey = r.l_orderkey
+                AND rp.n_r_supp = 1
+              GROUP BY 1
+            )
+            SELECT s_name, numwait, rnk FROM (
+              SELECT s.s_name, sole.numwait,
+                     row_number() OVER (ORDER BY sole.numwait DESC,
+                                        s.s_name ASC)::BIGINT AS rnk
+              FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+            ) WHERE rnk <= 20
         """,
         "tpch_trade_flows": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -384,3 +384,24 @@ def test_attribution_plan_equi_range_join(spark):
     plan = _plan(entrymod.q_events_attribution(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "EvalPython" not in plan
+
+
+def test_tpch_disjunctive_and_waiting_plan_shapes(spark):
+    """Q19 shape: the derived conjunctive prefilter (brand IN, size <= 35)
+    must PUSH to the part scan even though the query predicate is an
+    OR-of-ANDs; part broadcasts.  Q21 shape: the double correlation is
+    decorrelated into order-grain aggregates (no per-row subquery, no
+    nested-loop join); top-20 compiles to TakeOrderedAndProject."""
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    q19 = e.q_tpch_disjunctive(spark, sf_dir)._jdf.queryExecution()
+    full = q19.toString()
+    assert "PushedFilters" in full
+    assert "In(p_brand" in full.split("PushedFilters", 1)[1]
+    assert "BroadcastHashJoin" in q19.executedPlan().toString()
+
+    q21 = e.q_tpch_waiting(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in q21 and "CartesianProduct" not in q21
+    assert "TakeOrderedAndProject" in q21
+    assert "EvalPython" not in q21
