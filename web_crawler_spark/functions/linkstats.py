@@ -2602,7 +2602,10 @@ FROM byd
 # the (far smaller, distinct) edge relation — broadcastable at any realistic
 # host-graph size; everything else is one partial-agg'd exchange.
 
-LINKPRED_DEG_CAP = 128    # fixture max undirected degree is ~63; production guard
+# Cap chosen ABOVE the fixture-family degree ceiling (sf0.1's densest host
+# reaches deg 207; 128 pruned every center there — the scale-dependent
+# vacuity trap) while still bounding the wedge fan-out at production.
+LINKPRED_DEG_CAP = 256
 LINKPRED_MIN_COMMON = 2
 
 
