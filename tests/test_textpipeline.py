@@ -2189,10 +2189,14 @@ def test_watermark_detection_crafted(spark):
 
     wm, plain = synth(120, True), synth(120, False)
     df = spark.createDataFrame(
-        [(1, wm), (2, plain), (3, "alpha beta")],
+        # docs 4-6: degenerate inputs (empty / punctuation-only / one token)
+        # must be FILTERED, not crash the slice (negative-length guard)
+        [(1, wm), (2, plain), (3, "alpha beta"),
+         (4, ""), (5, "!!! ..."), (6, "one")],
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in textstats.watermark_scores(df).collect()}
+    assert set(out) == {1, 2, 3}
     assert out[1]["n_scored"] == 119 and out[1]["n_green"] == 119
     assert out[1]["green_ppm"] == 1_000_000 and out[1]["is_watermarked"]
     assert out[2]["n_green"] == 0 and not out[2]["is_watermarked"]

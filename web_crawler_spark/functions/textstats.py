@@ -1974,9 +1974,12 @@ def watermark_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         (F.size("toks") - 1).cast("long").alias("n_scored"),
         F.expr(
+            # greatest(..., 0): a zero-token doc would otherwise make the
+            # slice length -1, which THROWS at runtime — the doc is filtered
+            # below, but projections evaluate before filters
             f"""aggregate(
               transform(
-                slice(toks, 2, size(toks) - 1),
+                slice(toks, 2, greatest(size(toks) - 1, 0)),
                 (t, i) -> IF(conv(substring(md5(concat(toks[i], ' ', t)), 1, 8),
                              16, 10) % {den} < {num}, 1L, 0L)),
               0L, (acc, x) -> acc + x)"""
