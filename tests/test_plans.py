@@ -373,6 +373,10 @@ def test_link_prediction_plan_anti_join_no_cartesian(spark, sf_small):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "LeftAnti" in plan
     assert "EvalPython" not in plan
+    # the graph build is materialized once: the wedge self-join and the
+    # adjacency anti-join read checkpointed relations, never re-scanning
+    # the corpus per branch (the winnow branch-recompute lesson)
+    assert plan.count("Scan parquet") == 0
 
 
 def test_attribution_plan_equi_range_join(spark):

@@ -2629,6 +2629,11 @@ def host_link_prediction(
             F.greatest("src_host", "dst_host").alias("b"),
         )
         .distinct()
+        # materialize: und feeds nbr (twice, via the union), deg, and the
+        # final anti-join — without this the whole host_graph explode+agg
+        # pipeline re-executes per branch (the winnow branch-recompute
+        # lesson; measured 9 parquet scans -> 1 build)
+        .localCheckpoint(eager=True)
     )
     nbr = und.select(F.col("a").alias("z"), F.col("b").alias("n")).unionAll(
         und.select(F.col("b").alias("z"), F.col("a").alias("n"))
@@ -2636,7 +2641,7 @@ def host_link_prediction(
     deg = nbr.groupBy("z").agg(F.count("*").alias("deg"))
     centers = nbr.join(
         deg.where((F.col("deg") >= 2) & (F.col("deg") <= deg_cap)), "z"
-    )
+    ).localCheckpoint(eager=True)  # self-joined below: run the build once
     pairs = (
         centers.alias("l")
         .join(
