@@ -1503,7 +1503,10 @@ def host_cocitation(
     kept = e.join(
         out_deg.where(F.col("out_deg") <= out_cap).select("src_host"),
         "src_host",
-    )
+        # materialized: kept feeds in_deg AND both sides of the pair
+        # self-join — without this the host_graph build runs three times
+        # (the winnow branch-recompute lesson)
+    ).localCheckpoint(eager=True)
     in_deg = kept.groupBy("dst_host").agg(F.count("*").alias("in_deg"))
     pairs = (
         kept.alias("l")

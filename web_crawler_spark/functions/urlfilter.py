@@ -782,7 +782,7 @@ def typosquat_candidates(
     excluding exact self-matches."""
     hosts = df.groupBy(F.col(host_col).alias("host")).agg(
         F.count("*").cast("long").alias("n_pages")
-    )
+    ).localCheckpoint(eager=True)  # feeds both the brand top-N and the probe side
     brands = (
         hosts.orderBy(F.desc("n_pages"), F.asc("host"))
         .limit(n_brands)

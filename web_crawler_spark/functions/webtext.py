@@ -1562,7 +1562,10 @@ def corpus_drift(
             .groupBy("term")
             .agg(F.count("*").cast("long").alias("tf"))
         )
-    fa, fb = freqs(a), freqs(b)
+    # materialize each vocab-grain freq table once: the totals action below
+    # and the drift join would otherwise re-run the corpus tokenize+agg
+    fa = freqs(a).localCheckpoint(eager=True)
+    fb = freqs(b).localCheckpoint(eager=True)
     # corpus totals from the SMALL freq tables (no second token pass)
     ta = fa.agg(F.sum("tf").alias("t")).first()[0] or 0
     tb = fb.agg(F.sum("tf").alias("t")).first()[0] or 0
