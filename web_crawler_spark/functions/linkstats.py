@@ -1419,7 +1419,9 @@ def host_reciprocity(df: DataFrame) -> DataFrame:
     row ever moves, and ppm output keeps the ratio integer-exact."""
     e = host_graph(df).filter(F.col("src_host") != F.col("dst_host")).select(
         "src_host", "dst_host"
-    )
+        # materialized: e feeds both sides of the reciprocation semi-join
+        # and the out-degree agg (3 host_graph builds otherwise)
+    ).localCheckpoint(eager=True)
     recip = e.join(
         e.select(
             F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host")
@@ -1611,6 +1613,10 @@ def host_triangles(df: DataFrame) -> DataFrame:
             F.greatest("src_host", "dst_host").alias("b"),
         )
         .distinct()
+        # materialized: und feeds the degree agg (twice, via the union) and
+        # the orientation join — unmaterialized, the host_graph build
+        # re-executed per branch (measured 15 parquet scans -> 1 build)
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("h"))
