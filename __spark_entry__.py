@@ -730,6 +730,57 @@ def q_sched_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hrw_shard_assignment(_synth(spark, sf_dir, "pages_meta"))
 
 
+def _compress_golden_path(sf: str) -> str:
+    """Row-at-a-time zlib golden for the compression signal (the winnow
+    golden pattern: independent of the Arrow-vectorized path under test,
+    cache key embeds the level, atomic write)."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark.functions import webtext as _wt
+
+    out = os.path.join(
+        synth.SYNTH_ROOT, f"compress_golden_sf{sf}_l{_wt.COMPRESS_LEVEL}.parquet"
+    )
+    if os.path.exists(out):
+        return out
+    os.makedirs(synth.SYNTH_ROOT, exist_ok=True)
+    docs = pq.read_table(
+        f"/root/testdata/sf{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids, nb, nc = [], [], []
+    for doc_id, text in zip(docs.column("doc_id"), docs.column("text")):
+        t = text.as_py()
+        raw = t.encode("utf-8") if isinstance(t, str) else b""
+        if len(raw) < 1:
+            continue
+        ids.append(doc_id.as_py())
+        nb.append(len(raw))
+        nc.append(len(zlib.compress(raw, _wt.COMPRESS_LEVEL)))
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bytes": pa.array(nb, pa.int64()),
+                "n_compressed": pa.array(nc, pa.int64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+    return out
+
+
+def q_doc_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-ratio repetition catch-all (the Gopher-adjacent signal):
+    Arrow-batched zlib pass, graded against an independent row-at-a-time
+    golden (webtext.compression_signal docstring)."""
+    return webtext.compression_signal(_docs(spark, sf_dir))
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-over-snapshot vocabulary drift: exact-integer total-
     variation distance plus the top-50 most-moved terms — the "crawl
@@ -4114,6 +4165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "corpus_clean": q_corpus_clean,
         "corpus_drift": q_corpus_drift,
+        "doc_compress": q_doc_compress,
         "corpus_html": q_corpus_html,
         "corpus_audit": q_corpus_audit,
         "doc_clean_lines": q_doc_clean_lines,
@@ -4711,6 +4763,11 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f"(SELECT url, host FROM {pages_meta})"
         ),
         "crawl_equity": _politeness.duck_crawl_equity_sql(pages_meta),
+        "doc_compress": f"""
+            SELECT doc_id, n_bytes, n_compressed,
+                   (n_compressed * 1000000 // n_bytes)::BIGINT AS ratio_ppm
+            FROM read_parquet('{_compress_golden_path(sf)}')
+        """,
         "corpus_drift": webtext.duck_corpus_drift_sql(
             f"(SELECT text FROM read_parquet('{sp('pages_prev')}'))",
             f"(SELECT text FROM {pages_meta})",

@@ -717,3 +717,32 @@ def test_corpus_drift_exact_tv(spark):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
+
+
+def test_compression_signal_orders_repetition(spark):
+    """A template dump must compress far better (lower ratio) than
+    high-entropy text; empty text is filtered, not crashed; values match
+    an independent row-at-a-time zlib computation."""
+    import zlib
+
+    from web_crawler_spark.functions import webtext
+
+    rep = "buy cheap widgets now " * 60
+    import random as _r
+    rng = _r.Random(7)
+    rand = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(150)
+    )
+    df = spark.createDataFrame(
+        [(1, rep), (2, rand), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in webtext.compression_signal(df).collect()}
+    assert set(out) == {1, 2}  # empty doc filtered
+    assert out[1]["ratio_ppm"] < out[2]["ratio_ppm"] // 5  # repetition caught
+    for doc_id, text in ((1, rep), (2, rand)):
+        raw = text.encode("utf-8")
+        want = len(zlib.compress(raw, webtext.COMPRESS_LEVEL))
+        assert out[doc_id]["n_bytes"] == len(raw)
+        assert out[doc_id]["n_compressed"] == want
+        assert out[doc_id]["ratio_ppm"] == want * 10**6 // len(raw)

