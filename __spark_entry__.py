@@ -3951,6 +3951,14 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bm25_topk(_docs(spark, sf_dir))
 
 
+def q_index_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND/MaxScore per-term upper-bound table (index-time skipping
+    metadata): df, integer idf, max single-doc BM25 contribution — the
+    shared contribution expression keeps ranker and bounds divergence-
+    proof (textstats.maxscore_bounds docstring)."""
+    return textstats.maxscore_bounds(_docs(spark, sf_dir))
+
+
 def q_search_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback: BM25 feedback pass -> integer
     relevance-model weights over the feedback docs -> top-E expansion
@@ -4279,6 +4287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": q_link_hits,
         "search_bm25": q_search_bm25,
         "search_rm3": q_search_rm3,
+        "index_maxscore": q_index_maxscore,
         "search_phrase": q_search_phrase,
         "doc_collocations": q_doc_collocations,
         "doc_bpe_pairs": q_doc_bpe_pairs,
@@ -5601,6 +5610,7 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
         "link_hits": linkstats.duck_hits_sql(pages_meta),
         "search_bm25": textstats.duck_bm25_sql("documents"),
         "search_rm3": textstats.duck_rm3_sql("documents"),
+        "index_maxscore": textstats.duck_maxscore_sql("documents"),
         "search_phrase": textstats.duck_phrase_sql("documents"),
         "doc_collocations": textstats.duck_collocations_sql("documents"),
         "doc_bpe_pairs": textstats.duck_bpe_pairs_sql("documents"),

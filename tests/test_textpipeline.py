@@ -2300,3 +2300,32 @@ def test_gazetteer_tagging_crafted(spark):
         got_df[sorted(got_df.columns)], want[sorted(want.columns)],
         check_dtype=False,
     )
+
+
+def test_maxscore_bounds_are_admissible(spark, docs):
+    """The WAND safety property on real fixture data: for the graded query,
+    sum of the query terms' max_score_ppm must dominate the best full BM25
+    score (an inadmissible bound would let WAND skip true winners).  Also:
+    every bound is positive and attained (tight for some single doc) on a
+    crafted corpus."""
+    bounds = {
+        r["term"]: r["max_score_ppm"]
+        for r in textstats.maxscore_bounds(docs).collect()
+    }
+    top = textstats.bm25_topk(docs, k=1).collect()
+    if top:
+        budget = sum(bounds.get(t, 0) for t in textstats.BM25_QUERY)
+        assert top[0]["score_ppm"] <= budget
+
+    # tightness: single-term docs make the bound exactly the top-1 score
+    df = spark.createDataFrame(
+        [(1, "apple apple apple"), (2, "apple"), (3, "pear")],
+        "doc_id long, text string",
+    )
+    b = {
+        r["term"]: r for r in textstats.maxscore_bounds(df).collect()
+    }
+    s = textstats.bm25_topk(df, ("apple",), k=1).collect()[0]["score_ppm"]
+    assert b["apple"]["max_score_ppm"] == s
+    assert b["apple"]["df_t"] == 2 and b["pear"]["df_t"] == 1
+    assert all(r["max_score_ppm"] > 0 for r in b.values())

@@ -2315,3 +2315,106 @@ hits AS (
 SELECT doc_id, entity, etype, count(*)::BIGINT AS n_mentions
 FROM hits GROUP BY 1, 2, 3
 """
+
+
+# -- WAND / MaxScore upper-bound metadata (index-time skipping structure) ------
+#
+# Per-term score upper bounds are what WAND (Broder et al., CIKM'03) and
+# MaxScore (Turtle & Flood 1995) use to skip postings at query time: a
+# term's max contribution over all documents bounds what any candidate can
+# still gain, so blocks whose bound cannot reach the heap threshold are
+# never decompressed.  Index builds precompute exactly this table.  Same
+# integer BM25 surrogate as bm25_topk — the contribution expression is
+# shared TEXT (_bm25_contrib_expr), divergence-proof across the ranker and
+# its bounds.
+#
+# Scale shape: one doc-grain exchange (dl + per-term tf ride together),
+# one term-grain partial-agg'd exchange for (df, max) — the standard
+# index-build cost envelope; no query-time work here.
+
+
+def maxscore_bounds(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, df_t, idf_ppm, max_score_ppm): per-term document frequency,
+    integer idf, and the maximum single-document BM25 contribution."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=True)  # feeds dl, dfreq and the scoring pass
+    )
+    per_doc = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    n_docs = df.count()
+    total = per_doc.agg(F.coalesce(F.sum("dl"), F.lit(0))).first()[0]
+    if n_docs == 0 or int(total) == 0:
+        return df.sparkSession.createDataFrame(
+            [], "term string, df_t long, idf_ppm long, max_score_ppm long"
+        )
+    avgdl_ppm = (int(total) * 1_000_000) // int(n_docs)
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+    idf = dfreq.select(
+        "term",
+        "df_t",
+        F.expr(
+            f"(2 * ({n_docs}L - df_t) + 1) * 1000000L DIV (2 * df_t + 1)"
+        ).alias("idf_ppm"),
+    )
+    contrib = _bm25_contrib_expr().format(div="DIV", avgdl_ppm=f"{avgdl_ppm}L")
+    scored = (
+        tf.join(per_doc, on="doc_id")
+        .join(F.broadcast(idf), on="term")
+        .withColumn("c_ppm", F.expr(contrib))
+    )
+    return scored.groupBy("term").agg(
+        F.max("df_t").cast("long").alias("df_t"),
+        F.max("idf_ppm").cast("long").alias("idf_ppm"),
+        F.max("c_ppm").cast("long").alias("max_score_ppm"),
+    )
+
+
+def duck_maxscore_sql(table: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`maxscore_bounds`."""
+    contrib = _bm25_contrib_expr().format(
+        div="//", avgdl_ppm="(SELECT avgdl_ppm FROM av)"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, t.term
+  FROM {table}, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+per_doc AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM {table}),
+av AS (
+  SELECT sum(dl)::BIGINT * 1000000 // (SELECT n FROM nn) AS avgdl_ppm
+  FROM per_doc
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df_t FROM tf GROUP BY 1),
+idf AS (
+  SELECT term, df_t,
+         (2 * ((SELECT n FROM nn) - df_t) + 1) * 1000000 // (2 * df_t + 1)
+           AS idf_ppm
+  FROM dfreq
+),
+sc AS (
+  SELECT t.term, idf.df_t, idf.idf_ppm, {contrib} AS c_ppm
+  FROM tf t
+  JOIN per_doc pd USING (doc_id)
+  JOIN idf ON idf.term = t.term
+)
+SELECT term, max(df_t)::BIGINT AS df_t, max(idf_ppm)::BIGINT AS idf_ppm,
+       max(c_ppm)::BIGINT AS max_score_ppm
+FROM sc GROUP BY 1
+"""
