@@ -3771,6 +3771,16 @@ def q_link_hopplot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_hop_plot(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF / HyperBall neighbourhood function (Palmer et al. KDD'02; Boldi
+    & Vigna's effective-diameter tool): every host carries tiny
+    Flajolet-Martin bitmask registers, unioned along out-edges with
+    order-independent bit_or for d rounds — the only per-node distance
+    summary that scales to 10^10 edges.  Exact integer register observables
+    (sum_lsb, sum_pow2) per depth (linkstats.host_anf docstring)."""
+    return linkstats.host_anf(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_link_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-correlation profile knn(k) (Pastor-Satorras et al. 2001):
     average neighbor degree per degree value in exact integer milli —
@@ -4307,6 +4317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_assort": q_link_assort,
         "link_centrality": q_link_centrality,
         "link_hopplot": q_link_hopplot,
+        "link_anf": q_link_anf,
         "link_reciprocity": q_link_reciprocity,
         "doc_length_quantiles": q_doc_length_quantiles,
         "link_depth": q_link_depth,
@@ -5652,6 +5663,7 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
         "link_assort": linkstats.duck_degree_correlation_sql(pages_meta),
         "link_centrality": linkstats.duck_harmonic_centrality_sql(pages_meta),
         "link_hopplot": linkstats.duck_hop_plot_sql(pages_meta),
+        "link_anf": linkstats.duck_anf_sql(pages_meta),
         "link_reciprocity": linkstats.duck_reciprocity_sql(pages_meta),
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),

@@ -1467,3 +1467,78 @@ def test_crawl_equity_gini_known_values(spark):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
+
+
+def test_host_anf_crafted(spark):
+    """ANF registers must equal an independent naive-Python FM evaluation
+    of out-link reachability on a crafted digraph (chain + a back-edge +
+    an isolated pair), and must be invariant to input partitioning."""
+    import hashlib
+
+    from web_crawler_spark.functions.linkstats import (
+        ANF_MAX_BIT,
+        ANF_TRIALS,
+        host_anf,
+    )
+
+    edges = [
+        ("a.example", ["b.example"]),
+        ("b.example", ["c.example"]),
+        ("c.example", ["d.example", "a.example"]),
+        ("x.example", ["y.example"]),
+    ]
+    adj = {
+        "a.example": {"b.example"},
+        "b.example": {"c.example"},
+        "c.example": {"d.example", "a.example"},
+        "x.example": {"y.example"},
+        "d.example": set(),
+        "y.example": set(),
+    }
+
+    def seed(host, t):
+        h = int(hashlib.md5(f"{host}:{t}".encode()).hexdigest()[:8], 16)
+        tz = (h & -h).bit_length() - 1 if h else 64
+        return 1 << min(tz, ANF_MAX_BIT)
+
+    def reach(v, d):
+        cur = {v}
+        for _ in range(d):
+            cur = cur | {u for w in cur for u in adj[w]}
+        return cur
+
+    def lsb(mask):
+        i = 0
+        while mask & (1 << i):
+            i += 1
+        return i
+
+    expect = {}
+    for d in range(5):
+        regs = [
+            lsb(
+                __import__("functools").reduce(
+                    lambda a, b: a | b, (seed(u, t) for u in reach(v, d)), 0
+                )
+            )
+            for v in adj
+            for t in range(ANF_TRIALS)
+        ]
+        expect[d] = (
+            len(regs),
+            sum(regs),
+            sum(1 << r for r in regs),
+        )
+
+    df = _mk_pages_meta(spark, edges)
+    got = {
+        r["depth"]: (r["n_regs"], r["sum_lsb"], r["sum_pow2"])
+        for r in host_anf(df).collect()
+    }
+    assert got == expect
+
+    got8 = {
+        r["depth"]: (r["n_regs"], r["sum_lsb"], r["sum_pow2"])
+        for r in host_anf(df.repartition(8)).collect()
+    }
+    assert got8 == expect

@@ -2713,3 +2713,160 @@ pairs AS (
 SELECT p.* FROM pairs p
 ANTI JOIN und ON und.a = p.host_a AND und.b = p.host_b
 """
+
+
+# --- ANF / HyperBall neighbourhood function ----------------------------------
+#
+# The approximate neighbourhood function N(d) = #{(u,v): dist(u,v) <= d} is
+# THE web-graph summary statistic (Palmer/Gibbons/Faloutsos ANF, KDD'02;
+# Boldi/Rosa/Vigna HyperBall, the tool behind the Facebook "four degrees"
+# and every WebGraph effective-diameter number).  Unlike the sampled-pivot
+# hop plot (exact distances from few sources), ANF covers EVERY node with a
+# tiny fixed-size register and d rounds of register unions — the only known
+# way to get a distance distribution on a 10^10-edge graph.
+#
+# Determinism contract: HyperBall's HLL registers estimate via floats; we
+# keep the ancestral Flajolet-Martin BITMASK form — each node seeds
+# ``trials`` 25-bit FM masks from md5 (bit i set with prob 2^-(i+1)), and a
+# depth-d mask is the bitwise OR of depth-(d-1) masks over out-edges.  OR
+# is idempotent/commutative/associative, so the fixpoint is bit-identical
+# across partition counts, reduction orders and engines — the same reason
+# the engine's Bloom sidecar merges with OR.  The graded statistic is the
+# exact integer pair (sum_lsb, sum_pow2) over all registers: lsb = index of
+# the lowest UNSET bit (the FM observable; E[lsb] ~ log2(phi*n)) and
+# 2^lsb whose per-depth sum is a constant-factor (1/phi = 1/0.77351)
+# rescale of the ANF curve.  The float correction is a client-side
+# constant, never computed in-plan.
+#
+# Scale shape: state is one BIGINT per (node, trial) — trials * 8 bytes per
+# node, the HyperBall economy.  Each round is one shuffle join of the edge
+# relation against the mask frame plus one partial-agg'd bit_or groupBy
+# (map-side combine collapses duplicate (host, t) rows before the
+# exchange), with per-round localCheckpoint lineage truncation — exactly
+# the crawl-loop / PageRank discipline.  Rounds = max tracked depth (4
+# covers the web's effective diameter at host grain per the hop plot).
+
+ANF_TRIALS = 4
+ANF_DEPTH = 4
+ANF_MAX_BIT = 24
+
+
+def host_anf(
+    df: DataFrame, trials: int = ANF_TRIALS, depth: int = ANF_DEPTH
+) -> DataFrame:
+    """(depth, n_regs, sum_lsb, sum_pow2) — exact-FM ANF over the directed
+    host graph (out-link reachability), depths 0..``depth``.
+
+    n_regs = hosts * trials (constant across depths — a free self-check);
+    sum_lsb / sum_pow2 are the exact integer register observables described
+    in the module-level ANF note.  N(d) ~ sum_pow2 / (trials * 0.77351)."""
+    edges = (
+        host_graph(df)
+        .select("src_host", "dst_host")
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    masks = (
+        nodes.select(
+            "host",
+            F.explode(F.sequence(F.lit(0), F.lit(trials - 1))).alias("t"),
+        )
+        .select(
+            "host",
+            "t",
+            F.expr(
+                "cast(conv(substr(md5(concat(host, ':', cast(t as string))),"
+                " 1, 8), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+        .select(
+            "host",
+            "t",
+            F.expr(
+                "cast(shiftleft(1L,"
+                f" least(bit_count((h & -h) - 1), {ANF_MAX_BIT})) as bigint)"
+            ).alias("mask"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _stats(m: DataFrame, d: int) -> DataFrame:
+        lsb = "bit_count(mask ^ (mask + 1)) - 1"
+        return (
+            m.select(F.expr(f"cast({lsb} as bigint)").alias("lsb"))
+            .agg(
+                F.count("*").cast("long").alias("n_regs"),
+                F.sum("lsb").cast("long").alias("sum_lsb"),
+                F.sum(F.expr("cast(shiftleft(1L, cast(lsb as int)) as bigint)"))
+                .cast("long")
+                .alias("sum_pow2"),
+            )
+            .select(F.lit(d).cast("long").alias("depth"), "*")
+        )
+
+    out = _stats(masks, 0)
+    for d in range(1, depth + 1):
+        contrib = edges.join(
+            masks.withColumnRenamed("host", "dst_host"), on="dst_host"
+        ).select(F.col("src_host").alias("host"), "t", "mask")
+        masks = (
+            masks.unionByName(contrib)
+            .groupBy("host", "t")
+            .agg(F.expr("bit_or(mask)").alias("mask"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(_stats(masks, d))
+    return out
+
+
+def duck_anf_sql(
+    pages_meta: str, trials: int = ANF_TRIALS, depth: int = ANF_DEPTH
+) -> str:
+    """DuckDB twin: the same FM-mask union unrolled as a CTE chain
+    (m0 -> m1 -> ... -> m{depth}); bit-exact because every step is BIGINT
+    shift / bitwise OR / integer sum in both engines."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT src_host, dst_host FROM ({duck_host_graph_sql(pages_meta)})
+  WHERE src_host <> dst_host
+)""",
+        """nodes AS MATERIALIZED (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM e0 UNION ALL SELECT dst_host FROM e0)
+)""",
+        f"""m0 AS MATERIALIZED (
+  SELECT host, t,
+         (1::BIGINT << least(bit_count((h & -h) - 1), {ANF_MAX_BIT})) AS mask
+  FROM (
+    SELECT host, t,
+           ('0x' || substr(md5(host || ':' || t::VARCHAR), 1, 8))::BIGINT AS h
+    FROM nodes, (SELECT unnest(range({trials})) AS t)
+  )
+)""",
+    ]
+    for k in range(1, depth + 1):
+        p = k - 1
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT host, t, bit_or(mask) AS mask FROM (
+    SELECT host, t, mask FROM m{p}
+    UNION ALL
+    SELECT e.src_host AS host, m.t, m.mask
+    FROM e0 e JOIN m{p} m ON m.host = e.dst_host
+  ) GROUP BY 1, 2
+)"""
+        )
+    selects = []
+    for k in range(depth + 1):
+        selects.append(
+            f"""SELECT {k}::BIGINT AS depth, count(*)::BIGINT AS n_regs,
+       sum(lsb)::BIGINT AS sum_lsb, sum(1::BIGINT << lsb::INT)::BIGINT AS sum_pow2
+FROM (SELECT bit_count(xor(mask, mask + 1)) - 1 AS lsb FROM m{k})"""
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
