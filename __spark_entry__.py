@@ -3120,6 +3120,123 @@ def q_tpch_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape (forecast-revenue change): scan-only conjunctive predicate
+    + single global aggregate — the canonical pushdown showcase.  Every
+    predicate (shipdate year, discount band, quantity ceiling) reaches the
+    parquet scan as a PushedFilter over just 4 columns; zero joins, one
+    partial-agg'd scalar exchange.  Revenue = sum(price * discount) in
+    exact integer cents-squared (c * discount_pp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_p = _cents("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            disc_p.alias("disc_p"),
+            (_cents("l_extendedprice") * disc_p).alias("rev_cp"),
+        )
+        .filter((F.col("disc_p") >= 5) & (F.col("disc_p") <= 7))
+        .agg(
+            F.sum("rev_cp").cast("long").alias("forecast_rev_cp"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape (promotion-revenue share): conditional aggregation over a
+    fact ⋈ broadcast-dimension join — promo revenue as an exact ppm share
+    of total revenue in a one-month shipdate window.  The CASE rides the
+    same partial agg as the total, so the ratio costs one exchange; the
+    dimension broadcasts at any scale (part ≪ lineitem)."""
+    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("rev_c")
+    return (
+        li.select("l_partkey", rev)
+        .join(part, on=F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("rev_c")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("promo_rev_c"),
+            F.sum("rev_c").cast("long").alias("total_rev_c"),
+        )
+        .select(
+            "promo_rev_c",
+            "total_rev_c",
+            F.expr("promo_rev_c * 1000000 DIV total_rev_c")
+            .cast("long")
+            .alias("promo_share_ppm"),
+        )
+    )
+
+
+def q_tpch_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping-priority mix): orders ⋈ lineitem with the
+    year-window filter on the fact side, grouped by a lineitem attribute,
+    counting high-priority ('1-URGENT'/'2-HIGH') vs low-priority orders as
+    two CASE sums in ONE aggregation exchange (the driver tables carry no
+    l_shipmode, so l_returnflag stands in as the 3-value group key)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_returnflag")
+        .join(orders, on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important-stock screen): groups kept only if their share
+    exceeds a fraction of a GLOBAL scalar — the HAVING-vs-scalar-subquery
+    pattern.  Per-brand revenue and the corpus total ride the same
+    partial-agg'd relation (the total is re-aggregated from the tiny
+    per-brand frame, never a second fact scan); the scalar broadcasts back
+    via cross-join, so the screen costs one fact exchange.  Threshold:
+    brand revenue > 4% of total (exact integer cross-multiply, no float
+    division)."""
+    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("rev_c")
+    by_brand = (
+        li.select("l_partkey", rev)
+        .join(part, on=F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.sum("rev_c").cast("long").alias("brand_rev_c"))
+    )
+    total = by_brand.agg(F.sum("brand_rev_c").cast("long").alias("total_rev_c"))
+    return (
+        by_brand.crossJoin(F.broadcast(total))
+        .filter(F.col("brand_rev_c") * 25 > F.col("total_rev_c"))
+        .select(
+            "p_brand",
+            "brand_rev_c",
+            F.expr("brand_rev_c * 1000000 DIV total_rev_c")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )
+
+
 def q_events_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-user LOW-MEDIAN inter-event gap (seconds): consecutive
     gaps via lag in one user-grain window, then the rank-(n+1)/2 element —
@@ -4276,6 +4393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_parts_suppliers": q_tpch_parts_suppliers,
         "tpch_small_qty": q_tpch_small_qty,
         "tpch_brand_volume": q_tpch_brand_volume,
+        "tpch_forecast": q_tpch_forecast,
+        "tpch_promo": q_tpch_promo,
+        "tpch_priority_mix": q_tpch_priority_mix,
+        "tpch_important_brands": q_tpch_important_brands,
         "events_median_gap": q_events_median_gap,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
@@ -5124,6 +5245,61 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
             SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS n_shared
             FROM fp l JOIN fp r ON l.fp = r.fp AND l.doc_id < r.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "tpch_forecast": """
+            SELECT sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                       * floor(l_discount * 100 + 0.5)::BIGINT)::BIGINT
+                     AS forecast_rev_cp,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_quantity < 24
+              AND floor(l_discount * 100 + 0.5)::BIGINT BETWEEN 5 AND 7
+        """,
+        "tpch_promo": """
+            WITH agg AS (
+              SELECT
+                sum(CASE WHEN p_type = 'PROMO'
+                    THEN floor(l_extendedprice * 100 + 0.5)::BIGINT
+                         * (100 - floor(l_discount * 100 + 0.5)::BIGINT)
+                    ELSE 0 END)::BIGINT AS promo_rev_c,
+                sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                    * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT
+                  AS total_rev_c
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+            )
+            SELECT promo_rev_c, total_rev_c,
+                   (promo_rev_c * 1000000 // total_rev_c)::BIGINT
+                     AS promo_share_ppm
+            FROM agg
+        """,
+        "tpch_priority_mix": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "tpch_important_brands": """
+            WITH by_brand AS (
+              SELECT p_brand,
+                     sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                         * (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT
+                       AS brand_rev_c
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1
+            ), tot AS (SELECT sum(brand_rev_c)::BIGINT AS total_rev_c FROM by_brand)
+            SELECT p_brand, brand_rev_c,
+                   (brand_rev_c * 1000000 // total_rev_c)::BIGINT AS share_ppm
+            FROM by_brand, tot
+            WHERE brand_rev_c * 25 > total_rev_c
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,
