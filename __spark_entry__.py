@@ -2009,6 +2009,18 @@ def q_recrawl_sched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-manifest pruning planner: per-file (ingest-day, host-bucket)
+    min/max stats vs three probe windows — files opened, rows over-read,
+    exact ppm over-read share (plans/manifest.py module docstring).  The
+    planning table that validates the snapshot layout BEFORE a 10^10-row
+    table exists; at deployment the manifest agg is replaced by reading
+    table metadata."""
+    from web_crawler_spark.plans import manifest
+
+    return manifest.manifest_scan_plan(_synth(spark, sf_dir, "pages"))
+
+
 def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: global token offsets + training-sequence
     ids in deterministic md5 order, via the two-job range-partition cumsum
@@ -4334,6 +4346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx": q_warc_cdx,
         "warc_revisit": q_warc_revisit,
         "recrawl_sched": q_recrawl_sched,
+        "scan_prune": q_scan_prune,
         "crawl_diff": q_crawl_diff,
         "recrawl_adaptive": q_recrawl_adaptive,
         "dedup_snapshots": q_dedup_snapshots,
@@ -5102,6 +5115,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             " AS content FROM (SELECT DISTINCT host FROM "
             f"{pages_meta})) " + robots_src.duck_sitemaps_sql("robots")
         ),
+        "scan_prune": __import__(
+            "web_crawler_spark.plans.manifest", fromlist=["m"]
+        ).duck_manifest_scan_sql(f"read_parquet('{sp('pages')}')"),
         "recrawl_sched": recrawl.duck_recrawl_sql(
             f"read_parquet('{sp('pages')}')",
             now_sql=(

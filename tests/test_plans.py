@@ -409,3 +409,82 @@ def test_tpch_disjunctive_and_waiting_plan_shapes(spark):
     assert "NestedLoop" not in q21 and "CartesianProduct" not in q21
     assert "TakeOrderedAndProject" in q21
     assert "EvalPython" not in q21
+
+
+def test_manifest_scan_plan_crafted(spark):
+    """Pruning math on a crafted layout: two hosts across three days; the
+    head window must open only day-0 files, and over-read ppm must match a
+    hand evaluation of the same (day, md5-bucket) file model."""
+    import hashlib
+    from datetime import datetime, timezone
+
+    from web_crawler_spark.plans.manifest import (
+        MANIFEST_BUCKETS,
+        PROBE_WINDOWS_PPM,
+        US_PER_DAY,
+        file_manifest,
+        manifest_scan_plan,
+    )
+
+    def ts(day, hour):
+        return datetime(2024, 1, 1 + day, hour, tzinfo=timezone.utc)
+
+    rows = [
+        (f"http://{h}/p{d}{hh}", ts(d, hh), b"", "t", "en")
+        for h in ("a.example", "b.example")
+        for d in (0, 1, 2)
+        for hh in (1, 13)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    def bucket(host):
+        return int(hashlib.md5(host.encode()).hexdigest()[:8], 16) % MANIFEST_BUCKETS
+
+    n_files_expect = len(
+        {(d, bucket(h)) for h in ("a.example", "b.example") for d in (0, 1, 2)}
+    )
+    man = {
+        (r["file_day"], r["file_bucket"]): (r["min_ts_us"], r["max_ts_us"], r["n_rows"])
+        for r in file_manifest(pages).collect()
+    }
+    assert len(man) == n_files_expect
+    assert sum(n for _, _, n in man.values()) == len(rows)
+    assert {d for d, _ in man} == {
+        int(ts(d, 1).timestamp() * 1_000_000) // US_PER_DAY for d in (0, 1, 2)
+    }
+
+    got = {r["window_id"]: r for r in manifest_scan_plan(pages).collect()}
+    assert set(got) == {0, 1, 2}
+    gmin = int(ts(0, 1).timestamp() * 1_000_000)
+    gmax = int(ts(2, 13).timestamp() * 1_000_000)
+    span = gmax - gmin
+    for i, (lo_ppm, hi_ppm) in enumerate(PROBE_WINDOWS_PPM):
+        lo = gmin + span * lo_ppm // 1_000_000
+        hi = gmin + span * hi_ppm // 1_000_000 + (1 if hi_ppm == 1_000_000 else 0)
+        r = got[i]
+        assert (r["lo_us"], r["hi_us"]) == (lo, hi)
+        assert r["n_files"] == n_files_expect
+        scanned = {
+            k: v for k, v in man.items() if v[1] >= lo and v[0] < hi
+        }
+        assert r["n_files_scanned"] == len(scanned)
+        assert r["rows_in_scanned"] == sum(v[2] for v in scanned.values())
+        match = sum(
+            1
+            for h in ("a.example", "b.example")
+            for d in (0, 1, 2)
+            for hh in (1, 13)
+            if lo <= int(ts(d, hh).timestamp() * 1_000_000) < hi
+        )
+        assert r["rows_matching"] == match
+        assert r["overread_ppm"] == (r["rows_in_scanned"] - match) * 1_000_000 // max(
+            r["rows_in_scanned"], 1
+        )
+    # head window must not open day-2 files
+    day2 = int(ts(2, 1).timestamp() * 1_000_000) // US_PER_DAY
+    scanned0 = {
+        k for k, v in man.items() if v[1] >= got[0]["lo_us"] and v[0] < got[0]["hi_us"]
+    }
+    assert all(d != day2 for d, _ in scanned0)
