@@ -458,6 +458,15 @@ def q_urlnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_urlnorm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization rule audit: per-rule firing counts over the raw
+    candidate mix plus end-to-end changed/collapsed effect rows — the table
+    that says which RFC 3986 rules matter for THIS crawl's URL mix and how
+    much the seen store shrinks from collapsing spellings
+    (urlnorm.urlnorm_audit docstring)."""
+    return urlnorm.urlnorm_audit(_synth(spark, sf_dir, "url_candidates"))
+
+
 def q_seed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1: ordered first-wins seed dedup (cli.py:46 dict.fromkeys)."""
     seeds = _synth(spark, sf_dir, "seeds")
@@ -4245,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": q_stream_enrich,
         "stream_throttle": q_stream_throttle,
         "urlnorm": q_urlnorm,
+        "urlnorm_audit": q_urlnorm_audit,
         "seed_dedup": q_seed_dedup,
         "host_budget": q_host_budget,
         "ip_budget": q_ip_budget,
@@ -4805,6 +4815,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
              AND c.ts <= v.ts + INTERVAL 30 MINUTE
         """,
         "urlnorm": f"SELECT cand_id, expected AS url_canon FROM {cands}",
+        "urlnorm_audit": urlnorm.duck_urlnorm_audit_sql(cands),
         "seed_dedup": f"SELECT url, min(seed_idx) AS seed_idx FROM {seeds} GROUP BY url",
         "host_budget": f"""
             SELECT url, host,

@@ -135,3 +135,35 @@ def test_canonical_idempotent_property(scheme, host, rest):
     c = urlnorm.canonicalize_url(f"{scheme}://{host}/{rest}")
     if c is not None:
         assert urlnorm.canonicalize_url(c) == c
+
+
+def test_urlnorm_audit_crafted(spark):
+    """Rule counters pinned on a crafted candidate mix: each rule fires on
+    exactly the rows built to trigger it; collapsed = distinct raw minus
+    distinct canonical."""
+    from web_crawler_spark.functions.urlnorm import urlnorm_audit
+
+    rows = [
+        ("HTTP://A.Example/p",),          # upper_authority (+changed)
+        ("http://a.example:80/p",),       # default_port (+changed, collapses with ^)
+        ("http://a.example/p#frag",),     # fragment (+changed, collapses)
+        ("http://a.example/x/../p",),     # dot_segments (+changed, collapses)
+        ("http://a.example/%41",),        # pct_triplet (+changed)
+        ("http://a.example",),            # empty_path (+changed)
+        ("http://a.example/ok",),         # clean — nothing fires
+    ]
+    df = spark.createDataFrame(rows, "raw string")
+    got = {r["rule"]: (r["n_urls"], r["n_affected"]) for r in
+           urlnorm_audit(df).collect()}
+    n = len(rows)
+    assert got["fragment"] == (n, 1)
+    assert got["whitespace"] == (n, 0)
+    assert got["upper_authority"] == (n, 1)
+    assert got["default_port"] == (n, 1)
+    assert got["pct_triplet"] == (n, 1)
+    assert got["empty_path"] == (n, 1)
+    assert got["dot_segments"] == (n, 1)
+    assert got["changed"] == (n, 6)
+    # canonical forms: 4 spellings of http://a.example/p collapse to one,
+    # /%41 -> /A, bare host -> /, /ok stays: 7 raw -> 4 canonical
+    assert got["collapsed"] == (7, 3)

@@ -222,3 +222,121 @@ def with_canonical_url(df, src_col: str = "url", out_col: str = "url_canon"):
 def host_of(col):
     """Politeness partition key: JVM-side host extraction (SURVEY §2.2 P7)."""
     return F.lower(F.parse_url(col, F.lit("HOST")))
+
+
+# --- canonicalization rule audit ---------------------------------------------
+#
+# Before standing up a 10^10-URL frontier you want to know WHICH
+# normalization rules actually move URLs on your crawl's candidate mix —
+# rules that fire on ~0 ppm are dead plan weight, rules that collapse many
+# distinct raw URLs are the dedup win that sizes the seen store.  The audit
+# counts, per rule, how many candidates exhibit the rule's precondition
+# (all JVM regex predicates — the scan never enters Python), plus the
+# end-to-end effect rows: how many URLs the full canonicalizer changes and
+# how many distinct raw spellings collapse into shared canonical forms.
+
+_AUDIT_RULES = [
+    # (rule, regex over the raw URL; path-scoped rules extract the path first)
+    ("fragment", r"#"),
+    ("whitespace", r"[ \t\n\r]"),
+    ("upper_authority", r"^([^:/?#]*[A-Z][^:/?#]*://|[^:/?#]*://[^/?#]*[A-Z])"),
+    ("default_port", r"(?i)^(http://[^/?#]*:80|https://[^/?#]*:443)([/?#]|$)"),
+    ("pct_triplet", r"%[0-9A-Fa-f]{2}"),
+    ("empty_path", r"^[^:/?#]+://[^/?#]+([?#].*)?$"),
+]
+_AUDIT_PATH_RULE = ("dot_segments", r"/\.\.?(/|$)|^\.\.?(/|$)")
+_AUDIT_PATH_EXTRACT = r"^[^:/?#]*://[^/?#]*([^?#]*)"
+
+
+def urlnorm_audit(df, raw_col: str = "raw"):
+    """(rule, n_urls, n_affected, affected_ppm) — one row per
+    canonicalization rule precondition plus 'changed' (full canonicalizer
+    output differs) and 'collapsed' (distinct raw spellings minus distinct
+    canonical forms).  One pass over the candidates: every predicate is a
+    JVM regex riding the same scan; the canonical form itself is the
+    existing fast-path/Arrow split, and the two distinct counts share one
+    partial-agg'd exchange."""
+    raw = F.col(raw_col)
+    canon = df.select(
+        raw.alias("raw_u"), canonicalize_udf(raw).alias("canon_u")
+    ).localCheckpoint(eager=True)
+    flags = [
+        F.sum(F.when(F.col("raw_u").rlike(rx), 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, rx in _AUDIT_RULES
+    ]
+    path = F.regexp_extract(F.col("raw_u"), _AUDIT_PATH_EXTRACT, 1)
+    flags.append(
+        F.sum(F.when(path.rlike(_AUDIT_PATH_RULE[1]), 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{_AUDIT_PATH_RULE[0]}")
+    )
+    agg = canon.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("canon_u") != F.col("raw_u"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_changed"),
+        F.countDistinct("raw_u").cast("long").alias("n_raw_d"),
+        F.countDistinct("canon_u").cast("long").alias("n_canon_d"),
+        *flags,
+    )
+    names = [n for n, _ in _AUDIT_RULES] + [_AUDIT_PATH_RULE[0], "changed"]
+    pairs = ", ".join(
+        f"'{n}', n_total, n_{n}" if n != "changed" else "'changed', n_total, n_changed"
+        for n in names
+    )
+    stacked = agg.select(
+        F.expr(
+            f"stack({len(names) + 1}, {pairs},"
+            " 'collapsed', n_raw_d, n_raw_d - n_canon_d)"
+            " as (rule, n_urls, n_affected)"
+        )
+    )
+    return stacked.select(
+        "rule",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_affected").cast("long").alias("n_affected"),
+        F.expr("n_affected * 1000000 DIV greatest(n_urls, 1L)")
+        .cast("long")
+        .alias("affected_ppm"),
+    )
+
+
+def duck_urlnorm_audit_sql(cands: str) -> str:
+    """DuckDB twin over the synth candidates table, whose ``expected``
+    column is the independently generated canonical form (same golden the
+    urlnorm parity query grades against)."""
+    flag_cols = ",\n         ".join(
+        f"sum(CASE WHEN regexp_matches(raw, '{rx}') THEN 1 ELSE 0 END)::BIGINT"
+        f" AS n_{name}"
+        for name, rx in _AUDIT_RULES
+    )
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT '{n}' AS rule, n_total AS n_urls, n_{n} AS n_affected FROM agg"
+        for n, _ in _AUDIT_RULES + [_AUDIT_PATH_RULE]
+    )
+    return rf"""
+WITH agg AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS n_total,
+         sum(CASE WHEN expected <> raw THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+         count(DISTINCT raw)::BIGINT AS n_raw_d,
+         count(DISTINCT expected)::BIGINT AS n_canon_d,
+         {flag_cols},
+         sum(CASE WHEN regexp_matches(
+               coalesce(regexp_extract(raw, '{_AUDIT_PATH_EXTRACT}', 1), ''),
+               '{_AUDIT_PATH_RULE[1]}') THEN 1 ELSE 0 END)::BIGINT
+           AS n_{_AUDIT_PATH_RULE[0]}
+  FROM {cands}
+),
+stacked AS (
+{rows}
+  UNION ALL
+  SELECT 'changed', n_total, n_changed FROM agg
+  UNION ALL
+  SELECT 'collapsed', n_raw_d, n_raw_d - n_canon_d FROM agg
+)
+SELECT rule, n_urls, n_affected,
+       (n_affected * 1000000 // greatest(n_urls, 1))::BIGINT AS affected_ppm
+FROM stacked
+"""
