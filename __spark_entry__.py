@@ -783,6 +783,59 @@ def _compress_golden_path(sf: str) -> str:
     return out
 
 
+def _cdc_golden_path(sf: str) -> str:
+    """Naive shift-register CDC golden (the compress-golden pattern:
+    independent of the vectorized path under test, cache key embeds the
+    chunking params, atomic write)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark.functions import webtext as _wt
+
+    tag = f"m{_wt.CDC_MIN}x{_wt.CDC_MAX}b{_wt.CDC_MASK_BITS}"
+    out = os.path.join(synth.SYNTH_ROOT, f"cdc_golden_sf{sf}_{tag}.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(synth.SYNTH_ROOT, exist_ok=True)
+    docs = pq.read_table(
+        f"/root/testdata/sf{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = []
+    for doc_id, text in zip(docs.column("doc_id"), docs.column("text")):
+        rows.extend(_wt.naive_cdc_chunks(doc_id.as_py(), text.as_py()))
+    cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(cols[0], pa.int64()),
+                "chunk_idx": pa.array(cols[1], pa.int64()),
+                "start_off": pa.array(cols[2], pa.int64()),
+                "n_bytes": pa.array(cols[3], pa.int64()),
+                "chunk_hash": pa.array(cols[4], pa.string()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+    return out
+
+
+def q_doc_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC/gear) at chunk grain: vectorized
+    sliding-window gear hash, sparse candidate walk for min/max bounds,
+    md5 chunk ids — graded against an independent per-byte shift-register
+    golden (webtext CDC module note)."""
+    return webtext.cdc_chunks(_docs(spark, sf_dir))
+
+
+def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level storage-dedup summary over the CDC relation: distinct
+    chunk bytes vs stored bytes, exact ppm saving — the WARC-backend
+    capacity number (webtext.cdc_dedup_stats docstring)."""
+    return webtext.cdc_dedup_stats(webtext.cdc_chunks(_docs(spark, sf_dir)))
+
+
 def q_doc_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deflate-ratio repetition catch-all (the Gopher-adjacent signal):
     Arrow-batched zlib pass, graded against an independent row-at-a-time
@@ -4323,6 +4376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "corpus_drift": q_corpus_drift,
         "doc_compress": q_doc_compress,
+        "doc_cdc": q_doc_cdc,
+        "dedup_cdc": q_dedup_cdc,
         "corpus_html": q_corpus_html,
         "corpus_audit": q_corpus_audit,
         "doc_clean_lines": q_doc_clean_lines,
@@ -4928,6 +4983,29 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f"(SELECT url, host FROM {pages_meta})"
         ),
         "crawl_equity": _politeness.duck_crawl_equity_sql(pages_meta),
+        "doc_cdc": f"""
+            SELECT doc_id, chunk_idx, start_off, n_bytes, chunk_hash
+            FROM read_parquet('{_cdc_golden_path(sf)}')
+        """,
+        "dedup_cdc": f"""
+            WITH ph AS (
+              SELECT chunk_hash, count(*)::BIGINT AS n_copies,
+                     min(n_bytes)::BIGINT AS c_bytes,
+                     sum(n_bytes)::BIGINT AS t_bytes
+              FROM read_parquet('{_cdc_golden_path(sf)}') GROUP BY 1
+            ), d AS (
+              SELECT count(DISTINCT doc_id)::BIGINT AS n_docs
+              FROM read_parquet('{_cdc_golden_path(sf)}')
+            )
+            SELECT d.n_docs,
+                   sum(n_copies)::BIGINT AS n_chunks,
+                   count(*)::BIGINT AS n_distinct_chunks,
+                   sum(t_bytes)::BIGINT AS total_bytes,
+                   sum(c_bytes)::BIGINT AS unique_bytes,
+                   ((sum(t_bytes) - sum(c_bytes)) * 1000000
+                    // greatest(sum(t_bytes), 1))::BIGINT AS saved_ppm
+            FROM ph, d GROUP BY d.n_docs
+        """,
         "doc_compress": f"""
             SELECT doc_id, n_bytes, n_compressed,
                    (n_compressed * 1000000 // n_bytes)::BIGINT AS ratio_ppm

@@ -746,3 +746,54 @@ def test_compression_signal_orders_repetition(spark):
         assert out[doc_id]["n_bytes"] == len(raw)
         assert out[doc_id]["n_compressed"] == want
         assert out[doc_id]["ratio_ppm"] == want * 10**6 // len(raw)
+
+
+def test_cdc_chunks_vectorized_matches_naive_and_survives_shift(spark):
+    """The numpy sliding-window gear hash must equal the per-byte
+    shift-register golden chunk-for-chunk; chunks must exactly tile each
+    document; and inserting one byte at the front of a long document must
+    leave most chunk hashes intact (the content-defined property fixed-size
+    blocks lack)."""
+    import random
+
+    from web_crawler_spark.functions.webtext import cdc_chunks, naive_cdc_chunks
+
+    rng = random.Random(7)
+    base = "".join(rng.choice("abcdefgh \n") for _ in range(3000))
+    docs = [
+        (0, base),
+        (1, "x" + base),          # one-byte shift
+        (2, "short"),             # below min chunk size
+        (3, ""),                  # empty -> no chunks
+        (4, "y" * 700),           # no boundary mass -> max-size cuts
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (
+            (r["doc_id"], r["chunk_idx"], r["start_off"], r["n_bytes"], r["chunk_hash"])
+            for r in cdc_chunks(df).collect()
+        )
+    )
+    want = sorted(
+        t for doc_id, text in docs for t in naive_cdc_chunks(doc_id, text)
+    )
+    assert got == want
+
+    by_doc = {}
+    for doc_id, _, start, nb, h in got:
+        by_doc.setdefault(doc_id, []).append((start, nb, h))
+    for doc_id, text in docs:
+        chunks = sorted(by_doc.get(doc_id, []))
+        assert sum(nb for _, nb, _ in chunks) == len(text.encode())
+        pos = 0
+        for start, nb, _ in chunks:
+            assert start == pos
+            pos += nb
+
+    h0 = {h for _, _, h in by_doc[0]}
+    h1 = {h for _, _, h in by_doc[1]}
+    shared = len(h0 & h1)
+    assert shared >= len(h0) * 6 // 10  # most chunks survive the shift
+    # max-size enforcement on the boundary-free doc
+    assert all(nb <= 256 for _, nb, _ in by_doc[4])
+    assert max(nb for _, nb, _ in by_doc[4]) == 256

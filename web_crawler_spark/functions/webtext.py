@@ -1681,3 +1681,201 @@ def compression_signal(
     return out.withColumn(
         "ratio_ppm", F.expr("n_compressed * 1000000L DIV n_bytes")
     )
+
+
+# --- content-defined chunking (FastCDC/gear) for archive storage dedup -------
+#
+# Web archives store the same page bytes over and over (recrawls, mirrors,
+# boilerplate); chunk-level dedup — split content at CONTENT-defined
+# boundaries and store each distinct chunk once — is how storage systems
+# (LBFS, Venti, FastCDC'16, and WARC dedup backends) turn that redundancy
+# into capacity.  Fixed-size blocks break on the first inserted byte;
+# gear-hash boundaries survive shifts, so recrawled pages share most chunks
+# with their previous capture.
+#
+# Determinism contract: the gear table derives from md5 (no RNG), the hash
+# is exact uint64 shift-register arithmetic, and chunk ids are md5 of the
+# chunk bytes — the whole relation is bit-stable across engines/partitions.
+# The oracle is an independent naive shift-register golden.
+#
+# Scale/vectorization: h_i = (2*h_{i-1} + GEAR[b_i]) mod 2^64 telescopes to
+# a 64-byte sliding dot product with kernel [2^63..2^0] (older terms vanish
+# mod 2^64), so candidate boundaries come from ONE numpy windowed multiply
+# with natural uint64 wraparound — no per-byte Python.  Only the sparse
+# candidate list (avg one per 2^CDC_MASK_BITS bytes) is walked sequentially
+# to enforce min/max chunk bounds.  Documents are independent, so the pass
+# is an embarrassingly parallel Arrow-batched map, same shape as the
+# compression signal.
+
+CDC_MIN = 32
+CDC_MAX = 256
+CDC_MASK_BITS = 6  # boundary prob 1/64 -> ~96-byte average chunks
+
+
+def _gear_table():
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            int(hashlib.md5(bytes([b])).hexdigest()[:16], 16)
+            for b in range(256)
+        ],
+        dtype=np.uint64,
+    )
+
+
+def _cdc_cuts(data: bytes, min_len: int, max_len: int, mask: int, gear) -> list:
+    """Chunk end offsets (exclusive) for one byte string — vectorized gear
+    hash + sparse candidate walk."""
+    import numpy as np
+
+    n = len(data)
+    if n == 0:
+        return []
+    g = gear[np.frombuffer(data, dtype=np.uint8)]
+    pad = np.zeros(63, dtype=np.uint64)
+    gp = np.concatenate([pad, g])
+    win = np.lib.stride_tricks.sliding_window_view(gp, 64)
+    kernel = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        h = (win * kernel).sum(axis=1, dtype=np.uint64)
+    cand = np.nonzero((h & np.uint64(mask)) == 0)[0]
+    cuts, start, ci = [], 0, 0
+    while start < n:
+        end = min(start + max_len, n)
+        ci = int(np.searchsorted(cand, start + min_len - 1))
+        cut = end
+        while ci < len(cand) and cand[ci] < end:
+            cut = int(cand[ci]) + 1
+            break
+        cuts.append(min(cut, end))
+        start = cuts[-1]
+    return cuts
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = CDC_MIN,
+    max_len: int = CDC_MAX,
+    mask_bits: int = CDC_MASK_BITS,
+) -> DataFrame:
+    """(doc_id, chunk_idx, start_off, n_bytes, chunk_hash) — gear-hash
+    content-defined chunks of each document's UTF-8 bytes; chunk_hash is
+    md5 hex of the chunk bytes."""
+    import hashlib
+
+    mask = (1 << mask_bits) - 1
+
+    def _chunk_batches(it):
+        gear = _gear_table()
+        for pdf in it:
+            ids, idxs, offs, lens, hashes = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8") if isinstance(text, str) else b""
+                start = 0
+                for i, end in enumerate(
+                    _cdc_cuts(data, min_len, max_len, mask, gear)
+                ):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(start)
+                    lens.append(end - start)
+                    hashes.append(hashlib.md5(data[start:end]).hexdigest())
+                    start = end
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "start_off": pd.Series(offs, dtype="int64"),
+                    "n_bytes": pd.Series(lens, dtype="int64"),
+                    "chunk_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(
+        _chunk_batches,
+        "doc_id long, chunk_idx long, start_off long, n_bytes long,"
+        " chunk_hash string",
+    )
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """(n_docs, n_chunks, n_distinct_chunks, total_bytes, unique_bytes,
+    saved_ppm) — corpus storage-dedup summary.  unique_bytes counts each
+    distinct chunk once; one partial-agg'd exchange on chunk_hash (the
+    chunk relation is far smaller than the corpus), then a scalar agg."""
+    per_hash = chunks.groupBy("chunk_hash").agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.min("n_bytes").cast("long").alias("c_bytes"),
+        F.sum("n_bytes").cast("long").alias("t_bytes"),
+    )
+    docs = chunks.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    return (
+        per_hash.agg(
+            F.sum("n_copies").cast("long").alias("n_chunks"),
+            F.count("*").cast("long").alias("n_distinct_chunks"),
+            F.sum("t_bytes").cast("long").alias("total_bytes"),
+            F.sum("c_bytes").cast("long").alias("unique_bytes"),
+        )
+        .crossJoin(F.broadcast(docs))
+        .select(
+            "n_docs",
+            "n_chunks",
+            "n_distinct_chunks",
+            "total_bytes",
+            "unique_bytes",
+            F.expr(
+                "(total_bytes - unique_bytes) * 1000000"
+                " DIV greatest(total_bytes, 1L)"
+            )
+            .cast("long")
+            .alias("saved_ppm"),
+        )
+    )
+
+
+def naive_cdc_chunks(doc_id: int, text: str, min_len: int = CDC_MIN,
+                     max_len: int = CDC_MAX,
+                     mask_bits: int = CDC_MASK_BITS) -> list:
+    """Independent golden: per-byte shift-register gear hash, no numpy.
+    Returns (doc_id, chunk_idx, start_off, n_bytes, chunk_hash) tuples."""
+    import hashlib
+
+    gear = [
+        int(hashlib.md5(bytes([b])).hexdigest()[:16], 16) for b in range(256)
+    ]
+    data = text.encode("utf-8") if isinstance(text, str) else b""
+    mask = (1 << mask_bits) - 1
+    out, start, idx = [], 0, 0
+    while start < len(data):
+        h = 0
+        end = min(start + max_len, len(data))
+        cut = end
+        # the register carries history from before the chunk start, exactly
+        # like the vectorized sliding window does
+        first = min(start + min_len - 1, end)
+        for i in range(max(0, first - 63), first):
+            h = ((h << 1) + gear[data[i]]) & 0xFFFFFFFFFFFFFFFF
+        for i in range(first, end):
+            h = ((h << 1) + gear[data[i]]) & 0xFFFFFFFFFFFFFFFF
+            if (h & mask) == 0:
+                cut = i + 1
+                break
+        out.append(
+            (
+                doc_id,
+                idx,
+                start,
+                cut - start,
+                hashlib.md5(data[start:cut]).hexdigest(),
+            )
+        )
+        start, idx = cut, idx + 1
+    return out
