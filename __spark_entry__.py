@@ -1944,6 +1944,17 @@ def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc.cdx_index(_synth(spark, sf_dir, "pages"))
 
 
+def q_warc_frontcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX front-coding cost model: exact per-host-subtree byte saving of
+    prefix-compressing the sorted SURT urlkey stream — the number that
+    justifies write_cdx's range-partition sort (warc.cdx_frontcode
+    docstring; prefix length is a JVM higher-order expression, one
+    host-key exchange)."""
+    from web_crawler_spark.sources import warc
+
+    return warc.cdx_frontcode(_synth(spark, sf_dir, "pages"))
+
+
 RECRAWL_MIN_AGE_US = 6 * 3600 * 10**6
 RECRAWL_NOW_SKEW_US = 3600 * 10**6
 RECRAWL_BUDGET = 4
@@ -4409,6 +4420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "warc_scan": q_warc_scan,
         "warc_cdx": q_warc_cdx,
+        "warc_frontcode": q_warc_frontcode,
         "warc_revisit": q_warc_revisit,
         "recrawl_sched": q_recrawl_sched,
         "scan_prune": q_scan_prune,
@@ -5172,6 +5184,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             FROM read_parquet('{sp('pages')}')
         """,
         "warc_cdx": warc_src.duck_cdx_sql(f"read_parquet('{sp('pages')}')"),
+        "warc_frontcode": warc_src.duck_cdx_frontcode_sql(
+            f"read_parquet('{sp('pages')}')"
+        ),
         "warc_revisit": warc_src.duck_revisit_sql(
             [
                 f"read_parquet('{sp('pages_prev')}')",

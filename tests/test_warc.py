@@ -248,3 +248,34 @@ def test_revisit_warc_round_trip_property():
         ] == want
 
     run()
+
+
+def test_cdx_frontcode_crafted(spark):
+    """Front-coding byte math pinned by hand: sorted neighbors within one
+    host subtree share prefixes; coding never crosses host_key boundaries;
+    duplicate captures of one URL collapse before coding."""
+    from datetime import datetime, timezone
+
+    from web_crawler_spark.sources.warc import cdx_frontcode
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("http://a.example/p/1", ts, b"x", "t", "en"),
+        ("http://a.example/p/1", ts, b"y", "t", "en"),   # dup capture
+        ("http://a.example/p/2", ts, b"x", "t", "en"),
+        ("http://a.example/q", ts, b"x", "t", "en"),
+        ("http://b.example/p/1", ts, b"x", "t", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    got = {r["host_key"]: r for r in cdx_frontcode(pages).collect()}
+    # a.example keys sorted: example,a)/p/1  example,a)/p/2  example,a)/q
+    a = got["example,a"]
+    assert a["n_keys"] == 3
+    assert a["bytes_plain"] == len("example,a)/p/1") * 2 + len("example,a)/q")
+    # shared: 0 (first), len("example,a)/p/") = 13, len("example,a)/") = 11
+    assert a["bytes_shared"] == 13 + 11
+    b = got["example,b"]
+    assert (b["n_keys"], b["bytes_shared"]) == (1, 0)
+    assert a["saved_ppm"] == a["bytes_shared"] * 1_000_000 // a["bytes_plain"]

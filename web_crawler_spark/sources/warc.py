@@ -478,3 +478,89 @@ def parse_warc_typed(data: bytes) -> Iterator[tuple]:
             fields.get("warc-refers-to-target-uri"),
             _ts(fields.get("warc-refers-to-date")),
         )
+
+
+# --- CDX front-coding cost model ---------------------------------------------
+#
+# Published CDX indexes are not stored as plain lines: the sorted urlkey
+# stream is prefix-compressed (front-coded — each key stores only the
+# suffix after its shared prefix with the previous key, the zipnum /
+# WebGraph-successor-list trick), which is why a SURT sort order exists at
+# all.  Before committing an index layout you want the exact saving the
+# sort buys: per host subtree, how many bytes of sorted-neighbor shared
+# prefix disappear.  That number justifies (or kills) the range-partition
+# + in-partition sort that write_cdx pays.
+
+def cdx_frontcode(pages: DataFrame) -> DataFrame:
+    """(host_key, n_keys, bytes_plain, bytes_shared, saved_ppm) — exact
+    front-coding saving of the sorted distinct urlkey stream, per SURT
+    host subtree.  bytes_shared is the sum of sorted-neighbor common
+    prefixes (the real format re-spends ~1-2 bytes/key on length varints —
+    a constant the reader applies; the plan stays integer-exact).
+
+    Scale shape: ONE exchange on host_key (distinct + lag window share the
+    same partitioning — Catalyst's subset rule), and the prefix length is
+    a JVM higher-order expression (filter over sequence, no Python):
+    common-prefix equality is monotone, so
+    ``array_max(filter(sequence(0, len), n -> substr equal))`` is exact.
+    Front-coding never crosses host_key boundaries, matching sharded CDX
+    files that reset the coder per shard."""
+    from pyspark.sql import Window
+
+    keys = (
+        cdx_index(pages)
+        .select(F.split(F.col("urlkey"), r"\)", 2).getItem(0).alias("host_key"), "urlkey")
+        .distinct()
+    )
+    w = Window.partitionBy("host_key").orderBy("urlkey")
+    with_prev = keys.withColumn("prev_key", F.lag("urlkey").over(w))
+    shared = F.expr(
+        "CASE WHEN prev_key IS NULL THEN 0L ELSE cast(array_max(filter("
+        " sequence(0, least(length(prev_key), length(urlkey))),"
+        " n -> substring(prev_key, 1, n) = substring(urlkey, 1, n))) as bigint)"
+        " END"
+    )
+    return (
+        with_prev.select("host_key", F.length("urlkey").cast("long").alias("klen"),
+                         shared.alias("shared"))
+        .groupBy("host_key")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("klen").cast("long").alias("bytes_plain"),
+            F.sum("shared").cast("long").alias("bytes_shared"),
+        )
+        .withColumn(
+            "saved_ppm",
+            F.expr("bytes_shared * 1000000 DIV greatest(bytes_plain, 1L)").cast("long"),
+        )
+    )
+
+
+def duck_cdx_frontcode_sql(pages: str) -> str:
+    """DuckDB twin: same SURT keys; the common-prefix length is the max n
+    in a correlated generate_series whose substr halves agree (monotone,
+    so max over the equal set is exact)."""
+    return f"""
+WITH keys AS MATERIALIZED (
+  SELECT DISTINCT split_part(urlkey, ')', 1) AS host_key, urlkey
+  FROM ({duck_cdx_sql(pages)})
+),
+lagged AS (
+  SELECT host_key, urlkey,
+         lag(urlkey) OVER (PARTITION BY host_key ORDER BY urlkey) AS prev_key
+  FROM keys
+),
+scored AS (
+  SELECT host_key, length(urlkey)::BIGINT AS klen,
+         CASE WHEN prev_key IS NULL THEN 0 ELSE list_max(list_filter(
+           range(0, least(length(prev_key), length(urlkey)) + 1),
+           n -> substr(prev_key, 1, n::INT) = substr(urlkey, 1, n::INT)
+         )) END::BIGINT AS shared
+  FROM lagged
+)
+SELECT host_key, count(*)::BIGINT AS n_keys,
+       sum(klen)::BIGINT AS bytes_plain,
+       sum(shared)::BIGINT AS bytes_shared,
+       (sum(shared) * 1000000 // greatest(sum(klen), 1))::BIGINT AS saved_ppm
+FROM scored GROUP BY 1
+"""
