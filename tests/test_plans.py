@@ -488,3 +488,51 @@ def test_manifest_scan_plan_crafted(spark):
         k for k, v in man.items() if v[1] >= got[0]["lo_us"] and v[0] < got[0]["hi_us"]
     }
     assert all(d != day2 for d, _ in scanned0)
+
+
+def test_frontcode_plan_single_exchange_no_python(spark, sf_small):
+    """Front-coding must pay exactly ONE exchange (host_key — the
+    adjacency dedup rides the lag window instead of a second
+    (host_key, urlkey)-grain distinct exchange) and stay JVM-side."""
+    from web_crawler_spark.sources.warc import cdx_frontcode
+
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    plan = _plan(cdx_frontcode(pages))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_anf_round_plan_partial_bitor_no_python(spark, sf_small):
+    """One ANF round = edge join + bit_or groupBy with map-side partial
+    aggregation; registers never touch Python."""
+    from web_crawler_spark.functions.linkstats import host_anf
+
+    pm = spark.read.parquet(synth.synth_path("0.001", "pages_meta"))
+    plan = _plan(host_anf(pm, trials=2, depth=1, checkpoint=False))
+    assert "EvalPython" not in plan
+    assert "partial_bit_or" in plan or "Partial" in plan
+
+
+def test_urlnorm_audit_plan_rule_predicates_stay_jvm(spark, sf_small):
+    """The audit's rule predicates must ride the scan as JVM regexes; the
+    only Python node is the canonicalizer's documented Arrow pass, and it
+    runs once (the flag scan reuses the checkpointed canon frame)."""
+    from web_crawler_spark.functions.urlnorm import urlnorm_audit
+
+    cands = spark.read.parquet(synth.synth_path("0.001", "url_candidates"))
+    plan = _plan(urlnorm_audit(cands))
+    assert plan.count("ArrowEvalPython") == 0  # checkpoint cut the lineage
+    assert "EvalPython" not in plan
+
+
+def test_scan_prune_plan_broadcast_windows_no_python(spark, sf_small):
+    """Both window joins must broadcast the 3-row window frame; no Python
+    anywhere; the truth pass is the only full scan in the final plan (the
+    manifest is checkpointed)."""
+    from web_crawler_spark.plans.manifest import manifest_scan_plan
+
+    pages = spark.read.parquet(synth.synth_path("0.001", "pages"))
+    plan = _plan(manifest_scan_plan(pages))
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Scan parquet") <= 1

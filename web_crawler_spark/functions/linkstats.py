@@ -2752,21 +2752,30 @@ ANF_MAX_BIT = 24
 
 
 def host_anf(
-    df: DataFrame, trials: int = ANF_TRIALS, depth: int = ANF_DEPTH
+    df: DataFrame,
+    trials: int = ANF_TRIALS,
+    depth: int = ANF_DEPTH,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(depth, n_regs, sum_lsb, sum_pow2) — exact-FM ANF over the directed
     host graph (out-link reachability), depths 0..``depth``.
 
     n_regs = hosts * trials (constant across depths — a free self-check);
     sum_lsb / sum_pow2 are the exact integer register observables described
-    in the module-level ANF note.  N(d) ~ sum_pow2 / (trials * 0.77351)."""
+    in the module-level ANF note.  N(d) ~ sum_pow2 / (trials * 0.77351).
+
+    ``checkpoint=False`` keeps the full lineage (plan-shape tests); the
+    default truncates per round, the crawl-loop discipline."""
+    ckpt = (
+        (lambda d: d.localCheckpoint(eager=True)) if checkpoint else (lambda d: d)
+    )
     edges = (
         host_graph(df)
         .select("src_host", "dst_host")
         .filter(F.col("src_host") != F.col("dst_host"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    edges = ckpt(edges)
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .unionByName(edges.select(F.col("dst_host").alias("host")))
@@ -2815,11 +2824,10 @@ def host_anf(
         contrib = edges.join(
             masks.withColumnRenamed("host", "dst_host"), on="dst_host"
         ).select(F.col("src_host").alias("host"), "t", "mask")
-        masks = (
+        masks = ckpt(
             masks.unionByName(contrib)
             .groupBy("host", "t")
             .agg(F.expr("bit_or(mask)").alias("mask"))
-            .localCheckpoint(eager=True)
         )
         out = out.unionByName(_stats(masks, d))
     return out

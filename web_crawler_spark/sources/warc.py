@@ -498,22 +498,25 @@ def cdx_frontcode(pages: DataFrame) -> DataFrame:
     prefixes (the real format re-spends ~1-2 bytes/key on length varints —
     a constant the reader applies; the plan stays integer-exact).
 
-    Scale shape: ONE exchange on host_key (distinct + lag window share the
-    same partitioning — Catalyst's subset rule), and the prefix length is
-    a JVM higher-order expression (filter over sequence, no Python):
-    common-prefix equality is monotone, so
+    Scale shape: ONE exchange on host_key — there is no separate distinct
+    pass (which would force a second, (host_key, urlkey)-grain exchange):
+    duplicate captures sort adjacent inside the lag window, so rows whose
+    key equals their predecessor are dropped post-window, and the kept
+    rows' lag values are exactly the distinct-stream predecessors.  The
+    prefix length is a JVM higher-order expression (filter over sequence,
+    no Python): common-prefix equality is monotone, so
     ``array_max(filter(sequence(0, len), n -> substr equal))`` is exact.
     Front-coding never crosses host_key boundaries, matching sharded CDX
     files that reset the coder per shard."""
     from pyspark.sql import Window
 
-    keys = (
-        cdx_index(pages)
-        .select(F.split(F.col("urlkey"), r"\)", 2).getItem(0).alias("host_key"), "urlkey")
-        .distinct()
+    keys = cdx_index(pages).select(
+        F.split(F.col("urlkey"), r"\)", 2).getItem(0).alias("host_key"), "urlkey"
     )
     w = Window.partitionBy("host_key").orderBy("urlkey")
-    with_prev = keys.withColumn("prev_key", F.lag("urlkey").over(w))
+    with_prev = keys.withColumn("prev_key", F.lag("urlkey").over(w)).filter(
+        F.col("prev_key").isNull() | (F.col("prev_key") != F.col("urlkey"))
+    )
     shared = F.expr(
         "CASE WHEN prev_key IS NULL THEN 0L ELSE cast(array_max(filter("
         " sequence(0, least(length(prev_key), length(urlkey))),"
