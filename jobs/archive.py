@@ -8,7 +8,12 @@ Common Crawl's native unit — this job either
     (first capture of each distinct payload keeps its body; later
     byte-identical captures become empty revisit records pointing at the
     original — the storage dedup a monthly re-crawl needs), or
-  * ``--mode cdx``: emits the sorted CDX(J) lookup index next to the archive.
+  * ``--mode cdx``: emits the sorted CDX(J) lookup index next to the archive,
+  * ``--mode chunks``: content-defined-chunks every payload (gear/FastCDC)
+    and writes the chunk relation + a storage-dedup summary — the
+    chunk-store capacity plan for the archive, or
+  * ``--mode frontcode``: writes the per-host front-coding saving table for
+    the sorted CDX key stream (is the SURT sort worth it for this crawl?).
 
 Scale shape: reading is one task per WARC file (the Common-Crawl
 parallelism unit); revisit typing digests bodies map-side and exchanges
@@ -41,7 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="WARC archive dedup / indexing")
     p.add_argument("--warc-in", required=True, help="WARC file glob")
     p.add_argument("--output", required=True, help="output directory")
-    p.add_argument("--mode", choices=("revisit", "cdx"), default="revisit")
+    p.add_argument(
+        "--mode",
+        choices=("revisit", "cdx", "chunks", "frontcode"),
+        default="revisit",
+    )
     p.add_argument("--shards", type=int, default=32)
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -122,6 +131,31 @@ def main(argv: "list[str] | None" = None) -> int:
         pages = warc.read_warc(spark, args.warc_in)
         warc.write_cdx(pages, args.output, n_shards=args.shards)
         stats = {"mode": "cdx", "captures": pages.count(), "shards": args.shards}
+    elif args.mode == "chunks":
+        from web_crawler_spark.functions import webtext
+
+        pages = warc.read_warc(spark, args.warc_in)
+        docs = pages.select(
+            F.xxhash64("url", "warc_ts").alias("doc_id"),
+            F.col("html").cast("string").alias("text"),
+        )
+        chunks = webtext.cdc_chunks(docs).persist()
+        chunks.write.mode("overwrite").parquet(args.output)
+        row = webtext.cdc_dedup_stats(chunks).first().asDict()
+        stats = {"mode": "chunks", **{k: int(v) for k, v in row.items()}}
+    elif args.mode == "frontcode":
+        pages = warc.read_warc(spark, args.warc_in)
+        fc = warc.cdx_frontcode(pages).persist()
+        fc.write.mode("overwrite").parquet(args.output)
+        tot = fc.agg(
+            F.sum("bytes_plain").alias("p"), F.sum("bytes_shared").alias("s")
+        ).first()
+        stats = {
+            "mode": "frontcode",
+            "host_subtrees": fc.count(),
+            "bytes_plain": int(tot["p"] or 0),
+            "bytes_shared": int(tot["s"] or 0),
+        }
     else:
         stats = rewrite_with_revisits(spark, args.warc_in, args.output, args.shards)
     stats["master"] = spark.sparkContext.master

@@ -648,3 +648,68 @@ def test_graph_cli_end_to_end(tmp_path):
         raise AssertionError("unknown op must SystemExit")
     except SystemExit as ex:
         assert "nope" in str(ex)
+
+
+def test_archive_cli_chunks_and_frontcode_modes(tmp_path):
+    """jobs/archive.py --mode chunks writes the CDC chunk relation + a
+    dedup summary whose saved bytes reflect the duplicated payload;
+    --mode frontcode writes the per-host prefix-saving table."""
+    from datetime import datetime, timezone
+
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark.sources import warc as warc_src
+
+    ts = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    body = b"<html>" + b"shared content block " * 40 + b"</html>"
+    warc_src.write_warc(
+        [
+            ("http://a.example/p/1", ts, body),
+            ("http://a.example/p/2", ts, body),  # byte-identical dup
+            ("http://a.example/q", ts, b"<html>unique</html>"),
+        ],
+        os.path.join(src, "part-00000.warc"),
+    )
+
+    out_dir = str(tmp_path / "chunks")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "archive.py"),
+            "--warc-in", os.path.join(src, "part-*.warc"),
+            "--output", out_dir,
+            "--mode", "chunks",
+            "--master", "local[2]",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["mode"] == "chunks" and stats["n_docs"] == 3
+    # the duplicated body dedups to ~half its stored bytes
+    assert stats["unique_bytes"] < stats["total_bytes"]
+    assert stats["saved_ppm"] >= 400_000
+    t = pq.read_table(out_dir)
+    assert t.num_rows == stats["n_chunks"]
+
+    out_dir2 = str(tmp_path / "fc")
+    out2 = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "archive.py"),
+            "--warc-in", os.path.join(src, "part-*.warc"),
+            "--output", out_dir2,
+            "--mode", "frontcode",
+            "--master", "local[2]",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=REPO,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    stats2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert stats2["mode"] == "frontcode" and stats2["host_subtrees"] == 1
+    # example,a)/p/1 and )/p/2 and )/q share prefixes
+    assert stats2["bytes_shared"] > 0
