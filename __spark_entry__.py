@@ -2102,6 +2102,22 @@ def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(_docs(spark, sf_dir), ctx=256)
 
 
+def q_corpus_pack_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-context-pretraining packing (Shi et al. 2023): same global-offset
+    machinery as corpus_pack, but ordered by an integer-quantized sign-LSH
+    signature of each document's embedding, so semantic neighbors share a
+    context window.  Key is BIGINT end-to-end (no float-epsilon sign risk —
+    packing.semantic_sort_key docstring); ties break on md5(doc_id)."""
+    docs = _docs(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    joined = docs.join(emb, on=F.col("doc_id") == F.col("vec_id"))
+    return packing.pack_sequences(
+        joined,
+        ctx=256,
+        key_col=packing.semantic_sort_key(F.col("embedding"), n_dims=64),
+    )
+
+
 def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data export wired end-to-end: web-corpus cleaning ->
     decontamination of the CLEANED text -> deterministic shard assignment —
@@ -4430,6 +4446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "sketch_url_hll": q_sketch_url_hll,
         "corpus_pack": q_corpus_pack,
+        "corpus_pack_semantic": q_corpus_pack_semantic,
         "corpus_export": q_corpus_export,
         "link_hostgraph": q_link_hostgraph,
         "link_cocitation": q_link_cocitation,
@@ -5232,6 +5249,12 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             budget=RECRAWL_BUDGET,
         ),
         "corpus_pack": packing.duck_pack_sequences_sql("documents", ctx=256),
+        "corpus_pack_semantic": packing.duck_pack_sequences_sql(
+            "(SELECT d.doc_id, d.text, e.embedding FROM documents d"
+            " JOIN embeddings e ON d.doc_id = e.vec_id)",
+            ctx=256,
+            key_sql=packing.duck_semantic_key_sql("embedding", n_dims=64),
+        ),
         "corpus_export": webtext.duck_export_corpus_sql(
             webdocs, f"read_parquet('{sp('evaldocs')}')"
         ),

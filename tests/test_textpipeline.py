@@ -2329,3 +2329,41 @@ def test_maxscore_bounds_are_admissible(spark, docs):
     assert b["apple"]["max_score_ppm"] == s
     assert b["apple"]["df_t"] == 2 and b["pear"]["df_t"] == 1
     assert all(r["max_score_ppm"] > 0 for r in b.values())
+
+
+def test_semantic_pack_clusters_are_contiguous(spark):
+    """Two well-separated embedding clusters must receive equal
+    within-cluster sort keys, so each cluster's documents occupy one
+    contiguous token range; ties inside a cluster break on md5(doc_id)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.functions import packing
+
+    a = [0.9] * 32 + [-0.7] * 32
+    b = [-0.9] * 32 + [0.7] * 32
+    rows = [
+        (i, "tok " * (i + 1), (a if i % 2 == 0 else b))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<float>"
+    )
+    out = packing.pack_sequences(
+        df, ctx=8, key_col=packing.semantic_sort_key(F.col("embedding"), 64)
+    ).collect()
+    offs = {r["doc_id"]: (r["tok_offset"], r["n_tokens"]) for r in out}
+    clusters = [[0, 2, 4], [1, 3, 5]]
+    spans = []
+    for cl in clusters:
+        lo = min(offs[d][0] for d in cl)
+        hi = max(offs[d][0] + offs[d][1] for d in cl)
+        assert hi - lo == sum(offs[d][1] for d in cl)  # contiguous block
+        spans.append((lo, hi))
+    spans.sort()
+    assert spans[0][1] == spans[1][0]  # blocks abut, no interleave
+    # within a cluster the md5 tiebreak orders doc ids deterministically
+    first = clusters[0] if offs[clusters[0][0]][0] < offs[clusters[1][0]][0] else clusters[1]
+    order = sorted(first, key=lambda d: offs[d][0])
+    assert order == sorted(first, key=lambda d: hashlib.md5(str(d).encode()).hexdigest())

@@ -31,11 +31,18 @@ def pack_sequences(
     text_col: str = "text",
     ctx: int = PACK_CTX,
     num_partitions: int | None = None,
+    key_col=None,
 ) -> DataFrame:
     """Output: (doc_id, n_tokens, tok_offset, seq_id) where tok_offset is the
-    document's exclusive global token offset in md5(doc_id) order and
-    seq_id = tok_offset // ctx (the training sequence holding its first
-    token; a document may span into following sequences).
+    document's exclusive global token offset in ``key_col`` order (default:
+    md5(doc_id) — a deterministic shuffle) and seq_id = tok_offset // ctx
+    (the training sequence holding its first token; a document may span
+    into following sequences).
+
+    ``key_col``: any deterministic Column over ``df`` — e.g. a semantic
+    signature so related documents land in the same context window (the
+    in-context-pretraining ordering).  Ties always break on md5(doc_id),
+    keeping the global order total whatever the key's collision rate.
 
     Same cache discipline as operators/ordering.with_global_seq: the
     range-partitioned frame persists across the subtotal and stamp passes,
@@ -48,16 +55,18 @@ def pack_sequences(
         .otherwise(F.size(F.split(F.trim(t), r"\s+")))
         .cast("long")
     )
+    tiebreak = F.md5(F.col(id_col).cast("string"))
     base = df.select(
         F.col(id_col).alias("doc_id"),
         n_tok.alias("n_tokens"),
-        F.md5(F.col(id_col).cast("string")).alias("__k"),
+        (tiebreak if key_col is None else key_col).alias("__k"),
+        tiebreak.alias("__k2"),
     )
     if num_partitions is None:
         num_partitions = max(2, spark.sparkContext.defaultParallelism)
     ranged = (
-        base.repartitionByRange(num_partitions, F.col("__k"))
-        .sortWithinPartitions("__k")
+        base.repartitionByRange(num_partitions, F.col("__k"), F.col("__k2"))
+        .sortWithinPartitions("__k", "__k2")
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
@@ -105,21 +114,89 @@ def pack_sequences(
     return out
 
 
-def duck_pack_sequences_sql(table: str, ctx: int = PACK_CTX) -> str:
+def duck_pack_sequences_sql(
+    table: str, ctx: int = PACK_CTX, key_sql: str | None = None
+) -> str:
+    key = key_sql if key_sql is not None else "md5(doc_id::VARCHAR)"
     return rf"""
 WITH t AS (
   SELECT doc_id,
          len(CASE WHEN trim(text) = '' THEN []
                   ELSE regexp_split_to_array(trim(text), '\s+') END)::BIGINT AS n_tokens,
-         md5(doc_id::VARCHAR) AS k
+         {key} AS k,
+         md5(doc_id::VARCHAR) AS k2
   FROM {table}
 )
 SELECT doc_id, n_tokens,
   coalesce(sum(n_tokens) OVER (
-    ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ORDER BY k, k2 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
   ), 0)::BIGINT AS tok_offset,
   (coalesce(sum(n_tokens) OVER (
-    ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ORDER BY k, k2 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
   ), 0) // {ctx})::BIGINT AS seq_id
 FROM t
 """
+
+
+# --- semantic packing key (in-context-pretraining ordering) -------------------
+#
+# Shi et al. 2023 ("In-Context Pretraining") show LMs train better when the
+# documents sharing a context window are RELATED, not random.  At corpus
+# scale the practical ordering is a locality-sensitive sort: documents with
+# similar embeddings receive equal (or near-equal) sort keys, so the global
+# token-offset pass — unchanged — packs semantic neighbors into the same
+# ctx-token sequence.
+#
+# Determinism contract: sign-LSH over floats risks cross-engine sign flips
+# when a projection lands within float-epsilon of zero, so the key uses the
+# engine's integer discipline end-to-end: embeddings quantize to
+# floor(v * 1000) BIGINTs (float32 -> double -> *1000 -> floor is exact
+# IEEE in both engines) and project onto md5-derived INTEGER weights in
+# [-1000, 1000]; the bit is proj > 0 on a BIGINT.  Bit-identical keys in
+# Spark and DuckDB, no epsilon anywhere.
+
+SEM_PLANES = 10
+SEM_QUANT = 1000
+
+
+def _sem_weight(plane: int, dim: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"sem{plane}:dim{dim}".encode()).hexdigest()[:8]
+    return int(h, 16) % (2 * SEM_QUANT + 1) - SEM_QUANT
+
+
+def semantic_sort_key(vec_col, n_dims: int, n_planes: int = SEM_PLANES):
+    """BIGINT sign-signature of the quantized embedding — equal keys =
+    same semantic bucket; JVM higher-order expressions only."""
+    q = F.transform(
+        vec_col.cast("array<double>"),
+        lambda x: F.floor(x * SEM_QUANT).cast("long"),
+    )
+    acc = F.lit(0).cast("long")
+    for p in range(n_planes):
+        w = F.array(
+            *[F.lit(_sem_weight(p, d)).cast("long") for d in range(n_dims)]
+        )
+        proj = F.aggregate(
+            F.zip_with(q, w, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+        acc = acc + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return acc
+
+
+def duck_semantic_key_sql(
+    vec_expr: str, n_dims: int, n_planes: int = SEM_PLANES
+) -> str:
+    """DuckDB twin of :func:`semantic_sort_key` over a FLOAT[] column."""
+    planes = []
+    for p in range(n_planes):
+        w = ", ".join(str(_sem_weight(p, d)) for d in range(n_dims))
+        planes.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {n_dims + 1}),"
+            f" d -> floor(({vec_expr})[d]::DOUBLE * {SEM_QUANT})::BIGINT"
+            f" * ([{w}]::BIGINT[])[d])) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(planes) + ")::BIGINT"
