@@ -468,6 +468,49 @@ def main() -> None:
         "integer ppm weights, partial-agg'd pair rollup.",
     )
 
+    cap(
+        "warc_frontcode — CDX front-coding cost",
+        E.q_warc_frontcode(spark, sf_dir),
+        "Want: exactly ONE Exchange hashpartitioning(host_key) — duplicate\n"
+        "captures dedup by adjacency inside the lag window (no second\n"
+        "(host_key, urlkey)-grain distinct exchange); the common-prefix\n"
+        "length is a JVM higher-order filter-over-sequence, no Python.",
+    )
+    cap(
+        "scan_prune — Iceberg-manifest pruning planner",
+        E.q_scan_prune(spark, sf_dir),
+        "Want: the 3-row window frame enters both joins via broadcast; the\n"
+        "manifest is checkpointed so the final plan scans pages once (row\n"
+        "truth) — at deployment the stats side is table metadata.",
+    )
+    cap(
+        "urlnorm_audit — canonicalization rule audit",
+        E.q_urlnorm_audit(spark, sf_dir),
+        "Want: every rule predicate is a JVM rlike on one scan of the\n"
+        "checkpointed canon frame; stack() long-format projection; the two\n"
+        "distinct counts share one partial-agg'd exchange.",
+    )
+    cap(
+        "corpus_pack_semantic — in-context-pretraining packing",
+        E.q_corpus_pack_semantic(spark, sf_dir),
+        "Want: identical shape to corpus_pack (range exchange + mapInPandas\n"
+        "stamp): the semantic signature is JVM transform/zip_with/aggregate\n"
+        "integer lambdas, adding zero exchanges.",
+    )
+    from web_crawler_spark.functions.linkstats import host_anf
+
+    cap(
+        "link_anf round — HyperBall register union",
+        host_anf(
+            spark.read.parquet(synth.synth_path("0.001", "pages_meta")),
+            trials=2,
+            depth=1,
+            checkpoint=False,
+        ),
+        "Want: per round ONE edge-vs-mask join + ONE partial-agg'd bit_or\n"
+        "groupBy (map-side combine collapses duplicate (host, t) rows\n"
+        "before the exchange); registers are BIGINTs, never Python.",
+    )
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")
         f.write(
