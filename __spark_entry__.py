@@ -2199,6 +2199,21 @@ def q_link_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_trustrank(pm, seeds)
 
 
+def q_link_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass (Gyongyi et al. 2006): the PageRank share that
+    does not arrive through trusted paths — the composed
+    reciprocity-seeds -> TrustRank -> mass triage, exact ppm integers
+    end-to-end (linkstats.host_spam_mass docstring)."""
+    pm = _synth(spark, sf_dir, "pages_meta")
+    seeds = (
+        linkstats.host_link_spam(pm)
+        .orderBy(F.desc("recip_ppm"), F.asc("host"))
+        .limit(5)
+        .select("host")
+    )
+    return linkstats.host_spam_mass(pm, seeds)
+
+
 def q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank-prioritized fetch batch (Cho/Garcia-Molina URL ordering):
     the outlink frontier inherits host authority, budget-capped per host
@@ -4457,6 +4472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_rank": q_frontier_rank,
         "link_spam": q_link_spam,
         "link_trustrank": q_link_trustrank,
+        "link_spam_mass": q_link_spam_mass,
         "link_anchors": q_link_anchors,
         "doc_length_hist": q_doc_length_hist,
         "corpus_shards": q_corpus_shards,
@@ -5266,6 +5282,11 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "link_opic": linkstats.duck_opic_sql(pages_meta),
         "link_spam": linkstats.duck_link_spam_sql(pages_meta),
         "link_trustrank": linkstats.duck_trustrank_sql(
+            pages_meta,
+            f"SELECT host FROM ({linkstats.duck_link_spam_sql(pages_meta)})"
+            " QUALIFY row_number() OVER (ORDER BY recip_ppm DESC, host) <= 5",
+        ),
+        "link_spam_mass": linkstats.duck_spam_mass_sql(
             pages_meta,
             f"SELECT host FROM ({linkstats.duck_link_spam_sql(pages_meta)})"
             " QUALIFY row_number() OVER (ORDER BY recip_ppm DESC, host) <= 5",

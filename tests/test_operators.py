@@ -1542,3 +1542,26 @@ def test_host_anf_crafted(spark):
         for r in host_anf(df.repartition(8)).collect()
     }
     assert got8 == expect
+
+
+def test_host_spam_mass_crafted(spark):
+    """Seeds and hosts fed by them carry ~0 spam mass; a disconnected
+    clique the seeds cannot reach carries ~full mass."""
+    from web_crawler_spark.functions.linkstats import host_spam_mass
+
+    df = _mk_pages_meta(
+        spark,
+        [
+            ("good.example", ["shop.example"]),
+            ("shop.example", ["good.example"]),
+            ("spam1.example", ["spam2.example"]),
+            ("spam2.example", ["spam1.example"]),
+        ],
+    )
+    seeds = spark.createDataFrame([("good.example",)], "host string")
+    got = {r["host"]: r for r in host_spam_mass(df, seeds).collect()}
+    assert got["good.example"]["spam_mass_ppm"] < 200_000
+    assert got["shop.example"]["spam_mass_ppm"] < 350_000
+    for h in ("spam1.example", "spam2.example"):
+        assert got[h]["spam_mass_ppm"] > 900_000
+        assert got[h]["trust_ppb"] <= got[h]["rank_ppb"] // 10

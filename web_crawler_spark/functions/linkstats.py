@@ -2878,3 +2878,55 @@ def duck_anf_sql(
 FROM (SELECT bit_count(xor(mask, mask + 1)) - 1 AS lsb FROM m{k})"""
         )
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# --- spam mass (Gyongyi/Berkhin/Garcia-Molina/Pedersen, VLDB wksp 2006) ------
+#
+# Relative spam mass: the share of a host's PageRank that does NOT arrive
+# through trusted paths — rel_mass = (PR - TrustRank') / PR.  The composed
+# anti-spam triage: reciprocity picks organic seeds, TrustRank flows trust,
+# and spam mass converts the two rank vectors into one rankable spam
+# score.  Both vectors come from the engine's integer-exact iteration
+# framework, so the mass is an exact ppm integer — no float subtraction of
+# near-equal doubles.
+
+
+def host_spam_mass(df: DataFrame, seeds: DataFrame) -> DataFrame:
+    """(host, rank_ppb, trust_ppb, spam_mass_ppm) — spam_mass_ppm =
+    clamp((rank - trust) * 1e6 DIV rank, 0, 1e6); hosts the seeds cannot
+    reach score ~1e6, seeds themselves ~0.
+
+    Scale shape: two independent rank pipelines over the SAME materialized
+    edge relation shape (each is per-iteration join + partial agg, lineage
+    truncated), then one host-keyed join of two host-grain vectors —
+    negligible next to the iterations."""
+    pr = host_pagerank(df)
+    tr = host_trustrank(df, seeds)
+    return (
+        pr.join(tr, on="host", how="left")
+        .select(
+            "host",
+            "rank_ppb",
+            F.coalesce(F.col("trust_ppb"), F.lit(0)).cast("long").alias("trust_ppb"),
+        )
+        .withColumn(
+            "spam_mass_ppm",
+            F.expr(
+                "greatest(0L, least(1000000L,"
+                " (rank_ppb - trust_ppb) * 1000000 DIV greatest(rank_ppb, 1L)))"
+            ).cast("long"),
+        )
+    )
+
+
+def duck_spam_mass_sql(pages_meta: str, seeds_sql: str) -> str:
+    """DuckDB twin: the two unrolled rank CTE chains joined at host grain."""
+    return f"""
+SELECT p.host, p.rank_ppb,
+       coalesce(t.trust_ppb, 0)::BIGINT AS trust_ppb,
+       greatest(0, least(1000000,
+         (p.rank_ppb - coalesce(t.trust_ppb, 0)) * 1000000
+           // greatest(p.rank_ppb, 1)))::BIGINT AS spam_mass_ppm
+FROM ({duck_pagerank_sql(pages_meta)}) p
+LEFT JOIN ({duck_trustrank_sql(pages_meta, seeds_sql)}) t USING (host)
+"""
