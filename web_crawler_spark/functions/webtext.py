@@ -1742,16 +1742,13 @@ def _cdc_cuts(data: bytes, min_len: int, max_len: int, mask: int, gear) -> list:
     with np.errstate(over="ignore"):
         h = (win * kernel).sum(axis=1, dtype=np.uint64)
     cand = np.nonzero((h & np.uint64(mask)) == 0)[0]
-    cuts, start, ci = [], 0, 0
+    cuts, start = [], 0
     while start < n:
         end = min(start + max_len, n)
         ci = int(np.searchsorted(cand, start + min_len - 1))
-        cut = end
-        while ci < len(cand) and cand[ci] < end:
-            cut = int(cand[ci]) + 1
-            break
-        cuts.append(min(cut, end))
-        start = cuts[-1]
+        cut = int(cand[ci]) + 1 if ci < len(cand) and cand[ci] < end else end
+        cuts.append(cut)
+        start = cut
     return cuts
 
 
