@@ -536,3 +536,13 @@ def test_scan_prune_plan_broadcast_windows_no_python(spark, sf_small):
     assert "EvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("Scan parquet") <= 1
+
+
+def test_manifest_scan_plan_empty_table(spark):
+    """An empty pages table yields an empty planning table, not a crash."""
+    from web_crawler_spark.plans.manifest import manifest_scan_plan
+
+    empty = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    assert manifest_scan_plan(empty).count() == 0

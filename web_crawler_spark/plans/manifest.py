@@ -82,6 +82,13 @@ def manifest_scan_plan(
     bounds = manifest.agg(
         F.min("min_ts_us").alias("gmin"), F.max("max_ts_us").alias("gmax")
     ).first()
+    if bounds["gmin"] is None:  # empty table: no files, no windows
+        return spark.createDataFrame(
+            [],
+            "window_id long, lo_us long, hi_us long, n_files long,"
+            " n_files_scanned long, rows_in_scanned long, rows_matching long,"
+            " overread_ppm long",
+        )
     gmin, gmax = int(bounds["gmin"]), int(bounds["gmax"])
     span = gmax - gmin
     wrows = []
