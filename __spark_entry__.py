@@ -2042,6 +2042,16 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_population(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture URL-space sizing (Lincoln-Petersen / Chapman; the
+    Lawrence & Giles '98 method): two crawl snapshots as independent
+    samples -> exact-integer population estimate and undiscovered-URL
+    count (recrawl.capture_recapture docstring)."""
+    return recrawl.capture_recapture(
+        _synth(spark, sf_dir, "pages_prev"), _synth(spark, sf_dir, "pages")
+    )
+
+
 def q_dedup_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot exact content dedup (canonical-version selection): one
     row per distinct extracted text across the previous+current crawls,
@@ -4456,6 +4466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_sched": q_recrawl_sched,
         "scan_prune": q_scan_prune,
         "crawl_diff": q_crawl_diff,
+        "crawl_population": q_crawl_population,
         "recrawl_adaptive": q_recrawl_adaptive,
         "dedup_snapshots": q_dedup_snapshots,
         "robots_sitemaps": q_robots_sitemaps,
@@ -5227,6 +5238,9 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             ]
         ),
         "crawl_diff": recrawl.duck_snapshot_diff_sql(
+            f"read_parquet('{sp('pages_prev')}')", f"read_parquet('{sp('pages')}')"
+        ),
+        "crawl_population": recrawl.duck_capture_recapture_sql(
             f"read_parquet('{sp('pages_prev')}')", f"read_parquet('{sp('pages')}')"
         ),
         "recrawl_adaptive": recrawl.duck_adaptive_sql(

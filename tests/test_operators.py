@@ -1565,3 +1565,26 @@ def test_host_spam_mass_crafted(spark):
     for h in ("spam1.example", "spam2.example"):
         assert got[h]["spam_mass_ppm"] > 900_000
         assert got[h]["trust_ppb"] <= got[h]["rank_ppb"] // 10
+
+
+def test_capture_recapture_known_values(spark):
+    """Chapman and Petersen estimates pinned by hand: samples of 4 and 5
+    with overlap 2 -> Petersen 10, Chapman (5*6//3)-1 = 9, union 7."""
+    from web_crawler_spark.plans.recrawl import capture_recapture
+
+    prev = spark.createDataFrame([(f"u{i}",) for i in (1, 2, 3, 4)], "url string")
+    curr = spark.createDataFrame(
+        [(f"u{i}",) for i in (3, 4, 5, 6, 7)], "url string"
+    )
+    r = capture_recapture(prev, curr).first()
+    assert (r["n_prev"], r["n_curr"], r["n_overlap"], r["n_union"]) == (4, 5, 2, 7)
+    assert r["n_hat_petersen"] == 10
+    assert r["n_hat_chapman"] == 9
+    assert r["undiscovered_est"] == 2
+
+    # zero overlap stays defined (Chapman's +1 shift; Petersen 0-guarded)
+    r0 = capture_recapture(
+        spark.createDataFrame([("a",)], "url string"),
+        spark.createDataFrame([("b",)], "url string"),
+    ).first()
+    assert r0["n_hat_chapman"] == 3 and r0["n_hat_petersen"] == 1

@@ -472,3 +472,84 @@ SELECT *, (bytes_saved * 1000000
              // greatest(bytes_saved + bytes_fetch, 1))::BIGINT AS saved_ppm
 FROM agg
 """
+
+
+# --- capture-recapture frontier-size estimation -------------------------------
+#
+# "How many URLs exist that we have NOT crawled yet?"  The ecology
+# estimator (Lincoln-Petersen; Chapman's bias-corrected form) answers it
+# from two independent samples and their overlap — the method Lawrence &
+# Giles (Science '98) used to size the indexable web from search-engine
+# overlap.  Two crawl snapshots of the same web are the two samples:
+# N_hat = (n1+1)(n2+1)/(m+1) - 1, undiscovered = N_hat - |union|.
+# Exact integer DIV throughout; the denominators are +1-shifted so the
+# estimator is defined even at zero overlap.
+
+
+def capture_recapture(prev, curr, url_col: str = "url"):
+    """(n_prev, n_curr, n_overlap, n_union, n_hat_chapman, n_hat_petersen,
+    undiscovered_est) — population estimate of the crawlable URL space from
+    two snapshot samples.
+
+    Scale shape: two distinct projections + one url-keyed join; everything
+    that moves is a url string; outputs are one row of BIGINTs.  Petersen
+    (n1*n2 DIV m) rides alongside Chapman for the classical comparison and
+    is 0-guarded the same way."""
+    from pyspark.sql import functions as F
+
+    a = prev.select(F.col(url_col).alias("url")).distinct()
+    b = curr.select(F.col(url_col).alias("url")).distinct()
+    counts = (
+        a.withColumn("in_a", F.lit(1))
+        .join(b.withColumn("in_b", F.lit(1)), on="url", how="full")
+        .agg(
+            F.sum(F.coalesce(F.col("in_a"), F.lit(0))).cast("long").alias("n_prev"),
+            F.sum(F.coalesce(F.col("in_b"), F.lit(0))).cast("long").alias("n_curr"),
+            F.sum(
+                F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_overlap"),
+            F.count("*").cast("long").alias("n_union"),
+        )
+    )
+    return counts.select(
+        "n_prev",
+        "n_curr",
+        "n_overlap",
+        "n_union",
+        F.expr("(n_prev + 1) * (n_curr + 1) DIV (n_overlap + 1) - 1")
+        .cast("long")
+        .alias("n_hat_chapman"),
+        F.expr("n_prev * n_curr DIV greatest(n_overlap, 1L)")
+        .cast("long")
+        .alias("n_hat_petersen"),
+        F.expr(
+            "greatest(0L, (n_prev + 1) * (n_curr + 1) DIV (n_overlap + 1) - 1"
+            " - n_union)"
+        )
+        .cast("long")
+        .alias("undiscovered_est"),
+    )
+
+
+def duck_capture_recapture_sql(prev: str, curr: str) -> str:
+    return f"""
+WITH a AS (SELECT DISTINCT url FROM {prev}),
+b AS (SELECT DISTINCT url FROM {curr}),
+c AS (
+  SELECT count(a.url)::BIGINT AS n_prev, count(b.url)::BIGINT AS n_curr,
+         sum(CASE WHEN a.url IS NOT NULL AND b.url IS NOT NULL
+             THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+         count(*)::BIGINT AS n_union
+  FROM a FULL JOIN b ON a.url = b.url
+)
+SELECT n_prev, n_curr, n_overlap, n_union,
+       ((n_prev + 1) * (n_curr + 1) // (n_overlap + 1) - 1)::BIGINT
+         AS n_hat_chapman,
+       (n_prev * n_curr // greatest(n_overlap, 1))::BIGINT AS n_hat_petersen,
+       greatest(0, (n_prev + 1) * (n_curr + 1) // (n_overlap + 1) - 1
+                - n_union)::BIGINT AS undiscovered_est
+FROM c
+"""
