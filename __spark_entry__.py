@@ -4024,6 +4024,14 @@ def q_link_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_anf(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus over the host graph — the
+    graph-embedding training-data generator: md5-indexed uniform
+    out-neighbor picks, bit-identical across engines/partitions/reruns
+    (linkstats.host_random_walks docstring)."""
+    return linkstats.host_random_walks(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_link_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-correlation profile knn(k) (Pastor-Satorras et al. 2001):
     average neighbor degree per degree value in exact integer milli —
@@ -4573,6 +4581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_centrality": q_link_centrality,
         "link_hopplot": q_link_hopplot,
         "link_anf": q_link_anf,
+        "link_walks": q_link_walks,
         "link_reciprocity": q_link_reciprocity,
         "doc_length_quantiles": q_doc_length_quantiles,
         "link_depth": q_link_depth,
@@ -6018,6 +6027,7 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
         "link_centrality": linkstats.duck_harmonic_centrality_sql(pages_meta),
         "link_hopplot": linkstats.duck_hop_plot_sql(pages_meta),
         "link_anf": linkstats.duck_anf_sql(pages_meta),
+        "link_walks": linkstats.duck_random_walks_sql(pages_meta),
         "link_reciprocity": linkstats.duck_reciprocity_sql(pages_meta),
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),

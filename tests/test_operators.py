@@ -1588,3 +1588,44 @@ def test_capture_recapture_known_values(spark):
         spark.createDataFrame([("b",)], "url string"),
     ).first()
     assert r0["n_hat_chapman"] == 3 and r0["n_hat_petersen"] == 1
+
+
+def test_host_random_walks_crafted(spark):
+    """Walk mechanics pinned: every step follows an existing edge, the
+    md5 pick is reproduced by hand, dead ends truncate, and the corpus is
+    partition-invariant."""
+    import hashlib
+
+    from web_crawler_spark.functions.linkstats import host_random_walks
+
+    df = _mk_pages_meta(
+        spark,
+        [
+            ("a.example", ["b.example", "c.example"]),
+            ("b.example", ["c.example"]),
+            # c has no out-links: dead end
+        ],
+    )
+    rows = host_random_walks(df, walks=2, length=3).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault((r["start_host"], r["walk_idx"]), {})[r["step"]] = r["host"]
+    adj = {"a.example": ["b.example", "c.example"], "b.example": ["c.example"]}
+
+    def pick(start, w, t, deg):
+        return int(hashlib.md5(f"{start}:{w}:{t}".encode()).hexdigest()[:8], 16) % deg
+
+    for (start, w), steps in walks.items():
+        assert steps[0] == start
+        cur, t = start, 1
+        while cur in adj:
+            nxt = sorted(adj[cur])[pick(start, w, t, len(adj[cur]))]
+            assert steps[t] == nxt
+            cur, t = nxt, t + 1
+            if t > 3:
+                break
+        # dead end: no steps beyond the truncation point
+        assert all(s < t for s in steps)
+
+    rows8 = host_random_walks(df.repartition(8), walks=2, length=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows8))

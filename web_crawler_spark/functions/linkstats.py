@@ -2930,3 +2930,129 @@ SELECT p.host, p.rank_ppb,
 FROM ({duck_pagerank_sql(pages_meta)}) p
 LEFT JOIN ({duck_trustrank_sql(pages_meta, seeds_sql)}) t USING (host)
 """
+
+
+# --- random-walk corpus (DeepWalk input generation) ---------------------------
+#
+# Graph embeddings (DeepWalk KDD'14, node2vec KDD'16) train skip-gram over
+# a corpus of random walks; at web scale, GENERATING that corpus is itself
+# a distributed job — W walks of length L from every node, each step a
+# uniform pick among out-neighbors.  Crawl uses: related-host suggestion,
+# host2vec features for quality/spam classifiers, graph-aware corpus
+# mixing.
+#
+# Determinism contract: the step-t pick for walk (start, w) is
+# md5(start:w:t) % outdeg(u) into the dst-sorted distinct neighbor list —
+# no RNG state, so the corpus is bit-identical across engines, partition
+# counts and reruns (the property that makes the downstream training data
+# reproducible).  Uniform DeepWalk walks; node2vec's p/q bias needs
+# prev-node context and is documented out of scope.
+#
+# Scale shape: the ranked adjacency (src, dst, rank, deg) materializes
+# once and is reused by every step; each step is ONE equi-join of the
+# walk frontier (|nodes| x W rows — tiny next to edges) against it on
+# (src, rank).  Dead ends stop silently (shorter walk emitted), matching
+# DeepWalk's truncation.
+
+WALKS_PER_NODE = 2
+WALK_LENGTH = 4
+
+
+def host_random_walks(
+    df: DataFrame, walks: int = WALKS_PER_NODE, length: int = WALK_LENGTH
+) -> DataFrame:
+    """(start_host, walk_idx, step, host) — the walk corpus; step 0 is the
+    start node, step t>0 the t-th hop."""
+    from pyspark.sql import Window
+
+    edges = (
+        host_graph(df)
+        .select("src_host", "dst_host")
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
+    w = Window.partitionBy("src_host").orderBy("dst_host")
+    adj = (
+        edges.withColumn("rank", F.row_number().over(w) - 1)
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src_host")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        adj.select(F.col("src_host").alias("host"))
+        .unionByName(adj.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    frontier = nodes.select(
+        F.col("host").alias("start_host"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks - 1))).alias("walk_idx"),
+        F.col("host").alias("cur"),
+    )
+    out = frontier.select(
+        "start_host", "walk_idx", F.lit(0).cast("long").alias("step"),
+        F.col("cur").alias("host"),
+    )
+    for t in range(1, length + 1):
+        pick = F.expr(
+            "pmod(cast(conv(substr(md5(concat(start_host, ':',"
+            f" cast(walk_idx as string), ':', '{t}')), 1, 8), 16, 10)"
+            " as bigint), cast(deg as bigint))"
+        )
+        frontier = (
+            frontier.join(adj, on=F.col("cur") == F.col("src_host"))
+            .filter(F.col("rank") == pick)
+            .select("start_host", "walk_idx", F.col("dst_host").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            frontier.select(
+                "start_host", "walk_idx",
+                F.lit(t).cast("long").alias("step"),
+                F.col("cur").alias("host"),
+            )
+        )
+    return out
+
+
+def duck_random_walks_sql(
+    pages_meta: str, walks: int = WALKS_PER_NODE, length: int = WALK_LENGTH
+) -> str:
+    """DuckDB twin: same md5 pick over the same dst-sorted ranked
+    adjacency, unrolled as a CTE chain."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT src_host, dst_host FROM ({duck_host_graph_sql(pages_meta)})
+  WHERE src_host <> dst_host
+)""",
+        """adj AS MATERIALIZED (
+  SELECT src_host, dst_host,
+         row_number() OVER (PARTITION BY src_host ORDER BY dst_host) - 1
+           AS rank,
+         count(*) OVER (PARTITION BY src_host) AS deg
+  FROM e0
+)""",
+        """nodes AS MATERIALIZED (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM e0 UNION ALL SELECT dst_host FROM e0)
+)""",
+        f"""f0 AS (
+  SELECT host AS start_host, t.walk_idx, host AS cur
+  FROM nodes, (SELECT unnest(range({walks})) AS walk_idx) t
+)""",
+    ]
+    for t in range(1, length + 1):
+        parts.append(
+            f"""f{t} AS MATERIALIZED (
+  SELECT f.start_host, f.walk_idx, a.dst_host AS cur
+  FROM f{t - 1} f JOIN adj a ON a.src_host = f.cur
+  WHERE a.rank = ('0x' || substr(md5(f.start_host || ':' ||
+    f.walk_idx::VARCHAR || ':' || '{t}'), 1, 8))::BIGINT % a.deg
+)"""
+        )
+    selects = [
+        "SELECT start_host, walk_idx::BIGINT AS walk_idx, 0::BIGINT AS step,"
+        " cur AS host FROM f0"
+    ] + [
+        f"SELECT start_host, walk_idx::BIGINT, {t}::BIGINT, cur FROM f{t}"
+        for t in range(1, length + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
