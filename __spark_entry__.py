@@ -4032,6 +4032,13 @@ def q_link_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_random_walks(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_link_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts over the DeepWalk corpus (window 2)
+    — the PPMI/word2vec input matrix for host embeddings
+    (linkstats.walk_cooccurrence docstring)."""
+    return linkstats.walk_cooccurrence(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_link_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-correlation profile knn(k) (Pastor-Satorras et al. 2001):
     average neighbor degree per degree value in exact integer milli —
@@ -4582,6 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hopplot": q_link_hopplot,
         "link_anf": q_link_anf,
         "link_walks": q_link_walks,
+        "link_walk_pairs": q_link_walk_pairs,
         "link_reciprocity": q_link_reciprocity,
         "doc_length_quantiles": q_doc_length_quantiles,
         "link_depth": q_link_depth,
@@ -6028,6 +6036,7 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
         "link_hopplot": linkstats.duck_hop_plot_sql(pages_meta),
         "link_anf": linkstats.duck_anf_sql(pages_meta),
         "link_walks": linkstats.duck_random_walks_sql(pages_meta),
+        "link_walk_pairs": linkstats.duck_walk_cooccurrence_sql(pages_meta),
         "link_reciprocity": linkstats.duck_reciprocity_sql(pages_meta),
         "doc_length_quantiles": textstats.duck_length_quantiles_sql("documents"),
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),

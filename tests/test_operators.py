@@ -1629,3 +1629,40 @@ def test_host_random_walks_crafted(spark):
 
     rows8 = host_random_walks(df.repartition(8), walks=2, length=3).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows8))
+
+
+def test_walk_cooccurrence_crafted(spark):
+    """Co-occurrence counts equal a hand rollup of the walk corpus within
+    the window, and the relation is symmetric (each unordered pair counted
+    once per direction)."""
+    from web_crawler_spark.functions.linkstats import (
+        host_random_walks,
+        walk_cooccurrence,
+    )
+
+    df = _mk_pages_meta(
+        spark,
+        [
+            ("a.example", ["b.example", "c.example"]),
+            ("b.example", ["c.example"]),
+        ],
+    )
+    corpus = [
+        ((r["start_host"], r["walk_idx"]), (r["step"], r["host"]))
+        for r in host_random_walks(df, walks=2, length=3).collect()
+    ]
+    bywalk = {}
+    for k, v in corpus:
+        bywalk.setdefault(k, []).append(v)
+    expect = {}
+    for steps in bywalk.values():
+        for s1, h1 in steps:
+            for s2, h2 in steps:
+                if s1 != s2 and abs(s1 - s2) <= 2:
+                    expect[(h1, h2)] = expect.get((h1, h2), 0) + 1
+    got = {
+        (r["host"], r["ctx_host"]): r["n_cooc"]
+        for r in walk_cooccurrence(df, walks=2, length=3).collect()
+    }
+    assert got == expect
+    assert all(got[(b, a)] == n for (a, b), n in got.items())

@@ -3056,3 +3056,60 @@ def duck_random_walks_sql(
         for t in range(1, length + 1)
     ]
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+WALK_WINDOW = 2
+
+
+def walk_cooccurrence(
+    df: DataFrame,
+    walks: int = WALKS_PER_NODE,
+    length: int = WALK_LENGTH,
+    window: int = WALK_WINDOW,
+) -> DataFrame:
+    """(host, ctx_host, n_cooc) — skip-gram co-occurrence counts within
+    ``window`` steps over the walk corpus: the PPMI / word2vec input
+    matrix for host embeddings.
+
+    Scale shape: the walk corpus materializes once (localCheckpoint — the
+    branch-recompute lesson: both sides of the self-join read the SAME
+    computed corpus); the self-join is equi-keyed on (start_host,
+    walk_idx) with fan-out bounded by walk length², then one partial-agg'd
+    rollup on the pair key.  Corpus rows ~ nodes x W x L — orders of
+    magnitude below edges."""
+    corpus = host_random_walks(df, walks=walks, length=length).localCheckpoint(
+        eager=True
+    )
+    left = corpus.select(
+        "start_host", "walk_idx", F.col("step").alias("s_l"),
+        F.col("host").alias("host_l"),
+    )
+    right = corpus.select(
+        "start_host", "walk_idx", F.col("step").alias("s_r"),
+        F.col("host").alias("host_r"),
+    )
+    pairs = left.join(right, on=["start_host", "walk_idx"]).filter(
+        (F.col("s_l") != F.col("s_r"))
+        & (F.abs(F.col("s_l") - F.col("s_r")) <= window)
+    )
+    return pairs.groupBy(
+        F.col("host_l").alias("host"), F.col("host_r").alias("ctx_host")
+    ).agg(F.count("*").cast("long").alias("n_cooc"))
+
+
+def duck_walk_cooccurrence_sql(
+    pages_meta: str,
+    walks: int = WALKS_PER_NODE,
+    length: int = WALK_LENGTH,
+    window: int = WALK_WINDOW,
+) -> str:
+    return f"""
+WITH corpus AS MATERIALIZED (
+  {duck_random_walks_sql(pages_meta, walks, length)}
+)
+SELECT l.host AS host, r.host AS ctx_host, count(*)::BIGINT AS n_cooc
+FROM corpus l JOIN corpus r
+  ON l.start_host = r.start_host AND l.walk_idx = r.walk_idx
+WHERE l.step <> r.step AND abs(l.step - r.step) <= {window}
+GROUP BY 1, 2
+"""
