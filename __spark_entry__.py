@@ -4211,6 +4211,14 @@ def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkstats.host_hits(_synth(spark, sf_dir, "pages_meta"))
 
 
+def q_search_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F fielded retrieval over (title, body) — field weights applied
+    before k1 saturation (Robertson & Zaragoza 2009 §7), the web-ranking
+    scorer body-only BM25 approximates; integer-exact shared-expression
+    construction (textstats.bm25f_topk docstring)."""
+    return textstats.bm25f_topk(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k BM25 retrieval over documents for a fixed query — the
     integer-exact rational-idf surrogate (textstats.bm25_topk docstring):
@@ -4566,6 +4574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau": q_events_dau,
         "link_hits": q_link_hits,
         "search_bm25": q_search_bm25,
+        "search_bm25f": q_search_bm25f,
         "search_rm3": q_search_rm3,
         "index_maxscore": q_index_maxscore,
         "search_phrase": q_search_phrase,
@@ -5991,6 +6000,7 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
         """,
         "link_hits": linkstats.duck_hits_sql(pages_meta),
         "search_bm25": textstats.duck_bm25_sql("documents"),
+        "search_bm25f": textstats.duck_bm25f_sql(pages_meta),
         "search_rm3": textstats.duck_rm3_sql("documents"),
         "index_maxscore": textstats.duck_maxscore_sql("documents"),
         "search_phrase": textstats.duck_phrase_sql("documents"),

@@ -2367,3 +2367,27 @@ def test_semantic_pack_clusters_are_contiguous(spark):
     first = clusters[0] if offs[clusters[0][0]][0] < offs[clusters[1][0]][0] else clusters[1]
     order = sorted(first, key=lambda d: offs[d][0])
     assert order == sorted(first, key=lambda d: hashlib.md5(str(d).encode()).hexdigest())
+
+
+def test_bm25f_title_hits_outrank_body_hits(spark):
+    """A title match must outrank an identical-tf body match (field weight
+    2x, lighter title normalization), and the combined tf must saturate
+    through ONE k1 stage: a doc hitting both fields scores less than the
+    sum of the two single-field scores."""
+    from web_crawler_spark.functions.textstats import bm25f_topk
+
+    rows = [
+        ("u_title", "spark tuning guide", "pad words only here none match"),
+        ("u_body", "unrelated heading", "spark pad words only here none"),
+        ("u_both", "spark tuning guide", "spark pad words only here none"),
+        ("u_none", "nothing", "nothing at all"),
+    ]
+    df = spark.createDataFrame(rows, "url string, title string, text string")
+    got = {r["doc"]: r for r in bm25f_topk(df, query_terms=("spark",)).collect()}
+    assert "u_none" not in got
+    assert got["u_title"]["score_ppm"] > got["u_body"]["score_ppm"]
+    assert got["u_both"]["rnk"] == 1
+    assert (
+        got["u_both"]["score_ppm"]
+        < got["u_title"]["score_ppm"] + got["u_body"]["score_ppm"]
+    )

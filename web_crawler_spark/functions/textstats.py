@@ -2418,3 +2418,215 @@ SELECT term, max(df_t)::BIGINT AS df_t, max(idf_ppm)::BIGINT AS idf_ppm,
        max(c_ppm)::BIGINT AS max_score_ppm
 FROM sc GROUP BY 1
 """
+
+
+# -- BM25F fielded retrieval (Robertson & Zaragoza 2009 §7) --------------------
+#
+# Web ranking never scores body text alone: a title hit is worth more than
+# a body hit, and BM25F is THE standard way to combine fields — per-field
+# length-normalized tf, field weights applied BEFORE the k1 saturation
+# (not a naive per-field-score sum, which double-saturates).  Same
+# integer-exact discipline as bm25_topk: every step is BIGINT floor
+# arithmetic over ppm-scaled rationals, shared expression text between the
+# Spark plan and the DuckDB oracle.
+#
+#   tfn_f   = w_f * tf_f / ((1-b_f) + b_f * fl_f/avgfl_f)     [ppm]
+#   tfn     = sum over fields of tfn_f
+#   contrib = idf_ppm * (tfn / (tfn + k1)) / 1e6-scaling      [RSJ idf]
+
+BM25F_FIELDS = (("title", 2000, 600), ("body", 1000, BM25_B_MILLI))
+# (field, weight_milli, b_milli): title weighted 2x with lighter length
+# normalization (b=0.6) — the Zaragoza et al. TREC settings' shape.
+BM25F_TOPK = 20
+
+
+def _bm25f_tfn_expr(b_milli: int, w_milli: int) -> str:
+    """Weighted normalized field tf in ppm over columns (tf, fl) and the
+    scalar {avgfl_ppm}; identical text feeds Spark and DuckDB."""
+    one_minus_b = (1000 - b_milli) * 1000
+    return (
+        f"({w_milli} * ((tf * 1000000000000) {{div}} "
+        f"({one_minus_b} + ({b_milli} * (fl * 1000000000000 {{div}} "
+        f"{{avgfl_ppm}})) {{div}} 1000)) {{div}} 1000)"
+    )
+
+
+_BM25F_SAT_EXPR = (
+    "(idf_ppm * ((tfn_ppm * 1000000) {div} (tfn_ppm + {k1} * 1000))) {div} 1000000"
+)
+
+
+def bm25f_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25F_TOPK,
+    id_col: str = "url",
+    fields: tuple = BM25F_FIELDS,
+    field_cols: dict | None = None,
+) -> DataFrame:
+    """(doc, score_ppm, rnk): fielded BM25F top-k over (title, body).
+
+    Scale shape: ONE union-of-fields tokenize pass -> per-(doc, field)
+    conditional partial-agg (fl + per-term tf together, the bm25_topk
+    trick); per-field average lengths are scalar aggregates; the weighted
+    field combination and saturation are map-side integer expressions;
+    idf joins back as a |query|-row broadcast; final top-k is
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    field_cols = field_cols or {"title": "title", "body": "text"}
+    qt = [t.lower() for t in dict.fromkeys(query_terms)]
+    toks = None
+    for fname, _, _ in fields:
+        part = df.select(
+            F.col(id_col).alias("doc"),
+            F.lit(fname).alias("field"),
+            F.explode(
+                F.split(F.lower(F.col(field_cols[fname])), "[^a-z0-9]+")
+            ).alias("term"),
+        ).filter(F.col("term") != "")
+        toks = part if toks is None else toks.unionByName(part)
+    aggs = [F.count("*").cast("long").alias("fl")]
+    for i, t in enumerate(qt):
+        aggs.append(
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{i}")
+        )
+    per_field = toks.groupBy("doc", "field").agg(*aggs).localCheckpoint(eager=True)
+    n_docs = int(df.count())
+    if n_docs == 0:
+        return df.select(
+            F.col(id_col).alias("doc"),
+            F.lit(0).cast("long").alias("score_ppm"),
+            F.lit(0).cast("long").alias("rnk"),
+        ).limit(0)
+    avgfl = {
+        r["field"]: (int(r["s"]) * 1_000_000) // n_docs
+        for r in per_field.groupBy("field")
+        .agg(F.sum("fl").alias("s"))
+        .collect()
+    }
+    tfn_parts = []
+    for fname, w_milli, b_milli in fields:
+        if fname not in avgfl or avgfl[fname] == 0:
+            continue
+        e = _bm25f_tfn_expr(b_milli, w_milli).format(
+            div="DIV", avgfl_ppm=avgfl[fname]
+        )
+        tfn_parts.append((fname, e))
+    long_tf = per_field.select(
+        "doc",
+        "field",
+        F.col("fl"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("term"), F.col(f"tf_{i}").alias("tf"))
+                    for i, t in enumerate(qt)
+                ]
+            )
+        ).alias("z"),
+    ).select("doc", "field", "fl", "z.term", "z.tf").filter(F.col("tf") > 0)
+    tfn_expr = "CASE " + " ".join(
+        f"WHEN field = '{fname}' THEN cast({e} as bigint)"
+        for fname, e in tfn_parts
+    ) + " ELSE 0L END"
+    per_doc_term = (
+        long_tf.withColumn("tfn_f", F.expr(tfn_expr))
+        .groupBy("doc", "term")
+        .agg(F.sum("tfn_f").cast("long").alias("tfn_ppm"))
+    )
+    dfq = per_doc_term.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+    idf = dfq.select(
+        "term",
+        F.expr(
+            f"(2 * ({n_docs} - df_t) + 1) * 1000000 DIV (2 * df_t + 1)"
+        ).alias("idf_ppm"),
+    )
+    contrib = _BM25F_SAT_EXPR.format(div="DIV", k1=BM25_K1_MILLI)
+    scored = (
+        per_doc_term.join(F.broadcast(idf), on="term")
+        .withColumn("c", F.expr(contrib).cast("long"))
+        .groupBy("doc")
+        .agg(F.sum("c").cast("long").alias("score_ppm"))
+    )
+    topk = scored.orderBy(F.desc("score_ppm"), F.asc("doc")).limit(k)
+    w = Window.orderBy(F.desc("score_ppm"), F.asc("doc"))
+    return topk.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def duck_bm25f_sql(
+    table: str,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25F_TOPK,
+    id_col: str = "url",
+    fields: tuple = BM25F_FIELDS,
+    field_cols: dict | None = None,
+) -> str:
+    field_cols = field_cols or {"title": "title", "body": "text"}
+    qt = [t.lower() for t in dict.fromkeys(query_terms)]
+    tok_union = "\n  UNION ALL ".join(
+        f"SELECT {id_col} AS doc, '{fname}' AS field, t.term"
+        f" FROM {table}, UNNEST(regexp_split_to_array(lower({field_cols[fname]}),"
+        " '[^a-z0-9]+')) AS t(term) WHERE t.term <> ''"
+        for fname, _, _ in fields
+    )
+    tf_cols = ",\n         ".join(
+        f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)::BIGINT AS tf_{i}"
+        for i, t in enumerate(qt)
+    )
+    tf_union = "\n  UNION ALL ".join(
+        f"SELECT doc, field, fl, '{t}' AS term, tf_{i} AS tf"
+        f" FROM per_field WHERE tf_{i} > 0"
+        for i, t in enumerate(qt)
+    )
+    tfn_case = "CASE " + " ".join(
+        "WHEN field = '{f}' THEN ({e})".format(
+            f=fname,
+            e=_bm25f_tfn_expr(b_milli, w_milli).format(
+                div="//",
+                avgfl_ppm=(
+                    f"(SELECT sum(fl)::BIGINT * 1000000 // (SELECT n FROM nn)"
+                    f" FROM per_field WHERE field = '{fname}')"
+                ),
+            ),
+        )
+        for fname, w_milli, b_milli in fields
+    ) + " ELSE 0 END"
+    contrib = _BM25F_SAT_EXPR.format(div="//", k1=BM25_K1_MILLI)
+    return rf"""
+WITH toks AS (
+  {tok_union}
+),
+per_field AS (
+  SELECT doc, field, count(*)::BIGINT AS fl,
+         {tf_cols}
+  FROM toks GROUP BY 1, 2
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM {table}),
+tf AS (
+  {tf_union}
+),
+pdt AS (
+  SELECT doc, term, sum(({tfn_case})::BIGINT)::BIGINT AS tfn_ppm
+  FROM tf GROUP BY 1, 2
+),
+dfq AS (SELECT term, count(*)::BIGINT AS df_t FROM pdt GROUP BY 1),
+idf AS (
+  SELECT term,
+         (2 * ((SELECT n FROM nn) - df_t) + 1) * 1000000 // (2 * df_t + 1)
+           AS idf_ppm
+  FROM dfq
+),
+sc AS (
+  SELECT p.doc, sum({contrib})::BIGINT AS score_ppm
+  FROM pdt p JOIN idf ON idf.term = p.term
+  GROUP BY 1
+)
+SELECT doc, score_ppm, rnk FROM (
+  SELECT doc, score_ppm,
+         row_number() OVER (ORDER BY score_ppm DESC, doc)::BIGINT AS rnk
+  FROM sc
+) WHERE rnk <= {k}
+"""
