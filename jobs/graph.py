@@ -50,6 +50,10 @@ OPS = {
     "centrality": linkstats.host_harmonic_centrality,
     "hopplot": linkstats.host_hop_plot,
     "gapcode": linkstats.host_gap_encoding,
+    "anf": linkstats.host_anf,
+    "walks": linkstats.host_random_walks,
+    "walkpairs": linkstats.walk_cooccurrence,
+    "linkpred": linkstats.host_link_prediction,
 }
 
 

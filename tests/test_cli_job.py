@@ -713,3 +713,38 @@ def test_archive_cli_chunks_and_frontcode_modes(tmp_path):
     assert stats2["mode"] == "frontcode" and stats2["host_subtrees"] == 1
     # example,a)/p/1 and )/p/2 and )/q share prefixes
     assert stats2["bytes_shared"] > 0
+
+
+def test_graph_cli_embedding_data_ops(tmp_path):
+    """The graph job also serves the embedding-data ops: anf (registers),
+    walks (corpus), walkpairs (co-occurrence) — walks and pairs are
+    consistent (every pair's hosts appear in the corpus)."""
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark import synth
+
+    synth.ensure_synth("0.001")
+    out_dir = str(tmp_path / "g2")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "graph.py"),
+            "--pages-meta", synth.synth_path("0.001", "pages_meta"),
+            "--output", out_dir,
+            "--ops", "anf,walks,walkpairs",
+            "--master", "local[2]",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["rows"]["anf"] == 5  # depths 0..4
+    assert stats["rows"]["walks"] > 0 and stats["rows"]["walkpairs"] > 0
+    hosts_in_walks = set(
+        pq.read_table(os.path.join(out_dir, "walks")).column("host").to_pylist()
+    )
+    pair_hosts = set(
+        pq.read_table(os.path.join(out_dir, "walkpairs")).column("host").to_pylist()
+    )
+    assert pair_hosts <= hosts_in_walks
