@@ -5025,13 +5025,13 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         """,
         "corpus_bpe_merges": (
             lambda paths: f"SELECT * FROM read_parquet('{paths[0]}')"
-        )(_bpe_golden_paths(ORACLE_SF)),
+        )(_bpe_golden_paths(sf)),
         "doc_bpe_apply": (
             lambda paths: f"SELECT * FROM read_parquet('{paths[1]}')"
-        )(_bpe_golden_paths(ORACLE_SF)),
+        )(_bpe_golden_paths(sf)),
         "media_phash": f"""
             WITH g AS (SELECT media_id, phash
-                       FROM read_parquet('{_phash_golden_path(ORACLE_SF)}')),
+                       FROM read_parquet('{_phash_golden_path(sf)}')),
             c AS (SELECT phash, count(*)::BIGINT AS n_copies FROM g GROUP BY 1)
             SELECT g.media_id, m.kind, g.phash, c.n_copies
             FROM g
