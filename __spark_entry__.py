@@ -347,6 +347,37 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 graded: LEFT OUTER stream-stream interval join — unconverted
+    views emit with NULL click columns once the global watermark
+    (min-policy, probe-pinned strict boundary) passes their join window;
+    the oracle encodes exactly that eviction rule
+    (streaming/windowed.outer_interval_join docstring)."""
+    import shutil
+
+    from web_crawler_spark.streaming.windowed import (
+        run_outer_interval_join_available_now,
+    )
+
+    out = os.path.join(synth.SYNTH_ROOT, "stream_join_outer")
+    shutil.rmtree(out, ignore_errors=True)
+    in_dir = os.path.join(out, "in")
+    os.makedirs(in_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(in_dir, "events.parquet"),
+    )
+    run_outer_interval_join_available_now(
+        spark, in_dir, os.path.join(out, "data"), os.path.join(out, "ck")
+    )
+    return spark.read.parquet(os.path.join(out, "data")).select(
+        "view_id",
+        "click_id",
+        "user_id",
+        F.col("gap_us").cast("long").alias("gap_us"),
+    )
+
+
 def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3 graded: built-in bounded-state streaming dedup
     (dropDuplicatesWithinWatermark) — the events table fed TWICE as
@@ -4376,6 +4407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly": q_stream_hourly,
         "stream_sessions": q_stream_sessions,
         "stream_join": q_stream_join,
+        "stream_join_outer": q_stream_join_outer,
         "stream_dedup": q_stream_dedup,
         "stream_dedup_wm": q_stream_dedup_wm,
         "stream_upsert": q_stream_upsert,
@@ -4940,6 +4972,38 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    l.event_id::BIGINT AS last_event_id,
                    l.event_type AS last_event_type
             FROM cnt c JOIN last l ON l.user_id = c.user_id AND l.rn = 1
+        """,
+        "stream_join_outer": """
+            WITH matched AS (
+              SELECT v.event_id AS view_id, c.event_id AS click_id,
+                     v.user_id,
+                     (epoch_us(c.ts) - epoch_us(v.ts))::BIGINT AS gap_us
+              FROM events v JOIN events c
+                ON v.event_type = 'view' AND c.event_type = 'click'
+               AND c.user_id = v.user_id
+               AND c.ts >= v.ts
+               AND c.ts <= v.ts + INTERVAL 30 MINUTE
+            ),
+            wm AS (
+              -- global watermark: min of the two sides' max event time,
+              -- minus the 2h delay (default min multi-watermark policy)
+              SELECT least(
+                (SELECT max(ts) FROM events WHERE event_type = 'view'),
+                (SELECT max(ts) FROM events WHERE event_type = 'click')
+              ) - INTERVAL 2 HOUR AS w
+            ),
+            unmatched AS (
+              SELECT v.event_id AS view_id, NULL AS click_id, v.user_id,
+                     NULL::BIGINT AS gap_us
+              FROM events v
+              WHERE v.event_type = 'view'
+                AND NOT EXISTS (SELECT 1 FROM matched m
+                                WHERE m.view_id = v.event_id)
+                -- STRICT boundary: a window closing exactly at the
+                -- watermark is still held (probe-pinned)
+                AND v.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+            )
+            SELECT * FROM matched UNION ALL SELECT * FROM unmatched
         """,
         "stream_join": """
             SELECT v.event_id AS view_id, c.event_id AS click_id,

@@ -329,3 +329,66 @@ def test_stream_static_enrich_left_join(spark, tmp_path):
         r["event_id"]: r["segment"] for r in spark.read.parquet(out).collect()
     }
     assert got == {1: "BUILDING", 2: None, 3: "AUTO"}
+
+
+def test_stream_outer_join_null_emission_boundary(spark, tmp_path):
+    """LEFT OUTER interval join eviction contract, probe-pinned: an
+    unmatched view NULL-emits iff view_ts + within < global watermark,
+    where the global watermark is min(max view ts, max click ts) - delay
+    (default min multi-watermark policy); a window closing exactly AT the
+    watermark is held; matched pairs emit regardless."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from web_crawler_spark.streaming.windowed import (
+        run_outer_interval_join_available_now,
+    )
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m, 0)
+
+    def drive(rows, name):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        stage = str(tmp_path / name / "stage")
+        df.coalesce(1).write.parquet(stage)
+        ind = str(tmp_path / name / "in")
+        os.makedirs(ind)
+        shutil.copy(
+            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            os.path.join(ind, "b1.parquet"),
+        )
+        run_outer_interval_join_available_now(
+            spark,
+            ind,
+            str(tmp_path / name / "out"),
+            str(tmp_path / name / "ck"),
+            within="30 minutes",
+            watermark="1 hour",
+        )
+        return {
+            r["view_id"]: r["click_id"]
+            for r in spark.read.parquet(str(tmp_path / name / "out")).collect()
+        }
+
+    rows = [
+        (1, ts(10, 0), 1, "view"),     # vA: unmatched, closes 10:30
+        (2, ts(10, 0), 2, "view"),     # vB
+        (3, ts(10, 20), 2, "click"),   # cB matches vB
+        (4, ts(12, 45), 3, "view"),    # vC: closes 13:15 -> held
+        (5, ts(12, 30), 4, "view"),    # vD: closes 13:00 -> held (strict)
+        (9, ts(14, 0), 9, "click"),    # late click advances the click max
+    ]
+    # global wm = min(max view 12:45, max click 14:00) - 1h = 11:45:
+    # vA (10:30 < 11:45) emits NULL; vD (13:00) and vC (13:15) held.
+    got = drive(rows, "late_click")
+    assert got == {1: None, 2: 3}
+
+    # same data but the late event is a VIEW: click max stays 10:20, so
+    # wm = 9:20 and even vA is held — the min policy is what governs.
+    rows2 = [r if r[0] != 9 else (9, ts(14, 0), 9, "view") for r in rows]
+    got2 = drive(rows2, "late_view")
+    assert got2 == {2: 3}

@@ -168,6 +168,81 @@ def run_interval_join_available_now(
     q.awaitTermination()
 
 
+def outer_interval_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the unmatched side of the
+    attribution question ("which views never converted?"), which only
+    streaming-with-watermarks can answer incrementally: a view with no
+    click emits with NULL click columns once the GLOBAL watermark passes
+    its join window.
+
+    Probe-pinned semantics (tests/test_streaming_windowed.py): the global
+    watermark is min(max view_ts, max click_ts) - delay (the default
+    multi-watermark min policy), and the NULL row for an unmatched view
+    emits iff view_ts + within < watermark — STRICT: a window closing
+    exactly at the watermark is still held.  Matched pairs emit as they
+    join, independent of the watermark."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return v.join(
+        c,
+        F.expr(
+            f"user_id = c_user_id AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + interval {within}"
+        ),
+        "leftOuter",
+    ).select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
+def run_outer_interval_join_available_now(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> None:
+    """Single-batch drive (one input file): all matches emit in batch 1,
+    then the final no-data batch advances the watermark and flushes the
+    closed-window NULL rows — so the output equals the batch left join
+    restricted by the probe-pinned eviction rule, with no mid-stream
+    eviction races (multi-batch feeds can drop late cross-batch matches
+    by design; keep one file per drive for the exact contract)."""
+    ev = spark.readStream.schema(JOIN_EVENTS_SCHEMA).parquet(in_dir)
+    j = outer_interval_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        within=within,
+        watermark=watermark,
+    )
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_dedup_within_watermark_available_now(
     spark: SparkSession,
     in_dir: str,
