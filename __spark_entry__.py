@@ -760,6 +760,17 @@ def q_sched_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_quotas(demands, WATERFILL_CAPACITY)
 
 
+def q_sched_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash-ring crawler-shard assignment (Karger et al. '97)
+    with 64 vnodes/agent — the classic alternative to HRW, same
+    minimal-disruption property, balance governed by vnode count; ring
+    argmin is a map-side JVM fold (politeness.ring_shard_assignment
+    docstring)."""
+    from web_crawler_spark.operators.politeness import ring_shard_assignment
+
+    return ring_shard_assignment(_synth(spark, sf_dir, "pages_meta"))
+
+
 def q_sched_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous-hash (HRW) crawler-agent assignment: every host argmaxes
     S md5 weights JVM-side (no explode, no window) — balanced and
@@ -4450,6 +4461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_backoff": q_host_backoff,
         "sched_fair": q_sched_fair,
         "sched_shards": q_sched_shards,
+        "sched_ring": q_sched_ring,
         "sched_timeline": q_sched_timeline,
         "crawl_equity": q_crawl_equity,
         "sched_waterfill": q_sched_waterfill,
@@ -5125,6 +5137,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f"(SELECT host, url FROM read_parquet('{sp('pages_meta')}'))"
         ),
         "sched_shards": _politeness.duck_hrw_shard_sql(pages_meta),
+        "sched_ring": _politeness.duck_ring_shard_sql(pages_meta),
         "sched_timeline": _politeness.duck_mercator_timeline_sql(
             f"(SELECT url, host FROM {pages_meta})"
         ),

@@ -102,3 +102,39 @@ def test_host_cooldown(spark):
     # the healthy host is never held up
     good_rounds = sorted(log[log["host"] == "good.example"]["round"].unique())
     assert 0 in good_rounds
+
+
+def test_ring_shard_assignment_matches_replica_and_minimal_disruption(spark):
+    """Ring assignment equals an independent Python replica of the same
+    md5 ring, and growing the ring S -> S+1 moves hosts ONLY to the new
+    agent (the consistent-hashing contract)."""
+    import hashlib
+
+    from web_crawler_spark.operators.politeness import (
+        RING_VNODES,
+        ring_shard_assignment,
+    )
+
+    hosts = [f"h{i}.example" for i in range(64)]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def replica(host, n_shards, vnodes=RING_VNODES):
+        hp = h32(host)
+        best, best_d = -1, 1 << 33
+        for a in range(n_shards):
+            for v in range(vnodes):
+                d = (h32(f"ring#{a}#{v}") - hp + (1 << 32)) % (1 << 32)
+                if d < best_d:
+                    best, best_d = a, d
+        return best
+
+    got4 = {r["host"]: r["shard"] for r in ring_shard_assignment(df, n_shards=4).collect()}
+    assert got4 == {h: replica(h, 4) for h in hosts}
+
+    got5 = {r["host"]: r["shard"] for r in ring_shard_assignment(df, n_shards=5).collect()}
+    moved = {h for h in hosts if got5[h] != got4[h]}
+    assert all(got5[h] == 4 for h in moved)  # movers go only TO the new agent
+    assert 0 < len(moved) < len(hosts)       # some move, not all

@@ -744,3 +744,86 @@ SELECT count(*)::BIGINT AS n_hosts,
          // (count(*) * sum(n)))::BIGINT AS gini_ppm
 FROM ranked
 """
+
+
+# --- consistent-hash ring assignment (Karger et al. '97) ----------------------
+#
+# The classic alternative to rendezvous hashing for crawler-shard
+# assignment: agents own V virtual points on a 2^32 ring, a host belongs
+# to the first vnode clockwise from its own point.  Same minimal-
+# disruption property as HRW (resizing moves ~1/(S+1) of keys), different
+# trade-off: ring lookups are O(log SV) on a real coordinator (vs HRW's
+# O(S) scoring) but balance depends on V — which is exactly what the
+# audit columns measure.  All ring arithmetic is 32-bit md5 points in
+# BIGINTs (wrap via +2^32 mod), bit-identical across engines.
+
+RING_SHARDS = HRW_SHARDS
+RING_VNODES = 64
+
+
+def ring_shard_assignment(
+    df: DataFrame,
+    host_col: str = "host",
+    n_shards: int = RING_SHARDS,
+    vnodes: int = RING_VNODES,
+) -> DataFrame:
+    """(host, shard, n_pages): consistent-hash-ring agent assignment for
+    every distinct host.
+
+    Scale shape: the SV-point ring is a literal array folded per host
+    (map-side JVM aggregate, zero exchange beyond the host rollup —
+    the hrw_shard_assignment shape); clockwise distance
+    ``(vp - hp + 2^32) % 2^32`` is argmin'd with an exact integer fold."""
+    hosts = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").cast("long").alias("n_pages")
+    )
+    ring = (
+        f"flatten(transform(sequence(0, {n_shards - 1}), a -> "
+        f"transform(sequence(0, {vnodes - 1}), v -> named_struct("
+        "'vp', cast(conv(substring(md5(concat('ring#', a, '#', v)), 1, 8),"
+        " 16, 10) as bigint), 'agent', cast(a as bigint)))))"
+    )
+    hp = "cast(conv(substring(md5(host), 1, 8), 16, 10) as bigint)"
+    dist = f"pmod(x.vp - {hp} + 4294967296L, 4294967296L)"
+    pick = (
+        f"aggregate({ring}, named_struct('d', 4294967296L, 'agent', -1L), "
+        f"(acc, x) -> CASE WHEN {dist} < acc.d THEN"
+        f" named_struct('d', {dist}, 'agent', x.agent) ELSE acc END).agent"
+    )
+    return hosts.select(
+        "host", F.expr(pick).cast("long").alias("shard"), "n_pages"
+    )
+
+
+def duck_ring_shard_sql(
+    table: str,
+    host_col: str = "host",
+    n_shards: int = RING_SHARDS,
+    vnodes: int = RING_VNODES,
+) -> str:
+    """DuckDB twin: same ring points, clockwise argmin via a window rank
+    over the host x vnode join (oracle scale only — the engine folds)."""
+    return rf"""
+WITH hosts AS (
+  SELECT {host_col} AS host, count(*)::BIGINT AS n_pages
+  FROM {table} GROUP BY 1
+),
+ring AS (
+  SELECT a.a::BIGINT AS agent,
+         ('0x' || substring(md5('ring#' || a.a || '#' || v.v), 1, 8))::BIGINT
+           AS vp
+  FROM (SELECT unnest(range({n_shards})) AS a) a,
+       (SELECT unnest(range({vnodes})) AS v) v
+),
+scored AS (
+  SELECT h.host, h.n_pages, r.agent,
+         (r.vp - ('0x' || substring(md5(h.host), 1, 8))::BIGINT
+          + 4294967296) % 4294967296 AS d
+  FROM hosts h, ring r
+)
+SELECT host, agent AS shard, n_pages FROM (
+  SELECT host, n_pages, agent,
+         row_number() OVER (PARTITION BY host ORDER BY d, agent) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
