@@ -2495,7 +2495,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return simsearch.cosine_dup_pairs_lsh(
         emb, n_dims=64, threshold_ppm=COSINE_DUP_THRESHOLD_PPM,
-        n_planes=6, n_tables=8, probe_radius=2,
+        n_planes=6, n_tables=10, probe_radius=2,
     )
 
 
@@ -3398,7 +3398,9 @@ def q_tpch_important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_brand",
             "brand_rev_c",
-            F.expr("brand_rev_c * 1000000 DIV total_rev_c")
+            # divide-first: brand_rev_c * 1e6 overflows BIGINT at sf>=0.1
+            # (total revenue ~6e14 cents-squared); same form in the oracle
+            F.expr("brand_rev_c DIV greatest(total_rev_c DIV 1000000, 1L)")
             .cast("long")
             .alias("share_ppm"),
         )
@@ -5578,7 +5580,8 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
               GROUP BY 1
             ), tot AS (SELECT sum(brand_rev_c)::BIGINT AS total_rev_c FROM by_brand)
             SELECT p_brand, brand_rev_c,
-                   (brand_rev_c * 1000000 // total_rev_c)::BIGINT AS share_ppm
+                   (brand_rev_c // greatest(total_rev_c // 1000000, 1))::BIGINT
+                     AS share_ppm
             FROM by_brand, tot
             WHERE brand_rev_c * 25 > total_rev_c
         """,

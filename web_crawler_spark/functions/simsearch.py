@@ -466,7 +466,7 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 # deterministic md5-order sample (no RNG state), broadcast everywhere; the
 # corpus-side work stays vectorized Arrow passes keyed by list id.
 
-PQ_M = 4       # subspaces
+PQ_M = 8       # subspaces (8x8 dims; 4 was too coarse beyond ~10^3 vecs)
 PQ_K = 16      # codewords per subspace (4-bit codes)
 PQ_ITERS = 8
 PQ_RERANK = 400
