@@ -40,6 +40,7 @@ from web_crawler_spark.functions import (  # noqa: E402
     urlnorm,
     webtext,
 )
+from web_crawler_spark.operators import bandit  # noqa: E402
 from web_crawler_spark.operators.dedup import first_wins  # noqa: E402
 from web_crawler_spark.operators.politeness import (  # noqa: E402
     duck_adaptive_budget_sql,
@@ -2555,6 +2556,22 @@ def q_crawl_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1-log2 host-yield bandit over the parity crawl's fetch log: which
+    hosts should the next scheduling round favor, balancing measured outlink
+    yield against under-exploration (operators/bandit.py).  Integer-exact
+    fixed-point score so Spark and the DuckDB oracle agree bit-for-bit."""
+    state = _crawl_state(spark, sf_dir)
+    log = ChainCrawl.fetch_log(state).select(
+        F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)).alias(
+            "host"
+        ),
+        "ok",
+        "links_count",
+    )
+    return bandit.host_ucb(log)
+
+
 def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _synth(spark, sf_dir, "media")
     return multimodal.sniff_kinds(media)
@@ -4482,6 +4499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_inject": q_crawl_inject,
         "crawl_scale_2r": q_crawl_scale_2r,
         "frontier_sched": q_frontier_sched,
+        "frontier_bandit": q_frontier_bandit,
         "frontier_sched_cuckoo": q_frontier_sched_cuckoo,
         "crawl_stats": q_crawl_stats,
         "doc_tokens": q_doc_tokens,
@@ -5228,6 +5246,28 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    coalesce(title, '') AS title,
                    coalesce(links_count, -1)::INT AS links_count
             FROM {expected_inject}
+        """,
+        "frontier_bandit": f"""
+            WITH fl AS (
+              SELECT lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+                     ok, coalesce(links_count, 0) AS links_count
+              FROM {expected}
+            ), per AS (
+              SELECT host, count(*)::BIGINT AS pulls,
+                     sum(CASE WHEN ok AND links_count > 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS reward_sum
+              FROM fl GROUP BY host
+            ), tot AS (SELECT sum(pulls)::BIGINT AS n_total FROM per),
+            scored AS (
+              SELECT host, pulls, reward_sum,
+                     ((reward_sum * 1000000) // pulls
+                      + (2 * 1000000 * (length(bin(n_total)) - 1)) // pulls
+                     )::BIGINT AS ucb_ppm
+              FROM per, tot
+            )
+            SELECT host, pulls, reward_sum, ucb_ppm,
+                   row_number() OVER (ORDER BY ucb_ppm DESC, host)::BIGINT AS rank
+            FROM scored
         """,
         "crawl_scale_2r": _crawl_scale_2r_oracle_sql(pages_meta, seeds),
         "frontier_sched": _frontier_sched_oracle_sql(pages_meta),

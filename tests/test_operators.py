@@ -1666,3 +1666,46 @@ def test_walk_cooccurrence_crafted(spark):
     }
     assert got == expect
     assert all(got[(b, a)] == n for (a, b), n in got.items())
+
+
+def test_host_ucb_crafted(spark):
+    """UCB1-log2 scores match a hand computation, and the exploration bonus
+    outranks a high-pull host: b (1 pull, 1 reward) must sort before a
+    (4 pulls, 3 rewards) despite the lower total yield."""
+    from web_crawler_spark.operators.bandit import host_ucb
+
+    rows = (
+        [("a", True, 2)] * 3 + [("a", False, 0)]
+        + [("b", True, 5)]
+        + [("c", True, 0)] * 2 + [("c", False, 0)] * 3
+    )
+    log = spark.createDataFrame(rows, "host string, ok boolean, links_count int")
+    got = {r["host"]: r.asDict() for r in host_ucb(log).collect()}
+    # N = 10 pulls total -> floor(log2(10)) = 3; bonus = 2e6 * 3 / pulls
+    assert got["a"] == {
+        "host": "a", "pulls": 4, "reward_sum": 3,
+        "ucb_ppm": 3_000_000 // 4 + 6_000_000 // 4, "rank": 2,
+    }
+    assert got["b"] == {
+        "host": "b", "pulls": 1, "reward_sum": 1,
+        "ucb_ppm": 1_000_000 + 6_000_000, "rank": 1,
+    }
+    assert got["c"] == {
+        "host": "c", "pulls": 5, "reward_sum": 0,
+        "ucb_ppm": 6_000_000 // 5, "rank": 3,
+    }
+
+
+def test_host_ucb_null_links_and_determinism(spark):
+    """Null links_count is a zero-yield pull (never a reward); ranks are a
+    dense 1..H total order independent of input partitioning."""
+    from web_crawler_spark.operators.bandit import host_ucb
+
+    rows = [("x", True, None), ("y", False, 7), ("z", True, 1)]
+    log = spark.createDataFrame(rows, "host string, ok boolean, links_count int")
+    out = {r["host"]: r.asDict() for r in host_ucb(log).collect()}
+    assert out["x"]["reward_sum"] == 0 and out["y"]["reward_sum"] == 0
+    assert out["z"]["reward_sum"] == 1
+    assert sorted(r["rank"] for r in out.values()) == [1, 2, 3]
+    out8 = {r["host"]: r.asDict() for r in host_ucb(log.repartition(8)).collect()}
+    assert out == out8
