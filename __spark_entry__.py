@@ -2990,6 +2990,120 @@ def q_tpch_top_savers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape adapted to the reduced schema (no partsupp table): the
+    supply relation is derived from lineitem — per (part, supplier) the
+    best observed price in cents — and the Q2 topology is kept intact:
+    a region-filtered supplier dim, a selective part filter, a
+    correlated per-part MIN over qualifying suppliers, and the
+    min-achievers joined back.  Decorrelated the Catalyst way: the
+    supply relation partial-aggs at (part, supplier) grain FIRST (the
+    only fact-sized exchange), the per-part MIN is a second partial agg
+    over that already-small relation, and the achiever join is
+    part-grain.  nation ⋈ region broadcast; supplier broadcast (10k
+    rows/SF).  Top 100 by (s_acctbal_c DESC, n_name, s_name,
+    p_partkey) via TakeOrderedAndProject, with an explicit rank so the
+    grading hash pins the order."""
+    from pyspark.sql import Window
+
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(region.select("r_regionkey")),
+            on=F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), on=F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", _cents("s_acctbal").alias("s_acctbal_c"))
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    supply = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            on=F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min(_cents("l_extendedprice")).alias("supply_cost_c"))
+        .join(F.broadcast(supp), on=F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    best = supply.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("supply_cost_c").alias("best_cost_c")
+    )
+    achievers = supply.join(
+        best,
+        on=(F.col("p_partkey") == F.col("bp"))
+        & (F.col("supply_cost_c") == F.col("best_cost_c")),
+    ).select("s_acctbal_c", "s_name", "n_name", "p_partkey", "supply_cost_c")
+    top = achievers.orderBy(
+        F.desc("s_acctbal_c"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+    ).limit(100)
+    w = Window.orderBy(
+        F.desc("s_acctbal_c"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def q_tpch_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape adapted to the reduced schema (no partsupp.availqty):
+    'excess' is a (part, supplier) whose 1996 shipped quantity exceeds
+    TWICE its 1998 shipped quantity — the aggregated-subquery threshold
+    that defines Q20 — and the output is the semi-join chain collapsed
+    to region-ASIA suppliers holding at least one excess part.  Plan:
+    the part name filter prunes the fact FIRST (broadcast), one
+    (part, supplier) partial agg carries both years as conditional
+    sums (never two scans), the threshold is a map-side integer
+    compare, and the supplier rollup is supplier-grain.  Quantities as
+    exact integer units (the synth data is integral)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small "))
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    yearly = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            on=F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.year("l_shipdate") == 1996, qty).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("qty_1996"),
+            F.sum(F.when(F.year("l_shipdate") == 1998, qty).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("qty_1998"),
+        )
+        .filter((F.col("qty_1996") > 2 * F.col("qty_1998")) & (F.col("qty_1996") > 0))
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(region.select("r_regionkey")),
+            on=F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), on=F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        yearly.join(F.broadcast(supp), on=F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_excess_parts"),
+            F.sum("qty_1996").cast("long").alias("excess_qty_1996"),
+        )
+    )
+
+
 def q_tpch_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 shape adapted to the reduced schema: per (supplier nation, order
     year) profit on 'red'-named parts — revenue minus a retail-price
@@ -4608,6 +4722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_waiting": q_tpch_waiting,
         "tpch_profit": q_tpch_profit,
         "tpch_top_savers": q_tpch_top_savers,
+        "tpch_min_cost_supplier": q_tpch_min_cost_supplier,
+        "tpch_excess_inventory": q_tpch_excess_inventory,
         "tpch_top_supplier": q_tpch_top_supplier,
         "tpch_large_orders": q_tpch_large_orders,
         "tpch_returned_items": q_tpch_returned_items,
@@ -5788,6 +5904,72 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
                               WHERE o.o_custkey = base.c_custkey
                                 AND o.o_orderdate >= cutoff.co)
             GROUP BY 1
+        """,
+        "tpch_min_cost_supplier": """
+            WITH supp AS (
+              SELECT s_suppkey, s_name, n_name,
+                     floor(s_acctbal * 100 + 0.5)::BIGINT AS s_acctbal_c
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ),
+            supply AS (
+              SELECT l.l_partkey AS p_partkey, s.s_suppkey, s.s_name,
+                     s.n_name, s.s_acctbal_c,
+                     min(floor(l.l_extendedprice * 100 + 0.5)::BIGINT)
+                       AS supply_cost_c
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+                AND p.p_size <= 15 AND p.p_type = 'STANDARD'
+              JOIN supp s ON l.l_suppkey = s.s_suppkey
+              GROUP BY 1, 2, 3, 4, 5
+            ),
+            best AS (
+              SELECT p_partkey, min(supply_cost_c) AS best_cost_c
+              FROM supply GROUP BY 1
+            )
+            SELECT s_acctbal_c, s_name, n_name, p_partkey, supply_cost_c,
+                   rnk
+            FROM (
+              SELECT sp.s_acctbal_c, sp.s_name, sp.n_name, sp.p_partkey,
+                     sp.supply_cost_c,
+                     row_number() OVER (ORDER BY sp.s_acctbal_c DESC,
+                                        sp.n_name, sp.s_name,
+                                        sp.p_partkey)::BIGINT AS rnk
+              FROM supply sp
+              JOIN best b ON b.p_partkey = sp.p_partkey
+                AND sp.supply_cost_c = b.best_cost_c
+            ) WHERE rnk <= 100
+        """,
+        "tpch_excess_inventory": """
+            WITH yearly AS (
+              SELECT l_partkey, l_suppkey,
+                     sum(CASE WHEN year(l_shipdate) = 1996
+                         THEN floor(l_quantity + 0.5)::BIGINT
+                         ELSE 0 END)::BIGINT AS qty_1996,
+                     sum(CASE WHEN year(l_shipdate) = 1998
+                         THEN floor(l_quantity + 0.5)::BIGINT
+                         ELSE 0 END)::BIGINT AS qty_1998
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+                AND p_name LIKE 'small %'
+              GROUP BY 1, 2
+            ),
+            supp AS (
+              SELECT s_suppkey, s_name, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+            )
+            SELECT s.s_name, s.n_name,
+                   count(*)::BIGINT AS n_excess_parts,
+                   sum(y.qty_1996)::BIGINT AS excess_qty_1996
+            FROM yearly y
+            JOIN supp s ON y.l_suppkey = s.s_suppkey
+            WHERE y.qty_1996 > 2 * y.qty_1998 AND y.qty_1996 > 0
+            GROUP BY 1, 2
         """,
         "tpch_market_share": """
             WITH j AS (

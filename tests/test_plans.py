@@ -411,6 +411,36 @@ def test_tpch_disjunctive_and_waiting_plan_shapes(spark):
     assert "EvalPython" not in q21
 
 
+def test_tpch_q2_q20_plan_shapes(spark):
+    """Q2 shape: the selective part filter must PUSH to the part scan and
+    the supply relation must build via broadcast joins (part + supplier
+    dims), never a shuffled fact-vs-fact join; no per-row subquery
+    artifacts (nested loop / cartesian).  Q20 shape: both year sums ride
+    ONE lineitem aggregation (a single lineitem scan in the plan), the
+    threshold is a post-agg Filter, and the supplier semi-chain
+    broadcasts."""
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    q2 = e.q_tpch_min_cost_supplier(spark, sf_dir)._jdf.queryExecution()
+    full = q2.toString()
+    assert "PushedFilters" in full
+    pushed = full.split("PushedFilters", 1)[1]
+    assert "p_size" in pushed and "p_type" in pushed
+    phys = q2.executedPlan().toString()
+    assert "BroadcastHashJoin" in phys
+    assert "NestedLoop" not in phys and "CartesianProduct" not in phys
+    assert "TakeOrderedAndProject" in phys
+    assert "EvalPython" not in phys
+
+    q20 = e.q_tpch_excess_inventory(spark, sf_dir)._jdf.queryExecution()
+    phys20 = q20.executedPlan().toString()
+    assert phys20.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in phys20
+    assert "NestedLoop" not in phys20 and "CartesianProduct" not in phys20
+    assert "EvalPython" not in phys20
+
+
 def test_manifest_scan_plan_crafted(spark):
     """Pruning math on a crafted layout: two hosts across three days; the
     head window must open only day-0 files, and over-read ppm must match a
