@@ -2155,6 +2155,15 @@ def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(_docs(spark, sf_dir), ctx=256)
 
 
+def q_corpus_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning for padded fine-tuning: power-of-two
+    length buckets, sorted-within-bucket batching, exact per-batch padding
+    waste (pad_tokens = n_docs*max - sum).  The per-bucket rank comes from
+    the two-job range-partition sequencer, NEVER a per-bucket window (a
+    bucket is corpus-sized — packing.bucket_batches docstring)."""
+    return packing.bucket_batches(_docs(spark, sf_dir), batch_size=32)
+
+
 def q_corpus_pack_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-context-pretraining packing (Shi et al. 2023): same global-offset
     machinery as corpus_pack, but ordered by an integer-quantized sign-LSH
@@ -4674,6 +4683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_url_hll": q_sketch_url_hll,
         "corpus_pack": q_corpus_pack,
         "corpus_pack_semantic": q_corpus_pack_semantic,
+        "corpus_batches": q_corpus_batches,
         "corpus_export": q_corpus_export,
         "link_hostgraph": q_link_hostgraph,
         "link_cocitation": q_link_cocitation,
@@ -5540,6 +5550,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             budget=RECRAWL_BUDGET,
         ),
         "corpus_pack": packing.duck_pack_sequences_sql("documents", ctx=256),
+        "corpus_batches": packing.duck_bucket_batches_sql("documents", batch_size=32),
         "corpus_pack_semantic": packing.duck_pack_sequences_sql(
             "(SELECT d.doc_id, d.text, e.embedding FROM documents d"
             " JOIN embeddings e ON d.doc_id = e.vec_id)",

@@ -230,6 +230,51 @@ def test_pack_sequences_parity_and_invariants(spark, tmp_path):
     assert again == {r["doc_id"]: r["tok_offset"] for r in rows}
 
 
+def test_bucket_batches_parity_and_invariants(spark, tmp_path):
+    """Length-bucketed batch planning: DuckDB parity (the per-bucket window
+    oracle vs the two-job range-partition rank), batch-size discipline
+    (at most ONE partial batch per bucket, and it is the LAST batch),
+    exact padding arithmetic, and partition-count independence."""
+    from web_crawler_spark.functions import packing
+
+    texts = ["", "  ", "one"] + [
+        " ".join(["w"] * n) for n in [1, 1, 2, 3, 3, 3, 4, 7, 8, 9, 15, 16, 17, 31]
+    ] + [f"t{i} " * (i % 37 + 1) for i in range(300)]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    p = str(tmp_path / "bb.parquet")
+    pdf.to_parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW bb AS SELECT * FROM read_parquet('{p}')")
+    df = spark.read.parquet(p)
+    out = packing.bucket_batches(df, batch_size=8, num_partitions=5)
+    _cmp(
+        out,
+        con.sql(packing.duck_bucket_batches_sql("bb", batch_size=8)),
+        ["len_bucket", "batch_id"],
+    )
+    rows = out.collect()
+    assert sum(r["n_docs"] for r in rows) == len(texts)
+    by_bucket = {}
+    for r in rows:
+        assert 1 <= r["n_docs"] <= 8
+        assert r["pad_tokens"] == r["n_docs"] * r["max_tokens"] - r["sum_tokens"]
+        assert r["pad_tokens"] >= 0
+        by_bucket.setdefault(r["len_bucket"], []).append(r)
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["batch_id"])
+        assert [r["batch_id"] for r in rs] == list(range(len(rs)))
+        for r in rs[:-1]:  # only the last batch may be partial
+            assert r["n_docs"] == 8
+        if b > 0:  # bucket b holds 2^(b-1) <= n_tokens < 2^b
+            for r in rs:
+                assert r["max_tokens"] < 2 ** b
+    again = {
+        (r["len_bucket"], r["batch_id"]): r["pad_tokens"]
+        for r in packing.bucket_batches(df, batch_size=8, num_partitions=2).collect()
+    }
+    assert again == {(r["len_bucket"], r["batch_id"]): r["pad_tokens"] for r in rows}
+
+
 def test_interleave_sources_wfq(spark, tmp_path):
     """Weighted-fair interleave: ranks follow md5 order per source across
     partitions/batches (two-job rank == window rank), vtimes are the exact

@@ -200,3 +200,120 @@ def duck_semantic_key_sql(
             f" * ([{w}]::BIGINT[])[d])) > 0 THEN {1 << p} ELSE 0 END)"
         )
     return "(" + " + ".join(planes) + ")::BIGINT"
+
+
+# --- length-bucketed batch planning (padded fine-tuning) ----------------------
+#
+# Packing suits pretraining; padded fine-tuning instead batches WHOLE
+# documents and pays max(len)-len padding per batch member.  The standard
+# mitigation is length bucketing: route each document to its power-of-two
+# length bucket, sort within the bucket, and cut fixed-size batches — waste
+# is then bounded by the bucket's 2x spread and in practice collapses,
+# because neighbours in the sorted order have near-equal lengths.
+#
+# The padding-waste number this produces is the input to the real capacity
+# decision (tokens billed vs tokens learned), so it must be exact: every
+# output column is BIGINT arithmetic over the same whitespace token count
+# the rest of the corpus layer uses.
+
+BATCH_SIZE = 32
+
+
+def bucket_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = BATCH_SIZE,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Batch plan: (len_bucket, batch_id, n_docs, max_tokens, sum_tokens,
+    pad_tokens) — documents grouped into power-of-two length buckets
+    (bucket b holds 2^(b-1) <= n_tokens < 2^b; 0 = empty docs), sorted
+    within each bucket by (n_tokens, md5(doc_id)) — a total, engine-portable
+    order — and cut into consecutive batches of ``batch_size``.  Per batch:
+    pad_tokens = n_docs * max_tokens - sum_tokens, the exact padding the
+    trainer pays when every member pads to the batch max.
+
+    Scale shape: a per-bucket ``row_number`` window would funnel each
+    bucket (a corpus-scale partition — there are only ~60 buckets) through
+    ONE task, so the rank comes from the engine's two-job range-partition
+    sequencer over the composite key (bucket, n_tokens, tiebreak) plus a
+    broadcast ~60-row bucket-start join: rank_in_bucket = global_seq -
+    min(seq) over the bucket.  O(n/p) per task at any corpus size; the
+    final rollup is a partial-agg'd groupBy at batch grain."""
+    from web_crawler_spark.operators import ordering
+
+    t = F.col(text_col)
+    n_tok = (
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+        .cast("long")
+    )
+    bucket = (
+        F.when(n_tok == 0, F.lit(0))
+        .otherwise(F.length(F.conv(n_tok.cast("string"), 10, 2)))
+        .cast("long")
+    )
+    base = df.select(
+        n_tok.alias("n_tokens"),
+        bucket.alias("len_bucket"),
+        F.md5(F.col(id_col).cast("string")).alias("__tie"),
+    )
+    seq = ordering.with_global_seq(
+        base,
+        ["len_bucket", "n_tokens", "__tie"],
+        out_col="__seq",
+        num_partitions=num_partitions,
+    )
+    starts = seq.groupBy(F.col("len_bucket").alias("__b")).agg(
+        F.min("__seq").alias("__start")
+    )
+    ranked = seq.join(
+        F.broadcast(starts), on=F.col("len_bucket") == F.col("__b")
+    ).withColumn(
+        "batch_id",
+        F.floor((F.col("__seq") - F.col("__start")) / F.lit(batch_size)).cast("long"),
+    )
+    return (
+        ranked.groupBy("len_bucket", "batch_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .withColumn(
+            "pad_tokens",
+            (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens")).cast("long"),
+        )
+    )
+
+
+def duck_bucket_batches_sql(table: str, batch_size: int = BATCH_SIZE) -> str:
+    return rf"""
+WITH t AS (
+  SELECT len(CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(text), '\s+') END)::BIGINT AS n_tokens,
+         md5(doc_id::VARCHAR) AS tie
+  FROM {table}
+),
+b AS (
+  SELECT n_tokens,
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE length(bin(n_tokens)) END::BIGINT AS len_bucket,
+         tie
+  FROM t
+),
+r AS (
+  SELECT len_bucket, n_tokens,
+         ((row_number() OVER (PARTITION BY len_bucket
+                              ORDER BY n_tokens, tie) - 1)
+          // {batch_size})::BIGINT AS batch_id
+  FROM b
+)
+SELECT len_bucket, batch_id,
+       count(*)::BIGINT AS n_docs,
+       max(n_tokens)::BIGINT AS max_tokens,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       (count(*) * max(n_tokens) - sum(n_tokens))::BIGINT AS pad_tokens
+FROM r GROUP BY 1, 2
+"""
