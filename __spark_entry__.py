@@ -1397,6 +1397,48 @@ def q_doc_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.apply_merges(_docs(spark, sf_dir), _trained_merges(spark, sf_dir))
 
 
+def q_corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE symbols per word and per 100
+    chars, in exact ppm integers — the multilingual-pipeline gate that
+    catches a tokenizer taxing some languages (high fertility = fewer
+    effective context tokens and higher serving cost for that language).
+    Plan: the Arrow-batched BPE inference pass (no shuffle) joins lang +
+    n_chars at doc grain, then ONE partial-agg'd exchange on ~5 langs;
+    the ratios are post-agg integer floors so the tiny output is
+    bit-stable across engines and partitionings."""
+    from web_crawler_spark.functions import bpe
+
+    docs = _docs(spark, sf_dir)
+    applied = bpe.apply_merges(docs, _trained_merges(spark, sf_dir))
+    j = applied.join(docs.select("doc_id", "lang", "n_chars"), on="doc_id")
+    agg = j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words_total"),
+        F.sum("n_bpe_symbols").cast("long").alias("bpe_total"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+    # two-stage integer division keeps every intermediate < N*10^4 — exact
+    # floor(N*scale/D) without the BIGINT overflow a direct *10^8 multiply
+    # hits once bpe_total passes ~9e10 tokens (the sf0.1-audit lesson)
+    def ratio(num: str, den: str, hi: int, lo: int):
+        return F.expr(
+            f"(({num} * {hi}) div {den}) * {lo}"
+            f" + ((({num} * {hi}) % {den}) * {lo}) div {den}"
+        ).cast("long")
+
+    return agg.select(
+        "lang",
+        "n_docs",
+        "words_total",
+        "bpe_total",
+        "chars_total",
+        ratio("bpe_total", "words_total", 1000, 1000).alias("bpe_per_word_ppm"),
+        ratio("bpe_total", "chars_total", 10000, 10000).alias(
+            "bpe_per_100chars_ppm"
+        ),
+    )
+
+
 def q_sketch_host_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host HLL distinct-URL sketches (frontier budgeting / trap
     detection at site grain): map-side partial max keeps the exchange at
@@ -4592,6 +4634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_scenes": q_media_scenes,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "doc_bpe_apply": q_doc_bpe_apply,
+        "corpus_fertility": q_corpus_fertility,
         "sketch_host_hll": q_sketch_host_hll,
         "doc_oov": q_doc_oov,
         "crawl_host_report": q_crawl_host_report,
@@ -5250,6 +5293,27 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         )(_bpe_golden_paths(sf)),
         "doc_bpe_apply": (
             lambda paths: f"SELECT * FROM read_parquet('{paths[1]}')"
+        )(_bpe_golden_paths(sf)),
+        "corpus_fertility": (
+            lambda paths: f"""
+            WITH a AS (SELECT * FROM read_parquet('{paths[1]}')),
+            agg AS (
+              SELECT d.lang, count(*)::BIGINT AS n_docs,
+                     sum(a.n_words)::BIGINT AS words_total,
+                     sum(a.n_bpe_symbols)::BIGINT AS bpe_total,
+                     sum(d.n_chars)::BIGINT AS chars_total
+              FROM a JOIN documents d USING (doc_id)
+              GROUP BY 1
+            )
+            SELECT lang, n_docs, words_total, bpe_total, chars_total,
+                   (((bpe_total * 1000) // words_total) * 1000
+                    + (((bpe_total * 1000) % words_total) * 1000)
+                      // words_total)::BIGINT AS bpe_per_word_ppm,
+                   (((bpe_total * 10000) // chars_total) * 10000
+                    + (((bpe_total * 10000) % chars_total) * 10000)
+                      // chars_total)::BIGINT AS bpe_per_100chars_ppm
+            FROM agg
+            """
         )(_bpe_golden_paths(sf)),
         "media_phash": f"""
             WITH g AS (SELECT media_id, phash
