@@ -65,3 +65,76 @@ def test_dedup_batch_within_batch_first_wins():
     )
     emit = _dedup_batch(np.empty(0, dtype=np.int64), set(), pdf)
     assert list(emit) == [True, True, False]
+
+
+# -- stateful streaming HLL (per-host cardinality sketches) -------------------
+
+
+def test_streaming_hll_matches_batch_registers(spark, tmp_path):
+    """Two micro-batches of urls through the stateful HLL; the max-merge of
+    the emitted growth cells must equal the BATCH register table over all
+    rows (max is order/slicing independent), and a repeat of already-seen
+    urls must emit NOTHING (saturated cells update rarely; identical input
+    never grows a register)."""
+    from web_crawler_spark.operators.bloom import hll_registers_by
+    from web_crawler_spark.streaming.sketch_state import run_hll_available_now
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    batch1 = [f"http://a.example/p{i}" for i in range(40)] + [
+        f"http://b.example/q{i}" for i in range(10)
+    ]
+    batch2 = [f"http://a.example/p{i}" for i in range(20, 60)] + [
+        f"http://c.example/r{i}" for i in range(5)
+    ]
+    spark.createDataFrame([(u,) for u in batch1], "url string").coalesce(
+        1
+    ).write.parquet(in_dir)
+    spark.createDataFrame([(u,) for u in batch2], "url string").coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    run_hll_available_now(spark, in_dir, out_dir, ck)
+    merged = {
+        (r["host"], r["register"]): r["max_rank"]
+        for r in spark.read.parquet(out_dir)
+        .groupBy("host", "register")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .collect()
+    }
+    all_urls = spark.createDataFrame(
+        [(u,) for u in batch1 + batch2], "url string"
+    ).withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
+    want = {
+        (r["host"], r["register"]): r["max_rank"]
+        for r in hll_registers_by(all_urls).collect()
+    }
+    assert merged == want
+
+    # replay: feeding ALREADY-SEEN urls grows nothing and emits nothing
+    n_before = spark.read.parquet(out_dir).count()
+    spark.createDataFrame([(u,) for u in batch1], "url string").coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    run_hll_available_now(spark, in_dir, out_dir, ck)
+    assert spark.read.parquet(out_dir).count() == n_before
+
+
+def test_hll_merge_batch_pure_core():
+    """The pure merge core: growth-only emission, idempotent re-merge."""
+    import pandas as pd
+
+    from web_crawler_spark.streaming.sketch_state import _merge_batch
+
+    regs = {}
+    pdf = pd.DataFrame({"register": [1, 1, 2, 3], "rank": [4, 7, 2, 5]})
+    up1 = _merge_batch(regs, pdf)
+    assert up1 == {1: 7, 2: 2, 3: 5} and regs == up1
+    # lower/equal ranks do not emit; only genuine growth does
+    pdf2 = pd.DataFrame({"register": [1, 2, 3], "rank": [6, 2, 9]})
+    up2 = _merge_batch(regs, pdf2)
+    assert up2 == {3: 9}
+    assert regs == {1: 7, 2: 2, 3: 9}
+    # idempotent: re-merging the same batch emits nothing
+    assert _merge_batch(regs, pdf2) == {}

@@ -713,10 +713,10 @@ FROM kk, nb
 # side partial max, and per-host sketches from shards/days merge by the
 # same max.
 
-def hll_registers_by(
-    df: "DataFrame", group_col: str = "host", col: str = "url"
-) -> "DataFrame":
-    """(group, register, max_rank) — one HLL register table per group."""
+def hll_reg_rank_cols(col: str = "url"):
+    """The (register, rank) column pair shared by every HLL surface —
+    batch register tables and the streaming stateful sketch compute the
+    SAME md5-derived values, so their states are bit-comparable."""
     from pyspark.sql import functions as F
 
     h = F.md5(F.col(col).cast("string"))
@@ -727,6 +727,16 @@ def hll_registers_by(
         .otherwise(F.lit(HLL_W_HEX * 4) - F.length(F.bin(w)) + 1)
         .cast("long")
     )
+    return reg, rank
+
+
+def hll_registers_by(
+    df: "DataFrame", group_col: str = "host", col: str = "url"
+) -> "DataFrame":
+    """(group, register, max_rank) — one HLL register table per group."""
+    from pyspark.sql import functions as F
+
+    reg, rank = hll_reg_rank_cols(col)
     return (
         df.select(
             F.col(group_col).alias("grp"), reg.alias("register"), rank.alias("rank")
