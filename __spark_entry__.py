@@ -2129,6 +2129,22 @@ def q_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-freshness calibration: per-host confusion matrix of
+    sitemap <lastmod> claims vs digest-observed change between the two
+    snapshots — tells the scheduler which hosts' sitemaps can replace
+    digest polling (robots.sitemap_lastmod_trust docstring).  On the
+    synth fixture this reproduces the published finding: sites
+    over-claim (precision is low; recall of actual changes is high)."""
+    from web_crawler_spark.sources import robots as robots_src
+
+    return robots_src.sitemap_lastmod_trust(
+        _synth(spark, sf_dir, "sitemaps"),
+        _synth(spark, sf_dir, "pages_prev"),
+        _synth(spark, sf_dir, "pages"),
+    )
+
+
 def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive-side payload dedup: WARC 1.1 §6.7.2 revisit typing across the
     previous+current crawl snapshots — first capture of each distinct body
@@ -4672,6 +4688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier_auc": q_doc_classifier_auc,
         "corpus_dsir": q_corpus_dsir,
         "sitemap_recrawl": q_sitemap_recrawl,
+        "sitemap_trust": q_sitemap_trust,
         "robots_acl_batch": q_robots_acl_batch,
         "host_backoff": q_host_backoff,
         "sched_fair": q_sched_fair,
@@ -5447,6 +5464,11 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "sitemap_recrawl": robots_src.duck_sitemap_recrawl_sql(
             f"read_parquet('{sp('sitemaps')}')",
+            f"read_parquet('{sp('pages')}')",
+        ),
+        "sitemap_trust": robots_src.duck_sitemap_trust_sql(
+            f"read_parquet('{sp('sitemaps')}')",
+            f"read_parquet('{sp('pages_prev')}')",
             f"read_parquet('{sp('pages')}')",
         ),
         "dedup_canonical": html_parse.duck_dedup_canonical_sql(

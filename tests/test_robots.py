@@ -347,6 +347,82 @@ def test_sitemap_recrawl_staleness_and_budget(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_sitemap_lastmod_trust_four_cells(spark, tmp_path):
+    """Crafted confusion matrix covering ALL four cells (the synth fixture
+    only populates the claimed side): tp / fp / fn (both the stale-lastmod
+    and the no-lastmod flavor) / tn, exact ppm ratios, eval-set exclusions
+    (undeclared urls, urls missing from either snapshot), and the DuckDB
+    twin agreeing bit-for-bit."""
+    import duckdb
+    import pandas as pd
+    from datetime import datetime, timezone
+
+    xml = (
+        "<urlset>"
+        "<url><loc>http://t.example/tp</loc><lastmod>2024-03-01</lastmod></url>"
+        "<url><loc>http://t.example/fp</loc><lastmod>2024-03-01</lastmod></url>"
+        "<url><loc>http://t.example/fn</loc><lastmod>2023-12-01</lastmod></url>"
+        "<url><loc>http://t.example/fn2</loc></url>"
+        "<url><loc>http://t.example/tn</loc><lastmod>2023-12-01</lastmod></url>"
+        "<url><loc>http://t.example/gone</loc><lastmod>2024-03-01</lastmod></url>"
+        "<url><loc>http://t.example/new</loc><lastmod>2024-03-01</lastmod></url>"
+        "</urlset>"
+    )
+    sitemaps = spark.createDataFrame(
+        [("http://t.example/sitemap.xml", xml)], "sitemap_url string, xml string"
+    )
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    prev_rows = [
+        ("http://t.example/tp", t0, "old tp"),
+        ("http://t.example/fp", t0, "same fp"),
+        ("http://t.example/fn", t0, "old fn"),
+        ("http://t.example/fn2", t0, "old fn2"),
+        ("http://t.example/tn", t0, "same tn"),
+        ("http://t.example/gone", t0, "was here"),   # absent from curr -> excluded
+        ("http://t.example/undeclared", t0, "x"),    # not in sitemap -> excluded
+    ]
+    curr_rows = [
+        ("http://t.example/tp", t0, "NEW tp"),
+        ("http://t.example/fp", t0, "same fp"),
+        ("http://t.example/fn", t0, "NEW fn"),
+        ("http://t.example/fn2", t0, "NEW fn2"),
+        ("http://t.example/tn", t0, "same tn"),
+        ("http://t.example/new", t0, "born"),        # absent from prev -> excluded
+        ("http://t.example/undeclared", t0, "x"),
+    ]
+    schema = "url string, warc_ts timestamp, text string"
+    prev = spark.createDataFrame(prev_rows, schema)
+    curr = spark.createDataFrame(curr_rows, schema)
+    out = robots_src.sitemap_lastmod_trust(sitemaps, prev, curr).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["host"] == "t.example"
+    assert (r["n_eval"], r["n_claimed"], r["n_changed"]) == (5, 2, 3)
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 2, 1)
+    assert r["precision_ppm"] == 500000   # 1 of 2 claims was real
+    assert r["recall_ppm"] == 333333      # 1 of 3 changes was claimed
+
+    # DuckDB twin parity on the same frames
+    d = str(tmp_path)
+    pd.DataFrame(
+        [("http://t.example/sitemap.xml", xml)], columns=["sitemap_url", "xml"]
+    ).to_parquet(f"{d}/sm.parquet")
+    prev.toPandas().to_parquet(f"{d}/prev.parquet")
+    curr.toPandas().to_parquet(f"{d}/curr.parquet")
+    con = duckdb.connect()
+    want = con.sql(
+        robots_src.duck_sitemap_trust_sql(
+            f"read_parquet('{d}/sm.parquet')",
+            f"read_parquet('{d}/prev.parquet')",
+            f"read_parquet('{d}/curr.parquet')",
+        )
+    ).df()
+    assert len(want) == 1
+    for col in ("n_eval", "n_claimed", "n_changed", "tp", "fp", "fn", "tn",
+                "precision_ppm", "recall_ppm"):
+        assert int(want[col].iloc[0]) == r[col], col
+
+
 def test_feed_parse_crafted(spark, tmp_path):
     """RSS items and Atom entries, CDATA titles, missing fields, linkless
     entries dropped; DuckDB twin agrees."""

@@ -490,6 +490,121 @@ QUALIFY host_rank <= {budget}
 """
 
 
+# -- lastmod trust calibration ---------------------------------------------------
+#
+# sitemap_recrawl TRUSTS <lastmod>; this measures whether it should.  The
+# published finding (large-scale sitemap studies) is that sites over-claim:
+# most lastmod bumps do not correspond to content changes.  Calibrating
+# declared freshness against the digest-observed truth per host tells the
+# scheduler which hosts' sitemaps can replace digest polling (high
+# precision) and which must stay on the adaptive digest scheduler.
+
+
+def sitemap_lastmod_trust(
+    sitemaps: DataFrame, prev: DataFrame, curr: DataFrame
+) -> DataFrame:
+    """Per-host confusion matrix of declared freshness vs observed change:
+    (host, n_eval, n_claimed, n_changed, tp, fp, fn, tn, precision_ppm,
+    recall_ppm).
+
+    Eval set = sitemap-declared urls present in BOTH snapshots.  claimed =
+    lastmod present AND newer than the previous capture; changed = content
+    digest differs between snapshots.  precision_ppm = floor(1e6*tp /
+    n_claimed) (NULL when the host claims nothing), recall_ppm =
+    floor(1e6*tp / n_changed) (NULL when nothing changed).
+
+    Scale shape: declared entries are sitemap-grain (<< corpus); both
+    snapshot scans prune to (url, warc_ts, text) with the digest a
+    map-side md5 projection (at archive scale, read the stored digest
+    column instead — same join shape, zero body bytes either way); two
+    url-grain hash equi-joins; one host-grain partial-agg rollup.  tp*1e6
+    stays < 2^63 to 9e12 eval urls per host.  No Python."""
+    declared = (
+        parse_sitemap_xml(sitemaps)
+        .where(F.col("kind") == "url")
+        .groupBy(F.col("loc").alias("url"))
+        .agg(F.max("lastmod").alias("lastmod"))
+    )
+    p = prev.select(
+        "url",
+        F.col("warc_ts").alias("prev_ts"),
+        F.md5(F.col("text")).alias("d_prev"),
+    )
+    c = curr.select("url", F.md5(F.col("text")).alias("d_curr"))
+    j = declared.join(p, "url").join(c, "url")
+    claimed = F.col("lastmod").isNotNull() & (
+        F.unix_timestamp(F.to_timestamp("lastmod"))
+        > F.unix_timestamp(F.col("prev_ts"))
+    )
+    changed = F.col("d_prev") != F.col("d_curr")
+    lab = j.select(
+        F.lower(F.regexp_extract("url", _HOST_OF, 1)).alias("host"),
+        claimed.alias("claimed"),
+        changed.alias("changed"),
+    )
+    one = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = lab.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_eval"),
+        one(F.col("claimed")).alias("n_claimed"),
+        one(F.col("changed")).alias("n_changed"),
+        one(F.col("claimed") & F.col("changed")).alias("tp"),
+        one(F.col("claimed") & ~F.col("changed")).alias("fp"),
+        one(~F.col("claimed") & F.col("changed")).alias("fn"),
+        one(~F.col("claimed") & ~F.col("changed")).alias("tn"),
+    )
+    return agg.select(
+        "*",
+        F.when(
+            F.col("n_claimed") > 0,
+            F.floor(F.col("tp") * 1000000 / F.col("n_claimed")),
+        )
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(
+            F.col("n_changed") > 0,
+            F.floor(F.col("tp") * 1000000 / F.col("n_changed")),
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
+def duck_sitemap_trust_sql(sitemaps: str, prev: str, curr: str) -> str:
+    """DuckDB twin of :func:`sitemap_lastmod_trust`."""
+    return f"""
+WITH entries AS ({duck_sitemap_xml_sql(sitemaps)}),
+declared AS (
+  SELECT loc AS url, max(lastmod) AS lastmod
+  FROM entries WHERE kind = 'url' GROUP BY 1
+),
+lab AS (
+  SELECT lower(regexp_extract(d.url, '{_HOST_OF}', 1)) AS host,
+         (d.lastmod IS NOT NULL
+          AND epoch(d.lastmod::TIMESTAMP) > epoch(p.warc_ts)) AS claimed,
+         (md5(p.text) <> md5(c.text)) AS changed
+  FROM declared d
+  JOIN {prev} p ON d.url = p.url
+  JOIN {curr} c ON d.url = c.url
+),
+agg AS (
+  SELECT host, count(*)::BIGINT AS n_eval,
+         sum(CASE WHEN claimed THEN 1 ELSE 0 END)::BIGINT AS n_claimed,
+         sum(CASE WHEN changed THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+         sum(CASE WHEN claimed AND changed THEN 1 ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN claimed AND NOT changed THEN 1 ELSE 0 END)::BIGINT AS fp,
+         sum(CASE WHEN NOT claimed AND changed THEN 1 ELSE 0 END)::BIGINT AS fn,
+         sum(CASE WHEN NOT claimed AND NOT changed THEN 1 ELSE 0 END)::BIGINT AS tn
+  FROM lab GROUP BY 1
+)
+SELECT host, n_eval, n_claimed, n_changed, tp, fp, fn, tn,
+       CASE WHEN n_claimed > 0
+            THEN floor(tp * 1000000 / n_claimed)::BIGINT END AS precision_ppm,
+       CASE WHEN n_changed > 0
+            THEN floor(tp * 1000000 / n_changed)::BIGINT END AS recall_ppm
+FROM agg
+"""
+
+
 # -- sitemap XML generation (the producer side) ---------------------------------
 
 
