@@ -68,6 +68,17 @@ def build_parser() -> argparse.ArgumentParser:
         "FINGERPRINT grain so exact duplicates never straddle sides "
         "(near-dup-grain splitting is the corpus_split LSH path)",
     )
+    p.add_argument(
+        "--batch-plan",
+        action="store_true",
+        help="also write the length-bucketed batch plan of the exported "
+        "corpus to <output>_batches (len_bucket, batch_id, n_docs, "
+        "max_tokens, sum_tokens, pad_tokens) and report the exact padding "
+        "total in the stats JSON",
+    )
+    p.add_argument(
+        "--batch-size", type=int, default=32, help="docs per padded batch"
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p
@@ -167,6 +178,22 @@ def main(argv: list[str] | None = None) -> int:
     # after a successful (empty) export
     written = spark.read.schema(out.schema).parquet(args.output)
     n_out = written.count()
+
+    pad_total = None
+    if args.batch_plan and n_out > 0:
+        # the trainer-facing capacity plan over what was ACTUALLY exported
+        from web_crawler_spark.functions import packing
+
+        plan = packing.bucket_batches(
+            written, text_col="text_out", batch_size=args.batch_size
+        )
+        plan_path = args.output.rstrip("/") + "_batches"
+        plan.write.mode("overwrite").parquet(plan_path)
+        agg = spark.read.parquet(plan_path).agg(
+            F.sum("pad_tokens").alias("p"), F.sum("sum_tokens").alias("t")
+        ).first()
+        pad_total = int(agg["p"] or 0)
+
     stats = {
         "docs_in": n_in,
         "docs_out": n_out,
@@ -176,6 +203,7 @@ def main(argv: list[str] | None = None) -> int:
         "decontaminated": bool(args.bench),
         "dsir_target_source": args.dsir_target_source,
         "dsir_target_docs": n_dsir_target,
+        "batch_pad_tokens": pad_total,
         "master": spark.sparkContext.master,
     }
     print(json.dumps(stats))

@@ -285,6 +285,8 @@ def test_corpus_cli_end_to_end(tmp_path):
             "--output", out_dir,
             "--shards", "8",
             "--source-cap", "50",
+            "--batch-plan",
+            "--batch-size", "8",
             "--master", "local[2]",
             "--shuffle-partitions", "4",
         ],
@@ -303,6 +305,16 @@ def test_corpus_cli_end_to_end(tmp_path):
 
     t = pq.read_table(out_dir)
     assert {"doc_id", "n_pii", "text_out"} <= set(t.column_names)
+
+    # --batch-plan: the padded-batch capacity plan covers every exported doc
+    plan = pq.read_table(out_dir + "_batches").to_pandas()
+    assert int(plan["n_docs"].sum()) == stats["docs_out"]
+    assert (plan["n_docs"] <= 8).all()
+    assert (
+        plan["pad_tokens"]
+        == plan["n_docs"] * plan["max_tokens"] - plan["sum_tokens"]
+    ).all()
+    assert stats["batch_pad_tokens"] == int(plan["pad_tokens"].sum())
 
 
 def test_corpus_cli_dsir_selection(tmp_path):
