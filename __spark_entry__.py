@@ -542,6 +542,19 @@ def q_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.select("url", "host", F.col("host_rank").cast("long").alias("host_rank"))
 
 
+def q_sched_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness budget-sensitivity sweep: the fetch-batch size and
+    host-saturation count the scheduler WOULD produce at each candidate
+    per-host budget, from ONE ranking pass at the largest budget
+    (politeness.budget_yield_curve docstring).  The oracle certifies the
+    windowed plan against pure count arithmetic — min(host rows, b)."""
+    from web_crawler_spark.operators import politeness as pol
+
+    meta = _synth(spark, sf_dir, "pages_meta").select("url", "host")
+    frontier = meta.withColumn("prio", F.md5(F.col("url")))
+    return pol.budget_yield_curve(frontier, ["prio"])
+
+
 IP_BUDGET = 4
 
 
@@ -4658,6 +4671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urlnorm_audit": q_urlnorm_audit,
         "seed_dedup": q_seed_dedup,
         "host_budget": q_host_budget,
+        "sched_budget_curve": q_sched_budget_curve,
         "ip_budget": q_ip_budget,
         "robots_budget": q_robots_budget,
         "robots_rfc": q_robots_rfc,
@@ -5281,6 +5295,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             FROM {pages_meta}
             QUALIFY host_rank <= 5
         """,
+        "sched_budget_curve": _politeness.duck_budget_curve_sql(pages_meta),
         "ip_budget": _politeness.duck_ip_budget_sql(
             f"(SELECT url, host, md5(url) AS prio FROM {pages_meta})",
             f"read_parquet('{sp('dns')}')",

@@ -547,3 +547,29 @@ def test_mercator_timeline_semantics(spark):
     plan = mercator_timeline(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "EvalPython" not in plan
+
+
+def test_budget_yield_curve_exact_and_plan(spark):
+    """Crafted host demand (12/5/1 rows): every curve point equals
+    sum(min(cnt, b)) with exact saturation counts; the single ranking pass
+    compiles to the WindowGroupLimit partial top-k and stays Python-free."""
+    from web_crawler_spark.operators.politeness import budget_yield_curve
+
+    rows = (
+        [(f"http://a.x/{i}", "a.x") for i in range(12)]
+        + [(f"http://b.x/{i}", "b.x") for i in range(5)]
+        + [("http://c.x/0", "c.x")]
+    )
+    df = spark.createDataFrame(rows, "url string, host string").withColumn(
+        "prio", F.md5(F.col("url"))
+    )
+    out = budget_yield_curve(df, ["prio"], budgets=(1, 2, 5, 10, 16))
+    got = {r["budget"]: r for r in out.collect()}
+    cnts = [12, 5, 1]
+    for b in (1, 2, 5, 10, 16):
+        assert got[b]["n_scheduled"] == sum(min(c, b) for c in cnts)
+        assert got[b]["n_hosts"] == 3
+        assert got[b]["n_hosts_saturated"] == sum(1 for c in cnts if c >= b)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan

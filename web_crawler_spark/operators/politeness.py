@@ -827,3 +827,72 @@ SELECT host, agent AS shard, n_pages FROM (
   FROM scored
 ) WHERE rn = 1
 """
+# -- politeness budget sensitivity (capacity planning) --------------------------
+#
+# The scheduler runs at ONE budget; choosing it is a capacity decision —
+# raising the per-host cap grows the round's fetch batch only until hosts
+# stop saturating, and the marginal yield of each extra slot is exactly
+# what this curve reports.  One ranking pass (the scheduler's own
+# WindowGroupLimit partial top-k at the LARGEST candidate budget) feeds
+# every curve point: past the window, the relation is host-grain, so the
+# sweep costs nothing extra at any corpus size.
+
+CURVE_BUDGETS = (1, 2, 5, 10, 16)
+
+
+def budget_yield_curve(
+    frontier: DataFrame,
+    order_cols: list[str],
+    budgets: tuple = CURVE_BUDGETS,
+    host_col: str = "host",
+) -> DataFrame:
+    """(budget, n_scheduled, n_hosts, n_hosts_saturated) for each candidate
+    budget: n_scheduled = sum over hosts of min(host rows, budget) — the
+    batch size the scheduler WOULD emit at that budget; n_hosts_saturated
+    = hosts whose demand meets or exceeds it (the politeness-bound hosts).
+
+    Scale shape: one host-partitioned top-max(budgets) window (identical
+    plan to select_host_budget_batch — WindowGroupLimit partial top-k,
+    bounded rows past the exchange), one host-grain partial agg, then the
+    |budgets|-point sweep over the host relation.  No second frontier
+    pass, no Python."""
+    cap = max(budgets)
+    batch = select_host_budget_batch(frontier, order_cols, budget=cap)
+    per_host = batch.groupBy(host_col).agg(F.max("host_rank").alias("n_rows"))
+    exp = per_host.select(
+        "n_rows",
+        F.explode(
+            F.array([F.lit(int(b)).cast("long") for b in budgets])
+        ).alias("budget"),
+    )
+    return exp.groupBy("budget").agg(
+        F.sum(F.least(F.col("n_rows"), F.col("budget"))).cast("long").alias("n_scheduled"),
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum((F.col("n_rows") >= F.col("budget")).cast("long"))
+        .cast("long")
+        .alias("n_hosts_saturated"),
+    )
+
+
+def duck_budget_curve_sql(
+    frontier: str, budgets: tuple = CURVE_BUDGETS, host_col: str = "host"
+) -> str:
+    """DuckDB twin of :func:`budget_yield_curve`.  The oracle needs no
+    ranking at all — min(host count, budget) is a pure function of the
+    per-host count, which is the point: the curve certifies the engine's
+    windowed plan against count arithmetic."""
+    blist = ", ".join(str(int(b)) for b in budgets)
+    return f"""
+WITH r AS (
+  SELECT {host_col} AS host, count(*)::BIGINT AS cnt
+  FROM {frontier} GROUP BY 1
+),
+b AS (SELECT unnest([{blist}])::BIGINT AS budget)
+SELECT budget,
+       sum(least(cnt, budget))::BIGINT AS n_scheduled,
+       count(*)::BIGINT AS n_hosts,
+       sum(CASE WHEN cnt >= budget THEN 1 ELSE 0 END)::BIGINT
+         AS n_hosts_saturated
+FROM r, b GROUP BY 1
+"""
+
