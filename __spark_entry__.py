@@ -2142,6 +2142,17 @@ def q_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph evolution between the two snapshots: per-source-host edge
+    churn (added/removed/stable/reweighted host-pair edges, churn in exact
+    ppm) — the graph-side staleness monitor that tells the rank pipeline
+    which neighborhoods need re-iteration (linkstats.host_graph_churn
+    docstring)."""
+    return linkstats.host_graph_churn(
+        _synth(spark, sf_dir, "pages_prev"), _synth(spark, sf_dir, "pages")
+    )
+
+
 def q_sitemap_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-freshness calibration: per-host confusion matrix of
     sitemap <lastmod> claims vs digest-observed change between the two
@@ -4703,6 +4714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir": q_corpus_dsir,
         "sitemap_recrawl": q_sitemap_recrawl,
         "sitemap_trust": q_sitemap_trust,
+        "link_churn": q_link_churn,
         "robots_acl_batch": q_robots_acl_batch,
         "host_backoff": q_host_backoff,
         "sched_fair": q_sched_fair,
@@ -5479,6 +5491,10 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         ),
         "sitemap_recrawl": robots_src.duck_sitemap_recrawl_sql(
             f"read_parquet('{sp('sitemaps')}')",
+            f"read_parquet('{sp('pages')}')",
+        ),
+        "link_churn": linkstats.duck_host_graph_churn_sql(
+            f"read_parquet('{sp('pages_prev')}')",
             f"read_parquet('{sp('pages')}')",
         ),
         "sitemap_trust": robots_src.duck_sitemap_trust_sql(

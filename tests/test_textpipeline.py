@@ -2391,3 +2391,62 @@ def test_bm25f_title_hits_outrank_body_hits(spark):
         got["u_both"]["score_ppm"]
         < got["u_title"]["score_ppm"] + got["u_body"]["score_ppm"]
     )
+
+
+def test_host_graph_churn_crafted(spark, tmp_path):
+    """Edge churn between crafted snapshots: one edge of each class per
+    source host (added / removed / stable-same / stable-reweighted), exact
+    ppm, relative hrefs resolving to a self-edge; DuckDB twin agrees."""
+    import duckdb
+
+    from web_crawler_spark.functions import linkstats
+
+    # host a: prev links to b (x2) and c; curr links to b (x1), c, and d
+    #   -> c stable-same, b stable-reweighted, d added; self-edge /rel both
+    # host e: prev links to f only; curr has no e page -> that edge removed
+    prev = spark.createDataFrame(
+        [
+            (
+                "http://a.x/p",
+                (
+                    '<a href="http://b.x/1">.</a><a href="http://b.x/2">.</a>'
+                    '<a href="http://c.x/1">.</a><a href="/rel">.</a>'
+                ).encode(),
+            ),
+            ("http://e.x/p", '<a href="http://f.x/1">.</a>'.encode()),
+        ],
+        "url string, html binary",
+    )
+    curr = spark.createDataFrame(
+        [
+            (
+                "http://a.x/p",
+                (
+                    '<a href="http://b.x/1">.</a><a href="http://c.x/9">.</a>'
+                    '<a href="http://d.x/1">.</a><a href="/rel">.</a>'
+                ).encode(),
+            ),
+        ],
+        "url string, html binary",
+    )
+    got = {r["src_host"]: r for r in linkstats.host_graph_churn(prev, curr).collect()}
+    a = got["a.x"]
+    assert (a["n_added"], a["n_removed"], a["n_stable"]) == (1, 0, 3)
+    assert a["n_reweighted"] == 1            # b.x weight 2 -> 1
+    assert a["churn_ppm"] == 250000          # 1 changed / 4 union edges
+    e = got["e.x"]
+    assert (e["n_added"], e["n_removed"], e["n_stable"]) == (0, 1, 0)
+    assert e["churn_ppm"] == 1000000
+
+    d = str(tmp_path)
+    prev.toPandas().to_parquet(f"{d}/prev.parquet")
+    curr.toPandas().to_parquet(f"{d}/curr.parquet")
+    want = duckdb.sql(
+        linkstats.duck_host_graph_churn_sql(
+            f"read_parquet('{d}/prev.parquet')", f"read_parquet('{d}/curr.parquet')"
+        )
+    ).df()
+    for _, w in want.iterrows():
+        g = got[w["src_host"]]
+        for col in ("n_added", "n_removed", "n_stable", "n_reweighted", "churn_ppm"):
+            assert int(w[col]) == g[col], (w["src_host"], col)

@@ -3113,3 +3113,133 @@ FROM corpus l JOIN corpus r
 WHERE l.step <> r.step AND abs(l.step - r.step) <= {window}
 GROUP BY 1, 2
 """
+
+
+# --- host-graph churn between snapshots (web-graph evolution) -----------------
+#
+# The link graph is not static: hosts re-template, navigations move, spam
+# farms appear and vanish.  Edge churn between consecutive snapshots is the
+# graph-side analog of the corpus TV-drift monitor — it tells the rank
+# pipeline how stale a cached PageRank is (high-churn neighborhoods need
+# re-iteration first) and flags hosts whose outlink profile changed
+# wholesale (re-templating, takeover, parked-domain flips).
+
+
+def _host_edges_from_html(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_host, dst_host, n_links) straight from raw html — the same
+    JVM regexp href pass as anchor_texts, rolled up to host grain."""
+    h = F.col(html_col).cast("string")
+    page_host = _host(F.col(url_col))
+    hrefs = df.select(
+        page_host.alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(h, F.lit(ANCHOR_RE), F.lit(1))
+        ).alias("href"),
+    ).filter(F.col("href") != "")
+    dst_url = F.when(
+        F.col("href").rlike("^https?://"), F.col("href")
+    ).otherwise(F.concat(F.lit("http://"), F.col("src_host"), F.col("href")))
+    dst = F.lower(F.regexp_extract(dst_url, r"(?i)^https?://([^/:?#]+)", 1))
+    return (
+        hrefs.select("src_host", dst.alias("dst_host"))
+        .filter(F.col("dst_host") != "")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
+def host_graph_churn(
+    prev: DataFrame, curr: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per-source-host edge churn between two snapshots: (src_host,
+    n_added, n_removed, n_stable, n_reweighted, churn_ppm).  An edge is a
+    distinct (src_host, dst_host) pair; added/removed = present in exactly
+    one snapshot, stable = both, reweighted = stable but with a different
+    link count; churn_ppm = floor(1e6 * (added+removed) / union-size).
+
+    Scale shape: each snapshot collapses to host-grain edges map-side
+    (partial agg before its exchange — the relation that shuffles is
+    distinct host pairs, not raw links); ONE full-outer hash join on the
+    edge key; one src_host-grain rollup.  churn*1e6 < 2^63 to ~9e12 edges
+    per source host.  No Python."""
+    pe = _host_edges_from_html(prev, url_col, html_col).withColumnsRenamed(
+        {"n_links": "n_prev"}
+    )
+    ce = _host_edges_from_html(curr, url_col, html_col).withColumnsRenamed(
+        {"n_links": "n_curr"}
+    )
+    j = pe.join(ce, on=["src_host", "dst_host"], how="full_outer")
+    added = F.col("n_prev").isNull()
+    removed = F.col("n_curr").isNull()
+    one = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = j.groupBy("src_host").agg(
+        one(added).alias("n_added"),
+        one(removed).alias("n_removed"),
+        one(~added & ~removed).alias("n_stable"),
+        one(~added & ~removed & (F.col("n_prev") != F.col("n_curr"))).alias(
+            "n_reweighted"
+        ),
+    )
+    return agg.select(
+        "src_host",
+        "n_added",
+        "n_removed",
+        "n_stable",
+        "n_reweighted",
+        F.floor(
+            (F.col("n_added") + F.col("n_removed"))
+            * 1000000
+            / (F.col("n_added") + F.col("n_removed") + F.col("n_stable"))
+        )
+        .cast("long")
+        .alias("churn_ppm"),
+    )
+
+
+def duck_host_graph_churn_sql(prev: str, curr: str) -> str:
+    """DuckDB twin of :func:`host_graph_churn`."""
+
+    def edges(pages: str) -> str:
+        return rf"""
+  SELECT src_host, dst_host, count(*)::BIGINT AS n_links FROM (
+    SELECT src_host,
+           lower(regexp_extract(
+             CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+                  ELSE 'http://' || src_host || href END,
+             '(?i)^https?://([^/:?#]+)', 1)) AS dst_host
+    FROM (
+      SELECT lower(split_part(split_part(split_part(url, '://', 2), '/', 1),
+                   ':', 1)) AS src_host,
+             unnest(regexp_extract_all(decode(html), '{ANCHOR_RE}', 1)) AS href
+      FROM {pages}
+    ) WHERE href <> ''
+  ) WHERE dst_host <> '' GROUP BY 1, 2
+"""
+
+    return f"""
+WITH pe AS ({edges(prev)}),
+ce AS ({edges(curr)}),
+j AS (
+  SELECT coalesce(pe.src_host, ce.src_host) AS src_host,
+         pe.n_links AS n_prev, ce.n_links AS n_curr
+  FROM pe FULL OUTER JOIN ce
+    ON pe.src_host = ce.src_host AND pe.dst_host = ce.dst_host
+),
+agg AS (
+  SELECT src_host,
+         sum(CASE WHEN n_prev IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_added,
+         sum(CASE WHEN n_curr IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+         sum(CASE WHEN n_prev IS NOT NULL AND n_curr IS NOT NULL
+             THEN 1 ELSE 0 END)::BIGINT AS n_stable,
+         sum(CASE WHEN n_prev IS NOT NULL AND n_curr IS NOT NULL
+                   AND n_prev <> n_curr THEN 1 ELSE 0 END)::BIGINT
+           AS n_reweighted
+  FROM j GROUP BY 1
+)
+SELECT src_host, n_added, n_removed, n_stable, n_reweighted,
+       floor((n_added + n_removed) * 1000000
+             / (n_added + n_removed + n_stable))::BIGINT AS churn_ppm
+FROM agg
+"""
