@@ -511,6 +511,34 @@ def main() -> None:
         "groupBy (map-side combine collapses duplicate (host, t) rows\n"
         "before the exchange); registers are BIGINTs, never Python.",
     )
+    cap(
+        "sched_budget_curve — budget sensitivity from one scheduler pass",
+        E.q_sched_budget_curve(spark, sf_dir),
+        "Want: ONE WindowGroupLimit-partial host window feeds every curve\n"
+        "point; the sweep runs over the host-grain relation (explode of a\n"
+        "5-element literal array), no second frontier scan, no Python.",
+    )
+    cap(
+        "link_churn — host-graph evolution between snapshots",
+        E.q_link_churn(spark, sf_dir),
+        "Want: per snapshot a map-side regexp href pass + partial-agg'd\n"
+        "(src_host, dst_host) groupBy; ONE full-outer SMJ/hash join on the\n"
+        "edge key; one src_host rollup; html never shuffles.",
+    )
+    cap(
+        "tpch_min_cost_supplier — Q2 correlated-MIN decorrelated",
+        E.q_tpch_min_cost_supplier(spark, sf_dir),
+        "Want: part filter pushed to the scan + broadcast into lineitem;\n"
+        "(part, supplier) partial agg is the only fact-sized exchange;\n"
+        "achiever join at part grain; TakeOrderedAndProject top-100.",
+    )
+    cap(
+        "corpus_batches — length-bucketed batch planning",
+        E.q_corpus_batches(spark, sf_dir),
+        "Want: the two-job range-partition sequencer (range exchange +\n"
+        "mapInPandas stamp) + a broadcast bucket-start join — NO per-bucket\n"
+        "window anywhere; batch rollup is a partial-agg'd groupBy.",
+    )
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")
         f.write(
