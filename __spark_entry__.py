@@ -2476,6 +2476,16 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupsim.simhash_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family dedup audit: one-row agreement summary between the
+    Jaccard-verified MinHash-LSH pair set and the SimHash Hamming<=3 pair
+    set — the threshold-tuning observable (dedupsim.method_agreement
+    docstring); both sides ride the engine's bucketed self-joins, the
+    audit adds one pair-key full-outer join over near-dup-sized
+    relations."""
+    return dedupsim.method_agreement(_docs(spark, sf_dir))
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: connected components over the LSH candidate-pair
     graph (iterative min-label propagation; singletons keep their own id).
@@ -4817,6 +4827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_agreement": q_dedup_agreement,
         "dedup_ppjoin": q_dedup_ppjoin,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "dedup_containment": q_dedup_containment,
@@ -5745,6 +5756,7 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "dedup_minhash": dedupsim.duck_minhash_exploded_sql("documents"),
         "dedup_lsh_pairs": dedupsim.duck_lsh_pairs_sql("documents"),
         "dedup_jaccard": dedupsim.duck_jaccard_sql("documents"),
+        "dedup_agreement": dedupsim.duck_method_agreement_sql("documents"),
         "dedup_ppjoin": dedupsim.duck_ppjoin_sql("documents"),
         "dedup_lsh_recall": dedupsim.duck_lsh_eval_sql("documents"),
         "dedup_containment": dedupsim.duck_containment_sql("documents"),

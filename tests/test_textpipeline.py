@@ -2450,3 +2450,22 @@ def test_host_graph_churn_crafted(spark, tmp_path):
         g = got[w["src_host"]]
         for col in ("n_added", "n_removed", "n_stable", "n_reweighted", "churn_ppm"):
             assert int(w[col]) == g[col], (w["src_host"], col)
+
+
+def test_dedup_method_agreement_crafted(spark):
+    """Two families agree on a planted near-dup pair: MinHash-Jaccard and
+    SimHash both fire, set identities hold, and the planted distinct doc
+    joins neither side."""
+    from web_crawler_spark.functions import dedupsim
+
+    base = " ".join(f"tok{i}" for i in range(120))
+    near = base + " extra"
+    other = " ".join(f"zzz{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, other)], "doc_id long, text string"
+    )
+    r = dedupsim.method_agreement(df).collect()[0]
+    assert r["n_both"] >= 1                       # the planted pair
+    assert r["n_both"] <= min(r["n_minhash"], r["n_simhash"])
+    assert r["n_union"] == r["n_minhash"] + r["n_simhash"] - r["n_both"]
+    assert 0 < r["agreement_ppm"] <= 1000000

@@ -796,3 +796,102 @@ SELECT n_true, n_cand, n_hit,
        (n_hit * 1000000 // nullif(n_cand, 0))::BIGINT AS precision_ppm
 FROM counts
 """
+
+
+# -- cross-family agreement audit ------------------------------------------------
+#
+# The pipeline fields TWO LSH families over the same corpus: MinHash
+# banding (shingle-set resemblance) and SimHash banding (weighted-token
+# Hamming).  They target the same notion — near-duplicate text — through
+# different geometry, so their pair sets should mostly agree; the
+# disagreement volume is the evaluation number a curation run watches when
+# tuning thresholds (a family drifting away from the other flags a
+# threshold/shingling bug long before eyeballing documents would).
+
+AGREE_JACCARD_MIN_PPM = 500_000
+
+
+def method_agreement(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_min_ppm: int = AGREE_JACCARD_MIN_PPM,
+) -> DataFrame:
+    """One-row summary: (n_minhash, n_simhash, n_both, n_union,
+    agreement_ppm) where the MinHash side is the LSH candidate set
+    verified at shingle Jaccard >= ``jaccard_min_ppm`` and the SimHash
+    side is the banded Hamming<=3 pair set; agreement_ppm = floor(1e6 *
+    n_both / n_union) (NULL when both sets are empty).
+
+    Scale shape: both pair relations are the engine's existing bucketed
+    self-joins (never all-pairs); the audit adds ONE pair-key full-outer
+    join and a scalar aggregate over relations that are near-dup-sized,
+    not corpus-sized."""
+    sh = shingles(df, id_col=id_col, text_col=text_col)
+    mh = (
+        jaccard_for_pairs(
+            lsh_candidate_pairs(lsh_bands(minhash_signatures(sh))), sh
+        )
+        .where(F.col("jaccard_ppm") >= jaccard_min_ppm)
+        .select("a", "b", F.lit(1).alias("m"))
+    )
+    sp = simhash_pairs(df, id_col=id_col, text_col=text_col).select(
+        "a", "b", F.lit(1).alias("s")
+    )
+    j = mh.join(sp, on=["a", "b"], how="full_outer")
+    agg = j.agg(
+        F.sum(F.when(F.col("m").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_minhash"),
+        F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_simhash"),
+        F.sum(
+            F.when(F.col("m").isNotNull() & F.col("s").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.count("*").cast("long").alias("n_union"),
+    )
+    return agg.select(
+        "*",
+        F.when(
+            F.col("n_union") > 0,
+            F.floor(F.col("n_both") * 1000000 / F.col("n_union")),
+        )
+        .cast("long")
+        .alias("agreement_ppm"),
+    )
+
+
+def duck_method_agreement_sql(
+    table: str, jaccard_min_ppm: int = AGREE_JACCARD_MIN_PPM
+) -> str:
+    """DuckDB twin of :func:`method_agreement` — composes the two
+    family oracles verbatim so threshold drift is impossible."""
+    return f"""
+WITH mh AS (
+  SELECT a, b FROM ({duck_jaccard_sql(table)})
+  WHERE jaccard_ppm >= {jaccard_min_ppm}
+),
+sp AS (
+  SELECT a, b FROM ({duck_simhash_pairs_sql(table)})
+),
+j AS (
+  SELECT mh.a AS ma, sp.a AS sa
+  FROM mh FULL OUTER JOIN sp ON mh.a = sp.a AND mh.b = sp.b
+),
+agg AS (
+  SELECT sum(CASE WHEN ma IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_minhash,
+         sum(CASE WHEN sa IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_simhash,
+         sum(CASE WHEN ma IS NOT NULL AND sa IS NOT NULL
+             THEN 1 ELSE 0 END)::BIGINT AS n_both,
+         count(*)::BIGINT AS n_union
+  FROM j
+)
+SELECT n_minhash, n_simhash, n_both, n_union,
+       CASE WHEN n_union > 0
+            THEN floor(n_both * 1000000 / n_union)::BIGINT END
+         AS agreement_ppm
+FROM agg
+"""
