@@ -306,6 +306,9 @@ class ChainCrawl:
         return StepConfig(parser_name=self.cfg.parser_name)
 
     def run_round(self, state: CrawlState) -> CrawlState:
+        import time as _time
+
+        _round_t0 = _time.monotonic()
         cfg = self.cfg
         r = state.round_idx
         is_final = r == self.n_rounds - 1
@@ -653,6 +656,10 @@ class ChainCrawl:
             self._parsed_frames.append(parsed)
         else:
             parsed.unpersist()
+        # R4 progress observability: per-round wall time (driver clock,
+        # includes the truncation/checkpoint tail).  Mutates the dict already
+        # referenced by state_next.metrics; parity comparisons are key-wise.
+        metrics["round_wall_s"] = round(_time.monotonic() - _round_t0, 3)
         return state_next
 
     def close(self) -> None:
