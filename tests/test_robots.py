@@ -364,6 +364,7 @@ def test_sitemap_lastmod_trust_four_cells(spark, tmp_path):
         "<url><loc>http://t.example/fn</loc><lastmod>2023-12-01</lastmod></url>"
         "<url><loc>http://t.example/fn2</loc></url>"
         "<url><loc>http://t.example/tn</loc><lastmod>2023-12-01</lastmod></url>"
+        "<url><loc>http://t.example/bad</loc><lastmod>not-a-date</lastmod></url>"
         "<url><loc>http://t.example/gone</loc><lastmod>2024-03-01</lastmod></url>"
         "<url><loc>http://t.example/new</loc><lastmod>2024-03-01</lastmod></url>"
         "</urlset>"
@@ -373,6 +374,7 @@ def test_sitemap_lastmod_trust_four_cells(spark, tmp_path):
     )
     t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
     prev_rows = [
+        ("http://t.example/bad", t0, "same bad"),  # malformed lastmod -> no claim (tn)
         ("http://t.example/tp", t0, "old tp"),
         ("http://t.example/fp", t0, "same fp"),
         ("http://t.example/fn", t0, "old fn"),
@@ -382,6 +384,7 @@ def test_sitemap_lastmod_trust_four_cells(spark, tmp_path):
         ("http://t.example/undeclared", t0, "x"),    # not in sitemap -> excluded
     ]
     curr_rows = [
+        ("http://t.example/bad", t0, "same bad"),
         ("http://t.example/tp", t0, "NEW tp"),
         ("http://t.example/fp", t0, "same fp"),
         ("http://t.example/fn", t0, "NEW fn"),
@@ -397,8 +400,8 @@ def test_sitemap_lastmod_trust_four_cells(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert r["host"] == "t.example"
-    assert (r["n_eval"], r["n_claimed"], r["n_changed"]) == (5, 2, 3)
-    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 2, 1)
+    assert (r["n_eval"], r["n_claimed"], r["n_changed"]) == (6, 2, 3)
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 2, 2)
     assert r["precision_ppm"] == 500000   # 1 of 2 claims was real
     assert r["recall_ppm"] == 333333      # 1 of 3 changes was claimed
 

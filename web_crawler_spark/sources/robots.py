@@ -451,8 +451,11 @@ def sitemap_recrawl(
         .agg(F.max("lastmod").alias("lastmod"))
     )
     j = declared.join(pages.select("url", "warc_ts"), "url")
+    # try_to_timestamp: a malformed <lastmod> in one sitemap entry must
+    # degrade to "not stale" (NULL age filters out), never throw under
+    # ANSI mode and kill the whole planning job
     age = (
-        F.unix_timestamp(F.to_timestamp("lastmod"))
+        F.unix_timestamp(F.try_to_timestamp("lastmod"))
         - F.unix_timestamp(F.col("warc_ts"))
     ).alias("age_s")
     stale = j.select(
@@ -479,9 +482,10 @@ declared AS (
 stale AS (
   SELECT d.url,
          lower(regexp_extract(d.url, '{_HOST_OF}', 1)) AS host,
-         epoch(d.lastmod::TIMESTAMP)::BIGINT - epoch(p.warc_ts)::BIGINT AS age_s
+         epoch(TRY_CAST(d.lastmod AS TIMESTAMP))::BIGINT
+           - epoch(p.warc_ts)::BIGINT AS age_s
   FROM declared d JOIN {pages} p ON d.url = p.url
-  WHERE epoch(d.lastmod::TIMESTAMP) > epoch(p.warc_ts)
+  WHERE epoch(TRY_CAST(d.lastmod AS TIMESTAMP)) > epoch(p.warc_ts)
 )
 SELECT url, host, age_s,
        row_number() OVER (PARTITION BY host ORDER BY age_s DESC, url) AS host_rank
@@ -532,9 +536,16 @@ def sitemap_lastmod_trust(
     )
     c = curr.select("url", F.md5(F.col("text")).alias("d_curr"))
     j = declared.join(p, "url").join(c, "url")
-    claimed = F.col("lastmod").isNotNull() & (
-        F.unix_timestamp(F.to_timestamp("lastmod"))
-        > F.unix_timestamp(F.col("prev_ts"))
+    # coalesce(...) pins a malformed lastmod (try_to_timestamp -> NULL under
+    # ANSI-safe parsing) to claimed=false, keeping the confusion matrix a
+    # partition of the eval set instead of leaking NULL rows out of every cell
+    claimed = F.coalesce(
+        F.col("lastmod").isNotNull()
+        & (
+            F.unix_timestamp(F.try_to_timestamp("lastmod"))
+            > F.unix_timestamp(F.col("prev_ts"))
+        ),
+        F.lit(False),
     )
     changed = F.col("d_prev") != F.col("d_curr")
     lab = j.select(
@@ -579,8 +590,9 @@ declared AS (
 ),
 lab AS (
   SELECT lower(regexp_extract(d.url, '{_HOST_OF}', 1)) AS host,
-         (d.lastmod IS NOT NULL
-          AND epoch(d.lastmod::TIMESTAMP) > epoch(p.warc_ts)) AS claimed,
+         coalesce(d.lastmod IS NOT NULL
+          AND epoch(TRY_CAST(d.lastmod AS TIMESTAMP)) > epoch(p.warc_ts),
+          false) AS claimed,
          (md5(p.text) <> md5(c.text)) AS changed
   FROM declared d
   JOIN {prev} p ON d.url = p.url
