@@ -1461,11 +1461,16 @@ def q_corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # two-stage integer division keeps every intermediate < N*10^4 — exact
     # floor(N*scale/D) without the BIGINT overflow a direct *10^8 multiply
-    # hits once bpe_total passes ~9e10 tokens (the sf0.1-audit lesson)
+    # hits once bpe_total passes ~9e10 tokens (the sf0.1-audit lesson);
+    # the den>0 guard keeps a degenerate all-empty language bucket from
+    # raising ANSI divide-by-zero instead of reporting NULL fertility
     def ratio(num: str, den: str, hi: int, lo: int):
-        return F.expr(
-            f"(({num} * {hi}) div {den}) * {lo}"
-            f" + ((({num} * {hi}) % {den}) * {lo}) div {den}"
+        return F.when(
+            F.col(den) > 0,
+            F.expr(
+                f"(({num} * {hi}) div {den}) * {lo}"
+                f" + ((({num} * {hi}) % {den}) * {lo}) div {den}"
+            ),
         ).cast("long")
 
     return agg.select(
@@ -5400,12 +5405,14 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
               GROUP BY 1
             )
             SELECT lang, n_docs, words_total, bpe_total, chars_total,
-                   (((bpe_total * 1000) // words_total) * 1000
-                    + (((bpe_total * 1000) % words_total) * 1000)
-                      // words_total)::BIGINT AS bpe_per_word_ppm,
-                   (((bpe_total * 10000) // chars_total) * 10000
-                    + (((bpe_total * 10000) % chars_total) * 10000)
-                      // chars_total)::BIGINT AS bpe_per_100chars_ppm
+                   CASE WHEN words_total > 0 THEN
+                     (((bpe_total * 1000) // words_total) * 1000
+                      + (((bpe_total * 1000) % words_total) * 1000)
+                        // words_total)::BIGINT END AS bpe_per_word_ppm,
+                   CASE WHEN chars_total > 0 THEN
+                     (((bpe_total * 10000) // chars_total) * 10000
+                      + (((bpe_total * 10000) % chars_total) * 10000)
+                        // chars_total)::BIGINT END AS bpe_per_100chars_ppm
             FROM agg
             """
         )(_bpe_golden_paths(sf)),
