@@ -441,6 +441,28 @@ def test_tpch_q2_q20_plan_shapes(spark):
     assert "EvalPython" not in phys20
 
 
+def test_trust_and_agreement_plan_shapes(spark):
+    """sitemap_trust: the snapshot scans must prune to (url, warc_ts, text)
+    — html BINARY never reads — and the rollup stays free of nested-loop
+    artifacts and Python.  dedup_agreement: both family pair sets reach the
+    audit via bucketed equi-joins, never a cartesian, and the one allowed
+    Python node is the corpus-side shingle/token machinery (ArrowEval),
+    never row-at-a-time BatchEval."""
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    qt = e.q_sitemap_trust(spark, sf_dir)._jdf.queryExecution()
+    full = qt.toString()
+    assert "html" not in full.split("ReadSchema", 1)[1][:400]
+    phys = qt.executedPlan().toString()
+    assert "NestedLoop" not in phys and "CartesianProduct" not in phys
+    assert "EvalPython" not in phys
+
+    qa = e.q_dedup_agreement(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in qa and "CartesianProduct" not in qa
+    assert "BatchEvalPython" not in qa
+
+
 def test_manifest_scan_plan_crafted(spark):
     """Pruning math on a crafted layout: two hosts across three days; the
     head window must open only day-0 files, and over-read ppm must match a
