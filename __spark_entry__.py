@@ -2201,6 +2201,18 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recrawl_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness economics (Cho & Garcia-Molina): per-host one-observation
+    change rate from the snapshot pair and expected staleness at
+    revisit-every-k for k in 1/2/4/8 — exact ppm via repeated squaring
+    with per-step floor rescale (recrawl.host_freshness docstring).  The
+    k-sweep is the revisit-interval pricing table a recrawl planner
+    reads."""
+    return recrawl.host_freshness(
+        _synth(spark, sf_dir, "pages_prev"), _synth(spark, sf_dir, "pages")
+    )
+
+
 def q_crawl_population(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capture-recapture URL-space sizing (Lincoln-Petersen / Chapman; the
     Lawrence & Giles '98 method): two crawl snapshots as independent
@@ -4807,6 +4819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_sched": q_recrawl_sched,
         "scan_prune": q_scan_prune,
         "crawl_diff": q_crawl_diff,
+        "recrawl_freshness": q_recrawl_freshness,
         "crawl_population": q_crawl_population,
         "recrawl_adaptive": q_recrawl_adaptive,
         "dedup_snapshots": q_dedup_snapshots,
@@ -5681,6 +5694,10 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                 f"read_parquet('{sp('pages_prev')}')",
                 f"read_parquet('{sp('pages')}')",
             ]
+        ),
+        "recrawl_freshness": recrawl.duck_host_freshness_sql(
+            f"read_parquet('{sp('pages_prev')}')",
+            f"read_parquet('{sp('pages')}')",
         ),
         "crawl_diff": recrawl.duck_snapshot_diff_sql(
             f"read_parquet('{sp('pages_prev')}')", f"read_parquet('{sp('pages')}')"

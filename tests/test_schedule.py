@@ -573,3 +573,60 @@ def test_budget_yield_curve_exact_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "EvalPython" not in plan
+
+
+def test_host_freshness_exact_squaring(spark, tmp_path):
+    """Hand-computed freshness table: 1-of-4 changed => p=250000 ppm;
+    repeated floor-squaring gives x2=562500, x4=316406, x8=100112 —
+    asserted digit-for-digit, plus added/gone exclusion and the DuckDB
+    twin agreeing."""
+    import duckdb
+    from datetime import datetime, timezone
+
+    from web_crawler_spark.plans import recrawl
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    mk = lambda u, txt: (u, t0, txt.encode(), txt, "en")  # noqa: E731
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    prev = spark.createDataFrame(
+        [
+            mk("http://f.x/a", "same a"),
+            mk("http://f.x/b", "same b"),
+            mk("http://f.x/c", "same c"),
+            mk("http://f.x/d", "old d"),
+            mk("http://f.x/gone", "bye"),       # gone -> excluded
+        ],
+        schema,
+    )
+    curr = spark.createDataFrame(
+        [
+            mk("http://f.x/a", "same a"),
+            mk("http://f.x/b", "same b"),
+            mk("http://f.x/c", "same c"),
+            mk("http://f.x/d", "NEW d"),
+            mk("http://f.x/new", "hi"),         # added -> excluded
+        ],
+        schema,
+    )
+    r = recrawl.host_freshness(prev, curr).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["host"], row["n_eval"], row["n_changed"]) == ("f.x", 4, 1)
+    assert row["change_ppm"] == 250000
+    assert row["stale_ppm_k1"] == 250000
+    assert row["stale_ppm_k2"] == 1000000 - 562500
+    assert row["stale_ppm_k4"] == 1000000 - 316406
+    assert row["stale_ppm_k8"] == 1000000 - 100112
+
+    d = str(tmp_path)
+    prev.toPandas().to_parquet(f"{d}/prev.parquet")
+    curr.toPandas().to_parquet(f"{d}/curr.parquet")
+    w = duckdb.sql(
+        recrawl.duck_host_freshness_sql(
+            f"read_parquet('{d}/prev.parquet')", f"read_parquet('{d}/curr.parquet')"
+        )
+    ).df()
+    assert len(w) == 1
+    for col in ("n_eval", "n_changed", "change_ppm", "stale_ppm_k1",
+                "stale_ppm_k2", "stale_ppm_k4", "stale_ppm_k8"):
+        assert int(w[col].iloc[0]) == row[col], col

@@ -553,3 +553,99 @@ SELECT n_prev, n_curr, n_overlap, n_union,
                 - n_union)::BIGINT AS undiscovered_est
 FROM c
 """
+
+
+# -- freshness economics (revisit-interval planning) ---------------------------
+#
+# Cho & Garcia-Molina's freshness model, in the engine's exact-integer
+# discipline: the two snapshots give each surviving url one Bernoulli
+# change observation; pooled per host that is a per-period change
+# probability p, and a page revisited every k periods is stale just
+# before its revisit with probability 1-(1-p)^k.  The k-sweep is what a
+# recrawl planner actually reads — "how much staleness do I buy by
+# stretching this host's revisit interval 2x/4x/8x" — and, pooled with
+# the host's page count, prices a global revisit budget.
+
+FRESHNESS_KS = (1, 2, 4, 8)
+
+
+def host_freshness(
+    prev: DataFrame, curr: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """(host, n_eval, n_changed, change_ppm, stale_ppm_k1, stale_ppm_k2,
+    stale_ppm_k4, stale_ppm_k8): per-host one-observation change rate and
+    the expected staleness at revisit-every-k-periods, all exact BIGINT
+    ppm.  (1-p)^k is computed by repeated squaring with a floor-div
+    rescale per squaring — x_{2k} = x_k^2 div 1e6, every intermediate
+    <= 1e12 — so the sweep is bit-identical in any engine at any scale.
+
+    Scale shape: rides snapshot_diff's digest join (hashes move, bodies
+    never); one host-grain partial-agg rollup; the k-sweep is map-side
+    arithmetic on the host relation."""
+    diff = snapshot_diff(prev, curr)
+    lab = with_host(
+        diff.filter(F.col("status").isin("changed", "unchanged")).select(
+            "url", (F.col("status") == "changed").alias("chg")
+        )
+    )
+    agg = lab.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(F.col("chg").cast("long")).cast("long").alias("n_changed"),
+    )
+    p = F.expr("(n_changed * 1000000) div n_eval")
+    out = agg.withColumn("change_ppm", p.cast("long"))
+    x1 = F.lit(1000000).cast("long") - F.col("change_ppm")  # (1-p) in ppm
+    return (
+        out.withColumn("__x1", x1)
+        .withColumn("__x2", F.expr("(__x1 * __x1) div 1000000"))
+        .withColumn("__x4", F.expr("(__x2 * __x2) div 1000000"))
+        .withColumn("__x8", F.expr("(__x4 * __x4) div 1000000"))
+        .select(
+            "host",
+            "n_eval",
+            "n_changed",
+            "change_ppm",
+            (F.lit(1000000) - F.col("__x1")).cast("long").alias("stale_ppm_k1"),
+            (F.lit(1000000) - F.col("__x2")).cast("long").alias("stale_ppm_k2"),
+            (F.lit(1000000) - F.col("__x4")).cast("long").alias("stale_ppm_k4"),
+            (F.lit(1000000) - F.col("__x8")).cast("long").alias("stale_ppm_k8"),
+        )
+    )
+
+
+def duck_host_freshness_sql(prev: str, curr: str) -> str:
+    """DuckDB twin of :func:`host_freshness`."""
+    host = "lower(split_part(split_part(split_part(url, '://', 2), '/', 1), ':', 1))"
+    return rf"""
+WITH diff AS ({duck_snapshot_diff_sql(prev, curr)}),
+lab AS (
+  SELECT {host} AS host, (status = 'changed') AS chg
+  FROM diff WHERE status IN ('changed', 'unchanged')
+),
+agg AS (
+  SELECT host, count(*)::BIGINT AS n_eval,
+         sum(CASE WHEN chg THEN 1 ELSE 0 END)::BIGINT AS n_changed
+  FROM lab GROUP BY 1
+),
+x AS (
+  SELECT host, n_eval, n_changed,
+         ((n_changed * 1000000) // n_eval)::BIGINT AS change_ppm,
+         (1000000 - (n_changed * 1000000) // n_eval)::BIGINT AS x1
+  FROM agg
+),
+sq AS (
+  SELECT *, ((x1 * x1) // 1000000)::BIGINT AS x2 FROM x
+),
+sq2 AS (
+  SELECT *, ((x2 * x2) // 1000000)::BIGINT AS x4 FROM sq
+),
+sq3 AS (
+  SELECT *, ((x4 * x4) // 1000000)::BIGINT AS x8 FROM sq2
+)
+SELECT host, n_eval, n_changed, change_ppm,
+       (1000000 - x1)::BIGINT AS stale_ppm_k1,
+       (1000000 - x2)::BIGINT AS stale_ppm_k2,
+       (1000000 - x4)::BIGINT AS stale_ppm_k4,
+       (1000000 - x8)::BIGINT AS stale_ppm_k8
+FROM sq3
+"""
