@@ -2213,6 +2213,17 @@ def q_recrawl_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host page turnover between snapshots: birth (added_ppm) and
+    death (gone_ppm) rates in exact ppm — the URL-grain complement of
+    recrawl_freshness, and the signal that allocates DISCOVERY budget
+    (high-birth hosts need link-following; high-death hosts need pruning)
+    (recrawl.host_turnover docstring)."""
+    return recrawl.host_turnover(
+        _synth(spark, sf_dir, "pages_prev"), _synth(spark, sf_dir, "pages")
+    )
+
+
 def q_crawl_population(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capture-recapture URL-space sizing (Lincoln-Petersen / Chapman; the
     Lawrence & Giles '98 method): two crawl snapshots as independent
@@ -4820,6 +4831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_prune": q_scan_prune,
         "crawl_diff": q_crawl_diff,
         "recrawl_freshness": q_recrawl_freshness,
+        "crawl_turnover": q_crawl_turnover,
         "crawl_population": q_crawl_population,
         "recrawl_adaptive": q_recrawl_adaptive,
         "dedup_snapshots": q_dedup_snapshots,
@@ -5694,6 +5706,10 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                 f"read_parquet('{sp('pages_prev')}')",
                 f"read_parquet('{sp('pages')}')",
             ]
+        ),
+        "crawl_turnover": recrawl.duck_host_turnover_sql(
+            f"read_parquet('{sp('pages_prev')}')",
+            f"read_parquet('{sp('pages')}')",
         ),
         "recrawl_freshness": recrawl.duck_host_freshness_sql(
             f"read_parquet('{sp('pages_prev')}')",

@@ -630,3 +630,48 @@ def test_host_freshness_exact_squaring(spark, tmp_path):
     for col in ("n_eval", "n_changed", "change_ppm", "stale_ppm_k1",
                 "stale_ppm_k2", "stale_ppm_k4", "stale_ppm_k8"):
         assert int(w[col].iloc[0]) == row[col], col
+
+
+def test_host_turnover_crafted(spark, tmp_path):
+    """Turnover arithmetic on a crafted host: 2 kept + 1 added + 1 gone =>
+    added_ppm=333333 (1/3 of curr), gone_ppm=333333 (1/3 of prev); a pure
+    birth host divides NULL-safely; DuckDB twin agrees."""
+    import duckdb
+    from datetime import datetime, timezone
+
+    from web_crawler_spark.plans import recrawl
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    mk = lambda u, txt: (u, t0, txt.encode(), txt, "en")  # noqa: E731
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    prev = spark.createDataFrame(
+        [mk("http://t.x/a", "a"), mk("http://t.x/b", "b"), mk("http://t.x/g", "g")],
+        schema,
+    )
+    curr = spark.createDataFrame(
+        [mk("http://t.x/a", "a"), mk("http://t.x/b", "B"),  # b changed -> kept
+         mk("http://t.x/n", "n"), mk("http://born.x/1", "x")],
+        schema,
+    )
+    got = {r["host"]: r for r in recrawl.host_turnover(prev, curr).collect()}
+    t = got["t.x"]
+    assert (t["n_prev"], t["n_curr"], t["n_added"], t["n_gone"], t["n_kept"]) == (
+        3, 3, 1, 1, 2
+    )
+    assert t["added_ppm"] == 333333 and t["gone_ppm"] == 333333
+    born = got["born.x"]
+    assert (born["n_prev"], born["n_curr"]) == (0, 1)
+    assert born["added_ppm"] == 1000000 and born["gone_ppm"] is None
+
+    d = str(tmp_path)
+    prev.toPandas().to_parquet(f"{d}/prev.parquet")
+    curr.toPandas().to_parquet(f"{d}/curr.parquet")
+    w = duckdb.sql(
+        recrawl.duck_host_turnover_sql(
+            f"read_parquet('{d}/prev.parquet')", f"read_parquet('{d}/curr.parquet')"
+        )
+    ).df()
+    for _, row in w.iterrows():
+        g = got[row["host"]]
+        for col in ("n_prev", "n_curr", "n_added", "n_gone", "n_kept"):
+            assert int(row[col]) == g[col], (row["host"], col)

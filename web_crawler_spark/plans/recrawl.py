@@ -649,3 +649,68 @@ SELECT host, n_eval, n_changed, change_ppm,
        (1000000 - x8)::BIGINT AS stale_ppm_k8
 FROM sq3
 """
+
+
+def host_turnover(
+    prev: DataFrame, curr: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-host page turnover between snapshots: (host, n_prev, n_curr,
+    n_added, n_gone, n_kept, added_ppm, gone_ppm) — the URL-grain
+    complement of :func:`host_freshness` (which rates content change on
+    SURVIVING urls).  added_ppm = floor(1e6*added/n_curr) prices the
+    host's discovery need; gone_ppm = floor(1e6*gone/n_prev) its decay;
+    a parked-domain flip shows as both ≈ 1e6.
+
+    Scale shape: identical to host_freshness — the digest join's status
+    column partial-aggs at host grain; ratios are post-agg integer
+    floors, NULL-guarded for hosts absent from one side."""
+    diff = snapshot_diff(prev, curr)
+    lab = with_host(diff.select("url", "status"))
+    one = lambda s: F.sum(F.when(F.col("status") == s, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = lab.groupBy("host").agg(
+        one("added").alias("n_added"),
+        one("gone").alias("n_gone"),
+        (one("changed") + one("unchanged")).alias("n_kept"),
+    )
+    n_prev = (F.col("n_kept") + F.col("n_gone")).cast("long")
+    n_curr = (F.col("n_kept") + F.col("n_added")).cast("long")
+    return agg.select(
+        "host",
+        n_prev.alias("n_prev"),
+        n_curr.alias("n_curr"),
+        "n_added",
+        "n_gone",
+        "n_kept",
+        F.when(n_curr > 0, F.expr("(n_added * 1000000) div (n_kept + n_added)"))
+        .cast("long")
+        .alias("added_ppm"),
+        F.when(n_prev > 0, F.expr("(n_gone * 1000000) div (n_kept + n_gone)"))
+        .cast("long")
+        .alias("gone_ppm"),
+    )
+
+
+def duck_host_turnover_sql(prev: str, curr: str) -> str:
+    """DuckDB twin of :func:`host_turnover`."""
+    host = "lower(split_part(split_part(split_part(url, '://', 2), '/', 1), ':', 1))"
+    return rf"""
+WITH diff AS ({duck_snapshot_diff_sql(prev, curr)}),
+lab AS (SELECT {host} AS host, status FROM diff),
+agg AS (
+  SELECT host,
+         sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+         sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END)::BIGINT AS n_gone,
+         sum(CASE WHEN status IN ('changed', 'unchanged')
+             THEN 1 ELSE 0 END)::BIGINT AS n_kept
+  FROM lab GROUP BY 1
+)
+SELECT host,
+       (n_kept + n_gone)::BIGINT AS n_prev,
+       (n_kept + n_added)::BIGINT AS n_curr,
+       n_added, n_gone, n_kept,
+       CASE WHEN n_kept + n_added > 0 THEN
+         ((n_added * 1000000) // (n_kept + n_added))::BIGINT END AS added_ppm,
+       CASE WHEN n_kept + n_gone > 0 THEN
+         ((n_gone * 1000000) // (n_kept + n_gone))::BIGINT END AS gone_ppm
+FROM agg
+"""
