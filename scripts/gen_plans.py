@@ -539,6 +539,20 @@ def main() -> None:
         "mapInPandas stamp) + a broadcast bucket-start join — NO per-bucket\n"
         "window anywhere; batch rollup is a partial-agg'd groupBy.",
     )
+    cap(
+        "recrawl_freshness — revisit-interval staleness pricing",
+        E.q_recrawl_freshness(spark, sf_dir),
+        "Want: the digest-only snapshot join (hashes move, bodies never),\n"
+        "ONE host-grain partial agg, and the (1-p)^k sweep as map-side\n"
+        "integer arithmetic — no Python, no second scan.",
+    )
+    cap(
+        "crawl_turnover — per-host birth/death rates",
+        E.q_crawl_turnover(spark, sf_dir),
+        "Want: identical join shape to recrawl_freshness; status counts\n"
+        "partial-agg at host grain; ratios are post-agg NULL-guarded\n"
+        "integer floors.",
+    )
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")
         f.write(
