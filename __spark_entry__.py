@@ -2213,6 +2213,17 @@ def q_recrawl_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recrawl_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planner decision on top of recrawl_freshness: per host the
+    LARGEST revisit multiplier k in {1,2,4,8} whose projected staleness
+    meets the 20% SLA (cheapest compliant schedule), plus the staleness
+    it buys and an sla_ok flag — a map-side monotone CASE over the
+    freshness relation, no extra join (recrawl.revisit_policy)."""
+    return recrawl.revisit_policy(
+        _synth(spark, sf_dir, "pages_prev"), _synth(spark, sf_dir, "pages")
+    )
+
+
 def q_crawl_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host page turnover between snapshots: birth (added_ppm) and
     death (gone_ppm) rates in exact ppm — the URL-grain complement of
@@ -4832,6 +4843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "recrawl_freshness": q_recrawl_freshness,
         "crawl_turnover": q_crawl_turnover,
+        "recrawl_policy": q_recrawl_policy,
         "crawl_population": q_crawl_population,
         "recrawl_adaptive": q_recrawl_adaptive,
         "dedup_snapshots": q_dedup_snapshots,
@@ -5706,6 +5718,10 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                 f"read_parquet('{sp('pages_prev')}')",
                 f"read_parquet('{sp('pages')}')",
             ]
+        ),
+        "recrawl_policy": recrawl.duck_revisit_policy_sql(
+            f"read_parquet('{sp('pages_prev')}')",
+            f"read_parquet('{sp('pages')}')",
         ),
         "crawl_turnover": recrawl.duck_host_turnover_sql(
             f"read_parquet('{sp('pages_prev')}')",

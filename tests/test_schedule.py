@@ -675,3 +675,40 @@ def test_host_turnover_crafted(spark, tmp_path):
         g = got[row["host"]]
         for col in ("n_prev", "n_curr", "n_added", "n_gone", "n_kept"):
             assert int(row[col]) == g[col], (row["host"], col)
+
+
+def test_revisit_policy_monotone_selection(spark):
+    """k* selection: a never-changing host takes k=8 at zero staleness; a
+    moderately-changing host picks the largest SLA-compliant k; an
+    always-changing host pins k=1 with sla_ok=False.  Derived from the
+    same crafted snapshots as the freshness test."""
+    from datetime import datetime, timezone
+
+    from web_crawler_spark.plans import recrawl
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    mk = lambda u, txt: (u, t0, txt.encode(), txt, "en")  # noqa: E731
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    # stable.x: 0/4 changed; mod.x: 1/4 changed (p=250000); hot.x: 2/2 changed
+    prev = spark.createDataFrame(
+        [mk(f"http://stable.x/{i}", f"s{i}") for i in range(4)]
+        + [mk(f"http://mod.x/{i}", f"m{i}") for i in range(4)]
+        + [mk(f"http://hot.x/{i}", f"h{i}") for i in range(2)],
+        schema,
+    )
+    curr = spark.createDataFrame(
+        [mk(f"http://stable.x/{i}", f"s{i}") for i in range(4)]
+        + [mk("http://mod.x/0", "CHANGED")]
+        + [mk(f"http://mod.x/{i}", f"m{i}") for i in range(1, 4)]
+        + [mk(f"http://hot.x/{i}", f"H{i}") for i in range(2)],
+        schema,
+    )
+    got = {r["host"]: r for r in recrawl.revisit_policy(prev, curr).collect()}
+    s = got["stable.x"]
+    assert (s["k_star"], s["projected_stale_ppm"], s["sla_ok"]) == (8, 0, True)
+    m = got["mod.x"]
+    # p=250000: stale k1=250000 > SLA, so sla_ok False and k pinned to 1
+    assert (m["k_star"], m["sla_ok"]) == (1, False)
+    assert m["projected_stale_ppm"] == 250000
+    h = got["hot.x"]
+    assert (h["k_star"], h["projected_stale_ppm"], h["sla_ok"]) == (1, 1000000, False)

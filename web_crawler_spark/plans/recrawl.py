@@ -714,3 +714,69 @@ SELECT host,
          ((n_gone * 1000000) // (n_kept + n_gone))::BIGINT END AS gone_ppm
 FROM agg
 """
+
+
+REVISIT_TARGET_STALE_PPM = 200_000
+
+
+def revisit_policy(
+    prev: DataFrame,
+    curr: DataFrame,
+    target_stale_ppm: int = REVISIT_TARGET_STALE_PPM,
+) -> DataFrame:
+    """The planner DECISION on top of :func:`host_freshness`: per host,
+    the LARGEST revisit multiplier k in {1,2,4,8} whose projected
+    staleness stays within ``target_stale_ppm`` (cheapest schedule that
+    meets the freshness SLA), the staleness it buys, and an ``sla_ok``
+    flag — false means even revisit-every-period misses the target (the
+    host needs sub-period polling or conditional GETs).
+
+    Output: (host, n_eval, change_ppm, k_star, projected_stale_ppm,
+    sla_ok).  Map-side CASE over the freshness relation — staleness is
+    monotone in k, so the selection is a 4-arm conditional, no join."""
+    f = host_freshness(prev, curr)
+    t = F.lit(int(target_stale_ppm)).cast("long")
+    k_star = (
+        F.when(F.col("stale_ppm_k8") <= t, F.lit(8))
+        .when(F.col("stale_ppm_k4") <= t, F.lit(4))
+        .when(F.col("stale_ppm_k2") <= t, F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    projected = (
+        F.when(F.col("stale_ppm_k8") <= t, F.col("stale_ppm_k8"))
+        .when(F.col("stale_ppm_k4") <= t, F.col("stale_ppm_k4"))
+        .when(F.col("stale_ppm_k2") <= t, F.col("stale_ppm_k2"))
+        .otherwise(F.col("stale_ppm_k1"))
+        .cast("long")
+    )
+    return f.select(
+        "host",
+        "n_eval",
+        "change_ppm",
+        k_star.alias("k_star"),
+        projected.alias("projected_stale_ppm"),
+        (F.col("stale_ppm_k1") <= t).alias("sla_ok"),
+    )
+
+
+def duck_revisit_policy_sql(
+    prev: str, curr: str, target_stale_ppm: int = REVISIT_TARGET_STALE_PPM
+) -> str:
+    """DuckDB twin of :func:`revisit_policy` — composes the freshness
+    oracle verbatim."""
+    t = int(target_stale_ppm)
+    return f"""
+WITH f AS ({duck_host_freshness_sql(prev, curr)})
+SELECT host, n_eval, change_ppm,
+       (CASE WHEN stale_ppm_k8 <= {t} THEN 8
+             WHEN stale_ppm_k4 <= {t} THEN 4
+             WHEN stale_ppm_k2 <= {t} THEN 2
+             ELSE 1 END)::BIGINT AS k_star,
+       (CASE WHEN stale_ppm_k8 <= {t} THEN stale_ppm_k8
+             WHEN stale_ppm_k4 <= {t} THEN stale_ppm_k4
+             WHEN stale_ppm_k2 <= {t} THEN stale_ppm_k2
+             ELSE stale_ppm_k1 END)::BIGINT AS projected_stale_ppm,
+       (stale_ppm_k1 <= {t}) AS sla_ok
+FROM f
+"""
