@@ -1205,19 +1205,26 @@ def _phash_golden_path(sf: str) -> str:
 
     from web_crawler_spark.functions import multimodal
 
+    from web_crawler_spark.functions import codecs
+
     out = os.path.join(
         synth.SYNTH_ROOT,
-        f"phash_golden_sf{sf}_r{multimodal.PHASH_ROWS}c{multimodal.PHASH_COLS}.parquet",
+        f"phash_golden_sf{sf}_r{multimodal.PHASH_ROWS}c{multimodal.PHASH_COLS}"
+        f"_cv{codecs.CODEC_VERSION}.parquet",
     )
     if os.path.exists(out):
         return out
     os.makedirs(synth.SYNTH_ROOT, exist_ok=True)
     synth.ensure_synth(sf)
-    media = pq.read_table(synth.synth_path(sf, "media"), columns=["media_id", "payload"])
+    media = pq.read_table(
+        synth.synth_path(sf, "media"), columns=["media_id", "kind", "payload"]
+    )
     ids, hashes = [], []
-    for mid, payload in zip(media.column("media_id"), media.column("payload")):
+    for mid, kind, payload in zip(
+        media.column("media_id"), media.column("kind"), media.column("payload")
+    ):
         ids.append(mid.as_py())
-        hashes.append(multimodal.naive_phash(payload.as_py()))
+        hashes.append(multimodal.naive_media_phash(kind.as_py(), payload.as_py()))
     tmp = out + ".tmp"
     pq.write_table(
         pa.table({"media_id": pa.array(ids, pa.int64()),
@@ -1237,10 +1244,12 @@ def _audio_golden_path(sf: str) -> str:
 
     from web_crawler_spark.functions import multimodal
 
+    from web_crawler_spark.functions import codecs
+
     out = os.path.join(
         synth.SYNTH_ROOT,
         f"audioseg_golden_sf{sf}_f{multimodal.AUDIO_FRAME}"
-        f"t{multimodal.AUDIO_VAD_THRESHOLD}.parquet",
+        f"t{multimodal.AUDIO_VAD_THRESHOLD}_cv{codecs.CODEC_VERSION}.parquet",
     )
     if os.path.exists(out):
         return out
@@ -1290,10 +1299,12 @@ def _scene_golden_path(sf: str) -> str:
 
     from web_crawler_spark.functions import multimodal
 
+    from web_crawler_spark.functions import codecs
+
     out = os.path.join(
         synth.SYNTH_ROOT,
         f"scene_golden_sf{sf}_f{multimodal.SCENE_MAX_FRAMES}"
-        f"h{multimodal.SCENE_CUT_HAMMING}.parquet",
+        f"h{multimodal.SCENE_CUT_HAMMING}_cv{codecs.CODEC_VERSION}.parquet",
     )
     if os.path.exists(out):
         return out
@@ -5239,11 +5250,18 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "stream_hll": (
             lambda inner: bloom_ops.duck_hll_registers_by_sql(inner)
         )(
-            "(SELECT lower(regexp_extract(url,"
-            " '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host, url FROM ("
+            # Host extraction mirrors the engine's
+            # lower(parse_url(url,'HOST')) + NOT NULL filter
+            # (streaming/sketch_state.py:108-111): userinfo ("user@") and
+            # ":port" are stripped, and non-matching URLs (regexp_extract
+            # yields '') are dropped like parse_url's NULLs.
+            "(SELECT host, url FROM ("
+            "SELECT lower(regexp_extract(url,"
+            " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1))"
+            " AS host, url FROM ("
             f"SELECT url FROM read_parquet('{sp('pages')}')"
             f" UNION ALL SELECT url FROM read_parquet('{sp('pages_prev')}')"
-            ")) "
+            ")) WHERE host <> '') "
         ),
         "stream_hourly": f"""
             SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -5456,11 +5474,12 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "media_phash": f"""
             WITH g AS (SELECT media_id, phash
                        FROM read_parquet('{_phash_golden_path(sf)}')),
-            c AS (SELECT phash, count(*)::BIGINT AS n_copies FROM g GROUP BY 1)
+            c AS (SELECT phash, count(*)::BIGINT AS n_copies FROM g
+                  WHERE phash IS NOT NULL GROUP BY 1)
             SELECT g.media_id, m.kind, g.phash, c.n_copies
             FROM g
             JOIN read_parquet('{sp('media')}') m USING (media_id)
-            JOIN c USING (phash)
+            LEFT JOIN c USING (phash)
         """,
         "media_audio": (
             "SELECT media_id, seg_idx, start_frame, n_frames, energy_sum"
@@ -5896,13 +5915,21 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
             f"FROM {media}"
         ),
         "media_frames": f"""
+            -- real-container sampling (round 4): the synth invariant puts
+            -- m = min(8, max(1, floor(dur))) PNG frames in each BMFF
+            -- container; the engine picks n = min(4, m) evenly as
+            -- j = (2i+1)m // 2n and stamps ts at (j+0.5)/m of duration
             SELECT media_id, (i - 1)::BIGINT AS frame_idx,
-                   floor((i - 0.5) * duration_s / n * 1000)::BIGINT AS ts_ms
+                   floor((((2 * (i - 1) + 1) * m // (2 * n)) + 0.5)
+                         * duration_s / m * 1000)::BIGINT AS ts_ms
             FROM (
-              SELECT media_id, duration_s,
-                     least(4, greatest(1, floor(duration_s)::INT)) AS n
-              FROM {media}
-              WHERE kind = 'video' AND duration_s IS NOT NULL AND duration_s > 0
+              SELECT media_id, duration_s, m, least(4, m) AS n
+              FROM (
+                SELECT media_id, duration_s,
+                       least(8, greatest(1, floor(duration_s)::INT)) AS m
+                FROM {media}
+                WHERE kind = 'video' AND duration_s IS NOT NULL AND duration_s > 0
+              )
             ), LATERAL unnest(generate_series(1, n)) AS t(i)
         """,
         "doc_winnow": (

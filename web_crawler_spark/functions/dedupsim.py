@@ -839,15 +839,26 @@ def method_agreement(
         "a", "b", F.lit(1).alias("s")
     )
     j = mh.join(sp, on=["a", "b"], how="full_outer")
+    # coalesce(..., 0): SUM over an empty pair universe is NULL, but the
+    # documented contract is NULL only for agreement_ppm — counts are 0.
     agg = j.agg(
-        F.sum(F.when(F.col("m").isNotNull(), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("m").isNotNull(), 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_minhash"),
-        F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_simhash"),
-        F.sum(
-            F.when(F.col("m").isNotNull() & F.col("s").isNotNull(), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("m").isNotNull() & F.col("s").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_both"),
@@ -857,7 +868,7 @@ def method_agreement(
         "*",
         F.when(
             F.col("n_union") > 0,
-            F.floor(F.col("n_both") * 1000000 / F.col("n_union")),
+            F.expr("n_both * 1000000L DIV n_union"),
         )
         .cast("long")
         .alias("agreement_ppm"),
@@ -882,16 +893,18 @@ j AS (
   FROM mh FULL OUTER JOIN sp ON mh.a = sp.a AND mh.b = sp.b
 ),
 agg AS (
-  SELECT sum(CASE WHEN ma IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_minhash,
-         sum(CASE WHEN sa IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_simhash,
-         sum(CASE WHEN ma IS NOT NULL AND sa IS NOT NULL
-             THEN 1 ELSE 0 END)::BIGINT AS n_both,
+  SELECT coalesce(sum(CASE WHEN ma IS NOT NULL THEN 1 ELSE 0 END),
+                  0)::BIGINT AS n_minhash,
+         coalesce(sum(CASE WHEN sa IS NOT NULL THEN 1 ELSE 0 END),
+                  0)::BIGINT AS n_simhash,
+         coalesce(sum(CASE WHEN ma IS NOT NULL AND sa IS NOT NULL
+                  THEN 1 ELSE 0 END), 0)::BIGINT AS n_both,
          count(*)::BIGINT AS n_union
   FROM j
 )
 SELECT n_minhash, n_simhash, n_both, n_union,
        CASE WHEN n_union > 0
-            THEN floor(n_both * 1000000 / n_union)::BIGINT END
+            THEN (n_both * 1000000 // n_union)::BIGINT END
          AS agreement_ppm
 FROM agg
 """

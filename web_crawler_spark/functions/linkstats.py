@@ -3188,10 +3188,9 @@ def host_graph_churn(
         "n_removed",
         "n_stable",
         "n_reweighted",
-        F.floor(
-            (F.col("n_added") + F.col("n_removed"))
-            * 1000000
-            / (F.col("n_added") + F.col("n_removed") + F.col("n_stable"))
+        F.expr(
+            "(n_added + n_removed) * 1000000L"
+            " DIV (n_added + n_removed + n_stable)"
         )
         .cast("long")
         .alias("churn_ppm"),
@@ -3239,7 +3238,7 @@ agg AS (
   FROM j GROUP BY 1
 )
 SELECT src_host, n_added, n_removed, n_stable, n_reweighted,
-       floor((n_added + n_removed) * 1000000
-             / (n_added + n_removed + n_stable))::BIGINT AS churn_ppm
+       ((n_added + n_removed) * 1000000
+        // (n_added + n_removed + n_stable))::BIGINT AS churn_ppm
 FROM agg
 """

@@ -1,15 +1,34 @@
-"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
-typed metadata.
+"""Multimodal columns: image/audio/video as ``binary`` payloads with typed
+metadata — REAL pure-Python decode as of round 4.
 
-The Spark-side plumbing is real — schemas, Arrow batch shapes, partitioning,
-``mapInPandas`` feature extraction — while the actual codec decode is stubbed
-(PIL/librosa/ffmpeg are not in this container): ``decode_image`` raises
-``NotImplementedError`` unless PIL is importable, and the feature extractor
-falls back to a deterministic payload-derived pseudo-feature so the pipeline
-is testable end-to-end.
+Round 3 shipped this module with an honest pseudo-decode stub; the decode
+seam now runs actual codecs (:mod:`web_crawler_spark.functions.codecs`):
 
-Container-format sniffing (PNG/RIFF/mp4 magic bytes) is JVM-side over the
-binary column — no Python for the cheap classification path.
+- **image**: PNG decode (all five scanline filters, CRC-checked) ->
+  pixel-domain features, block-average thumbnails, and a luma-grid dHash
+  that collides for re-encodes of the same pixels while md5 differs.
+- **audio**: WAV PCM decode (8/16-bit) -> integer sample magnitudes ->
+  frame-energy voice-activity segmentation.
+- **video**: minimal ISO-BMFF box walk -> length-prefixed PNG frames ->
+  per-frame pixel dHash -> consecutive-Hamming scene cuts, and real frame
+  payload extraction for ``sample_frames``.
+
+Spark shape (unchanged from round 3, by design — the stub-to-real swap
+touched only the kernels): every operator is ONE Arrow-batched
+``mapInPandas`` pass; the ``kind`` filter is a pushed scan predicate;
+payload bytes never shuffle (exchanges carry 8-byte hashes / segment rows
+only).  Undecodable payloads yield null/skipped rows instead of failing
+the task — at 100 TB a poison payload must not kill the job.
+
+Differential grading: each graded op has a row-at-a-time plain-int golden
+(``naive_*``) built on the ``codecs.naive_*`` decoders, independent of the
+vectorized engine path, following the module's round-3 convention.
+
+Container-format sniffing (PNG/RIFF/mp4 magic bytes) stays JVM-side over
+the binary column — no Python for the cheap classification path.
+
+Reference parity: the reference crawler has no media path (SURVEY.md §2);
+this layer is the beyond-reference training-data-pipeline surface.
 """
 
 from __future__ import annotations
@@ -29,12 +48,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-try:  # decode stack is optional; absent in this container
-    from PIL import Image  # type: ignore
-
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
+from web_crawler_spark.functions import codecs
 
 MAGIC_HEX = {
     "image": "89504E470D0A1A0A",  # PNG
@@ -54,15 +68,13 @@ def kind_from_magic(payload) -> "F.Column":
     )
 
 
-def decode_image(payload: bytes):
-    """Real decode — requires PIL; STUB in this environment."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL; install pillow on the cluster image"
-        )
-    import io
-
-    return Image.open(io.BytesIO(payload))
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real PNG decode -> (h, w, channels) uint8 array.  Raises
+    ``ValueError`` on malformed input (operators convert to null/skip).
+    On a cluster image with native codecs, swap this one function for a
+    libpng/Pillow call — nothing above it changes."""
+    _w, _h, _ch, img = codecs.decode_png(bytes(payload))
+    return img
 
 
 FEATURE_DIM = 8
@@ -78,32 +90,67 @@ FEATURES_SCHEMA = StructType(
 
 
 def _fake_feature(payload: bytes) -> np.ndarray:
-    """Deterministic payload-derived pseudo-embedding standing in for the
-    decoder output: byte-histogram moments over FEATURE_DIM buckets.  Shape
-    and dtype match what a real extractor would emit, so downstream ANN /
-    clustering plumbing is exercised for real."""
+    """Payload-derived byte-histogram fallback for UNKNOWN/undecodable
+    payloads only (all decodable kinds get real decoded features): shape
+    and dtype match the real extractor so downstream ANN plumbing never
+    sees a ragged column."""
     arr = np.frombuffer(payload, dtype=np.uint8)
     buckets = np.array_split(arr, FEATURE_DIM) if len(arr) >= FEATURE_DIM else [arr] * FEATURE_DIM
     return np.array([float(b.mean()) if len(b) else 0.0 for b in buckets])
 
 
-def extract_features(media: DataFrame, use_decoder: bool = False) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column.  With
-    ``use_decoder=True`` (cluster image with codecs) each payload is decoded
-    for real; here the deterministic fallback keeps the batch shape honest."""
+def _image_feature(img: np.ndarray) -> "list[float]":
+    """[w, h, ch, mean(first 3 channels padded), gray_min, gray_max]-style
+    8-dim pixel-domain descriptor (deterministic float64)."""
+    h, w, ch = img.shape
+    means = img.reshape(-1, ch).mean(axis=0)
+    m = list(means) + [means[-1]] * (3 - len(means)) if ch < 3 else list(means[:3])
+    g = codecs.gray_image(img)
+    return [float(w), float(h), float(ch), float(m[0]), float(m[1]), float(m[2]),
+            float(g.min()), float(g.max())]
+
+
+def _audio_feature(rate: int, channels: int, bits: int, samples: np.ndarray) -> "list[float]":
+    mags = codecs.wav_magnitudes(samples, bits)
+    return [
+        float(rate), float(channels), float(bits), float(len(samples)),
+        float(mags.mean()) if len(mags) else 0.0,
+        float(mags.max()) if len(mags) else 0.0,
+        float(samples[0]) if len(samples) else 0.0,
+        float(samples[-1]) if len(samples) else 0.0,
+    ]
+
+
+def _decode_feature(kind: str, payload: bytes) -> "list[float]":
+    try:
+        if kind == "image":
+            return _image_feature(decode_image(payload))
+        if kind == "audio":
+            rate, ch, bits, samples = codecs.decode_wav(payload)
+            return _audio_feature(rate, ch, bits, samples)
+        if kind == "video":
+            frames = codecs.demux_bmff(payload)
+            first = _image_feature(decode_image(frames[0]))[:7] if frames else [0.0] * 7
+            return [float(len(frames))] + first
+    except ValueError:
+        pass
+    return _fake_feature(payload).tolist()
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL feature extraction over the binary column:
+    per-kind decode (PNG pixels / WAV samples / BMFF frame count + first
+    frame), 8-dim descriptor; unknown or undecodable payloads fall back to
+    the byte-histogram pseudo-feature (never a task failure)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for payload in pdf["payload"]:
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 if payload is None:
                     feats.append(None)
                     continue
-                if use_decoder:
-                    img = decode_image(bytes(payload))  # NotImplementedError here
-                    feats.append(np.asarray(img, dtype=np.float64).mean(axis=(0, 1)).tolist())
-                else:
-                    feats.append(_fake_feature(bytes(payload)).tolist())
+                feats.append(_decode_feature(kind, bytes(payload)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -124,47 +171,28 @@ def sniff_kinds(media: DataFrame) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# resize + frame sampling — the remaining multimodal kernels.  As with
-# feature extraction, the codec work is stubbed (no PIL/ffmpeg in this
-# container) behind deterministic fakes; the Spark-side shape — schemas,
-# Arrow batching, per-row fan-out — is real and tested.
-# ---------------------------------------------------------------------------
-
-THUMB_BYTES = 64
-
-
-def _fake_thumb(payload: bytes, out_w: int, out_h: int) -> bytes:
-    """Deterministic stand-in for a resized image: header + a strided byte
-    sample of the payload (same length contract a tiny thumbnail would
-    have), so downstream storage/dedup plumbing sees realistic bytes."""
-    body = bytes(payload[:: max(1, len(payload) // THUMB_BYTES)][:THUMB_BYTES])
-    return b"THMB" + out_w.to_bytes(2, "big") + out_h.to_bytes(2, "big") + body
-
-
-def resize_images(
-    media: DataFrame, out_w: int = 64, out_h: int = 64, use_decoder: bool = False
-) -> DataFrame:
-    """Arrow-batched image resize over the binary column; images only (other
-    kinds pass through with null thumb).  With ``use_decoder=True`` each
-    payload is decoded for real (raises in this container)."""
+def resize_images(media: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
+    """Arrow-batched REAL image resize: PNG decode -> integer block-average
+    box resample -> PNG re-encode.  Images only (other kinds and
+    undecodable payloads pass through with null thumb)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ws, hs, thumbs = [], [], []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
-                if kind != "image" or payload is None:
-                    ws.append(None)
-                    hs.append(None)
-                    thumbs.append(None)
-                    continue
-                if use_decoder:
-                    img = decode_image(bytes(payload))  # NotImplementedError here
-                    thumbs.append(img.resize((out_w, out_h)).tobytes())
-                else:
-                    thumbs.append(_fake_thumb(bytes(payload), out_w, out_h))
-                ws.append(out_w)
-                hs.append(out_h)
+                thumb = None
+                if kind == "image" and payload is not None:
+                    try:
+                        img = decode_image(bytes(payload))
+                        small = codecs.resample_image(img, out_w, out_h)
+                        thumb = codecs.encode_png(
+                            small.tobytes(), out_w, out_h, small.shape[2]
+                        )
+                    except ValueError:
+                        thumb = None
+                ws.append(out_w if thumb is not None else None)
+                hs.append(out_h if thumb is not None else None)
+                thumbs.append(thumb)
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "out_w": ws, "out_h": hs, "thumb": thumbs}
             )
@@ -174,18 +202,20 @@ def resize_images(
     )
 
 
-FRAME_FPS_DEFAULT = 1.0
+def _frame_pick(i: int, n: int, m: int) -> int:
+    """Evenly-spaced frame pick: the i-th of n samples from m container
+    frames is frame floor((i+0.5)*m/n) — integer form (2i+1)m // 2n."""
+    return (2 * i + 1) * m // (2 * n)
 
 
-def sample_frames(
-    media: DataFrame, max_frames: int = 4, use_decoder: bool = False
-) -> DataFrame:
-    """Per-video frame sampling: emit up to ``max_frames`` frames evenly
-    spaced over ``duration_s`` (1-row -> N-rows fan-out inside mapInPandas —
-    the Spark shape real frame extraction uses; decode stubbed).  Frame
-    timestamps are a pure function of (duration_s, max_frames), so the
-    timestamp projection is SQL-oracle-checkable; the fake frame bytes are
-    deterministic payload derivatives."""
+def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
+    """Per-video frame sampling over REAL container frames: BMFF demux ->
+    pick min(max_frames, n_container_frames) evenly spaced frames -> emit
+    the actual PNG frame bytes (1-row -> N-rows fan-out inside
+    mapInPandas).  ``ts_ms`` places picked frame j of m at
+    (j+0.5)/m of ``duration_s`` — a pure function of (duration_s,
+    frame counts), so the timestamp projection stays SQL-oracle-checkable
+    via the synth invariant m = min(8, max(1, floor(duration_s)))."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -195,17 +225,20 @@ def sample_frames(
             ):
                 if kind != "video" or payload is None or dur is None or dur <= 0:
                     continue
-                n = min(max_frames, max(1, int(dur)))
+                try:
+                    fr = codecs.demux_bmff(bytes(payload))
+                except ValueError:
+                    continue
+                m = len(fr)
+                if m == 0:
+                    continue
+                n = min(max_frames, m)
                 for i in range(n):
-                    t = (i + 0.5) * float(dur) / n
+                    j = _frame_pick(i, n, m)
                     ids.append(mid)
                     idxs.append(i)
-                    ts_ms.append(int(t * 1000))
-                    if use_decoder:
-                        raise NotImplementedError(
-                            "frame decode requires ffmpeg on the cluster image"
-                        )
-                    frames.append(_fake_thumb(bytes(payload), 16, 16 + i))
+                    ts_ms.append(int((j + 0.5) * float(dur) / m * 1000))
+                    frames.append(fr[j])
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "ts_ms": ts_ms, "frame": frames}
             )
@@ -215,17 +248,14 @@ def sample_frames(
     )
 
 
-# --- perceptual hash (dHash) over the pseudo-decode ----------------------------
+# --- perceptual hash over DECODED content --------------------------------------
 #
-# Image near-dup dedup hashes PIXELS, not bytes: resized thumbnails /
-# re-encodes share a dHash (gradient sign grid) while md5 differs.  The
-# decode stage is the container stub above, so the "pixels" here are the
-# deterministic byte-chunk means (the same honest stand-in _fake_feature
-# uses, at 8x9 resolution); swapping in a real `decode_image` + resize
-# keeps every downstream line identical.  Small payload perturbations move
-# few chunk means, so Hamming distance stays small — the property banded
-# near-dup joins need (see dedupsim.simhash_pairs for the banding family
-# this hash plugs into).
+# Image near-dup dedup hashes PIXELS, not bytes: a re-encode of identical
+# pixels (different PNG filter choices, chunking) shares a dHash while md5
+# differs.  Audio hashes the decoded sample-magnitude sequence (bit-depth
+# independent), video hashes the first decoded frame's pixels.  The
+# byte-level chunk-mean dHash survives as the kernel the audio hash and the
+# unknown-kind fallback use.
 
 PHASH_ROWS = 8
 PHASH_COLS = 9  # cols-1 comparisons per row -> 64 bits
@@ -233,7 +263,8 @@ _PHASH_CELLS = PHASH_ROWS * PHASH_COLS
 
 
 def naive_phash(payload: bytes) -> int:
-    """Row-at-a-time plain-int dHash — the differential golden."""
+    """Row-at-a-time plain-int chunk-mean dHash over a byte sequence — the
+    byte-domain golden kernel (audio magnitudes / unknown kinds)."""
     n = len(payload)
     grid = []
     for c in range(_PHASH_CELLS):
@@ -259,8 +290,8 @@ PHASH_SCHEMA = StructType(
 
 
 def _vector_phash(payload: bytes) -> int:
-    """Vectorized numpy dHash (the path under test; independent of
-    :func:`naive_phash`)."""
+    """Vectorized numpy chunk-mean dHash over bytes (engine kernel,
+    independent of :func:`naive_phash`)."""
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
     n = len(arr)
     bounds = (np.arange(_PHASH_CELLS) * n) // _PHASH_CELLS
@@ -279,10 +310,53 @@ def _vector_phash(payload: bytes) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+def _media_phash_one(kind: str, payload: bytes) -> "int | None":
+    """Engine per-row hash: decoded-domain per kind; None when the payload
+    doesn't decode (poison rows surface as null, join-safe)."""
+    try:
+        if kind == "image":
+            return codecs.pixel_phash(decode_image(payload), PHASH_ROWS, PHASH_COLS)
+        if kind == "audio":
+            _r, _c, bits, samples = codecs.decode_wav(payload)
+            mags = codecs.wav_magnitudes(samples, bits)
+            return _vector_phash(bytes(bytearray(int(v) for v in mags)))
+        if kind == "video":
+            frames = codecs.demux_bmff(payload)
+            if not frames:
+                return None
+            return codecs.pixel_phash(decode_image(frames[0]), PHASH_ROWS, PHASH_COLS)
+    except ValueError:
+        return None
+    return _vector_phash(payload)
+
+
+def naive_media_phash(kind: str, payload: bytes) -> "int | None":
+    """Independent golden twin of :func:`_media_phash_one` built on the
+    ``codecs.naive_*`` decoders and plain-int hashing."""
+    try:
+        if kind == "image":
+            w, h, ch, rows = codecs.naive_decode_png(payload)
+            return codecs.naive_pixel_phash(w, h, ch, rows, PHASH_ROWS, PHASH_COLS)
+        if kind == "audio":
+            _r, _c, bits, samples = codecs.naive_decode_wav(payload)
+            mags = codecs.naive_wav_magnitudes(samples, bits)
+            return naive_phash(bytes(mags))
+        if kind == "video":
+            frames = codecs.naive_demux_bmff(payload)
+            if not frames:
+                return None
+            w, h, ch, rows = codecs.naive_decode_png(frames[0])
+            return codecs.naive_pixel_phash(w, h, ch, rows, PHASH_ROWS, PHASH_COLS)
+    except ValueError:
+        return None
+    return naive_phash(payload)
+
+
 def media_phash(media: DataFrame) -> DataFrame:
-    """(media_id, kind, phash, n_copies) — Arrow-batched dHash plus the
-    per-hash copy count (one partial-agg'd exchange on the 8-byte hash;
-    payloads never shuffle)."""
+    """(media_id, kind, phash, n_copies) — Arrow-batched decoded-domain
+    dHash plus the per-hash copy count (one partial-agg'd exchange on the
+    8-byte hash; payloads never shuffle).  Undecodable payloads keep their
+    row with null phash/n_copies (left join)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -291,8 +365,8 @@ def media_phash(media: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "phash": [
-                        _vector_phash(bytes(p)) if p is not None else None
-                        for p in pdf["payload"]
+                        _media_phash_one(kind, bytes(p)) if p is not None else None
+                        for kind, p in zip(pdf["kind"], pdf["payload"])
                     ],
                 }
             )
@@ -300,36 +374,32 @@ def media_phash(media: DataFrame) -> DataFrame:
     hashed = media.select("media_id", "kind", "payload").mapInPandas(
         run, schema=PHASH_SCHEMA
     )
-    counts = hashed.groupBy("phash").agg(F.count("*").cast("long").alias("n_copies"))
-    return hashed.join(counts, on="phash").select(
+    counts = hashed.filter(F.col("phash").isNotNull()).groupBy("phash").agg(
+        F.count("*").cast("long").alias("n_copies")
+    )
+    return hashed.join(counts, on="phash", how="left").select(
         "media_id", "kind", "phash", "n_copies"
     )
 
 
-# --- audio: energy-based activity segmentation (VAD shape) -------------------
+# --- audio: energy-based activity segmentation over REAL PCM -------------------
 #
-# Real audio decode (ffmpeg/soundfile) is absent from this container, so the
-# decode step is the module's honest-stub convention: samples ARE the payload
-# bytes, centered at the uint8 midpoint.  Everything downstream — framing,
-# integer energy, run detection, the Arrow batch shape, the exploded
-# 1-row-per-segment output — is the real plumbing a voice-activity /
-# music-detection stage needs, and swapping in a true PCM decoder changes
-# only the `samples` line.  Integer math end to end (sum // count), so the
-# differential golden is bit-exact.
+# WAV decode -> integer sample magnitudes (8-bit |s-128|, 16-bit |s|//256)
+# -> fixed-size frames -> integer mean energy -> maximal active runs.
+# Integer math end to end (sum // count), so the differential golden is
+# bit-exact across the numpy and plain-int paths.
 
 AUDIO_FRAME = 64        # samples per frame
-AUDIO_VAD_THRESHOLD = 64  # mean |sample-128| >= this => active frame
+AUDIO_VAD_THRESHOLD = 64  # mean magnitude >= this => active frame
 
 
-def naive_audio_segments(payload: bytes) -> "list[tuple[int, int, int, int]]":
-    """Row-at-a-time plain-int golden: (seg_idx, start_frame, n_frames,
-    energy_sum) per maximal run of active frames."""
-    n_frames = len(payload) // AUDIO_FRAME
+def _naive_segments_from_mags(mags: "list[int]"):
+    n_frames = len(mags) // AUDIO_FRAME
     segs = []
     cur = None  # [start, n, esum]
     for f in range(n_frames):
-        chunk = payload[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME]
-        energy = sum(abs(b - 128) for b in chunk) // AUDIO_FRAME
+        chunk = mags[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME]
+        energy = sum(chunk) // AUDIO_FRAME
         if energy >= AUDIO_VAD_THRESHOLD:
             if cur is None:
                 cur = [f, 0, 0]
@@ -343,6 +413,17 @@ def naive_audio_segments(payload: bytes) -> "list[tuple[int, int, int, int]]":
     return [(i, s, n, e) for i, (s, n, e) in enumerate(segs)]
 
 
+def naive_audio_segments(payload: bytes) -> "list[tuple[int, int, int, int]]":
+    """Row-at-a-time plain-int golden: WAV decode (naive) -> magnitudes ->
+    (seg_idx, start_frame, n_frames, energy_sum) per maximal active run.
+    Undecodable payloads segment to nothing."""
+    try:
+        _r, _c, bits, samples = codecs.naive_decode_wav(payload)
+    except ValueError:
+        return []
+    return _naive_segments_from_mags(codecs.naive_wav_magnitudes(samples, bits))
+
+
 AUDIO_SEG_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -354,15 +435,12 @@ AUDIO_SEG_SCHEMA = StructType(
 )
 
 
-def _vector_audio_segments(payload: bytes) -> "list[tuple[int, int, int, int]]":
-    """Vectorized numpy segmenter (the path under test; independent of the
-    golden)."""
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
-    n_frames = len(arr) // AUDIO_FRAME
+def _segments_from_mags(mags: np.ndarray) -> "list[tuple[int, int, int, int]]":
+    n_frames = len(mags) // AUDIO_FRAME
     if n_frames == 0:
         return []
-    frames = arr[: n_frames * AUDIO_FRAME].reshape(n_frames, AUDIO_FRAME)
-    energy = np.abs(frames - 128).sum(axis=1) // AUDIO_FRAME
+    frames = mags[: n_frames * AUDIO_FRAME].reshape(n_frames, AUDIO_FRAME)
+    energy = frames.sum(axis=1) // AUDIO_FRAME
     active = energy >= AUDIO_VAD_THRESHOLD
     if not active.any():
         return []
@@ -376,13 +454,23 @@ def _vector_audio_segments(payload: bytes) -> "list[tuple[int, int, int, int]]":
     ]
 
 
+def _vector_audio_segments(payload: bytes) -> "list[tuple[int, int, int, int]]":
+    """Engine path: vectorized WAV decode + numpy run detection
+    (independent of the golden)."""
+    try:
+        _r, _c, bits, samples = codecs.decode_wav(payload)
+    except ValueError:
+        return []
+    return _segments_from_mags(codecs.wav_magnitudes(samples, bits))
+
+
 def media_audio_segments(media: DataFrame) -> DataFrame:
     """(media_id, seg_idx, start_frame, n_frames, energy_sum) — active-audio
-    segments per payload.  Scale shape: the kind filter is a scan predicate
-    (pushes to parquet row-group stats), the segmenter is ONE Arrow-batched
-    map pass whose output is segment rows (bounded by frames/2 per payload,
-    orders below the byte volume) — payload bytes never shuffle, and
-    there's no exchange at all in this op."""
+    segments over REAL decoded PCM.  Scale shape: the kind filter is a scan
+    predicate (pushes to parquet row-group stats), the decode+segmenter is
+    ONE Arrow-batched map pass whose output is segment rows (bounded by
+    frames/2 per payload, orders below the byte volume) — payload bytes
+    never shuffle, and there's no exchange at all in this op."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -413,51 +501,49 @@ def media_audio_segments(media: DataFrame) -> DataFrame:
     )
 
 
-# --- video: scene-cut detection over sampled frames ---------------------------
+# --- video: scene-cut detection over REAL decoded frames -----------------------
 #
-# Completes the media triad (image dHash, audio activity, video scenes).
-# Real scene detection diffs consecutive DECODED frames; the container has
-# no codec, so the stub "frame" is the payload with everything before the
-# frame's time offset blanked — a deterministic stand-in whose adjacent
-# frames differ proportionally to the time step, which is exactly the
-# property a cut detector needs (small diffs within a scene, a real decoder
-# swaps in at one line).  Each frame is dHashed and a cut fires when the
-# consecutive Hamming distance exceeds the threshold.  All per-video work
-# happens inside ONE Arrow batch pass — frames of a video are generated
+# BMFF demux -> PNG-decode each frame -> luma-grid dHash -> a cut fires when
+# the consecutive Hamming distance exceeds the threshold.  All per-video
+# work happens inside ONE Arrow batch pass — a video's frames decode
 # together, so even the consecutive diff needs no window and no exchange.
 
 SCENE_MAX_FRAMES = 8
 SCENE_CUT_HAMMING = 8
 
 
-def _scene_frame_bytes(payload: bytes, i: int, n: int) -> bytes:
-    off = i * len(payload) // max(n, 1)
-    return b"\x00" * off + payload[off:]
-
-
 def naive_scene_rows(payload: bytes, dur: "float | None"):
-    """Row-at-a-time golden: (frame_idx, ts_ms, phash, hamming_prev,
-    is_cut) per sampled frame; hamming_prev is NULL (None) on frame 0."""
+    """Row-at-a-time golden on naive decoders: (frame_idx, ts_ms, phash,
+    hamming_prev, is_cut) per decoded frame (capped at SCENE_MAX_FRAMES);
+    hamming_prev is NULL (None) on frame 0."""
     if payload is None or dur is None or dur <= 0:
         return []
-    n = min(SCENE_MAX_FRAMES, max(1, int(dur)))
+    try:
+        frames = codecs.naive_demux_bmff(payload)
+    except ValueError:
+        return []
+    n = min(len(frames), SCENE_MAX_FRAMES)
     rows, prev = [], None
     for i in range(n):
-        h = naive_phash(_scene_frame_bytes(payload, i, n))
+        try:
+            w, h, ch, px = codecs.naive_decode_png(frames[i])
+        except ValueError:
+            continue
+        hsh = codecs.naive_pixel_phash(w, h, ch, px, PHASH_ROWS, PHASH_COLS)
         if prev is None:
             ham = None
         else:
-            ham = bin((h ^ prev) & ((1 << 64) - 1)).count("1")
+            ham = bin((hsh ^ prev) & ((1 << 64) - 1)).count("1")
         rows.append(
             (
                 i,
                 int((i + 0.5) * float(dur) / n * 1000),
-                h,
+                hsh,
                 ham,
                 bool(ham is not None and ham > SCENE_CUT_HAMMING),
             )
         )
-        prev = h
+        prev = hsh
     return rows
 
 
@@ -475,10 +561,11 @@ SCENE_SCHEMA = StructType(
 
 def media_scenes(media: DataFrame) -> DataFrame:
     """(media_id, frame_idx, ts_ms, phash, hamming_prev, is_cut) — video
-    scene-cut candidates.  Scale shape: kind filter is a pushed scan
-    predicate; ONE Arrow-batched map computes frames, hashes, and the
-    consecutive Hamming diff together (no window, no exchange, payloads
-    never shuffle); output is frame-grain, orders below the byte volume."""
+    scene-cut candidates over REAL decoded frames.  Scale shape: kind
+    filter is a pushed scan predicate; ONE Arrow-batched map demuxes,
+    decodes, hashes, and diffs consecutively (no window, no exchange,
+    payloads never shuffle); output is frame-grain, orders below the byte
+    volume."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -490,10 +577,18 @@ def media_scenes(media: DataFrame) -> DataFrame:
             ):
                 if p is None or dur is None or dur <= 0:
                     continue
-                n = min(SCENE_MAX_FRAMES, max(1, int(dur)))
+                try:
+                    frames = codecs.demux_bmff(bytes(p))
+                except ValueError:
+                    continue
+                n = min(len(frames), SCENE_MAX_FRAMES)
                 prev = None
                 for i in range(n):
-                    h = _vector_phash(_scene_frame_bytes(bytes(p), i, n))
+                    try:
+                        img = decode_image(frames[i])
+                    except ValueError:
+                        continue
+                    h = codecs.pixel_phash(img, PHASH_ROWS, PHASH_COLS)
                     ham = (
                         None
                         if prev is None

@@ -628,6 +628,13 @@ class ChainCrawl:
                 # failing hosts immediately (diverging from an uninterrupted
                 # run whenever host_cooldown_rounds > 0)
                 tables["host_state"] = new_host_state
+            # R4 progress observability: per-round wall time must be stamped
+            # BEFORE commit_round json-dumps the info dict, or checkpointed
+            # round info never carries it and a resumed run rebuilds metrics
+            # with a different shape than the live run.  The stamp therefore
+            # excludes the checkpoint-commit tail itself (accepted trade:
+            # identical live/resumed metrics beat including the IO tail).
+            metrics["round_wall_s"] = round(_time.monotonic() - _round_t0, 3)
             self.ckpt.commit_round(
                 r,
                 tables,
@@ -656,10 +663,13 @@ class ChainCrawl:
             self._parsed_frames.append(parsed)
         else:
             parsed.unpersist()
-        # R4 progress observability: per-round wall time (driver clock,
-        # includes the truncation/checkpoint tail).  Mutates the dict already
-        # referenced by state_next.metrics; parity comparisons are key-wise.
-        metrics["round_wall_s"] = round(_time.monotonic() - _round_t0, 3)
+        # Per-round wall time for the non-checkpointed path (driver clock,
+        # includes the localCheckpoint truncation tail).  The checkpointed
+        # path stamped this before commit_round above so resumed runs see
+        # the same metrics shape; don't overwrite that value here.
+        metrics.setdefault(
+            "round_wall_s", round(_time.monotonic() - _round_t0, 3)
+        )
         return state_next
 
     def close(self) -> None:

@@ -567,13 +567,13 @@ def sitemap_lastmod_trust(
         "*",
         F.when(
             F.col("n_claimed") > 0,
-            F.floor(F.col("tp") * 1000000 / F.col("n_claimed")),
+            F.expr("tp * 1000000L DIV n_claimed"),
         )
         .cast("long")
         .alias("precision_ppm"),
         F.when(
             F.col("n_changed") > 0,
-            F.floor(F.col("tp") * 1000000 / F.col("n_changed")),
+            F.expr("tp * 1000000L DIV n_changed"),
         )
         .cast("long")
         .alias("recall_ppm"),
@@ -610,9 +610,9 @@ agg AS (
 )
 SELECT host, n_eval, n_claimed, n_changed, tp, fp, fn, tn,
        CASE WHEN n_claimed > 0
-            THEN floor(tp * 1000000 / n_claimed)::BIGINT END AS precision_ppm,
+            THEN (tp * 1000000 // n_claimed)::BIGINT END AS precision_ppm,
        CASE WHEN n_changed > 0
-            THEN floor(tp * 1000000 / n_changed)::BIGINT END AS recall_ppm
+            THEN (tp * 1000000 // n_changed)::BIGINT END AS recall_ppm
 FROM agg
 """
 

@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v26"  # v26: adds pages_micro (microdata); dedicated RNG, other v25 tables byte-identical
+SYNTH_VERSION = "v27"  # v27: media payloads are REAL PNG/WAV/BMFF (codecs.py); shared-rng draws preserved, other v26 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -480,20 +480,103 @@ def _gen_weburls(sf: str):
     )
 
 
+def _media_image_pixels(w: int, h: int, body: bytes, i: int) -> bytes:
+    """Deterministic RGB pixels: a position gradient plus payload-derived
+    noise (``body`` is the preserved shared-rng draw — see _gen_media)."""
+    import numpy as np
+
+    noise = np.resize(np.frombuffer(body, dtype=np.uint8), w * h * 3).astype(np.int64)
+    idx = np.arange(w * h * 3, dtype=np.int64)
+    px = (idx * 7 // 3 + i * 31 + noise) % 256
+    return px.astype(np.uint8).tobytes()
+
+
+def _media_audio_samples(body: bytes, i: int) -> "list[int]":
+    """8-bit PCM with frame-aligned loud square-wave bursts (mean magnitude
+    64..127 — active for the VAD at threshold 64) separated by near-silent
+    stretches (magnitude <= 2), so segmentation finds real runs."""
+    from web_crawler_spark.functions.multimodal import AUDIO_FRAME
+
+    n_frames = 12 + (i % 24)
+    samples: "list[int]" = []
+    for f in range(n_frames):
+        b = body[f % len(body)]
+        if b >= 128:  # loud frame: alternate 128+-a, a in 64..127
+            a = 64 + b % 64
+            for s in range(AUDIO_FRAME):
+                samples.append(128 + a if s % 2 == 0 else 128 - a)
+        else:  # near-silence
+            for s in range(AUDIO_FRAME):
+                samples.append(128 + (body[(f + s) % len(body)] % 5) - 2)
+    return samples
+
+
 def _gen_media(rng: random.Random, sf: str):
-    """Opaque binary media rows for the multimodal plumbing (decode is stubbed;
-    Spark-side schema/batching is real — see functions/multimodal.py)."""
+    """Media rows with REAL payloads (round 4): images are PNGs (all five
+    scanline filters in rotation), audio is 8-bit PCM RIFF/WAVE, video is
+    an ISO-BMFF ftyp+mdat container of length-prefixed PNG frames — see
+    functions/codecs.py.  Every 2nd image at i%30==0 re-encodes the pixels
+    of image i-30 with DIFFERENT filter types: byte-different payload,
+    identical decoded pixels (the pixel-dedup property media_phash grades).
+    Invariant relied on by the media_frames SQL oracle: a video's container
+    frame count m = min(8, max(1, floor(duration_s))).  Audio duration_s
+    stays the crawler-declared metadata (independent of the embedded clip
+    length, as scraped metadata is in the wild).
+
+    The shared-rng draw pattern of v26 (randint + L getrandbits per row) is
+    preserved verbatim and recycled as the content entropy, so every OTHER
+    synth table stays byte-identical across the version bump."""
+    from web_crawler_spark.functions import codecs
+
     n = {"0.001": 200, "0.01": 1000, "0.1": 4000}[sf]
     ids, kinds, payloads, widths, heights, durations = [], [], [], [], [], []
+    dup_pixels: "dict[int, tuple[int, int, bytes]]" = {}
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         body = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
-        payloads.append(_MAGIC[kind] + body)
+        dur = round(0.5 + (i % 600) / 10.0, 1) if kind != "image" else None
+        if kind == "image":
+            if i % 30 == 0 and (i // 30) % 2 == 1 and (i - 30) in dup_pixels:
+                # re-encode of i-30's pixels under different filters
+                w, h, px = dup_pixels[i - 30]
+                payload = codecs.encode_png(
+                    px, w, h, 3, filters=[(i // 30 + r) % 4 + 1 for r in range(3)]
+                )
+            else:
+                w = 18 + (i * 7) % 30
+                h = 12 + (i * 13) % 24
+                px = _media_image_pixels(w, h, body, i)
+                payload = codecs.encode_png(
+                    px, w, h, 3, filters=[(i + r) % 5 for r in range(3)]
+                )
+                if i % 30 == 0:
+                    dup_pixels[i] = (w, h, px)
+            widths.append(w)
+            heights.append(h)
+        elif kind == "audio":
+            payload = codecs.encode_wav(_media_audio_samples(body, i), 8000, 8)
+            widths.append(None)
+            heights.append(None)
+        else:
+            m = min(8, max(1, int(dur)))
+            w, h = 16, 12
+            base = _media_image_pixels(w, h, body, i)
+            frames = []
+            for k in range(m):
+                if i % 2 == 0 and k >= m // 2 and m > 1:
+                    # hard scene change mid-clip on even ids
+                    fpx = bytes(255 - ((b + 2 * k) % 256) for b in base)
+                else:
+                    fpx = bytes((b + 2 * k) % 256 for b in base)
+                frames.append(codecs.encode_png(fpx, w, h, 3, filters=[k % 5]))
+            payload = codecs.encode_bmff(frames)
+            widths.append(w)
+            heights.append(h)
+        assert payload.startswith(_MAGIC[kind])
+        payloads.append(payload)
         ids.append(i)
         kinds.append(kind)
-        widths.append(16 + (i * 7) % 1024 if kind != "audio" else None)
-        heights.append(16 + (i * 13) % 768 if kind != "audio" else None)
-        durations.append(round(0.5 + (i % 600) / 10.0, 1) if kind != "image" else None)
+        durations.append(dur)
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
