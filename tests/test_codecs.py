@@ -1,0 +1,151 @@
+"""Differential + round-trip tests for the pure-Python media codecs
+(functions/codecs.py): PNG (all five scanline filters, CRC verification),
+WAV PCM (8/16-bit), and the minimal ISO-BMFF frame demuxer.  No Spark —
+these are the kernels the multimodal operators batch over."""
+
+import random
+import struct
+import zlib
+
+import pytest
+
+from web_crawler_spark.functions import codecs as C
+
+
+def test_png_round_trip_all_filters_and_shapes():
+    rng = random.Random(42)
+    for _ in range(40):
+        w, h = rng.randint(1, 40), rng.randint(1, 30)
+        ch = rng.choice([1, 3, 4])
+        px = bytes(rng.getrandbits(8) for _ in range(w * h * ch))
+        filters = [rng.randint(0, 4) for _ in range(h)]
+        png = C.encode_png(px, w, h, ch, filters=filters)
+        w2, h2, ch2, img = C.decode_png(png)
+        assert (w2, h2, ch2) == (w, h, ch)
+        assert img.tobytes() == px
+        # independent naive decoder agrees byte-for-byte
+        nw, nh, nch, rows = C.naive_decode_png(png)
+        assert (nw, nh, nch) == (w, h, ch)
+        assert bytes(b for r in rows for b in r) == px
+        # and the two phash paths agree on the decoded pixels
+        assert C.pixel_phash(img) == C.naive_pixel_phash(w, h, ch, rows)
+
+
+def test_png_each_filter_type_individually():
+    # one scanline per filter type, deterministic gradient pixels — pins
+    # every unfilter recurrence separately
+    w, h = 13, 5
+    px = bytes((x * 17 + y * 29) % 256 for y in range(h) for x in range(w * 3))
+    for f in range(5):
+        png = C.encode_png(px, w, h, 3, filters=[f])
+        assert C.decode_png(png)[3].tobytes() == px
+
+
+def test_png_reencode_same_pixels_different_bytes_same_hash():
+    rng = random.Random(9)
+    px = bytes(rng.getrandbits(8) for _ in range(24 * 16 * 3))
+    p1 = C.encode_png(px, 24, 16, 3, filters=[0])
+    p2 = C.encode_png(px, 24, 16, 3, filters=[4, 3, 2, 1])
+    assert p1 != p2
+    assert C.pixel_phash(C.decode_png(p1)[3]) == C.pixel_phash(C.decode_png(p2)[3])
+
+
+def test_png_malformed_inputs_raise():
+    rng = random.Random(3)
+    px = bytes(rng.getrandbits(8) for _ in range(8 * 4 * 3))
+    good = C.encode_png(px, 8, 4, 3)
+    with pytest.raises(ValueError):
+        C.decode_png(b"not a png at all")
+    with pytest.raises(ValueError):
+        C.decode_png(good[:-6])  # truncated (loses IEND)
+    # corrupt a byte inside IDAT -> CRC failure
+    bad = bytearray(good)
+    bad[len(good) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        C.decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        C.naive_decode_png(bytes(bad))
+    # unsupported bit depth rejected, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    deep = (
+        C.PNG_SIG
+        + C._chunk(b"IHDR", ihdr)
+        + C._chunk(b"IDAT", zlib.compress(b"\x00" * (4 * (4 * 3 * 2 + 1))))
+        + C._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        C.decode_png(deep)
+
+
+def test_wav_round_trip_and_magnitudes():
+    rng = random.Random(5)
+    for bits in (8, 16):
+        for _ in range(10):
+            n = rng.randint(0, 700)
+            if bits == 8:
+                s = [rng.randint(0, 255) for _ in range(n)]
+            else:
+                s = [rng.randint(-32768, 32767) for _ in range(n)]
+            wav = C.encode_wav(s, 8000, bits)
+            rate, ch, b2, arr = C.decode_wav(wav)
+            assert (rate, ch, b2) == (8000, 1, bits)
+            assert arr.tolist() == s
+            r2, c2, b3, lst = C.naive_decode_wav(wav)
+            assert lst == s
+            assert (
+                C.wav_magnitudes(arr, bits).tolist()
+                == C.naive_wav_magnitudes(lst, bits)
+            )
+
+
+def test_wav_skips_unknown_chunks():
+    # real parsers must skip LIST/INFO etc. at word alignment
+    s = [10, 250, 128]
+    wav = bytearray(C.encode_wav(s, 8000, 8))
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd len + pad
+    out = wav[:12] + extra + wav[12:]
+    out[4:8] = struct.pack("<I", len(out) - 8)
+    rate, ch, bits, arr = C.decode_wav(bytes(out))
+    assert arr.tolist() == s
+    assert C.naive_decode_wav(bytes(out))[3] == s
+
+
+def test_wav_malformed_raises():
+    with pytest.raises(ValueError):
+        C.decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
+    with pytest.raises(ValueError):
+        C.decode_wav(b"OggS" + b"\x00" * 40)
+
+
+def test_bmff_round_trip_and_malformed():
+    rng = random.Random(11)
+    frames = [
+        bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 120)))
+        for _ in range(6)
+    ]
+    bm = C.encode_bmff(frames)
+    # magic matches the JVM-side sniffer constant
+    assert bm[:8].hex().upper() == "0000001866747970"
+    assert C.demux_bmff(bm) == frames == C.naive_demux_bmff(bm)
+    with pytest.raises(ValueError):
+        C.demux_bmff(bm[:-3])  # truncated box
+    with pytest.raises(ValueError):
+        C.demux_bmff(b"\x00\x00\x00\x18ftypjunk")  # box size past end
+    with pytest.raises(ValueError):
+        # mdat whose frame length overruns the box
+        body = struct.pack(">I", 99) + b"xx"
+        mdat = struct.pack(">I", 8 + len(body)) + b"mdat" + body
+        C.demux_bmff(C.encode_bmff([])[:24] + mdat)
+
+
+def test_block_mean_grid_and_resample_exactness():
+    import numpy as np
+
+    # 4x4 gray image with known block means at 2x2
+    g = np.arange(16, dtype=np.int64).reshape(4, 4)
+    grid = C.block_mean_grid(g, 2, 2)
+    assert grid.tolist() == [[2, 4], [10, 12]]  # mean of each quadrant
+    # resample of a constant image is constant at any size
+    img = np.full((6, 9, 3), 77, dtype=np.uint8)
+    out = C.resample_image(img, 4, 3)
+    assert (out == 77).all() and out.shape == (3, 4, 3)

@@ -233,7 +233,7 @@ def test_lsh_topk_recall(spark):
 
 def test_multimodal_sniff_and_features(spark, sf_small):
     from web_crawler_spark import synth
-    from web_crawler_spark.functions import multimodal
+    from web_crawler_spark.functions import codecs, multimodal
 
     media = spark.read.parquet(synth.synth_path("0.001", "media"))
     sniff = multimodal.sniff_kinds(media).join(media.select("media_id", "kind"), "media_id")
@@ -244,11 +244,29 @@ def test_multimodal_sniff_and_features(spark, sf_small):
     pdf = feats.toPandas()
     assert len(pdf) == media.count()
     assert all(len(f) == multimodal.FEATURE_DIM for f in pdf["feature"])
-    # decoder path is stubbed in this container
+    # decode is REAL as of round 4: image features carry the true decoded
+    # dimensions (synth stores them in width/height), audio features carry
+    # the true sample rate
+    dims = {r["media_id"]: (r["width"], r["height"], r["kind"]) for r in media.collect()}
+    for _, r in pdf.iterrows():
+        w, h, kind = dims[r["media_id"]]
+        if kind == "image":
+            assert r["feature"][0] == float(w) and r["feature"][1] == float(h)
+        elif kind == "audio":
+            assert r["feature"][0] == 8000.0
+    # malformed payloads raise ValueError from the decoder (operators
+    # convert that to null/skip rows, never a task failure)
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+    # ... and the feature extractor's fallback kicks in for them
+    bad = spark.createDataFrame(
+        [(99, "image", bytearray(b"\x89PNG\r\n\x1a\nnot-a-real-png"))],
+        "media_id long, kind string, payload binary",
+    )
+    fb = multimodal.extract_features(bad).collect()[0]
+    assert len(fb["feature"]) == multimodal.FEATURE_DIM
 
 
 def test_ivf_topk_recall(spark):
@@ -299,7 +317,7 @@ def test_cosine_dup_lsh_finds_planted_pairs(spark):
 
 def test_multimodal_resize_and_frames(spark, sf_small):
     from web_crawler_spark import synth
-    from web_crawler_spark.functions import multimodal
+    from web_crawler_spark.functions import codecs, multimodal
 
     media = spark.read.parquet(synth.synth_path("0.001", "media"))
     thumbs = multimodal.resize_images(media, out_w=32, out_h=24).toPandas()
@@ -307,7 +325,10 @@ def test_multimodal_resize_and_frames(spark, sf_small):
     n_images = media.filter("kind = 'image'").count()
     assert len(imgs) == n_images and len(thumbs) == media.count()
     assert (imgs["out_w"] == 32).all() and (imgs["out_h"] == 24).all()
-    assert all(bytes(t)[:4] == b"THMB" for t in imgs["thumb"])
+    # thumbs are REAL PNGs at the requested size
+    for t in imgs["thumb"][:10]:
+        w, h, ch, img = codecs.decode_png(bytes(t))
+        assert (w, h, ch) == (32, 24, 3)
     # deterministic
     again = multimodal.resize_images(media, out_w=32, out_h=24).toPandas()
     assert list(imgs["thumb"]) == list(again[again["thumb"].notna()]["thumb"])
@@ -316,8 +337,13 @@ def test_multimodal_resize_and_frames(spark, sf_small):
     vids = media.filter("kind = 'video' AND duration_s > 0").toPandas()
     per_vid = frames.groupby("media_id").size()
     for _, v in vids.iterrows():
-        expect = min(3, max(1, int(v["duration_s"])))
+        # synth invariant: m = min(8, max(1, floor(dur))) container frames
+        expect = min(3, min(8, max(1, int(v["duration_s"]))))
         assert per_vid[v["media_id"]] == expect
+    # every emitted frame is a REAL decodable PNG
+    for fbytes in frames["frame"][:10]:
+        w, h, ch, _img = codecs.decode_png(bytes(fbytes))
+        assert (w, h, ch) == (16, 12, 3)
     # timestamps strictly increasing per video and inside the duration
     for mid, grp in frames.groupby("media_id"):
         ts = list(grp.sort_values("frame_idx")["ts_ms"])
@@ -1708,40 +1734,68 @@ def test_corpus_keyphrases_crafted(spark, tmp_path):
 
 
 def test_media_phash_near_dup_property(spark):
-    from web_crawler_spark.functions import multimodal as mm
+    from web_crawler_spark.functions import codecs, multimodal as mm
 
-    # identical payloads share a hash; small byte perturbations stay within
-    # a small Hamming radius; different payloads diverge
+    # pixel-domain dedup over REAL PNGs: a re-encode of identical pixels
+    # under different scanline filters shares the hash (bytes and md5
+    # differ); a small pixel perturbation stays within a small Hamming
+    # radius; different pixels diverge
     import random
     rng = random.Random(7)
-    base = bytes(rng.getrandbits(8) for _ in range(400))
-    perturbed = bytearray(base)
-    for i in (3, 97, 251, 310):
-        perturbed[i] ^= 0xC0
-    other = bytes(rng.getrandbits(8) for _ in range(400))
+    w, h = 27, 16
+    px = bytes(rng.getrandbits(8) for _ in range(w * h * 3))
+    png_a = codecs.encode_png(px, w, h, 3, filters=[0])
+    png_b = codecs.encode_png(px, w, h, 3, filters=[4, 3, 2, 1])  # re-encode
+    assert png_a != png_b
+    # single-byte flips don't move the pixel hash at all — that
+    # robustness-to-noise is the point of hashing decoded pixels instead of
+    # encoded bytes.  To get a small NONZERO distance, deliberately invert
+    # the first gradient comparison (cell (0,0) vs (0,1) of the 8x9 grid =
+    # the hash's top bit) by saturating those two blocks in the opposite
+    # order; only the 2 bits touching those cells can change.
+    top_bit = (
+        mm._media_phash_one("image", png_a) >> 63
+    ) & 1  # 1 iff grid[0][1] > grid[0][0] originally
+    lo, hi = (255, 0) if top_bit else (0, 255)
+    perturbed = bytearray(px)
+    for y in range(2):  # grid rows 0-1 (h=16 -> 2 px per grid row)
+        for x in range(6):  # cols 0-2 -> cell (0,0), cols 3-5 -> cell (0,1)
+            for c in range(3):
+                perturbed[(y * w + x) * 3 + c] = lo if x < 3 else hi
+    png_c = codecs.encode_png(bytes(perturbed), w, h, 3)
+    other = bytes(rng.getrandbits(8) for _ in range(w * h * 3))
+    png_d = codecs.encode_png(other, w, h, 3)
     df = spark.createDataFrame(
-        [(0, "image", base), (1, "image", base), (2, "image", bytes(perturbed)),
-         (3, "image", other)],
+        [(0, "image", png_a), (1, "image", png_b), (2, "image", png_c),
+         (3, "image", png_d)],
         "media_id long, kind string, payload binary",
     )
     got = {r["media_id"]: r for r in mm.media_phash(df).collect()}
-    assert got[0]["phash"] == got[1]["phash"]
+    assert got[0]["phash"] == got[1]["phash"]  # pixel hash ignores encoding
     assert got[0]["n_copies"] == 2 and got[3]["n_copies"] == 1
     ham = bin((got[0]["phash"] ^ got[2]["phash"]) & ((1 << 64) - 1)).count("1")
     assert ham <= 6
     ham_other = bin((got[0]["phash"] ^ got[3]["phash"]) & ((1 << 64) - 1)).count("1")
     assert ham_other > ham
-    # vectorized path == independent naive golden on every fixture payload
+    # undecodable image payload -> null phash row survives (left join)
+    poison = spark.createDataFrame(
+        [(9, "image", bytearray(b"\x89PNG\r\n\x1a\nbroken"))],
+        "media_id long, kind string, payload binary",
+    )
+    pr = mm.media_phash(poison).collect()
+    assert len(pr) == 1 and pr[0]["phash"] is None and pr[0]["n_copies"] is None
+    # vectorized engine path == independent naive golden on every fixture
+    # payload, across all three kinds
     from web_crawler_spark import synth as synthmod
 
     synthmod.ensure_synth("0.001")
     media = spark.read.parquet(
         synthmod.synth_path("0.001", "media")
-    ).select("media_id", "payload").collect()
+    ).select("media_id", "kind", "payload").collect()
     for r in media[:100]:
-        assert mm._vector_phash(bytes(r["payload"])) == mm.naive_phash(
-            bytes(r["payload"])
-        )
+        assert mm._media_phash_one(
+            r["kind"], bytes(r["payload"])
+        ) == mm.naive_media_phash(r["kind"], bytes(r["payload"]))
 
 
 def test_bpe_train_and_apply_crafted(spark):
@@ -1901,27 +1955,38 @@ def test_host_communities_crafted(spark, tmp_path):
 def test_audio_segments_crafted_and_golden(spark):
     import random as _random
 
-    from web_crawler_spark.functions import multimodal as mm
+    from web_crawler_spark.functions import codecs, multimodal as mm
 
     f = mm.AUDIO_FRAME
-    silent = bytes([128] * f)
-    loud = bytes([255] * f)
+    silent = [128] * f
+    loud = [255] * f
     # silence | 2 loud frames | silence | 1 loud frame => two segments
-    payload = silent + loud + loud + silent + loud
+    # (REAL 8-bit PCM WAV; magnitudes are |sample-128|)
+    payload = codecs.encode_wav(silent + loud + loud + silent + loud, 8000, 8)
     segs = mm._vector_audio_segments(payload)
     assert segs == [(0, 1, 2, 2 * 127), (1, 4, 1, 127)]
     assert mm.naive_audio_segments(payload) == segs
-    # all-silent and sub-frame payloads produce nothing
-    assert mm._vector_audio_segments(silent * 3) == []
-    assert mm._vector_audio_segments(b"\xff" * (f - 1)) == []
-    # differential: vectorized path == row-at-a-time golden on random bytes
+    # all-silent and sub-frame clips produce nothing
+    assert mm._vector_audio_segments(codecs.encode_wav(silent * 3, 8000, 8)) == []
+    assert mm._vector_audio_segments(codecs.encode_wav([255] * (f - 1), 8000, 8)) == []
+    # non-WAV bytes segment to nothing instead of failing the task
+    assert mm._vector_audio_segments(b"\xff" * 200) == []
+    assert mm.naive_audio_segments(b"\xff" * 200) == []
+    # 16-bit PCM decodes on the |s|//256 magnitude scale: full-scale square
+    # wave -> energy 127 per frame, same segmentation
+    loud16 = [32767 if i % 2 == 0 else -32768 for i in range(f)]
+    p16 = codecs.encode_wav([0] * f + loud16, 8000, 16)
+    assert mm._vector_audio_segments(p16) == [(0, 1, 1, 127)]
+    assert mm.naive_audio_segments(p16) == [(0, 1, 1, 127)]
+    # differential: vectorized path == row-at-a-time golden on random PCM
     rng = _random.Random(7)
     for _ in range(25):
-        p = bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 6 * f + 13)))
+        n = rng.randint(0, 6 * f + 13)
+        p = codecs.encode_wav([rng.randint(0, 255) for _ in range(n)], 8000, 8)
         assert mm._vector_audio_segments(p) == mm.naive_audio_segments(p)
     # Spark op: scan-predicate filter + one Arrow map, no exchange
     df = spark.createDataFrame(
-        [(1, "audio", bytearray(payload)), (2, "image", bytearray(loud * 4))],
+        [(1, "audio", bytearray(payload)), (2, "image", bytearray(b"png" * 40))],
         "media_id long, kind string, payload binary",
     )
     out = mm.media_audio_segments(df)
@@ -1986,18 +2051,33 @@ def test_host_reciprocity_crafted(spark):
 
 
 def test_media_scenes_crafted(spark):
-    from web_crawler_spark.functions import multimodal as mm
+    from web_crawler_spark.functions import codecs, multimodal as mm
 
-    payload = bytes(range(256)) * 3
+    # REAL container: 6 PNG frames, gentle luma drift frames 0-3, hard
+    # content change at frame 4 -> exactly one cut there
+    w, h = 16, 12
+    base = bytes((i * 5) % 256 for i in range(w * h * 3))
+    frames = []
+    for k in range(6):
+        if k < 4:
+            fpx = bytes((b + 2 * k) % 256 for b in base)
+        else:
+            fpx = bytes(255 - ((b + 2 * k) % 256) for b in base)
+        frames.append(codecs.encode_png(fpx, w, h, 3, filters=[k % 5]))
+    payload = codecs.encode_bmff(frames)
     # vector path == naive golden, including NULL first-frame hamming
     golden = mm.naive_scene_rows(payload, 6.0)
+    assert len(golden) == 6
     assert golden[0][3] is None and golden[0][4] is False
     assert all(g[3] is not None for g in golden[1:])
+    cuts = [g[0] for g in golden if g[4]]
+    assert cuts == [4]  # the hard change, and only it, fires
     df = spark.createDataFrame(
         [
             (1, "video", bytearray(payload), 6.0),
             (2, "image", bytearray(payload), None),  # filtered by kind
             (3, "video", bytearray(payload), 0.0),   # zero duration -> no rows
+            (4, "video", bytearray(b"\x00\x00\x00\x18ftypjunk"), 9.0),  # poison
         ],
         "media_id long, kind string, payload binary, duration_s double",
     )
