@@ -216,6 +216,36 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 graded: the TWELFTH streaming path — Spark-4
+    ``transformWithStateInPandas`` (new stateful-processor API: ValueState
+    + MapState on the RocksDB store, unblocked via streaming/pbcompat.py)
+    maintaining per-host cumulative URL arrivals and distinct-path counts
+    over both crawl snapshots fed one file per micro-batch.  Totals are
+    monotone, so the max over per-batch emissions equals the batch
+    aggregate count(*) / count(distinct path) per host — what the oracle
+    computes (streaming/tws_state.py module docstring)."""
+    import shutil
+
+    from web_crawler_spark.streaming.tws_state import run_tws_available_now
+
+    key = synth.ensure_synth(sf_dir)
+    sf = synth.sf_name_of(key)
+    out = os.path.join(synth.SYNTH_ROOT, f"stream_tws_sf{sf}")
+    shutil.rmtree(out, ignore_errors=True)
+    in_dir = os.path.join(out, "in")
+    os.makedirs(in_dir)
+    for t in ("pages", "pages_prev"):
+        os.symlink(synth.synth_path(sf, t), os.path.join(in_dir, f"{t}.parquet"))
+    run_tws_available_now(
+        spark, in_dir, os.path.join(out, "data"), os.path.join(out, "ck")
+    )
+    emitted = spark.read.parquet(os.path.join(out, "data"))
+    return emitted.groupBy("host").agg(
+        F.max("n_seen").alias("n_seen"), F.max("n_paths").alias("n_paths")
+    )
+
+
 STREAM_THROTTLE_BUDGET = 7
 STREAM_THROTTLE_MAX_PENDING = 10_000  # rate_limit.DEFAULT_MAX_PENDING
 
@@ -4734,6 +4764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_outer": q_stream_join_outer,
         "stream_dedup": q_stream_dedup,
         "stream_hll": q_stream_hll,
+        "stream_tws": q_stream_tws,
         "stream_dedup_wm": q_stream_dedup_wm,
         "stream_upsert": q_stream_upsert,
         "stream_enrich": q_stream_enrich,
@@ -5263,6 +5294,25 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f" UNION ALL SELECT url FROM read_parquet('{sp('pages_prev')}')"
             ")) WHERE host <> '') "
         ),
+        "stream_tws": f"""
+            -- host/path mirror the engine's parse_url HOST/PATH (userinfo
+            -- and :port stripped; non-matching URLs dropped like NULLs;
+            -- missing path is the empty string)
+            SELECT host, count(*)::BIGINT AS n_seen,
+                   count(DISTINCT path)::BIGINT AS n_paths
+            FROM (
+              SELECT lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)',
+                       1)) AS host,
+                     regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)
+                       AS path
+              FROM (
+                SELECT url FROM read_parquet('{sp('pages')}')
+                UNION ALL SELECT url FROM read_parquet('{sp('pages_prev')}')
+              )
+            ) WHERE host <> '' GROUP BY host
+        """,
         "stream_hourly": f"""
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*)::BIGINT AS n_events, max(value) AS max_value

@@ -138,3 +138,63 @@ def test_hll_merge_batch_pure_core():
     assert regs == {1: 7, 2: 2, 3: 9}
     # idempotent: re-merging the same batch emits nothing
     assert _merge_batch(regs, pdf2) == {}
+
+
+def test_tws_host_frontier_state_across_batches(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas (ValueState + MapState, RocksDB
+    store): per-host running totals accumulate across micro-batches, the
+    final totals equal the batch aggregate, and distinct-path state dedups
+    across batches.  Skips only where no protobuf runtime can be found
+    (pbcompat probes the vendored fallback first)."""
+    import pytest
+
+    from web_crawler_spark.streaming.pbcompat import tws_available
+    from web_crawler_spark.streaming.tws_state import run_tws_available_now
+
+    if not tws_available():
+        pytest.skip("no protobuf runtime available for transformWithState")
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    batch1 = ["http://a/x", "http://a/y", "http://b/x"]
+    spark.createDataFrame([(u,) for u in batch1], "url string").coalesce(
+        1
+    ).write.parquet(in_dir)
+    batch2 = ["http://a/x", "http://a/z", "http://b/x", "http://c/only"]
+    spark.createDataFrame([(u,) for u in batch2], "url string").coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+
+    run_tws_available_now(spark, in_dir, out_dir, ck)
+    emitted = spark.read.parquet(out_dir).collect()
+    final = {}
+    for r in emitted:
+        prev = final.get(r["host"], (0, 0))
+        final[r["host"]] = (max(prev[0], r["n_seen"]), max(prev[1], r["n_paths"]))
+    # totals across both batches: a: 4 urls / 3 paths, b: 2/1, c: 1/1
+    assert final == {"a": (4, 3), "b": (2, 1), "c": (1, 1)}
+    # per-host emissions are monotone in n_seen (state accumulated, never
+    # reset) and there is at most one emission per (host, batch)
+    by_host = {}
+    for r in emitted:
+        by_host.setdefault(r["host"], []).append((r["n_seen"], r["n_paths"]))
+    for host, rows in by_host.items():
+        ns = sorted(n for n, _ in rows)
+        assert ns == [n for n, _ in sorted(rows)] and len(rows) <= 2
+
+    # replay determinism: a fresh run over the same input (new checkpoint)
+    # produces the same final totals
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    run_tws_available_now(spark, in_dir, out2, ck2)
+    final2 = {}
+    for r in spark.read.parquet(out2).collect():
+        prev = final2.get(r["host"], (0, 0))
+        final2[r["host"]] = (max(prev[0], r["n_seen"]), max(prev[1], r["n_paths"]))
+    assert final2 == final
+    # provider setting restored after the runs
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", "unset")
+        == "unset"
+    )

@@ -21,6 +21,12 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # protobuf compat must be decided BEFORE the JVM gateway launches — the
+    # transformWithState daemon inherits the driver env's PYTHONPATH
+    # (no-op fast path when google.protobuf is properly installed)
+    from web_crawler_spark.streaming.pbcompat import enable_protobuf_compat
+
+    enable_protobuf_compat()
     # Python workers deserialize our UDFs by module reference, so the package
     # root must be importable in them regardless of the caller's cwd.  Local
     # mode: workers inherit the driver env => PYTHONPATH.  Cluster mode:

@@ -1,0 +1,151 @@
+"""Spark-4 ``transformWithStateInPandas`` stateful streaming: per-host
+crawl-frontier accounting with typed state variables.
+
+The twelfth graded streaming path (round 3 shipped eleven on the classic
+``applyInPandasWithState`` API; this one exercises the NEW Spark-4
+stateful-processor API — ValueState + MapState on the RocksDB store —
+unblocked this round via :mod:`pbcompat`).
+
+Operator: per host, across micro-batches, maintain
+
+- ``n_seen``      — cumulative URL arrivals (ValueState[long]);
+- ``n_paths``     — cumulative DISTINCT path count (MapState[path -> 1]
+  membership set — the state type a per-host frontier dedup needs);
+
+and EMIT the running totals each micro-batch the host appears in.  The
+totals are monotone, so the final value per host (max over emissions)
+equals the batch aggregate ``count(*), count(distinct path)`` over the
+whole input — which is exactly what the DuckDB oracle computes; the
+intermediate emissions additionally pin replay/slicing-independence the
+same way the HLL path does (sketch_state.py convention).
+
+Scale shape: groupBy(host) is ONE hash exchange of (host, path) pairs —
+no payloads; state is per-host and bounded by distinct paths per host
+(the RocksDB store spills to disk, the point of using it at 100 TB);
+output volume is one row per (host, batch) pair.
+
+Reference parity: the reference's crawler keeps an in-process per-host
+seen set (crawler.py's visited tracking); this is that state machine
+re-expressed as a keyed streaming processor with durable state.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from web_crawler_spark.streaming.pbcompat import tws_available
+
+if TYPE_CHECKING:  # pragma: no cover - typing only
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessorHandle
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("n_paths", LongType()),
+    ]
+)
+
+_COUNT_SCHEMA = StructType([StructField("n", LongType())])
+_ONE_SCHEMA = StructType([StructField("v", LongType())])
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+def _make_processor():
+    """Deferred class construction: the StatefulProcessor import requires
+    the pbcompat path probe to have succeeded first."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class HostFrontierProcessor(StatefulProcessor):
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self._seen = handle.getValueState("n_seen", _COUNT_SCHEMA)
+            self._paths = handle.getMapState(
+                "paths", StructType([StructField("path", StringType())]), _ONE_SCHEMA
+            )
+
+        def handleInputRows(
+            self, key, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            n_new = 0
+            for pdf in rows:
+                n_new += len(pdf)
+                for path in pdf["path"]:
+                    k = (path if path is not None else "",)
+                    if not self._paths.containsKey(k):
+                        self._paths.updateValue(k, (1,))
+            prev = self._seen.get()
+            total = (prev[0] if prev else 0) + n_new
+            self._seen.update((total,))
+            n_paths = sum(1 for _ in self._paths.keys())
+            yield pd.DataFrame(
+                {"host": [key[0]], "n_seen": [total], "n_paths": [n_paths]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return HostFrontierProcessor()
+
+
+def streaming_host_frontier(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """``urls``: STREAMING frame with a url column.  Host/path extraction
+    is JVM-side (parse_url); the stateful processor only sees the two
+    short strings."""
+    keyed = urls.select(
+        F.lower(F.parse_url(F.col(url_col), F.lit("HOST"))).alias("host"),
+        F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("")).alias(
+            "path"
+        ),
+    ).filter(F.col("host").isNotNull())
+    return keyed.groupBy("host").transformWithStateInPandas(
+        _make_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def run_tws_available_now(
+    spark, in_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Process every parquet file in ``in_dir`` (schema: url string), one
+    file per micro-batch, appending per-batch running totals to
+    ``out_dir``.  Temporarily switches the state-store provider to RocksDB
+    (transformWithState requires multiple column families, which the
+    HDFS-backed provider lacks) and restores the previous setting after."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf; no install or "
+            "vendored runtime found (see streaming/pbcompat.py)"
+        )
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+    try:
+        stream = (
+            spark.readStream.schema("url string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        q = (
+            streaming_host_frontier(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev)
