@@ -33,6 +33,7 @@ from web_crawler_spark.functions import (  # noqa: E402
     linkstats,
     multimodal,
     packing,
+    psl,
     sampling,
     simsearch,
     textstats,
@@ -4579,6 +4580,20 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_domains_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 graded: registrable-domain rollup with the FULL Public Suffix
+    List — wildcard and exception rules included (functions/psl.py; the
+    deploy-grade twin of url_domains' embedded-list fast path).  Matching
+    is a candidate-suffix broadcast join on the DISTINCT-host relation;
+    oracled against the same candidate join in DuckDB off the materialized
+    rules parquet."""
+    from web_crawler_spark.functions import psl
+
+    return psl.psl_domain_rollup(
+        _synth(spark, sf_dir, "pages_meta").select("url", "host")
+    )
+
+
 def q_link_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum link-hops from the seed set over the host graph (pre-crawl
     coverage planning: what a depth-capped crawl can reach) — iterative
@@ -5005,6 +5020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_depth": q_link_depth,
         "corpus_budget": q_corpus_budget,
         "url_domains": q_url_domains,
+        "url_domains_psl": q_url_domains_psl,
         "crawl_mirrors": q_crawl_mirrors,
         "sitemap_scan": q_sitemap_scan,
         "sitemap_coverage": q_sitemap_coverage,
@@ -6666,6 +6682,7 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
         "link_depth": linkstats.duck_bfs_depth_sql(pages_meta, seeds),
         "corpus_budget": sampling.duck_select_budget_sql("documents"),
         "url_domains": urlfilter.duck_domain_rollup_sql(pages_meta),
+        "url_domains_psl": psl.duck_psl_domain_rollup_sql(pages_meta),
         "crawl_mirrors": recrawl.duck_content_mirrors_sql(
             f"read_parquet('{sp('pages_mirror')}')"
         ),

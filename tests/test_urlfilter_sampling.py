@@ -754,3 +754,63 @@ def test_typosquat_crafted(spark):
         got_df[sorted(got_df.columns)], want[sorted(want.columns)],
         check_dtype=False,
     )
+
+
+def test_psl_registrable_domain_full_list(spark):
+    """FULL Public Suffix List semantics (functions/psl.py): multi-label
+    country suffixes, wildcard rules, exception rules — Spark candidate
+    join == independent plain-Python spec transcription == DuckDB twin."""
+    import duckdb
+    import pandas as pd
+
+    from web_crawler_spark.functions import psl
+
+    hosts = [
+        "www.example.co.uk",      # 2-label ccTLD suffix
+        "blog.example.com.au",
+        "foo.k12.va.us",          # 3-label US schools suffix -> is a PS
+        "a.foo.k12.va.us",
+        "x.www.ck",               # exception rule !www.ck
+        "www.ck",
+        "foo.bar.ck",             # wildcard *.ck -> bar.ck is a PS
+        "sub.other.kawasaki.jp",  # wildcard *.kawasaki.jp
+        "city.kawasaki.jp",       # exception !city.kawasaki.jp
+        "sub.proj.github.io",     # private-section suffix
+        "example.com",
+        "localhost",
+    ]
+    rules = psl.load_rules()
+    want = {h: psl.naive_registrable_domain(h, rules) for h in hosts}
+    # the cases the round-3 embedded list mis-grouped are now exact
+    assert want["www.example.co.uk"] == "example.co.uk"
+    assert want["blog.example.com.au"] == "example.com.au"
+    assert want["foo.k12.va.us"] == "foo.k12.va.us"  # PS is k12.va.us
+    assert want["a.foo.k12.va.us"] == "foo.k12.va.us"
+    assert want["x.www.ck"] == "www.ck"
+    assert want["sub.proj.github.io"] == "proj.github.io"
+    hdf = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["domain"]
+        for r in psl.host_registrable_domains(hdf).collect()
+    }
+    assert got == want
+    # rollup parity vs the DuckDB twin (the graded url_domains_psl shape)
+    pages = [(h, f"http://{h}/p{i}") for i, h in enumerate(hosts * 2)]
+    pdf = spark.createDataFrame(pages, "host string, url string")
+    eng = {
+        r["domain"]: (r["n_hosts"], r["n_pages"])
+        for r in psl.psl_domain_rollup(pdf).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(pages, columns=["host", "url"]))
+    ora = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(psl.duck_psl_domain_rollup_sql("t")).fetchall()
+    }
+    assert eng == ora
+    # the rules relation is broadcast (scale guard: no shuffled rules side)
+    plan = (
+        psl.host_registrable_domains(hdf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan

@@ -1,0 +1,292 @@
+"""Registrable-domain (eTLD+1) extraction against the FULL Public Suffix
+List.
+
+Round 3 shipped ``urlfilter.registrable_domain`` with an embedded list of
+common two-label country suffixes and documented the full PSL as deploy
+config; this module ships that config: the actual publicsuffix.org list
+(MPL-2.0 public data, vendored at ``web_crawler_spark/data/
+public_suffix_list.dat`` from the container's ``/usr/share/publicsuffix``
+package) and a complete implementation of the PSL algorithm — wildcard
+(``*.ck``) and exception (``!www.ck``) rules included — as pure DataFrame
+ops.
+
+Algorithm (publicsuffix.org/list/ semantics):
+
+1. all rules whose labels match the host's trailing labels apply
+   (a ``*`` matches exactly one label);
+2. a matching EXCEPTION rule prevails; its public suffix is the rule
+   minus its leftmost label;
+3. otherwise the longest matching rule prevails; no match => the default
+   rule ``*`` (public suffix = last label);
+4. registrable domain = public suffix + one more label.
+
+Divergence (documented): a host that IS a public suffix has no
+registrable domain under strict PSL; crawl accounting still needs a
+rollup key, so such hosts map to themselves (matching the round-3
+embedded-list behavior for single-label hosts).
+
+Scale shape: rules are a ~10k-row broadcast relation.  Matching runs on
+DISTINCT hosts only (host-grain, orders below page-grain): one distinct
+exchange, candidate-suffix explode (<=9 short strings per host), broadcast
+hash join against the rules, and a prevailing-rule aggregation that reuses
+the host partitioning — then one join back to the page relation.  No
+Python anywhere; the DuckDB oracle twin executes the same candidate join
+off a rules parquet so cross-engine hashes are exact.
+
+IDN note: 466 PSL rules are unicode; crawl hosts are punycode on the
+wire, so each unicode rule is also emitted punycode-encoded via the
+stdlib IDNA codec (IDNA-2003; the handful of IDNA-2008-divergent labels
+are a documented approximation).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+PSL_DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
+)
+
+MAX_RULE_LABELS = 5  # current list maximum; candidates generated to this
+
+
+def load_rules(path: str = PSL_DATA) -> "list[tuple[str, int, bool]]":
+    """Parse the PSL into (rule, n_labels, is_exception) tuples.  Wildcard
+    rules keep their ``*.`` prefix (the join key carries it); exception
+    rules drop the ``!`` and set the flag.  Unicode rules additionally
+    emit a punycode twin."""
+    rules: "list[tuple[str, int, bool]]" = []
+    seen = set()
+
+    def add(rule: str, is_exc: bool) -> None:
+        if rule and rule not in seen:
+            seen.add(rule)
+            rules.append((rule, rule.count(".") + 1, is_exc))
+
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            s = line.strip()
+            if not s or s.startswith("//"):
+                continue
+            is_exc = s.startswith("!")
+            if is_exc:
+                s = s[1:]
+            s = s.lower()
+            add(s, is_exc)
+            if any(ord(c) > 127 for c in s):
+                try:
+                    puny = ".".join(
+                        lab if lab == "*" else lab.encode("idna").decode("ascii")
+                        for lab in s.split(".")
+                    )
+                    add(puny, is_exc)
+                except (UnicodeError, UnicodeDecodeError):
+                    pass
+    return rules
+
+
+def naive_registrable_domain(host: str, rules=None) -> str:
+    """Independent plain-Python golden of the PSL algorithm (spec
+    transcription, no Spark) — pytest pins the DataFrame path to this."""
+    if rules is None:
+        rules = load_rules()
+    host = host.lower().rstrip(".")
+    labels = host.split(".")
+    n = len(labels)
+    if n <= 1:
+        return host
+    exc_ps = None
+    best = 0
+    rule_set = {r: (k, e) for r, k, e in rules}
+    for k in range(1, min(n, MAX_RULE_LABELS) + 1):
+        tail = ".".join(labels[n - k :])
+        if tail in rule_set and not rule_set[tail][1]:
+            best = max(best, k)
+        if tail in rule_set and rule_set[tail][1]:
+            exc_ps = k - 1
+        if k >= 2:
+            wc = "*." + ".".join(labels[n - k + 1 :])
+            if wc in rule_set and not rule_set[wc][1]:
+                best = max(best, k)
+    ps = exc_ps if exc_ps is not None else (best if best else 1)
+    if n > ps:
+        return ".".join(labels[n - ps - 1 :])
+    return host  # host IS a public suffix -> rollup key is itself
+
+
+def rules_df(spark, path: str = PSL_DATA) -> DataFrame:
+    return spark.createDataFrame(
+        load_rules(path), "rule string, rule_labels int, is_exception boolean"
+    )
+
+
+def rules_parquet(path: str = PSL_DATA) -> str:
+    """Materialize the parsed rules once as parquet (for the DuckDB oracle
+    twin), keyed by the list file's size+mtime-insensitive content hash."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark import synth
+
+    with open(path, "rb") as f:
+        digest = hashlib.md5(f.read()).hexdigest()[:12]
+    out = os.path.join(synth.SYNTH_ROOT, f"psl_rules_{digest}.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(synth.SYNTH_ROOT, exist_ok=True)
+    rules = load_rules(path)
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "rule": pa.array([r for r, _, _ in rules], pa.string()),
+                "rule_labels": pa.array([k for _, k, _ in rules], pa.int32()),
+                "is_exception": pa.array([e for _, _, e in rules], pa.bool_()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+    return out
+
+
+def _tail_expr(labels: str, k: int) -> str:
+    """SQL expr: trailing-k-label suffix of a label array (whole host when
+    k exceeds the label count — a duplicate candidate, harmless under the
+    MAX aggregation)."""
+    return (
+        f"concat_ws('.', slice({labels}, greatest(size({labels}) - {k} + 1, 1), {k}))"
+    )
+
+
+def _candidates_expr(labels: str = "labels") -> str:
+    """Array of join candidates: plain trailing suffixes for k=1..5 plus
+    wildcard forms '*.'||tail(k-1) for k=2..5."""
+    plain = [_tail_expr(labels, k) for k in range(1, MAX_RULE_LABELS + 1)]
+    wild = [
+        f"concat('*.', {_tail_expr(labels, k - 1)})"
+        for k in range(2, MAX_RULE_LABELS + 1)
+    ]
+    return "array(" + ", ".join(plain + wild) + ")"
+
+
+def host_registrable_domains(
+    hosts: DataFrame, host_col: str = "host", spark=None
+) -> DataFrame:
+    """(host, domain): PSL eTLD+1 for a DISTINCT-host relation.  Candidate
+    explode -> broadcast rules join -> prevailing-rule agg (reuses the
+    host partitioning) -> suffix arithmetic.  All JVM."""
+    spark = spark or hosts.sparkSession
+    rules = F.broadcast(rules_df(spark))
+    h = hosts.select(F.lower(F.col(host_col)).alias("host")).distinct()
+    lab = h.withColumn("labels", F.split("host", r"\."))
+    cand = lab.select(
+        "host",
+        "labels",
+        F.explode(F.expr(_candidates_expr("labels"))).alias("cand"),
+    )
+    m = cand.join(rules, cand["cand"] == rules["rule"], "left")
+    agg = m.groupBy("host").agg(
+        F.max(F.when(F.col("is_exception"), F.col("rule_labels") - 1)).alias(
+            "exc_ps"
+        ),
+        F.max(
+            F.when(
+                F.col("is_exception") == False,  # noqa: E712
+                F.col("rule_labels"),
+            )
+        ).alias("best_ps"),
+    )
+    return agg.select(
+        "host",
+        F.expr(
+            "CASE WHEN size(split(host, '[.]')) <= 1 THEN host ELSE "
+            "  CASE WHEN size(split(host, '[.]')) > "
+            "            coalesce(exc_ps, best_ps, 1) "
+            "  THEN concat_ws('.', slice(split(host, '[.]'), "
+            "       size(split(host, '[.]')) - coalesce(exc_ps, best_ps, 1), "
+            "       coalesce(exc_ps, best_ps, 1) + 1)) "
+            "  ELSE host END END"
+        ).alias("domain"),
+    )
+
+
+def psl_domain_rollup(
+    df: DataFrame, host_col: str = "host", url_col: str = "url"
+) -> DataFrame:
+    """(domain, n_hosts, n_pages): per-registrable-domain crawl accounting
+    with FULL PSL semantics (urlfilter.domain_rollup's deploy-grade twin —
+    same output contract, .co.uk / wildcard / exception correct).  PSL
+    matching runs on the distinct-host relation; one join back on host."""
+    pages = df.select(
+        F.lower(F.col(host_col)).alias("host"), F.col(url_col).alias("url")
+    )
+    domains = host_registrable_domains(pages, "host")
+    return (
+        pages.join(domains, on="host")
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.count("*").cast("long").alias("n_pages"),
+        )
+    )
+
+
+def duck_psl_domain_rollup_sql(
+    table: str, host_col: str = "host", rules_pq: "str | None" = None
+) -> str:
+    """DuckDB twin of :func:`psl_domain_rollup` — the same candidate join
+    against the same rules (from the materialized parquet)."""
+    rules_pq = rules_pq or rules_parquet()
+    tails = []
+    for k in range(1, MAX_RULE_LABELS + 1):
+        tails.append(
+            f"array_to_string(l[greatest(len(l) - {k} + 1, 1):len(l)], '.')"
+        )
+    cands = tails + [
+        f"'*.' || array_to_string(l[greatest(len(l) - {k - 1} + 1, 1):len(l)], '.')"
+        for k in range(2, MAX_RULE_LABELS + 1)
+    ]
+    cand_array = "[" + ", ".join(cands) + "]"
+    return rf"""
+WITH hosts AS (
+  SELECT DISTINCT lower({host_col}) AS host FROM {table}
+),
+lab AS (
+  SELECT host, string_split(host, '.') AS l FROM hosts
+),
+cand AS (
+  SELECT host, unnest({cand_array}) AS cand FROM lab
+),
+m AS (
+  SELECT c.host,
+         max(CASE WHEN r.is_exception THEN r.rule_labels - 1 END) AS exc_ps,
+         max(CASE WHEN NOT r.is_exception THEN r.rule_labels END) AS best_ps
+  FROM cand c LEFT JOIN read_parquet('{rules_pq}') r ON c.cand = r.rule
+  GROUP BY c.host
+),
+dom AS (
+  SELECT host,
+         CASE WHEN len(string_split(host, '.')) <= 1 THEN host ELSE
+           CASE WHEN len(string_split(host, '.'))
+                     > coalesce(exc_ps, best_ps, 1)
+           THEN array_to_string(
+                  string_split(host, '.')[
+                    len(string_split(host, '.'))
+                      - coalesce(exc_ps, best_ps, 1):len(string_split(host, '.'))],
+                  '.')
+           ELSE host END END AS domain
+  FROM m
+)
+SELECT d.domain, count(DISTINCT p.host)::BIGINT AS n_hosts,
+       count(*)::BIGINT AS n_pages
+FROM (SELECT lower({host_col}) AS host FROM {table}) p
+JOIN dom d ON p.host = d.host
+GROUP BY d.domain
+"""
