@@ -1111,6 +1111,71 @@ def q_html_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_parse.extract_jsonld(_synth(spark, sf_dir, "pages_ext"))
 
 
+def _micro_nested_golden_path(sf: str) -> str:
+    """Materialize the nested-microdata golden via the independent
+    hand-rolled tokenizer (html_parse.naive_microdata_nested — shares no
+    parsing code with the HTMLParser engine path; the media/winnow
+    differential pattern)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(synth.SYNTH_ROOT, f"micro_nested_golden_sf{sf}_g1.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(synth.SYNTH_ROOT, exist_ok=True)
+    synth.ensure_synth(sf)
+    tbl = pq.read_table(synth.synth_path(sf, "pages_micro_nested"))
+    cols = {
+        k: []
+        for k in (
+            "url", "item_id", "parent_id", "parent_prop",
+            "itemtype", "prop_pos", "prop", "value",
+        )
+    }
+    for url, html in zip(tbl.column("url"), tbl.column("html")):
+        for iid, par, pprop, ity, pos, prop, val in html_parse.naive_microdata_nested(
+            html.as_py()
+        ):
+            cols["url"].append(url.as_py())
+            cols["item_id"].append(iid)
+            cols["parent_id"].append(par)
+            cols["parent_prop"].append(pprop)
+            cols["itemtype"].append(ity)
+            cols["prop_pos"].append(pos)
+            cols["prop"].append(prop)
+            cols["value"].append(val)
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "item_id": pa.array(cols["item_id"], pa.int64()),
+                "parent_id": pa.array(cols["parent_id"], pa.int64()),
+                "parent_prop": pa.array(cols["parent_prop"], pa.string()),
+                "itemtype": pa.array(cols["itemtype"], pa.string()),
+                "prop_pos": pa.array(cols["prop_pos"], pa.int64()),
+                "prop": pa.array(cols["prop"], pa.string()),
+                "value": pa.array(cols["value"], pa.string()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+    return out
+
+
+def q_html_microdata_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 graded: NESTED schema.org microdata (WHATWG itemscope/itemprop
+    model — itemscope+itemprop = child item of the nearest enclosing
+    scope) via a real HTML walk in one Arrow-batched map; html never
+    shuffles.  Graded against the independent hand-rolled-tokenizer golden
+    parquet over the pages_micro_nested fixture (synth v28); the round-3
+    flat-regex op html_microdata stays as the cheap JVM fast path."""
+    return html_parse.extract_microdata_nested(
+        _synth(spark, sf_dir, "pages_micro_nested")
+    )
+
+
 def q_html_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """schema.org MICRODATA extraction (the attribute-based sibling of
     JSON-LD) over the pages_micro fixture: one row per itemprop in document
@@ -4795,6 +4860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": q_html_meta,
         "html_jsonld": q_html_jsonld,
         "html_microdata": q_html_microdata,
+        "html_microdata_nested": q_html_microdata_nested,
         "html_hreflang": q_html_hreflang,
         "html_pagination": q_html_pagination,
         "html_refresh": q_html_refresh,
@@ -5474,6 +5540,11 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             html_parse.duck_extract_tables_sql(f"read_parquet('{sp('pages_tables')}')")
         ),
         "html_jsonld": html_parse.duck_jsonld_sql(f"read_parquet('{sp('pages_ext')}')"),
+        "html_microdata_nested": (
+            "SELECT url, item_id, parent_id, parent_prop, itemtype, "
+            "prop_pos, prop, value "
+            f"FROM read_parquet('{_micro_nested_golden_path(sf)}')"
+        ),
         "html_microdata": html_parse.duck_microdata_sql(
             f"read_parquet('{sp('pages_micro')}')"
         ),

@@ -41,6 +41,48 @@ ADVERSARIAL = [
     "<title>first</title><title>second</title>",
     "<!-- comment --><p>after comment</p>",
     "<p>a</p><script>s1</script><p>b</p><style>s2</style><p>c</p>",
+    # --- round-4 additions: the known bs4-vs-html.parser divergence
+    # classes (VERDICT r3 item 2).  refsim reimplements bs4 semantics on
+    # stdlib html.parser; these pin the two independent implementations
+    # (and thus the byte-parity invariant) on exactly the corners where
+    # bs4's own html.parser tree-builder is known to differ from a naive
+    # event walk.
+    # misnested inline tags (bs4 reparents; an event stream just sees them)
+    "<b><i>bold italic</b></i> tail",
+    "<p><b>one<p>two</b>three",
+    "<em><strong>x</em></strong><a href='/m'>m</a>",
+    # <title> with entity-only / charref children
+    "<title>&amp;</title><p>body</p>",
+    "<title>&#65;&#66;</title>",
+    "<title>&amp;&amp;</title>",
+    "<title>  </title><p>ws-only title</p>",
+    # CDATA-ish <script> payloads containing </ sequences
+    "<script>if (a</b) { x(); }</script>after",
+    "<script>var s = '</scr' + 'ipt>';</script>visible",
+    "<script><!-- document.write('<p>no</p>') --></script>shown",
+    "<style>a::before { content: '</div>' }</style>styled",
+    # bare & and malformed entities
+    "<p>a & b</p>",
+    "<p>&notarealentity; &amp</p>",
+    "<p>fish &chips; &lt</p>",
+    "<p>&#</p><p>&#x</p>",
+    "<a href='/q?a=1&b=2'>amp in href</a>",
+    # non-BMP and edge charrefs
+    "<p>&#128512; emoji</p>",
+    "<p>&#x1F600;</p>",
+    "<title>&#x1F680; rocket</title>",
+    "<p>&#0; null &#xD800; surrogate</p>",
+    # structure edge cases
+    "<title/>self-closing title<p>x</p>",
+    "<a href=/unquoted>u</a><a href = '/spaced'>s</a>",
+    '<a href="/a" href="/b">dup attr</a>',
+    "<a href='/outer'><a href='/inner'>nested anchors</a></a>",
+    "<![CDATA[ raw <p>stuff</p> ]]><p>after cdata</p>",
+    "<?php echo '<p>no</p>'; ?><p>after pi</p>",
+    "<! broken decl><p>after decl</p>",
+    "<p>truncated entity &am",
+    "<script>unterminated script <p>swallowed",
+    "<script><title>hidden</title></script><title>real</title>",
 ]
 
 
@@ -369,3 +411,75 @@ def test_extract_microdata_crafted(spark):
         .toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+MICRO_NESTED_CASES = [
+    # Product -> Offer -> PriceSpecification chain
+    '<div itemscope itemtype="https://schema.org/Product">'
+    '<span itemprop="name">Widget</span>'
+    '<div itemprop="offers" itemscope itemtype="https://schema.org/Offer">'
+    '<meta itemprop="priceCurrency" content="USD">'
+    '<div itemprop="priceSpecification" itemscope>'
+    '<span itemprop="price">9.99</span></div></div>'
+    '<span itemprop="sku">ABC</span></div>',
+    # multi-name props + URL attributes + empty content
+    '<div itemscope itemtype="T"><a itemprop="url sameAs" href="/x">t</a>'
+    '<img itemprop="image" src="/i.png">'
+    '<time itemprop="datePublished" datetime="2026-01-01">Jan 1</time>'
+    '<meta itemprop="empty" content=""></div>',
+    # orphan prop outside scope; props-less item marker; self-closed scope
+    '<span itemprop="orphan">x</span><div itemscope itemtype="E"></div>'
+    '<meta itemscope itemtype="V">',
+    # nested item text contributes to outer textContent prop (WHATWG)
+    '<div itemscope><span itemprop="outer">A'
+    '<span itemscope itemprop="inner"><span itemprop="x">B</span></span>'
+    'C</span></div>',
+    # script content invisible; entities decode; misnesting; unclosed EOF
+    '<div itemscope><span itemprop="a">x &amp; y</span>'
+    '<script><span itemprop="no">s</span></script></div>',
+    '<div itemscope><b itemprop="a">bo<i>ld</b></i></div>',
+    '<div itemscope itemtype="U"><span itemprop="p">unclosed',
+    "", "<p>plain</p>",
+]
+
+
+def test_microdata_nested_engine_matches_independent_golden():
+    """The HTMLParser engine walk and the hand-rolled-tokenizer golden
+    (html_parse.naive_microdata_nested — zero shared parsing code) agree
+    row-for-row on every adversarial nesting case."""
+    from web_crawler_spark.functions.html_parse import (
+        microdata_nested_one,
+        naive_microdata_nested,
+    )
+
+    for html in MICRO_NESTED_CASES:
+        assert microdata_nested_one(html) == naive_microdata_nested(html), html
+    # semantic pins on the first case: nesting links and ownership
+    rows = microdata_nested_one(MICRO_NESTED_CASES[0])
+    by_item = {}
+    for iid, par, pprop, ity, pos, prop, val in rows:
+        by_item.setdefault(iid, []).append((par, pprop, ity, pos, prop, val))
+    # item 0 = Product owns name+sku; item 1 = Offer child of 0 via
+    # "offers"; item 2 = PriceSpecification child of 1
+    assert {p for (_, _, _, _, p, _) in by_item[0]} == {"name", "sku"}
+    assert by_item[1][0][0] == 0 and by_item[1][0][1] == "offers"
+    assert by_item[2][0][0] == 1 and by_item[2][0][1] == "priceSpecification"
+    assert by_item[2][0][4] == "price" and by_item[2][0][5] == "9.99"
+
+
+def test_microdata_nested_spark_full_fixture(spark, sf_small):
+    """Spark path == golden on the whole pages_micro_nested fixture, and
+    the op is one Arrow stage with no exchange."""
+    from web_crawler_spark.functions import html_parse
+
+    df = spark.read.parquet(synth.synth_path("0.001", "pages_micro_nested"))
+    out = html_parse.extract_microdata_nested(df)
+    got = sorted(map(tuple, out.collect()))
+    want = []
+    for r in df.collect():
+        for row in html_parse.naive_microdata_nested(r["html"]):
+            want.append((r["url"],) + row)
+    assert got == sorted(want) and len(got) > 100
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "ArrowEvalPython" not in plan  # mapInPandas stage
+    assert "MapInPandas" in plan

@@ -825,3 +825,351 @@ SELECT url, item_pos, prop_pos, itemtype,
                 nullif(regexp_extract(tag, '{_MICRO_TEXT_RE}', 1), '')) AS value
 FROM tags
 """
+
+
+# --- NESTED microdata: the real HTML walk (round 4) ---------------------------
+#
+# The regex path above handles the flat single-level blocks the round-3
+# fixture emits (documented limit).  Real schema.org markup nests:
+# Product -> offers(Offer) -> priceSpecification(...), and the WHATWG
+# microdata model says an element with BOTH itemscope and itemprop is a
+# nested item serving as the enclosing item's property value, while plain
+# itemprop elements bind to the NEAREST enclosing itemscope.  This section
+# implements that walk in the module's Arrow-UDF convention and is graded
+# against an INDEPENDENT hand-rolled tag tokenizer golden (the media/
+# winnow differential pattern — no shared parser between the two paths).
+#
+# Emission contract (both implementations, pinned by pytest + golden):
+# one row per SCALAR itemprop: (item_id, parent_id, parent_prop, itemtype,
+# prop_pos, prop, value) where item_id numbers itemscope start tags in
+# document order, parent_id/parent_prop link nested items (NULL at top
+# level), prop_pos counts emitted rows per owning item, multi-name
+# itemprop="a b" emits one row per token at consecutive positions, and
+# value resolution is: content= attr, else the tag's URL/value attribute
+# (a/link/area: href; img/audio/video/embed/iframe/source/track: src;
+# time: datetime; data: value), else whitespace-squeezed textContent
+# (entity-decoded); empty -> NULL.  itemscope+itemprop elements emit no
+# scalar row (their props are their own rows).  Items with no scalar
+# props surface through their children's parent linkage or, when leaf,
+# a single (prop NULL, value NULL) marker row so props-less items are
+# observable.
+
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+_URL_ATTR = {
+    "a": "href", "link": "href", "area": "area",
+    "img": "src", "audio": "src", "video": "src", "embed": "src",
+    "iframe": "src", "source": "src", "track": "track",
+    "time": "datetime", "data": "value", "meta": "content",
+}
+_URL_ATTR["area"] = "href"
+_URL_ATTR["track"] = "src"
+
+
+def _squeeze_ws(s: str) -> "Optional[str]":
+    out = " ".join(s.split())
+    return out if out else None
+
+
+class _MicroWalker(HTMLParser):
+    """Engine path: event-driven nested-itemscope walk (stdlib HTMLParser,
+    convert_charrefs on — entities decode in data and attr values)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.rows: list = []  # (item_id, parent, parent_prop, itemtype, pos, prop, value)
+        self._depth = 0
+        self._items: list = []  # open: [start_depth, id, parent, pprop, itype, n_props, n_rows]
+        self._caps: list = []  # open prop captures: [start_depth, item_ref, names, attr_val, chunks]
+        self._n_items = 0
+
+    # -- item/prop helpers
+    def _innermost(self):
+        return self._items[-1] if self._items else None
+
+    def _emit(self, item, names, value) -> None:
+        for name in names:
+            self.rows.append(
+                (item[1], item[2], item[3], item[4], item[6], name, value)
+            )
+            item[6] += 1
+
+    def _close_to(self, depth: int) -> None:
+        while self._caps and self._caps[-1][0] >= depth:
+            d, item, names, attr_val, chunks = self._caps.pop()
+            value = attr_val if attr_val is not None else _squeeze_ws("".join(chunks))
+            self._emit(item, names, value)
+        while self._items and self._items[-1][0] >= depth:
+            it = self._items.pop()
+            if it[5] == 0 and it[6] == 0:
+                # leaf item with no props at all: marker row
+                self.rows.append((it[1], it[2], it[3], it[4], None, None, None))
+
+    def _handle(self, tag, attrs, self_closing: bool) -> None:
+        a = {}
+        for k, v in attrs:
+            if k not in a:  # first occurrence wins (duplicate-attr pin)
+                a[k] = v
+        scope = "itemscope" in a
+        prop = (a.get("itemprop") or "").split()
+        here = self._depth
+        if scope:
+            parent = self._innermost()
+            if parent is not None:
+                parent[5] += 1  # nested item counts as a property binding
+            item = [
+                here,
+                self._n_items,
+                parent[1] if parent else None,
+                " ".join(prop) if prop else None,
+                a.get("itemtype") or None,
+                0,
+                0,
+            ]
+            self._n_items += 1
+            if self_closing or tag in _VOID_TAGS:
+                # immediately-closed empty item
+                self.rows.append(
+                    (item[1], item[2], item[3], item[4], None, None, None)
+                )
+            else:
+                self._items.append(item)
+        elif prop:
+            item = self._innermost()
+            if item is not None:
+                attr_val = None
+                if a.get("content"):
+                    attr_val = a["content"]
+                else:
+                    ua = _URL_ATTR.get(tag)
+                    if ua and a.get(ua):
+                        attr_val = a[ua]
+                if self_closing or tag in _VOID_TAGS:
+                    self._emit(item, prop, attr_val)
+                else:
+                    self._caps.append([here, item, prop, attr_val, []])
+        if not self_closing and tag not in _VOID_TAGS:
+            self._depth += 1
+
+    def handle_starttag(self, tag, attrs):
+        self._handle(tag, attrs, False)
+
+    def handle_startendtag(self, tag, attrs):
+        self._handle(tag, attrs, True)
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return
+        if self._depth > 0:
+            self._depth -= 1
+            self._close_to(self._depth)
+
+    def handle_data(self, data):
+        for cap in self._caps:
+            if cap[3] is None:  # attribute value wins; no text collection
+                cap[4].append(data)
+
+    def finish(self):
+        self._close_to(0)
+        return self.rows
+
+
+def microdata_nested_one(html_text: str) -> list:
+    w = _MicroWalker()
+    try:
+        w.feed(html_text)
+        w.close()
+    except Exception:
+        pass
+    return w.finish()
+
+
+MICRODATA_NESTED_SCHEMA = (
+    "url string, item_id long, parent_id long, parent_prop string, "
+    "itemtype string, prop_pos long, prop string, value string"
+)
+
+
+def extract_microdata_nested(df, html_col: str = "html", url_col: str = "url"):
+    """Nested schema.org microdata over the html column: ONE Arrow-batched
+    mapInPandas pass (html dies in the map — only the small scalar rows
+    continue, nothing shuffles in this op)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "url", "item_id", "parent_id", "parent_prop",
+                "itemtype", "prop_pos", "prop", "value",
+            )}
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if html is None:
+                    continue
+                text = html if isinstance(html, str) else bytes(html).decode(
+                    "utf-8", "replace"
+                )
+                for (iid, par, pprop, ity, pos, prop, val) in microdata_nested_one(text):
+                    cols["url"].append(url)
+                    cols["item_id"].append(iid)
+                    cols["parent_id"].append(par)
+                    cols["parent_prop"].append(pprop)
+                    cols["itemtype"].append(ity)
+                    cols["prop_pos"].append(pos)
+                    cols["prop"].append(prop)
+                    cols["value"].append(val)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(cols["url"], dtype="object"),
+                    "item_id": pd.Series(cols["item_id"], dtype="int64"),
+                    "parent_id": pd.Series(cols["parent_id"], dtype="object"),
+                    "parent_prop": pd.Series(cols["parent_prop"], dtype="object"),
+                    "itemtype": pd.Series(cols["itemtype"], dtype="object"),
+                    "prop_pos": pd.Series(cols["prop_pos"], dtype="object"),
+                    "prop": pd.Series(cols["prop"], dtype="object"),
+                    "value": pd.Series(cols["value"], dtype="object"),
+                }
+            )
+
+    return df.select(url_col, html_col).mapInPandas(
+        run, schema=MICRODATA_NESTED_SCHEMA
+    )
+
+
+# -- independent golden: hand-rolled tag tokenizer (no HTMLParser) -----------
+
+_GOLDEN_TAG_RE = None  # compiled lazily in naive_microdata_nested
+_GOLDEN_ATTR_RE = None
+
+
+def naive_microdata_nested(html_text: str) -> list:
+    """Golden twin of :func:`microdata_nested_one`: a from-scratch
+    character-scan tokenizer (comments, script/style raw-text modes,
+    quoted/unquoted attributes, entity decoding via html.unescape) feeding
+    the same emission contract.  Deliberately shares NO parsing code with
+    the engine path."""
+    import html as _htmllib
+    import re as _re
+
+    global _GOLDEN_TAG_RE, _GOLDEN_ATTR_RE
+    if _GOLDEN_TAG_RE is None:
+        _GOLDEN_TAG_RE = _re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9:-]*)")
+        _GOLDEN_ATTR_RE = _re.compile(
+            r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+            r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
+        )
+    rows: list = []
+    n_items = 0
+    depth = 0
+    items: list = []  # [depth, id, parent, pprop, itype, n_bind, n_rows]
+    caps: list = []  # [depth, item, names, attr_val, chunks]
+    i, n = 0, len(html_text)
+
+    def close_to(d: int) -> None:
+        while caps and caps[-1][0] >= d:
+            _d, item, names, attr_val, chunks = caps.pop()
+            if attr_val is not None:
+                value = attr_val
+            else:
+                joined = " ".join("".join(chunks).split())
+                value = joined if joined else None
+            for name in names:
+                rows.append((item[1], item[2], item[3], item[4], item[6], name, value))
+                item[6] += 1
+        while items and items[-1][0] >= d:
+            it = items.pop()
+            if it[5] == 0 and it[6] == 0:
+                rows.append((it[1], it[2], it[3], it[4], None, None, None))
+
+    rawtext_until = None  # inside <script>/<style>: skip to the close tag
+    while i < n:
+        if rawtext_until is not None:
+            j = html_text.lower().find(rawtext_until, i)
+            if j < 0:
+                break
+            i = j
+            rawtext_until = None
+            continue
+        lt = html_text.find("<", i)
+        if lt < 0:
+            for cap in caps:
+                if cap[3] is None:
+                    cap[4].append(_htmllib.unescape(html_text[i:]))
+            break
+        if lt > i:
+            for cap in caps:
+                if cap[3] is None:
+                    cap[4].append(_htmllib.unescape(html_text[i:lt]))
+        if html_text.startswith("<!--", lt):
+            end = html_text.find("-->", lt + 4)
+            i = n if end < 0 else end + 3
+            continue
+        m = _GOLDEN_TAG_RE.match(html_text, lt)
+        if not m:
+            # bogus markup: "<" data or declarations; skip past the bracket
+            end = html_text.find(">", lt + 1)
+            i = n if end < 0 else end + 1
+            continue
+        closing, tag = m.group(1) == "/", m.group(2).lower()
+        gt = html_text.find(">", m.end())
+        if gt < 0:
+            break
+        inner = html_text[m.end() : gt]
+        self_closing = inner.rstrip().endswith("/")
+        i = gt + 1
+        if closing:
+            if tag not in _VOID_TAGS and depth > 0:
+                depth -= 1
+                close_to(depth)
+            continue
+        attrs = {}
+        for am in _GOLDEN_ATTR_RE.finditer(inner.rstrip("/ ")):
+            k = am.group(1).lower()
+            v = am.group(2)
+            if v is None:
+                v = None
+            elif v[:1] in "\"'":
+                v = _htmllib.unescape(v[1:-1])
+            else:
+                v = _htmllib.unescape(v)
+            if k not in attrs:
+                attrs[k] = v
+        scope = "itemscope" in attrs
+        prop = (attrs.get("itemprop") or "").split()
+        if scope:
+            parent = items[-1] if items else None
+            if parent is not None:
+                parent[5] += 1
+            item = [
+                depth, n_items, parent[1] if parent else None,
+                " ".join(prop) if prop else None,
+                attrs.get("itemtype") or None, 0, 0,
+            ]
+            n_items += 1
+            if self_closing or tag in _VOID_TAGS:
+                rows.append((item[1], item[2], item[3], item[4], None, None, None))
+            else:
+                items.append(item)
+        elif prop and items:
+            item = items[-1]
+            attr_val = None
+            if attrs.get("content"):
+                attr_val = attrs["content"]
+            else:
+                ua = _URL_ATTR.get(tag)
+                if ua and attrs.get(ua):
+                    attr_val = attrs[ua]
+            if self_closing or tag in _VOID_TAGS:
+                for name in prop:
+                    rows.append(
+                        (item[1], item[2], item[3], item[4], item[6], name, attr_val)
+                    )
+                    item[6] += 1
+            else:
+                caps.append([depth, item, prop, attr_val, []])
+        if not self_closing and tag not in _VOID_TAGS:
+            depth += 1
+            if tag in ("script", "style"):
+                rawtext_until = f"</{tag}"
+    close_to(0)
+    return rows

@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v27"  # v27: media payloads are REAL PNG/WAV/BMFF (codecs.py); shared-rng draws preserved, other v26 tables byte-identical
+SYNTH_VERSION = "v28"  # v28: adds pages_micro_nested (nested microdata); dedicated RNG, other v27 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -509,6 +509,96 @@ def _media_audio_samples(body: bytes, i: int) -> "list[int]":
             for s in range(AUDIO_FRAME):
                 samples.append(128 + (body[(f + s) % len(body)] % 5) - 2)
     return samples
+
+
+def _gen_pages_micro_nested(pages_meta_tbl: pa.Table, sf: str):
+    """(url, html) — NESTED schema.org microdata variants for the round-4
+    HTML-walk extractor (html_parse.extract_microdata_nested): Product ->
+    offers(Offer) -> priceSpecification chains, Person -> address
+    (PostalAddress), multi-name itemprops, meta/img/a/time property tags,
+    props-less leaf items, self-closed itemscopes, and pages with no
+    microdata at all.  Dedicated RNG; all v27 tables byte-identical."""
+    rng = random.Random(f"pages_micro_nested-{sf}")
+    urls = pages_meta_tbl.column("url").to_pylist()
+    r_url, r_html = [], []
+    for j, u in enumerate(urls):
+        roll = rng.random()
+        if roll < 0.45:
+            continue  # no microdata page
+        blocks = []
+        for _ in range(rng.randint(1, 2)):
+            kind = rng.random()
+            if kind < 0.45:
+                price = f"{rng.randrange(1, 500)}.{rng.randrange(100):02d}"
+                spec = (
+                    '<div itemprop="priceSpecification" itemscope>'
+                    f'<span itemprop="price">{price}</span>'
+                    '<meta itemprop="priceCurrency" content="USD"></div>'
+                    if rng.random() < 0.6
+                    else ""
+                )
+                offer = (
+                    '<div itemprop="offers" itemscope '
+                    'itemtype="https://schema.org/Offer">'
+                    f'<link itemprop="availability" href="https://schema.org/InStock">{spec}'
+                    "</div>"
+                )
+                blocks.append(
+                    '<div itemscope itemtype="https://schema.org/Product">'
+                    f'<span itemprop="name">{rng.choice(_WORDS)} {j}</span>'
+                    f'<img itemprop="image" src="/img/{j}.png">{offer}'
+                    f'<span itemprop="sku mpn">SK{j % 97}</span></div>'
+                )
+            elif kind < 0.8:
+                addr = (
+                    '<div itemprop="address" itemscope '
+                    'itemtype="https://schema.org/PostalAddress">'
+                    f'<span itemprop="addressLocality">{rng.choice(_WORDS)}</span>'
+                    f'<meta itemprop="postalCode" content="{rng.randrange(10000, 99999)}">'
+                    "</div>"
+                )
+                time_tag = (
+                    f'<time itemprop="birthDate" datetime="19{rng.randrange(50, 99)}'
+                    f'-0{rng.randrange(1, 9)}-1{rng.randrange(0, 9)}">a date</time>'
+                )
+                blocks.append(
+                    '<div itemscope itemtype="https://schema.org/Person">'
+                    f'<span itemprop="name">{rng.choice(_WORDS)} '
+                    f"{rng.choice(_WORDS)}</span>"
+                    f'<a itemprop="url" href="https://p{j}.example/">home &amp; page</a>'
+                    f"{addr}{time_tag}</div>"
+                )
+            elif kind < 0.92:
+                # props-less leaf item / self-closed itemscope boundary
+                blocks.append(
+                    '<div itemscope itemtype="https://schema.org/Thing"></div>'
+                    if rng.random() < 0.5
+                    else '<meta itemscope itemtype="https://schema.org/Thing">'
+                )
+            else:
+                # orphan itemprop outside any scope (must be ignored) next
+                # to a flat item with an empty content (NULL value)
+                blocks.append(
+                    f'<span itemprop="orphan">{rng.choice(_WORDS)}</span>'
+                    '<div itemscope itemtype="https://schema.org/Article">'
+                    f'<span itemprop="headline">{rng.choice(_WORDS)}'
+                    f" {rng.choice(_WORDS)}</span>"
+                    '<meta itemprop="keywords" content="">'
+                    "</div>"
+                )
+        body = f"<p>{rng.choice(_WORDS)} &amp; {rng.choice(_WORDS)}</p>" + " ".join(
+            blocks
+        )
+        r_url.append(u)
+        r_html.append(
+            f"<html><head><title>mn{j}</title></head><body>{body}</body></html>"
+        )
+    return pa.table(
+        {
+            "url": pa.array(r_url, pa.string()),
+            "html": pa.array(r_html, pa.string()),
+        }
+    )
 
 
 def _gen_media(rng: random.Random, sf: str):
@@ -1367,6 +1457,7 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     urls_sus = _gen_urls_sus(sf)
     dns = _gen_dns(pages_meta, sf)
     pages_micro = _gen_pages_micro(pages_meta, sf)
+    pages_micro_nested = _gen_pages_micro_nested(pages_meta, sf)
     expected = _gen_expected_crawl(pages, seeds)
     expected_chain = _gen_expected_crawl(pages, seeds, steps=chain_sim_steps())
     expected_inject, inject_urls = _gen_expected_inject(pages, seeds)
@@ -1395,6 +1486,9 @@ def ensure_synth(sf_dir_or_name: str) -> str:
     pq.write_table(urls_sus, synth_path(sf, "urls_sus"), row_group_size=2048)
     pq.write_table(dns, synth_path(sf, "dns"))
     pq.write_table(pages_micro, synth_path(sf, "pages_micro"), row_group_size=2048)
+    pq.write_table(
+        pages_micro_nested, synth_path(sf, "pages_micro_nested"), row_group_size=2048
+    )
     pq.write_table(expected, synth_path(sf, "expected_crawl"), row_group_size=4096)
     pq.write_table(
         expected_chain, synth_path(sf, "expected_chain"), row_group_size=4096
