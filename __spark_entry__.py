@@ -2578,6 +2578,41 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLONE_TEMPLATE = (
+    "breaking exclusive deal today only limited offer click subscribe now "
+    "best price guaranteed free shipping worldwide order before midnight"
+)
+_N_CLONES = 200  # >> dedupsim.MAX_BAND_DOCS: forces the hot-band star path
+
+
+def _docs_with_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus _N_CLONES identical-template spam docs (doc_id
+    offset 10^9) — the adversarial identical-content skew case the capped
+    LSH join exists for."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = (
+        d.filter(F.col("doc_id") < _N_CLONES)
+        .select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+            F.lit(_CLONE_TEMPLATE).alias("text"),
+        )
+    )
+    return d.unionByName(clones)
+
+
+def q_dedup_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 graded: the SKEW-PROOF banded candidate join
+    (dedupsim.lsh_candidate_pairs_capped) on an adversarial corpus with
+    200 identical-template clones: bands <= 64 docs join all-pairs
+    exactly; the clone band emits a star to its min doc_id instead of a
+    20k-pair clique (same connected components, O(k) output — the
+    measured-this-round answer to the r3 hot-band question, BENCH.md)."""
+    sh = dedupsim.shingles(_docs_with_clones(spark, sf_dir))
+    return dedupsim.lsh_candidate_pairs_capped(
+        dedupsim.lsh_bands(dedupsim.minhash_signatures(sh))
+    )
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedupsim.shingles(_docs(spark, sf_dir))
     pairs = dedupsim.lsh_candidate_pairs(
@@ -4991,6 +5026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shards": q_corpus_shards,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_lsh_pairs_capped": q_dedup_lsh_pairs_capped,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_agreement": q_dedup_agreement,
         "dedup_ppjoin": q_dedup_ppjoin,
@@ -5967,6 +6003,11 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "corpus_shards": sampling.duck_shard_stats_sql("documents"),
         "dedup_minhash": dedupsim.duck_minhash_exploded_sql("documents"),
         "dedup_lsh_pairs": dedupsim.duck_lsh_pairs_sql("documents"),
+        "dedup_lsh_pairs_capped": dedupsim.duck_lsh_pairs_capped_sql(
+            "(SELECT doc_id, text FROM documents UNION ALL "
+            f"SELECT doc_id + 1000000000, '{_CLONE_TEMPLATE}' "
+            f"FROM documents WHERE doc_id < {_N_CLONES})"
+        ),
         "dedup_jaccard": dedupsim.duck_jaccard_sql("documents"),
         "dedup_agreement": dedupsim.duck_method_agreement_sql("documents"),
         "dedup_ppjoin": dedupsim.duck_ppjoin_sql("documents"),

@@ -797,3 +797,49 @@ def test_cdc_chunks_vectorized_matches_naive_and_survives_shift(spark):
     # max-size enforcement on the boundary-free doc
     assert all(nb <= 256 for _, nb, _ in by_doc[4])
     assert max(nb for _, nb, _ in by_doc[4]) == 256
+
+
+def test_lsh_capped_pairs_star_equals_clique_components(spark):
+    """Hot bands (identical-template clones) emit a star, cold bands are
+    byte-identical to the uncapped join; connected components agree
+    between star and clique topologies; DuckDB twin matches."""
+    import duckdb
+    import pandas as pd
+
+    from web_crawler_spark.functions import dedupsim as ds
+
+    base = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3),
+        (3, "totally different content words nothing shared here at all " * 3),
+    ]
+    spam = [(100 + i, "spam clone template " * 8) for i in range(10)]
+    docs = spark.createDataFrame(base + spam, "doc_id long, text string")
+    bands = ds.lsh_bands(ds.minhash_signatures(ds.shingles(docs)))
+    capped = ds.lsh_candidate_pairs_capped(bands, max_band_docs=4)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    # cold band: the near-dup pair survives all-pairs exactly
+    assert (1, 2) in got
+    # hot band (10 clones > cap 4): star to min id 100, no clique
+    star = {(a, b) for a, b in got if a >= 100 or b >= 100}
+    assert star == {(100, 100 + i) for i in range(1, 10)}
+    # components equal the uncapped topology's components
+    full = ds.lsh_candidate_pairs(bands)
+    comp_full = {
+        r["doc_id"]: r["component"]
+        for r in ds.connected_components(full, docs.select("doc_id")).collect()
+    }
+    comp_star = {
+        r["doc_id"]: r["component"]
+        for r in ds.connected_components(capped, docs.select("doc_id")).collect()
+    }
+    assert comp_full == comp_star
+    # DuckDB twin parity on the same corpus
+    pdf = pd.DataFrame(base + spam, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {
+        (r[0], r[1])
+        for r in con.sql(ds.duck_lsh_pairs_capped_sql("t", 4)).fetchall()
+    }
+    assert got == want

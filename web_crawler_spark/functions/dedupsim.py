@@ -113,6 +113,94 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+MAX_BAND_DOCS = 64  # all-pairs cap: a band with more docs joins as a star
+
+
+def lsh_candidate_pairs_capped(
+    bands: DataFrame, max_band_docs: int = MAX_BAND_DOCS
+) -> DataFrame:
+    """Skew-proof candidate pairs: bands at or under ``max_band_docs`` join
+    all-pairs exactly as :func:`lsh_candidate_pairs`; HOT bands (identical-
+    template spam clones — every member shares every band) emit a STAR to
+    the band's minimum doc_id instead of the k^2/2 clique.
+
+    Connected components over the star equal components over the clique
+    (a star is a spanning structure of the same vertex set), so dedup
+    keep-one/cluster semantics are unchanged; only the per-pair candidate
+    list for hot bands is reduced — which is the point: measured this
+    round (BENCH.md round-4 skew study), a 15% clone rate at sf0.1 sends
+    the uncapped join's output from 102k to 25.6M pair rows and wall time
+    from ~9 s to ~57 s, and AQE's skew-join split cannot help because the
+    blowup is join OUTPUT, not input-partition imbalance.  The cap bounds
+    per-band output at O(k) with k*≤cap*all-pairs elsewhere.
+
+    Scale shape: band sizes ride the same (band_idx, band_key) partitioning
+    as the self-join (one extra partial-agg'd pass, no new exchange
+    pattern); the hot-band star is a per-band min + join-back."""
+    sized = bands.join(
+        bands.groupBy("band_idx", "band_key").agg(
+            F.count("*").alias("n_docs"), F.min("doc_id").alias("hub")
+        ),
+        on=["band_idx", "band_key"],
+    )
+    cold = sized.filter(F.col("n_docs") <= max_band_docs)
+    left = cold.alias("l")
+    right = cold.alias("r")
+    all_pairs = left.join(
+        right,
+        on=[
+            F.col("l.band_idx") == F.col("r.band_idx"),
+            F.col("l.band_key") == F.col("r.band_key"),
+            F.col("l.doc_id") < F.col("r.doc_id"),
+        ],
+    ).select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+    star = (
+        sized.filter(
+            (F.col("n_docs") > max_band_docs) & (F.col("doc_id") != F.col("hub"))
+        )
+        .select(F.col("hub").alias("a"), F.col("doc_id").alias("b"))
+    )
+    return all_pairs.unionByName(star).distinct()
+
+
+def duck_lsh_pairs_capped_sql(table: str, max_band_docs: int = MAX_BAND_DOCS) -> str:
+    """DuckDB twin of :func:`lsh_candidate_pairs_capped`."""
+    n_bands = N_HASHES // BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_key FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(
+                f"sig[{b * BAND_SIZE + j + 1}]" for j in range(BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    mins = ", ".join(f"min(md5(shingle || '#{i}'))" for i in range(N_HASHES))
+    return rf"""
+WITH {duck_shingles_cte(table)},
+sigs AS (SELECT doc_id, [{mins}] AS sig FROM shingles GROUP BY doc_id),
+bands AS ({band_rows}),
+sized AS (
+  SELECT b.doc_id, b.band_idx, b.band_key, s.n_docs, s.hub
+  FROM bands b JOIN (
+    SELECT band_idx, band_key, count(*)::BIGINT AS n_docs,
+           min(doc_id) AS hub
+    FROM bands GROUP BY 1, 2
+  ) s USING (band_idx, band_key)
+)
+SELECT DISTINCT a, b FROM (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM sized l JOIN sized r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+  WHERE l.n_docs <= {max_band_docs}
+  UNION ALL
+  SELECT hub AS a, doc_id AS b FROM sized
+  WHERE n_docs > {max_band_docs} AND doc_id <> hub
+)
+"""
+
+
 def connected_components(
     pairs: DataFrame,
     docs: DataFrame | None = None,
