@@ -127,12 +127,15 @@ def lsh_candidate_pairs_capped(
     Connected components over the star equal components over the clique
     (a star is a spanning structure of the same vertex set), so dedup
     keep-one/cluster semantics are unchanged; only the per-pair candidate
-    list for hot bands is reduced — which is the point: measured this
-    round (BENCH.md round-4 skew study), a 15% clone rate at sf0.1 sends
-    the uncapped join's output from 102k to 25.6M pair rows and wall time
-    from ~9 s to ~57 s, and AQE's skew-join split cannot help because the
-    blowup is join OUTPUT, not input-partition imbalance.  The cap bounds
-    per-band output at O(k) with k*≤cap*all-pairs elsewhere.
+    list for hot bands is reduced — which is the point.  Measured this
+    round (BENCH.md round-4 skew study, sf0.1 documents + clones):
+    a 100% clone burst (5k identical docs) makes the uncapped join emit
+    12.50M pairs in 25.5 s, and AQE's skew-join split only trims that to
+    21.8 s because the blowup is join OUTPUT volume, not input-partition
+    imbalance (post-shuffle partitions are balanced at ~391k rows each);
+    the capped join emits 5,268 pairs in 1.5 s — ~15x wall, ~2400x
+    volume.  At a 15% clone rate the volume gap is 281k vs 1,018 pairs.
+    The cap bounds per-band output at O(k), all-pairs elsewhere.
 
     Scale shape: band sizes ride the same (band_idx, band_key) partitioning
     as the self-join (one extra partial-agg'd pass, no new exchange
