@@ -1119,7 +1119,7 @@ def _micro_nested_golden_path(sf: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = os.path.join(synth.SYNTH_ROOT, f"micro_nested_golden_sf{sf}_g1.parquet")
+    out = os.path.join(synth.SYNTH_ROOT, f"micro_nested_golden_sf{sf}_g1_{synth.SYNTH_VERSION}.parquet")
     if os.path.exists(out):
         return out
     os.makedirs(synth.SYNTH_ROOT, exist_ok=True)
@@ -1306,7 +1306,7 @@ def _phash_golden_path(sf: str) -> str:
     out = os.path.join(
         synth.SYNTH_ROOT,
         f"phash_golden_sf{sf}_r{multimodal.PHASH_ROWS}c{multimodal.PHASH_COLS}"
-        f"_cv{codecs.CODEC_VERSION}.parquet",
+        f"_cv{codecs.CODEC_VERSION}_{synth.SYNTH_VERSION}.parquet",
     )
     if os.path.exists(out):
         return out
@@ -1345,7 +1345,8 @@ def _audio_golden_path(sf: str) -> str:
     out = os.path.join(
         synth.SYNTH_ROOT,
         f"audioseg_golden_sf{sf}_f{multimodal.AUDIO_FRAME}"
-        f"t{multimodal.AUDIO_VAD_THRESHOLD}_cv{codecs.CODEC_VERSION}.parquet",
+        f"t{multimodal.AUDIO_VAD_THRESHOLD}_cv{codecs.CODEC_VERSION}"
+        f"_{synth.SYNTH_VERSION}.parquet",
     )
     if os.path.exists(out):
         return out
@@ -1400,7 +1401,8 @@ def _scene_golden_path(sf: str) -> str:
     out = os.path.join(
         synth.SYNTH_ROOT,
         f"scene_golden_sf{sf}_f{multimodal.SCENE_MAX_FRAMES}"
-        f"h{multimodal.SCENE_CUT_HAMMING}_cv{codecs.CODEC_VERSION}.parquet",
+        f"h{multimodal.SCENE_CUT_HAMMING}_cv{codecs.CODEC_VERSION}"
+        f"_{synth.SYNTH_VERSION}.parquet",
     )
     if os.path.exists(out):
         return out
@@ -1447,6 +1449,130 @@ def _scene_golden_path(sf: str) -> str:
     )
     os.replace(tmp, out)
     return out
+
+
+def _png_text_golden_path(sf: str) -> str:
+    """tEXt metadata golden via the independent byte-index chunk scan
+    (codecs.naive_png_text_chunks)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark.functions import codecs
+
+    out = os.path.join(
+        synth.SYNTH_ROOT,
+        f"pngtext_golden_sf{sf}_cv{codecs.CODEC_VERSION}_{synth.SYNTH_VERSION}.parquet",
+    )
+    if os.path.exists(out):
+        return out
+    os.makedirs(synth.SYNTH_ROOT, exist_ok=True)
+    synth.ensure_synth(sf)
+    media = pq.read_table(
+        synth.synth_path(sf, "media"), columns=["media_id", "kind", "payload"]
+    )
+    ids, pos, keys, vals = [], [], [], []
+    for mid, kind, payload in zip(
+        media.column("media_id"), media.column("kind"), media.column("payload")
+    ):
+        if kind.as_py() != "image":
+            continue
+        try:
+            chunks = codecs.naive_png_text_chunks(payload.as_py())
+        except ValueError:
+            continue
+        for i, (k, v) in enumerate(chunks):
+            ids.append(mid.as_py())
+            pos.append(i)
+            keys.append(k)
+            vals.append(v)
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "meta_pos": pa.array(pos, pa.int64()),
+                "key": pa.array(keys, pa.string()),
+                "value": pa.array(vals, pa.string()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+    return out
+
+
+def q_media_png_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 graded: PNG tEXt caption/credit metadata mining (the image-text
+    pairing signal a multimodal training pipeline extracts) — one Arrow
+    map over the pushed-kind-filtered scan; graded vs the independent
+    byte-index chunk-scan golden (multimodal.media_png_text)."""
+    from web_crawler_spark.functions import multimodal
+
+    return multimodal.media_png_text(_synth(spark, sf_dir, "media"))
+
+
+THUMB_W, THUMB_H = 16, 16
+
+
+def _thumb_golden_path(sf: str) -> str:
+    """Thumbnail pixel-hash golden: naive PNG decode + naive integer box
+    resample (both independent of the numpy engine path) -> md5."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark.functions import codecs
+
+    out = os.path.join(
+        synth.SYNTH_ROOT,
+        f"thumb_golden_sf{sf}_w{THUMB_W}h{THUMB_H}"
+        f"_cv{codecs.CODEC_VERSION}_{synth.SYNTH_VERSION}.parquet",
+    )
+    if os.path.exists(out):
+        return out
+    os.makedirs(synth.SYNTH_ROOT, exist_ok=True)
+    synth.ensure_synth(sf)
+    media = pq.read_table(
+        synth.synth_path(sf, "media"), columns=["media_id", "kind", "payload"]
+    )
+    ids, hs = [], []
+    for mid, kind, payload in zip(
+        media.column("media_id"), media.column("kind"), media.column("payload")
+    ):
+        if kind.as_py() != "image":
+            continue
+        try:
+            w, h, ch, rows = codecs.naive_decode_png(payload.as_py())
+        except ValueError:
+            continue
+        flat = codecs.naive_resample_image(w, h, ch, rows, THUMB_W, THUMB_H)
+        ids.append(mid.as_py())
+        hs.append(hashlib.md5(bytes(flat)).hexdigest())
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "pixels_md5": pa.array(hs, pa.string()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+    return out
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 graded: the thumbnail pipeline's graded face — md5 over the
+    block-average-resampled pixel bytes, checked against a fully
+    independent naive-decode + naive-resample golden
+    (multimodal.media_thumb_hashes)."""
+    from web_crawler_spark.functions import multimodal
+
+    return multimodal.media_thumb_hashes(
+        _synth(spark, sf_dir, "media"), THUMB_W, THUMB_H
+    )
 
 
 def q_media_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4910,6 +5036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": q_media_phash,
         "media_audio": q_media_audio,
         "media_scenes": q_media_scenes,
+        "media_png_text": q_media_png_text,
+        "media_resize": q_media_resize,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "doc_bpe_apply": q_doc_bpe_apply,
         "corpus_fertility": q_corpus_fertility,
@@ -5661,6 +5789,15 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
         "media_scenes": (
             "SELECT media_id, frame_idx, ts_ms, phash, hamming_prev, is_cut"
             f" FROM read_parquet('{_scene_golden_path(sf)}')"
+        ),
+        "media_png_text": (
+            "SELECT media_id, meta_pos, key, value"
+            f" FROM read_parquet('{_png_text_golden_path(sf)}')"
+        ),
+        "media_resize": (
+            f"SELECT media_id, {THUMB_W}::BIGINT AS out_w,"
+            f" {THUMB_H}::BIGINT AS out_h, pixels_md5"
+            f" FROM read_parquet('{_thumb_golden_path(sf)}')"
         ),
         "url_suspicious": urlfilter.duck_suspicious_sql(
             f"read_parquet('{sp('urls_sus')}')"

@@ -149,3 +149,38 @@ def test_block_mean_grid_and_resample_exactness():
     img = np.full((6, 9, 3), 77, dtype=np.uint8)
     out = C.resample_image(img, 4, 3)
     assert (out == 77).all() and out.shape == (3, 4, 3)
+
+
+def test_png_text_chunks_round_trip_and_malformed():
+    rng = random.Random(21)
+    px = bytes(rng.getrandbits(8) for _ in range(10 * 6 * 3))
+    p = C.encode_png(px, 10, 6, 3, texts={"caption": "a cat & dog", "author": "x"})
+    want = [("caption", "a cat & dog"), ("author", "x")]
+    assert C.png_text_chunks(p) == want == C.naive_png_text_chunks(p)
+    # text chunks do not disturb decode
+    assert C.decode_png(p)[3].tobytes() == px
+    # no-text image -> empty list; corrupt CRC raises in both paths
+    assert C.png_text_chunks(C.encode_png(px, 10, 6, 3)) == []
+    bad = bytearray(p)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        C.png_text_chunks(bytes(bad))
+    with pytest.raises(ValueError):
+        C.naive_png_text_chunks(bytes(bad))
+
+
+def test_naive_resample_matches_engine_on_random_images():
+    import numpy as np
+
+    rng = random.Random(33)
+    for _ in range(10):
+        w, h = rng.randint(2, 30), rng.randint(2, 24)
+        px = bytes(rng.getrandbits(8) for _ in range(w * h * 3))
+        p = C.encode_png(px, w, h, 3)
+        img = C.decode_png(p)[3]
+        ow, oh = rng.randint(1, 20), rng.randint(1, 20)
+        v = C.resample_image(img, ow, oh)
+        w2, h2, ch2, rows = C.naive_decode_png(p)
+        assert list(v.reshape(-1)) == C.naive_resample_image(
+            w2, h2, ch2, rows, ow, oh
+        )

@@ -43,7 +43,9 @@ import zlib
 
 import numpy as np
 
-CODEC_VERSION = 1  # embedded in golden cache keys; bump on codec changes
+CODEC_VERSION = 2  # embedded in golden cache keys; bump on codec changes
+# v2: PNG tEXt metadata chunks (encode + extract), 16-bit WAV fixtures,
+#     integer-exact naive resample twin
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -80,6 +82,7 @@ def encode_png(
     height: int,
     channels: int = 3,
     filters: "list[int] | None" = None,
+    texts: "dict[str, str] | None" = None,
 ) -> bytes:
     """Encode raw row-major 8-bit pixels as a PNG.  ``filters`` optionally
     picks the filter type per scanline (default: all 0) — the fixture
@@ -131,9 +134,18 @@ def encode_png(
         out.append(bytes([f]) + filt)
         prior = row
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    # tEXt chunks (PNG spec 11.3.4.3): keyword (1-79 bytes latin-1) NUL text
+    text_chunks = b"".join(
+        _chunk(
+            b"tEXt",
+            k.encode("latin-1")[:79] + b"\x00" + v.encode("latin-1", "replace"),
+        )
+        for k, v in (texts or {}).items()
+    )
     return (
         PNG_SIG
         + _chunk(b"IHDR", ihdr)
+        + text_chunks
         + _chunk(b"IDAT", zlib.compress(b"".join(out), 6))
         + _chunk(b"IEND", b"")
     )
@@ -578,3 +590,72 @@ def naive_demux_bmff(payload: bytes) -> "list[bytes]":
     if not saw_ftyp:
         raise ValueError("missing ftyp")
     return frames
+
+
+# ---------------------------------------------------------------------------
+# PNG textual metadata (tEXt) — caption/credit mining for training data
+# ---------------------------------------------------------------------------
+
+
+def png_text_chunks(payload: bytes) -> "list[tuple[str, str]]":
+    """(keyword, text) pairs from tEXt chunks in order (engine path; CRCs
+    verified by the shared chunk walk).  Raises ``ValueError`` on
+    malformed containers like the decoders."""
+    out = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"tEXt":
+            nul = data.find(b"\x00")
+            if nul < 0:
+                continue  # keyword-only chunk without separator: skip
+            out.append(
+                (
+                    data[:nul].decode("latin-1"),
+                    data[nul + 1 :].decode("latin-1"),
+                )
+            )
+    return out
+
+
+def naive_png_text_chunks(payload: bytes) -> "list[tuple[str, str]]":
+    """Golden twin: independent byte-index chunk scan (no shared walk)."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    out = []
+    pos = 8
+    while pos + 12 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated chunk")
+        crc = int.from_bytes(payload[pos + 8 + length : pos + 12 + length], "big")
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"bad CRC in {ctype!r}")
+        if ctype == b"tEXt" and b"\x00" in data:
+            k, _, v = data.partition(b"\x00")
+            out.append((k.decode("latin-1"), v.decode("latin-1")))
+        pos += 12 + length
+        if ctype == b"IEND":
+            return out
+    raise ValueError("missing IEND")
+
+
+def naive_resample_image(
+    w: int, h: int, channels: int, rows, out_w: int, out_h: int
+) -> "list[int]":
+    """Golden twin of :func:`resample_image`: plain-int block-average box
+    resample returning the flat out_h*out_w*channels pixel list."""
+    out = []
+    for r in range(out_h):
+        r0 = r * h // out_h
+        r1 = max(r0 + 1, (r + 1) * h // out_h)
+        for c in range(out_w):
+            c0 = c * w // out_w
+            c1 = max(c0 + 1, (c + 1) * w // out_w)
+            ys = range(min(r0, h - 1), min(r1, h))
+            xs = range(min(c0, w - 1), min(c1, w))
+            cnt = max(len(ys) * len(xs), 1)
+            for ch in range(channels):
+                s = sum(rows[y][x * channels + ch] for y in ys for x in xs)
+                out.append(s // cnt)
+    return out

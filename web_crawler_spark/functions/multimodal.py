@@ -619,3 +619,87 @@ def media_scenes(media: DataFrame) -> DataFrame:
         .select("media_id", "payload", "duration_s")
         .mapInPandas(run, schema=SCENE_SCHEMA)
     )
+
+
+# --- PNG textual metadata: caption/credit mining -------------------------------
+#
+# Real web images carry tEXt/iTXt caption, alt-text, and credit chunks —
+# exactly the paired-text signal an image-text training pipeline mines.
+# One Arrow map emits (media_id, key, value) per tEXt chunk; non-PNG and
+# malformed payloads emit nothing.  Graded against the independent
+# byte-index chunk-scan golden (codecs.naive_png_text_chunks).
+
+
+def media_png_text(media: DataFrame) -> DataFrame:
+    """(media_id, meta_pos, key, value) — PNG tEXt metadata per image.
+    Scale shape: kind filter pushes to the scan; ONE Arrow map; output is
+    metadata-grain (a few short strings per image); payloads never
+    shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pos, keys, vals = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    chunks = codecs.png_text_chunks(bytes(p))
+                except ValueError:
+                    continue
+                for i, (k, v) in enumerate(chunks):
+                    ids.append(mid)
+                    pos.append(i)
+                    keys.append(k)
+                    vals.append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "meta_pos": pd.Series(pos, dtype="int64"),
+                    "key": pd.Series(keys, dtype="object"),
+                    "value": pd.Series(vals, dtype="object"),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema="media_id long, meta_pos long, key string, value string")
+    )
+
+
+def media_thumb_hashes(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """(media_id, out_w, out_h, pixels_md5) — md5 over the RESAMPLED RGB
+    pixel bytes (pre-encode, so the golden can recompute it through the
+    fully independent naive decode + naive integer resample).  The graded
+    face of resize_images."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    img = decode_image(bytes(p))
+                except ValueError:
+                    continue
+                small = codecs.resample_image(img, out_w, out_h)
+                ids.append(mid)
+                hs.append(hashlib.md5(small.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "out_w": pd.Series([out_w] * len(ids), dtype="int64"),
+                    "out_h": pd.Series([out_h] * len(ids), dtype="int64"),
+                    "pixels_md5": pd.Series(hs, dtype="object"),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(
+            run, schema="media_id long, out_w long, out_h long, pixels_md5 string"
+        )
+    )

@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v28"  # v28: adds pages_micro_nested (nested microdata); dedicated RNG, other v27 tables byte-identical
+SYNTH_VERSION = "v29"  # v29: image PNGs carry tEXt caption/author chunks, every 4th audio row is 16-bit PCM; other v28 tables byte-identical
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -636,15 +636,36 @@ def _gen_media(rng: random.Random, sf: str):
                 w = 18 + (i * 7) % 30
                 h = 12 + (i * 13) % 24
                 px = _media_image_pixels(w, h, body, i)
+                # ~2/3 of images carry tEXt caption/credit metadata (the
+                # alt-text mining surface media_png_text extracts)
+                texts = (
+                    {
+                        "caption": f"{_WORDS[i % len(_WORDS)]} "
+                        f"{_WORDS[(i * 7 + 3) % len(_WORDS)]} {i}",
+                        "author": f"synth-{i % 7}",
+                    }
+                    if i % 3 == 0 and i % 9 != 6
+                    else None
+                )
                 payload = codecs.encode_png(
-                    px, w, h, 3, filters=[(i + r) % 5 for r in range(3)]
+                    px, w, h, 3, filters=[(i + r) % 5 for r in range(3)],
+                    texts=texts,
                 )
                 if i % 30 == 0:
                     dup_pixels[i] = (w, h, px)
             widths.append(w)
             heights.append(h)
         elif kind == "audio":
-            payload = codecs.encode_wav(_media_audio_samples(body, i), 8000, 8)
+            s8 = _media_audio_samples(body, i)
+            if i % 12 == 1:
+                # every 4th audio row as 16-bit PCM: midpoint-centered
+                # scale-up, so |s16|//256 == |s8-128| and segmentation is
+                # bit-depth invariant (wav_magnitudes contract)
+                payload = codecs.encode_wav(
+                    [(s - 128) * 256 for s in s8], 8000, 16
+                )
+            else:
+                payload = codecs.encode_wav(s8, 8000, 8)
             widths.append(None)
             heights.append(None)
         else:
