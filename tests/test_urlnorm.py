@@ -118,6 +118,16 @@ def test_split_canonicalize_matches_udf(spark, sf_small):
         ).collect()
     }
     assert got == want
+    # assume_materialized=False guards a lazy upstream (localCheckpoint
+    # inside) and must not change the result
+    got2 = {
+        r["cand_id"]: r["url"]
+        for r in urlnorm.with_canonical_split(
+            cands.select("cand_id", F.col("raw").alias("url")),
+            assume_materialized=False,
+        ).collect()
+    }
+    assert got2 == want
 
 
 @given(

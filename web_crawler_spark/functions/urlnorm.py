@@ -189,7 +189,12 @@ def fast_canonical_mask(col) -> "F.Column":
     )
 
 
-def with_canonical_split(df, src_col: str = "url", out_col: str = "url"):
+def with_canonical_split(
+    df,
+    src_col: str = "url",
+    out_col: str = "url",
+    assume_materialized: bool = True,
+):
     """Canonicalize a column with the Arrow crossing paid ONLY by the messy
     residue: a JVM rlike mask routes already-canonical urls (the vast
     majority of real link corpora) around the Python UDF entirely.  The
@@ -200,9 +205,15 @@ def with_canonical_split(df, src_col: str = "url", out_col: str = "url"):
     branches recompute their common input, so feed this from a materialized
     (persisted / checkpointed / scanned) frame — in the engine the upstream
     parse output is already persisted, making the recompute a cache read.
+    A caller that CANNOT guarantee that (r3 ADVICE: an expensive lazy
+    upstream would silently execute twice) passes
+    ``assume_materialized=False`` and this function eagerly
+    localCheckpoints the input before branching.
     Scale note: this turns canonicalization from an every-row Python
     crossing (Arrow serialize + socket + deserialize per url, the dominant
     sched cost at high executor counts) into a codegen'd regex."""
+    if not assume_materialized:
+        df = df.localCheckpoint(eager=True)
     fast = df.filter(fast_canonical_mask(src_col))
     if out_col != src_col:
         fast = fast.withColumn(out_col, F.col(src_col))
