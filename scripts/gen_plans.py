@@ -553,6 +553,33 @@ def main() -> None:
         "partial-agg at host grain; ratios are post-agg NULL-guarded\n"
         "integer floors.",
     )
+    cap(
+        "html_microdata_nested — real HTML walk (round 4)",
+        E.q_html_microdata_nested(spark, sf_dir),
+        "Want: ONE MapInPandas stage over the (url, html) scan, no Exchange\n"
+        "— html dies in the map; only scalar property rows continue.",
+    )
+    cap(
+        "dedup_lsh_pairs_capped — skew-proof banded join (round 4)",
+        E.q_dedup_lsh_pairs_capped(spark, sf_dir),
+        "Want: every consumer (cold left/right, hot-band star) reads the\n"
+        "eagerly-materialized sized-band frame (Scan ExistingRDD), so the\n"
+        "minhash pipeline executes ONCE — the unmaterialized form showed\n"
+        "12 parquet scans / 6 recomputations of the signature agg.",
+    )
+    cap(
+        "url_domains_psl — PSL rollup (round 4)",
+        E.q_url_domains_psl(spark, sf_dir),
+        "Want: the 9.5k-rule PSL relation enters via BroadcastExchange\n"
+        "(never shuffled); candidate explode + prevailing-rule agg at\n"
+        "DISTINCT-host grain; one join back to pages.",
+    )
+    cap(
+        "media_phash — decoded-domain perceptual hash (round 4 real decode)",
+        E.q_media_phash(spark, sf_dir),
+        "Want: payloads stay inside the MapInPandas stage; the only\n"
+        "exchange carries (phash, count) — 8-byte hashes, never bytes.",
+    )
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence for the scale-critical operators\n\n")
         f.write(

@@ -139,13 +139,18 @@ def lsh_candidate_pairs_capped(
 
     Scale shape: band sizes ride the same (band_idx, band_key) partitioning
     as the self-join (one extra partial-agg'd pass, no new exchange
-    pattern); the hot-band star is a per-band min + join-back."""
+    pattern); the hot-band star is a per-band min + join-back.  The sized
+    band frame is eagerly materialized (localCheckpoint) before fan-out:
+    three consumers (cold left, cold right, star) would otherwise each
+    recompute the WHOLE minhash pipeline — shingle explode + signature agg
+    — which a formatted-plan audit showed as 12 scans / 6 bands
+    computations (caught in round 4; the winnow fp-frame discipline)."""
     sized = bands.join(
         bands.groupBy("band_idx", "band_key").agg(
             F.count("*").alias("n_docs"), F.min("doc_id").alias("hub")
         ),
         on=["band_idx", "band_key"],
-    )
+    ).localCheckpoint(eager=True)
     cold = sized.filter(F.col("n_docs") <= max_band_docs)
     left = cold.alias("l")
     right = cold.alias("r")
