@@ -1575,6 +1575,16 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 graded: CLIP-style image-text pair construction — tEXt caption
+    mining joined with image dimensions plus the pair-quality gate
+    (multimodal.image_text_pairs).  Oracle: the same join + gate in SQL
+    over the independent tEXt golden parquet and the media table."""
+    from web_crawler_spark.functions import multimodal
+
+    return multimodal.image_text_pairs(_synth(spark, sf_dir, "media"))
+
+
 def q_media_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video scene-cut detection over sampled frames: per-frame dHash +
     consecutive Hamming diff, all inside ONE Arrow map (frames of a video
@@ -5038,6 +5048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_scenes": q_media_scenes,
         "media_png_text": q_media_png_text,
         "media_resize": q_media_resize,
+        "media_pairs": q_media_pairs,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "doc_bpe_apply": q_doc_bpe_apply,
         "corpus_fertility": q_corpus_fertility,
@@ -5799,6 +5810,20 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f" {THUMB_H}::BIGINT AS out_h, pixels_md5"
             f" FROM read_parquet('{_thumb_golden_path(sf)}')"
         ),
+        "media_pairs": f"""
+            SELECT g.media_id, g.value AS caption,
+                   len(list_filter(string_split(g.value, ' '),
+                       x -> x <> ''))::BIGINT AS n_words,
+                   length(g.value)::BIGINT AS n_chars,
+                   m.width::BIGINT AS width, m.height::BIGINT AS height,
+                   (len(list_filter(string_split(g.value, ' '),
+                        x -> x <> '')) BETWEEN 2 AND 32
+                    AND length(g.value) <= 200
+                    AND m.width >= 16 AND m.height >= 16) AS ok
+            FROM read_parquet('{_png_text_golden_path(sf)}') g
+            JOIN read_parquet('{sp('media')}') m USING (media_id)
+            WHERE g.key = 'caption'
+        """,
         "url_suspicious": urlfilter.duck_suspicious_sql(
             f"read_parquet('{sp('urls_sus')}')"
         ),

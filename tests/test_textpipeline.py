@@ -2549,3 +2549,34 @@ def test_dedup_method_agreement_crafted(spark):
     assert r["n_both"] <= min(r["n_minhash"], r["n_simhash"])
     assert r["n_union"] == r["n_minhash"] + r["n_simhash"] - r["n_both"]
     assert 0 < r["agreement_ppm"] <= 1000000
+
+
+def test_image_text_pairs_gate_boundaries(spark):
+    """Pair-quality gate at its exact boundaries; captions mined from real
+    tEXt chunks; non-caption keys and caption-less images excluded."""
+    from web_crawler_spark.functions import codecs, multimodal as mm
+
+    def png(w, h, texts):
+        px = bytes((i * 3) % 256 for i in range(w * h * 3))
+        return codecs.encode_png(px, w, h, 3, texts=texts)
+
+    rows = [
+        (0, "image", png(16, 16, {"caption": "two words"}), 16, 16),      # ok
+        (1, "image", png(16, 16, {"caption": "oneword"}), 16, 16),        # < 2 words
+        (2, "image", png(16, 16, {"caption": " ".join(["w"] * 33)}), 16, 16),  # > 32
+        (3, "image", png(15, 16, {"caption": "small image here"}), 15, 16),    # w < 16
+        (4, "image", png(16, 16, {"caption": "x" * 201 + " y"}), 16, 16),  # chars > 200
+        (5, "image", png(16, 16, {"author": "nobody"}), 16, 16),          # no caption
+        (6, "image", png(16, 16, None), 16, 16),                          # no tEXt
+        (7, "image", png(16, 16, {"caption": " ".join(["w"] * 32)}), 16, 16),  # == 32 ok
+    ]
+    df = spark.createDataFrame(
+        [(i, k, bytearray(p), w, h) for i, k, p, w, h in rows],
+        "media_id long, kind string, payload binary, width int, height int",
+    )
+    got = {r["media_id"]: r for r in mm.image_text_pairs(df).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 7}  # 5/6 have no caption row at all
+    assert got[0]["ok"] is True and got[7]["ok"] is True
+    assert got[1]["ok"] is False and got[2]["ok"] is False
+    assert got[3]["ok"] is False and got[4]["ok"] is False
+    assert got[0]["n_words"] == 2 and got[7]["n_words"] == 32

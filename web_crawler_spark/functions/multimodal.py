@@ -703,3 +703,51 @@ def media_thumb_hashes(media: DataFrame, out_w: int = 16, out_h: int = 16) -> Da
             run, schema="media_id long, out_w long, out_h long, pixels_md5 string"
         )
     )
+
+
+# --- image-text pair construction (CLIP-style training pairs) ------------------
+
+PAIR_MIN_WORDS = 2
+PAIR_MAX_WORDS = 32
+PAIR_MAX_CHARS = 200
+PAIR_MIN_DIM = 16
+
+
+def image_text_pairs(media: DataFrame) -> DataFrame:
+    """(media_id, caption, n_words, n_chars, width, height, ok) — the
+    image-text pair table a contrastive multimodal pipeline trains on:
+    tEXt 'caption' metadata mined from the PNG payload joined with the
+    image dimensions, plus the standard pair-quality gate (caption length
+    band, image minimum size).  Scale shape: the tEXt mine is the one
+    Arrow map (payloads never shuffle); the join back to media metadata is
+    on media_id with only scalar columns on either side; the gate is a
+    codegen'd boolean."""
+    caps = (
+        media_png_text(media)
+        .filter(F.col("key") == "caption")
+        .select("media_id", F.col("value").alias("caption"))
+    )
+    dims = media.select("media_id", "width", "height")
+    n_words = F.size(
+        F.filter(F.split(F.col("caption"), " "), lambda x: x != "")
+    ).cast("long")
+    n_chars = F.length("caption").cast("long")
+    return (
+        caps.join(dims, on="media_id")
+        .select(
+            "media_id",
+            "caption",
+            n_words.alias("n_words"),
+            n_chars.alias("n_chars"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+        )
+        .withColumn(
+            "ok",
+            (F.col("n_words") >= PAIR_MIN_WORDS)
+            & (F.col("n_words") <= PAIR_MAX_WORDS)
+            & (F.col("n_chars") <= PAIR_MAX_CHARS)
+            & (F.col("width") >= PAIR_MIN_DIM)
+            & (F.col("height") >= PAIR_MIN_DIM),
+        )
+    )
