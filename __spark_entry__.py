@@ -1575,6 +1575,18 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 graded: media near-dup pairs at Hamming<=3 over the
+    decoded-domain phash via Manku banding (pigeonhole-complete bucketed
+    self-join, never all-pairs; multimodal.media_phash_pairs).  The
+    oracle brute-forces all pairs over the independent naive-decode phash
+    golden — the hash-match therefore also PROVES the banding's
+    completeness on this corpus."""
+    from web_crawler_spark.functions import multimodal
+
+    return multimodal.media_phash_pairs(_synth(spark, sf_dir, "media"))
+
+
 def q_media_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R4 graded: CLIP-style image-text pair construction — tEXt caption
     mining joined with image dimensions plus the pair-quality gate
@@ -5049,6 +5061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_text": q_media_png_text,
         "media_resize": q_media_resize,
         "media_pairs": q_media_pairs,
+        "media_phash_pairs": q_media_phash_pairs,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "doc_bpe_apply": q_doc_bpe_apply,
         "corpus_fertility": q_corpus_fertility,
@@ -5810,6 +5823,15 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
             f" {THUMB_H}::BIGINT AS out_h, pixels_md5"
             f" FROM read_parquet('{_thumb_golden_path(sf)}')"
         ),
+        "media_phash_pairs": f"""
+            WITH g AS (SELECT media_id, phash
+                       FROM read_parquet('{_phash_golden_path(sf)}')
+                       WHERE phash IS NOT NULL)
+            SELECT l.media_id AS a, r.media_id AS b,
+                   bit_count(xor(l.phash, r.phash))::BIGINT AS hamming
+            FROM g l JOIN g r ON l.media_id < r.media_id
+            WHERE bit_count(xor(l.phash, r.phash)) <= 3
+        """,
         "media_pairs": f"""
             SELECT g.media_id, g.value AS caption,
                    len(list_filter(string_split(g.value, ' '),

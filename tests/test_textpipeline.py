@@ -2580,3 +2580,36 @@ def test_image_text_pairs_gate_boundaries(spark):
     assert got[1]["ok"] is False and got[2]["ok"] is False
     assert got[3]["ok"] is False and got[4]["ok"] is False
     assert got[0]["n_words"] == 2 and got[7]["n_words"] == 32
+
+
+def test_media_phash_pairs_banding_complete(spark):
+    """Banded Hamming pairs == brute force on a crafted corpus with an
+    exact re-encode pair (hamming 0), a near pair, and distant images."""
+    from web_crawler_spark.functions import codecs, multimodal as mm
+
+    import random as _r
+    rng = _r.Random(13)
+    w, h = 27, 16
+    px = bytes(rng.getrandbits(8) for _ in range(w * h * 3))
+    pngs = {
+        0: codecs.encode_png(px, w, h, 3, filters=[0]),
+        1: codecs.encode_png(px, w, h, 3, filters=[2, 4]),  # re-encode
+    }
+    for i in range(2, 8):
+        other = bytes(rng.getrandbits(8) for _ in range(w * h * 3))
+        pngs[i] = codecs.encode_png(other, w, h, 3)
+    df = spark.createDataFrame(
+        [(i, "image", bytearray(p)) for i, p in pngs.items()],
+        "media_id long, kind string, payload binary",
+    )
+    got = {(r["a"], r["b"]): r["hamming"] for r in mm.media_phash_pairs(df).collect()}
+    # brute force over the engine hashes
+    hs = {r["media_id"]: r["phash"] for r in mm.media_phash(df).collect()}
+    want = {}
+    for a in hs:
+        for b in hs:
+            if a < b:
+                ham = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+                if ham <= mm.PHASH_PAIR_MAX_HAMMING:
+                    want[(a, b)] = ham
+    assert got == want and got[(0, 1)] == 0
