@@ -760,3 +760,52 @@ def test_graph_cli_embedding_data_ops(tmp_path):
         pq.read_table(os.path.join(out_dir, "walkpairs")).column("host").to_pylist()
     )
     assert pair_hosts <= hosts_in_walks
+
+
+def test_media_cli_parser_defaults():
+    from jobs.media import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["--media", "m.parquet", "--output", "/tmp/o"])
+    assert a.thumbs is None and not a.dedup and not a.pairs
+
+
+def test_media_cli_end_to_end(tmp_path):
+    """The media job writes phash/near_pairs/image_text/thumbs/audio/
+    scenes from the real-codec operators and prints honest stats."""
+    from web_crawler_spark import synth
+
+    synth.ensure_synth("0.001")
+    out_dir = str(tmp_path / "media_out")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "media.py"),
+            "--media", synth.synth_path("0.001", "media"),
+            "--output", out_dir,
+            "--dedup", "--pairs", "--thumbs", "24x18",
+            "--audio-segments", "--scenes",
+            "--master", "local[2]",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["n_media"] == 200 and stats["n_kind_mismatch"] == 0
+    assert stats["n_hashed"] == 200  # every real payload decodes
+    assert stats["n_exact_dup_rows"] >= 2  # the filter-variant re-encodes
+    assert stats["n_pairs_ok"] > 0 and stats["n_captions"] >= stats["n_pairs_ok"]
+    assert stats["n_thumbs"] > 0 and stats["n_audio_segments"] > 0
+    assert stats["n_scene_frames"] > 0 and stats["n_cuts"] > 0
+    import pyarrow.parquet as pq
+
+    th = pq.read_table(os.path.join(out_dir, "thumbs")).to_pandas()
+    from web_crawler_spark.functions import codecs
+
+    got = th[th["thumb"].notna()].iloc[0]["thumb"]
+    w, h, ch, _img = codecs.decode_png(bytes(got))
+    assert (w, h) == (24, 18)  # thumbnails are real PNGs at the asked size
