@@ -1886,6 +1886,10 @@ def q_crawl_scale_2r(spark: SparkSession, sf_dir: str) -> DataFrame:
                 host_budget=SCALE2R_BUDGET,
                 use_bloom=False,
                 seen_buckets=8,
+                # deterministic name: the store's create() drops the
+                # previous run's table, so repeated grading runs can't
+                # accumulate orphaned wcs_seen_* warehouse tables
+                seen_table=f"wcs_seen_scale2r_{sf}".replace(".", "_"),
             ),
         )
         _CRAWL_MEMO[memo_key] = eng.run(seeds)
