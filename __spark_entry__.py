@@ -225,10 +225,13 @@ def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     over both crawl snapshots fed one file per micro-batch.  Totals are
     monotone, so the max over per-batch emissions equals the batch
     aggregate count(*) / count(distinct path) per host — what the oracle
-    computes (streaming/tws_state.py module docstring)."""
+    computes (streaming/tws_state.py module docstring).  Round 5: runs via
+    run_tws, which detects a hosting JVM launched before the pbcompat shim
+    (the r4 driver-harness crash) and fails over to a jobs/tws.py
+    subprocess whose own JVM gets the right daemon env."""
     import shutil
 
-    from web_crawler_spark.streaming.tws_state import run_tws_available_now
+    from web_crawler_spark.streaming.tws_state import run_tws
 
     key = synth.ensure_synth(sf_dir)
     sf = synth.sf_name_of(key)
@@ -238,7 +241,7 @@ def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(in_dir)
     for t in ("pages", "pages_prev"):
         os.symlink(synth.synth_path(sf, t), os.path.join(in_dir, f"{t}.parquet"))
-    run_tws_available_now(
+    run_tws(
         spark, in_dir, os.path.join(out, "data"), os.path.join(out, "ck")
     )
     emitted = spark.read.parquet(os.path.join(out, "data"))

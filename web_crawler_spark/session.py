@@ -22,21 +22,23 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     # protobuf compat must be decided BEFORE the JVM gateway launches — the
-    # transformWithState daemon inherits the driver env's PYTHONPATH
+    # transformWithState daemon inherits the JVM's env, captured once at
+    # gateway launch.  scoped_pythonpath (around getOrCreate below) injects
+    # the vendor paths for exactly that launch and restores the driver env
+    # after, so nothing leaks into unrelated subprocesses (ADVICE r4).
     # (no-op fast path when google.protobuf is properly installed)
-    from web_crawler_spark.streaming.pbcompat import enable_protobuf_compat
+    from web_crawler_spark.streaming.pbcompat import (
+        enable_protobuf_compat,
+        scoped_pythonpath,
+    )
 
     enable_protobuf_compat()
     # Python workers deserialize our UDFs by module reference, so the package
     # root must be importable in them regardless of the caller's cwd.  Local
-    # mode: workers inherit the driver env => PYTHONPATH.  Cluster mode:
-    # ship the package with spark-submit --py-files instead.
+    # mode: workers inherit the JVM env, captured at gateway launch => put
+    # pkg_root on PYTHONPATH only for that launch (scoped below).  Cluster
+    # mode: ship the package with spark-submit --py-files instead.
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    existing = os.environ.get("PYTHONPATH", "")
-    if pkg_root not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            pkg_root + (os.pathsep + existing if existing else "")
-        )
     cpus = DEFAULT_CPUS
     # under spark-submit (gateway pre-launched => PYSPARK_GATEWAY_PORT set)
     # a None master must fall through to the submit-level --master; calling
@@ -66,4 +68,5 @@ def get_spark(
         b = b.master(master)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    with scoped_pythonpath(extra=[pkg_root]):
+        return b.getOrCreate()

@@ -31,6 +31,7 @@ re-expressed as a keyed streaming processor with durable state.
 
 from __future__ import annotations
 
+import os
 from typing import TYPE_CHECKING, Iterator
 
 import pandas as pd
@@ -67,6 +68,7 @@ def _make_processor():
     class HostFrontierProcessor(StatefulProcessor):
         def init(self, handle: "StatefulProcessorHandle") -> None:
             self._seen = handle.getValueState("n_seen", _COUNT_SCHEMA)
+            self._npaths = handle.getValueState("n_paths", _COUNT_SCHEMA)
             self._paths = handle.getMapState(
                 "paths", StructType([StructField("path", StringType())]), _ONE_SCHEMA
             )
@@ -74,17 +76,25 @@ def _make_processor():
         def handleInputRows(
             self, key, rows: Iterator[pd.DataFrame], timerValues
         ) -> Iterator[pd.DataFrame]:
+            # distinct-path count is tracked INCREMENTALLY in a ValueState
+            # counter (bumped on first sight of a path) rather than
+            # re-scanning the whole MapState through the RocksDB iterator
+            # every batch the host appears in — O(batch) not O(state),
+            # which is the point of incremental state at scale (ADVICE r4).
             n_new = 0
+            prev_paths = self._npaths.get()
+            n_paths = prev_paths[0] if prev_paths else 0
             for pdf in rows:
                 n_new += len(pdf)
                 for path in pdf["path"]:
                     k = (path if path is not None else "",)
                     if not self._paths.containsKey(k):
                         self._paths.updateValue(k, (1,))
+                        n_paths += 1
             prev = self._seen.get()
             total = (prev[0] if prev else 0) + n_new
             self._seen.update((total,))
-            n_paths = sum(1 for _ in self._paths.keys())
+            self._npaths.update((n_paths,))
             yield pd.DataFrame(
                 {"host": [key[0]], "n_seen": [total], "n_paths": [n_paths]}
             )
@@ -149,3 +159,62 @@ def run_tws_available_now(
             spark.conf.unset(_PROVIDER_KEY)
         else:
             spark.conf.set(_PROVIDER_KEY, prev)
+
+
+def run_tws_subprocess(
+    in_dir: str, out_dir: str, checkpoint_dir: str, cpus: int = 8
+) -> None:
+    """Run the TWS job in a FRESH python+JVM via ``jobs/tws.py`` — the
+    failover for hosting processes whose JVM launched before this repo was
+    imported (the driver harness, a notebook, Airflow): their daemon env
+    lacks the protobuf vendor paths and the in-session query dies with
+    "driver worker exited unexpectedly" (CORRECTNESS_r04).  The subprocess
+    applies pbcompat BEFORE its own gateway launch, so its daemon is fine;
+    the hosting session then just reads the output parquet."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env = dict(os.environ)
+    # the job must build its OWN local session, never attach to the
+    # hosting gateway (whose env is the very thing that's broken here)
+    for k in ("PYSPARK_GATEWAY_PORT", "PYSPARK_GATEWAY_SECRET"):
+        env.pop(k, None)
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "4g")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "jobs", "tws.py"),
+            "--input", in_dir,
+            "--output", out_dir,
+            "--checkpoint", checkpoint_dir,
+            "--cpus", str(cpus),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(
+            "jobs/tws.py subprocess failed (rc=%d): %s"
+            % (out.returncode, out.stderr[-3000:])
+        )
+
+
+def run_tws(spark, in_dir: str, out_dir: str, checkpoint_dir: str) -> None:
+    """Environment-robust entry: run the TWS streaming job in-session when
+    the hosting JVM's daemon will have protobuf (repo session factory, or a
+    real protobuf install), else fail over to :func:`run_tws_subprocess`.
+    Either way ``out_dir`` ends up holding the per-batch emissions."""
+    from web_crawler_spark.streaming.pbcompat import daemon_will_have_protobuf
+
+    if daemon_will_have_protobuf(spark):
+        run_tws_available_now(spark, in_dir, out_dir, checkpoint_dir)
+    else:
+        run_tws_subprocess(in_dir, out_dir, checkpoint_dir)
