@@ -91,6 +91,9 @@ def main(argv: "list[str] | None" = None) -> int:
         ph.write.mode("overwrite").parquet(os.path.join(args.output, "phash"))
         ph2 = spark.read.parquet(os.path.join(args.output, "phash"))
         stats["n_hashed"] = ph2.filter(F.col("phash").isNotNull()).count()
+        # poison payloads (truncated IDAT, bad CRC, not-actually-media) are
+        # SKIPPED as null hashes, surfaced here — never task failures
+        stats["n_decode_failed"] = ph2.filter(F.col("phash").isNull()).count()
         stats["n_exact_dup_rows"] = ph2.filter(F.col("n_copies") > 1).count()
         pairs = multimodal.media_phash_pairs(media)
         pairs.write.mode("overwrite").parquet(

@@ -809,3 +809,98 @@ def test_media_cli_end_to_end(tmp_path):
     got = th[th["thumb"].notna()].iloc[0]["thumb"]
     w, h, ch, _img = codecs.decode_png(bytes(got))
     assert (w, h) == (24, 18)  # thumbnails are real PNGs at the asked size
+
+
+@pytest.mark.slow
+def test_media_cli_mixed_validity_payloads(tmp_path):
+    """VERDICT r4 item 5: the media job on a table salted with poison
+    payloads — truncated IDAT, CRC-recomputed zlib garbage, zero-length
+    mdat, a WAV with a lying fmt length, random bytes — must finish rc=0
+    (no task failures) and surface the skips in the stats JSON line."""
+    import random
+    import struct
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark.functions import codecs
+
+    rng = random.Random(11)
+    rows = []
+    # 6 valid PNGs
+    for i in range(6):
+        px = bytes(rng.getrandbits(8) for _ in range(16 * 12 * 3))
+        rows.append((i, "image", codecs.encode_png(px, 16, 12, 3), 16, 12, None))
+    # 2 valid WAVs + 1 valid video
+    for i in range(6, 8):
+        # loud/quiet 64-sample blocks so the VAD finds active runs
+        samples = [
+            rng.randrange(25000, 32000) * (-1) ** j if (j // 64) % 2 == 0 else rng.randrange(-40, 40)
+            for j in range(800)
+        ]
+        rows.append((i, "audio", codecs.encode_wav(samples, sample_rate=8000, bits=16), None, None, 0.1))
+    frames = [codecs.encode_png(bytes(rng.getrandbits(8) for _ in range(8 * 8 * 3)), 8, 8, 3) for _ in range(3)]
+    rows.append((8, "video", codecs.encode_bmff(frames), 8, 8, 0.2))
+    good_images, good_total = 6, 9  # 6 png + 2 wav + 1 bmff all decode
+    # poison payloads, declared as media kinds
+    px = bytes(rng.getrandbits(8) for _ in range(16 * 12 * 3))
+    full = codecs.encode_png(px, 16, 12, 3)
+    rows.append((100, "image", full[: len(full) // 2], 16, 12, None))  # truncated IDAT
+    ihdr = struct.pack(">IIBBBBB", 16, 12, 8, 2, 0, 0, 0)
+    crc_valid_garbage = (
+        codecs.PNG_SIG
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"IDAT", b"\x00definitely-not-zlib\xff\xfe")
+        + codecs._chunk(b"IEND", b"")
+    )
+    rows.append((101, "image", crc_valid_garbage, 16, 12, None))
+    badcrc = bytearray(full)
+    badcrc[len(full) // 2] ^= 0xFF
+    rows.append((102, "image", bytes(badcrc), 16, 12, None))
+    rows.append((103, "image", b"\xff\xd8random not an image", 16, 12, None))
+    # zero-length mdat video + truncated box walk
+    ftyp = struct.pack(">I", 24) + b"ftyp" + b"isom" + struct.pack(">I", 0) + b"isom" + b"mjpg"
+    rows.append((104, "video", ftyp + struct.pack(">I", 8) + b"mdat", None, None, 0.0))
+    rows.append((105, "video", ftyp + struct.pack(">I", 999) + b"mdat" + b"xx", None, None, 0.0))
+    # WAV whose fmt chunk length lies past EOF
+    rows.append((106, "audio", b"RIFF" + struct.pack("<I", 24) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00", None, None, 0.1))
+    n_total = len(rows)
+
+    tbl = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "kind": pa.array([r[1] for r in rows], pa.string()),
+        "payload": pa.array([r[2] for r in rows], pa.binary()),
+        "width": pa.array([r[3] for r in rows], pa.int32()),
+        "height": pa.array([r[4] for r in rows], pa.int32()),
+        "duration_s": pa.array([r[5] for r in rows], pa.float64()),
+    })
+    media_pq = str(tmp_path / "media.parquet")
+    pq.write_table(tbl, media_pq)
+    out_dir = str(tmp_path / "out")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "media.py"),
+            "--media", media_pq,
+            "--output", out_dir,
+            "--dedup", "--thumbs", "8x6", "--audio-segments", "--scenes",
+            "--master", "local[2]",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "Task failed" not in out.stderr and "SparkException" not in out.stderr
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["n_media"] == n_total
+    # every valid payload hashes; every poison one skips (null), counted
+    assert stats["n_hashed"] == good_total
+    assert stats["n_decode_failed"] == n_total - good_total
+    # thumbs exist only for decodable images; audio/scene rows only from
+    # the valid fixtures (zero-length mdat yields zero frames, not a crash)
+    assert stats["n_thumbs"] == good_images
+    assert stats["n_audio_segments"] > 0 and stats["n_scene_frames"] > 0

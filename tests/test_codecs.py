@@ -77,6 +77,38 @@ def test_png_malformed_inputs_raise():
         C.decode_png(deep)
 
 
+def test_codec_errors_normalized_to_valueerror():
+    """The poison-payload contract (ADVICE r4): zlib/struct/index errors
+    from malformed-but-plausible payloads must surface as ValueError so the
+    operators' null/skip handlers catch them — never kill a Spark task."""
+    # CRC-VALID but zlib-corrupt IDAT: recompute the CRC over garbage data
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    crc_valid_bad_idat = (
+        C.PNG_SIG
+        + C._chunk(b"IHDR", ihdr)
+        + C._chunk(b"IDAT", b"\x00garbage-not-zlib\xff")
+        + C._chunk(b"IEND", b"")
+    )
+    for fn in (C.decode_png, C.naive_decode_png):
+        with pytest.raises(ValueError):
+            fn(crc_valid_bad_idat)
+    # short IHDR (struct.error inside): CRC recomputed so it parses to IHDR
+    short_ihdr = (
+        C.PNG_SIG + C._chunk(b"IHDR", b"\x00\x01") + C._chunk(b"IEND", b"")
+    )
+    for fn in (C.decode_png, C.naive_decode_png):
+        with pytest.raises(ValueError):
+            fn(short_ihdr)
+    # WAV whose fmt chunk claims 16 bytes but the file ends early
+    hdr = b"RIFF" + struct.pack("<I", 24) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    for fn in (C.decode_wav, C.naive_decode_wav):
+        with pytest.raises(ValueError):
+            fn(hdr)
+    # all of these must be ValueError EXACTLY (no zlib.error/struct.error
+    # leaking through) — pytest.raises(ValueError) above already pins that,
+    # since zlib.error/struct.error do not subclass ValueError
+
+
 def test_wav_round_trip_and_magnitudes():
     rng = random.Random(5)
     for bits in (8, 16):

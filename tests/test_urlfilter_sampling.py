@@ -778,6 +778,12 @@ def test_psl_registrable_domain_full_list(spark):
         "sub.proj.github.io",     # private-section suffix
         "example.com",
         "localhost",
+        # wildcard-PARENT hosts: equal to a '*.X' rule's X — the '*' must
+        # consume one label, so these fall through to the default rule
+        # (r4 bug: tail clamping made them match their own wildcard)
+        "compute.amazonaws.com",
+        "elb.amazonaws.com",
+        "x.compute.amazonaws.com",  # the wildcard DOES apply one level down
     ]
     rules = psl.load_rules()
     want = {h: psl.naive_registrable_domain(h, rules) for h in hosts}
@@ -788,6 +794,9 @@ def test_psl_registrable_domain_full_list(spark):
     assert want["a.foo.k12.va.us"] == "foo.k12.va.us"
     assert want["x.www.ck"] == "www.ck"
     assert want["sub.proj.github.io"] == "proj.github.io"
+    assert want["compute.amazonaws.com"] == "amazonaws.com"
+    assert want["elb.amazonaws.com"] == "amazonaws.com"
+    assert want["x.compute.amazonaws.com"] == "x.compute.amazonaws.com"
     hdf = spark.createDataFrame([(h,) for h in hosts], "host string")
     got = {
         r["host"]: r["domain"]

@@ -38,6 +38,7 @@ training-data-pipeline surface (see SURVEY.md §2 R3+).
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
@@ -50,6 +51,25 @@ CODEC_VERSION = 2  # embedded in golden cache keys; bump on codec changes
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
+
+
+def _normalized(fn):
+    """Uniform malformed-payload contract: every decode/parse entry point
+    raises ``ValueError`` and ONLY ValueError on bad input.  Without this,
+    ``zlib.error`` (corrupt-but-CRC-recomputed IDAT), ``struct.error``
+    (short IHDR / short WAV fmt chunk) and ``IndexError`` (short buffers)
+    escaped the operators' ``except ValueError`` null/skip handlers and
+    killed the Spark task — contradicting the 100 TB poison-payload
+    contract (ADVICE r4)."""
+
+    @functools.wraps(fn)
+    def wrap(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (zlib.error, struct.error, IndexError) as e:
+            raise ValueError(f"malformed payload: {e}") from e
+
+    return wrap
 
 
 # ---------------------------------------------------------------------------
@@ -178,6 +198,7 @@ def _png_chunks(payload: bytes, verify_crc: bool = True):
     raise ValueError("missing IEND")
 
 
+@_normalized
 def decode_png(payload: bytes):
     """Decode a PNG to ``(width, height, channels, np.uint8 array of shape
     (height, width, channels))``.  Filters 0/1/2 are vectorized (None copy;
@@ -240,6 +261,7 @@ def decode_png(payload: bytes):
     return w, h, channels, out.astype(np.uint8).reshape(h, w, channels)
 
 
+@_normalized
 def naive_decode_png(payload: bytes):
     """Independent golden decoder: row-at-a-time plain-int unfiltering
     transcribed directly from the spec's recurrences (no numpy).  Returns
@@ -432,6 +454,7 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_normalized
 def decode_wav(payload: bytes):
     """Engine WAV reader -> ``(sample_rate, channels, bits, np.int64
     interleaved samples)``.  Walks RIFF chunks, skipping unknown ones at
@@ -469,6 +492,7 @@ def decode_wav(payload: bytes):
     return rate, channels, bits, samples
 
 
+@_normalized
 def naive_decode_wav(payload: bytes):
     """Golden WAV reader (plain-int struct walk, independent of numpy)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -533,6 +557,7 @@ def encode_bmff(frames: "list[bytes]", brand: bytes = b"isom") -> bytes:
     return ftyp + mdat
 
 
+@_normalized
 def demux_bmff(payload: bytes) -> "list[bytes]":
     """Engine box walk -> frame payload list.  Raises ``ValueError`` on a
     malformed box tree (callers null/skip the row)."""
@@ -563,6 +588,7 @@ def demux_bmff(payload: bytes) -> "list[bytes]":
     return frames
 
 
+@_normalized
 def naive_demux_bmff(payload: bytes) -> "list[bytes]":
     """Golden twin of :func:`demux_bmff` (plain-int byte indexing)."""
     frames = []
@@ -597,6 +623,7 @@ def naive_demux_bmff(payload: bytes) -> "list[bytes]":
 # ---------------------------------------------------------------------------
 
 
+@_normalized
 def png_text_chunks(payload: bytes) -> "list[tuple[str, str]]":
     """(keyword, text) pairs from tEXt chunks in order (engine path; CRCs
     verified by the shared chunk walk).  Raises ``ValueError`` on
@@ -616,6 +643,7 @@ def png_text_chunks(payload: bytes) -> "list[tuple[str, str]]":
     return out
 
 
+@_normalized
 def naive_png_text_chunks(payload: bytes) -> "list[tuple[str, str]]":
     """Golden twin: independent byte-index chunk scan (no shared walk)."""
     if payload[:8] != PNG_SIG:

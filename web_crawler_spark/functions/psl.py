@@ -167,13 +167,22 @@ def _tail_expr(labels: str, k: int) -> str:
 
 def _candidates_expr(labels: str = "labels") -> str:
     """Array of join candidates: plain trailing suffixes for k=1..5 plus
-    wildcard forms '*.'||tail(k-1) for k=2..5."""
+    wildcard forms '*.'||tail(k-1) for k=2..5.  A wildcard rule's ``*``
+    must consume exactly one label, so the k-label wildcard candidate is
+    only emitted when the host has >= k labels — otherwise tail clamping
+    would make a host equal to a wildcard rule's PARENT falsely match
+    '*.<host>' (e.g. compute.amazonaws.com vs *.compute.amazonaws.com;
+    ADVICE r4).  Plain-tail clamping stays harmless: the duplicate joins
+    to the same rule with the same rule_labels under the MAX agg."""
     plain = [_tail_expr(labels, k) for k in range(1, MAX_RULE_LABELS + 1)]
     wild = [
-        f"concat('*.', {_tail_expr(labels, k - 1)})"
+        f"CASE WHEN size({labels}) >= {k} "
+        f"THEN concat('*.', {_tail_expr(labels, k - 1)}) END"
         for k in range(2, MAX_RULE_LABELS + 1)
     ]
-    return "array(" + ", ".join(plain + wild) + ")"
+    return (
+        "filter(array(" + ", ".join(plain + wild) + "), x -> x IS NOT NULL)"
+    )
 
 
 def host_registrable_domains(
@@ -249,11 +258,17 @@ def duck_psl_domain_rollup_sql(
         tails.append(
             f"array_to_string(l[greatest(len(l) - {k} + 1, 1):len(l)], '.')"
         )
+    # wildcard candidate only when the host has >= k labels (the '*' must
+    # consume one label) — mirrors _candidates_expr exactly (ADVICE r4)
     cands = tails + [
+        f"CASE WHEN len(l) >= {k} THEN "
         f"'*.' || array_to_string(l[greatest(len(l) - {k - 1} + 1, 1):len(l)], '.')"
+        " END"
         for k in range(2, MAX_RULE_LABELS + 1)
     ]
-    cand_array = "[" + ", ".join(cands) + "]"
+    cand_array = (
+        "list_filter([" + ", ".join(cands) + "], x -> x IS NOT NULL)"
+    )
     return rf"""
 WITH hosts AS (
   SELECT DISTINCT lower({host_col}) AS host FROM {table}
