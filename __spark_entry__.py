@@ -1546,7 +1546,7 @@ def _thumb_golden_path(sf: str) -> str:
         if kind.as_py() != "image":
             continue
         try:
-            w, h, ch, rows = codecs.naive_decode_png(payload.as_py())
+            w, h, ch, rows = codecs.naive_decode_image(payload.as_py())
         except ValueError:
             continue
         flat = codecs.naive_resample_image(w, h, ch, rows, THUMB_W, THUMB_H)

@@ -216,3 +216,116 @@ def test_naive_resample_matches_engine_on_random_images():
         assert list(v.reshape(-1)) == C.naive_resample_image(
             w2, h2, ch2, rows, ow, oh
         )
+
+
+# ---------------------------------------------------------------------------
+# JPEG (functions/jpeg.py via the codecs seam)
+# ---------------------------------------------------------------------------
+
+
+def _smooth_px(rng, w, h, ch=3):
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            base = (x * 5 + y * 3) % 200
+            for c in range(ch):
+                out.append(min(255, base + c * 10 + rng.getrandbits(3)))
+    return bytes(out)
+
+
+def test_jpeg_round_trip_and_twin_exactness():
+    """Baseline JPEG: encode -> decode across shapes / subsampling / gray;
+    the numpy engine decoder and the independent plain-int naive twin are
+    BIT-IDENTICAL (the integer IDCT + fixed-point color contract), and
+    reconstruction error is small (MAE < 8 at q>=75)."""
+    import numpy as np
+
+    rng = random.Random(13)
+    for (w, h, ch, sub, q) in [
+        (16, 12, 3, "444", 90),
+        (17, 13, 3, "444", 85),   # non-multiple-of-8 dims
+        (24, 18, 3, "420", 90),
+        (21, 15, 3, "420", 75),   # 420 with odd dims (edge replication)
+        (8, 8, 1, "444", 95),     # grayscale single block
+        (33, 9, 1, "444", 60),
+    ]:
+        px = _smooth_px(rng, w, h, ch)
+        payload = C.encode_jpeg(px, w, h, ch, quality=q, subsampling=sub)
+        assert payload[:3] == C.JPEG_SIG and payload[-2:] == b"\xff\xd9"
+        w2, h2, ch2, img = C.decode_jpeg(payload)
+        assert (w2, h2, ch2) == (w, h, ch)
+        nw, nh, nch, rows = C.naive_decode_jpeg(payload)
+        assert (nw, nh, nch) == (w, h, ch)
+        naive = np.array(rows, dtype=np.int64).reshape(h, w, ch)
+        assert np.array_equal(img.astype(np.int64), naive)
+        orig = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(np.int64)
+        assert np.abs(orig - img.astype(np.int64)).mean() < 8
+
+
+def test_jpeg_cross_format_phash_property():
+    """The v30 fixture property: the same pixels stored as PNG and as
+    JPEG (q92) must phash within the Hamming<=3 near-dup banding."""
+    from web_crawler_spark import synth
+    from web_crawler_spark.functions import multimodal as M
+
+    rng = random.Random(5)
+    for i in (0, 9, 24):
+        w, h = 20 + i, 14 + i
+        body = bytes(rng.getrandbits(8) for _ in range(256))
+        px = synth._media_image_pixels(w, h, body, i)
+        png = C.encode_png(px, w, h, 3)
+        jpg = C.encode_jpeg(px, w, h, 3, quality=92, subsampling="444")
+        hp = M.naive_media_phash("image", png)
+        hj = M.naive_media_phash("image", jpg)
+        assert bin((hp ^ hj) & ((1 << 64) - 1)).count("1") <= 3
+
+
+def test_jpeg_malformed_and_unsupported_raise_valueerror():
+    """Poison contract: truncations, corruptions, and unsupported modes
+    (progressive SOF2, 12-bit) surface as ValueError ONLY."""
+    rng = random.Random(17)
+    px = _smooth_px(rng, 24, 16, 3)
+    good = C.encode_jpeg(px, 24, 16, 3)
+    for cut in range(2, len(good), 41):
+        with pytest.raises(ValueError):
+            C.decode_jpeg(good[:cut])
+        with pytest.raises(ValueError):
+            C.naive_decode_jpeg(good[:cut])
+    for trial in range(200):
+        b = bytearray(good)
+        b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        for fn in (C.decode_jpeg, C.naive_decode_jpeg):
+            try:
+                fn(bytes(b))
+            except ValueError:
+                pass  # only ValueError may escape
+    # progressive: flip the SOF0 marker byte to SOF2
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        C.decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError):
+        C.naive_decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError):
+        C.decode_jpeg(b"\xff\xd8\xff\xe0only-a-header")
+
+
+def test_image_any_dispatch_and_golden_twin():
+    """decode_image_any / naive_decode_image dispatch PNG vs JPEG by magic
+    and reject neither-format payloads with ValueError."""
+    import numpy as np
+
+    rng = random.Random(23)
+    px = _smooth_px(rng, 12, 10, 3)
+    for payload in (C.encode_png(px, 12, 10, 3), C.encode_jpeg(px, 12, 10, 3)):
+        w, h, ch, img = C.decode_image_any(payload)
+        nw, nh, nch, rows = C.naive_decode_image(payload)
+        assert (w, h, ch) == (nw, nh, nch) == (12, 10, 3)
+        assert np.array_equal(
+            img.astype(np.int64), np.array(rows, dtype=np.int64).reshape(h, w, ch)
+        )
+    with pytest.raises(ValueError):
+        C.decode_image_any(b"GIF89a not supported here")
+    with pytest.raises(ValueError):
+        C.naive_decode_image(b"GIF89a not supported here")

@@ -44,7 +44,9 @@ import zlib
 
 import numpy as np
 
-CODEC_VERSION = 2  # embedded in golden cache keys; bump on codec changes
+CODEC_VERSION = 3  # embedded in golden cache keys; bump on codec changes
+# v3: baseline JPEG codec (functions/jpeg.py) + format-dispatching image
+#     decode; errors normalized to ValueError at every decode entry point
 # v2: PNG tEXt metadata chunks (encode + extract), 16-bit WAV fixtures,
 #     integer-exact naive resample twin
 
@@ -687,3 +689,36 @@ def naive_resample_image(
                 s = sum(rows[y][x * channels + ch] for y in ys for x in xs)
                 out.append(s // cnt)
     return out
+
+
+# ---------------------------------------------------------------------------
+# JPEG (functions/jpeg.py) — re-exported through the same normalized seam
+# ---------------------------------------------------------------------------
+
+from web_crawler_spark.functions import jpeg as _jpeg  # noqa: E402
+
+JPEG_SIG = _jpeg.JPEG_SIG
+encode_jpeg = _jpeg.encode_jpeg
+decode_jpeg = _normalized(_jpeg.decode_jpeg)
+naive_decode_jpeg = _normalized(_jpeg.naive_decode_jpeg)
+
+
+@_normalized
+def decode_image_any(payload: bytes):
+    """Format-dispatching engine image decode: PNG or baseline JPEG by
+    magic, ``(w, h, channels, ndarray (h, w, ch) uint8)``.  The single
+    seam a cluster image swaps for libpng/libjpeg-turbo."""
+    b = bytes(payload)
+    if b[:2] == b"\xff\xd8":
+        return decode_jpeg(b)
+    return decode_png(b)
+
+
+@_normalized
+def naive_decode_image(payload: bytes):
+    """Golden twin of :func:`decode_image_any`: dispatch to the naive
+    decoders, ``(w, h, channels, list-of-rows of ints)``."""
+    b = bytes(payload)
+    if b[:2] == b"\xff\xd8":
+        return naive_decode_jpeg(b)
+    return naive_decode_png(b)

@@ -52,6 +52,7 @@ from web_crawler_spark.functions import codecs
 
 MAGIC_HEX = {
     "image": "89504E470D0A1A0A",  # PNG
+    "image_jpeg": "FFD8FF",  # JPEG/JFIF SOI + marker prefix
     "audio": "52494646",  # RIFF/WAV
     "video": "0000001866747970",  # ISO BMFF ftyp
 }
@@ -62,6 +63,7 @@ def kind_from_magic(payload) -> "F.Column":
     head16 = F.hex(F.expr("substring(payload, 1, 8)"))
     return (
         F.when(head16.startswith(MAGIC_HEX["image"]), F.lit("image"))
+        .when(head16.startswith(MAGIC_HEX["image_jpeg"]), F.lit("image"))
         .when(head16.startswith(MAGIC_HEX["audio"]), F.lit("audio"))
         .when(head16.startswith(MAGIC_HEX["video"]), F.lit("video"))
         .otherwise(F.lit("unknown"))
@@ -69,11 +71,12 @@ def kind_from_magic(payload) -> "F.Column":
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real PNG decode -> (h, w, channels) uint8 array.  Raises
-    ``ValueError`` on malformed input (operators convert to null/skip).
-    On a cluster image with native codecs, swap this one function for a
-    libpng/Pillow call — nothing above it changes."""
-    _w, _h, _ch, img = codecs.decode_png(bytes(payload))
+    """Real image decode (PNG or baseline JPEG, by magic) -> (h, w,
+    channels) uint8 array.  Raises ``ValueError`` on malformed input
+    (operators convert to null/skip).  On a cluster image with native
+    codecs, swap codecs.decode_image_any for libpng/libjpeg-turbo —
+    nothing above it changes."""
+    _w, _h, _ch, img = codecs.decode_image_any(bytes(payload))
     return img
 
 
@@ -335,7 +338,7 @@ def naive_media_phash(kind: str, payload: bytes) -> "int | None":
     ``codecs.naive_*`` decoders and plain-int hashing."""
     try:
         if kind == "image":
-            w, h, ch, rows = codecs.naive_decode_png(payload)
+            w, h, ch, rows = codecs.naive_decode_image(payload)
             return codecs.naive_pixel_phash(w, h, ch, rows, PHASH_ROWS, PHASH_COLS)
         if kind == "audio":
             _r, _c, bits, samples = codecs.naive_decode_wav(payload)

@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v29"  # v29: image PNGs carry tEXt caption/author chunks, every 4th audio row is 16-bit PCM; other v28 tables byte-identical
+SYNTH_VERSION = "v30"  # v30: JPEG image rows (i%15==6, alternating 4:4:4/4:2:0) + every other dup-anchor re-encode stored as JPEG of the SAME pixels (cross-format pixel-dedup property); other tables byte-identical to v29
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -603,11 +603,15 @@ def _gen_pages_micro_nested(pages_meta_tbl: pa.Table, sf: str):
 
 def _gen_media(rng: random.Random, sf: str):
     """Media rows with REAL payloads (round 4): images are PNGs (all five
-    scanline filters in rotation), audio is 8-bit PCM RIFF/WAVE, video is
-    an ISO-BMFF ftyp+mdat container of length-prefixed PNG frames — see
-    functions/codecs.py.  Every 2nd image at i%30==0 re-encodes the pixels
-    of image i-30 with DIFFERENT filter types: byte-different payload,
-    identical decoded pixels (the pixel-dedup property media_phash grades).
+    scanline filters in rotation) or, since v30, baseline JPEGs at
+    i%15==6 (alternating 4:4:4/4:2:0 — functions/jpeg.py); audio is 8-bit
+    PCM RIFF/WAVE, video is an ISO-BMFF ftyp+mdat container of
+    length-prefixed PNG frames — see functions/codecs.py.  Every 2nd
+    image at i%30==0 re-encodes the pixels of image i-30 — alternately
+    as PNG under DIFFERENT filter types (byte-different payload,
+    identical decoded pixels: the exact pixel-dedup property) and, since
+    v30, as a JPEG of the same pixels (the cross-format NEAR-dup
+    property media_phash_pairs grades at Hamming<=3).
     Invariant relied on by the media_frames SQL oracle: a video's container
     frame count m = min(8, max(1, floor(duration_s))).  Audio duration_s
     stays the crawler-declared metadata (independent of the embedded clip
@@ -627,10 +631,30 @@ def _gen_media(rng: random.Random, sf: str):
         dur = round(0.5 + (i % 600) / 10.0, 1) if kind != "image" else None
         if kind == "image":
             if i % 30 == 0 and (i // 30) % 2 == 1 and (i - 30) in dup_pixels:
-                # re-encode of i-30's pixels under different filters
                 w, h, px = dup_pixels[i - 30]
-                payload = codecs.encode_png(
-                    px, w, h, 3, filters=[(i // 30 + r) % 4 + 1 for r in range(3)]
+                if (i // 30) % 4 == 3:
+                    # v30: every other re-encode stores the SAME pixels as
+                    # a JPEG — the cross-format near-dup pair media_phash
+                    # (Hamming<=3 banding) must still catch
+                    payload = codecs.encode_jpeg(
+                        px, w, h, 3, quality=92, subsampling="444"
+                    )
+                else:
+                    # re-encode of i-30's pixels under different filters
+                    payload = codecs.encode_png(
+                        px, w, h, 3,
+                        filters=[(i // 30 + r) % 4 + 1 for r in range(3)],
+                    )
+            elif i % 15 == 6:
+                # v30: plain JPEG rows (no tEXt — JFIF has no such chunk),
+                # alternating subsampling layouts for decoder coverage
+                w = 18 + (i * 7) % 30
+                h = 12 + (i * 13) % 24
+                px = _media_image_pixels(w, h, body, i)
+                payload = codecs.encode_jpeg(
+                    px, w, h, 3,
+                    quality=85 + (i % 11),
+                    subsampling="420" if i % 2 == 0 else "444",
                 )
             else:
                 w = 18 + (i * 7) % 30
@@ -683,7 +707,9 @@ def _gen_media(rng: random.Random, sf: str):
             payload = codecs.encode_bmff(frames)
             widths.append(w)
             heights.append(h)
-        assert payload.startswith(_MAGIC[kind])
+        assert payload.startswith(_MAGIC[kind]) or (
+            kind == "image" and payload.startswith(b"\xff\xd8\xff")
+        )
         payloads.append(payload)
         ids.append(i)
         kinds.append(kind)
