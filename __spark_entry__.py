@@ -3050,6 +3050,17 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 graded: container-format inventory over image payloads — format
+    and dimensions parsed from the HEADER alone (PNG IHDR fixed-offset,
+    JPEG SOF marker walk via functions/jpeg.py), no entropy decode.  The
+    oracle reads the declared width/height columns plus a hex-prefix
+    container sniff: equality proves the real header parse agrees with
+    the synth encoders' declared metadata for both formats."""
+    media = _synth(spark, sf_dir, "media")
+    return multimodal.media_formats(media)
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-video frame sampling (1->N mapInPandas fan-out); the timestamp
     grid is a pure function of duration, so the (media_id, frame_idx, ts_ms)
@@ -5204,6 +5215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivfpq": q_ann_ivfpq,
         "media_sniff": q_media_sniff,
+        "media_formats": q_media_formats,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "doc_winnow": q_doc_winnow,
@@ -6279,6 +6291,13 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
             f"WHERE vec_id < {N_ANN_QUERIES}"
         ),
         "media_sniff": f"SELECT media_id, kind AS kind_sniffed FROM {media}",
+        "media_formats": (
+            f"SELECT media_id, CASE WHEN left(hex(payload), 6) = 'FFD8FF' "
+            f"THEN 'jpeg' WHEN left(hex(payload), 16) = '89504E470D0A1A0A' "
+            f"THEN 'png' ELSE 'unknown' END AS container, "
+            f"width::BIGINT AS width, height::BIGINT AS height "
+            f"FROM {media} WHERE kind = 'image'"
+        ),
         "media_features": (
             f"SELECT media_id, kind, octet_length(payload)::BIGINT AS n_bytes "
             f"FROM {media}"

@@ -2613,3 +2613,40 @@ def test_media_phash_pairs_banding_complete(spark):
                 if ham <= mm.PHASH_PAIR_MAX_HAMMING:
                     want[(a, b)] = ham
     assert got == want and got[(0, 1)] == 0
+
+
+def test_media_formats_header_inventory(spark, sf_small):
+    """R5: media_formats parses container + dims from the HEADER alone for
+    both PNG and JPEG rows, matches the synth-declared metadata (the
+    graded oracle shape), and null-skips poison image payloads."""
+    from web_crawler_spark import synth
+    from web_crawler_spark.functions import codecs, multimodal
+
+    media = spark.read.parquet(synth.synth_path("0.001", "media"))
+    got = {r["media_id"]: r for r in multimodal.media_formats(media).collect()}
+    declared = {
+        r["media_id"]: r
+        for r in media.filter("kind = 'image'").collect()
+    }
+    assert set(got) == set(declared)
+    n_jpeg = 0
+    for mid, r in got.items():
+        d = declared[mid]
+        want = "jpeg" if bytes(d["payload"])[:3] == codecs.JPEG_SIG else "png"
+        n_jpeg += want == "jpeg"
+        assert r["container"] == want
+        assert (r["width"], r["height"]) == (d["width"], d["height"]), mid
+    assert n_jpeg > 0  # v30 fixtures must exercise the JPEG branch
+    # poison image rows -> container sniffed, dims null, no task failure
+    bad = spark.createDataFrame(
+        [
+            (900, "image", bytearray(b"\xff\xd8\xff\xe0garbage")),
+            (901, "image", bytearray(b"\x89PNG\r\n\x1a\nshort")),
+            (902, "image", bytearray(b"GIF89a??")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in multimodal.media_formats(bad).collect()}
+    assert rows[900]["container"] == "jpeg" and rows[900]["width"] is None
+    assert rows[901]["container"] == "png" and rows[901]["width"] is None
+    assert rows[902]["container"] == "unknown" and rows[902]["width"] is None

@@ -956,3 +956,12 @@ def naive_decode_jpeg(payload: bytes):
                 line.append(0 if v < 0 else (255 if v > 255 else v))
         rows.append(line)
     return w, h, 3, rows
+
+
+def header_dims(payload: bytes) -> "tuple[int, int]":
+    """(width, height) from the SOF header alone — no entropy decode.
+    The cheap metadata probe a 100 TB media-inventory pass runs instead
+    of full decode.  Raises ``ValueError`` on malformed input."""
+    frame, _qt, _hf, _ri, _sc, _pos = _parse_segments(bytes(payload))
+    w, h, _comps = frame
+    return w, h

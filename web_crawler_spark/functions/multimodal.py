@@ -174,6 +174,66 @@ def sniff_kinds(media: DataFrame) -> DataFrame:
     )
 
 
+FORMATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("container", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+
+def media_formats(media: DataFrame) -> DataFrame:
+    """(media_id, container, width, height) for image rows: container and
+    dimensions parsed from the CONTAINER HEADER ALONE (PNG IHDR / JPEG
+    SOF marker walk, functions/jpeg.py header_dims) — the cheap metadata
+    inventory pass a 100 TB corpus runs without entropy-decoding anything.
+    Arrow-batched map over the kind-pruned scan, zero exchange; poison
+    payloads surface as null dims, never task failures."""
+    from web_crawler_spark.functions import jpeg as J
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        for pdf in batches:
+            containers, ws, hs = [], [], []
+            for payload in pdf["payload"]:
+                container = w = h = None
+                if payload is not None:
+                    b = bytes(payload)
+                    try:
+                        if b[:3] == codecs.JPEG_SIG:
+                            container = "jpeg"
+                            w, h = J.header_dims(b)
+                        elif b[:8] == codecs.PNG_SIG:
+                            container = "png"
+                            if b[12:16] != b"IHDR":  # IHDR must come first
+                                raise ValueError("IHDR not first")
+                            w, h = _struct.unpack_from(">II", b, 16)
+                        else:
+                            container = "unknown"
+                    except (ValueError, _struct.error):
+                        w = h = None
+                containers.append(container)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "container": containers,
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=FORMATS_SCHEMA)
+    )
+
+
 def resize_images(media: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
     """Arrow-batched REAL image resize: PNG decode -> integer block-average
     box resample -> PNG re-encode.  Images only (other kinds and
