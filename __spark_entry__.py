@@ -6293,7 +6293,8 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {ANN_K}
         "media_sniff": f"SELECT media_id, kind AS kind_sniffed FROM {media}",
         "media_formats": (
             f"SELECT media_id, CASE WHEN left(hex(payload), 6) = 'FFD8FF' "
-            f"THEN 'jpeg' WHEN left(hex(payload), 16) = '89504E470D0A1A0A' "
+            f"THEN 'jpeg' WHEN left(hex(payload), 8) = '47494638' THEN 'gif' "
+            f"WHEN left(hex(payload), 16) = '89504E470D0A1A0A' "
             f"THEN 'png' ELSE 'unknown' END AS container, "
             f"width::BIGINT AS width, height::BIGINT AS height "
             f"FROM {media} WHERE kind = 'image'"

@@ -329,3 +329,56 @@ def test_image_any_dispatch_and_golden_twin():
         C.decode_image_any(b"GIF89a not supported here")
     with pytest.raises(ValueError):
         C.naive_decode_image(b"GIF89a not supported here")
+
+
+def test_gif_round_trip_twin_and_poison():
+    """GIF87a/89a (functions/gif.py): palette round-trip exactness,
+    interlace, transparency compositing, engine==naive bit equality, and
+    the ValueError-only poison contract."""
+    import numpy as np
+
+    rng = random.Random(31)
+    for (w, h, ncol, inter, trans) in [
+        (16, 12, 64, False, None),
+        (17, 13, 256, True, None),   # interlace with non-multiple rows
+        (24, 18, 16, False, 3),      # transparency -> background color
+        (8, 8, 2, True, 1),
+        (5, 29, 256, True, 0),
+    ]:
+        pal = bytes(rng.getrandbits(8) for _ in range(3 * ncol))
+        idx = [rng.randrange(ncol) for _ in range(w * h)]
+        payload = C.encode_gif(idx, w, h, pal, interlaced=inter, transparent=trans)
+        w2, h2, ch, img = C.decode_gif(payload)
+        assert (w2, h2, ch) == (w, h, 3)
+        nw, nh, nch, rows = C.naive_decode_gif(payload)
+        assert np.array_equal(
+            img.astype(np.int64), np.array(rows, dtype=np.int64).reshape(h, w, 3)
+        )
+        # lossless: non-transparent pixels ARE the palette colors
+        for k in range(0, w * h, max(1, w * h // 9)):
+            y, x = divmod(k, w)
+            i = idx[k]
+            if trans is None or i != trans:
+                assert tuple(img[y, x]) == (pal[3 * i], pal[3 * i + 1], pal[3 * i + 2])
+        from web_crawler_spark.functions import gif as G
+
+        assert G.gif_frame_count(payload) == 1
+        assert G.header_dims(payload) == (w, h)
+        # dispatch seam picks the GIF path
+        assert np.array_equal(C.decode_image_any(payload)[3], img)
+    pal = bytes(range(48))
+    good = C.encode_gif([i % 16 for i in range(100)], 10, 10, pal)
+    for cut in range(1, len(good), 9):
+        for fn in (C.decode_gif, C.naive_decode_gif):
+            try:
+                fn(good[:cut])
+            except ValueError:
+                pass  # only ValueError may escape
+    for _ in range(300):
+        b = bytearray(good)
+        b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        for fn in (C.decode_gif, C.naive_decode_gif):
+            try:
+                fn(bytes(b))
+            except ValueError:
+                pass

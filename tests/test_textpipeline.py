@@ -2629,24 +2629,34 @@ def test_media_formats_header_inventory(spark, sf_small):
         for r in media.filter("kind = 'image'").collect()
     }
     assert set(got) == set(declared)
-    n_jpeg = 0
+    n_fmt = {"jpeg": 0, "gif": 0, "png": 0}
     for mid, r in got.items():
         d = declared[mid]
-        want = "jpeg" if bytes(d["payload"])[:3] == codecs.JPEG_SIG else "png"
-        n_jpeg += want == "jpeg"
+        head = bytes(d["payload"])[:4]
+        want = (
+            "jpeg" if head[:3] == codecs.JPEG_SIG
+            else "gif" if head == b"GIF8"
+            else "png"
+        )
+        n_fmt[want] += 1
         assert r["container"] == want
         assert (r["width"], r["height"]) == (d["width"], d["height"]), mid
-    assert n_jpeg > 0  # v30 fixtures must exercise the JPEG branch
+    # v30/v31 fixtures must exercise every container branch
+    assert min(n_fmt.values()) > 0, n_fmt
     # poison image rows -> container sniffed, dims null, no task failure
     bad = spark.createDataFrame(
         [
             (900, "image", bytearray(b"\xff\xd8\xff\xe0garbage")),
             (901, "image", bytearray(b"\x89PNG\r\n\x1a\nshort")),
             (902, "image", bytearray(b"GIF89a??")),
+            (903, "image", bytearray(b"RIFF????WEBP")),
         ],
         "media_id long, kind string, payload binary",
     )
     rows = {r["media_id"]: r for r in multimodal.media_formats(bad).collect()}
     assert rows[900]["container"] == "jpeg" and rows[900]["width"] is None
     assert rows[901]["container"] == "png" and rows[901]["width"] is None
-    assert rows[902]["container"] == "unknown" and rows[902]["width"] is None
+    # truncated GIF: sniffed by magic, dims null (header shorter than the
+    # 10-byte logical-screen prefix)
+    assert rows[902]["container"] == "gif" and rows[902]["width"] is None
+    assert rows[903]["container"] == "unknown" and rows[903]["width"] is None

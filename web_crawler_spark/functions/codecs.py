@@ -44,7 +44,8 @@ import zlib
 
 import numpy as np
 
-CODEC_VERSION = 3  # embedded in golden cache keys; bump on codec changes
+CODEC_VERSION = 4  # embedded in golden cache keys; bump on codec changes
+# v4: GIF87a/89a decoder (functions/gif.py) joins the image dispatch
 # v3: baseline JPEG codec (functions/jpeg.py) + format-dispatching image
 #     decode; errors normalized to ValueError at every decode entry point
 # v2: PNG tEXt metadata chunks (encode + extract), 16-bit WAV fixtures,
@@ -711,6 +712,8 @@ def decode_image_any(payload: bytes):
     b = bytes(payload)
     if b[:2] == b"\xff\xd8":
         return decode_jpeg(b)
+    if b[:4] == b"GIF8":
+        return decode_gif(b)
     return decode_png(b)
 
 
@@ -721,4 +724,19 @@ def naive_decode_image(payload: bytes):
     b = bytes(payload)
     if b[:2] == b"\xff\xd8":
         return naive_decode_jpeg(b)
+    if b[:4] == b"GIF8":
+        return naive_decode_gif(b)
     return naive_decode_png(b)
+
+
+# ---------------------------------------------------------------------------
+# GIF (functions/gif.py) — same normalized seam
+# ---------------------------------------------------------------------------
+
+from web_crawler_spark.functions import gif as _gif  # noqa: E402
+
+GIF_SIGS = _gif.GIF_SIGS
+encode_gif = _gif.encode_gif
+decode_gif = _normalized(_gif.decode_gif)
+naive_decode_gif = _normalized(_gif.naive_decode_gif)
+gif_frame_count = _normalized(_gif.gif_frame_count)

@@ -53,6 +53,7 @@ from web_crawler_spark.functions import codecs
 MAGIC_HEX = {
     "image": "89504E470D0A1A0A",  # PNG
     "image_jpeg": "FFD8FF",  # JPEG/JFIF SOI + marker prefix
+    "image_gif": "47494638",  # GIF87a/89a
     "audio": "52494646",  # RIFF/WAV
     "video": "0000001866747970",  # ISO BMFF ftyp
 }
@@ -64,6 +65,7 @@ def kind_from_magic(payload) -> "F.Column":
     return (
         F.when(head16.startswith(MAGIC_HEX["image"]), F.lit("image"))
         .when(head16.startswith(MAGIC_HEX["image_jpeg"]), F.lit("image"))
+        .when(head16.startswith(MAGIC_HEX["image_gif"]), F.lit("image"))
         .when(head16.startswith(MAGIC_HEX["audio"]), F.lit("audio"))
         .when(head16.startswith(MAGIC_HEX["video"]), F.lit("video"))
         .otherwise(F.lit("unknown"))
@@ -206,6 +208,11 @@ def media_formats(media: DataFrame) -> DataFrame:
                         if b[:3] == codecs.JPEG_SIG:
                             container = "jpeg"
                             w, h = J.header_dims(b)
+                        elif b[:4] == b"GIF8":
+                            from web_crawler_spark.functions import gif as G
+
+                            container = "gif"
+                            w, h = G.header_dims(b)
                         elif b[:8] == codecs.PNG_SIG:
                             container = "png"
                             if b[12:16] != b"IHDR":  # IHDR must come first

@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 
 from . import refsim
 
-SYNTH_VERSION = "v30"  # v30: JPEG image rows (i%15==6, alternating 4:4:4/4:2:0) + every other dup-anchor re-encode stored as JPEG of the SAME pixels (cross-format pixel-dedup property); other tables byte-identical to v29
+SYNTH_VERSION = "v31"  # v31: GIF image rows (i%15==9, interlace/transparency alternating). v30: JPEG image rows (i%15==6, alternating 4:4:4/4:2:0) + every other dup-anchor re-encode stored as JPEG of the SAME pixels (cross-format pixel-dedup property); other tables byte-identical to v29
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_DIR", os.path.join(REPO_ROOT, ".synthdata"))
 
@@ -656,6 +656,22 @@ def _gen_media(rng: random.Random, sf: str):
                     quality=85 + (i % 11),
                     subsampling="420" if i % 2 == 0 else "444",
                 )
+            elif i % 15 == 9:
+                # v31: GIF rows — 64-color palette + indices derived from
+                # the same entropy draw; interlace and transparency
+                # alternate for decoder coverage
+                w = 18 + (i * 7) % 30
+                h = 12 + (i * 13) % 24
+                px = _media_image_pixels(w, h, body, i)
+                palette = bytes(
+                    (body[j % len(body)] * 7 + j) % 256 for j in range(192)
+                )
+                indices = [b % 64 for b in px[: w * h]]
+                payload = codecs.encode_gif(
+                    indices, w, h, palette,
+                    interlaced=(i % 2 == 0),
+                    transparent=5 if i % 45 == 24 else None,
+                )
             else:
                 w = 18 + (i * 7) % 30
                 h = 12 + (i * 13) % 24
@@ -708,7 +724,8 @@ def _gen_media(rng: random.Random, sf: str):
             widths.append(w)
             heights.append(h)
         assert payload.startswith(_MAGIC[kind]) or (
-            kind == "image" and payload.startswith(b"\xff\xd8\xff")
+            kind == "image"
+            and payload[:4] in (b"\xff\xd8\xff\xe0", b"GIF8")
         )
         payloads.append(payload)
         ids.append(i)
