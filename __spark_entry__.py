@@ -1590,6 +1590,35 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_phash_pairs(_synth(spark, sf_dir, "media"))
 
 
+def q_media_cross_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 graded: CROSS-FORMAT near-duplicate detection — the reason a
+    decoded-domain hash exists at all: the same pixels stored as PNG and
+    as JPEG (synth v30 dup anchors) must pair up at Hamming<=3 even
+    though their bytes share nothing.  Engine = banded phash pairs joined
+    to the header-parsed container inventory, cross-container pairs only;
+    oracle = brute-force pairs over the naive-decode golden + the hex
+    magic sniff.  A byte-level dedup (md5) scores ZERO here."""
+    media = _synth(spark, sf_dir, "media")
+    pairs = multimodal.media_phash_pairs(media)
+    fmts = multimodal.media_formats(media).select("media_id", "container")
+    return (
+        pairs.join(
+            fmts.select(
+                F.col("media_id").alias("a"), F.col("container").alias("container_a")
+            ),
+            on="a",
+        )
+        .join(
+            fmts.select(
+                F.col("media_id").alias("b"), F.col("container").alias("container_b")
+            ),
+            on="b",
+        )
+        .filter(F.col("container_a") != F.col("container_b"))
+        .select("a", "b", "container_a", "container_b", "hamming")
+    )
+
+
 def q_media_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R4 graded: CLIP-style image-text pair construction — tEXt caption
     mining joined with image dimensions plus the pair-quality gate
@@ -5080,6 +5109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_pairs": q_media_pairs,
         "media_phash_pairs": q_media_phash_pairs,
+        "media_cross_format": q_media_cross_format,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "doc_bpe_apply": q_doc_bpe_apply,
         "corpus_fertility": q_corpus_fertility,
@@ -5850,6 +5880,25 @@ def _oracle_sql_for(sf: str) -> dict[str, str]:
                    bit_count(xor(l.phash, r.phash))::BIGINT AS hamming
             FROM g l JOIN g r ON l.media_id < r.media_id
             WHERE bit_count(xor(l.phash, r.phash)) <= 3
+        """,
+        "media_cross_format": f"""
+            WITH g AS (SELECT media_id, phash
+                       FROM read_parquet('{_phash_golden_path(sf)}')
+                       WHERE phash IS NOT NULL),
+            f AS (SELECT media_id,
+                         CASE WHEN left(hex(payload), 6) = 'FFD8FF' THEN 'jpeg'
+                              WHEN left(hex(payload), 8) = '47494638' THEN 'gif'
+                              WHEN left(hex(payload), 16) = '89504E470D0A1A0A'
+                              THEN 'png' ELSE 'unknown' END AS container
+                  FROM read_parquet('{sp('media')}') WHERE kind = 'image')
+            SELECT l.media_id AS a, r.media_id AS b,
+                   fa.container AS container_a, fb.container AS container_b,
+                   bit_count(xor(l.phash, r.phash))::BIGINT AS hamming
+            FROM g l JOIN g r ON l.media_id < r.media_id
+            JOIN f fa ON l.media_id = fa.media_id
+            JOIN f fb ON r.media_id = fb.media_id
+            WHERE bit_count(xor(l.phash, r.phash)) <= 3
+              AND fa.container <> fb.container
         """,
         "media_pairs": f"""
             SELECT g.media_id, g.value AS caption,

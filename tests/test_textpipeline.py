@@ -2660,3 +2660,42 @@ def test_media_formats_header_inventory(spark, sf_small):
     # 10-byte logical-screen prefix)
     assert rows[902]["container"] == "gif" and rows[902]["width"] is None
     assert rows[903]["container"] == "unknown" and rows[903]["width"] is None
+
+
+def test_media_cross_format_pairs(spark, sf_small):
+    """R5: the cross-format dedup property as an operator — identical
+    pixels stored as PNG and JPEG pair at Hamming<=3 across containers
+    (byte-level dedup scores zero on them).  Built as a crafted frame so
+    the pair is known exactly."""
+    import random
+
+    from web_crawler_spark.functions import codecs, multimodal
+
+    rng = random.Random(41)
+    px1 = bytes(rng.getrandbits(8) for _ in range(20 * 14 * 3))
+    px2 = bytes(rng.getrandbits(8) for _ in range(20 * 14 * 3))
+    rows = [
+        (1, "image", bytearray(codecs.encode_png(px1, 20, 14, 3)), 20, 14, None),
+        (2, "image", bytearray(codecs.encode_jpeg(px1, 20, 14, 3, quality=92)), 20, 14, None),
+        (3, "image", bytearray(codecs.encode_png(px2, 20, 14, 3)), 20, 14, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, height int, duration_s double",
+    )
+    from __spark_entry__ import q_media_cross_format  # noqa: F401  (shape only)
+
+    pairs = multimodal.media_phash_pairs(media)
+    fmts = multimodal.media_formats(media).select("media_id", "container")
+    from pyspark.sql import functions as F
+
+    cross = (
+        pairs.join(fmts.select(F.col("media_id").alias("a"), F.col("container").alias("container_a")), on="a")
+        .join(fmts.select(F.col("media_id").alias("b"), F.col("container").alias("container_b")), on="b")
+        .filter(F.col("container_a") != F.col("container_b"))
+        .collect()
+    )
+    assert len(cross) == 1
+    r = cross[0]
+    assert {r["container_a"], r["container_b"]} == {"png", "jpeg"}
+    assert {r["a"], r["b"]} == {1, 2} and r["hamming"] <= 3
