@@ -166,6 +166,7 @@ def _idct_table() -> "list[list[int]]":
 
 _A_INT = _idct_table()
 _A_NP = np.array(_A_INT, dtype=np.int64)
+_ZIGZAG_NP = np.array(ZIGZAG, dtype=np.int64)
 
 # 16-bit fixed-point YCbCr->RGB constants (public JFIF/BT.601 factors)
 _FIX_R_CR = 91881      # 1.402
@@ -205,6 +206,32 @@ def _huff_decode_table(bits, vals):
             k += 1
         code <<= 1
     return table
+
+
+import functools  # noqa: E402
+
+
+@functools.lru_cache(maxsize=16)
+def _huff_peek_table(bits: tuple, vals: tuple):
+    """65536-entry peek table: top-16-bit window -> (symbol, code length).
+    Unfilled windows (invalid codes) hold (None, 0).  Cached by table
+    CONTENT, so files sharing the standard Annex K tables (ours, and most
+    of the web) pay the build cost once per process, not per image —
+    this is what keeps the engine's Huffman loop per-symbol O(1) instead
+    of per-bit."""
+    tbl = [(None, 0)] * 65536
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            prefix = code << (16 - length)
+            sym = vals[k]
+            for i in range(1 << (16 - length)):
+                tbl[prefix + i] = (sym, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return tbl
 
 
 # ---------------------------------------------------------------------------
@@ -475,7 +502,7 @@ def _parse_segments(payload: bytes):
                 vals = list(data[p + 17 : p + 17 + cnt])
                 if len(bits) != 16 or len(vals) != cnt:
                     raise ValueError("short DHT")
-                htabs[(cls, tid)] = _huff_decode_table(bits, vals)
+                htabs[(cls, tid)] = (tuple(bits), tuple(vals))
                 p += 17 + cnt
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec = data[0]
@@ -507,40 +534,54 @@ def _parse_segments(payload: bytes):
 
 class _BitReader:
     """Entropy-coded-segment bit reader: un-stuffs FF 00, stops at other
-    markers, supports restart alignment."""
+    markers, supports restart alignment.  Multi-bit reads + a 16-bit peek
+    window (for the cached Huffman peek tables) keep the hot loop
+    per-SYMBOL, not per-bit.  The peek zero-pads past end-of-stream —
+    harmless for valid streams (a code never extends past its real bits)
+    and consuming into the padding raises ValueError (truncated)."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
-        self.acc = 0
+        self.acc = 0       # bottom nbits bits are valid, MSB-first
         self.nbits = 0
 
-    def _fill(self) -> None:
+    def _fill_byte(self) -> bool:
         d = self.data
         if self.pos >= len(d):
-            raise ValueError("truncated scan")
+            return False
         b = d[self.pos]
         if b == 0xFF:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
             if nxt == 0x00:
                 self.pos += 2
             else:
-                raise ValueError("marker inside entropy data")
+                return False  # a marker ends the entropy data
         else:
             self.pos += 1
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+        return True
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def peek16(self) -> int:
+        while self.nbits < 16:
+            if not self._fill_byte():
+                return (self.acc << (16 - self.nbits)) & 0xFFFF
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def consume(self, k: int) -> None:
+        if k > self.nbits:
+            raise ValueError("truncated scan")
+        self.nbits -= k
+        self.acc &= (1 << self.nbits) - 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        while self.nbits < k:
+            if not self._fill_byte():
+                raise ValueError("truncated scan")
+        v = (self.acc >> (self.nbits - k)) & ((1 << k) - 1)
+        self.nbits -= k
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def restart(self) -> None:
@@ -565,14 +606,12 @@ def _receive_extend(br: _BitReader, size: int) -> int:
     return v
 
 
-def _huff_decode(br: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("bad huffman code")
+def _huff_decode(br: _BitReader, ptable) -> int:
+    sym, length = ptable[br.peek16()]
+    if sym is None:
+        raise ValueError("bad huffman code")
+    br.consume(length)
+    return sym
 
 
 def decode_jpeg(payload: bytes):
@@ -606,11 +645,11 @@ def decode_jpeg(payload: bytes):
         sc = next((s for s in scomps if s[0] == cid), None)
         if sc is None:
             raise ValueError("component missing from scan")
-        dc_t = htabs.get((0, sc[1]))
-        ac_t = htabs.get((1, sc[2]))
-        if dc_t is None or ac_t is None:
+        dc_bv = htabs.get((0, sc[1]))
+        ac_bv = htabs.get((1, sc[2]))
+        if dc_bv is None or ac_bv is None:
             raise ValueError("missing huffman table")
-        scan_tabs.append((dc_t, ac_t))
+        scan_tabs.append((_huff_peek_table(*dc_bv), _huff_peek_table(*ac_bv)))
     qnat = []
     for cid, hc, vc, tq in comps:
         qz = qtabs[tq]
@@ -651,7 +690,7 @@ def decode_jpeg(payload: bytes):
                             coefs[k] = _receive_extend(br, s)
                             k += 1
                         blk = np.zeros(64, dtype=np.int64)
-                        blk[[ZIGZAG[i] for i in range(64)]] = coefs
+                        blk[_ZIGZAG_NP] = coefs
                         grids[c][my * vc + by, mx * hc + bx] = blk.reshape(8, 8)
             mcu_count += 1
     # dequantize + integer IDCT, vectorized across all blocks per component
