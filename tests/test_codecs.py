@@ -382,3 +382,63 @@ def test_gif_round_trip_twin_and_poison():
                 fn(bytes(b))
             except ValueError:
                 pass
+
+
+def test_review_fixes_header_probes_bombs_and_gif_semantics():
+    """r5 code-review fixes: (a) image_header_dims normalizes decoder
+    errors (the truncated-SOF IndexError repro); (b) declared-dimension
+    bombs reject before allocation in both twins; (c) GIF frames past the
+    logical screen reject identically in both twins; (d) the background
+    color index byte is honored."""
+    import numpy as np
+
+    from web_crawler_spark.functions import gif as G, jpeg as J
+
+    # (a) truncated SOF that used to raise IndexError through header_dims
+    poison = b"\xff\xd8\xff\xc0" + struct.pack(">H", 7) + b"\x08" + struct.pack(">HH", 1, 1)
+    with pytest.raises(ValueError):
+        C.image_header_dims(poison)
+    # valid headers parse without touching entropy data
+    assert C.image_header_dims(C.encode_png(b"\x00" * 12, 2, 2, 3)) == ("png", 2, 2)
+    jp = C.encode_jpeg(b"\x00" * 12, 2, 2, 3)
+    assert C.image_header_dims(jp) == ("jpeg", 2, 2)
+    gp = C.encode_gif([0, 1, 1, 0], 2, 2, bytes(6))
+    assert C.image_header_dims(gp) == ("gif", 2, 2)
+    with pytest.raises(ValueError):
+        C.image_header_dims(b"RIFF????WEBP")
+    # (b) declared 65535x65535 rejects in O(header) in all four decoders
+    bomb_jpeg = bytearray(jp)
+    i = bomb_jpeg.find(b"\xff\xc0")
+    bomb_jpeg[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
+    for fn in (C.decode_jpeg, C.naive_decode_jpeg):
+        with pytest.raises(ValueError):
+            fn(bytes(bomb_jpeg))
+    bomb_gif = bytearray(gp)
+    bomb_gif[6:10] = struct.pack("<HH", 65535, 65535)
+    for fn in (C.decode_gif, C.naive_decode_gif):
+        with pytest.raises(ValueError):
+            fn(bytes(bomb_gif))
+    # (c) frame exceeding the logical screen: same ValueError both twins
+    over = bytearray(gp)
+    # image descriptor starts right after header(13)+GCT(6): set left=1
+    desc = bytes(over).find(b"\x2c")
+    over[desc + 1 : desc + 3] = struct.pack("<H", 1)
+    for fn in (C.decode_gif, C.naive_decode_gif):
+        with pytest.raises(ValueError):
+            fn(bytes(over))
+    # (d) background color index honored (transparent composites onto it)
+    pal = bytes([10, 20, 30, 200, 210, 220, 1, 2, 3, 9, 9, 9])
+    g = bytearray(C.encode_gif([3, 2, 2, 3], 2, 2, pal, transparent=2))
+    g[11] = 1  # background color index -> palette entry 1
+    w, h, ch, img = C.decode_gif(bytes(g))
+    nw, nh, nch, rows = C.naive_decode_gif(bytes(g))
+    assert np.array_equal(img.astype(np.int64), np.array(rows, dtype=np.int64).reshape(2, 2, 3))
+    assert tuple(img[0, 1]) == (200, 210, 220)  # transparent -> bg color 1
+    # BMFF videos embedding JPEG stills: engine and golden phash agree
+    from web_crawler_spark.functions import multimodal as M
+
+    frames = [jp, jp]
+    bm = C.encode_bmff(frames)
+    eng = M._media_phash_one("video", bm)
+    gold = M.naive_media_phash("video", bm)
+    assert eng is not None and eng == gold

@@ -740,3 +740,36 @@ encode_gif = _gif.encode_gif
 decode_gif = _normalized(_gif.decode_gif)
 naive_decode_gif = _normalized(_gif.naive_decode_gif)
 gif_frame_count = _normalized(_gif.gif_frame_count)
+
+
+@_normalized
+def png_header_dims(payload: bytes) -> "tuple[int, int]":
+    """(width, height) from the IHDR alone (which the spec requires to be
+    the first chunk) — the PNG leg of the header-inventory seam."""
+    b = bytes(payload)
+    if b[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    if b[12:16] != b"IHDR":
+        raise ValueError("IHDR not first")
+    if len(b) < 24:
+        raise ValueError("truncated IHDR")
+    return struct.unpack_from(">II", b, 16)
+
+
+@_normalized
+def image_header_dims(payload: bytes) -> "tuple[str, int, int]":
+    """(container, width, height) from the container header alone —
+    PNG/JPEG/GIF by magic, no entropy decode.  The single seam a
+    metadata-inventory pass swaps for native header probes; raises
+    ValueError on unknown or malformed headers like every decode entry."""
+    b = bytes(payload)
+    if b[:3] == JPEG_SIG:
+        w, h = _jpeg.header_dims(b)
+        return "jpeg", w, h
+    if b[:4] == b"GIF8":
+        w, h = _gif.header_dims(b)
+        return "gif", w, h
+    if b[:8] == PNG_SIG:
+        w, h = png_header_dims(b)
+        return "png", w, h
+    raise ValueError("unknown container")

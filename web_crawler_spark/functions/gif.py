@@ -43,6 +43,12 @@ GIF_SIGS = (b"GIF87a", b"GIF89a")
 
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
+# decompression-bomb guard: a 13-byte header can declare a 65535x65535
+# screen (~12 GB of RGB) — cap what we will materialize and
+# surface everything larger as the same ValueError the poison contract
+# null-skips (both twins share the constant BY DEFINITION)
+MAX_DECODE_PIXELS = 1 << 24  # 16.7 Mpx ~= 4K x 4K
+
 
 def _sub_blocks(data: bytes, pos: int) -> "tuple[bytes, int]":
     """Concatenate a sub-block chain starting at ``pos``; return (bytes,
@@ -120,8 +126,10 @@ def _lzw_decode(mcs: int, data: bytes, max_pixels: int) -> "list[int]":
 
 
 def _parse_gif(payload: bytes):
-    """Shared container walk -> (w, h, gct, frames) where each frame is
-    (left, top, fw, fh, interlaced, lct, transparent_index, mcs, lzw)."""
+    """Shared container walk -> (w, h, bg_index, gct, frames) where each
+    frame is (left, top, fw, fh, interlaced, lct, transparent_index, mcs,
+    lzw).  Frames must fit the logical screen (both twins reject the
+    overflow case identically) and the screen must fit MAX_DECODE_PIXELS."""
     data = bytes(payload)
     if data[:6] not in GIF_SIGS:
         raise ValueError("not a GIF")
@@ -129,6 +137,9 @@ def _parse_gif(payload: bytes):
         raise ValueError("truncated header")
     w, h = struct.unpack_from("<HH", data, 6)
     flags = data[10]
+    bg_index = data[11]
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError("logical screen too large")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -174,6 +185,8 @@ def _parse_gif(payload: bytes):
             mcs = data[pos]
             pos += 1
             lzw, pos = _sub_blocks(data, pos)
+            if fw == 0 or fh == 0 or left + fw > w or top + fh > h:
+                raise ValueError("frame exceeds logical screen")
             frames.append(
                 (left, top, fw, fh, bool(iflags & 0x40), lct, transparent, mcs, lzw)
             )
@@ -184,12 +197,12 @@ def _parse_gif(payload: bytes):
         raise ValueError("no image data")
     if w == 0 or h == 0:
         raise ValueError("empty logical screen")
-    return w, h, gct, frames
+    return w, h, bg_index, gct, frames
 
 
 def gif_frame_count(payload: bytes) -> int:
     """Number of image frames, from the container walk alone."""
-    _w, _h, _gct, frames = _parse_gif(payload)
+    _w, _h, _bg, _gct, frames = _parse_gif(payload)
     return len(frames)
 
 
@@ -211,7 +224,7 @@ def _deinterlace_order(fh: int) -> "list[int]":
 def decode_gif(payload: bytes):
     """First frame composited on the logical screen -> ``(w, h, 3,
     ndarray (h, w, 3) uint8)``.  Engine path (numpy palette gather)."""
-    w, h, gct, frames = _parse_gif(payload)
+    w, h, bg_index, gct, frames = _parse_gif(payload)
     left, top, fw, fh, interlaced, lct, transparent, mcs, lzw = frames[0]
     ct = lct if lct is not None else gct
     if ct is None:
@@ -230,12 +243,10 @@ def decode_gif(payload: bytes):
         raise ValueError("palette index out of range")
     pal = np.frombuffer(ct, dtype=np.uint8).reshape(ncolors, 3).astype(np.uint8)
     frame = pal[idx]
-    # composite on the logical screen: background = palette color 0
-    # (transparent pixels keep the background)
+    # composite on the logical screen: background = the screen
+    # descriptor's background color index (transparent pixels keep it)
     screen = np.zeros((h, w, 3), dtype=np.uint8)
-    screen[:, :] = pal[0]
-    if left + fw > w or top + fh > h:
-        raise ValueError("frame exceeds logical screen")
+    screen[:, :] = pal[bg_index if bg_index < ncolors else 0]
     if transparent is not None and transparent < ncolors:
         mask = idx == transparent
         region = screen[top : top + fh, left : left + fw]
@@ -248,7 +259,7 @@ def naive_decode_gif(payload: bytes):
     """Independent plain-int golden twin: own LZW bit loop, own interlace
     walk, own compositing.  Returns ``(w, h, 3, list-of-rows of ints)``
     (the ``naive_decode_png`` convention)."""
-    w, h, gct, frames = _parse_gif(payload)
+    w, h, bg_index, gct, frames = _parse_gif(payload)
     left, top, fw, fh, interlaced, lct, transparent, mcs, lzw = frames[0]
     ct = lct if lct is not None else gct
     if ct is None:
@@ -267,7 +278,8 @@ def naive_decode_gif(payload: bytes):
         for x in range(fw):
             grid[y][x] = indices[k * fw + x]
     rows: "list[list[int]]" = []
-    bg = [ct[0], ct[1], ct[2]]
+    b0 = 3 * (bg_index if bg_index < ncolors else 0)
+    bg = [ct[b0], ct[b0 + 1], ct[b0 + 2]]
     for y in range(h):
         line: "list[int]" = []
         for x in range(w):

@@ -144,6 +144,12 @@ AC_CHROMA_VALS = [
 
 JPEG_SIG = b"\xff\xd8\xff"
 
+# decompression-bomb guard (shared BY DEFINITION with the naive twin): a
+# 19-byte SOF can declare 65535x65535 (~34 GB of int64 coefficient grids)
+# — reject anything over this before allocating; the operators null-skip
+# the ValueError like any other poison payload
+MAX_DECODE_PIXELS = 1 << 24  # 16.7 Mpx ~= 4K x 4K
+
 # fixed-point IDCT basis: A[u][x] = round(c(u)/2 * cos((2x+1)u*pi/16) * 4096)
 # — deterministic integer constants shared BY DEFINITION (not by code) with
 # the naive twin; 2-D IDCT = (A^T B A + 2^23) >> 24
@@ -631,6 +637,8 @@ def decode_jpeg(payload: bytes):
             raise ValueError("unsupported sampling layout")
     if w == 0 or h == 0:
         raise ValueError("empty frame")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError("frame too large")
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     # per-component dequantized coefficient grids
@@ -816,6 +824,8 @@ def naive_decode_jpeg(payload: bytes):
     w, h, comps = frame
     if len(comps) not in (1, 3) or w == 0 or h == 0:
         raise ValueError("unsupported component count")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError("frame too large")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax not in (1, 2) or vmax not in (1, 2):

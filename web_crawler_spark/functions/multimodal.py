@@ -193,34 +193,26 @@ def media_formats(media: DataFrame) -> DataFrame:
     inventory pass a 100 TB corpus runs without entropy-decoding anything.
     Arrow-batched map over the kind-pruned scan, zero exchange; poison
     payloads surface as null dims, never task failures."""
-    from web_crawler_spark.functions import jpeg as J
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct as _struct
-
         for pdf in batches:
             containers, ws, hs = [], [], []
             for payload in pdf["payload"]:
                 container = w = h = None
                 if payload is not None:
                     b = bytes(payload)
+                    # magic sniff never fails; header parse may (poison
+                    # rows keep their sniffed container with null dims —
+                    # codecs.image_header_dims normalizes every decoder
+                    # error to ValueError, nothing can kill the task)
+                    container = (
+                        "jpeg" if b[:3] == codecs.JPEG_SIG
+                        else "gif" if b[:4] == b"GIF8"
+                        else "png" if b[:8] == codecs.PNG_SIG
+                        else "unknown"
+                    )
                     try:
-                        if b[:3] == codecs.JPEG_SIG:
-                            container = "jpeg"
-                            w, h = J.header_dims(b)
-                        elif b[:4] == b"GIF8":
-                            from web_crawler_spark.functions import gif as G
-
-                            container = "gif"
-                            w, h = G.header_dims(b)
-                        elif b[:8] == codecs.PNG_SIG:
-                            container = "png"
-                            if b[12:16] != b"IHDR":  # IHDR must come first
-                                raise ValueError("IHDR not first")
-                            w, h = _struct.unpack_from(">II", b, 16)
-                        else:
-                            container = "unknown"
-                    except (ValueError, _struct.error):
+                        container, w, h = codecs.image_header_dims(b)
+                    except ValueError:
                         w = h = None
                 containers.append(container)
                 ws.append(w)
@@ -415,7 +407,9 @@ def naive_media_phash(kind: str, payload: bytes) -> "int | None":
             frames = codecs.naive_demux_bmff(payload)
             if not frames:
                 return None
-            w, h, ch, rows = codecs.naive_decode_png(frames[0])
+            # dispatch like the engine's decode_image (a BMFF container may
+            # embed JPEG/GIF stills just as well as PNG ones)
+            w, h, ch, rows = codecs.naive_decode_image(frames[0])
             return codecs.naive_pixel_phash(w, h, ch, rows, PHASH_ROWS, PHASH_COLS)
     except ValueError:
         return None
@@ -596,7 +590,7 @@ def naive_scene_rows(payload: bytes, dur: "float | None"):
     rows, prev = [], None
     for i in range(n):
         try:
-            w, h, ch, px = codecs.naive_decode_png(frames[i])
+            w, h, ch, px = codecs.naive_decode_image(frames[i])
         except ValueError:
             continue
         hsh = codecs.naive_pixel_phash(w, h, ch, px, PHASH_ROWS, PHASH_COLS)
